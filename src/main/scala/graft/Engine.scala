@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table access for the graft engine.
+  *
+  * Tuning stance (designed for a large cluster, tested on local[32]):
+  *  - AQE on: runtime coalescing of shuffle partitions, skew-join
+  *    splitting (hot item_ids / hot keys at 100 TB), dynamic join
+  *    strategy switch (sort-merge -> broadcast when a side turns out
+  *    small after filters).
+  *  - `spark.sql.shuffle.partitions` low for local mode; on a real
+  *    cluster AQE's coalescing makes the initial number a ceiling,
+  *    not a fixed cost.
+  *  - ANSI off: the reference's normalization semantics are
+  *    coerce-to-null (pandas `errors='coerce'`,
+  *    reference `data_pipeline/assets/silver/transformation.py:49-51`),
+  *    not fail-on-error; lenient casts and /0 -> null are part of the
+  *    ported semantics.
+  *  - UTC session timezone so date/timestamp derivations are
+  *    deterministic and oracle-comparable.
+  */
+object Engine {
+
+  def session(
+      master: String = "local[*]",
+      shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply graft's semantic configs to an externally-built session
+    * (Verify/Bench build their own). Idempotent, cheap.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+}
+
+/** Loaders for the driver-provided deterministic tables
+  * (/root/repo/TESTDATA.md). One parquet file per table; at scale
+  * these would be date/key-partitioned directories and the same
+  * `spark.read.parquet(dir)` call picks up partition pruning for free.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}

@@ -1,0 +1,245 @@
+package graft.gold
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The seven gold marts (SURVEY.md §2.4). The reference declares these
+  * as SQLAlchemy schemas + stub comments
+  * (reference `backend_api/app/models.py:30-105`,
+  * `data_pipeline/assets/gold/*.py:1`); computation is reconstructed
+  * there and implemented here Spark-first.
+  *
+  * Scale notes, applying to every mart:
+  *  - grain keys are (item_id, snapshot_date|hour): the groupBy
+  *    shuffles on the natural key, partial aggregation (map-side
+  *    combine) runs before the exchange, and AQE coalesces/splits
+  *    post-shuffle partitions (hot trade-good item_ids skew — AQE
+  *    skew handling is on in [[graft.Engine]]).
+  *  - dim_items is small (<= a few 1e5 rows) -> always broadcast; no
+  *    mart pays a shuffle for denormalized item_name/icon_url.
+  *  - every mart is a pure DataFrame function: composition is the
+  *    pipeline DAG, Catalyst sees the whole plan end-to-end (column
+  *    pruning reaches the silver scan).
+  */
+object Marts {
+
+  /** Shared tail: denormalize item_name + icon_url via broadcast left
+    * join (reference carries both on every per-item mart,
+    * `models.py:36-37,52,66-67,80-81,92-93`).
+    */
+  def withItemDim(perItem: DataFrame, dims: DataFrame): DataFrame =
+    perItem.join(
+      broadcast(dims.select(
+        col("item_id"),
+        col("name").as("item_name"),
+        col("icon_url"))),
+      Seq("item_id"), "left")
+
+  /** G1 — gold_daily_market_summary (`models.py:30-44`), grain
+    * (item_id, snapshot_date). price_volatility = stddev_samp
+    * (SURVEY §2.4 decision); median is exact (Spark >= 3.4 `median`,
+    * sort-based — matches a DuckDB oracle; at 100 TB swap for
+    * percentile_approx or a sketch if approx is acceptable).
+    */
+  def dailyMarketSummary(silver: DataFrame, dims: DataFrame): DataFrame = {
+    val agg = silver
+      .groupBy(col("item_id"), col("snapshot_date"))
+      .agg(
+        min(col("unit_price")).as("min_buyout"),
+        max(col("unit_price")).as("max_buyout"),
+        median(col("unit_price")).as("median_buyout"),
+        sum(col("quantity")).as("quantity_available"),
+        sum(col("unit_price") * col("quantity")).as("market_cap"),
+        stddev_samp(col("unit_price")).as("price_volatility"),
+        count(lit(1)).as("auction_count"))
+    withItemDim(agg, dims)
+  }
+
+  /** G2 — gold_price_history (`models.py:46-58`), grain
+    * (item_id, snapshot_hour): OHLC bars over `created_at`.
+    * `avarage_price` keeps the reference's misspelling
+    * (`models.py:57` — public API contract).
+    *
+    * open/close are defined deterministically as the price at the
+    * earliest/latest observation in the bucket, ties broken by price
+    * (first_value/last_value over (ts, price) ordering) — min_by/max_by
+    * would be indeterminate under ts ties.
+    */
+  def priceHistory(
+      silver: DataFrame,
+      ts: Column = col("created_at"),
+      price: Column = col("unit_price")): DataFrame = {
+    val bucketed = silver
+      .withColumn("snapshot_hour", date_trunc("hour", ts))
+      .withColumn("__ts", ts)
+      .withColumn("__price", price)
+    val w = Window.partitionBy(col("item_id"), col("snapshot_hour"))
+    val wAsc = w.orderBy(col("__ts").asc, col("__price").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wDesc = w.orderBy(col("__ts").desc, col("__price").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bucketed
+      .withColumn("__open", first(col("__price")).over(wAsc))
+      .withColumn("__close", first(col("__price")).over(wDesc))
+      .groupBy(col("item_id"), col("snapshot_hour"))
+      .agg(
+        max(col("__open")).cast("double").as("open_price"),
+        max(col("__price")).as("high_price"),
+        min(col("__price")).as("low_price"),
+        max(col("__close")).cast("double").as("close_price"),
+        avg(col("__price")).as("avarage_price"), // sic
+        sum(col("quantity")).as("volume"))
+  }
+
+  /** G3 — gold_market_opportunities (`models.py:60-72`), grain
+    * (item_id, snapshot_date): 7-day trailing moving average + z-score
+    * ("Filtro de média móvel 7d", `gold_safe_investments.py:1`).
+    *
+    * Input is a per-item DAILY price series (use G1's median_buyout).
+    * z threshold k is a parameter (unspecified in the reference;
+    * default 2.0, SURVEY §2.4). std=0 or <2 days of history yields
+    * NULL z and recommendation HOLD; the serving layer filters
+    * BUY/SELL (`main.py:51-57`).
+    *
+    * The window is a RANGE frame over epoch days — no self-join, one
+    * shuffle on item_id; day grain keeps per-partition frames tiny.
+    */
+  def marketOpportunities(
+      dailyPrice: DataFrame,
+      priceCol: String = "median_buyout",
+      zThreshold: Double = 2.0): DataFrame = {
+    val w = Window
+      .partitionBy(col("item_id"))
+      .orderBy(datediff(col("snapshot_date"), lit("1970-01-01")))
+      .rangeBetween(-6, 0)
+    val z = (col("current_price") - col("avg_price_7d")) /
+      when(col("std_dev_7d") === 0.0, lit(null)).otherwise(col("std_dev_7d"))
+    dailyPrice
+      .select(
+        col("item_id"),
+        col("snapshot_date"),
+        col(priceCol).cast("double").as("current_price"))
+      .withColumn("avg_price_7d", avg(col("current_price")).over(w))
+      .withColumn("std_dev_7d", stddev_samp(col("current_price")).over(w))
+      .withColumn("z_score", z)
+      .withColumn(
+        "recommendation",
+        when(col("z_score") <= -zThreshold, "BUY")
+          .when(col("z_score") >= zThreshold, "SELL")
+          .otherwise("HOLD"))
+  }
+
+  /** G4 — gold_item_demand (`models.py:74-84`), grain
+    * (item_id, snapshot_date): disappearance-based demand
+    * ("Cálculo de demanda estimada", `gold_sales_velocity.py:1`).
+    *
+    * Enabled by first-seen-wins semantics (SURVEY §1.4): a listing id
+    * present in day d's raw snapshot but absent from day d+1's was
+    * sold or expired. Input must be the RAW per-day listing sets
+    * (bronze day pairs), not deduped silver.
+    *
+    * Implementation: shift tomorrow's id-set back one day and
+    * anti-join on (id, snapshot_date) — a single shuffle co-partitioned
+    * with the final per-(item, day) aggregation; only days that HAVE a
+    * successor snapshot emit rows (the last day is unknowable, not
+    * zero).
+    */
+  def itemDemand(bronzeDaily: DataFrame): DataFrame = {
+    val days = bronzeDaily.select(col("snapshot_date")).distinct()
+    val daysWithNext = days.as("d")
+      .join(
+        days.select(date_sub(col("snapshot_date"), 1).as("snapshot_date")).as("n"),
+        Seq("snapshot_date"), "left_semi")
+    val scoped = bronzeDaily.join(broadcast(daysWithNext), Seq("snapshot_date"), "left_semi")
+    val tomorrowIds = bronzeDaily.select(
+      col("id"),
+      date_sub(col("snapshot_date"), 1).as("snapshot_date"))
+    val disappeared = scoped.join(tomorrowIds, Seq("id", "snapshot_date"), "left_anti")
+    val sales = disappeared
+      .groupBy(col("item_id"), col("snapshot_date"))
+      .agg(sum(col("quantity")).as("estimated_daily_sales"))
+    val stock = scoped
+      .groupBy(col("item_id"), col("snapshot_date"))
+      .agg(sum(col("quantity")).as("total_stock"))
+    val itemW = Window.partitionBy(col("item_id"))
+    stock
+      .join(sales, Seq("item_id", "snapshot_date"), "left")
+      .withColumn("estimated_daily_sales",
+        coalesce(col("estimated_daily_sales"), lit(0L)))
+      .withColumn("avg_daily_stock", avg(col("total_stock")).over(itemW))
+      .withColumn("turnover_percentage",
+        col("estimated_daily_sales") / when(col("total_stock") === 0, lit(null))
+          .otherwise(col("total_stock")) * 100.0)
+      .drop("total_stock")
+  }
+
+  /** G5 — gold_market_concentration (`models.py:86-97`), grain
+    * (item_id, snapshot_date): how much supply sits at the floor
+    * price. Status buckets are our documented parameters
+    * (unspecified in the reference): pct >= 90 MONOPOLIZED,
+    * >= 50 CONCENTRATED, else HEALTHY.
+    *
+    * Single groupBy with conditional re-aggregation via a window for
+    * the floor — one shuffle total.
+    */
+  def marketConcentration(
+      silver: DataFrame,
+      monopolizedPct: Double = 90.0,
+      concentratedPct: Double = 50.0): DataFrame = {
+    val w = Window.partitionBy(col("item_id"), col("snapshot_date"))
+    val pct = col("quantity_at_floor") / when(col("total_market_quantity") === 0, lit(null))
+      .otherwise(col("total_market_quantity")) * 100.0
+    silver
+      .withColumn("__floor", min(col("unit_price")).over(w))
+      .groupBy(col("item_id"), col("snapshot_date"))
+      .agg(
+        sum(col("quantity")).as("total_market_quantity"),
+        sum(when(col("unit_price") === col("__floor"), col("quantity"))
+          .otherwise(lit(0L))).as("quantity_at_floor"))
+      .withColumn("floor_concentration_pct", pct)
+      .withColumn(
+        "market_status",
+        when(col("floor_concentration_pct") >= monopolizedPct, "MONOPOLIZED")
+          .when(col("floor_concentration_pct") >= concentratedPct, "CONCENTRATED")
+          .otherwise("HEALTHY"))
+  }
+
+  /** G6 — gold_market_index (`models.py:99-105`), grain
+    * (snapshot_date): equal-weighted market index = avg of per-item
+    * daily median price; day-over-day inflation via lag.
+    *
+    * The lag window is unpartitioned but operates on the already
+    * day-grained aggregate (<= retention-window rows) — safe at any
+    * input scale.
+    */
+  def marketIndex(dailyPrice: DataFrame, priceCol: String = "median_buyout"): DataFrame = {
+    val w = Window.orderBy(col("snapshot_date"))
+    dailyPrice
+      .groupBy(col("snapshot_date"))
+      .agg(
+        count(lit(1)).as("items_in_index"),
+        avg(col(priceCol)).as("index_value"))
+      .withColumn("__prev", lag(col("index_value"), 1).over(w))
+      .withColumn("inflation_pct_daily",
+        (col("index_value") - col("__prev")) /
+          when(col("__prev") === 0.0, lit(null)).otherwise(col("__prev")) * 100.0)
+      .drop("__prev")
+  }
+
+  /** G7 — sector trends (`gold_sector_trends.py:1`, "Agregado por
+    * item_class + Data"): facts joined to dims, aggregated by
+    * (item_class, snapshot_date).
+    */
+  def sectorTrends(silver: DataFrame, dims: DataFrame): DataFrame =
+    silver
+      .join(broadcast(dims.select(col("item_id"), col("item_class"))),
+        Seq("item_id"), "left")
+      .groupBy(col("item_class"), col("snapshot_date"))
+      .agg(
+        count(lit(1)).as("auction_count"),
+        sum(col("quantity")).as("total_quantity"),
+        avg(col("unit_price")).as("avg_price"),
+        median(col("unit_price")).as("median_price"),
+        sum(col("unit_price") * col("quantity")).as("market_cap"))
+}

@@ -1,0 +1,189 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * near-dup, each shaped for 100 TB:
+  *
+  *  - exact: hash-groupBy — one shuffle on a 16-byte key, no text
+  *    movement when pre-hashed.
+  *  - n-gram Jaccard: shingle inverted index + frequency cap; the
+  *    cap (drop shingles occurring in > maxShingleDf docs) bounds the
+  *    quadratic candidate blow-up on boilerplate shingles — standard
+  *    practice for suffix/shingle dedup at corpus scale.
+  *  - MinHash + LSH banding: candidate generation is linear in corpus
+  *    size (band-bucket groupBy), verification only touches candidate
+  *    pairs.
+  *  - SimHash: 64-bit signature per doc; near-dup = hamming <= k via
+  *    bit_count(xor) — signature join is band-able the same way.
+  *
+  * Hash functions are Spark's murmur3/xxhash64 (deterministic,
+  * seedable via an extra literal child) — signatures are engine-
+  * specific, so LSH outputs verify as rows-only; the exact-Jaccard
+  * verification step IS oracle-comparable.
+  */
+object Dedup {
+
+  /** Exact-duplicate groups by content hash (optionally normalize
+    * first via [[TextAnalysis.fingerprint]]).
+    */
+  def exactDuplicateGroups(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(
+        count(lit(1)).as("dup_count"),
+        min(col(idCol)).as("keeper_doc_id"))
+
+  /** Keep one row per distinct content (first by id — deterministic,
+    * unlike dropDuplicates which keeps an arbitrary row).
+    */
+  def dropExactDuplicates(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles, one row per distinct (id, shingle). */
+  def wordShingles(df: DataFrame, n: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = TextAnalysis.tokens(col(textCol))
+    val shingles = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
+    df.select(col(idCol).as("doc_id"), explode(shingles).as("shingle")).distinct()
+  }
+
+  /** Exact pairwise Jaccard over shingle sets, for all pairs sharing
+    * at least one (frequency-capped) shingle. Returns
+    * (doc_a < doc_b, jaccard >= threshold).
+    */
+  def jaccardPairs(shingled: DataFrame, threshold: Double,
+      maxShingleDf: Int = 100): DataFrame = {
+    // shingle sizes per doc (uncapped — the cap only limits which
+    // shingles can PAIR docs, not the true set sizes)
+    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val capped = shingled.join(
+      shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxShingleDf)
+        .select("shingle"),
+      Seq("shingle"), "left_semi")
+    val a = capped.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("common") / (col("size_a") + col("size_b") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+  }
+
+  /** MinHash signature: numHashes independent min-hashes of the
+    * shingle set. hash(shingle, i) gives the i-th hash family member
+    * (murmur3 with the extra literal child acting as the seed mix).
+    */
+  def minHashSignatures(shingled: DataFrame, numHashes: Int = 16): DataFrame =
+    shingled.groupBy("doc_id").agg(
+      array((0 until numHashes).map(i =>
+        min(hash(col("shingle"), lit(i)))): _*).as("minhash"))
+
+  /** LSH banding: split the signature into bands of `rowsPerBand`,
+    * hash each band, docs sharing any (band, hash) bucket become
+    * candidate pairs. Linear-cost candidate generation.
+    */
+  def lshCandidatePairs(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = 16 // documented default of minHashSignatures
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val bandCols = (0 until rowsPerBand)
+        .map(r => element_at(col("minhash"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), hash(bandCols: _*).as("bucket"))
+    }
+    val buckets = signatures
+      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val l = buckets.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val r = buckets.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup end-to-end: candidates from banding,
+    * verified with exact Jaccard (so the output is a true near-dup
+    * set, LSH only prunes the pair space).
+    */
+  def minHashNearDups(df: DataFrame, threshold: Double, n: Int = 3,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val shingled = wordShingles(df, n).cache()
+    val candidates = lshCandidatePairs(
+      minHashSignatures(shingled, numHashes), rowsPerBand)
+    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val a = shingled.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = shingled.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle")).join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("common") / (col("size_a") + col("size_b") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes
+    * of each token's xxhash64, sign becomes the bit. Expressed with
+    * higher-order functions over the token array — no UDF, no extra
+    * shuffle (one narrow projection).
+    */
+  def simHash64(text: Column): Column = {
+    val tokenHashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val votes = aggregate(
+        tokenHashes,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance <= maxHamming.
+    * Candidate generation: band the 64-bit signature into four
+    * 16-bit chunks — pairs within hamming <= 3 must share >= 1 exact
+    * chunk (pigeonhole), so the join is on chunk equality, not a
+    * cross product.
+    */
+  def simHashNearDups(df: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc_id"),
+      simHash64(col(textCol)).as("simhash"))
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("val")))
+    val keyed = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(chunks: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.val"))
+    val l = keyed.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      col("chunk"), col("val"))
+    val r = keyed.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+      col("chunk"), col("val"))
+    l.join(r, Seq("chunk", "val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode/feature plumbing.
+  *
+  * The Spark-side design is real and tested — schema, partition
+  * shape, per-partition batch processing; the codec itself is STUBBED
+  * (no image/audio libraries in this container): [[StubDecoder]] is a
+  * deterministic fake that a real implementation (JavaCPP/FFmpeg, or
+  * `mapInPandas`+PIL on a PySpark edge) would replace 1:1 — the
+  * `mapPartitions` batch shape is exactly what a vectorized decoder
+  * wants.
+  */
+object Multimodal {
+
+  /** Media row: payload + typed metadata, the storage schema for a
+    * multimodal corpus (payloads inline for small media; at scale the
+    * binary column holds a pointer + byte-range into object storage
+    * and the same operators apply).
+    */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("size_bytes", LongType),
+      StructField("checksum", StringType),
+      StructField("source", StringType))))))
+
+  /** Attach typed metadata to a binary payload column — pure column
+    * expressions, runs in the scan stage.
+    */
+  def withMetadata(df: DataFrame, payloadCol: String = "payload",
+      sourceCol: String = "source"): DataFrame =
+    df.withColumn("meta", struct(
+      length(col(payloadCol)).cast("long").as("size_bytes"),
+      md5(col(payloadCol)).as("checksum"),
+      col(sourceCol).as("source")))
+
+  /** Decoded-feature record produced by the (stubbed) decoder. */
+  case class DecodedFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      feature: Array[Float])
+
+  /** The decode seam. Real impl: JNI/FFI codec. The stub derives
+    * deterministic fake dimensions/features from the payload bytes so
+    * the distributed plumbing is testable end-to-end.
+    */
+  trait Decoder extends Serializable {
+    def decode(mediaId: Long, payload: Array[Byte]): DecodedFeatures
+  }
+
+  object StubDecoder extends Decoder {
+    override def decode(mediaId: Long, payload: Array[Byte]): DecodedFeatures = {
+      // ??? <- real codec goes here; deterministic fake below.
+      val n = if (payload == null) 0 else payload.length
+      val h = java.util.Arrays.hashCode(payload)
+      DecodedFeatures(
+        media_id = mediaId,
+        width = 16 + math.abs(h % 1024),
+        height = 16 + math.abs((h / 1024) % 1024),
+        n_frames = 1 + n % 16,
+        feature = Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xF).toFloat / 15.0f))
+    }
+  }
+
+  /** Distributed decode: one decoder instance per partition (codecs
+    * are expensive to init), rows streamed through it — the Scala
+    * analog of `mapInPandas` batch processing. Narrow (no shuffle);
+    * repartition upstream to match decoder parallelism to cores.
+    */
+  def decodeFeatures(media: DataFrame, decoder: Decoder,
+      idCol: String = "media_id", payloadCol: String = "payload"): Dataset[DecodedFeatures] = {
+    val enc = Encoders.product[DecodedFeatures]
+    val idIdx = media.schema.fieldIndex(idCol)
+    val payloadIdx = media.schema.fieldIndex(payloadCol)
+    media.mapPartitions { rows: Iterator[Row] =>
+      rows.map(r => decoder.decode(r.getLong(idIdx), r.getAs[Array[Byte]](payloadIdx)))
+    }(enc)
+  }
+
+  /** Frame sampling stub for video payloads: byte-range slices stand
+    * in for frames (a real demuxer replaces the slicing, the
+    * explode-to-frames shape stays).
+    */
+  def sampleFrames(media: DataFrame, everyNBytes: Int = 64,
+      payloadCol: String = "payload"): DataFrame = {
+    val n = length(col(payloadCol))
+    val offsets = sequence(lit(0), greatest((n - 1) / everyNBytes, lit(0)))
+    media
+      .withColumn("frame_no", explode(offsets))
+      .withColumn("frame_bytes",
+        expr(s"substring($payloadCol, frame_no * $everyNBytes + 1, $everyNBytes)"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All operators are pure narrow column expressions (no shuffle, no
+  * UDF — every one whole-stage-codegens), so they stream through a
+  * 100 TB corpus at scan speed and compose freely with dedup /
+  * filtering stages.
+  *
+  * Determinism: only rational arithmetic on integer counts (no
+  * transcendental functions whose libm rounding could differ across
+  * engines), so results are oracle-comparable bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the "BPE-ish" regex split baseline). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  /** Count of regex hits, as a long. */
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    patternCount(text, "\\b(" + stopwords.mkString("|") + ")\\b")
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "is", "in", "a", "that")
+
+  /** Quality features + a composite score in [0, 1]:
+    * 0.4 * min(tokens,50)/50  (length credit)
+    *  + 0.3 * stopword_ratio   (natural-language credit)
+    *  + 0.3 * alpha_ratio      (clean-characters credit).
+    * Weights are our documented parameters; the shape (length /
+    * stopword / character-class ratios) follows standard pretraining
+    * data quality heuristics (e.g. Gopher rules).
+    */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_stopwords", stopwordCount(t, EnglishStopwords))
+      .withColumn("alpha_chars", patternCount(t, "[A-Za-z]"))
+      .withColumn("n_chars_total", length(t).cast("long"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords") / when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")))
+      .withColumn("alpha_ratio",
+        col("alpha_chars") / when(col("n_chars_total") === 0, lit(null)).otherwise(col("n_chars_total")))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4 +
+          coalesce(col("stopword_ratio"), lit(0.0)) * 0.3 +
+          coalesce(col("alpha_ratio"), lit(0.0)) * 0.3)
+  }
+
+  /** N-gram-heuristic language ID: per-language stopword hit counts,
+    * argmax with a fixed priority order (en > es > de > fr) on ties.
+    * The word lists are our documented parameters.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une"))
+
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val scored = LangMarkers.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"${lang}_hits", stopwordCount(t, words))
+    }
+    val Seq(en, es, de, fr) = LangMarkers.map { case (l, _) => col(s"${l}_hits") }
+    scored.withColumn("predicted_lang",
+      when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized, lower-cased
+    * text. The canonical key for exact dedup across formatting
+    * variants.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.gold.Marts
+import graft.serving.ServingLayer
+import TestdataAdapter._
+
+/** The seven gold marts (SURVEY.md §2.4) + the serving surface
+  * (§2.5), each run through the real implementation in
+  * [[graft.gold.Marts]] / [[graft.serving.ServingLayer]] over the
+  * testdata mapping, with a DuckDB oracle restating the same
+  * computation in ANSI SQL.
+  */
+object MartQueries {
+
+  private val g1Sql =
+    s"""WITH $silverSql, $dimsSql,
+       |agg AS (
+       |  SELECT item_id, snapshot_date,
+       |         min(unit_price) AS min_buyout,
+       |         max(unit_price) AS max_buyout,
+       |         median(unit_price) AS median_buyout,
+       |         CAST(sum(quantity) AS BIGINT) AS quantity_available,
+       |         CAST(sum(unit_price * quantity) AS BIGINT) AS market_cap,
+       |         stddev_samp(unit_price) AS price_volatility,
+       |         count(*) AS auction_count
+       |  FROM silver GROUP BY item_id, snapshot_date)
+       |SELECT a.*, d.name AS item_name, d.icon_url
+       |FROM agg a LEFT JOIN dims d ON a.item_id = d.item_id""".stripMargin
+
+  private val g2Sql =
+    s"""WITH $ticksSql,
+       |w AS (
+       |  SELECT item_id, date_trunc('hour', created_at) AS snapshot_hour,
+       |         unit_price, quantity,
+       |         first_value(unit_price) OVER (
+       |           PARTITION BY item_id, date_trunc('hour', created_at)
+       |           ORDER BY created_at ASC, unit_price ASC) AS open_p,
+       |         first_value(unit_price) OVER (
+       |           PARTITION BY item_id, date_trunc('hour', created_at)
+       |           ORDER BY created_at DESC, unit_price DESC) AS close_p
+       |  FROM ticks)
+       |SELECT item_id, snapshot_hour,
+       |       max(open_p) AS open_price,
+       |       max(unit_price) AS high_price,
+       |       min(unit_price) AS low_price,
+       |       max(close_p) AS close_price,
+       |       avg(unit_price) AS avarage_price,
+       |       CAST(sum(quantity) AS BIGINT) AS volume
+       |FROM w GROUP BY item_id, snapshot_hour""".stripMargin
+
+  private val g3Sql =
+    s"""WITH $silverSql, $dailySql,
+       |win AS (
+       |  SELECT item_id, snapshot_date,
+       |         median_buyout AS current_price,
+       |         avg(median_buyout) OVER w AS avg_price_7d,
+       |         stddev_samp(median_buyout) OVER w AS std_dev_7d
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY item_id
+       |               ORDER BY snapshot_date - DATE '1970-01-01'
+       |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+       |SELECT item_id, snapshot_date, current_price, avg_price_7d, std_dev_7d,
+       |       (current_price - avg_price_7d) / nullif(std_dev_7d, 0) AS z_score,
+       |       CASE WHEN (current_price - avg_price_7d) / nullif(std_dev_7d, 0) <= -2.0 THEN 'BUY'
+       |            WHEN (current_price - avg_price_7d) / nullif(std_dev_7d, 0) >= 2.0 THEN 'SELL'
+       |            ELSE 'HOLD' END AS recommendation
+       |FROM win""".stripMargin
+
+  private val g4Sql =
+    s"""WITH $bronzeSql,
+       |days AS (SELECT DISTINCT snapshot_date FROM bronze),
+       |dwn AS (SELECT d.snapshot_date FROM days d
+       |        WHERE EXISTS (SELECT 1 FROM days n
+       |                      WHERE n.snapshot_date = d.snapshot_date + 1)),
+       |scoped AS (SELECT b.* FROM bronze b
+       |           JOIN dwn ON b.snapshot_date = dwn.snapshot_date),
+       |sold AS (
+       |  SELECT s.item_id, s.snapshot_date,
+       |         CAST(sum(s.quantity) AS BIGINT) AS estimated_daily_sales
+       |  FROM scoped s
+       |  WHERE NOT EXISTS (SELECT 1 FROM bronze t
+       |                    WHERE t.id = s.id
+       |                      AND t.snapshot_date = s.snapshot_date + 1)
+       |  GROUP BY s.item_id, s.snapshot_date),
+       |stock AS (
+       |  SELECT item_id, snapshot_date,
+       |         CAST(sum(quantity) AS BIGINT) AS total_stock
+       |  FROM scoped GROUP BY item_id, snapshot_date)
+       |SELECT st.item_id, st.snapshot_date,
+       |       COALESCE(so.estimated_daily_sales, 0) AS estimated_daily_sales,
+       |       avg(st.total_stock) OVER (PARTITION BY st.item_id) AS avg_daily_stock,
+       |       COALESCE(so.estimated_daily_sales, 0) / nullif(st.total_stock, 0) * 100.0
+       |         AS turnover_percentage
+       |FROM stock st LEFT JOIN sold so
+       |  ON st.item_id = so.item_id AND st.snapshot_date = so.snapshot_date""".stripMargin
+
+  private val g5Sql =
+    s"""WITH $silverSql,
+       |f AS (
+       |  SELECT item_id, snapshot_date, quantity, unit_price,
+       |         min(unit_price) OVER (PARTITION BY item_id, snapshot_date) AS floor_p
+       |  FROM silver),
+       |agg AS (
+       |  SELECT item_id, snapshot_date,
+       |         CAST(sum(quantity) AS BIGINT) AS total_market_quantity,
+       |         CAST(sum(CASE WHEN unit_price = floor_p THEN quantity ELSE 0 END) AS BIGINT)
+       |           AS quantity_at_floor
+       |  FROM f GROUP BY item_id, snapshot_date)
+       |SELECT item_id, snapshot_date, total_market_quantity, quantity_at_floor,
+       |       quantity_at_floor / nullif(total_market_quantity, 0) * 100.0
+       |         AS floor_concentration_pct,
+       |       CASE WHEN quantity_at_floor / nullif(total_market_quantity, 0) * 100.0 >= 90.0
+       |              THEN 'MONOPOLIZED'
+       |            WHEN quantity_at_floor / nullif(total_market_quantity, 0) * 100.0 >= 50.0
+       |              THEN 'CONCENTRATED'
+       |            ELSE 'HEALTHY' END AS market_status
+       |FROM agg""".stripMargin
+
+  private val g6Sql =
+    s"""WITH $silverSql, $dailySql,
+       |idx AS (
+       |  SELECT snapshot_date,
+       |         count(*) AS items_in_index,
+       |         avg(median_buyout) AS index_value
+       |  FROM daily GROUP BY snapshot_date)
+       |SELECT snapshot_date, items_in_index, index_value,
+       |       (index_value - lag(index_value) OVER (ORDER BY snapshot_date))
+       |         / nullif(lag(index_value) OVER (ORDER BY snapshot_date), 0) * 100.0
+       |         AS inflation_pct_daily
+       |FROM idx""".stripMargin
+
+  private val g7Sql =
+    s"""WITH $silverSql, $dimsSql
+       |SELECT d.item_class, s.snapshot_date,
+       |       count(*) AS auction_count,
+       |       CAST(sum(s.quantity) AS BIGINT) AS total_quantity,
+       |       avg(s.unit_price) AS avg_price,
+       |       median(s.unit_price) AS median_price,
+       |       CAST(sum(s.unit_price * s.quantity) AS BIGINT) AS market_cap
+       |FROM silver s LEFT JOIN dims d ON s.item_id = d.item_id
+       |GROUP BY d.item_class, s.snapshot_date""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("g01_daily_market_summary",
+      (s, dir) => Marts.dailyMarketSummary(
+        silverFromLineitem(s, dir), dimsFromPart(s, dir)),
+      Some(g1Sql)),
+    QueryDef("g02_price_history_ohlc",
+      (s, dir) => Marts.priceHistory(ticksFromEvents(s, dir)),
+      Some(g2Sql)),
+    QueryDef("g03_market_opportunities",
+      (s, dir) => Marts.marketOpportunities(
+        dailyMedian(silverFromLineitem(s, dir))),
+      Some(g3Sql)),
+    QueryDef("g04_item_demand",
+      (s, dir) => Marts.itemDemand(bronzeDailyFromEvents(s, dir)),
+      Some(g4Sql)),
+    QueryDef("g05_market_concentration",
+      (s, dir) => Marts.marketConcentration(silverFromLineitem(s, dir)),
+      Some(g5Sql)),
+    QueryDef("g06_market_index",
+      (s, dir) => Marts.marketIndex(dailyMedian(silverFromLineitem(s, dir))),
+      Some(g6Sql)),
+    QueryDef("g07_sector_trends",
+      (s, dir) => Marts.sectorTrends(
+        silverFromLineitem(s, dir), dimsFromPart(s, dir)),
+      Some(g7Sql)),
+
+    // ---- serving surface (§2.5): filter -> sort -> limit over marts,
+    // with full tiebreaks so the limited set is deterministic.
+    QueryDef("serve_items_page",
+      (s, dir) => ServingLayer.items(dimsFromPart(s, dir), skip = 20, limit = 10),
+      Some(s"""WITH $dimsSql
+              |SELECT * FROM dims ORDER BY item_id LIMIT 10 OFFSET 20""".stripMargin)),
+    QueryDef("serve_daily_summary",
+      (s, dir) => ServingLayer.dailySummary(
+        Marts.dailyMarketSummary(silverFromLineitem(s, dir), dimsFromPart(s, dir)),
+        itemId = None, limit = 100),
+      Some(s"""WITH g1 AS ($g1Sql)
+              |SELECT * FROM g1 ORDER BY snapshot_date DESC, item_id ASC LIMIT 100""".stripMargin)),
+    QueryDef("serve_price_history",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        Marts.priceHistory(ticksFromEvents(s, dir))
+          .where(col("item_id") === "purchase")
+          .orderBy(col("snapshot_hour").desc)
+          .limit(48)
+      },
+      Some(s"""WITH g2 AS ($g2Sql)
+              |SELECT * FROM g2 WHERE item_id = 'purchase'
+              |ORDER BY snapshot_hour DESC LIMIT 48""".stripMargin)),
+    QueryDef("serve_opportunities",
+      (s, dir) => ServingLayer.opportunities(
+        Marts.marketOpportunities(dailyMedian(silverFromLineitem(s, dir))),
+        recommendation = Some("buy"), limit = 100),
+      Some(s"""WITH g3 AS ($g3Sql)
+              |SELECT * FROM g3
+              |WHERE recommendation = 'BUY' AND z_score IS NOT NULL
+              |ORDER BY z_score ASC, item_id ASC, snapshot_date ASC LIMIT 100""".stripMargin)),
+    QueryDef("serve_demand",
+      (s, dir) => ServingLayer.demand(
+        Marts.itemDemand(bronzeDailyFromEvents(s, dir)), itemId = Some(3L), limit = 100),
+      Some(s"""WITH g4 AS ($g4Sql)
+              |SELECT * FROM g4 WHERE item_id = 3
+              |ORDER BY snapshot_date DESC, item_id ASC LIMIT 100""".stripMargin)),
+    QueryDef("serve_concentration",
+      (s, dir) => ServingLayer.concentration(
+        Marts.marketConcentration(silverFromLineitem(s, dir)),
+        status = Some("CONCENTRATED"), limit = 100),
+      Some(s"""WITH g5 AS ($g5Sql)
+              |SELECT * FROM g5 WHERE market_status = 'CONCENTRATED'
+              |ORDER BY floor_concentration_pct DESC, item_id ASC, snapshot_date ASC
+              |LIMIT 100""".stripMargin)),
+    QueryDef("serve_market_index",
+      (s, dir) => ServingLayer.marketIndex(
+        Marts.marketIndex(dailyMedian(silverFromLineitem(s, dir))), limit = 30),
+      Some(s"""WITH g6 AS ($g6Sql)
+              |SELECT * FROM g6 ORDER BY snapshot_date DESC LIMIT 30""".stripMargin)),
+    QueryDef("serve_best_opportunity",
+      (s, dir) => ServingLayer.bestOpportunity(
+        Marts.marketOpportunities(dailyMedian(silverFromLineitem(s, dir)))),
+      Some(s"""WITH g3 AS ($g3Sql)
+              |SELECT * FROM g3 WHERE z_score IS NOT NULL
+              |ORDER BY z_score ASC, item_id ASC, snapshot_date ASC LIMIT 1""".stripMargin))
+  )
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Maps the driver's TPC-H-ish testdata (TESTDATA.md) onto the auction
+  * medallion schema, so the DuckDB-oracle gate exercises the REAL mart
+  * implementations in [[graft.gold.Marts]] rather than bespoke test
+  * queries.
+  *
+  * Mapping (mirrored exactly by the SQL CTEs below, which every oracle
+  * query embeds):
+  *  - lineitem row  -> one auction listing: item = l_partkey,
+  *    unit_price = floor(l_extendedprice) copper, quantity =
+  *    floor(l_quantity), snapshot_date = date(l_shipdate).
+  *  - part          -> dim_items.
+  *  - events        -> (a) a per-user daily "listing set" for the
+  *    demand mart (user active on day d, gone on day d+1 ~ listing
+  *    sold) and (b) an intra-day tick stream for the OHLC mart.
+  *
+  * Cross-engine determinism rules encoded here (and to be followed by
+  * every oracle):
+  *  - integer casts go through FLOOR first (DuckDB CAST(double AS
+  *    BIGINT) rounds, Spark truncates);
+  *  - DuckDB SUM(BIGINT) is HUGEINT — always CAST sums back to BIGINT;
+  *  - never emit sub-second timestamps (parquet ns vs Spark us).
+  */
+object TestdataAdapter {
+
+  def silverFromLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      col("l_partkey").as("item_id"),
+      floor(col("l_quantity")).cast("int").as("quantity"),
+      floor(col("l_extendedprice")).cast("long").as("unit_price"),
+      col("l_shipdate").cast("date").as("snapshot_date"))
+
+  val silverSql: String =
+    """silver AS (
+      |  SELECT l_partkey AS item_id,
+      |         CAST(FLOOR(l_quantity) AS INT) AS quantity,
+      |         CAST(FLOOR(l_extendedprice) AS BIGINT) AS unit_price,
+      |         CAST(l_shipdate AS DATE) AS snapshot_date
+      |  FROM lineitem)""".stripMargin
+
+  def dimsFromPart(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey").as("item_id"),
+      col("p_name").as("name"),
+      col("p_brand").as("quality"),
+      col("p_type").as("item_class"),
+      col("p_brand").as("item_subclass"),
+      lit(null).cast("string").as("icon_url"),
+      lit(null).cast("timestamp").as("last_updated"))
+
+  val dimsSql: String =
+    """dims AS (
+      |  SELECT p_partkey AS item_id, p_name AS name, p_brand AS quality,
+      |         p_type AS item_class, p_brand AS item_subclass,
+      |         CAST(NULL AS VARCHAR) AS icon_url,
+      |         CAST(NULL AS TIMESTAMP) AS last_updated
+      |  FROM part)""".stripMargin
+
+  /** Per-item daily price series (G1's median) feeding G3/G6. */
+  def dailyMedian(silver: DataFrame): DataFrame =
+    silver
+      .groupBy(col("item_id"), col("snapshot_date"))
+      .agg(median(col("unit_price")).as("median_buyout"))
+
+  val dailySql: String =
+    """daily AS (
+      |  SELECT item_id, snapshot_date,
+      |         median(unit_price) AS median_buyout
+      |  FROM silver GROUP BY item_id, snapshot_date)""".stripMargin
+
+  /** events -> raw per-day listing set for the G4 demand mart:
+    * listing id = user_id (recurs across days), item bucket =
+    * user_id % 10, quantity = that day's event count.
+    */
+  def bronzeDailyFromEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("ts").cast("date").as("snapshot_date"))
+      .agg(count(lit(1)).as("quantity"))
+      .select(
+        col("user_id").as("id"),
+        (col("user_id") % 10).as("item_id"),
+        col("quantity"),
+        col("snapshot_date"))
+
+  val bronzeSql: String =
+    """bronze AS (
+      |  SELECT user_id AS id, user_id % 10 AS item_id,
+      |         CAST(count(*) AS BIGINT) AS quantity,
+      |         CAST(ts AS DATE) AS snapshot_date
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE))""".stripMargin
+
+  /** events -> intra-day tick stream for the G2 OHLC mart: item =
+    * event_type, price = value, one unit per tick.
+    */
+  def ticksFromEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_type").as("item_id"),
+      col("value").as("unit_price"),
+      lit(1L).as("quantity"),
+      col("ts").as("created_at"))
+
+  val ticksSql: String =
+    """ticks AS (
+      |  SELECT event_type AS item_id, value AS unit_price,
+      |         CAST(1 AS BIGINT) AS quantity,
+      |         CAST(ts AS TIMESTAMP) AS created_at
+      |  FROM events)""".stripMargin
+}

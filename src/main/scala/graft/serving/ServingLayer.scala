@@ -1,0 +1,94 @@
+package graft.serving
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The read API surface (SURVEY.md §2.5) as pure query functions:
+  * same filter/sort/limit semantics as the FastAPI routes
+  * (reference `backend_api/app/main.py:31-79`), testable against the
+  * oracle without HTTP.
+  *
+  * All queries are filter -> sort -> limit over a mart: at scale these
+  * plans are a pruned scan (predicate pushdown on the equality
+  * filters) + TakeOrderedAndProject — no full sort materializes.
+  */
+object ServingLayer {
+
+  /** GET /items/?skip&limit (`main.py:31-34`): offset pagination.
+    * Ordered by item_id for stable pages (SQL OFFSET without ORDER BY
+    * is nondeterministic; the reference inherits Postgres row order).
+    */
+  def items(dims: DataFrame, skip: Int = 0, limit: Int = 100): DataFrame =
+    dims.orderBy(col("item_id")).offset(skip).limit(limit)
+
+  /** GET /analytics/daily-summary?item_id (`main.py:36-42`). */
+  def dailySummary(g1: DataFrame, itemId: Option[Long] = None, limit: Int = 100): DataFrame =
+    eqFilter(g1, "item_id", itemId.map(lit(_)))
+      .orderBy(col("snapshot_date").desc, col("item_id").asc)
+      .limit(limit)
+
+  /** GET /analytics/price-history?item_id&limit=48 (`main.py:44-49`):
+    * required item filter, latest bars first.
+    */
+  def priceHistory(g2: DataFrame, itemId: Long, limit: Int = 48): DataFrame =
+    g2.where(col("item_id") === itemId)
+      .orderBy(col("snapshot_hour").desc)
+      .limit(limit)
+
+  /** GET /analytics/opportunities?recommendation (`main.py:51-57`):
+    * optional upper-cased equality filter (T14), z ascending (best
+    * discounts first).
+    */
+  def opportunities(
+      g3: DataFrame,
+      recommendation: Option[String] = None,
+      limit: Int = 100): DataFrame =
+    eqFilter(g3, "recommendation", recommendation.map(r => lit(r.toUpperCase)))
+      .where(col("z_score").isNotNull)
+      .orderBy(col("z_score").asc, col("item_id").asc, col("snapshot_date").asc)
+      .limit(limit)
+
+  /** GET /analytics/demand?item_id (`main.py:59-65`). */
+  def demand(g4: DataFrame, itemId: Option[Long] = None, limit: Int = 100): DataFrame =
+    eqFilter(g4, "item_id", itemId.map(lit(_)))
+      .orderBy(col("snapshot_date").desc, col("item_id").asc)
+      .limit(limit)
+
+  /** GET /analytics/concentration?status (`main.py:67-73`). */
+  def concentration(
+      g5: DataFrame,
+      status: Option[String] = None,
+      limit: Int = 100): DataFrame =
+    eqFilter(g5, "market_status", status.map(lit(_)))
+      .orderBy(col("floor_concentration_pct").desc, col("item_id").asc,
+        col("snapshot_date").asc)
+      .limit(limit)
+
+  /** GET /analytics/market-index?limit=30 (`main.py:75-79`). */
+  def marketIndex(g6: DataFrame, limit: Int = 30): DataFrame =
+    g6.orderBy(col("snapshot_date").desc).limit(limit)
+
+  /** Dashboard KPIs (reference `dashboard/app.py:93-98`): count (R8) +
+    * best opportunity = argmin z_score (R7), as min_by over the whole
+    * frame — no sort, single reduce.
+    */
+  def bestOpportunity(g3: DataFrame): DataFrame =
+    g3.where(col("z_score").isNotNull)
+      .orderBy(col("z_score").asc, col("item_id").asc, col("snapshot_date").asc)
+      .limit(1)
+
+  /** T12: copper -> gold display string, `f"{int(v/10000):,}g"` with
+    * '.' thousands separator, NaN -> "0g"
+    * (reference `dashboard/app.py:27-31`). Pure built-ins, codegen'd.
+    */
+  def copperToGold(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      translate(format_number(floor(coalesce(c, lit(0L)) / 10000), 0), ",", "."),
+      lit("g"))
+
+  private def eqFilter(
+      df: DataFrame,
+      colName: String,
+      value: Option[org.apache.spark.sql.Column]): DataFrame =
+    value.map(v => df.where(col(colName) === v)).getOrElse(df) // R5
+}
