@@ -36,6 +36,7 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,6 +51,11 @@ object Engine {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // The driver's events.parquet carries INT64 TIMESTAMP(NANOS), which
+    // Spark 4 refuses to read as a timestamp; with this legacy flag the
+    // column surfaces as a nanos-since-epoch Long and Tables.events
+    // converts it to a microsecond timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 }
@@ -60,8 +66,24 @@ object Engine {
   * `spark.read.parquet(dir)` call picks up partition pruning for free.
   */
 object Tables {
+  import org.apache.spark.sql.functions._
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet is written with INT64 TIMESTAMP(NANOS), which
+    * Spark 4 refuses to read natively. With
+    * `spark.sql.legacy.parquet.nanosAsLong` (set here defensively in
+    * case the session skipped [[Engine.configure]]) the column reads as
+    * nanos-since-epoch Long; convert via integer division (precision-
+    * exact, unlike double `/`) to a microsecond timestamp. The DuckDB
+    * oracle reads the raw table, so queries must not depend on
+    * sub-microsecond precision (driver data is second-grained).
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
@@ -70,7 +92,9 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsRaw(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

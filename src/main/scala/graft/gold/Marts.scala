@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** The seven gold marts (SURVEY.md §2.4). The reference declares these
   * as SQLAlchemy schemas + stub comments
-  * (reference `backend_api/app/models.py:30-105`,
-  * `data_pipeline/assets/gold/*.py:1`); computation is reconstructed
+  * (reference `backend_api/app/models.py:30-105` and the stub files
+  * under `data_pipeline/assets/gold`, each line 1); computation is reconstructed
   * there and implemented here Spark-first.
   *
   * Scale notes, applying to every mart:

@@ -45,13 +45,19 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingles, one row per distinct (id, shingle). */
+  /** Word n-gram shingles, one row per distinct (id, shingle). Docs
+    * with fewer than n tokens yield zero shingles (the unguarded
+    * `sequence(0, size-n)` would run DESCENDING for short docs and
+    * crash on element_at index 0).
+    */
   def wordShingles(df: DataFrame, n: Int = 3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val w = TextAnalysis.tokens(col(textCol))
-    val shingles = transform(
-      sequence(lit(0), size(w) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
+    val shingles = when(size(w) >= n,
+      transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
+    ).otherwise(array())
     df.select(col(idCol).as("doc_id"), explode(shingles).as("shingle")).distinct()
   }
 
@@ -99,8 +105,10 @@ object Dedup {
     * hash each band, docs sharing any (band, hash) bucket become
     * candidate pairs. Linear-cost candidate generation.
     */
-  def lshCandidatePairs(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
-    val numHashes = 16 // documented default of minHashSignatures
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes=$numHashes must be a multiple of rowsPerBand=$rowsPerBand")
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       val bandCols = (0 until rowsPerBand)
         .map(r => element_at(col("minhash"), b * rowsPerBand + r + 1))
@@ -123,9 +131,16 @@ object Dedup {
     */
   def minHashNearDups(df: DataFrame, threshold: Double, n: Int = 3,
       numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val shingled = wordShingles(df, n).cache()
+    // MEMORY_AND_DISK: the exploded shingle corpus is reused by the
+    // signature pass, the size pass and the verify join; partitions
+    // that don't fit executor memory spill to local disk rather than
+    // evicting (a bare MEMORY_ONLY cache of a corpus-sized frame would
+    // thrash at 100 TB — there, shingles would be written once to a
+    // bucketed table instead and each pass would read it back).
+    val shingled = wordShingles(df, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = lshCandidatePairs(
-      minHashSignatures(shingled, numHashes), rowsPerBand)
+      minHashSignatures(shingled, numHashes), numHashes, rowsPerBand)
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val a = shingled.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = shingled.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -167,6 +182,10 @@ object Dedup {
     */
   def simHashNearDups(df: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // 4 chunks guarantee a shared chunk only for hamming <= 3
+    // (pigeonhole); a larger maxHamming would silently lose recall.
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"maxHamming=$maxHamming outside [0,3]: 4-chunk banding is only complete for hamming <= 3")
     val sigs = df.select(col(idCol).as("doc_id"),
       simHash64(col(textCol)).as("simhash"))
     val chunks = (0 until 4).map(c =>

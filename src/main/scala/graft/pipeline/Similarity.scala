@@ -47,21 +47,22 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (bit, dim):
-    * xxhash64 folded to {-1.0, +1.0}. Rademacher planes are standard
-    * for sign-LSH and need no stored model.
+  /** Deterministic pseudo-random hyperplane component for a mixed
+    * (bit, dim) index: xxhash64 folded to {-1.0, +1.0}. Rademacher
+    * planes are standard for sign-LSH and need no stored model.
     */
-  private def planeComponent(bit: Int, dimIdx: Column): Column =
-    when(xxhash64(lit(bit), dimIdx).bitwiseAND(1L) === 1L, lit(1.0))
+  private def planeComponent(mixedIdx: Column): Column =
+    when(xxhash64(mixedIdx).bitwiseAND(1L) === 1L, lit(1.0))
       .otherwise(lit(-1.0))
 
   /** n-bit sign-LSH bucket id for a vector column. */
   def lshBucket(vec: Column, bits: Int = 8): Column = {
     val bitCols = (0 until bits).map { b =>
-      // dot(vec, plane_b) via fold over element indices
+      // dot(vec, plane_b) via fold over element indices; the i*97+b mix
+      // gives each (bit, dim) an independent hash input
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(0, i * lit(97L) + lit(b))),
+          (x, i) => x.cast("double") * planeComponent(i * lit(97L) + lit(b))),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }

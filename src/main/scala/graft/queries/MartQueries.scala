@@ -48,7 +48,7 @@ object MartQueries {
        |       CAST(sum(quantity) AS BIGINT) AS volume
        |FROM w GROUP BY item_id, snapshot_hour""".stripMargin
 
-  private val g3Sql =
+  private def g3Sql(k: Double): String =
     s"""WITH $silverSql, $dailySql,
        |win AS (
        |  SELECT item_id, snapshot_date,
@@ -61,8 +61,8 @@ object MartQueries {
        |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
        |SELECT item_id, snapshot_date, current_price, avg_price_7d, std_dev_7d,
        |       (current_price - avg_price_7d) / nullif(std_dev_7d, 0) AS z_score,
-       |       CASE WHEN (current_price - avg_price_7d) / nullif(std_dev_7d, 0) <= -2.0 THEN 'BUY'
-       |            WHEN (current_price - avg_price_7d) / nullif(std_dev_7d, 0) >= 2.0 THEN 'SELL'
+       |       CASE WHEN (current_price - avg_price_7d) / nullif(std_dev_7d, 0) <= -$k THEN 'BUY'
+       |            WHEN (current_price - avg_price_7d) / nullif(std_dev_7d, 0) >= $k THEN 'SELL'
        |            ELSE 'HOLD' END AS recommendation
        |FROM win""".stripMargin
 
@@ -140,27 +140,40 @@ object MartQueries {
        |FROM silver s LEFT JOIN dims d ON s.item_id = d.item_id
        |GROUP BY d.item_class, s.snapshot_date""".stripMargin
 
+  // ---- materialized marts (session-scoped cache = the reference's
+  // pre-computed gold tables; see TestdataAdapter.cached). Each mart
+  // computes once per (session, sf-dir); the g0X gate queries and the
+  // serving queries read the same persisted frame.
+  private def g1(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cached("g1")(s, dir)(
+      Marts.dailyMarketSummary(silverFromLineitem(s, dir), dimsFromPart(s, dir)))
+  private def g2(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cached("g2")(s, dir)(Marts.priceHistory(ticksFromEvents(s, dir)))
+  private def g3(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cached("g3")(s, dir)(
+      Marts.marketOpportunities(dailyMedian(silverFromLineitem(s, dir))))
+  // Serving variant with z threshold 1.0: at test scale no |z| >= 2 BUY
+  // row exists, so the default-threshold serving query would pass
+  // vacuously on an empty result (round-1 verdict item 10).
+  private def g3Serve(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cached("g3z1")(s, dir)(
+      Marts.marketOpportunities(dailyMedian(silverFromLineitem(s, dir)),
+        zThreshold = 1.0))
+  private def g4(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cached("g4")(s, dir)(Marts.itemDemand(bronzeDailyFromEvents(s, dir)))
+  private def g5(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cached("g5")(s, dir)(Marts.marketConcentration(silverFromLineitem(s, dir)))
+  private def g6(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cached("g6")(s, dir)(
+      Marts.marketIndex(dailyMedian(silverFromLineitem(s, dir))))
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("g01_daily_market_summary",
-      (s, dir) => Marts.dailyMarketSummary(
-        silverFromLineitem(s, dir), dimsFromPart(s, dir)),
-      Some(g1Sql)),
-    QueryDef("g02_price_history_ohlc",
-      (s, dir) => Marts.priceHistory(ticksFromEvents(s, dir)),
-      Some(g2Sql)),
-    QueryDef("g03_market_opportunities",
-      (s, dir) => Marts.marketOpportunities(
-        dailyMedian(silverFromLineitem(s, dir))),
-      Some(g3Sql)),
-    QueryDef("g04_item_demand",
-      (s, dir) => Marts.itemDemand(bronzeDailyFromEvents(s, dir)),
-      Some(g4Sql)),
-    QueryDef("g05_market_concentration",
-      (s, dir) => Marts.marketConcentration(silverFromLineitem(s, dir)),
-      Some(g5Sql)),
-    QueryDef("g06_market_index",
-      (s, dir) => Marts.marketIndex(dailyMedian(silverFromLineitem(s, dir))),
-      Some(g6Sql)),
+    QueryDef("g01_daily_market_summary", (s, dir) => g1(s, dir), Some(g1Sql)),
+    QueryDef("g02_price_history_ohlc", (s, dir) => g2(s, dir), Some(g2Sql)),
+    QueryDef("g03_market_opportunities", (s, dir) => g3(s, dir), Some(g3Sql(2.0))),
+    QueryDef("g04_item_demand", (s, dir) => g4(s, dir), Some(g4Sql)),
+    QueryDef("g05_market_concentration", (s, dir) => g5(s, dir), Some(g5Sql)),
+    QueryDef("g06_market_index", (s, dir) => g6(s, dir), Some(g6Sql)),
     QueryDef("g07_sector_trends",
       (s, dir) => Marts.sectorTrends(
         silverFromLineitem(s, dir), dimsFromPart(s, dir)),
@@ -173,15 +186,13 @@ object MartQueries {
       Some(s"""WITH $dimsSql
               |SELECT * FROM dims ORDER BY item_id LIMIT 10 OFFSET 20""".stripMargin)),
     QueryDef("serve_daily_summary",
-      (s, dir) => ServingLayer.dailySummary(
-        Marts.dailyMarketSummary(silverFromLineitem(s, dir), dimsFromPart(s, dir)),
-        itemId = None, limit = 100),
+      (s, dir) => ServingLayer.dailySummary(g1(s, dir), itemId = None, limit = 100),
       Some(s"""WITH g1 AS ($g1Sql)
               |SELECT * FROM g1 ORDER BY snapshot_date DESC, item_id ASC LIMIT 100""".stripMargin)),
     QueryDef("serve_price_history",
       (s, dir) => {
         import org.apache.spark.sql.functions.col
-        Marts.priceHistory(ticksFromEvents(s, dir))
+        g2(s, dir)
           .where(col("item_id") === "purchase")
           .orderBy(col("snapshot_hour").desc)
           .limit(48)
@@ -191,35 +202,30 @@ object MartQueries {
               |ORDER BY snapshot_hour DESC LIMIT 48""".stripMargin)),
     QueryDef("serve_opportunities",
       (s, dir) => ServingLayer.opportunities(
-        Marts.marketOpportunities(dailyMedian(silverFromLineitem(s, dir))),
-        recommendation = Some("buy"), limit = 100),
-      Some(s"""WITH g3 AS ($g3Sql)
+        g3Serve(s, dir), recommendation = Some("buy"), limit = 100),
+      Some(s"""WITH g3 AS (${g3Sql(1.0)})
               |SELECT * FROM g3
               |WHERE recommendation = 'BUY' AND z_score IS NOT NULL
               |ORDER BY z_score ASC, item_id ASC, snapshot_date ASC LIMIT 100""".stripMargin)),
     QueryDef("serve_demand",
-      (s, dir) => ServingLayer.demand(
-        Marts.itemDemand(bronzeDailyFromEvents(s, dir)), itemId = Some(3L), limit = 100),
+      (s, dir) => ServingLayer.demand(g4(s, dir), itemId = Some(3L), limit = 100),
       Some(s"""WITH g4 AS ($g4Sql)
               |SELECT * FROM g4 WHERE item_id = 3
               |ORDER BY snapshot_date DESC, item_id ASC LIMIT 100""".stripMargin)),
     QueryDef("serve_concentration",
       (s, dir) => ServingLayer.concentration(
-        Marts.marketConcentration(silverFromLineitem(s, dir)),
-        status = Some("CONCENTRATED"), limit = 100),
+        g5(s, dir), status = Some("CONCENTRATED"), limit = 100),
       Some(s"""WITH g5 AS ($g5Sql)
               |SELECT * FROM g5 WHERE market_status = 'CONCENTRATED'
               |ORDER BY floor_concentration_pct DESC, item_id ASC, snapshot_date ASC
               |LIMIT 100""".stripMargin)),
     QueryDef("serve_market_index",
-      (s, dir) => ServingLayer.marketIndex(
-        Marts.marketIndex(dailyMedian(silverFromLineitem(s, dir))), limit = 30),
+      (s, dir) => ServingLayer.marketIndex(g6(s, dir), limit = 30),
       Some(s"""WITH g6 AS ($g6Sql)
               |SELECT * FROM g6 ORDER BY snapshot_date DESC LIMIT 30""".stripMargin)),
     QueryDef("serve_best_opportunity",
-      (s, dir) => ServingLayer.bestOpportunity(
-        Marts.marketOpportunities(dailyMedian(silverFromLineitem(s, dir)))),
-      Some(s"""WITH g3 AS ($g3Sql)
+      (s, dir) => ServingLayer.bestOpportunity(g3(s, dir)),
+      Some(s"""WITH g3 AS (${g3Sql(2.0)})
               |SELECT * FROM g3 WHERE z_score IS NOT NULL
               |ORDER BY z_score ASC, item_id ASC, snapshot_date ASC LIMIT 1""".stripMargin))
   )

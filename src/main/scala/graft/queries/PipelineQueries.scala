@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators (dedup, similarity search,
+  * text analysis) gate-checked over the driver's `documents` /
+  * `embeddings` tables.
+  *
+  * Oracle policy: everything whose semantics are pure ANSI SQL
+  * (md5 hashing, regex counts, shingle Jaccard, double-precision
+  * cosine) gets a DuckDB oracle. Operators whose OUTPUT depends on
+  * engine-specific hash functions (murmur3/xxhash64 in MinHash, SimHash
+  * and sign-LSH bucketing) are registered rows-only (`oracle = None`):
+  * their *verification* steps are exact (LSH only prunes the pair
+  * space), but the candidate sets — and for SimHash the signatures
+  * themselves — are not reproducible in another engine.
+  */
+object PipelineQueries {
+
+  /** DuckDB-side mirror of [[TextAnalysis.tokens]] +
+    * [[Dedup.wordShingles]] (word 3-grams, distinct per doc; docs with
+    * <3 tokens yield none — range(1, len-1) is empty for len<3).
+    */
+  private val shingleSql =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(w) - 1),
+      |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |    FROM toks))""".stripMargin
+
+  private def stopwordRegex(words: Seq[String]): String =
+    "\\b(" + words.mkString("|") + ")\\b"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: content-hash groups with deterministic keeper.
+    QueryDef("p01_exact_dup_groups",
+      (s, dir) => Dedup.exactDuplicateGroups(Tables.documents(s, dir)),
+      Some("""SELECT md5(text) AS content_hash,
+             |       count(*) AS dup_count,
+             |       min(doc_id) AS keeper_doc_id
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    QueryDef("p02_drop_exact_dups",
+      (s, dir) => Dedup.dropExactDuplicates(Tables.documents(s, dir))
+        .select("doc_id", "text", "lang", "source", "n_chars"),
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM (SELECT *, row_number() OVER (
+             |        PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |      FROM documents)
+             |WHERE rn = 1""".stripMargin)),
+
+    // Canonical content fingerprint (rolling-normalization hash).
+    QueryDef("p03_fingerprint",
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+             |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents""".stripMargin)),
+
+    // Quality scoring: token/stopword/alpha ratios + composite score.
+    QueryDef("p04_quality_features",
+      (s, dir) => TextAnalysis.qualityFeatures(Tables.documents(s, dir))
+        .select("doc_id", "n_tokens", "n_stopwords", "alpha_chars",
+          "n_chars_total", "stopword_ratio", "alpha_ratio", "quality_score"),
+      Some(s"""WITH f AS (
+              |  SELECT doc_id,
+              |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+              |         CAST(len(regexp_extract_all(text,
+              |              '${stopwordRegex(TextAnalysis.EnglishStopwords)}')) AS BIGINT) AS n_stopwords,
+              |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha_chars,
+              |         CAST(length(text) AS BIGINT) AS n_chars_total
+              |  FROM documents)
+              |SELECT doc_id, n_tokens, n_stopwords, alpha_chars, n_chars_total,
+              |       n_stopwords / nullif(n_tokens, 0) AS stopword_ratio,
+              |       alpha_chars / nullif(n_chars_total, 0) AS alpha_ratio,
+              |       least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+              |         + coalesce(n_stopwords / nullif(n_tokens, 0), 0.0) * 0.3
+              |         + coalesce(alpha_chars / nullif(n_chars_total, 0), 0.0) * 0.3
+              |         AS quality_score
+              |FROM f""".stripMargin)),
+
+    // Language ID: per-language marker-word hit counts, fixed-priority argmax.
+    QueryDef("p05_lang_id",
+      (s, dir) => TextAnalysis.langId(Tables.documents(s, dir))
+        .select("doc_id", "en_hits", "es_hits", "de_hits", "fr_hits",
+          "predicted_lang"),
+      Some {
+        val hits = TextAnalysis.LangMarkers.map { case (l, ws) =>
+          s"CAST(len(regexp_extract_all(text, '${stopwordRegex(ws)}')) AS BIGINT) AS ${l}_hits"
+        }.mkString(",\n")
+        s"""WITH f AS (SELECT doc_id, $hits FROM documents)
+           |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+           |       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+           |            WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+           |            WHEN de_hits >= fr_hits THEN 'de'
+           |            ELSE 'fr' END AS predicted_lang
+           |FROM f""".stripMargin
+      }),
+
+    // Shingle inverted index (the substrate for all n-gram dedup).
+    QueryDef("p06_word_shingles",
+      (s, dir) => Dedup.wordShingles(Tables.documents(s, dir), n = 3),
+      Some(s"""WITH $shingleSql
+              |SELECT doc_id, shingle FROM sh""".stripMargin)),
+
+    // Exact n-gram Jaccard near-dup pairs (frequency-capped index).
+    QueryDef("p07_jaccard_pairs",
+      (s, dir) => Dedup.jaccardPairs(
+        Dedup.wordShingles(Tables.documents(s, dir), n = 3),
+        threshold = 0.8, maxShingleDf = 1000),
+      Some(s"""WITH $shingleSql,
+              |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
+              |          FROM sh GROUP BY doc_id),
+              |capped AS (SELECT s.* FROM sh s
+              |           JOIN (SELECT shingle FROM sh
+              |                 GROUP BY shingle HAVING count(*) <= 1000) c
+              |           USING (shingle)),
+              |common AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         CAST(count(*) AS BIGINT) AS common
+              |  FROM capped a JOIN capped b
+              |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id)
+              |SELECT doc_a, doc_b, common,
+              |       sa.set_size AS size_a, sb.set_size AS size_b,
+              |       common / (sa.set_size + sb.set_size - common) AS jaccard
+              |FROM common
+              |JOIN sizes sa ON sa.doc_id = doc_a
+              |JOIN sizes sb ON sb.doc_id = doc_b
+              |WHERE common / (sa.set_size + sb.set_size - common) >= 0.8""".stripMargin)),
+
+    // MinHash+LSH near-dups: linear candidate generation, exact verify.
+    // Rows-only: signatures are murmur3-specific.
+    QueryDef("p08_minhash_neardups",
+      (s, dir) => Dedup.minHashNearDups(
+        Tables.documents(s, dir), threshold = 0.8), None),
+
+    // SimHash near-dups: banded hamming join. Rows-only (xxhash64).
+    QueryDef("p09_simhash_neardups",
+      (s, dir) => Dedup.simHashNearDups(Tables.documents(s, dir)), None),
+
+    // Brute-force cosine top-k: the exact ANN baseline.
+    QueryDef("p10_brute_force_topk",
+      (s, dir) => Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir), queryId = 0L, k = 10),
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+             |           FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id,
+             |       list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+             |       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+             |                                CAST(e.embedding AS DOUBLE[])))
+             |          * sqrt(list_dot_product(q.qe, q.qe))) AS cosine
+             |FROM embeddings e, q
+             |WHERE e.vec_id <> 0
+             |ORDER BY cosine DESC, e.vec_id ASC
+             |LIMIT 10""".stripMargin)),
+
+    // Sign-LSH ANN top-k: scores only the query's bucket. Rows-only
+    // (bucket ids are xxhash64-specific). bits=4 so the bucket is
+    // populated at sf0.01 corpus size; at 100 TB bits grows with the
+    // corpus and the bucket column becomes a partition key.
+    QueryDef("p11_lsh_topk",
+      (s, dir) => Similarity.lshTopK(
+        Tables.embeddings(s, dir), queryId = 0L, k = 10, bits = 4), None),
+
+    // Embedding-cosine near-dup pairs within LSH buckets. Rows-only.
+    QueryDef("p12_embedding_neardups",
+      (s, dir) => Similarity.embeddingNearDups(
+        Tables.embeddings(s, dir), threshold = 0.3, bits = 2), None)
+  )
+}

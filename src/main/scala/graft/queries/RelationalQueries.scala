@@ -21,16 +21,23 @@ object RelationalQueries {
         .select("l_returnflag", "l_linestatus").distinct(),
       Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
 
-    // R2 — anti-join: parts never shipped
+    // R2 — anti-join: parts with no shipment since 2001-06-01 (the
+    // build side is filtered so the result is NON-empty at every sf —
+    // an unfiltered "never shipped" matches zero parts and would pass
+    // vacuously).
     QueryDef("r02_anti_join",
       (s, dir) => {
         val part = Tables.part(s, dir)
-        val li = Tables.lineitem(s, dir).select(col("l_partkey"))
+        val li = Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= lit("2001-06-01"))
+          .select(col("l_partkey"))
         part.join(li, part("p_partkey") === li("l_partkey"), "left_anti")
           .select("p_partkey", "p_name")
       },
       Some("""SELECT p_partkey, p_name FROM part
-             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin)),
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+             |                  WHERE l_partkey = p_partkey
+             |                    AND l_shipdate >= DATE '2001-06-01')""".stripMargin)),
 
     // R2 extended variant — enrichment candidates: ids missing from
     // dims OR present with NULL name (retry semantics), via the real
@@ -122,7 +129,7 @@ object RelationalQueries {
     QueryDef("t05_lenient_cast",
       (s, dir) => Tables.events(s, dir).select(
         col("event_id"),
-        from_json(col("props"), "k INT").getField("k").as("k"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"),
         col("event_type").cast("int").as("as_num")),
       Some("""SELECT event_id,
              |       CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INT) AS k,

