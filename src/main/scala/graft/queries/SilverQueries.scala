@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.silver.{Dimensions, SilverTransform}
+import TestdataAdapter._
+
+/** Gate queries over the REAL bronze→silver→dims dataflow (the core of
+  * the reference port, `data_pipeline/assets/silver/transformation.py`
+  * + `dimensions.py`), driven by the FIXTURES.md A1 documents — not by
+  * the testdata re-expressions. Oracles are inline VALUES (the
+  * expected silver rows are small and fully determined).
+  *
+  * `created_at`/`last_updated` (current_timestamp) are dropped before
+  * comparison — wall-clock columns cannot hash-match an oracle.
+  * `modifiers` is compared through `to_json` so the array-of-struct
+  * fidelity is still checked value-by-value.
+  */
+object SilverQueries {
+
+  private def silverDeterministic(df: org.apache.spark.sql.DataFrame) =
+    df.select(
+      col("id"), col("item_id"), col("quantity"), col("unit_price"),
+      col("buyout"), col("time_left"),
+      to_json(col("modifiers")).as("modifiers_json"),
+      col("snapshot_date"))
+
+  /** DuckDB typed VALUES: cast through an outer SELECT (typed column
+    * aliases are not DuckDB syntax) so the oracle schema matches the
+    * Spark silver schema (BIGINT ids/prices, INTEGER quantity).
+    */
+  private def typedSilverValues(valuesSql: String): String =
+    s"""SELECT CAST(id AS BIGINT) AS id, CAST(item_id AS BIGINT) AS item_id,
+       |       CAST(quantity AS INTEGER) AS quantity,
+       |       CAST(unit_price AS BIGINT) AS unit_price,
+       |       CAST(buyout AS BIGINT) AS buyout,
+       |       CAST(time_left AS VARCHAR) AS time_left,
+       |       CAST(modifiers_json AS VARCHAR) AS modifiers_json,
+       |       CAST(snapshot_date AS DATE) AS snapshot_date
+       |FROM (VALUES
+       |$valuesSql
+       |) AS t(id, item_id, quantity, unit_price, buyout, time_left,
+       |       modifiers_json, snapshot_date)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // T1–T10 end-to-end on the A1 bronze document: explode, struct
+    // access, lenient casts, fillna(1), floor-division unit price with
+    // /0 guard, snapshot stamp, exact projection.
+    QueryDef("t02_silver_from_json",
+      (s, _) => {
+        val path = Fixtures.materialize("day1.json", Fixtures.day1Json)
+        silverDeterministic(
+          SilverTransform.fromJson(s, path, Fixtures.day1Date))
+      },
+      Some(typedSilverValues(
+        """  (1001, 190320, 1, 1250000, 1250000, 'VERY_LONG',
+          |   '[{"type":9,"value":70}]', DATE '2026-02-13'),
+          |  (1002, 2589, 200, 350, NULL, 'SHORT', NULL, DATE '2026-02-13'),
+          |  (1003, 2589, 50, 375, NULL, 'LONG', NULL, DATE '2026-02-13'),
+          |  (1004, NULL, 1, NULL, NULL, 'MEDIUM', NULL, DATE '2026-02-13'),
+          |  (1005, 777, 0, NULL, 5000, 'SHORT', NULL, DATE '2026-02-13'),
+          |  (1006, 888, 4, 249, 999, 'LONG', NULL, DATE '2026-02-13')""".stripMargin))),
+
+    // §1.4 first-seen-wins on the real path: day-2 snapshot anti-joined
+    // against day-1 ids — only never-seen listings land; the surviving
+    // auction 1002 keeps its day-1 row (not re-inserted).
+    QueryDef("s06_first_seen_silver",
+      (s, _) => {
+        val d1 = SilverTransform.fromJson(
+          s, Fixtures.materialize("day1.json", Fixtures.day1Json), Fixtures.day1Date)
+        val d2 = SilverTransform.fromJson(
+          s, Fixtures.materialize("day2.json", Fixtures.day2Json), Fixtures.day2Date)
+        silverDeterministic(SilverTransform.firstSeenOnly(d2, d1))
+      },
+      Some(typedSilverValues(
+        """  (2001, 2589, 10, 400, NULL, 'SHORT', NULL, DATE '2026-02-14'),
+          |  (2002, 190320, 1, 90000, 90000, 'LONG', '[]', DATE '2026-02-14')""".stripMargin))),
+
+    // T11: item-API payload -> dim row with reference defaults
+    // (quality "Unknown", class "Misc", subclass "Junk", icon NULL),
+    // including a 404 (id skipped) and partial payloads.
+    QueryDef("t11_dim_enrich",
+      (s, _) => {
+        val source = new Dimensions.ItemMetadataSource {
+          override def fetch(itemId: Long): Option[Dimensions.ItemPayload] =
+            itemId match {
+              case 190320 => Some(Dimensions.ItemPayload(
+                Some("Ethereal Blade"), Some("Epic"), Some("Weapon"), Some("Sword")))
+              case 2589 => Some(Dimensions.ItemPayload(
+                Some("Linen Cloth"), None, None, None))
+              case _ => None // 404 -> skip (dimensions.py:55-58)
+            }
+        }
+        Dimensions.enrich(s, Seq(190320L, 2589L, 99999L), source)
+          .drop("last_updated")
+      },
+      Some("""SELECT CAST(item_id AS BIGINT) AS item_id, name, quality,
+             |       item_class, item_subclass, CAST(icon_url AS VARCHAR) AS icon_url
+             |FROM (VALUES
+             |  (190320, 'Ethereal Blade', 'Epic', 'Weapon', 'Sword', NULL),
+             |  (2589, 'Linen Cloth', 'Unknown', 'Misc', 'Junk', NULL)
+             |) AS t(item_id, name, quality, item_class, item_subclass, icon_url)""".stripMargin)),
+
+    // S6: upsert semantics (ON CONFLICT DO UPDATE): updated rows
+    // replace, new rows insert, untouched rows survive — keyed uniquely
+    // by item_id in and out. Updates = every 100th part renamed.
+    QueryDef("s06b_dim_upsert",
+      (s, dir) => {
+        val dims = dimsFromPart(s, dir)
+        val updates = dims.where(col("item_id") % 100 === 0)
+          .withColumn("name", upper(col("name")))
+        Dimensions.upsert(dims, updates).drop("last_updated")
+      },
+      Some(s"""WITH $dimsSql,
+              |updates AS (SELECT item_id, upper(name) AS name, quality,
+              |                   item_class, item_subclass, icon_url
+              |            FROM dims WHERE item_id % 100 = 0)
+              |SELECT d.item_id, d.name, d.quality, d.item_class, d.item_subclass, d.icon_url
+              |FROM dims d WHERE NOT EXISTS
+              |  (SELECT 1 FROM updates u WHERE u.item_id = d.item_id)
+              |UNION ALL
+              |SELECT * FROM updates""".stripMargin)),
+
+    // T13: dashboard rename/projection (reference dashboard/app.py:63-73).
+    QueryDef("t13_rename_projection",
+      (s, dir) => {
+        val g3 = graft.gold.Marts.marketOpportunities(
+          dailyMedian(silverFromLineitem(s, dir)))
+        g3.select(
+          col("item_id").as("Item"),
+          col("snapshot_date").as("Date"),
+          col("current_price").as("CurrentPrice"),
+          col("avg_price_7d").as("Avg7d"),
+          col("z_score").as("ZScore"),
+          col("recommendation").as("Action"))
+      },
+      Some(s"""WITH $silverSql, $dailySql,
+              |win AS (
+              |  SELECT item_id, snapshot_date,
+              |         median_buyout AS current_price,
+              |         avg(median_buyout) OVER w AS avg_price_7d,
+              |         stddev_samp(median_buyout) OVER w AS std_dev_7d
+              |  FROM daily
+              |  WINDOW w AS (PARTITION BY item_id
+              |               ORDER BY snapshot_date - DATE '1970-01-01'
+              |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+              |SELECT item_id AS "Item", snapshot_date AS "Date",
+              |       current_price AS "CurrentPrice", avg_price_7d AS "Avg7d",
+              |       (current_price - avg_price_7d) / nullif(std_dev_7d, 0) AS "ZScore",
+              |       CASE WHEN (current_price - avg_price_7d) / nullif(std_dev_7d, 0) <= -2.0 THEN 'BUY'
+              |            WHEN (current_price - avg_price_7d) / nullif(std_dev_7d, 0) >= 2.0 THEN 'SELL'
+              |            ELSE 'HOLD' END AS "Action"
+              |FROM win""".stripMargin)),
+
+    // S10: raw-SQL escape hatch (spark.sql over a registered view —
+    // the engine's analog of postgres_client.execute_sql_command).
+    QueryDef("s10_raw_sql",
+      (s, dir) => {
+        graft.Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+        s.sql("""SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                |       count(*) AS n
+                |FROM graft_lineitem GROUP BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+             |       count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // SV8: health probe (SELECT 1, reference main.py:23-29).
+    QueryDef("serve_health",
+      (s, _) => s.sql("SELECT 1 AS ok"),
+      Some("SELECT 1 AS ok"))
+  )
+}

@@ -79,6 +79,14 @@ object SilverTransform {
       .schema(Schemas.rawSnapshot)
       .option("multiLine", value = true)
       .json(path)
+    // Document-level validation: with an explicit schema the column
+    // always EXISTS, so the reference's "auctions key present" check
+    // (transformation.py:23-24) must be row-wise — a document without
+    // the key parses to a NULL auctions column. (Empty array [] is
+    // valid: zero-row short-circuit, :28-30.)
+    require(
+      raw.where(col("auctions").isNull).isEmpty,
+      "Invalid data: missing 'auctions' key")
     normalize(explodeAuctions(requireAuctions(raw)), snapshotDate)
       .withColumn("created_at", current_timestamp())
   }

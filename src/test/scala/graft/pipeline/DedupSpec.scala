@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** Dedup operator edge semantics, incl. the round-1 latent bugs:
+  * short docs must not crash shingling, and non-default numHashes must
+  * produce correct LSH candidates (the old hardcoded 16 read past the
+  * signature array).
+  */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text with nothing shared here at all"),
+    (4L, "tiny"), // < n tokens: must yield zero shingles, not crash
+    (5L, "the quick brown fox jumps over the lazy dog")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("wordShingles: short docs yield zero shingles (no crash)") {
+    val sh = Dedup.wordShingles(docs, n = 3)
+    assert(sh.where("doc_id = 4").count() === 0)
+    assert(sh.where("doc_id = 1").count() === 7) // 9 tokens -> 7 trigrams
+  }
+
+  test("exact dedup: deterministic keeper is min doc_id") {
+    val groups = Dedup.exactDuplicateGroups(docs)
+    val dup = groups.where("dup_count > 1").collect()
+    assert(dup.length === 1)
+    assert(dup.head.getAs[Long]("keeper_doc_id") === 1L)
+    assert(Dedup.dropExactDuplicates(docs).count() === 4)
+  }
+
+  test("jaccardPairs finds the near-dup pair and the exact pair") {
+    val pairs = Dedup.jaccardPairs(Dedup.wordShingles(docs, n = 3), threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 5L))) // jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // 6/8 = 0.75
+    assert(pairs.contains((2L, 5L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minHashNearDups with NON-default numHashes=8 returns correct pairs") {
+    val pairs = Dedup.minHashNearDups(docs, threshold = 0.99, numHashes = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // identical docs are always LSH candidates (identical signatures)
+    // and jaccard 1.0 passes any threshold
+    assert(pairs === Set((1L, 5L)))
+  }
+
+  test("minHash LSH candidates subset-verify: exact jaccard filters them") {
+    val all = Dedup.minHashNearDups(docs, threshold = 0.7, numHashes = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(all.contains((1L, 5L)))
+    assert(!all.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simHashNearDups: identical docs at hamming 0; maxHamming >= 4 rejected") {
+    val pairs = Dedup.simHashNearDups(docs, maxHamming = 0)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 5L)))
+    intercept[IllegalArgumentException] {
+      Dedup.simHashNearDups(docs, maxHamming = 4)
+    }
+  }
+
+  test("lshCandidatePairs rejects numHashes not divisible by rowsPerBand") {
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatePairs(
+        Dedup.minHashSignatures(Dedup.wordShingles(docs), 6), numHashes = 6, rowsPerBand = 4)
+    }
+  }
+}

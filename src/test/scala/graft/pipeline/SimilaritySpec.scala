@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)), // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)), // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f)), // opposite
+    (4L, Array(0.5f, 0.5f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("bruteForceTopK: exact ranking, query excluded") {
+    val top = Similarity.bruteForceTopK(emb, queryId = 0L, k = 3).collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 4L, 2L))
+    assert(math.abs(top.head.getAs[Double]("cosine") -
+      (0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1))) < 1e-6)
+  }
+
+  test("embeddingNearDups: high-cosine pair survives its shared bucket") {
+    // identical vectors always share every LSH bucket and have cosine 1
+    val dup = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-3.0f, 1.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(dup, threshold = 0.99, bits = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("lshTopK: results are a subset of brute-force ordering semantics") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 4).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    val ann = Similarity.lshTopK(emb, 0L, 4, bits = 2).collect()
+    // every ANN hit must carry the exact cosine the brute-force path computes
+    ann.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(math.abs(r.getAs[Double]("cosine") - brute(id)) < 1e-12)
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("quality features: ratios and score on a known doc") {
+    val df = Seq((1L, "the cat and the dog")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df).head()
+    assert(r.getAs[Long]("n_tokens") === 5L)
+    assert(r.getAs[Long]("n_stopwords") === 3L) // the, and, the
+    assert(r.getAs[Long]("alpha_chars") === 15L)
+    assert(r.getAs[Long]("n_chars_total") === 19L)
+    val expected = math.min(5.0 / 50.0, 1.0) * 0.4 + 3.0 / 5.0 * 0.3 + 15.0 / 19.0 * 0.3
+    assert(math.abs(r.getAs[Double]("quality_score") - expected) < 1e-12)
+  }
+
+  test("quality features: empty text yields null ratios, score 0-ish") {
+    val df = Seq((1L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df).head()
+    assert(r.getAs[Any]("alpha_ratio") === null)
+    assert(r.getAs[Double]("quality_score") >= 0.0)
+  }
+
+  test("langId: marker argmax with fixed tie priority") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "el perro y la casa de los vecinos"),
+      (3L, "der hund und die katze ist nicht da"),
+      (4L, "le chat et les chiens est une famille"),
+      (5L, "xyzzy plugh")) // no markers anywhere -> all 0 -> 'en' priority
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df).select("doc_id", "predicted_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "en"))
+  }
+
+  test("fingerprint: whitespace/case variants collapse") {
+    val df = Seq(
+      (1L, "Hello   World"),
+      (2L, "  hello world "),
+      (3L, "hello\tworld"),
+      (4L, "different"))
+      .toDF("doc_id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(1) === fps(2))
+    assert(fps(3) !== fps(0))
+  }
+}
