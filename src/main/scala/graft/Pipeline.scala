@@ -1,0 +1,201 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.time.LocalDate
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gold.Marts
+import graft.schema.Schemas
+import graft.silver.{Dimensions, SilverTransform}
+import graft.sources.Bronze
+
+/** The materialized medallion pipeline (SURVEY §3 E1): the reference's
+  * daily Dagster run `raw_auctions_data -> silver_auctions -> dim_items`
+  * plus the gold layer, as one driver program over a warehouse of
+  * date-partitioned parquet tables.
+  *
+  * Dependency = function composition (no scheduler needed for parity,
+  * SURVEY §1.1); persistence = parquet dirs (Delta is not in the image;
+  * where the reference does `ON CONFLICT` upserts we do anti-join +
+  * atomic directory swap, the MERGE-less equivalent).
+  *
+  * Layout (all under one warehouse root):
+  *   bronze/{date}/raw_auctions_{date}.json     (S2, raw objects)
+  *   silver_auctions/snapshot_date=.../          (S5, first-seen facts)
+  *   dim_items/                                  (S6, upserted dims)
+  *   gold/<mart>/                                (G1-G7, recomputed)
+  *
+  * At 100 TB: same layout on object storage; silver writes stay
+  * append-only per date partition (no rewrite of history), retention
+  * is a metadata-only partition drop, and every gold job reads only
+  * the partitions inside its window.
+  */
+final class Pipeline(spark: SparkSession, warehouse: String) {
+
+  val bronze = new Bronze(s"$warehouse/bronze")
+  private val silverPath = s"$warehouse/silver_auctions"
+  private val dimsPath = s"$warehouse/dim_items"
+  private def goldPath(name: String) = s"$warehouse/gold/$name"
+
+  // ---- S8: DDL bootstrap — create-if-not-exists with explicit
+  // schemas on every pipeline construction, like the reference's
+  // Base.metadata.create_all on client init (database.py:24-27).
+  ensureTable(silverPath, Schemas.silverAuction, Seq("snapshot_date"))
+  ensureTable(dimsPath, Schemas.itemDim, Nil)
+
+  private def ensureTable(path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String]): Unit =
+    if (!Files.exists(Paths.get(path))) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val w = empty.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(path)
+    }
+
+  def silver: DataFrame = spark.read.schema(Schemas.silverAuction).parquet(silverPath)
+  def dims: DataFrame = spark.read.schema(Schemas.itemDim).parquet(dimsPath)
+  def gold(name: String): DataFrame = spark.read.parquet(goldPath(name))
+
+  /** E1 step 1 — land a raw snapshot document into bronze (S2). The
+    * document comes from the S1 REST edge or a fixture; ingestion is
+    * injected so the pipeline is runnable offline.
+    */
+  def ingest(date: LocalDate, rawJson: String): String =
+    bronze.saveJson(date, rawJson)
+
+  /** E1 step 2 — bronze -> silver: normalize (T1-T10) then first-seen
+    * append (§1.4): only never-seen auction ids land; the write is an
+    * APPEND of new date partitions — existing partitions are never
+    * rewritten (the scalable shape; `ON CONFLICT DO NOTHING` parity).
+    * Returns inserted-row count like the reference
+    * (postgres_client.py:26-50).
+    */
+  def runSilver(date: LocalDate): Long = {
+    val normalized = SilverTransform.fromJson(
+      spark, bronze.objectPath(date).toString, java.sql.Date.valueOf(date))
+    // prune: only ids are needed from the existing side of the anti-join
+    val newRows = SilverTransform.firstSeenOnly(normalized, silver.select("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = newRows.count()
+    if (n > 0)
+      newRows.write.mode(SaveMode.Append)
+        .partitionBy("snapshot_date").parquet(silverPath)
+    newRows.unpersist()
+    n
+  }
+
+  /** E1 step 3 — incremental dim enrichment: R2-extended candidate ids
+    * (missing OR null-name retry, <=100/run), per-id fetch through the
+    * injected source (S9 REST or fixture), upsert keyed by item_id
+    * (S6). The upsert is an atomic directory swap — the MERGE-less
+    * parquet equivalent of `ON CONFLICT DO UPDATE`.
+    */
+  def runDims(source: Dimensions.ItemMetadataSource, limit: Int = 100): Long = {
+    val ids = Dimensions.missingItemIds(silver, dims, limit)
+      .collect().map(_.getLong(0)).toSeq // <=100 ids by contract — driver-safe
+    if (ids.isEmpty) return 0L
+    val updates = Dimensions.enrich(spark, ids, source)
+    val merged = Dimensions.upsert(dims, updates)
+    overwriteAtomically(dimsPath, merged, Schemas.itemDim)
+    updates.count()
+  }
+
+  /** E1 step 4 — recompute + materialize the seven gold marts (the
+    * reference serves pre-computed gold tables; main.py:36-79).
+    */
+  def runGold(): Unit = {
+    val s = silver.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = dims
+    val dailyMedian = s.groupBy(col("item_id"), col("snapshot_date"))
+      .agg(median(col("unit_price")).as("median_buyout"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    write("g1_daily_market_summary", Marts.dailyMarketSummary(s, d))
+    write("g2_price_history", Marts.priceHistory(s, ts = col("created_at")))
+    write("g3_market_opportunities", Marts.marketOpportunities(dailyMedian))
+    write("g4_item_demand", Marts.itemDemand(bronzeDaily))
+    write("g5_market_concentration", Marts.marketConcentration(s))
+    write("g6_market_index", Marts.marketIndex(dailyMedian))
+    write("g7_sector_trends", Marts.sectorTrends(s, d))
+    dailyMedian.unpersist(); s.unpersist()
+  }
+
+  /** G4 needs the RAW per-day listing sets (disappearance semantics,
+    * §2.4), which first-seen silver no longer carries — recover them
+    * from the bronze day documents.
+    */
+  private def bronzeDaily: DataFrame = {
+    val days = bronze.dates()
+    require(days.nonEmpty, "no bronze snapshots landed")
+    days.map { d =>
+      SilverTransform.normalize(
+        SilverTransform.explodeAuctions(bronze.readJson(spark, d)),
+        java.sql.Date.valueOf(d))
+        .select(col("id"), col("item_id"),
+          col("quantity").cast("long").as("quantity"), col("snapshot_date"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** E1 step 5 — retention (S4/S7): drop bronze objects and silver
+    * date partitions older than the window. Partition drop = directory
+    * delete, no data read.
+    */
+  def runRetention(asOf: LocalDate, retentionDays: Int = 30): (Seq[LocalDate], Long) = {
+    val droppedBronze = bronze.retain(asOf, retentionDays)
+    val cutoff = asOf.minusDays(retentionDays.toLong)
+    val silverRoot = Paths.get(silverPath)
+    val droppedParts = Files.list(silverRoot).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .filter { p =>
+        p.getFileName.toString.stripPrefix("snapshot_date=") match {
+          case s if s != p.getFileName.toString =>
+            scala.util.Try(LocalDate.parse(s)).toOption.exists(_.isBefore(cutoff))
+          case _ => false
+        }
+      }.toSeq
+    droppedParts.foreach(p =>
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete))
+    (droppedBronze, droppedParts.size.toLong)
+  }
+
+  /** Full daily run (the Dagster DAG, composed): ingest -> silver ->
+    * dims -> gold -> retention.
+    */
+  def runDay(date: LocalDate, rawJson: String,
+      source: Dimensions.ItemMetadataSource,
+      retentionDays: Int = 30): Unit = {
+    ingest(date, rawJson)
+    runSilver(date)
+    runDims(source)
+    runGold()
+    runRetention(date, retentionDays)
+  }
+
+  /** Parquet has no MERGE: write the merged table next to the live one,
+    * then swap directories. The swap is two renames — the table is
+    * never half-written. (Delta/Iceberg MERGE replaces this at scale.)
+    */
+  private def overwriteAtomically(path: String, df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val live = Paths.get(path)
+    val tmp = Paths.get(path + ".tmp")
+    val old = Paths.get(path + ".old")
+    deleteRecursively(tmp); deleteRecursively(old)
+    df.select(schema.fieldNames.map(col).toSeq: _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    Files.move(live, old)
+    Files.move(tmp, live)
+    deleteRecursively(old)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+
+  private def write(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(goldPath(name))
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the embedding dot product.
+  *
+  * Why not `aggregate(zip_with(...))`: higher-order functions are
+  * interpreted — no whole-stage codegen, a closure call per element —
+  * and the dot product sits in the innermost loop of similarity
+  * search (candidate-pairs x dimensions evaluations). This expression
+  * generates a tight primitive `for` loop over the two float arrays
+  * (and participates in whole-stage codegen), measured ~10x faster on
+  * the in-bucket pair scoring at bench scale.
+  *
+  * Semantics: sum_i (double)a[i] * (double)b[i] over the common
+  * prefix length; accumulation in double, sequential order — matching
+  * both the HOF formulation and the DuckDB oracle
+  * (`list_dot_product` on DOUBLE[] casts). Null arrays propagate
+  * null; elements are assumed non-null (embedding vectors).
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<FLOAT> inputs, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_vector_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column-level dot product over two Array[Float] columns. */
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatVectorDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

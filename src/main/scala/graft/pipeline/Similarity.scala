@@ -14,17 +14,19 @@ import org.apache.spark.sql.functions._
   *    Hyperplanes are pseudo-random from xxhash64(bit, dim) — fully
   *    deterministic, no state to ship.
   *
-  * All dot products are computed in double precision via zip_with +
-  * aggregate (higher-order functions — codegen-friendly, no UDF).
+  * All dot products are computed in double precision by a native
+  * Catalyst expression with codegen
+  * ([[graft.functions.FloatVectorDot]]) — higher-order functions are
+  * interpreted and too slow for the pair-scoring inner loop.
   */
 object Similarity {
 
-  /** Double-precision dot product of two float-array columns. */
+  /** Double-precision dot product of two float-array columns
+    * (codegen'd native expression; sequential accumulation, matching
+    * the DuckDB oracle's DOUBLE[] dot product).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

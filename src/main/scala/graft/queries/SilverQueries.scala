@@ -170,5 +170,57 @@ object SilverQueries {
     QueryDef("serve_health",
       (s, _) => s.sql("SELECT 1 AS ok"),
       Some("SELECT 1 AS ok"))
+  ) ++ Seq(
+
+    // E2E: the full MATERIALIZED medallion run (SURVEY §3 E1) — land
+    // two bronze days, first-seen silver append, REST-shaped dim
+    // enrichment (fixture source), gold recompute — then read the G1
+    // parquet back. The oracle recomputes G1 in SQL from the expected
+    // silver rows, so this hash-checks bronze->silver->dims->gold
+    // INCLUDING the on-disk writes.
+    QueryDef("e2e_medallion_g1",
+      (s, _) => {
+        val wh = java.nio.file.Files.createTempDirectory("graft-e2e-wh").toString
+        val p = new graft.Pipeline(s, wh)
+        val source = new Dimensions.ItemMetadataSource {
+          override def fetch(itemId: Long): Option[Dimensions.ItemPayload] =
+            if (itemId == 777L) None // 404 -> stays unenriched
+            else Some(Dimensions.ItemPayload(Some(s"Item $itemId"), None, None, None))
+        }
+        p.ingest(java.time.LocalDate.parse("2026-02-13"), Fixtures.day1Json)
+        p.runSilver(java.time.LocalDate.parse("2026-02-13"))
+        p.ingest(java.time.LocalDate.parse("2026-02-14"), Fixtures.day2Json)
+        p.runSilver(java.time.LocalDate.parse("2026-02-14"))
+        p.runDims(source)
+        p.runGold()
+        p.gold("g1_daily_market_summary")
+      },
+      Some {
+        val silverValues =
+          """  (1001, 190320, 1, 1250000, 1250000, 'VERY_LONG', NULL, DATE '2026-02-13'),
+            |  (1002, 2589, 200, 350, NULL, 'SHORT', NULL, DATE '2026-02-13'),
+            |  (1003, 2589, 50, 375, NULL, 'LONG', NULL, DATE '2026-02-13'),
+            |  (1004, NULL, 1, NULL, NULL, 'MEDIUM', NULL, DATE '2026-02-13'),
+            |  (1005, 777, 0, NULL, 5000, 'SHORT', NULL, DATE '2026-02-13'),
+            |  (1006, 888, 4, 249, 999, 'LONG', NULL, DATE '2026-02-13'),
+            |  (2001, 2589, 10, 400, NULL, 'SHORT', NULL, DATE '2026-02-14'),
+            |  (2002, 190320, 1, 90000, 90000, 'LONG', NULL, DATE '2026-02-14')""".stripMargin
+        s"""WITH fixture_silver AS (${typedSilverValues(silverValues)}),
+           |fixture_dims AS (SELECT * FROM (VALUES
+           |  (190320, 'Item 190320'), (2589, 'Item 2589'), (888, 'Item 888')
+           |) AS d(item_id, name)),
+           |agg AS (
+           |  SELECT item_id, snapshot_date,
+           |         min(unit_price) AS min_buyout,
+           |         max(unit_price) AS max_buyout,
+           |         median(unit_price) AS median_buyout,
+           |         CAST(sum(quantity) AS BIGINT) AS quantity_available,
+           |         CAST(sum(unit_price * quantity) AS BIGINT) AS market_cap,
+           |         stddev_samp(unit_price) AS price_volatility,
+           |         count(*) AS auction_count
+           |  FROM fixture_silver GROUP BY item_id, snapshot_date)
+           |SELECT a.*, d.name AS item_name, CAST(NULL AS VARCHAR) AS icon_url
+           |FROM agg a LEFT JOIN fixture_dims d ON a.item_id = d.item_id""".stripMargin
+      })
   )
 }

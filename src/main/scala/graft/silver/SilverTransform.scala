@@ -48,7 +48,14 @@ object SilverTransform {
     *        (deterministic / backfillable; the reference stamps
     *        `date.today()`, `transformation.py:55`)
     */
-  def normalize(auctions: DataFrame, snapshotDate: java.sql.Date): DataFrame = {
+  def normalize(auctions: DataFrame, snapshotDate: java.sql.Date): DataFrame =
+    normalizeWith(auctions, lit(snapshotDate))
+
+  /** Column-parameterized variant: batch runs pass a literal job date;
+    * the streaming path derives the date from the landed file's path
+    * (one bronze object per day — the date IS in the name).
+    */
+  def normalizeWith(auctions: DataFrame, snapshotDate: Column): DataFrame = {
     // T5: lenient numeric casts (ANSI off -> unparseable becomes null,
     // pandas `errors='coerce'` parity).
     val qty = coalesce(col("quantity").cast(LongType), lit(1L)) // T6: fillna(1)
@@ -65,7 +72,7 @@ object SilverTransform {
       buyout.as("buyout"),
       col("time_left").cast(StringType).as("time_left"),
       col("item.modifiers").as("modifiers"), // T3
-      lit(snapshotDate).as("snapshot_date") // T8
+      snapshotDate.cast(DateType).as("snapshot_date") // T8
     ) // T9: exact projection; T10 (NaN->NULL) is a no-op in Spark
   }
 

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schema.Schemas
+import graft.silver.SilverTransform
+
+/** Structured Streaming edition of the silver path + hourly OHLC
+  * (SURVEY §2.6 / §7 north-star: the reference is batch-daily, the
+  * dashboard's 48 hourly bars imply the intended cadence of
+  * gold_price_history is hourly — streaming closes that gap).
+  *
+  * Design: the bronze zone doubles as the stream source — every landed
+  * raw object is a micro-batch (file source discovers new day dirs).
+  * The same T1-T10 normalization expressions run unchanged; only the
+  * snapshot-date derivation differs (from the landed file's path
+  * instead of a job parameter). State: the OHLC aggregation keys are
+  * (item, hour window) with a watermark bounding state size — at
+  * 100 TB/day the state store holds only the open windows, not the
+  * stream.
+  */
+object StreamingSilver {
+
+  /** Bronze file stream -> normalized silver rows. `maxFilesPerTrigger`
+    * bounds micro-batch size on backfills (a month of daily dumps
+    * arriving at once must not become one giant batch).
+    */
+  def silverStream(spark: SparkSession, bronzeRoot: String,
+      maxFilesPerTrigger: Int = 8): DataFrame = {
+    val raw = spark.readStream
+      .schema(Schemas.rawSnapshot)
+      .option("multiLine", value = true)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(s"$bronzeRoot/*/raw_auctions_*.json")
+    val withDate = SilverTransform.normalizeWith(
+      SilverTransform.explodeAuctions(raw),
+      // bronze path contract: .../{yyyy-MM-dd}/raw_auctions_{date}.json
+      to_date(regexp_extract(input_file_name(), "(\\d{4}-\\d{2}-\\d{2})/raw_auctions_", 1)))
+    withDate.withColumn("created_at",
+      col("snapshot_date").cast("timestamp")) // event time = snapshot day
+  }
+
+  /** Streaming G2: tumbling 1-hour OHLC bars with a watermark. Same
+    * min_by/max_by single-aggregation shape as the batch mart — late
+    * ticks beyond the watermark are dropped, closed windows emit once
+    * (append mode).
+    */
+  def streamingPriceHistory(ticks: DataFrame,
+      ts: Column = col("created_at"),
+      price: Column = col("unit_price"),
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val key = struct(ts.as("__ts"), price.as("__price"))
+    ticks
+      .withWatermark("created_at", watermarkDelay)
+      .groupBy(col("item_id"), window(ts, "1 hour").as("w"))
+      .agg(
+        min_by(price, key).cast("double").as("open_price"),
+        max(price).as("high_price"),
+        min(price).as("low_price"),
+        max_by(price, key).cast("double").as("close_price"),
+        avg(price).as("avarage_price"), // sic — reference schema
+        sum(col("quantity")).as("volume"))
+      .select(col("item_id"), col("w.start").as("snapshot_hour"),
+        col("open_price"), col("high_price"), col("low_price"),
+        col("close_price"), col("avarage_price"), col("volume"))
+  }
+
+  /** Land the silver stream as date-partitioned parquet — the
+    * streaming write analog of Pipeline.runSilver's append. (File sink
+    * is exactly-once via the sink log; first-seen dedup across days is
+    * handled downstream or via dropDuplicates("id") with a watermark
+    * when ids can recur within the retention window.)
+    */
+  def writeSilver(silver: DataFrame, path: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    silver.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("snapshot_date")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+}
