@@ -23,6 +23,17 @@ object Bench {
       .getOrCreate()
     Engine.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup: run everything once at the smallest sf so the
+    // timed loop measures steady-state plans, not first-query JVM
+    // compilation. Skipped if the bench target IS the smallest sf
+    // (warming there would pre-fill the session mart caches and make
+    // the timed numbers serving-only).
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

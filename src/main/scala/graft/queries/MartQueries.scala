@@ -149,23 +149,24 @@ object MartQueries {
       Marts.dailyMarketSummary(silverFromLineitem(s, dir), dimsFromPart(s, dir)))
   private def g2(s: org.apache.spark.sql.SparkSession, dir: String) =
     cached("g2")(s, dir)(Marts.priceHistory(ticksFromEvents(s, dir)))
+  // dailyMedian feeds G3 (both thresholds) and G6 — one shuffle+median
+  // pass, persisted once.
+  private def daily(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cached("daily")(s, dir)(dailyMedian(silverFromLineitem(s, dir)))
   private def g3(s: org.apache.spark.sql.SparkSession, dir: String) =
-    cached("g3")(s, dir)(
-      Marts.marketOpportunities(dailyMedian(silverFromLineitem(s, dir))))
+    cached("g3")(s, dir)(Marts.marketOpportunities(daily(s, dir)))
   // Serving variant with z threshold 1.0: at test scale no |z| >= 2 BUY
   // row exists, so the default-threshold serving query would pass
   // vacuously on an empty result (round-1 verdict item 10).
   private def g3Serve(s: org.apache.spark.sql.SparkSession, dir: String) =
     cached("g3z1")(s, dir)(
-      Marts.marketOpportunities(dailyMedian(silverFromLineitem(s, dir)),
-        zThreshold = 1.0))
+      Marts.marketOpportunities(daily(s, dir), zThreshold = 1.0))
   private def g4(s: org.apache.spark.sql.SparkSession, dir: String) =
     cached("g4")(s, dir)(Marts.itemDemand(bronzeDailyFromEvents(s, dir)))
   private def g5(s: org.apache.spark.sql.SparkSession, dir: String) =
     cached("g5")(s, dir)(Marts.marketConcentration(silverFromLineitem(s, dir)))
   private def g6(s: org.apache.spark.sql.SparkSession, dir: String) =
-    cached("g6")(s, dir)(
-      Marts.marketIndex(dailyMedian(silverFromLineitem(s, dir))))
+    cached("g6")(s, dir)(Marts.marketIndex(daily(s, dir)))
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("g01_daily_market_summary", (s, dir) => g1(s, dir), Some(g1Sql)),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -174,6 +174,55 @@ object PipelineQueries {
     // Embedding-cosine near-dup pairs within LSH buckets. Rows-only.
     QueryDef("p12_embedding_neardups",
       (s, dir) => Similarity.embeddingNearDups(
-        Tables.embeddings(s, dir), threshold = 0.3, bits = 2), None)
+        Tables.embeddings(s, dir), threshold = 0.3, bits = 2), None),
+
+    // ---- multimodal plumbing over a media view of documents
+    // (payload = UTF-8 bytes of text — an opaque binary column with
+    // the same schema/partitioning a real image/audio corpus has).
+
+    // Typed metadata derived in-scan from the binary payload.
+    QueryDef("mm01_media_metadata",
+      (s, dir) => Multimodal.withMetadata(mediaFromDocuments(s, dir))
+        .select(col("media_id"), col("meta.size_bytes").as("size_bytes"),
+          col("meta.checksum").as("checksum"), col("meta.source").as("source")),
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+             |       md5(text) AS checksum,
+             |       source
+             |FROM documents""".stripMargin)),
+
+    // Per-partition decode through the stub codec seam: rows-only
+    // (the deterministic fake derives dims from a JVM array hash).
+    QueryDef("mm02_decode_features",
+      (s, dir) => Multimodal.decodeFeatures(
+        mediaFromDocuments(s, dir), Multimodal.StubDecoder).toDF()
+        .select("media_id", "width", "height", "n_frames"), None),
+
+    // Frame sampling: byte-range explode — the frame COUNT and LENGTH
+    // math is oracle-checkable even though payload slicing is opaque.
+    QueryDef("mm03_frame_sampling",
+      (s, dir) => Multimodal.sampleFrames(mediaFromDocuments(s, dir), everyNBytes = 64)
+        .select(col("media_id"), col("frame_no"),
+          length(col("frame_bytes")).as("frame_len")),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |                  octet_length(encode(text)) AS len
+             |           FROM documents)
+             |SELECT media_id, CAST(frame_no AS INTEGER) AS frame_no,
+             |       CAST(least(64, len - frame_no * 64) AS INTEGER) AS frame_len
+             |FROM (SELECT media_id, len,
+             |             unnest(range(0, greatest((len - 1) // 64, 0) + 1)) AS frame_no
+             |      FROM m)""".stripMargin))
   )
+
+  /** documents -> media rows: the text bytes stand in for an opaque
+    * media payload (no codec libs in this image); schema matches
+    * [[Multimodal.mediaSchema]] minus meta.
+    */
+  private def mediaFromDocuments(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      lit("text").as("media_type"),
+      col("text").cast("binary").as("payload"),
+      col("source"))
 }
