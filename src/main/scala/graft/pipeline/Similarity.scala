@@ -89,6 +89,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-Flat ANN: partition the corpus into `nlist` cells around
+    * centroid vectors, probe only the `nprobe` cells nearest the
+    * query, score those exactly. The other standard ANN scale path
+    * next to sign-LSH: at 100 TB the cell id is a partition key and a
+    * query reads nprobe/nlist of the corpus.
+    *
+    * Centroids here are `nlist` deterministic corpus samples (evenly
+    * strided by id — k-means would tighten cells but adds an iterative
+    * training job; the assignment/probe machinery is identical).
+    * Assignment = argmax cosine over the broadcast centroid list,
+    * computed with the codegen'd [[graft.functions.FloatVectorDot]].
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // deterministic strided sample as centroids (collect of nlist rows)
+    val ids = emb.select(col(idCol)).orderBy(col(idCol)).collect().map(_.getLong(0))
+    val stride = math.max(1, ids.length / nlist)
+    val centroidIds = ids.grouped(stride).map(_.head).take(nlist).toSeq
+    val centroids = emb.where(col(idCol).isin(centroidIds: _*))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def centroidCol(c: Array[Float]): Column =
+      array(c.toSeq.map(v => lit(v)): _*).cast("array<float>")
+    // Cell assignment: argmax cosine over the centroid list, as
+    // array_max over (score, cid) structs — each centroid term appears
+    // ONCE in the expression tree. (A when/otherwise reduce would
+    // duplicate both branches at every level: 2^nlist expression
+    // nodes, OOM at codegen.) The row-side norm |v| is constant across
+    // centroids, so argmax cosine = argmax dot/|c| — |c| folds to a
+    // driver-computed literal and the row cost is nlist codegen'd dots.
+    def cellOf(vec: Column): Column =
+      array_max(array(centroids.map { case (cid, c) =>
+        val cNorm = math.sqrt(c.map(x => x.toDouble * x).sum)
+        struct((dot(vec, centroidCol(c)) / lit(cNorm)).as("score"),
+          lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    val celled = emb.withColumn("__cell", cellOf(col(vecCol)))
+    val q = emb.where(col(idCol) === queryId).select(col(vecCol).as("__q"))
+    val qVec = q.collect().head.getSeq[Float](0).toArray
+    // probe cells: nprobe centroids nearest the query (driver-side — the
+    // centroid list is tiny)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCells = centroids.sortBy { case (_, c) => -cos(qVec, c) }
+      .take(nprobe).map(_._1)
+    celled
+      .where(col("__cell").isin(probeCells: _*) && col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("__q")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs
     * within the same bucket with cosine >= threshold. The in-bucket
     * self-join replaces the corpus-wide cross product.

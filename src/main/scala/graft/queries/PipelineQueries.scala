@@ -171,6 +171,13 @@ object PipelineQueries {
       (s, dir) => Similarity.lshTopK(
         Tables.embeddings(s, dir), queryId = 0L, k = 10, bits = 4), None),
 
+    // IVF-Flat ANN top-k: nprobe/nlist cell probing with exact
+    // in-cell scoring. Rows-only (cell assignment is centroid-sample
+    // specific; in-cell cosines are exact — see SimilaritySpec).
+    QueryDef("p13_ivf_topk",
+      (s, dir) => Similarity.ivfTopK(
+        Tables.embeddings(s, dir), queryId = 0L, k = 10, nlist = 16, nprobe = 4), None),
+
     // Embedding-cosine near-dup pairs within LSH buckets. Rows-only.
     QueryDef("p12_embedding_neardups",
       (s, dir) => Similarity.embeddingNearDups(

@@ -31,6 +31,25 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("ivfTopK: probing ALL cells recovers the exact brute-force top-k") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 3).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    val ivf = Similarity.ivfTopK(emb, 0L, 3, nlist = 2, nprobe = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    assert(ivf === brute)
+  }
+
+  test("ivfTopK: nprobe < nlist returns a subset with exact cosines") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 4).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    // nlist=2 so the query's probed cell holds neighbors, not just itself
+    val ivf = Similarity.ivfTopK(emb, 0L, 4, nlist = 2, nprobe = 1).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cosine") - brute(r.getAs[Long]("vec_id"))) < 1e-12)
+    }
+  }
+
   test("lshTopK: results are a subset of brute-force ordering semantics") {
     val brute = Similarity.bruteForceTopK(emb, 0L, 4).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
