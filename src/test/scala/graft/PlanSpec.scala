@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.TestdataAdapter._
+
+/** Physical-plan property guards: the shapes that make these queries
+  * scale (pushdown into the scan, column pruning, broadcast dim joins,
+  * one shuffle per mart, TakeOrdered instead of full sorts) asserted
+  * against `.explain`, so a future refactor that silently degrades the
+  * plan fails CI, not the cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("serving filter is pushed down to the parquet scan") {
+    val plan = Tables.lineitem(spark, dir)
+      .where(col("l_partkey") === 42L)
+      .select("l_partkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_partkey), EqualTo(l_partkey,42)]"),
+      s"no pushdown in:\n$plan")
+  }
+
+  test("projection prunes the scan to the selected columns") {
+    val plan = planOf(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity")))
+    // ReadSchema must not include unprojected wide columns
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("l_comment"), s"unpruned scan:\n$plan")
+  }
+
+  test("G1: exactly one exchange (grain-key shuffle) plus the dim broadcast") {
+    val g1 = gold.Marts.dailyMarketSummary(
+      silverFromLineitem(spark, dir), dimsFromPart(spark, dir))
+    g1.write.mode("overwrite").format("noop").save() // materialize AQE final plan
+    val plan = g1.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+  }
+
+  test("G2: one exchange, partial aggregation, no window exec") {
+    val plan = planOf(gold.Marts.priceHistory(ticksFromEvents(spark, dir)))
+    // min_by(struct) aggregates sort-based (struct buffer), but the
+    // shape that matters holds: map-side partial agg, a single
+    // grain-key exchange, and no WindowExec (the old double
+    // opposite-order window needed two FULL sorts plus an extra
+    // exchange of the un-aggregated ticks).
+    assert(!plan.contains("Window"), s"window crept back into G2:\n$plan")
+    assert(plan.contains("partial_min_by"), s"no partial agg:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 exchange, got $shuffles:\n$plan")
+  }
+
+  test("serving top-k plans as TakeOrderedAndProject, not a full sort") {
+    val g1 = gold.Marts.dailyMarketSummary(
+      silverFromLineitem(spark, dir), dimsFromPart(spark, dir))
+    val plan = planOf(serving.ServingLayer.dailySummary(g1, itemId = None, limit = 100))
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort in serving query:\n$plan")
+  }
+
+  test("first-seen anti-join stays a join, not a driver-side collect") {
+    val bronze = bronzeDailyFromEvents(spark, dir)
+    val plan = planOf(silver.SilverTransform.firstSeenOnly(
+      bronze, bronze.limit(10)))
+    assert(plan.contains("LeftAnti"), s"anti-join missing:\n$plan")
+  }
+
+  test("dedup exact groups: partial aggregation before the exchange") {
+    val docs = Tables.documents(spark, dir)
+    val plan = planOf(pipeline.Dedup.exactDuplicateGroups(docs))
+    // partial_count / partial min markers before Exchange = map-side combine
+    assert(plan.contains("partial_"), s"no map-side partial agg:\n$plan")
+  }
+
+  test("brute-force top-k: corpus side never shuffles (broadcast + TakeOrdered)") {
+    val plan = planOf(pipeline.Similarity.bruteForceTopK(
+      Tables.embeddings(spark, dir), queryId = 0L, k = 5))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query vector not broadcast:\n$plan")
+  }
+}
