@@ -61,6 +61,18 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
   def dims: DataFrame = spark.read.schema(Schemas.itemDim).parquet(dimsPath)
   def gold(name: String): DataFrame = spark.read.parquet(goldPath(name))
 
+  // Typed views (case-class Encoders) for callers that want compile-
+  // time row shapes; the modifiers array stays DataFrame-side (typed
+  // ops drop columns absent from the case class).
+  def silverDs: org.apache.spark.sql.Dataset[graft.schema.SilverAuction] = {
+    import spark.implicits._
+    silver.drop("modifiers").as[graft.schema.SilverAuction]
+  }
+  def dimsDs: org.apache.spark.sql.Dataset[graft.schema.ItemDim] = {
+    import spark.implicits._
+    dims.as[graft.schema.ItemDim]
+  }
+
   /** E1 step 1 — land a raw snapshot document into bronze (S2). The
     * document comes from the S1 REST edge or a fixture; ingestion is
     * injected so the pipeline is runnable offline.

@@ -62,6 +62,10 @@ class PipelineSpec extends SparkSpec {
     assert(p.runSilver(d1) === 6L)
     assert(p.runSilver(d1) === 0L) // re-run inserts nothing
     assert(p.silver.count() === 6L)
+    // typed view decodes through the case-class encoder
+    val rows = p.silverDs.collect()
+    assert(rows.length === 6)
+    assert(rows.find(_.id == 1006L).flatMap(_.unit_price) === Some(249L))
   }
 
   test("retention drops old bronze objects and silver partitions") {
