@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew mitigation for hot keys (SURVEY §4: hot trade-good
+  * item_ids skew every `groupBy item_id`).
+  *
+  * First line of defense is AQE (`skewJoin.enabled` in
+  * [[graft.Engine]]) — it re-splits skewed SHUFFLE partitions at
+  * runtime. These helpers cover the case AQE can't fix: a single KEY
+  * whose group state is too large for one task (AQE can split a
+  * partition, not a key). Two-phase salted aggregation spreads one
+  * key over `saltBuckets` tasks, then combines the partials — valid
+  * for any algebraic aggregate (sum/count/min/max), the same partial/
+  * final split Spark's own map-side combine uses.
+  */
+object Skew {
+
+  /** deterministic per-row salt in [0, saltBuckets) */
+  def salt(saltBuckets: Int, cols: Column*): Column =
+    pmod(hash(cols: _*), lit(saltBuckets))
+
+  /** Two-phase salted sum/count aggregation:
+    * phase 1 groups by (keys, salt) — the hot key spreads over
+    * `saltBuckets` reducers; phase 2 re-aggregates the (at most
+    * saltBuckets x |keys|) partials on the natural key.
+    *
+    * `aggs` maps output column name -> (valueCol, "sum" | "count" |
+    * "min" | "max") — the algebraic aggregates whose partials combine
+    * by the same function (count partials combine by SUM).
+    *
+    * Floating-point note: salting changes the SUMMATION ORDER of
+    * double columns, so sums differ from the unsalted plan in the
+    * last ulps (~1e-15 relative, measured) — exactly as any
+    * repartitioning does with Spark's own partial aggregation.
+    * Integer/decimal aggregates are bit-identical.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+      aggs: Map[String, (Column, String)],
+      saltBy: Seq[Column] = Nil): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val saltSrc = if (saltBy.nonEmpty) saltBy else Seq(monotonically_increasing_id())
+    val salted = df.withColumn("__salt", salt(saltBuckets, saltSrc: _*))
+    val phase1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(
+        aggs.head match { case (name, (c, f)) => partialOf(f, c).as(name) },
+        aggs.tail.toSeq.map { case (name, (c, f)) => partialOf(f, c).as(name) }: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(
+        aggs.head match { case (name, (_, f)) => finalOf(f, col(name)).as(name) },
+        aggs.tail.toSeq.map { case (name, (_, f)) => finalOf(f, col(name)).as(name) }: _*)
+  }
+
+  private def partialOf(f: String, c: Column): Column = f match {
+    case "sum" => sum(c)
+    case "count" => count(c)
+    case "min" => min(c)
+    case "max" => max(c)
+    case other => throw new IllegalArgumentException(
+      s"saltedAgg supports algebraic sum/count/min/max, got $other")
+  }
+
+  private def finalOf(f: String, partial: Column): Column = f match {
+    case "sum" | "count" => sum(partial) // count partials combine by sum
+    case "min" => min(partial)
+    case "max" => max(partial)
+    case other => throw new IllegalArgumentException(s"unsupported: $other")
+  }
+
+  /** Salted broadcast-side replication for a skewed JOIN where the
+    * build side is small but one probe key is hot: replicate each
+    * build row `saltBuckets` times with an explicit salt column, salt
+    * the probe side, join on (key, salt). Spreads the hot key's probe
+    * rows over saltBuckets tasks. (Prefer plain `broadcast()` when the
+    * build side fits — this is for the sort-merge case.)
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      saltBuckets: Int): DataFrame = {
+    val saltedProbe = probe.withColumn("__salt",
+      salt(saltBuckets, monotonically_increasing_id()))
+    val replicatedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedProbe.join(replicatedBuild, Seq(key, "__salt")).drop("__salt")
+  }
+}

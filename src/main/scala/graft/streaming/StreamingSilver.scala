@@ -66,11 +66,25 @@ object StreamingSilver {
         col("close_price"), col("avarage_price"), col("volume"))
   }
 
+  /** First-seen-wins dedup on the stream (§1.4 for streaming): keep
+    * only the first occurrence of each auction id, with state bounded
+    * by the watermark (an id older than the delay can no longer
+    * recur-and-win, so its state is dropped). The streaming analog of
+    * `INSERT ... ON CONFLICT DO NOTHING` — state size is the id set
+    * within the watermark horizon, not the stream.
+    */
+  def firstSeenStream(silver: DataFrame,
+      eventTimeCol: String = "created_at",
+      watermarkDelay: String = "2 days"): DataFrame =
+    silver
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("id")
+
   /** Land the silver stream as date-partitioned parquet — the
     * streaming write analog of Pipeline.runSilver's append. (File sink
     * is exactly-once via the sink log; first-seen dedup across days is
-    * handled downstream or via dropDuplicates("id") with a watermark
-    * when ids can recur within the retention window.)
+    * [[firstSeenStream]] upstream when ids can recur within the
+    * retention window.)
     */
   def writeSilver(silver: DataFrame, path: String, checkpoint: String):
       org.apache.spark.sql.streaming.StreamingQuery =

@@ -34,6 +34,30 @@ class StreamingSilverSpec extends SparkSpec {
     assert(out.where("id = 1006 AND unit_price = 249").count() === 1)
   }
 
+  test("firstSeenStream: duplicate ids within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Tick]
+    // reuse Tick: item_id stands in for the auction id here
+    val q = StreamingSilver.firstSeenStream(
+      mem.toDF().withColumnRenamed("item_id", "id"), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("fs_test")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      Tick(10L, ts("2026-01-01 10:00:00"), 100L, 1L),
+      Tick(10L, ts("2026-01-01 10:05:00"), 200L, 1L), // dup id -> dropped
+      Tick(11L, ts("2026-01-01 10:10:00"), 300L, 1L))
+    q.processAllAvailable()
+    mem.addData(Tick(10L, ts("2026-01-01 10:20:00"), 400L, 1L)) // still dup
+    q.processAllAvailable()
+    val out = spark.table("fs_test").collect()
+    q.stop()
+    assert(out.map(_.getAs[Long]("id")).sorted.toSeq === Seq(10L, 11L))
+    // first occurrence won (price 100, not 200/400)
+    assert(out.find(_.getAs[Long]("id") == 10L).get.getAs[Long]("unit_price") === 100L)
+  }
+
   test("streaming hourly OHLC with watermark emits closed windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
