@@ -37,6 +37,7 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
 
   val bronze = new Bronze(s"$warehouse/bronze")
   private val silverPath = s"$warehouse/silver_auctions"
+  private val bronzeDailyPath = s"$warehouse/bronze_daily"
   private val dimsPath = s"$warehouse/dim_items"
   private def goldPath(name: String) = s"$warehouse/gold/$name"
 
@@ -90,6 +91,18 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
   def runSilver(date: LocalDate): Long = {
     val normalized = SilverTransform.fromJson(
       spark, bronze.objectPath(date).toString, java.sql.Date.valueOf(date))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Columnar mirror of the RAW per-day listing set (pre-dedup) — the
+    // G4 demand mart needs day-pair diffs over raw snapshots (§2.4),
+    // and re-parsing a month of JSON documents per gold run would not
+    // scale. Dynamic partition overwrite keeps re-runs idempotent
+    // (the day's partition is replaced, not appended).
+    normalized
+      .select(col("id"), col("item_id"),
+        col("quantity").cast("long").as("quantity"), col("snapshot_date"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("snapshot_date").parquet(bronzeDailyPath)
     // prune: only ids are needed from the existing side of the anti-join
     val newRows = SilverTransform.firstSeenOnly(normalized, silver.select("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -97,7 +110,7 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     if (n > 0)
       newRows.write.mode(SaveMode.Append)
         .partitionBy("snapshot_date").parquet(silverPath)
-    newRows.unpersist()
+    newRows.unpersist(); normalized.unpersist()
     n
   }
 
@@ -137,20 +150,26 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
   }
 
   /** G4 needs the RAW per-day listing sets (disappearance semantics,
-    * §2.4), which first-seen silver no longer carries — recover them
-    * from the bronze day documents.
+    * §2.4), which first-seen silver no longer carries — served from
+    * the columnar bronze_daily mirror maintained by [[runSilver]]
+    * (falls back to re-parsing the JSON documents for warehouses
+    * written before the mirror existed).
     */
-  private def bronzeDaily: DataFrame = {
-    val days = bronze.dates()
-    require(days.nonEmpty, "no bronze snapshots landed")
-    days.map { d =>
-      SilverTransform.normalize(
-        SilverTransform.explodeAuctions(bronze.readJson(spark, d)),
-        java.sql.Date.valueOf(d))
-        .select(col("id"), col("item_id"),
-          col("quantity").cast("long").as("quantity"), col("snapshot_date"))
-    }.reduce(_.unionByName(_))
-  }
+  private def bronzeDaily: DataFrame =
+    if (Files.exists(Paths.get(bronzeDailyPath)))
+      spark.read.parquet(bronzeDailyPath)
+        .select(col("id"), col("item_id"), col("quantity"), col("snapshot_date"))
+    else {
+      val days = bronze.dates()
+      require(days.nonEmpty, "no bronze snapshots landed")
+      days.map { d =>
+        SilverTransform.normalize(
+          SilverTransform.explodeAuctions(bronze.readJson(spark, d)),
+          java.sql.Date.valueOf(d))
+          .select(col("id"), col("item_id"),
+            col("quantity").cast("long").as("quantity"), col("snapshot_date"))
+      }.reduce(_.unionByName(_))
+    }
 
   /** E1 step 5 — retention (S4/S7): drop bronze objects and silver
     * date partitions older than the window. Partition drop = directory
@@ -159,8 +178,18 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
   def runRetention(asOf: LocalDate, retentionDays: Int = 30): (Seq[LocalDate], Long) = {
     val droppedBronze = bronze.retain(asOf, retentionDays)
     val cutoff = asOf.minusDays(retentionDays.toLong)
-    val silverRoot = Paths.get(silverPath)
-    val droppedParts = Files.list(silverRoot).iterator().asScala
+    val dropped = dropOldPartitions(silverPath, cutoff) +
+      dropOldPartitions(bronzeDailyPath, cutoff)
+    (droppedBronze, dropped)
+  }
+
+  /** Drop `snapshot_date=...` partition dirs before the cutoff —
+    * metadata-only, no data files read.
+    */
+  private def dropOldPartitions(tablePath: String, cutoff: LocalDate): Long = {
+    val root = Paths.get(tablePath)
+    if (!Files.exists(root)) return 0L
+    val old = Files.list(root).iterator().asScala
       .filter(Files.isDirectory(_))
       .filter { p =>
         p.getFileName.toString.stripPrefix("snapshot_date=") match {
@@ -169,9 +198,9 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
           case _ => false
         }
       }.toSeq
-    droppedParts.foreach(p =>
+    old.foreach(p =>
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete))
-    (droppedBronze, droppedParts.size.toLong)
+    old.size.toLong
   }
 
   /** Full daily run (the Dagster DAG, composed): ingest -> silver ->

@@ -81,7 +81,7 @@ class PipelineSpec extends SparkSpec {
     assert(droppedBronze === Seq.empty) // d1 is exactly at the cutoff boundary? no: cutoff = asOf-31 = d1 -> not before
     val (dropped2, parts2) = p.runRetention(d2.plusDays(31), 31)
     assert(dropped2 === Seq(d1))
-    assert(parts2 === 1L)
+    assert(parts2 === 2L) // silver + bronze_daily partition for d1
     assert(p.silver.where("snapshot_date = DATE'2026-02-13'").count() === 0)
     assert(p.silver.where("snapshot_date = DATE'2026-02-14'").count() === 2)
   }
