@@ -44,8 +44,18 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
   // ---- S8: DDL bootstrap — create-if-not-exists with explicit
   // schemas on every pipeline construction, like the reference's
   // Base.metadata.create_all on client init (database.py:24-27).
+  // A crash between the two renames of an atomic swap leaves the live
+  // dir missing with the data in `.old` — recover it BEFORE the
+  // bootstrap would recreate the table empty.
+  recoverInterruptedSwap(dimsPath)
   ensureTable(silverPath, Schemas.silverAuction, Seq("snapshot_date"))
   ensureTable(dimsPath, Schemas.itemDim, Nil)
+
+  private def recoverInterruptedSwap(path: String): Unit = {
+    val live = Paths.get(path)
+    val old = Paths.get(path + ".old")
+    if (!Files.exists(live) && Files.exists(old)) Files.move(old, live)
+  }
 
   private def ensureTable(path: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -151,25 +161,42 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
 
   /** G4 needs the RAW per-day listing sets (disappearance semantics,
     * §2.4), which first-seen silver no longer carries — served from
-    * the columnar bronze_daily mirror maintained by [[runSilver]]
-    * (falls back to re-parsing the JSON documents for warehouses
-    * written before the mirror existed).
+    * the columnar bronze_daily mirror maintained by [[runSilver]].
+    * Bronze days missing from the mirror (warehouse written before
+    * the mirror existed, or a partial failure) are BACKFILLED from
+    * their JSON documents first, so the mart never reads an
+    * incomplete raw-day set.
     */
-  private def bronzeDaily: DataFrame =
-    if (Files.exists(Paths.get(bronzeDailyPath)))
-      spark.read.parquet(bronzeDailyPath)
-        .select(col("id"), col("item_id"), col("quantity"), col("snapshot_date"))
-    else {
-      val days = bronze.dates()
-      require(days.nonEmpty, "no bronze snapshots landed")
-      days.map { d =>
-        SilverTransform.normalize(
-          SilverTransform.explodeAuctions(bronze.readJson(spark, d)),
-          java.sql.Date.valueOf(d))
-          .select(col("id"), col("item_id"),
-            col("quantity").cast("long").as("quantity"), col("snapshot_date"))
-      }.reduce(_.unionByName(_))
-    }
+  private def bronzeDaily: DataFrame = {
+    val days = bronze.dates()
+    require(days.nonEmpty, "no bronze snapshots landed")
+    val mirrored = partitionDates(bronzeDailyPath)
+    days.filterNot(mirrored.contains).foreach(writeBronzeDailyMirror)
+    spark.read.parquet(bronzeDailyPath)
+      .select(col("id"), col("item_id"), col("quantity"), col("snapshot_date"))
+  }
+
+  private def partitionDates(tablePath: String): Set[LocalDate] = {
+    val root = Paths.get(tablePath)
+    if (!Files.exists(root)) Set.empty
+    else listDir(root)
+      .filter(Files.isDirectory(_))
+      .flatMap { p =>
+        val s = p.getFileName.toString.stripPrefix("snapshot_date=")
+        if (s != p.getFileName.toString) scala.util.Try(LocalDate.parse(s)).toOption
+        else None
+      }.toSet
+  }
+
+  private def writeBronzeDailyMirror(date: LocalDate): Unit =
+    SilverTransform.normalize(
+      SilverTransform.explodeAuctions(bronze.readJson(spark, date)),
+      java.sql.Date.valueOf(date))
+      .select(col("id"), col("item_id"),
+        col("quantity").cast("long").as("quantity"), col("snapshot_date"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("snapshot_date").parquet(bronzeDailyPath)
 
   /** E1 step 5 — retention (S4/S7): drop bronze objects and silver
     * date partitions older than the window. Partition drop = directory
@@ -189,7 +216,7 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
   private def dropOldPartitions(tablePath: String, cutoff: LocalDate): Long = {
     val root = Paths.get(tablePath)
     if (!Files.exists(root)) return 0L
-    val old = Files.list(root).iterator().asScala
+    val old = listDir(root)
       .filter(Files.isDirectory(_))
       .filter { p =>
         p.getFileName.toString.stripPrefix("snapshot_date=") match {
@@ -197,10 +224,17 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
             scala.util.Try(LocalDate.parse(s)).toOption.exists(_.isBefore(cutoff))
           case _ => false
         }
-      }.toSeq
-    old.foreach(p =>
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete))
+      }
+    old.foreach(deleteRecursively)
     old.size.toLong
+  }
+
+  /** Files.list with the stream closed (a bare `.iterator` leaks the
+    * directory handle for the JVM lifetime).
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
   }
 
   /** Full daily run (the Dagster DAG, composed): ingest -> silver ->
@@ -234,8 +268,11 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
+    }
 
   private def write(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(goldPath(name))

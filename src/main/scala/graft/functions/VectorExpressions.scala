@@ -18,11 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * (and participates in whole-stage codegen), measured ~10x faster on
   * the in-bucket pair scoring at bench scale.
   *
-  * Semantics: sum_i (double)a[i] * (double)b[i] over the common
-  * prefix length; accumulation in double, sequential order — matching
-  * both the HOF formulation and the DuckDB oracle
-  * (`list_dot_product` on DOUBLE[] casts). Null arrays propagate
-  * null; elements are assumed non-null (embedding vectors).
+  * Semantics: sum_i (double)a[i] * (double)b[i]; accumulation in
+  * double, sequential order — matching both the HOF formulation and
+  * the DuckDB oracle (`list_dot_product` on DOUBLE[] casts). Null
+  * arrays — and MISMATCHED-length arrays (a malformed embedding; a
+  * silent prefix dot product could rank into top-k results) —
+  * propagate NULL, like the zip_with+aggregate formulation did.
+  * Elements are assumed non-null (embedding vectors; a null element
+  * reads as 0 rather than paying a per-element branch).
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,10 +47,13 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
   override def prettyName: String = "float_vector_dot"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -63,12 +69,16 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $sum += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

@@ -103,13 +103,20 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
       nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // deterministic strided sample as centroids (collect of nlist rows)
-    val ids = emb.select(col(idCol)).orderBy(col(idCol)).collect().map(_.getLong(0))
-    val stride = math.max(1, ids.length / nlist)
-    val centroidIds = ids.grouped(stride).map(_.head).take(nlist).toSeq
-    val centroids = emb.where(col(idCol).isin(centroidIds: _*))
+    // Deterministic hash-spread sample as centroids: filter to ~1/nlist
+    // of ids by hash bucket, collect AT MOST nlist rows — never the
+    // corpus id column (an O(corpus) driver collect would OOM at scale).
+    val n = emb.count()
+    val bucket = math.max(1L, n / nlist)
+    def centroidRows(df: DataFrame) = df
+      .orderBy(col(idCol)).limit(nlist)
       .select(col(idCol), col(vecCol)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val sampled = centroidRows(
+      emb.where(pmod(xxhash64(col(idCol)), lit(bucket)) === 0))
+    // hash variance on tiny corpora can select nothing — fall back to
+    // the first nlist ids
+    val centroids = if (sampled.nonEmpty) sampled else centroidRows(emb)
     def centroidCol(c: Array[Float]): Column =
       array(c.toSeq.map(v => lit(v)): _*).cast("array<float>")
     // Cell assignment: argmax cosine over the centroid list, as
@@ -139,7 +146,11 @@ object Similarity {
       }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val probeCells = centroids.sortBy { case (_, c) => -cos(qVec, c) }
+    // tie-break MUST match cell assignment's array_max (lexicographic
+    // (score, cid) -> equal scores prefer the larger cid): duplicate
+    // centroid vectors otherwise send rows to one cell while the probe
+    // picks the other, silently emptying the result
+    val probeCells = centroids.sortBy { case (cid, c) => (-cos(qVec, c), -cid) }
       .take(nprobe).map(_._1)
     celled
       .where(col("__cell").isin(probeCells: _*) && col(idCol) =!= queryId)

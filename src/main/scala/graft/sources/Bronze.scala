@@ -51,10 +51,14 @@ final class Bronze(root: String) {
   def dates(): Seq[LocalDate] = {
     val p = Paths.get(root)
     if (!Files.exists(p)) Seq.empty
-    else Files.list(p).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .flatMap(d => scala.util.Try(LocalDate.parse(d.getFileName.toString)).toOption)
-      .toSeq.sorted
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .flatMap(d => scala.util.Try(LocalDate.parse(d.getFileName.toString)).toOption)
+        .toSeq.sorted
+      finally s.close()
+    }
   }
 
   /** S4 — retention: delete day directories older than `retentionDays`
@@ -66,8 +70,9 @@ final class Bronze(root: String) {
     val cutoff = asOf.minusDays(retentionDays.toLong)
     val old = dates().filter(_.isBefore(cutoff))
     old.foreach { d =>
-      val dir = dayDir(d)
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val s = Files.walk(dayDir(d))
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
     }
     old
   }

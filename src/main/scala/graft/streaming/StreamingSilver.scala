@@ -47,12 +47,16 @@ object StreamingSilver {
     * (append mode).
     */
   def streamingPriceHistory(ticks: DataFrame,
-      ts: Column = col("created_at"),
+      tsCol: String = "created_at",
       price: Column = col("unit_price"),
       watermarkDelay: String = "2 hours"): DataFrame = {
+    // event time is a column NAME (not a Column): the watermark and the
+    // window must be declared on the same attribute or Spark rejects
+    // the append-mode aggregation at start()
+    val ts = col(tsCol)
     val key = struct(ts.as("__ts"), price.as("__price"))
     ticks
-      .withWatermark("created_at", watermarkDelay)
+      .withWatermark(tsCol, watermarkDelay)
       .groupBy(col("item_id"), window(ts, "1 hour").as("w"))
       .agg(
         min_by(price, key).cast("double").as("open_price"),

@@ -40,10 +40,21 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ivfTopK: nprobe < nlist returns a subset with exact cosines") {
-    val brute = Similarity.bruteForceTopK(emb, 0L, 4).collect()
+    // two well-separated clusters of 20 so the query's probed cell is
+    // populated no matter which rows the centroid sample picks
+    val qVec = Array(1.0f, 0.01f, 0.02f)
+    val clustered = ((1L until 40L).map { i =>
+      val base = if (i < 20) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
+      (i, base.zipWithIndex.map { case (v, d) => v + 0.01f * ((i + d) % 5) })
+    } :+ (0L -> qVec)
+      // 999 = exact duplicate of the query vector: it assigns to the
+      // query's own cell whatever the centroid sample is, so the
+      // probed result can never be empty
+      :+ (999L -> qVec.clone()))
+      .toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(clustered, 0L, 10).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
-    // nlist=2 so the query's probed cell holds neighbors, not just itself
-    val ivf = Similarity.ivfTopK(emb, 0L, 4, nlist = 2, nprobe = 1).collect()
+    val ivf = Similarity.ivfTopK(clustered, 0L, 10, nlist = 2, nprobe = 1).collect()
     assert(ivf.nonEmpty)
     ivf.foreach { r =>
       assert(math.abs(r.getAs[Double]("cosine") - brute(r.getAs[Long]("vec_id"))) < 1e-12)
