@@ -30,6 +30,7 @@ object Engine {
       .builder()
       .master(master)
       .appName(appName)
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -56,6 +57,9 @@ object Engine {
     // column surfaces as a nanos-since-epoch Long and Tables.events
     // converts it to a microsecond timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // externally-built sessions (Verify/Bench) miss the withExtensions
+    // hook — register graft's SQL functions in place
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 }

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions in the SQL function registry, so `spark.sql("...
+  * vec_dot(a, b) ...")` works next to the Column API
+  * ([[VectorFunctions.vecDot]]).
+  *
+  * Wire up either via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` —
+  * [[graft.Engine.session]] does the latter.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      GraftFunctions.vecDotInfo,
+      GraftFunctions.vecDotBuilder))
+}
+
+object GraftFunctions {
+
+  // 3-arg constructor: the extended one validates usage/since/group
+  // formats and throws from a static initializer on empty fields
+  private[functions] val vecDotInfo =
+    new ExpressionInfo(classOf[FloatVectorDot].getName, null, "vec_dot")
+
+  private[functions] val vecDotBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 2,
+        s"vec_dot expects 2 arguments, got ${children.length}")
+      FloatVectorDot(children.head, children(1))
+    }
+
+  /** Register on an already-built session (no withExtensions hook). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "vec_dot", vecDotInfo, vecDotBuilder)
+}

@@ -183,6 +183,20 @@ object PipelineQueries {
       (s, dir) => Similarity.embeddingNearDups(
         Tables.embeddings(s, dir), threshold = 0.3, bits = 2), None),
 
+    // Native expression through the SQL surface: vec_dot registered
+    // via SparkSessionExtensions / runtime registry (Engine.configure),
+    // hash-checked against DuckDB's DOUBLE[] dot product.
+    QueryDef("p14_sql_vec_dot",
+      (s, dir) => {
+        Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+        s.sql("""SELECT vec_id, vec_dot(embedding, embedding) AS norm2
+                |FROM graft_embeddings""".stripMargin)
+      },
+      Some("""SELECT vec_id,
+             |       list_dot_product(CAST(embedding AS DOUBLE[]),
+             |                        CAST(embedding AS DOUBLE[])) AS norm2
+             |FROM embeddings""".stripMargin)),
+
     // ---- multimodal plumbing over a media view of documents
     // (payload = UTF-8 bytes of text — an opaque binary column with
     // the same schema/partitioning a real image/audio corpus has).

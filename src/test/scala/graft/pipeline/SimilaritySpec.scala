@@ -61,6 +61,14 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("vec_dot is callable from SQL (extensions registration)") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+      .head().getDouble(0)
+    assert(r === 11.0)
+  }
+
   test("lshTopK: results are a subset of brute-force ordering semantics") {
     val brute = Similarity.bruteForceTopK(emb, 0L, 4).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
