@@ -115,18 +115,28 @@ object TestdataAdapter {
       |  FROM events GROUP BY user_id, CAST(ts AS DATE))""".stripMargin
 
   /** events -> intra-day tick stream for the G2 OHLC mart: item =
-    * event_type, price = value, one unit per tick.
+    * event_type, price = value in integer CENTS, one unit per tick.
+    *
+    * Integral prices on purpose (beyond matching the domain's integer
+    * copper): `avg(DOUBLE)` sums in engine-specific order, and the
+    * exact-2-decimal values make the group average land exactly ON
+    * 6-decimal rounding boundaries, so a 1-ulp cross-engine difference
+    * flips the driver's rounded hash (observed 28/3600 rows at sf0.1).
+    * `avg(BIGINT)` is exact-sum / count in both Spark and DuckDB —
+    * bit-deterministic. value*100 is integer +-4e-12, so round() lands
+    * on the same integer in both engines (never an exact .5).
     */
   def ticksFromEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
       col("event_type").as("item_id"),
-      col("value").as("unit_price"),
+      round(col("value") * 100).cast("long").as("unit_price"),
       lit(1L).as("quantity"),
       col("ts").as("created_at"))
 
   val ticksSql: String =
     """ticks AS (
-      |  SELECT event_type AS item_id, value AS unit_price,
+      |  SELECT event_type AS item_id,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS unit_price,
       |         CAST(1 AS BIGINT) AS quantity,
       |         CAST(ts AS TIMESTAMP) AS created_at
       |  FROM events)""".stripMargin
