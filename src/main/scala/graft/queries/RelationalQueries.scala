@@ -76,13 +76,19 @@ object RelationalQueries {
       Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
              |ORDER BY c_custkey LIMIT 10 OFFSET 20""".stripMargin)),
 
-    // R5 — equality filter + aggregate
+    // R5 — equality filter + aggregate. The money sum goes through
+    // DECIMAL: sum(DOUBLE) accumulates in engine/partition-specific
+    // order, and a few-ulp difference at 1e10 magnitude flips the
+    // 6th decimal the oracle hash rounds to; decimal summation is
+    // exact (and the right type for money anyway).
     QueryDef("r05_filter_agg",
       (s, dir) => Tables.orders(s, dir)
         .where(col("o_orderstatus") === lit("F"))
         .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total")),
-      Some("""SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total")),
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
              |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""".stripMargin)),
 
     // R7 — argmin (cheapest order; full tiebreak)
