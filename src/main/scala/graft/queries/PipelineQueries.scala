@@ -183,6 +183,58 @@ object PipelineQueries {
       (s, dir) => Similarity.embeddingNearDups(
         Tables.embeddings(s, dir), threshold = 0.3, bits = 2), None),
 
+    // Composed curation pipeline — the operators as a user would chain
+    // them: quality-score filter -> exact dedup -> language ID ->
+    // per-language corpus stats. Hash-checked end-to-end (aggregates
+    // kept integral: doubles summed across engine-specific orders
+    // would not be).
+    QueryDef("p15_curation_pipeline",
+      (s, dir) => {
+        val scored = TextAnalysis.qualityFeatures(Tables.documents(s, dir))
+          .where(col("quality_score") >= 0.5)
+        val deduped = Dedup.dropExactDuplicates(scored)
+        TextAnalysis.langId(deduped)
+          .groupBy(col("predicted_lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            max(col("quality_score")).as("max_quality"))
+      },
+      Some(s"""WITH f AS (
+              |  SELECT *,
+              |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+              |         CAST(len(regexp_extract_all(text,
+              |              '${stopwordRegex(TextAnalysis.EnglishStopwords)}')) AS BIGINT) AS n_stopwords,
+              |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha_chars,
+              |         CAST(length(text) AS BIGINT) AS n_chars_total
+              |  FROM documents),
+              |scored AS (
+              |  SELECT *,
+              |         least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+              |           + coalesce(n_stopwords / nullif(n_tokens, 0), 0.0) * 0.3
+              |           + coalesce(alpha_chars / nullif(n_chars_total, 0), 0.0) * 0.3
+              |           AS quality_score
+              |  FROM f),
+              |kept AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+              |deduped AS (
+              |  SELECT * FROM (SELECT *, row_number() OVER (
+              |                   PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              |                 FROM kept) WHERE rn = 1),
+              |langs AS (
+              |  SELECT *,
+              |${TextAnalysis.LangMarkers.map { case (l, ws) =>
+                 s"         CAST(len(regexp_extract_all(text, '${stopwordRegex(ws)}')) AS BIGINT) AS ${l}_hits"
+               }.mkString(",\n")}
+              |  FROM deduped)
+              |SELECT CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+              |            WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+              |            WHEN de_hits >= fr_hits THEN 'de'
+              |            ELSE 'fr' END AS predicted_lang,
+              |       source,
+              |       count(*) AS n_docs,
+              |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              |       max(quality_score) AS max_quality
+              |FROM langs GROUP BY 1, 2""".stripMargin)),
+
     // Native expression through the SQL surface: vec_dot registered
     // via SparkSessionExtensions / runtime registry (Engine.configure),
     // hash-checked against DuckDB's DOUBLE[] dot product.

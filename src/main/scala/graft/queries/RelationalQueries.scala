@@ -86,9 +86,11 @@ object RelationalQueries {
         .where(col("o_orderstatus") === lit("F"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total")),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total")), // exact decimal sum, then ONE
+      // cast — type-stable across engines (decimal sum precisions differ)
       Some("""SELECT o_orderpriority, count(*) AS n,
-             |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""".stripMargin)),
 
     // R7 — argmin (cheapest order; full tiebreak)
