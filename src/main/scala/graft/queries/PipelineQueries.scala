@@ -37,6 +37,32 @@ object PipelineQueries {
   private def stopwordRegex(words: Seq[String]): String =
     "\\b(" + words.mkString("|") + ")\\b"
 
+  /** Shared oracle fragments mirroring [[TextAnalysis]] — single
+    * source for the quality/lang formulas so the unit gates (p04/p05)
+    * and the composed pipeline gate (p15) can never drift apart.
+    */
+  private val qualityColsSql =
+    s"""CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |CAST(len(regexp_extract_all(text,
+       |     '${stopwordRegex(TextAnalysis.EnglishStopwords)}')) AS BIGINT) AS n_stopwords,
+       |CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha_chars,
+       |CAST(length(text) AS BIGINT) AS n_chars_total""".stripMargin
+
+  private val qualityScoreSql =
+    """least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+      |  + coalesce(n_stopwords / nullif(n_tokens, 0), 0.0) * 0.3
+      |  + coalesce(alpha_chars / nullif(n_chars_total, 0), 0.0) * 0.3""".stripMargin
+
+  private val langHitsSql = TextAnalysis.LangMarkers.map { case (l, ws) =>
+    s"CAST(len(regexp_extract_all(text, '${stopwordRegex(ws)}')) AS BIGINT) AS ${l}_hits"
+  }.mkString(",\n")
+
+  private val langCaseSql =
+    """CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+      |     WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+      |     WHEN de_hits >= fr_hits THEN 'de'
+      |     ELSE 'fr' END AS predicted_lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: content-hash groups with deterministic keeper.
@@ -70,21 +96,11 @@ object PipelineQueries {
       (s, dir) => TextAnalysis.qualityFeatures(Tables.documents(s, dir))
         .select("doc_id", "n_tokens", "n_stopwords", "alpha_chars",
           "n_chars_total", "stopword_ratio", "alpha_ratio", "quality_score"),
-      Some(s"""WITH f AS (
-              |  SELECT doc_id,
-              |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-              |         CAST(len(regexp_extract_all(text,
-              |              '${stopwordRegex(TextAnalysis.EnglishStopwords)}')) AS BIGINT) AS n_stopwords,
-              |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha_chars,
-              |         CAST(length(text) AS BIGINT) AS n_chars_total
-              |  FROM documents)
+      Some(s"""WITH f AS (SELECT doc_id, $qualityColsSql FROM documents)
               |SELECT doc_id, n_tokens, n_stopwords, alpha_chars, n_chars_total,
               |       n_stopwords / nullif(n_tokens, 0) AS stopword_ratio,
               |       alpha_chars / nullif(n_chars_total, 0) AS alpha_ratio,
-              |       least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-              |         + coalesce(n_stopwords / nullif(n_tokens, 0), 0.0) * 0.3
-              |         + coalesce(alpha_chars / nullif(n_chars_total, 0), 0.0) * 0.3
-              |         AS quality_score
+              |       $qualityScoreSql AS quality_score
               |FROM f""".stripMargin)),
 
     // Language ID: per-language marker-word hit counts, fixed-priority argmax.
@@ -92,18 +108,11 @@ object PipelineQueries {
       (s, dir) => TextAnalysis.langId(Tables.documents(s, dir))
         .select("doc_id", "en_hits", "es_hits", "de_hits", "fr_hits",
           "predicted_lang"),
-      Some {
-        val hits = TextAnalysis.LangMarkers.map { case (l, ws) =>
-          s"CAST(len(regexp_extract_all(text, '${stopwordRegex(ws)}')) AS BIGINT) AS ${l}_hits"
-        }.mkString(",\n")
-        s"""WITH f AS (SELECT doc_id, $hits FROM documents)
+      Some(
+        s"""WITH f AS (SELECT doc_id, $langHitsSql FROM documents)
            |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
-           |       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
-           |            WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
-           |            WHEN de_hits >= fr_hits THEN 'de'
-           |            ELSE 'fr' END AS predicted_lang
-           |FROM f""".stripMargin
-      }),
+           |       $langCaseSql
+           |FROM f""".stripMargin)),
 
     // Shingle inverted index (the substrate for all n-gram dedup).
     QueryDef("p06_word_shingles",
@@ -199,36 +208,15 @@ object PipelineQueries {
             sum(col("n_tokens")).as("total_tokens"),
             max(col("quality_score")).as("max_quality"))
       },
-      Some(s"""WITH f AS (
-              |  SELECT *,
-              |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-              |         CAST(len(regexp_extract_all(text,
-              |              '${stopwordRegex(TextAnalysis.EnglishStopwords)}')) AS BIGINT) AS n_stopwords,
-              |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha_chars,
-              |         CAST(length(text) AS BIGINT) AS n_chars_total
-              |  FROM documents),
-              |scored AS (
-              |  SELECT *,
-              |         least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-              |           + coalesce(n_stopwords / nullif(n_tokens, 0), 0.0) * 0.3
-              |           + coalesce(alpha_chars / nullif(n_chars_total, 0), 0.0) * 0.3
-              |           AS quality_score
-              |  FROM f),
+      Some(s"""WITH f AS (SELECT *, $qualityColsSql FROM documents),
+              |scored AS (SELECT *, $qualityScoreSql AS quality_score FROM f),
               |kept AS (SELECT * FROM scored WHERE quality_score >= 0.5),
               |deduped AS (
               |  SELECT * FROM (SELECT *, row_number() OVER (
               |                   PARTITION BY md5(text) ORDER BY doc_id) AS rn
               |                 FROM kept) WHERE rn = 1),
-              |langs AS (
-              |  SELECT *,
-              |${TextAnalysis.LangMarkers.map { case (l, ws) =>
-                 s"         CAST(len(regexp_extract_all(text, '${stopwordRegex(ws)}')) AS BIGINT) AS ${l}_hits"
-               }.mkString(",\n")}
-              |  FROM deduped)
-              |SELECT CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
-              |            WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
-              |            WHEN de_hits >= fr_hits THEN 'de'
-              |            ELSE 'fr' END AS predicted_lang,
+              |langs AS (SELECT *, $langHitsSql FROM deduped)
+              |SELECT $langCaseSql,
               |       source,
               |       count(*) AS n_docs,
               |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -240,6 +228,9 @@ object PipelineQueries {
     // hash-checked against DuckDB's DOUBLE[] dot product.
     QueryDef("p14_sql_vec_dot",
       (s, dir) => {
+        // defensive, like Tables.eventsRaw's conf set: the driver may
+        // hand over a session that skipped Engine.configure
+        graft.functions.GraftFunctions.register(s)
         Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
         s.sql("""SELECT vec_id, vec_dot(embedding, embedding) AS norm2
                 |FROM graft_embeddings""".stripMargin)

@@ -18,14 +18,22 @@ object ColumnBridge {
 
   /** Runtime SQL-function registration for sessions built WITHOUT
     * `withExtensions` (the driver's Verify/Bench sessions): reach the
-    * session's FunctionRegistry and register in place. Idempotent
-    * (createOrReplace semantics).
+    * session's FunctionRegistry and register in place, with the full
+    * ExpressionInfo (so DESCRIBE FUNCTION reports the native class).
+    * Idempotent (registerFunction replaces). Non-classic sessions
+    * (e.g. Spark Connect) have no in-process registry — a no-op there
+    * rather than a ClassCastException that would break every query in
+    * the run.
     */
   def registerFunction(
       spark: org.apache.spark.sql.SparkSession,
       name: String,
       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
       builder: Seq[Expression] => Expression): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    spark match {
+      case classic: org.apache.spark.sql.classic.SparkSession =>
+        classic.sessionState.functionRegistry.registerFunction(
+          new org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+      case _ => ()
+    }
 }
