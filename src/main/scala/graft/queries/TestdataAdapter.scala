@@ -48,6 +48,15 @@ object TestdataAdapter {
       (spark.sparkContext.applicationId, dir, key),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Drop every mart materialized for `dir` (Bench evicts the warmup
+    * scale factor's marts before the timed loop so the block manager
+    * holds only bench-scale data).
+    */
+  def clearCache(spark: SparkSession, dir: String): Unit =
+    cache.keys
+      .filter { case (app, d, _) => app == spark.sparkContext.applicationId && d == dir }
+      .foreach { k => cache.remove(k).foreach(_.unpersist(blocking = false)) }
+
   def silverFromLineitem(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).select(
       col("l_partkey").as("item_id"),
