@@ -71,6 +71,24 @@ object Dedup {
     tokenized.select(col("doc_id"), explode(shingles).as("shingle")).distinct()
   }
 
+  /** Character n-gram shingles over the whitespace-normalized,
+    * lower-cased text (same canonical form as
+    * [[TextAnalysis.fingerprint]]) — the standard alternative to word
+    * shingles for whitespace-poor scripts and OCR-noisy text. Output
+    * shape matches [[wordShingles]], so [[jaccardPairs]] /
+    * [[minHashSignatures]] compose unchanged.
+    */
+  def charShingles(df: DataFrame, n: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val canon = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    val normalized = df.select(col(idCol).as("doc_id"), canon.as("__t"))
+    val t = col("__t")
+    val shingles = when(length(t) >= n,
+      transform(sequence(lit(0), length(t) - n), i => t.substr(i + 1, lit(n))))
+      .otherwise(array())
+    normalized.select(col("doc_id"), explode(shingles).as("shingle")).distinct()
+  }
+
   /** Exact pairwise Jaccard over shingle sets, for all pairs sharing
     * at least one (frequency-capped) shingle. Returns
     * (doc_a < doc_b, jaccard >= threshold).

@@ -146,6 +146,21 @@ object PipelineQueries {
               |JOIN sizes sb ON sb.doc_id = doc_b
               |WHERE common / (sa.set_size + sb.set_size - common) >= 0.8""".stripMargin)),
 
+    // Character 5-gram shingles (canonical-form text) — the
+    // whitespace-free dedup substrate; composes with the same
+    // jaccard/minhash machinery as word shingles.
+    QueryDef("p06b_char_shingles",
+      (s, dir) => Dedup.charShingles(Tables.documents(s, dir), n = 5),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+             |  FROM documents)
+             |SELECT DISTINCT doc_id, shingle FROM (
+             |  SELECT doc_id,
+             |         unnest(list_transform(range(1, length(s) - 3),
+             |                i -> substring(s, CAST(i AS INTEGER), 5))) AS shingle
+             |  FROM t)""".stripMargin)),
+
     // MinHash+LSH near-dups: linear candidate generation, exact verify.
     // Rows-only: signatures are murmur3-specific.
     QueryDef("p08_minhash_neardups",

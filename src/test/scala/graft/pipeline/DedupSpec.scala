@@ -25,6 +25,17 @@ class DedupSpec extends SparkSpec {
     assert(sh.where("doc_id = 1").count() === 7) // 9 tokens -> 7 trigrams
   }
 
+  test("charShingles: canonical form, short docs safe, composes with jaccard") {
+    val sh = Dedup.charShingles(docs, n = 5)
+    // "tiny" has 4 chars -> zero 5-gram shingles
+    assert(sh.where("doc_id = 4").count() === 0)
+    // case/whitespace variants collapse to the same shingles
+    import spark.implicits._
+    val variants = Seq((1L, "Hello   World"), (2L, "hello world")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(Dedup.charShingles(variants, 5), threshold = 0.99)
+    assert(pairs.count() === 1)
+  }
+
   test("exact dedup: deterministic keeper is min doc_id") {
     val groups = Dedup.exactDuplicateGroups(docs)
     val dup = groups.where("dup_count > 1").collect()
