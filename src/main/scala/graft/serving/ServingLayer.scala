@@ -68,9 +68,10 @@ object ServingLayer {
   def marketIndex(g6: DataFrame, limit: Int = 30): DataFrame =
     g6.orderBy(col("snapshot_date").desc).limit(limit)
 
-  /** Dashboard KPIs (reference `dashboard/app.py:93-98`): count (R8) +
-    * best opportunity = argmin z_score (R7), as min_by over the whole
-    * frame — no sort, single reduce.
+  /** Dashboard KPIs (reference `dashboard/app.py:93-98`): best
+    * opportunity = argmin z_score with full tie-break (R7). Plans as
+    * TakeOrderedAndProject (per-partition top-1 + merge — no global
+    * sort materializes; see PlanSpec).
     */
   def bestOpportunity(g3: DataFrame): DataFrame =
     g3.where(col("z_score").isNotNull)
