@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Bucketed-table helpers (SURVEY §4 / the 100 TB design toolbox):
@@ -21,15 +23,34 @@ object Bucketing {
   /** Write as a bucketed, sorted managed table (overwrite). `sortCols`
     * default to the bucket key — sorted buckets additionally enable
     * merge-join without a sort step.
+    *
+    * Overwrite only drops a table the CURRENT catalog knows about; a
+    * location left behind by a previous session (in-memory catalog,
+    * managed dir survives on disk) would fail the write with
+    * LOCATION_ALREADY_EXISTS — drop table AND stale location first.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int, sortCols: Seq[String] = Nil): Unit =
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")) match {
+        case u if u.getScheme == null || u.getScheme == "file" => u.getPath
+        case u => u.toString
+      })
+    val stale = warehouse.resolve(table)
+    if (java.nio.file.Files.exists(stale)) {
+      val s = java.nio.file.Files.walk(stale)
+      try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy((key +: sortCols).distinct.head, (key +: sortCols).distinct.tail: _*)
       .saveAsTable(table)
+  }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }
