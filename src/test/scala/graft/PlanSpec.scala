@@ -65,6 +65,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"full sort in serving query:\n$plan")
   }
 
+  test("date filter on partitioned silver prunes partitions at the scan") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val p = new Pipeline(spark, wh)
+    p.ingest(java.time.LocalDate.parse("2026-02-13"), queries.Fixtures.day1Json)
+    p.runSilver(java.time.LocalDate.parse("2026-02-13"))
+    p.ingest(java.time.LocalDate.parse("2026-02-14"), queries.Fixtures.day2Json)
+    p.runSilver(java.time.LocalDate.parse("2026-02-14"))
+    val q = p.silver.where(col("snapshot_date") === lit("2026-02-14").cast("date"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters:\n$plan")
+    assert(
+      "PartitionFilters: \\[[^\\]]*snapshot_date".r.findFirstIn(plan).isDefined,
+      s"snapshot_date not in partition filters:\n$plan")
+    assert(q.count() === 2) // only day-2's new listings, day-1 files unread
+  }
+
   test("first-seen anti-join stays a join, not a driver-side collect") {
     val bronze = bronzeDailyFromEvents(spark, dir)
     val plan = planOf(silver.SilverTransform.firstSeenOnly(
