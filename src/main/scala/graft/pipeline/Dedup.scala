@@ -93,13 +93,21 @@ object Dedup {
     * at least one (frequency-capped) shingle. Returns
     * (doc_a < doc_b, jaccard >= threshold).
     */
+  /** `persistShingles=false` opts out of the internal MEMORY_AND_DISK
+    * persist for callers that manage caching themselves (the cache
+    * otherwise lives until session end — fine for one-shot jobs,
+    * unwanted in long-lived services; blocks evict LRU under pressure
+    * either way).
+    */
   def jaccardPairs(shingledIn: DataFrame, threshold: Double,
-      maxShingleDf: Int = 100): DataFrame = {
+      maxShingleDf: Int = 100, persistShingles: Boolean = true): DataFrame = {
     // The shingle frame feeds FOUR consumers (set sizes, df cap, both
     // sides of the pair join) — persist it or the explode+distinct
     // upstream recomputes per consumer (measured 2-3x slower).
-    val shingled = shingledIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shingled =
+      if (persistShingles)
+        shingledIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shingledIn
     // shingle sizes per doc (uncapped — the cap only limits which
     // shingles can PAIR docs, not the true set sizes)
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
