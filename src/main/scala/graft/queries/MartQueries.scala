@@ -168,9 +168,35 @@ object MartQueries {
   private def g6(s: org.apache.spark.sql.SparkSession, dir: String) =
     cached("g6")(s, dir)(Marts.marketIndex(daily(s, dir)))
 
+  // Gate-side timestamp canonicalization: snapshot_hour is the only
+  // TimestampType column on the whole gate surface, and the driver's
+  // canonicalization distinguishes Spark's tz-aware instant from the
+  // DuckDB oracle's naive TIMESTAMP even when the values are bit-equal
+  // (round-2 g02 hash fail). Both sides of the compare therefore emit
+  // epoch seconds (BIGINT) — the session tz is UTC (Engine.configure),
+  // so unix_timestamp and DuckDB's epoch() agree exactly. The mart
+  // itself keeps its TimestampType column.
+  private def epochHour(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    df.withColumn("snapshot_hour", unix_timestamp(col("snapshot_hour")))
+  }
+  // open/close also need CAST AS DOUBLE: the mart emits them as double
+  // (the reference API serves floats) while g2Sql's max(open_p) over
+  // BIGINT ticks stays integral in DuckDB — a dtype skew the hash gate
+  // would see even with equal values.
+  private val g2GateCols =
+    """item_id, CAST(epoch(snapshot_hour) AS BIGINT) AS snapshot_hour,
+      |CAST(open_price AS DOUBLE) AS open_price, high_price, low_price,
+      |CAST(close_price AS DOUBLE) AS close_price, avarage_price,
+      |volume""".stripMargin
+  private val g2GateSql =
+    s"""WITH g2 AS ($g2Sql)
+       |SELECT $g2GateCols FROM g2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("g01_daily_market_summary", (s, dir) => g1(s, dir), Some(g1Sql)),
-    QueryDef("g02_price_history_ohlc", (s, dir) => g2(s, dir), Some(g2Sql)),
+    QueryDef("g02_price_history_ohlc", (s, dir) => epochHour(g2(s, dir)),
+      Some(g2GateSql)),
     QueryDef("g03_market_opportunities", (s, dir) => g3(s, dir), Some(g3Sql(2.0))),
     QueryDef("g04_item_demand", (s, dir) => g4(s, dir), Some(g4Sql)),
     QueryDef("g05_market_concentration", (s, dir) => g5(s, dir), Some(g5Sql)),
@@ -193,13 +219,13 @@ object MartQueries {
     QueryDef("serve_price_history",
       (s, dir) => {
         import org.apache.spark.sql.functions.col
-        g2(s, dir)
+        epochHour(g2(s, dir)
           .where(col("item_id") === "purchase")
           .orderBy(col("snapshot_hour").desc)
-          .limit(48)
+          .limit(48))
       },
       Some(s"""WITH g2 AS ($g2Sql)
-              |SELECT * FROM g2 WHERE item_id = 'purchase'
+              |SELECT $g2GateCols FROM g2 WHERE item_id = 'purchase'
               |ORDER BY snapshot_hour DESC LIMIT 48""".stripMargin)),
     QueryDef("serve_opportunities",
       (s, dir) => ServingLayer.opportunities(
