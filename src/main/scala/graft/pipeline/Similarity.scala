@@ -49,27 +49,51 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for a mixed
-    * (bit, dim) index: xxhash64 folded to {-1.0, +1.0}. Rademacher
-    * planes are standard for sign-LSH and need no stored model.
+  /** Deterministic Rademacher hyperplane for bit `b` over `dim`
+    * dimensions: component i is xxhash64(i*97+b, seed 42) folded to
+    * {-1f, +1f} — the same values Spark's `xxhash64` column function
+    * produces for a LONG input, computed once on the DRIVER via the
+    * public XXH64 hasher, so no model needs storing or shipping.
     */
-  private def planeComponent(mixedIdx: Column): Column =
-    when(xxhash64(mixedIdx).bitwiseAND(1L) === 1L, lit(1.0))
-      .otherwise(lit(-1.0))
+  private def plane(b: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(i.toLong * 97L + b, 42L)
+      if ((h & 1L) == 1L) 1.0f else -1.0f
+    }
 
-  /** n-bit sign-LSH bucket id for a vector column. */
-  def lshBucket(vec: Column, bits: Int = 8): Column = {
+  /** n-bit sign-LSH bucket id for a vector column of dimension `dim`.
+    *
+    * Bucket assignment runs over the WHOLE corpus, so the projection
+    * must be codegen'd: each hyperplane is a literal `array<float>`
+    * built on the driver and dotted with the row vector by the native
+    * [[graft.functions.FloatVectorDot]] (tight primitive loop inside
+    * whole-stage codegen). The previous formulation — an interpreted
+    * `aggregate(zip_with(...))` fold per row x bit — was the scan
+    * bottleneck at scale. Plane components are ±1.0 (exact in float),
+    * so the per-bit projection is bit-identical to the old fold:
+    * same products, same sequential double accumulation.
+    *
+    * Vectors whose length differs from `dim` (malformed embeddings)
+    * get a NULL dot → bit 0, i.e. they quietly land in a default
+    * bucket rather than failing the scan.
+    */
+  def lshBucket(vec: Column, bits: Int = 8, dim: Int = 64): Column = {
     val bitCols = (0 until bits).map { b =>
-      // dot(vec, plane_b) via fold over element indices; the i*97+b mix
-      // gives each (bit, dim) an independent hash input
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(i * lit(97L) + lit(b))),
-        lit(0.0), (acc, x) => acc + x)
+      val planeCol = array(plane(b, dim).toSeq.map(lit(_)): _*).cast("array<float>")
+      val proj = dot(vec, planeCol)
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bitCols.reduce(_.bitwiseOR(_))
   }
+
+  /** Embedding dimensionality from a 1-row probe (bounded driver
+    * work; LSH planes are literals and need the width at plan time).
+    * Empty corpus → 1 (nothing will be bucketed anyway).
+    */
+  private def dimOf(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
 
   /** ANN top-k: score only vectors in the query's LSH bucket. Exact
     * within the bucket; recall < 1 by construction (the scale path —
@@ -78,7 +102,8 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucketed = emb.withColumn("__bucket", lshBucket(col(vecCol), bits))
+    val bucketed = emb.withColumn("__bucket",
+      lshBucket(col(vecCol), bits, dimOf(emb, vecCol)))
     val q = bucketed.where(col(idCol) === queryId)
       .select(col(vecCol).as("__q"), col("__bucket"))
     bucketed.where(col(idCol) =!= queryId)
@@ -167,7 +192,7 @@ object Similarity {
   def embeddingNearDups(emb: DataFrame, threshold: Double, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = emb.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), bits).as("__bucket"))
+      lshBucket(col(vecCol), bits, dimOf(emb, vecCol)).as("__bucket"))
     val l = bucketed.select(col("__bucket"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"))
     val r = bucketed.select(col("__bucket"), col(idCol).as("id_b"),
