@@ -57,17 +57,25 @@ object Multimodal {
     def decode(mediaId: Long, payload: Array[Byte]): DecodedFeatures
   }
 
+  /** The fake is derived from the md5 hex digest of the payload —
+    * NOT a JVM hash — so a SQL oracle can mirror it exactly
+    * (`md5()` + per-nibble `substr`/`ascii` arithmetic): nibble i is
+    * hex digit i, width/height pack two nibbles each, n_frames is a
+    * payload-length residue, features are nibbles scaled to [0,1].
+    */
   object StubDecoder extends Decoder {
     override def decode(mediaId: Long, payload: Array[Byte]): DecodedFeatures = {
       // ??? <- real codec goes here; deterministic fake below.
-      val n = if (payload == null) 0 else payload.length
-      val h = java.util.Arrays.hashCode(payload)
+      val bytes = if (payload == null) Array.emptyByteArray else payload
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      def nib(i: Int): Int = Character.digit(hex.charAt(i), 16)
       DecodedFeatures(
         media_id = mediaId,
-        width = 16 + math.abs(h % 1024),
-        height = 16 + math.abs((h / 1024) % 1024),
-        n_frames = 1 + n % 16,
-        feature = Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xF).toFloat / 15.0f))
+        width = 16 + nib(0) * 16 + nib(1),
+        height = 16 + nib(2) * 16 + nib(3),
+        n_frames = 1 + bytes.length % 16,
+        feature = Array.tabulate(8)(i => nib(4 + i) / 15.0f))
     }
   }
 

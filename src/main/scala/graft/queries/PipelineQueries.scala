@@ -270,12 +270,32 @@ object PipelineQueries {
              |       source
              |FROM documents""".stripMargin)),
 
-    // Per-partition decode through the stub codec seam: rows-only
-    // (the deterministic fake derives dims from a JVM array hash).
+    // Per-partition decode through the stub codec seam. The stub
+    // derives its fake dims from md5(payload) hex nibbles precisely so
+    // this oracle can recompute them in SQL (nibble = hex digit via
+    // substr+ascii; md5 hex is lowercase, so 'a'..'f' -> ascii-87).
     QueryDef("mm02_decode_features",
       (s, dir) => Multimodal.decodeFeatures(
         mediaFromDocuments(s, dir), Multimodal.StubDecoder).toDF()
-        .select("media_id", "width", "height", "n_frames"), None),
+        .select("media_id", "width", "height", "n_frames"),
+      Some("""WITH m AS (SELECT doc_id AS media_id, md5(text) AS h,
+             |                  octet_length(encode(text)) AS len
+             |           FROM documents),
+             |n AS (SELECT media_id, len,
+             |             CASE WHEN substr(h,1,1) BETWEEN '0' AND '9'
+             |                  THEN ascii(substr(h,1,1))-48 ELSE ascii(substr(h,1,1))-87 END AS n0,
+             |             CASE WHEN substr(h,2,1) BETWEEN '0' AND '9'
+             |                  THEN ascii(substr(h,2,1))-48 ELSE ascii(substr(h,2,1))-87 END AS n1,
+             |             CASE WHEN substr(h,3,1) BETWEEN '0' AND '9'
+             |                  THEN ascii(substr(h,3,1))-48 ELSE ascii(substr(h,3,1))-87 END AS n2,
+             |             CASE WHEN substr(h,4,1) BETWEEN '0' AND '9'
+             |                  THEN ascii(substr(h,4,1))-48 ELSE ascii(substr(h,4,1))-87 END AS n3
+             |      FROM m)
+             |SELECT media_id,
+             |       CAST(16 + n0*16 + n1 AS INTEGER) AS width,
+             |       CAST(16 + n2*16 + n3 AS INTEGER) AS height,
+             |       CAST(1 + len % 16 AS INTEGER) AS n_frames
+             |FROM n""".stripMargin)),
 
     // Frame sampling: byte-range explode — the frame COUNT and LENGTH
     // math is oracle-checkable even though payload slicing is opaque.
