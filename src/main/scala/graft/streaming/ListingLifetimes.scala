@@ -55,7 +55,11 @@ object ListingLifetimes {
                 case None => Some(ListingState(
                   e.item_id, e.quantity, e.created_at, e.created_at))
                 case Some(s) => Some(s.copy(
-                  quantity = e.quantity, // latest snapshot's quantity wins
+                  // latest snapshot's quantity wins — BY EVENT TIME, not
+                  // iterator order (flatMapGroupsWithState gives no
+                  // intra-batch ordering guarantee; on backfill several
+                  // snapshots of one listing share a micro-batch)
+                  quantity = if (e.created_at.before(s.last_seen)) s.quantity else e.quantity,
                   first_seen = if (e.created_at.before(s.first_seen)) e.created_at else s.first_seen,
                   last_seen = if (e.created_at.after(s.last_seen)) e.created_at else s.last_seen))
               }

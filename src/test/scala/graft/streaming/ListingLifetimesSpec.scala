@@ -79,4 +79,35 @@ class ListingLifetimesSpec extends SparkSpec {
     assert(got.head.first_seen === ts("2026-03-01 09:00:00"))
     assert(got.head.last_seen === ts("2026-03-02 09:00:00"))
   }
+
+  test("quantity follows max event time, not intra-batch iterator order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[ListingEvent]
+    val out = ListingLifetimes.disappearances(
+      mem.toDS().withWatermark("created_at", "1 hour"), gapHours = 36)
+    val q = out.writeStream.format("memory").queryName("lifetimes3")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+
+    // backfill shape: several snapshots of ONE listing in ONE
+    // micro-batch, added newest-first so naive last-event-wins logic
+    // would emit the stalest quantity
+    mem.addData(
+      ListingEvent(1L, 10L, 7L, ts("2026-03-02 09:00:00")), // newest, qty 7
+      ListingEvent(1L, 10L, 9L, ts("2026-03-01 15:00:00")),
+      ListingEvent(1L, 10L, 5L, ts("2026-03-01 09:00:00"))) // oldest
+    q.processAllAvailable()
+    // advance the watermark far past last_seen + 36h to flush it out
+    mem.addData(ListingEvent(99L, 11L, 1L, ts("2026-03-05 09:00:00")))
+    q.processAllAvailable()
+    mem.addData(ListingEvent(99L, 11L, 1L, ts("2026-03-05 10:00:00")))
+    q.processAllAvailable()
+
+    val got = spark.table("lifetimes3").as[Disappearance].collect()
+    q.stop()
+    assert(got.map(_.id).toSeq === Seq(1L))
+    assert(got.head.quantity === 7L) // the 03-02 snapshot's quantity
+    assert(got.head.first_seen === ts("2026-03-01 09:00:00"))
+    assert(got.head.last_seen === ts("2026-03-02 09:00:00"))
+  }
 }
