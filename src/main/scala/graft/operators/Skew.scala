@@ -36,11 +36,22 @@ object Skew {
     * repartitioning does with Spark's own partial aggregation.
     * Integer/decimal aggregates are bit-identical.
     */
+  /** Salt determinism: the default salt hashes EVERY column of the
+    * row. A nondeterministic salt (`monotonically_increasing_id`,
+    * `rand`) is a correctness hazard on a real cluster: when a shuffle
+    * map task re-executes after a fetch failure, recomputed rows can
+    * draw different salts than the copies already consumed by finished
+    * reducers — partials get lost or double-counted. A content hash
+    * re-derives the same salt on replay. (Fully identical rows share a
+    * salt, so a key whose skew is millions of BYTE-IDENTICAL rows
+    * spreads less evenly — pass `saltBy` with a finer deterministic
+    * source if that's the shape.)
+    */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       aggs: Map[String, (Column, String)],
       saltBy: Seq[Column] = Nil): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
-    val saltSrc = if (saltBy.nonEmpty) saltBy else Seq(monotonically_increasing_id())
+    val saltSrc = if (saltBy.nonEmpty) saltBy else df.columns.toSeq.map(col)
     val salted = df.withColumn("__salt", salt(saltBuckets, saltSrc: _*))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
@@ -60,7 +71,10 @@ object Skew {
     case "min" => min(c)
     case "max" => max(c)
     case other => throw new IllegalArgumentException(
-      s"saltedAgg supports algebraic sum/count/min/max, got $other")
+      s"saltedAgg supports algebraic sum/count/min/max, got $other" +
+        (if (other == "avg" || other == "mean")
+          " (decompose avg as a sum and a count partial, divide after)"
+        else ""))
   }
 
   private def finalOf(f: String, partial: Column): Column = f match {
@@ -79,8 +93,10 @@ object Skew {
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       saltBuckets: Int): DataFrame = {
+    // content-hash salt for the same replay-determinism reason as
+    // saltedAgg (the join result must not depend on task re-execution)
     val saltedProbe = probe.withColumn("__salt",
-      salt(saltBuckets, monotonically_increasing_id()))
+      salt(saltBuckets, probe.columns.toSeq.map(col): _*))
     val replicatedBuild = build.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedProbe.join(replicatedBuild, Seq(key, "__salt")).drop("__salt")
