@@ -20,6 +20,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
+  /** Backtick-quote each part of a possibly db-qualified name
+    * (`db.table` must quote as `` `db`.`table` ``, not `` `db.table` ``).
+    */
+  private def quoted(table: String): String =
+    table.split('.').map(p => s"`$p`").mkString(".")
+
   /** Write as a bucketed, sorted managed table (overwrite). `sortCols`
     * default to the bucket key — sorted buckets additionally enable
     * merge-join without a sort step.
@@ -32,17 +38,29 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = java.nio.file.Paths.get(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")) match {
-        case u if u.getScheme == null || u.getScheme == "file" => u.getPath
-        case u => u.toString
-      })
-    val stale = warehouse.resolve(table)
-    if (java.nio.file.Files.exists(stale)) {
-      val s = java.nio.file.Files.walk(stale)
-      try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-      finally s.close()
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
+    // Stale-location cleanup is a LOCAL-warehouse affair: on a remote
+    // warehouse (s3a/hdfs) the managed dir belongs to a shared
+    // catalog — deleting it out-of-band is someone else's data loss,
+    // and java.nio can't address it anyway. There saveAsTable's own
+    // overwrite handles the location.
+    val uri = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    if (uri.getScheme == null || uri.getScheme == "file" || uri.getScheme == "local") {
+      val warehouse = java.nio.file.Paths.get(uri.getPath)
+      // saveAsTable lower-cases identifiers; a managed table in
+      // database `db` lives at <warehouse>/db.db/<table>
+      val parts = table.toLowerCase.split('.')
+      val stale = parts match {
+        case Array(t) => warehouse.resolve(t)
+        case Array(db, t) => warehouse.resolve(db + ".db").resolve(t)
+        case _ => throw new IllegalArgumentException(
+          s"table name '$table' has more than one qualifier")
+      }
+      if (java.nio.file.Files.exists(stale)) {
+        val s = java.nio.file.Files.walk(stale)
+        try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        finally s.close()
+      }
     }
     df.write
       .mode(SaveMode.Overwrite)

@@ -40,6 +40,17 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("db-qualified, mixed-case names survive rewrite (stale-location cleanup)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt_db")
+    // twice: the second write must clean the first's managed location
+    // at <warehouse>/bkt_db.db/mixedcase despite the case/qualifier
+    Bucketing.writeBucketed(
+      silverFromLineitem(spark, dir), "bkt_db.MixedCase", "item_id", buckets = 2)
+    Bucketing.writeBucketed(
+      silverFromLineitem(spark, dir), "bkt_db.MixedCase", "item_id", buckets = 2)
+    assert(Bucketing.table(spark, "bkt_db.MixedCase").count() > 0)
+  }
+
   test("mismatched bucket counts fall back to a correct (shuffling) join") {
     Bucketing.writeBucketed(
       silverFromLineitem(spark, dir), "b_facts8", "item_id", buckets = 8)
