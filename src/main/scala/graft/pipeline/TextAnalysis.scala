@@ -17,11 +17,31 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenizer (the "BPE-ish" regex split baseline). */
+  /** Whitespace tokenizer (the fast baseline). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column =
     size(tokens(text)).cast("long")
+
+  /** GPT-2-style pretokenizer pattern: contraction suffixes, then
+    * space-prefixed letter / digit / punctuation runs — the segments a
+    * BPE vocabulary would merge within. Deliberately lookahead-free so
+    * RE2-based engines (DuckDB, Go) match Java's semantics exactly
+    * (both are leftmost-first on alternation).
+    */
+  val BpeTokenPattern: String =
+    "'(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish pretokens (whitespace runs are separators, not tokens). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
+
+  /** Pretoken count — the standard "token budget" estimator for a
+    * pretraining corpus (a real BPE would split each pretoken further,
+    * so this is a stable lower bound at scan speed, no vocab needed).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(bpeTokens(text)).cast("long")
 
   /** Count of regex hits, as a long. */
   def patternCount(text: Column, pattern: String): Column =

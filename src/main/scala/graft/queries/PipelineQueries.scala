@@ -238,6 +238,23 @@ object PipelineQueries {
               |       max(quality_score) AS max_quality
               |FROM langs GROUP BY 1, 2""".stripMargin)),
 
+    // Token counting, whitespace baseline + BPE-ish pretokenizer —
+    // the corpus "token budget" estimators. The pretokenizer pattern
+    // is lookahead-free so Java regex (Spark) and RE2 (DuckDB) match
+    // identically; '' doubles the SQL-quoted apostrophe.
+    QueryDef("p16_token_counts",
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens")),
+      Some(s"""SELECT doc_id,
+              |       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+              |         AS n_ws_tokens,
+              |       CAST(len(regexp_extract_all(text,
+              |         '${TextAnalysis.BpeTokenPattern.replace("'", "''")}'))
+              |         AS BIGINT) AS n_bpe_tokens
+              |FROM documents""".stripMargin)),
+
     // Native expression through the SQL surface: vec_dot registered
     // via SparkSessionExtensions / runtime registry (Engine.configure),
     // hash-checked against DuckDB's DOUBLE[] dot product.

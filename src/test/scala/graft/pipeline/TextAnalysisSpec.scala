@@ -52,4 +52,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1) === fps(2))
     assert(fps(3) !== fps(0))
   }
+
+  test("bpeTokens: GPT-2-style segmentation of contractions/digits/punct") {
+    val df = Seq((1L, "I don't have 42 apples, sadly.")).toDF("doc_id", "text")
+    val toks = df.select(TextAnalysis.bpeTokens(col("text")).as("t"))
+      .collect().head.getSeq[String](0)
+    // "don't" splits into "don" + "'t"; " 42" keeps its leading space;
+    // punctuation segments separately
+    assert(toks === Seq("I", " don", "'t", " have", " 42", " apples",
+      ",", " sadly", "."))
+    val counts = df.select(
+      TextAnalysis.tokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe")).head()
+    assert(counts.getLong(0) === 6L)
+    assert(counts.getLong(1) === 9L)
+  }
 }
