@@ -16,11 +16,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       GraftFunctions.vecDotInfo,
       GraftFunctions.vecDotBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("sum_at_min"),
+      GraftFunctions.sumAtMinInfo,
+      GraftFunctions.sumAtMinBuilder))
+  }
 }
 
 object GraftFunctions {
@@ -37,8 +42,23 @@ object GraftFunctions {
       FloatVectorDot(children.head, children(1))
     }
 
+  private[functions] val sumAtMinInfo =
+    new ExpressionInfo(classOf[SumAtMin].getName, null, "sum_at_min")
+
+  private[functions] val sumAtMinBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 2,
+        s"sum_at_min expects 2 arguments, got ${children.length}")
+      // bare AggregateFunction, like Spark's own registry builders —
+      // the analyzer wraps it in an AggregateExpression
+      SumAtMin(children.head, children(1))
+    }
+
   /** Register on an already-built session (no withExtensions hook). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
       spark, "vec_dot", vecDotInfo, vecDotBuilder)
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "sum_at_min", sumAtMinInfo, sumAtMinBuilder)
+  }
 }

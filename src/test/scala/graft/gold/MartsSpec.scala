@@ -95,6 +95,24 @@ class MartsSpec extends SparkSpec {
     assert(g5(2L)._2 === "HEALTHY")
   }
 
+  test("G5: null prices don't float the floor; all-null group floors at 0") {
+    // item 1: floor is the min NON-null price (50); the null-price
+    // row's quantity counts in the total but never at the floor.
+    // item 2: all prices null -> quantity_at_floor 0 (not null).
+    val rows = Seq(
+      (1L, "2026-01-01", 3, Some(50L)),
+      (1L, "2026-01-01", 5, Some(60L)),
+      (1L, "2026-01-01", 2, None: Option[Long]),
+      (2L, "2026-01-01", 4, None: Option[Long]))
+      .toDF("item_id", "d", "quantity", "unit_price")
+      .withColumn("snapshot_date", col("d").cast("date")).drop("d")
+    val g5 = Marts.marketConcentration(rows).collect()
+      .map(r => r.getAs[Long]("item_id") ->
+        (r.getAs[Long]("total_market_quantity"), r.getAs[Long]("quantity_at_floor"))).toMap
+    assert(g5(1L) === ((10L, 3L)))
+    assert(g5(2L) === ((4L, 0L)))
+  }
+
   test("G2: open/close deterministic under timestamp ties") {
     val ticks = Seq(
       (1L, "2026-01-01 10:00:00", 100L, 1L),
