@@ -33,10 +33,20 @@ object StreamingSilver {
       .option("multiLine", value = true)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(s"$bronzeRoot/*/raw_auctions_*.json")
+    // bronze path contract: .../{yyyy-MM-dd}/raw_auctions_{date}.json.
+    // A landed file whose dir doesn't parse as a date would silently
+    // produce null snapshot_date rows (invisible to the watermark,
+    // wrong partitions downstream) — a malformed layout is a
+    // deployment bug, so fail the batch LOUDLY with the path instead.
+    val pathDate = to_date(regexp_extract(
+      input_file_name(), "(\\d{4}-\\d{2}-\\d{2})/raw_auctions_", 1))
+    val checkedDate = when(pathDate.isNull,
+      raise_error(concat(
+        lit("bronze path violates {yyyy-MM-dd}/raw_auctions_*.json contract: "),
+        input_file_name())).cast("date"))
+      .otherwise(pathDate)
     val withDate = SilverTransform.normalizeWith(
-      SilverTransform.explodeAuctions(raw),
-      // bronze path contract: .../{yyyy-MM-dd}/raw_auctions_{date}.json
-      to_date(regexp_extract(input_file_name(), "(\\d{4}-\\d{2}-\\d{2})/raw_auctions_", 1)))
+      SilverTransform.explodeAuctions(raw), checkedDate)
     withDate.withColumn("created_at",
       col("snapshot_date").cast("timestamp")) // event time = snapshot day
   }

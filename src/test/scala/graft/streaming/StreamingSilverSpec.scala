@@ -34,6 +34,26 @@ class StreamingSilverSpec extends SparkSpec {
     assert(out.where("id = 1006 AND unit_price = 249").count() === 1)
   }
 
+  test("malformed bronze dir (non-date) fails the batch loudly, not null dates") {
+    val root = Files.createTempDirectory("graft-stream-bad").toString
+    // matches the source glob (*/raw_auctions_*.json) but violates the
+    // {yyyy-MM-dd} dir contract
+    val badDir = java.nio.file.Paths.get(root, "bronze", "not-a-date")
+    Files.createDirectories(badDir)
+    Files.writeString(badDir.resolve("raw_auctions_x.json"), Fixtures.day1Json)
+
+    val q = StreamingSilver.writeSilver(
+      StreamingSilver.silverStream(spark, s"$root/bronze"),
+      path = s"$root/silver",
+      checkpoint = s"$root/ckpt")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("violates")), ex.toString)
+  }
+
   test("firstSeenStream: duplicate ids within the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
