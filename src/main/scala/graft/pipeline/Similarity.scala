@@ -95,17 +95,35 @@ object Similarity {
     emb.select(size(col(vecCol)).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(1)
 
-  /** ANN top-k: score only vectors in the query's LSH bucket. Exact
-    * within the bucket; recall < 1 by construction (the scale path —
-    * at 100 TB the bucket column is a partition key and a query
-    * touches 1/2^bits of the corpus).
+  /** ANN top-k: score only vectors in the query's LSH bucket(s).
+    * Exact within the probed set; recall < 1 by construction (the
+    * scale path — at 100 TB the bucket column is a partition key and
+    * a query touches probes/2^bits of the corpus).
+    *
+    * `probes` > 1 enables MULTI-PROBE: also score the buckets whose
+    * code differs from the query's in one bit — the near-miss buckets
+    * where a near-neighbor that straddles one hyperplane lands.
+    * Standard recall lever: probing 1+bits buckets recovers most of
+    * the loss of a larger `bits` without re-hashing the corpus. The
+    * probe set is built on the BROADCAST side (explode of <= 1+bits
+    * bucket ids per query); the corpus side is untouched — still one
+    * scan, no shuffle.
     */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, bits: Int = 8,
+      probes: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probes >= 1 && probes <= 1 + bits,
+      s"probes=$probes outside [1, 1+bits=${1 + bits}]: single-bit " +
+        "multi-probe offers the exact bucket plus one flip per bit")
     val bucketed = emb.withColumn("__bucket",
       lshBucket(col(vecCol), bits, dimOf(emb, vecCol)))
+    // probe buckets: the query's own code, then one-bit flips (flip
+    // order = bit order; a flip of bit i toggles 2^i in the code)
+    val flips = lit(0L) +: (0 until (probes - 1)).map(b => shiftleft(lit(1L), b))
     val q = bucketed.where(col(idCol) === queryId)
-      .select(col(vecCol).as("__q"), col("__bucket"))
+      .select(col(vecCol).as("__q"),
+        explode(array(flips.map(f => col("__bucket").bitwiseXOR(f)): _*))
+          .as("__bucket"))
     bucketed.where(col(idCol) =!= queryId)
       .join(broadcast(q), Seq("__bucket"))
       .select(col(idCol),

@@ -69,6 +69,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("multi-probe lshTopK: superset of single-probe, exact cosines, bounds enforced") {
+    val single = Similarity.lshTopK(emb, 0L, 4, bits = 2).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val multi = Similarity.lshTopK(emb, 0L, 4, bits = 2, probes = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    // probing more buckets can only add candidates
+    assert(single.subsetOf(multi.keySet))
+    val brute = Similarity.bruteForceTopK(emb, 0L, 4).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    multi.foreach { case (id, c) => assert(math.abs(c - brute(id)) < 1e-12) }
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(emb, 0L, 4, bits = 2, probes = 4)
+    }
+  }
+
   test("lshTopK: results are a subset of brute-force ordering semantics") {
     val brute = Similarity.bruteForceTopK(emb, 0L, 4).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
