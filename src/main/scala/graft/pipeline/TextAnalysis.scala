@@ -106,4 +106,34 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Winnowed rolling-hash fingerprints: Rabin-Karp window hashes
+    * over the text's code points (native codegen'd
+    * [[graft.functions.RollingWindowHashes]]), then the minimum per
+    * band of `band` consecutive windows, distinct per doc —
+    * MOSS-style local fingerprints that survive edits outside the
+    * changed windows, where [[fingerprint]]'s whole-doc md5 flips on
+    * any edit. Output (doc_id, fp) matches the shingle shape, so
+    * [[Dedup.jaccardPairs]] composes for containment/overlap
+    * detection at ~1/band the index size of full shingling.
+    *
+    * The hash array is materialized in its own projection and
+    * referenced 3x, so Catalyst won't inline the (non-trivial)
+    * expression into the banding lambda (the HOF no-CSE trap).
+    * Docs shorter than `window` code points yield no fingerprints.
+    */
+  def winnowedFingerprints(df: DataFrame, window: Int = 8, band: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val hashed = df.select(col(idCol).as("doc_id"),
+      graft.functions.RollingHashFunctions
+        .rollingHashes(col(textCol), window).as("__hs"))
+    val hs = col("__hs")
+    val mins = transform(
+      // ceil(n/band) bands; Column./ is double division — floor back
+      sequence(lit(0), floor((size(hs) - 1) / band).cast("int")),
+      b => array_min(slice(hs, b * band + 1, lit(band))))
+    hashed.select(col("doc_id"),
+      explode(when(size(hs) >= 1, mins).otherwise(array())).as("fp"))
+      .distinct()
+  }
 }

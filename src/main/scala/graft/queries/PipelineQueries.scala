@@ -255,6 +255,32 @@ object PipelineQueries {
               |         AS BIGINT) AS n_bpe_tokens
               |FROM documents""".stripMargin)),
 
+    // Winnowed rolling-hash fingerprints (Rabin-Karp over code
+    // points, min per 4-window band, distinct). The oracle recomputes
+    // each window hash as the direct 8-term polynomial — bit-equal to
+    // the Scala rolling form because mod is ring-homomorphic — and
+    // mirrors the banding with 1-based inclusive list slices.
+    QueryDef("p17_winnowed_fingerprints",
+      (s, dir) => TextAnalysis.winnowedFingerprints(
+        Tables.documents(s, dir), window = 8, band = 4),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, greatest(length(text) - 8 + 2, 1)),
+             |      i -> (CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 27512614111
+             |          + CAST(unicode(substr(text, CAST(i+1 AS INT), 1)) AS BIGINT) * 887503681
+             |          + CAST(unicode(substr(text, CAST(i+2 AS INT), 1)) AS BIGINT) * 28629151
+             |          + CAST(unicode(substr(text, CAST(i+3 AS INT), 1)) AS BIGINT) * 923521
+             |          + CAST(unicode(substr(text, CAST(i+4 AS INT), 1)) AS BIGINT) * 29791
+             |          + CAST(unicode(substr(text, CAST(i+5 AS INT), 1)) AS BIGINT) * 961
+             |          + CAST(unicode(substr(text, CAST(i+6 AS INT), 1)) AS BIGINT) * 31
+             |          + CAST(unicode(substr(text, CAST(i+7 AS INT), 1)) AS BIGINT)) % 1000000007) AS hs
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, unnest(list_transform(range(0, (len(hs)+3)//4),
+             |    b -> list_min(hs[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)]))) AS fp
+             |  FROM h)
+             |SELECT DISTINCT doc_id, fp FROM w""".stripMargin)),
+
     // Native expression through the SQL surface: vec_dot registered
     // via SparkSessionExtensions / runtime registry (Engine.configure),
     // hash-checked against DuckDB's DOUBLE[] dot product.
