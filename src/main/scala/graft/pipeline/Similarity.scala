@@ -144,11 +144,31 @@ object Similarity {
     * Assignment = argmax cosine over the broadcast centroid list,
     * computed with the codegen'd [[graft.functions.FloatVectorDot]].
     */
-  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
-      nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Deterministic hash-spread sample as centroids: filter to ~1/nlist
-    // of ids by hash bucket, collect AT MOST nlist rows — never the
-    // corpus id column (an O(corpus) driver collect would OOM at scale).
+  private def centroidCol(c: Array[Float]): Column =
+    array(c.toSeq.map(v => lit(v)): _*).cast("array<float>")
+
+  /** Cell assignment: argmax cosine over the centroid list, as
+    * array_max over (score, cid) structs — each centroid term appears
+    * ONCE in the expression tree. (A when/otherwise reduce would
+    * duplicate both branches at every level: 2^nlist expression
+    * nodes, OOM at codegen.) The row-side norm |v| is constant across
+    * centroids, so argmax cosine = argmax dot/|c| — |c| folds to a
+    * driver-computed literal and the row cost is nlist codegen'd dots.
+    */
+  private def cellOf(vec: Column, centroids: Array[(Long, Array[Float])]): Column =
+    array_max(array(centroids.map { case (cid, c) =>
+      val cNorm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      struct((dot(vec, centroidCol(c)) / lit(cNorm)).as("score"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Deterministic hash-spread sample as initial centroids: filter to
+    * ~1/nlist of ids by hash bucket, collect AT MOST nlist rows —
+    * never the corpus id column (an O(corpus) driver collect would
+    * OOM at scale).
+    */
+  def sampleCentroids(emb: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Float])] = {
     val n = emb.count()
     val bucket = math.max(1L, n / nlist)
     def centroidRows(df: DataFrame) = df
@@ -159,23 +179,53 @@ object Similarity {
       emb.where(pmod(xxhash64(col(idCol)), lit(bucket)) === 0))
     // hash variance on tiny corpora can select nothing — fall back to
     // the first nlist ids
-    val centroids = if (sampled.nonEmpty) sampled else centroidRows(emb)
-    def centroidCol(c: Array[Float]): Column =
-      array(c.toSeq.map(v => lit(v)): _*).cast("array<float>")
-    // Cell assignment: argmax cosine over the centroid list, as
-    // array_max over (score, cid) structs — each centroid term appears
-    // ONCE in the expression tree. (A when/otherwise reduce would
-    // duplicate both branches at every level: 2^nlist expression
-    // nodes, OOM at codegen.) The row-side norm |v| is constant across
-    // centroids, so argmax cosine = argmax dot/|c| — |c| folds to a
-    // driver-computed literal and the row cost is nlist codegen'd dots.
-    def cellOf(vec: Column): Column =
-      array_max(array(centroids.map { case (cid, c) =>
-        val cNorm = math.sqrt(c.map(x => x.toDouble * x).sum)
-        struct((dot(vec, centroidCol(c)) / lit(cNorm)).as("score"),
-          lit(cid).as("cid"))
-      }: _*)).getField("cid")
-    val celled = emb.withColumn("__cell", cellOf(col(vecCol)))
+    if (sampled.nonEmpty) sampled else centroidRows(emb)
+  }
+
+  /** Lloyd's k-means refinement of the IVF centroids — tightens cells
+    * so nprobe probing recalls more at the same cost. Each iteration
+    * is two distributed jobs: assign every vector to its nearest
+    * centroid (nlist codegen'd dots per row against broadcast literal
+    * centroids — the same [[cellOf]] the query path uses), then
+    * recompute each centroid as the element-wise mean via
+    * posexplode + groupBy (cell, dim). Driver traffic per iteration
+    * is exactly nlist x dim aggregated rows — independent of corpus
+    * size. Cells that lose all members keep their previous centroid
+    * (the standard empty-cluster fallback).
+    */
+  def kmeansCentroids(emb: DataFrame, nlist: Int = 16, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Float])] = {
+    var centroids = sampleCentroids(emb, nlist, idCol, vecCol)
+    for (_ <- 0 until iters) {
+      val means = emb
+        .select(cellOf(col(vecCol), centroids).as("__cell"),
+          posexplode(col(vecCol)).as(Seq("__d", "__x")))
+        .groupBy(col("__cell"), col("__d"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val dim = rows.map(_.getInt(1)).max + 1
+          val m = new Array[Float](dim)
+          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
+          cid -> m
+        }
+      centroids = centroids.map { case (cid, old) =>
+        cid -> means.getOrElse(cid, old)
+      }
+    }
+    centroids
+  }
+
+  /** IVF-Flat ANN top-k over precomputed centroids (from
+    * [[sampleCentroids]] or [[kmeansCentroids]] — at 100 TB train
+    * once, reuse across queries; the cell id becomes the partition
+    * key of a materialized index table).
+    */
+  def ivfTopKWith(emb: DataFrame, centroids: Array[(Long, Array[Float])],
+      queryId: Long, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val celled = emb.withColumn("__cell", cellOf(col(vecCol), centroids))
     val q = emb.where(col(idCol) === queryId).select(col(vecCol).as("__q"))
     val qVec = q.collect().head.getSeq[Float](0).toArray
     // probe cells: nprobe centroids nearest the query (driver-side — the
@@ -201,6 +251,24 @@ object Similarity {
       .select(col(idCol), cosine(col(vecCol), col("__q")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** IVF-Flat ANN: partition the corpus into `nlist` cells around
+    * centroid vectors, probe only the `nprobe` cells nearest the
+    * query, score those exactly. The other standard ANN scale path
+    * next to sign-LSH: at 100 TB the cell id is a partition key and a
+    * query reads nprobe/nlist of the corpus. `refineIters` > 0 runs
+    * that many Lloyd's k-means iterations over the sampled seeds
+    * first ([[kmeansCentroids]]) — tighter cells, better recall per
+    * probe.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, refineIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids =
+      if (refineIters > 0) kmeansCentroids(emb, nlist, refineIters, idCol, vecCol)
+      else sampleCentroids(emb, nlist, idCol, vecCol)
+    ivfTopKWith(emb, centroids, queryId, k, nprobe, idCol, vecCol)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs

@@ -61,6 +61,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansCentroids: separates well-separated clusters; refined IVF stays exact") {
+    // two tight orthogonal clusters; sampled seeds may both come from
+    // one cluster, k-means must pull one centroid to each
+    val clustered = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
+      (i, base.map(v => v + 0.01f * (i % 5)))
+    }.toDF("vec_id", "embedding")
+    val cs = Similarity.kmeansCentroids(clustered, nlist = 2, iters = 4)
+    assert(cs.length === 2)
+    // each centroid should be dominated by a different axis
+    val axes = cs.map { case (_, c) => c.indexOf(c.max) }.toSet
+    assert(axes === Set(0, 1), s"centroids collapsed: ${cs.map(_._2.toSeq).toSeq}")
+
+    // refined IVF probing all cells is still exact w.r.t. brute force
+    val brute = Similarity.bruteForceTopK(clustered, 0L, 5).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    val ivf = Similarity.ivfTopK(clustered, 0L, 5, nlist = 2, nprobe = 2,
+      refineIters = 3).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    assert(ivf === brute)
+  }
+
   test("vec_dot is callable from SQL (extensions registration)") {
     val r = spark.sql(
       """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
