@@ -56,6 +56,32 @@ object Marts {
     withItemDim(agg, dims)
   }
 
+  /** G1 at 100 TB: `median()` is Spark's EXACT percentile — a
+    * TypedImperativeAggregate whose per-group state is a value->count
+    * map, i.e. memory grows with per-group price cardinality. Fine
+    * while the oracle demands exactness at test scale; at 100 TB a
+    * hot item-day's map is an OOM risk. This variant swaps in
+    * `percentile_approx` (QuantileSummaries sketch: FIXED-size state,
+    * rank error <= group_size/accuracy) — same schema, bounded
+    * memory, mergeable partials. The gate keeps hashing the exact
+    * mart; ApproxMartsSpec bounds this one's drift against it.
+    */
+  def dailyMarketSummaryApprox(silver: DataFrame, dims: DataFrame,
+      accuracy: Int = 10000): DataFrame = {
+    val agg = silver
+      .groupBy(col("item_id"), col("snapshot_date"))
+      .agg(
+        min(col("unit_price")).as("min_buyout"),
+        max(col("unit_price")).as("max_buyout"),
+        percentile_approx(col("unit_price"), lit(0.5), lit(accuracy))
+          .cast("double").as("median_buyout"),
+        sum(col("quantity")).as("quantity_available"),
+        sum(col("unit_price") * col("quantity")).as("market_cap"),
+        stddev_samp(col("unit_price")).as("price_volatility"),
+        count(lit(1)).as("auction_count"))
+    withItemDim(agg, dims)
+  }
+
   /** G2 — gold_price_history (`models.py:46-58`), grain
     * (item_id, snapshot_hour): OHLC bars over `created_at`.
     * `avarage_price` keeps the reference's misspelling
