@@ -133,6 +133,43 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
   }
 
+  /** Containment (overlap-coefficient) pairs: |A ∩ B| / min(|A|,|B|)
+    * >= threshold over the same df-capped shingle index as
+    * [[jaccardPairs]]. Catches the dup class Jaccard structurally
+    * misses: a short document wholly quoted inside a long one has
+    * containment ~1 but Jaccard ~|short|/|long| — the standard
+    * companion metric for training-corpus quote/boilerplate
+    * deduplication. Same plan shape (one pair-join, one pair-grain
+    * aggregation); only the final ratio differs.
+    */
+  def containmentPairs(shingledIn: DataFrame, threshold: Double,
+      maxShingleDf: Int = 100, persistShingles: Boolean = true): DataFrame = {
+    val shingled =
+      if (persistShingles)
+        shingledIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shingledIn
+    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val capped = shingled.join(
+      shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxShingleDf)
+        .select("shingle"),
+      Seq("shingle"), "left_semi")
+    val a = capped.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
+      .withColumn("containment", col("common") / least(col("size_a"), col("size_b")))
+      .where(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "common", "size_a", "size_b", "containment")
+  }
+
   /** MinHash signature: numHashes independent min-hashes of the
     * shingle set. hash(shingle, i) gives the i-th hash family member
     * (murmur3 with the extra literal child acting as the seed mix).

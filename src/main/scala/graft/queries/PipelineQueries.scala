@@ -146,6 +146,34 @@ object PipelineQueries {
               |JOIN sizes sb ON sb.doc_id = doc_b
               |WHERE common / (sa.set_size + sb.set_size - common) >= 0.8""".stripMargin)),
 
+    // Containment (overlap coefficient) pairs over the same index —
+    // catches short-doc-quoted-in-long-doc dups whose Jaccard is low.
+    // Threshold 0.5 so partial containment also surfaces at sf scale.
+    QueryDef("p07b_containment_pairs",
+      (s, dir) => Dedup.containmentPairs(
+        Dedup.wordShingles(Tables.documents(s, dir), n = 3),
+        threshold = 0.5, maxShingleDf = 1000),
+      Some(s"""WITH $shingleSql,
+              |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
+              |          FROM sh GROUP BY doc_id),
+              |capped AS (SELECT s.* FROM sh s
+              |           JOIN (SELECT shingle FROM sh
+              |                 GROUP BY shingle HAVING count(*) <= 1000) c
+              |           USING (shingle)),
+              |common AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         CAST(count(*) AS BIGINT) AS common
+              |  FROM capped a JOIN capped b
+              |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id)
+              |SELECT doc_a, doc_b, common,
+              |       sa.set_size AS size_a, sb.set_size AS size_b,
+              |       common / least(sa.set_size, sb.set_size) AS containment
+              |FROM common
+              |JOIN sizes sa ON sa.doc_id = doc_a
+              |JOIN sizes sb ON sb.doc_id = doc_b
+              |WHERE common / least(sa.set_size, sb.set_size) >= 0.5""".stripMargin)),
+
     // Character 5-gram shingles (canonical-form text) — the
     // whitespace-free dedup substrate; composes with the same
     // jaccard/minhash machinery as word shingles.

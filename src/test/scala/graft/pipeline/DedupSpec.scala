@@ -53,6 +53,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containmentPairs: quoted-inside dup has containment 1 but low jaccard") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon"
+    val long = s"unrelated preamble words here then $quote and a long trailing " +
+      "tail of many extra unique words padding the document further onward"
+    val docs = Seq((1L, quote), (2L, long), (3L, "nothing in common at all here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(docs, n = 3)
+    val cont = Dedup.containmentPairs(sh, threshold = 0.9)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("containment"))).toMap
+    assert(cont.keySet === Set((1L, 2L)))
+    assert(cont((1L, 2L)) === 1.0) // every trigram of the quote is in the long doc
+    // ...while jaccard misses it at the same bar
+    val jac = Dedup.jaccardPairs(sh, threshold = 0.9).count()
+    assert(jac === 0)
+  }
+
   test("minHashNearDups with NON-default numHashes=8 returns correct pairs") {
     val pairs = Dedup.minHashNearDups(docs, threshold = 0.99, numHashes = 8, rowsPerBand = 2)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
