@@ -46,30 +46,23 @@ object Dedup {
   }
 
   /** Word n-gram shingles, one row per distinct (id, shingle). Docs
-    * with fewer than n tokens yield zero shingles (the unguarded
-    * `sequence(0, size-n)` would run DESCENDING for short docs and
-    * crash on element_at index 0).
+    * with fewer than n tokens yield zero shingles.
     *
-    * The token array is materialized in its OWN projection first:
-    * higher-order functions are interpreted (no whole-stage codegen)
-    * and get no common-subexpression elimination, so inlining
-    * `split(...)` into the lambda would re-run the regex split for
-    * every `element_at` — ~3n re-tokenizations per document (measured
-    * 6x slower at sf0.1).
+    * Window generation is the native codegen'd
+    * [[graft.functions.WordNGrams]] (one static call per doc) — the
+    * HOF `transform(sequence(...), concat_ws(element_at...))`
+    * formulation it replaces was interpreted per window and, being
+    * CSE-blind, would even re-tokenize per element if `split` were
+    * inlined (round-1 lesson). Join semantics are `concat_ws`, so
+    * output is unchanged.
     */
   def wordShingles(df: DataFrame, n: Int = 3, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val tokenized = df.select(
+      idCol: String = "doc_id"): DataFrame =
+    df.select(
       col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("__w"))
-    val w = col("__w")
-    val shingles = when(size(w) >= n,
-      transform(
-        sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
-    ).otherwise(array())
-    tokenized.select(col("doc_id"), explode(shingles).as("shingle")).distinct()
-  }
+      explode(graft.functions.NGramFunctions.wordNGrams(
+        TextAnalysis.tokens(col(textCol)), n)).as("shingle"))
+      .distinct()
 
   /** Character n-gram shingles over the whitespace-normalized,
     * lower-cased text (same canonical form as
@@ -81,12 +74,13 @@ object Dedup {
   def charShingles(df: DataFrame, n: Int = 5, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val canon = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
-    val normalized = df.select(col(idCol).as("doc_id"), canon.as("__t"))
-    val t = col("__t")
-    val shingles = when(length(t) >= n,
-      transform(sequence(lit(0), length(t) - n), i => t.substr(i + 1, lit(n))))
-      .otherwise(array())
-    normalized.select(col("doc_id"), explode(shingles).as("shingle")).distinct()
+    // native window generation ([[graft.functions.CharNGrams]], code-
+    // point `substringSQL` — identical to the Column.substr windows it
+    // replaces, but one codegen'd call per doc instead of an
+    // interpreted lambda per window)
+    df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.NGramFunctions.charNGrams(canon, n)).as("shingle"))
+      .distinct()
   }
 
   /** Exact pairwise Jaccard over shingle sets, for all pairs sharing
