@@ -27,8 +27,9 @@ object Skew {
     * saltBuckets x |keys|) partials on the natural key.
     *
     * `aggs` maps output column name -> (valueCol, "sum" | "count" |
-    * "min" | "max") — the algebraic aggregates whose partials combine
-    * by the same function (count partials combine by SUM).
+    * "min" | "max" | "avg") — the algebraic aggregates whose partials
+    * combine by the same function (count partials combine by SUM; avg
+    * carries a (sum, count) partial pair and divides at the end).
     *
     * Floating-point note: salting changes the SUMMATION ORDER of
     * double columns, so sums differ from the unsalted plan in the
@@ -53,16 +54,25 @@ object Skew {
     require(saltBuckets > 0, "saltBuckets must be positive")
     val saltSrc = if (saltBy.nonEmpty) saltBy else df.columns.toSeq.map(col)
     val salted = df.withColumn("__salt", salt(saltBuckets, saltSrc: _*))
-    val phase1 = salted
+    // avg is algebraic only as a (sum, count) PAIR of partials — it
+    // expands to two phase-1 columns and a final divide (null-skipping
+    // matches Spark's avg: sum skips nulls, count(c) counts non-null,
+    // all-null group -> null/0 -> null with ANSI off)
+    val partials: Seq[Column] = aggs.toSeq.flatMap {
+      case (name, (c, "avg" | "mean")) =>
+        Seq(sum(c).as(s"__${name}_sum"), count(c).as(s"__${name}_cnt"))
+      case (name, (c, f)) => Seq(partialOf(f, c).as(name))
+    }
+    val finals: Seq[Column] = aggs.toSeq.map {
+      case (name, (_, "avg" | "mean")) =>
+        (sum(col(s"__${name}_sum")) / sum(col(s"__${name}_cnt"))).as(name)
+      case (name, (_, f)) => finalOf(f, col(name)).as(name)
+    }
+    salted
       .groupBy((keys :+ "__salt").map(col): _*)
-      .agg(
-        aggs.head match { case (name, (c, f)) => partialOf(f, c).as(name) },
-        aggs.tail.toSeq.map { case (name, (c, f)) => partialOf(f, c).as(name) }: _*)
-    phase1
+      .agg(partials.head, partials.tail: _*)
       .groupBy(keys.map(col): _*)
-      .agg(
-        aggs.head match { case (name, (_, f)) => finalOf(f, col(name)).as(name) },
-        aggs.tail.toSeq.map { case (name, (_, f)) => finalOf(f, col(name)).as(name) }: _*)
+      .agg(finals.head, finals.tail: _*)
   }
 
   private def partialOf(f: String, c: Column): Column = f match {
@@ -71,10 +81,7 @@ object Skew {
     case "min" => min(c)
     case "max" => max(c)
     case other => throw new IllegalArgumentException(
-      s"saltedAgg supports algebraic sum/count/min/max, got $other" +
-        (if (other == "avg" || other == "mean")
-          " (decompose avg as a sum and a count partial, divide after)"
-        else ""))
+      s"saltedAgg supports algebraic sum/count/min/max/avg, got $other")
   }
 
   private def finalOf(f: String, partial: Column): Column = f match {

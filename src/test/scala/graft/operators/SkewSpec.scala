@@ -36,6 +36,22 @@ class SkewSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("saltedAgg avg: (sum,count) partial pair equals plain avg, nulls skipped") {
+    import spark.implicits._
+    val df = (skewed.map { case (k, v) => (k, Some(v)) } ++
+      Seq((1L, None: Option[Long]), (3L, None: Option[Long]))) // all-null key 3
+      .toDF("key", "v")
+    val plain = df.groupBy("key").agg(avg("v").as("a"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val salted = Skew.saltedAgg(df, Seq("key"), saltBuckets = 8,
+      aggs = Map("a" -> (col("v"), "avg"), "n" -> (col("v"), "count")))
+      .collect().map(r => r.getAs[Long]("key") ->
+        (if (r.isNullAt(r.fieldIndex("a"))) None
+        else Some(r.getAs[Double]("a")))).toMap
+    assert(salted === plain) // exact: long sums, one final divide
+  }
+
   test("saltedAgg rejects non-algebraic aggregates") {
     intercept[IllegalArgumentException] {
       Skew.saltedAgg(skewed.toDF("key", "v"), Seq("key"), 4,
