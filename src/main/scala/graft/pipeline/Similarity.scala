@@ -271,6 +271,48 @@ object Similarity {
     ivfTopKWith(emb, centroids, queryId, k, nprobe, idCol, vecCol)
   }
 
+  /** Materialize an IVF index: the corpus written as parquet
+    * PARTITIONED BY its cell id. This is the claim "at 100 TB the
+    * cell id is a partition key" as code — a probe query's
+    * `__cell IN (...)` filter prunes at the directory level, so a
+    * query READS nprobe/nlist of the corpus from storage (not just
+    * scores that fraction after a full scan). Train centroids once
+    * ([[sampleCentroids]] / [[kmeansCentroids]]), write once, serve
+    * many queries against the same index + centroid list.
+    */
+  def writeIvfIndex(emb: DataFrame, centroids: Array[(Long, Array[Float])],
+      path: String, vecCol: String = "embedding"): Unit =
+    emb.withColumn("__cell", cellOf(col(vecCol), centroids))
+      .write.mode("overwrite").partitionBy("__cell").parquet(path)
+
+  /** ANN top-k against a materialized [[writeIvfIndex]] index —
+    * the probed cells become PartitionFilters on the scan
+    * (PlanSpec proves the pruning).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Array[(Long, Array[Float])], queryVec: Array[Float],
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCells = centroids
+      .sortBy { case (cid, c) => (-cos(queryVec, c), -cid) }
+      .take(nprobe).map(_._1)
+    val qCol = array(queryVec.toSeq.map(lit(_)): _*).cast("array<float>")
+    spark.read.parquet(path)
+      .where(col("__cell").isin(probeCells: _*))
+      .select(col(idCol), cosine(col(vecCol), qCol).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs
     * within the same bucket with cosine >= threshold. The in-bucket
     * self-join replaces the corpus-wide cross product.

@@ -113,4 +113,45 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"query vector not broadcast:\n$plan")
   }
+
+  test("shingle scans run the native window generators, not interpreted HOFs") {
+    val docs = Tables.documents(spark, dir)
+    val charPlan = planOf(pipeline.Dedup.charShingles(docs, n = 5))
+    assert(charPlan.contains("char_ngrams"), s"native char windows missing:\n$charPlan")
+    assert(!charPlan.toLowerCase.contains("lambdafunction"),
+      s"interpreted HOF crept back into char shingles:\n$charPlan")
+    val wordPlan = planOf(pipeline.Dedup.wordShingles(docs, n = 3))
+    assert(wordPlan.contains("word_ngrams"), s"native word windows missing:\n$wordPlan")
+    assert(!wordPlan.toLowerCase.contains("lambdafunction"),
+      s"interpreted HOF crept back into word shingles:\n$wordPlan")
+  }
+
+  test("materialized IVF index: probe filter prunes PARTITIONS at the scan") {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = pipeline.Similarity.sampleCentroids(emb, nlist = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    pipeline.Similarity.writeIvfIndex(emb, centroids, path)
+    val q = emb.where(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val topk = pipeline.Similarity.ivfTopKIndexed(
+      spark, path, centroids, q, k = 5, nprobe = 1)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*__cell".r.findFirstIn(plan).isDefined,
+      s"probe cells not pruning partitions:\n$plan")
+    assert(topk.count() > 0)
+    // exactness within the probed cells: every cosine matches brute force
+    val brute = pipeline.Similarity.bruteForceTopK(emb, 0L, 100).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    topk.collect().filter(_.getAs[Long]("vec_id") != 0L).foreach { r =>
+      assert(math.abs(r.getAs[Double]("cosine") - brute(r.getAs[Long]("vec_id"))) < 1e-9)
+    }
+  }
+
+  test("LSH bucket assignment is the codegen'd dot, not an interpreted fold") {
+    val plan = planOf(pipeline.Similarity.lshTopK(
+      Tables.embeddings(spark, dir), queryId = 0L, k = 5, bits = 4))
+    assert(plan.contains("float_vector_dot"), s"native dot missing:\n$plan")
+    assert(!plan.toLowerCase.contains("lambdafunction"),
+      s"interpreted fold crept back into bucket assignment:\n$plan")
+  }
 }
