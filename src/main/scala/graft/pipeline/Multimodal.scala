@@ -94,6 +94,45 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize stub: the Spark-side plumbing of an image resize —
+    * per-partition batch transform (one resizer instance per
+    * partition, same seam as [[decodeFeatures]]), typed output dims,
+    * payload replaced by the "resized" bytes. The stub decodes the
+    * payload as UTF-8 and keeps the first targetW*targetH CODE
+    * POINTS re-encoded (a real codec swaps in scaled pixel data;
+    * everything around it — schema, partitioning, batch shape — is
+    * what production keeps). Code points, not bytes, so a SQL oracle
+    * mirrors it exactly via character substr for any text, multibyte
+    * included.
+    */
+  case class ResizedMedia(
+      media_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int,
+      idCol: String = "media_id", payloadCol: String = "payload"): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0,
+      s"target dims must be positive, got ${targetW}x$targetH")
+    val enc = Encoders.product[ResizedMedia]
+    val idIdx = media.schema.fieldIndex(idCol)
+    val payloadIdx = media.schema.fieldIndex(payloadCol)
+    val cap = targetW * targetH
+    media.mapPartitions { rows: Iterator[Row] =>
+      // per-partition init site (a real resizer allocates here)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val in = if (bytes == null) Array.emptyByteArray else bytes
+        val s = new String(in, java.nio.charset.StandardCharsets.UTF_8)
+        val keep = math.min(s.codePointCount(0, s.length), cap)
+        val sliced = s.substring(0, s.offsetByCodePoints(0, keep))
+        ResizedMedia(
+          media_id = r.getLong(idIdx),
+          width = targetW,
+          height = targetH,
+          payload = sliced.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }(enc)
+  }
+
   /** Frame sampling stub for video payloads: byte-range slices stand
     * in for frames (a real demuxer replaces the slicing, the
     * explode-to-frames shape stays).

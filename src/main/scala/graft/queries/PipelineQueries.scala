@@ -368,6 +368,26 @@ object PipelineQueries {
              |       CAST(1 + len % 16 AS INTEGER) AS n_frames
              |FROM n""".stripMargin)),
 
+    // Resize seam: per-partition batch transform; dims + resized
+    // payload length and checksum are all exactly oracle-able (the
+    // stub's "resized" bytes are a deterministic prefix slice).
+    QueryDef("mm04_resize",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, length, md5}
+        Multimodal.resizeStub(mediaFromDocuments(s, dir), targetW = 16, targetH = 16)
+          .toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            length(col("payload")).cast("long").as("payload_len"),
+            md5(col("payload")).as("payload_md5"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(16 AS INTEGER) AS width,
+             |       CAST(16 AS INTEGER) AS height,
+             |       CAST(octet_length(encode(substr(text, 1, 256))) AS BIGINT)
+             |         AS payload_len,
+             |       md5(substr(text, 1, 256)) AS payload_md5
+             |FROM documents""".stripMargin)),
+
     // Frame sampling: byte-range explode — the frame COUNT and LENGTH
     // math is oracle-checkable even though payload slicing is opaque.
     QueryDef("mm03_frame_sampling",

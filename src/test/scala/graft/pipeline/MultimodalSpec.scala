@@ -18,6 +18,20 @@ class MultimodalSpec extends SparkSpec {
     (3L, "video", ("x" * 300).getBytes, "cam-2"))
     .toDF("media_id", "media_type", "payload", "source")
 
+  test("resizeStub: code-point cap, multibyte-safe, short payloads untouched") {
+    val mb = Seq(
+      (1L, "text", ("é" * 300).getBytes("UTF-8"), "src"), // 300 cps, 600 bytes
+      (2L, "text", "tiny".getBytes("UTF-8"), "src"))
+      .toDF("media_id", "media_type", "payload", "source")
+    val out = Multimodal.resizeStub(mb, targetW = 16, targetH = 16)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).width === 16 && out(1L).height === 16)
+    // 256 code points kept = 512 bytes (never a split multibyte char)
+    assert(out(1L).payload.length === 512)
+    assert(new String(out(1L).payload, "UTF-8") === "é" * 256)
+    assert(new String(out(2L).payload, "UTF-8") === "tiny")
+  }
+
   test("withMetadata: size/checksum/source derived in-scan") {
     val m = Multimodal.withMetadata(media).select("media_id", "meta.*").collect()
       .map(r => r.getAs[Long]("media_id") ->
