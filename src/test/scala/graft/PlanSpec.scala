@@ -35,14 +35,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("l_comment"), s"unpruned scan:\n$plan")
   }
 
-  test("G1: exactly one exchange (grain-key shuffle) plus the dim broadcast") {
+  test("G1: three exchanges (agg + median counts plan), median join adds none") {
     val g1 = gold.Marts.dailyMarketSummary(
       silverFromLineitem(spark, dir), dimsFromPart(spark, dir))
     g1.write.mode("overwrite").format("noop").save() // materialize AQE final plan
     val plan = g1.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
+    // 1: grain-key shuffle of the main agg; 2: (keys, price)-grain
+    // pre-agg of the median counts plan; 3: its window repartition to
+    // (keys). The exact-median counts plan trades the builtin
+    // median's per-group distinct-value MAP (serialized through one
+    // exchange, hot-group heap risk) for two extra exchanges of
+    // PRE-AGGREGATED rows — measured 2.5x faster at sf0.1. The
+    // agg-median join itself must stay exchange-free (both sides
+    // (keys)-partitioned).
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+    assert(shuffles == 3, s"expected 3 hash exchanges, got $shuffles:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"median join degraded to a sorting join:\n$plan")
   }
 
   test("G2: one exchange, partial aggregation, no window exec") {
