@@ -48,8 +48,10 @@ object Bucketing {
     if (uri.getScheme == null || uri.getScheme == "file" || uri.getScheme == "local") {
       val warehouse = java.nio.file.Paths.get(uri.getPath)
       // saveAsTable lower-cases identifiers; a managed table in
-      // database `db` lives at <warehouse>/db.db/<table>
-      val parts = table.toLowerCase.split('.')
+      // database `db` lives at <warehouse>/db.db/<table>. Locale.ROOT:
+      // the default locale would fold 'I' to dotless-i under tr_TR,
+      // checking a path the catalog never writes
+      val parts = table.toLowerCase(java.util.Locale.ROOT).split('.')
       val stale = parts match {
         case Array(t) => warehouse.resolve(t)
         case Array(db, t) => warehouse.resolve(db + ".db").resolve(t)
