@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and corpus mixing for training-data
+  * pipelines.
+  *
+  * Why not `df.sample()`: Spark's sampler is seeded per-PARTITION —
+  * the kept set changes with partitioning, task retries and
+  * `repartition()` calls, so a "sampled corpus" is not a stable set
+  * (and can silently lose/duplicate rows under retry, the same hazard
+  * as a nondeterministic salt). Here every row carries its own
+  * uniform variate u(key) = first 8 hex digits of md5(key ++ salt) /
+  * 2^32 — a pure function of the ROW, so the kept set is identical
+  * across runs, partitionings, engines (md5 is everywhere; the gate
+  * oracle recomputes it in SQL) and retries. Keep iff u < fraction.
+  *
+  * This is the mixture-weighting primitive: pretraining corpora are
+  * blended per-source/per-language ([[stratified]]); held-out sets
+  * must be disjoint-and-covering forever after ([[trainTestSplit]] —
+  * u >= f is exactly the complement of u < f).
+  */
+object Sampling {
+
+  /** Uniform variate in [0, 1): 32 bits of md5(key ++ "/" ++ salt).
+    * conv() parses the hex; division by 2^32 is exact (both operands
+    * integral powers of two apart), so thresholds compare identically
+    * in any engine.
+    */
+  def uniform(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit("/" + salt))), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+
+  /** Keep a deterministic `fraction` of rows, selected by key. */
+  def uniformByKey(df: DataFrame, fraction: Double, keyCol: String,
+      salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction outside [0,1]")
+    df.where(uniform(col(keyCol), salt) < fraction)
+  }
+
+  /** Per-stratum mixture: keep each stratum at its own fraction
+    * (strata absent from the map keep `defaultFraction`). The
+    * downsampling tool for corpus blending — e.g. cap boilerplate
+    * sources while keeping rare languages whole.
+    */
+  def stratified(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double,
+      keyCol: String, salt: String = ""): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq)
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0,1]")
+    val threshold = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(f)).otherwise(acc)
+    }
+    df.where(uniform(col(keyCol), salt) < threshold)
+  }
+
+  /** Disjoint, covering train/test split: test = u < testFraction,
+    * train = the exact complement. Stable across runs and
+    * re-partitionings — a document can never migrate between splits.
+    */
+  def trainTestSplit(df: DataFrame, testFraction: Double, keyCol: String,
+      salt: String = ""): (DataFrame, DataFrame) = {
+    require(testFraction >= 0.0 && testFraction <= 1.0,
+      s"testFraction=$testFraction outside [0,1]")
+    val u = uniform(col(keyCol), salt)
+    (df.where(u >= testFraction), df.where(u < testFraction))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -308,6 +308,23 @@ object PipelineQueries {
              |    b -> list_min(hs[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)]))) AS fp
              |  FROM h)
              |SELECT DISTINCT doc_id, fp FROM w""".stripMargin)),
+
+    // Deterministic stratified sampling (corpus mixture weighting):
+    // keep iff u(doc) < per-language threshold, u = 32 md5 bits of
+    // (doc_id ++ salt) — a pure row function, so the kept set is
+    // engine-reproducible and the oracle recomputes it exactly.
+    QueryDef("p18_stratified_sample",
+      (s, dir) => Sampling.stratified(
+        Tables.documents(s, dir), "lang",
+        Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.2,
+        keyCol = "doc_id", salt = "mix")
+        .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/mix'), 1, 8))::BIGINT
+             |        / 4294967296.0
+             |      < CASE WHEN lang = 'en' THEN 0.5
+             |             WHEN lang = 'zh' THEN 1.0
+             |             ELSE 0.2 END""".stripMargin)),
 
     // Native expression through the SQL surface: vec_dot registered
     // via SparkSessionExtensions / runtime registry (Engine.configure),

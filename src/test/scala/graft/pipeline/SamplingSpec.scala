@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus = (0L until 2000L).map(i =>
+    (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"))
+    .toDF("doc_id", "lang")
+
+  test("uniformByKey: deterministic across runs AND partitionings; ~fraction kept") {
+    val a = Sampling.uniformByKey(corpus, 0.3, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.uniformByKey(corpus.repartition(17), 0.3, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b) // df.sample() would fail this: per-partition seeding
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"kept ${a.size}/2000")
+    // a different salt draws a genuinely different set
+    val salted = Sampling.uniformByKey(corpus, 0.3, "doc_id", salt = "v2")
+      .collect().map(_.getLong(0)).toSet
+    assert(salted !== a)
+  }
+
+  test("stratified: per-language fractions honored") {
+    val kept = Sampling.stratified(corpus, "lang",
+      Map("en" -> 1.0, "de" -> 0.0), defaultFraction = 0.5, keyCol = "doc_id")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") === 500L) // fraction 1.0: every en doc
+    assert(!kept.contains("de")) // fraction 0.0: none
+    assert(math.abs(kept("fr") / 1000.0 - 0.5) < 0.06, s"fr kept ${kept("fr")}")
+  }
+
+  test("trainTestSplit: disjoint, covering, stable") {
+    val (train, test) = Sampling.trainTestSplit(corpus, 0.25, "doc_id")
+    val tr = train.collect().map(_.getLong(0)).toSet
+    val te = test.collect().map(_.getLong(0)).toSet
+    assert(tr.intersect(te).isEmpty)
+    assert(tr.union(te).size === 2000)
+    assert(math.abs(te.size / 2000.0 - 0.25) < 0.05, s"test ${te.size}/2000")
+    // re-derivation (e.g. months later, different cluster) is identical
+    val (_, test2) = Sampling.trainTestSplit(corpus.repartition(5), 0.25, "doc_id")
+    assert(test2.collect().map(_.getLong(0)).toSet === te)
+  }
+}
