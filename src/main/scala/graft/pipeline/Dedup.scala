@@ -216,7 +216,16 @@ object Dedup {
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val a = shingled.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = shingled.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle")).join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+    // CANDIDATE-FIRST: expand candidate pairs by doc_a's shingles,
+    // then match doc_b's on (doc_b, shingle). Work is
+    // |candidates| x |shingles per doc| — linear in the LSH output.
+    // (The tempting a⋈b-on-shingle-THEN-semi-filter shape
+    // materializes every co-shingle pair BEFORE the filter: the
+    // quadratic boilerplate-shingle blowup LSH exists to prune,
+    // resurrected one operator later.)
+    val common = candidates
+      .join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
