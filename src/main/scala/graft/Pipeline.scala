@@ -140,24 +140,111 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     updates.count()
   }
 
-  /** E1 step 4 — recompute + materialize the seven gold marts (the
+  /** E1 step 4 — full recompute of the seven gold marts (the
     * reference serves pre-computed gold tables; main.py:36-79).
+    * Bootstrap/backfill path; the daily path is
+    * [[runGoldIncremental]]. Date-grained marts are written
+    * PARTITIONED by their date so the incremental path can overwrite
+    * single partitions (G2 partitions by bar date = date of
+    * snapshot_hour; G4 stays unpartitioned — see runGoldIncremental).
     */
   def runGold(): Unit = {
     val s = silver.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d = dims
-    val dailyMedian = s.groupBy(col("item_id"), col("snapshot_date"))
-      .agg(median(col("unit_price")).as("median_buyout"))
+    // G1 already carries the exact per-(item,date) median — reuse it
+    // for G3/G6 instead of paying a second median pass over silver
+    // (G1's groups include all-null-price item-days via its left
+    // join, matching what a standalone median would emit as null)
+    val g1 = Marts.dailyMarketSummary(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    write("g1_daily_market_summary", Marts.dailyMarketSummary(s, d))
-    write("g2_price_history", Marts.priceHistory(s, ts = col("created_at")))
-    write("g3_market_opportunities", Marts.marketOpportunities(dailyMedian))
+    writeDated("g1_daily_market_summary", g1)
+    val dailyMedian = g1.select(
+      col("item_id"), col("snapshot_date"), col("median_buyout"))
+    writeDated("g2_price_history",
+      Marts.priceHistory(s, ts = col("created_at"))
+        .withColumn("snapshot_date", to_date(col("snapshot_hour"))))
+    writeDated("g3_market_opportunities", Marts.marketOpportunities(dailyMedian))
     write("g4_item_demand", Marts.itemDemand(bronzeDaily))
-    write("g5_market_concentration", Marts.marketConcentration(s))
-    write("g6_market_index", Marts.marketIndex(dailyMedian))
-    write("g7_sector_trends", Marts.sectorTrends(s, d))
-    dailyMedian.unpersist(); s.unpersist()
+    writeDated("g5_market_concentration", Marts.marketConcentration(s))
+    writeDated("g6_market_index", Marts.marketIndex(dailyMedian))
+    writeDated("g7_sector_trends", Marts.sectorTrends(s, d))
+    g1.unpersist(); s.unpersist()
   }
+
+  /** Incremental gold maintenance — the 100 TB daily path.
+    *
+    * Why it's sound: silver is FIRST-SEEN APPEND — a new row always
+    * lands in the ingest day's `snapshot_date` partition, so past
+    * partitions are immutable (retention only drops whole ones).
+    * A date-grain mart row is therefore FINAL once every input date
+    * it reads is in the past:
+    *
+    *  - G1/G5/G7 read exactly partition D       -> recompute D only
+    *  - G3 reads G1's medians for D-6..D        -> recompute D only
+    *    (older rows' trailing windows are unchanged); reads the
+    *    GOLD g1 table partition-pruned, not silver
+    *  - G6 reads G1's medians for D-1..D (lag)  -> recompute D only
+    *  - G2 bars key on created_at (= processing time), not
+    *    snapshot_date: a backfill stamps many partitions with one
+    *    processing day. Affected bar dates = distinct
+    *    date(created_at) in partition D; their bars are recomputed
+    *    from a created_at-filtered scan (column-pruned; parquet
+    *    row-group stats skip cold partitions since created_at
+    *    correlates with write time) and partition-overwritten.
+    *  - G4's avg_daily_stock couples every day of an item's history
+    *    (window over all dates), so its rows are never final — but
+    *    its input is the (id,item,qty,date) bronze mirror BOUNDED by
+    *    the retention window (<= 30 day partitions), so the "full"
+    *    recompute is itself incremental-sized. Recomputed whole.
+    *
+    * Every write is a dynamic partition overwrite: re-running a day
+    * is idempotent, and no historical partition is ever rewritten.
+    */
+  def runGoldIncremental(date: LocalDate): Unit = {
+    val d = dims
+    val day = silver.where(col("snapshot_date") === lit(java.sql.Date.valueOf(date)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    overwriteDatePartitions("g1_daily_market_summary",
+      Marts.dailyMarketSummary(day, d))
+    overwriteDatePartitions("g5_market_concentration",
+      Marts.marketConcentration(day))
+    overwriteDatePartitions("g7_sector_trends", Marts.sectorTrends(day, d))
+    // G2: recompute the bar dates partition D touches, from all rows
+    // sharing those created_at dates
+    val affectedBarDates = day
+      .select(to_date(col("created_at")).as("d")).distinct()
+      .collect().map(_.getDate(0)) // <= backfill-days values; driver-safe
+    if (affectedBarDates.nonEmpty) {
+      val barRows = silver.where(to_date(col("created_at")).isin(affectedBarDates: _*))
+      overwriteDatePartitions("g2_price_history",
+        Marts.priceHistory(barRows, ts = col("created_at"))
+          .withColumn("snapshot_date", to_date(col("snapshot_hour"))))
+    }
+    // G3/G6: trailing windows over G1's already-maintained medians,
+    // read partition-pruned from gold, output filtered to day D
+    val dayCol = lit(java.sql.Date.valueOf(date))
+    val g1Window = gold("g1_daily_market_summary")
+      .where(col("snapshot_date").between(date_sub(dayCol, 6), dayCol))
+      .select(col("item_id"), col("snapshot_date"), col("median_buyout"))
+    overwriteDatePartitions("g3_market_opportunities",
+      Marts.marketOpportunities(g1Window)
+        .where(col("snapshot_date") === dayCol))
+    overwriteDatePartitions("g6_market_index",
+      Marts.marketIndex(
+        g1Window.where(col("snapshot_date") >= date_sub(dayCol, 1)))
+        .where(col("snapshot_date") === dayCol))
+    write("g4_item_demand", Marts.itemDemand(bronzeDaily))
+    day.unpersist()
+  }
+
+  private def writeDated(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy("snapshot_date").parquet(goldPath(name))
+
+  private def overwriteDatePartitions(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("snapshot_date").parquet(goldPath(name))
 
   /** G4 needs the RAW per-day listing sets (disappearance semantics,
     * §2.4), which first-seen silver no longer carries — served from
@@ -238,7 +325,11 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
   }
 
   /** Full daily run (the Dagster DAG, composed): ingest -> silver ->
-    * dims -> gold -> retention.
+    * dims -> incremental gold -> retention. Gold is maintained
+    * incrementally ([[runGoldIncremental]] — only day-D partitions
+    * are written); [[runGold]] remains the bootstrap/backfill full
+    * recompute, and PipelineSpec proves the two produce identical
+    * tables.
     */
   def runDay(date: LocalDate, rawJson: String,
       source: Dimensions.ItemMetadataSource,
@@ -246,7 +337,7 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     ingest(date, rawJson)
     runSilver(date)
     runDims(source)
-    runGold()
+    runGoldIncremental(date)
     runRetention(date, retentionDays)
   }
 

@@ -55,6 +55,38 @@ class PipelineSpec extends SparkSpec {
       .where("item_id = 2589 AND item_name IS NOT NULL").count() > 0)
   }
 
+  test("incremental gold equals full recompute on every mart") {
+    val wh = Files.createTempDirectory("graft-wh-inc").toString
+    val p = new Pipeline(spark, wh)
+    // two days maintained incrementally (the runDay path)
+    p.ingest(d1, Fixtures.day1Json)
+    p.runSilver(d1)
+    p.runDims(source)
+    p.runGoldIncremental(d1)
+    p.ingest(d2, Fixtures.day2Json)
+    p.runSilver(d2)
+    p.runGoldIncremental(d2)
+
+    val marts = Seq("g1_daily_market_summary", "g2_price_history",
+      "g3_market_opportunities", "g4_item_demand",
+      "g5_market_concentration", "g6_market_index", "g7_sector_trends")
+    def snapshot(): Map[String, Set[String]] = marts.map { m =>
+      val df = p.gold(m)
+      m -> df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).toSet
+    }.toMap
+
+    val incremental = snapshot()
+    // full recompute over the SAME silver (created_at frozen in
+    // parquet, so the comparison is exact, not wall-clock-dependent)
+    p.runGold()
+    val full = snapshot()
+    marts.foreach { m =>
+      assert(incremental(m) === full(m), s"mart $m diverges")
+      assert(full(m).nonEmpty, s"mart $m is empty")
+    }
+  }
+
   test("silver re-run of the same day is idempotent (ON CONFLICT parity)") {
     val wh = Files.createTempDirectory("graft-wh2").toString
     val p = new Pipeline(spark, wh)
