@@ -292,8 +292,17 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
   def runRetention(asOf: LocalDate, retentionDays: Int = 30): (Seq[LocalDate], Long) = {
     val droppedBronze = bronze.retain(asOf, retentionDays)
     val cutoff = asOf.minusDays(retentionDays.toLong)
+    // gold date partitions age out WITH silver: the incremental path
+    // would otherwise accrete history forever while a full runGold
+    // (and the reference, which recomputes from retained silver)
+    // loses it — the two paths must describe the same table. G4 is
+    // rebuilt from the retained mirror every run and needs no drop.
+    val datedGold = Seq("g1_daily_market_summary", "g2_price_history",
+      "g3_market_opportunities", "g5_market_concentration",
+      "g6_market_index", "g7_sector_trends")
     val dropped = dropOldPartitions(silverPath, cutoff) +
-      dropOldPartitions(bronzeDailyPath, cutoff)
+      dropOldPartitions(bronzeDailyPath, cutoff) +
+      datedGold.map(m => dropOldPartitions(goldPath(m), cutoff)).sum
     (droppedBronze, dropped)
   }
 

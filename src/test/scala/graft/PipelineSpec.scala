@@ -117,4 +117,22 @@ class PipelineSpec extends SparkSpec {
     assert(p.silver.where("snapshot_date = DATE'2026-02-13'").count() === 0)
     assert(p.silver.where("snapshot_date = DATE'2026-02-14'").count() === 2)
   }
+
+  test("retention ages out gold date partitions with silver") {
+    val wh = Files.createTempDirectory("graft-wh4").toString
+    val p = new Pipeline(spark, wh)
+    p.ingest(d1, Fixtures.day1Json)
+    p.runSilver(d1)
+    p.runGoldIncremental(d1)
+    p.ingest(d2, Fixtures.day2Json)
+    p.runSilver(d2)
+    p.runGoldIncremental(d2)
+    assert(p.gold("g1_daily_market_summary")
+      .where("snapshot_date = DATE'2026-02-13'").count() > 0)
+    p.runRetention(d2.plusDays(31), 31) // cutoff lands between d1 and d2
+    assert(p.gold("g1_daily_market_summary")
+      .where("snapshot_date = DATE'2026-02-13'").count() === 0)
+    assert(p.gold("g1_daily_market_summary")
+      .where("snapshot_date = DATE'2026-02-14'").count() > 0)
+  }
 }
