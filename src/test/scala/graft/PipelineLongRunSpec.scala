@@ -69,7 +69,12 @@ class PipelineLongRunSpec extends SparkSpec {
     val (droppedBronze, droppedParts) = p.runRetention(d0.plusDays(7), 3)
     assert(droppedBronze.map(_.toString).toSet ===
       (0 until 4).map(d => d0.plusDays(d.toLong).toString).toSet)
-    assert(droppedParts === 8L) // 4 silver + 4 mirror partitions
+    // 4 silver + 4 mirror partitions, plus gold ages out with silver:
+    // g1/g3/g5/g6/g7 each drop their 4 aged date partitions (g2's bar
+    // dates are processing-time = today, so none fall before the cutoff)
+    assert(droppedParts === 28L)
     assert(p.silver.count() === 40L) // 4 surviving days x 10 new ids
+    assert(p.gold("g1_daily_market_summary")
+      .where("snapshot_date < DATE'2026-03-05'").count() === 0)
   }
 }
