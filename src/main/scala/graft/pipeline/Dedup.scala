@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   *  - SimHash: 64-bit signature per doc; near-dup = hamming <= k via
   *    bit_count(xor) — signature join is band-able the same way.
   *
-  * Hash functions are Spark's murmur3/xxhash64 (deterministic,
-  * seedable via an extra literal child) — signatures are engine-
-  * specific, so LSH outputs verify as rows-only; the exact-Jaccard
-  * verification step IS oracle-comparable.
+  * Hash family: every signature hash is md5-derived, so MinHash
+  * signatures, LSH band buckets and SimHash signatures are all
+  * reproducible in ANY engine with an md5 function (the DuckDB
+  * oracle recomputes them in SQL and the gates hash-match). The
+  * i-th MinHash member uses Kirsch-Mitzenmacher double hashing
+  * (h_i = a + i*b over two independent 32-bit md5 halves — the
+  * standard Bloom-filter/minhash trick): ONE md5 per shingle buys
+  * the whole family, so the swap from murmur3 costs one digest
+  * where it used to cost numHashes murmur3 passes.
   */
 object Dedup {
 
@@ -165,17 +170,33 @@ object Dedup {
   }
 
   /** MinHash signature: numHashes independent min-hashes of the
-    * shingle set. hash(shingle, i) gives the i-th hash family member
-    * (murmur3 with the extra literal child acting as the seed mix).
+    * shingle set.
+    *
+    * Family: h_i(s) = a(s) + i * b(s), where a/b are the first/second
+    * 32 bits of md5(s) — Kirsch-Mitzenmacher double hashing. One md5
+    * per shingle row generates all members (values < 2^36, no
+    * overflow), and the family is pure ANSI SQL, so a DuckDB oracle
+    * reproduces the signatures bit-for-bit
+    * (`('0x'||substr(md5(s),1,8))::BIGINT` — the p18 cross-engine
+    * pattern). a/b land in one codegen'd projection; CSE shares the
+    * md5 digest between the two substrings.
     */
   def minHashSignatures(shingled: DataFrame, numHashes: Int = 16): DataFrame =
-    shingled.groupBy("doc_id").agg(
-      array((0 until numHashes).map(i =>
-        min(hash(col("shingle"), lit(i)))): _*).as("minhash"))
+    shingled
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("__ha"),
+        conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long").as("__hb"))
+      .groupBy("doc_id").agg(
+        array((0 until numHashes).map(i =>
+          min(col("__ha") + lit(i.toLong) * col("__hb"))): _*).as("minhash"))
 
   /** LSH banding: split the signature into bands of `rowsPerBand`,
     * hash each band, docs sharing any (band, hash) bucket become
     * candidate pairs. Linear-cost candidate generation.
+    *
+    * The band bucket is md5 over the comma-joined member values —
+    * a pure string function of the signature, so the oracle mirrors
+    * it with `md5(string_agg(mv, ',' ORDER BY i))`.
     */
   def lshCandidatePairs(signatures: DataFrame, numHashes: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
@@ -183,8 +204,8 @@ object Dedup {
       s"numHashes=$numHashes must be a multiple of rowsPerBand=$rowsPerBand")
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       val bandCols = (0 until rowsPerBand)
-        .map(r => element_at(col("minhash"), b * rowsPerBand + r + 1))
-      struct(lit(b).as("band"), hash(bandCols: _*).as("bucket"))
+        .map(r => element_at(col("minhash"), b * rowsPerBand + r + 1).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", bandCols: _*)).as("bucket"))
     }
     val buckets = signatures
       .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
@@ -238,25 +259,39 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes
-    * of each token's xxhash64, sign becomes the bit.
+  /** Effective SimHash width: token hashes are the first 15 hex
+    * digits of md5 (60 bits — the widest value `conv` round-trips
+    * exactly in both engines), so signature bits 60-63 are
+    * structurally zero. The 4x16-bit chunk banding and hamming
+    * arithmetic are unchanged; an oracle recomputes signatures with
+    * `('0x'||substr(md5(t),1,15))::BIGINT`.
+    */
+  val SimHashBits = 60
+
+  /** SimHash over whitespace tokens: per bit, sum +1/-1 votes of each
+    * token's 60-bit md5-derived hash, sign becomes the bit.
     *
-    * Shape: explode token hashes, then ONE codegen'd hash aggregation
-    * with 64 conditional-sum columns, assembled into the signature.
-    * (The all-expression alternative — 64 interpreted `aggregate`
-    * folds over the token array — re-walks the array per bit with no
-    * codegen; measured ~6 s for 5 000 docs vs ~1 s for this shape.
-    * The groupBy shuffles only (doc_id, 64 longs), not the text.)
+    * Shape: explode tokens, hash in a codegen'd projection (an md5
+    * inside a `transform` lambda would be interpreted per element —
+    * the HOF no-CSE trap), then ONE codegen'd hash aggregation with
+    * [[SimHashBits]] conditional-sum columns assembled into the
+    * signature. (The all-expression alternative — 64 interpreted
+    * `aggregate` folds over the token array — re-walks the array per
+    * bit with no codegen; measured ~6 s for 5 000 docs vs ~1 s for
+    * this shape. The groupBy shuffles only (doc_id, the votes), not
+    * the text.)
     */
   def simHashSignatures(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val hashes = df.select(
       col(idCol).as("doc_id"),
-      explode(transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))).as("__h"))
-    val votes = (0 until 64).map(b =>
+      explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long").as("__h"))
+    val votes = (0 until SimHashBits).map(b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         .as(s"__v$b"))
-    val sig = (0 until 64).map(b =>
+    val sig = (0 until SimHashBits).map(b =>
       when(col(s"__v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     hashes.groupBy(col("doc_id"))
@@ -268,8 +303,9 @@ object Dedup {
     * [[simHashSignatures]] for corpus-scale use — same result).
     */
   def simHash64(text: Column): Column = {
-    val tokenHashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
+    val tokenHashes = transform(TextAnalysis.tokens(text),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val bits = (0 until SimHashBits).map { b =>
       val votes = aggregate(
         tokenHashes,
         lit(0L),

@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   *  - sign-LSH (random hyperplanes): hash every vector to an n-bit
   *    bucket; queries only score their own bucket. Candidate cost
   *    drops ~2^bits-fold; recall is tunable by bits / multi-probe.
-  *    Hyperplanes are pseudo-random from xxhash64(bit, dim) — fully
-  *    deterministic, no state to ship.
+  *    Hyperplanes are pseudo-random Rademacher vectors derived from
+  *    md5("plane:bit:dim-index") — fully deterministic, no state to
+  *    ship, and derivable in any language/engine with an md5
+  *    implementation (the gate oracles embed them as literal arrays).
   *
   * All dot products are computed in double precision by a native
   * Catalyst expression with codegen
@@ -50,17 +52,19 @@ object Similarity {
   }
 
   /** Deterministic Rademacher hyperplane for bit `b` over `dim`
-    * dimensions: component i is xxhash64(i*97+b, seed 42) folded to
-    * {-1f, +1f} — the same values Spark's `xxhash64` column function
-    * produces for a LONG input, computed once on the DRIVER via the
-    * public XXH64 hasher, so no model needs storing or shipping.
+    * dimensions: component i is the low bit of the first byte of
+    * md5("plane:b:i") folded to {-1f, +1f}, computed once on the
+    * DRIVER — no model to store or ship, and any engine/language can
+    * re-derive the exact planes from its own md5 (`private[graft]`
+    * so the gate oracles embed the same values as SQL literals).
     */
-  private def plane(b: Int, dim: Int): Array[Float] =
+  private[graft] def plane(b: Int, dim: Int): Array[Float] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dim) { i =>
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashLong(i.toLong * 97L + b, 42L)
-      if ((h & 1L) == 1L) 1.0f else -1.0f
+      val h = digest.digest(s"plane:$b:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0f else -1.0f
     }
+  }
 
   /** n-bit sign-LSH bucket id for a vector column of dimension `dim`.
     *
@@ -74,9 +78,12 @@ object Similarity {
     * so the per-bit projection is bit-identical to the old fold:
     * same products, same sequential double accumulation.
     *
-    * Vectors whose length differs from `dim` (malformed embeddings)
-    * get a NULL dot → bit 0, i.e. they quietly land in a default
-    * bucket rather than failing the scan.
+    * Vectors whose length differs from `dim` (malformed embeddings —
+    * a broken encoder emitting truncated or empty vectors) get a NULL
+    * bucket, i.e. they are QUARANTINED: every bucket join drops them
+    * rather than piling them into a shared default bucket that would
+    * become an all-pairs hot spot at corpus scale. (NULL vectors also
+    * yield NULL — `size(NULL)` is NULL, never equal to `dim`.)
     */
   def lshBucket(vec: Column, bits: Int = 8, dim: Int = 64): Column = {
     val bitCols = (0 until bits).map { b =>
@@ -84,16 +91,21 @@ object Similarity {
       val proj = dot(vec, planeCol)
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
-    bitCols.reduce(_.bitwiseOR(_))
+    when(size(vec) === dim, bitCols.reduce(_.bitwiseOR(_)))
   }
 
-  /** Embedding dimensionality from a 1-row probe (bounded driver
-    * work; LSH planes are literals and need the width at plan time).
-    * Empty corpus → 1 (nothing will be bucketed anyway).
+  /** Embedding dimensionality for plan-time plane construction: the
+    * MAX vector length in the corpus — a deterministic single-value
+    * aggregate (an unordered `limit(1)` probe would make every bucket
+    * nondeterministic across runs, and an all-NULL first row would
+    * NPE). Shorter (malformed) vectors then quarantine via
+    * [[lshBucket]]'s NULL path. Empty / all-NULL corpus → 1 (nothing
+    * will be bucketed anyway).
     */
-  private def dimOf(emb: DataFrame, vecCol: String): Int =
-    emb.select(size(col(vecCol)).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(1)
+  private def dimOf(emb: DataFrame, vecCol: String): Int = {
+    val r = emb.select(max(size(col(vecCol))).as("d")).collect().head
+    if (r.isNullAt(0)) 1 else math.max(r.getInt(0), 1)
+  }
 
   /** ANN top-k: score only vectors in the query's LSH bucket(s).
     * Exact within the probed set; recall < 1 by construction (the
@@ -165,7 +177,9 @@ object Similarity {
   /** Deterministic hash-spread sample as initial centroids: filter to
     * ~1/nlist of ids by hash bucket, collect AT MOST nlist rows —
     * never the corpus id column (an O(corpus) driver collect would
-    * OOM at scale).
+    * OOM at scale). The spread variate is 32 md5 bits of the id
+    * (`('0x'||substr(md5(id||'/ivf'),1,8))::BIGINT` in the oracle's
+    * dialect), so another engine selects the exact same centroid set.
     */
   def sampleCentroids(emb: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Float])] = {
@@ -175,8 +189,9 @@ object Similarity {
       .orderBy(col(idCol)).limit(nlist)
       .select(col(idCol), col(vecCol)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    val sampled = centroidRows(
-      emb.where(pmod(xxhash64(col(idCol)), lit(bucket)) === 0))
+    val spread = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit("/ivf"))), 1, 8), 16, 10).cast("long")
+    val sampled = centroidRows(emb.where(pmod(spread, lit(bucket)) === 0))
     // hash variance on tiny corpora can select nothing — fall back to
     // the first nlist ids
     if (sampled.nonEmpty) sampled else centroidRows(emb)
@@ -316,19 +331,55 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs
     * within the same bucket with cosine >= threshold. The in-bucket
     * self-join replaces the corpus-wide cross product.
+    *
+    * Two guards bound the in-bucket join, which is quadratic in
+    * bucket population:
+    *  - malformed vectors (length != corpus dim) quarantine to a NULL
+    *    bucket ([[lshBucket]]) and never pair — without this, a broken
+    *    encoder's degenerate vectors would all share one bucket;
+    *  - buckets with more than `maxBucketSize` members are EXCLUDED
+    *    from pairing (the [[Dedup.jaccardPairs]] `maxShingleDf`
+    *    analog: an all-zero-embedding pathology makes one bucket an
+    *    all-pairs join at corpus scale). [[overflowBuckets]] reports
+    *    what was dropped — run it alongside for observability; the
+    *    exclusion is deterministic, so the gate oracle mirrors it
+    *    with a HAVING clause.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double, bits: Int = 8,
+      maxBucketSize: Int = 100000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = emb.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), bits, dimOf(emb, vecCol)).as("__bucket"))
-    val l = bucketed.select(col("__bucket"), col(idCol).as("id_a"),
+      .where(col("__bucket").isNotNull)
+    val keepable = bucketed.groupBy("__bucket")
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucketSize)
+      .select("__bucket")
+    val capped = bucketed.join(keepable, Seq("__bucket"), "left_semi")
+    val l = capped.select(col("__bucket"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"))
-    val r = bucketed.select(col("__bucket"), col(idCol).as("id_b"),
+    val r = capped.select(col("__bucket"), col(idCol).as("id_b"),
       col(vecCol).as("vec_b"))
     l.join(r, Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .where(col("cosine") >= threshold)
+  }
+
+  /** The buckets [[embeddingNearDups]] dropped under the same
+    * parameters: (bucket, population) for populations >
+    * maxBucketSize, plus the quarantine count of malformed vectors as
+    * bucket NULL. Cheap (one pass + tiny aggregate) — log it next to
+    * every near-dup run.
+    */
+  def overflowBuckets(emb: DataFrame, bits: Int = 8,
+      maxBucketSize: Int = 100000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = emb.select(
+      lshBucket(col(vecCol), bits, dimOf(emb, vecCol)).as("__bucket"))
+    bucketed.groupBy("__bucket").agg(count(lit(1)).as("population"))
+      .where(col("population") > maxBucketSize || col("__bucket").isNull)
+      .withColumnRenamed("__bucket", "bucket")
   }
 }

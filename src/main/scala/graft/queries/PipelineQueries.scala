@@ -9,14 +9,13 @@ import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
   * text analysis) gate-checked over the driver's `documents` /
   * `embeddings` tables.
   *
-  * Oracle policy: everything whose semantics are pure ANSI SQL
-  * (md5 hashing, regex counts, shingle Jaccard, double-precision
-  * cosine) gets a DuckDB oracle. Operators whose OUTPUT depends on
-  * engine-specific hash functions (murmur3/xxhash64 in MinHash, SimHash
-  * and sign-LSH bucketing) are registered rows-only (`oracle = None`):
-  * their *verification* steps are exact (LSH only prunes the pair
-  * space), but the candidate sets — and for SimHash the signatures
-  * themselves — are not reproducible in another engine.
+  * Oracle policy: EVERY query here gets a DuckDB oracle. The hash
+  * families behind MinHash/LSH/SimHash are md5-derived (round-4
+  * change), sign-LSH hyperplanes and IVF centroid selection are
+  * md5-derived driver-side constants — so even the ANN/near-dup
+  * candidate sets are reproducible in any engine with md5, and the
+  * oracles below recompute signatures, buckets, cells and verified
+  * pairs end-to-end in SQL.
   */
 object PipelineQueries {
 
@@ -62,6 +61,59 @@ object PipelineQueries {
       |     WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
       |     WHEN de_hits >= fr_hits THEN 'de'
       |     ELSE 'fr' END AS predicted_lang""".stripMargin
+
+  /** The driver-generated embeddings tables are 64-dimensional at
+    * every scale factor (TESTDATA.md); [[Similarity.dimOf]] resolves
+    * this value at plan time, the oracles pin it.
+    */
+  private val EmbeddingDim = 64
+
+  /** [[Similarity.plane]]'s ±1 components as a DuckDB DOUBLE[]
+    * literal — the oracle scores the exact hyperplanes the engine
+    * derives from md5("plane:b:i").
+    */
+  private def planeListSql(b: Int): String =
+    graft.pipeline.Similarity.plane(b, EmbeddingDim)
+      .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  /** Sign-LSH bucket id of DOUBLE[] expression `vecExpr`, mirroring
+    * [[Similarity.lshBucket]]: bit b set iff vec . plane(b) > 0.
+    */
+  private def bucketSql(vecExpr: String, bits: Int): String =
+    (0 until bits).map(b =>
+      s"(CASE WHEN list_dot_product($vecExpr, ${planeListSql(b)}) > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString("\n          + ")
+
+  /** DuckDB cosine between two DOUBLE[] expressions — identical
+    * product/accumulation order to the engine's FloatVectorDot
+    * (proven bit-exact by the p10/p14 gates).
+    */
+  private def cosineSql(a: String, b: String): String =
+    s"""list_dot_product($a, $b)
+       |  / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+
+  /** SimHash signature CTEs mirroring [[Dedup.simHashSignatures]]:
+    * per-token 60-bit md5 hash, per-bit +1/-1 votes, sign bits
+    * assembled into `sig`. Produces CTEs `tok`, `toksh`, `votes`,
+    * `sigs(doc_id, sig)`.
+    */
+  private val simHashSigSql: String = {
+    val votes = (0 until graft.pipeline.Dedup.SimHashBits).map(b =>
+      s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n         ")
+    val sig = (0 until graft.pipeline.Dedup.SimHashBits).map(b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |toksh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |votes AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM toksh GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sig AS sig FROM votes)""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -189,15 +241,55 @@ object PipelineQueries {
              |                i -> substring(s, CAST(i AS INTEGER), 5))) AS shingle
              |  FROM t)""".stripMargin)),
 
-    // MinHash+LSH near-dups: linear candidate generation, exact verify.
-    // Rows-only: signatures are murmur3-specific.
+    // MinHash+LSH near-dups: linear candidate generation, exact
+    // verify. The oracle recomputes the md5-derived double-hashing
+    // signatures (h_i = a + i*b over two md5 halves), the md5 band
+    // buckets, the candidate pairs AND the exact-Jaccard verification
+    // — the full pipeline hash-matches across engines.
     QueryDef("p08_minhash_neardups",
       (s, dir) => Dedup.minHashNearDups(
-        Tables.documents(s, dir), threshold = 0.8), None),
+        Tables.documents(s, dir), threshold = 0.8),
+      Some(s"""WITH $shingleSql,
+              |hv AS (SELECT doc_id,
+              |              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
+              |              ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hb
+              |       FROM sh),
+              |mh AS (SELECT doc_id, i, min(ha + i * hb) AS mv
+              |       FROM hv CROSS JOIN (SELECT unnest(range(16)) AS i) idx
+              |       GROUP BY doc_id, i),
+              |bands AS (SELECT doc_id, i // 4 AS band,
+              |                 md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bucket
+              |          FROM mh GROUP BY doc_id, i // 4),
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |         FROM bands a JOIN bands b
+              |           ON a.band = b.band AND a.bucket = b.bucket
+              |          AND a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
+              |          FROM sh GROUP BY doc_id),
+              |common AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS common
+              |           FROM cand c
+              |           JOIN sh a ON a.doc_id = c.doc_a
+              |           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              |           GROUP BY c.doc_a, c.doc_b)
+              |SELECT doc_a, doc_b,
+              |       common / (sa.set_size + sb.set_size - common) AS jaccard
+              |FROM common
+              |JOIN sizes sa ON sa.doc_id = doc_a
+              |JOIN sizes sb ON sb.doc_id = doc_b
+              |WHERE common / (sa.set_size + sb.set_size - common) >= 0.8""".stripMargin)),
 
-    // SimHash near-dups: banded hamming join. Rows-only (xxhash64).
+    // SimHash near-dups: banded hamming join. The banding is
+    // output-invisible (pigeonhole: hamming <= 3 over 4 chunks always
+    // shares a chunk — RecallGateSpec proves set equality with brute
+    // force), so the oracle verifies via the brute-force hamming join
+    // over the same md5-derived signatures.
     QueryDef("p09_simhash_neardups",
-      (s, dir) => Dedup.simHashNearDups(Tables.documents(s, dir)), None),
+      (s, dir) => Dedup.simHashNearDups(Tables.documents(s, dir)),
+      Some(s"""WITH $simHashSigSql
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+              |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin)),
 
     // Brute-force cosine top-k: the exact ANN baseline.
     QueryDef("p10_brute_force_topk",
@@ -215,25 +307,88 @@ object PipelineQueries {
              |ORDER BY cosine DESC, e.vec_id ASC
              |LIMIT 10""".stripMargin)),
 
-    // Sign-LSH ANN top-k: scores only the query's bucket. Rows-only
-    // (bucket ids are xxhash64-specific). bits=4 so the bucket is
-    // populated at sf0.01 corpus size; at 100 TB bits grows with the
-    // corpus and the bucket column becomes a partition key.
+    // Sign-LSH ANN top-k: scores only the query's bucket. bits=4 so
+    // the bucket is populated at sf0.01 corpus size; at 100 TB bits
+    // grows with the corpus and the bucket column becomes a partition
+    // key. The oracle embeds the engine's md5-derived hyperplanes as
+    // literal DOUBLE[]s and recomputes every bucket in SQL.
     QueryDef("p11_lsh_topk",
       (s, dir) => Similarity.lshTopK(
-        Tables.embeddings(s, dir), queryId = 0L, k = 10, bits = 4), None),
+        Tables.embeddings(s, dir), queryId = 0L, k = 10, bits = 4),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |           FROM embeddings),
+              |b AS (SELECT vec_id, v,
+              |        CASE WHEN len(v) = $EmbeddingDim THEN
+              |            ${bucketSql("v", 4)}
+              |        END AS bucket
+              |      FROM e),
+              |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+              |SELECT b.vec_id,
+              |       ${cosineSql("b.v", "q.qv")} AS cosine
+              |FROM b, q
+              |WHERE b.bucket = q.qb AND b.vec_id <> 0
+              |ORDER BY cosine DESC, b.vec_id ASC
+              |LIMIT 10""".stripMargin)),
 
     // IVF-Flat ANN top-k: nprobe/nlist cell probing with exact
-    // in-cell scoring. Rows-only (cell assignment is centroid-sample
-    // specific; in-cell cosines are exact — see SimilaritySpec).
+    // in-cell scoring. The oracle recomputes the md5-spread centroid
+    // sample (non-empty at gate scale, so the tiny-corpus fallback
+    // path is not mirrored), the argmax-cosine cell assignment with
+    // the engine's (score, cid) lexicographic tie-break, the probe
+    // set, and the in-cell top-k — end-to-end in SQL.
     QueryDef("p13_ivf_topk",
       (s, dir) => Similarity.ivfTopK(
-        Tables.embeddings(s, dir), queryId = 0L, k = 10, nlist = 16, nprobe = 4), None),
+        Tables.embeddings(s, dir), queryId = 0L, k = 10, nlist = 16, nprobe = 4),
+      Some(s"""WITH stride AS (SELECT greatest(count(*) // 16, 1) AS bkt
+              |                FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+              |         FROM embeddings, stride
+              |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
+              |               % bkt = 0
+              |         ORDER BY vec_id LIMIT 16),
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |assigned AS (
+              |  SELECT vec_id, v, cid,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC,
+              |                    cid DESC) AS rn
+              |  FROM e CROSS JOIN cent),
+              |celled AS (SELECT vec_id, v, cid AS cell FROM assigned WHERE rn = 1),
+              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              |probes AS (
+              |  SELECT cid,
+              |         row_number() OVER (ORDER BY
+              |           ${cosineSql("c", "q.qv")} DESC, cid DESC) AS pr
+              |  FROM cent, q)
+              |SELECT d.vec_id,
+              |       ${cosineSql("d.v", "q.qv")} AS cosine
+              |FROM celled d
+              |JOIN probes p ON d.cell = p.cid AND p.pr <= 4
+              |CROSS JOIN q
+              |WHERE d.vec_id <> 0
+              |ORDER BY cosine DESC, d.vec_id ASC
+              |LIMIT 10""".stripMargin)),
 
-    // Embedding-cosine near-dup pairs within LSH buckets. Rows-only.
+    // Embedding-cosine near-dup pairs within LSH buckets, with the
+    // hot-bucket cap and malformed-vector quarantine mirrored
+    // (len-filter + HAVING — both deterministic, both no-ops on the
+    // well-formed gate corpus, both load-bearing at 100 TB).
     QueryDef("p12_embedding_neardups",
       (s, dir) => Similarity.embeddingNearDups(
-        Tables.embeddings(s, dir), threshold = 0.3, bits = 2), None),
+        Tables.embeddings(s, dir), threshold = 0.3, bits = 2),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |           FROM embeddings
+              |           WHERE len(embedding) = $EmbeddingDim),
+              |b AS (SELECT vec_id, v,
+              |        ${bucketSql("v", 2)} AS bucket
+              |      FROM e),
+              |keep AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 100000)
+              |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+              |       ${cosineSql("a.v", "c.v")} AS cosine
+              |FROM b a
+              |JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+              |JOIN keep k ON k.bucket = a.bucket
+              |WHERE ${cosineSql("a.v", "c.v")} >= 0.3""".stripMargin)),
 
     // Composed curation pipeline — the operators as a user would chain
     // them: quality-score filter -> exact dedup -> language ID ->

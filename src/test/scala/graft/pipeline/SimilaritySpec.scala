@@ -106,6 +106,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingNearDups: adversarial all-zero corpus is bounded by the bucket cap") {
+    // a broken encoder emitting all-zero vectors: every zero vector
+    // projects to 0 on every hyperplane -> one shared bucket. Without
+    // the cap that bucket is an all-pairs join (n^2/2 at corpus
+    // scale); with maxBucketSize below its population the bucket is
+    // excluded and the output stays bounded.
+    // (-1,-2,-3) projects positive on plane 0 -> bucket 1, away from
+    // the zero vectors' bucket 0 (computed from the md5 planes)
+    val broken = (0L until 50L).map(i => (i, Array.fill(3)(0.0f))) :+
+      (100L, Array(-1.0f, -2.0f, -3.0f)) :+ (101L, Array(-1.0f, -2.0f, -3.0f))
+    val df = broken.toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(df, threshold = -1.0, bits = 4,
+      maxBucketSize = 10)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // the 50-member zero bucket (> cap 10) contributes no pairs; the
+    // 2-member duplicate bucket survives
+    assert(pairs === Set((100L, 101L)))
+    // and the drop is observable
+    val dropped = Similarity.overflowBuckets(df, bits = 4, maxBucketSize = 10)
+      .collect()
+    assert(dropped.exists(_.getAs[Long]("population") === 50L))
+  }
+
+  test("embeddingNearDups/lshTopK: malformed vectors quarantine instead of pairing") {
+    // corpus dim = 3 (max); two truncated and one empty vector would
+    // all share bit-0 buckets under a default-bucket rule — with
+    // quarantine they never pair, and well-formed pairing is intact
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(9.0f)), (3L, Array(9.0f)), (4L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(df, threshold = -1.0, bits = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs === Set((0L, 1L)))
+    // quarantined population is reported under the NULL bucket
+    val quarantined = Similarity.overflowBuckets(df, bits = 4).collect()
+      .filter(_.isNullAt(0)).map(_.getAs[Long]("population"))
+    assert(quarantined.toSeq === Seq(3L))
+    // a malformed QUERY returns no candidates rather than a wrong bucket's
+    assert(Similarity.lshTopK(df, 2L, 4, bits = 2).collect().isEmpty)
+  }
+
   test("lshTopK: results are a subset of brute-force ordering semantics") {
     val brute = Similarity.bruteForceTopK(emb, 0L, 4).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
