@@ -117,8 +117,17 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     val newRows = SilverTransform.firstSeenOnly(normalized, silver.select("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = newRows.count()
+    // sortWithinPartitions(partition col, created_at): each written
+    // file is created_at-ordered, so its parquet row groups carry
+    // TIGHT created_at min/max stats. That makes the G2 increment's
+    // created_at range scan ([[Pipeline.createdAtRangeFilter]]) a
+    // row-group skip STRUCTURALLY — even on a backfill where
+    // created_at stops correlating with snapshot_date/write time —
+    // instead of a statistics bet. (The writer keeps this order: its
+    // required ordering, the partition column, is a satisfied prefix.)
     if (n > 0)
-      newRows.write.mode(SaveMode.Append)
+      newRows.sortWithinPartitions(col("snapshot_date"), col("created_at"))
+        .write.mode(SaveMode.Append)
         .partitionBy("snapshot_date").parquet(silverPath)
     newRows.unpersist(); normalized.unpersist()
     n
@@ -130,14 +139,60 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     * (S6). The upsert is an atomic directory swap — the MERGE-less
     * parquet equivalent of `ON CONFLICT DO UPDATE`.
     */
-  def runDims(source: Dimensions.ItemMetadataSource, limit: Int = 100): Long = {
+  def runDims(source: Dimensions.ItemMetadataSource, limit: Int = 100): Long =
+    runDimsTracked(source, limit)._1
+
+  /** [[runDims]] + change tracking: returns (upserted row count, the
+    * item ids whose gold-visible attributes actually CHANGED — new
+    * rows, or differing name/quality/class/subclass/icon). The
+    * changed set drives [[refreshDimAffectedGold]]: historical G1/G7
+    * partitions denormalize these attributes at write time, so a dim
+    * change must re-enrich them (the reference recomputes gold from
+    * retained silver every run and would re-enrich implicitly).
+    */
+  def runDimsTracked(source: Dimensions.ItemMetadataSource,
+      limit: Int = 100): (Long, Seq[Long]) = {
     val ids = Dimensions.missingItemIds(silver, dims, limit)
       .collect().map(_.getLong(0)).toSeq // <=100 ids by contract — driver-safe
-    if (ids.isEmpty) return 0L
+    if (ids.isEmpty) return (0L, Nil)
     val updates = Dimensions.enrich(spark, ids, source)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val attrs = Seq("name", "quality", "item_class", "item_subclass", "icon_url")
+    // <= `limit` rows by construction — driver-safe
+    val changed = updates.alias("u")
+      .join(dims.select((Seq("item_id") ++ attrs).map(col): _*).alias("o"),
+        Seq("item_id"), "left")
+      .where(attrs.map(a => !(col(s"u.$a") <=> col(s"o.$a"))).reduce(_ || _))
+      .select("item_id").collect().map(_.getLong(0)).toSeq
     val merged = Dimensions.upsert(dims, updates)
     overwriteAtomically(dimsPath, merged, Schemas.itemDim)
-    updates.count()
+    val n = updates.count()
+    updates.unpersist()
+    (n, changed)
+  }
+
+  /** Rewrite the G1/G7 partitions that bake in now-stale dim
+    * attributes: every snapshot_date where a changed item appears is
+    * recomputed from silver (partition-pruned scan) and
+    * partition-overwritten. Bounded work: <=100 changed items/run and
+    * the retention window caps the date set at ~30 partitions.
+    * No cascade: G3/G6 read only G1's `median_buyout` (a price, not a
+    * dim attribute), and G2/G4/G5 are dim-free.
+    */
+  def refreshDimAffectedGold(changedItemIds: Seq[Long]): Unit = {
+    if (changedItemIds.isEmpty) return
+    val affectedDates = silver
+      .where(col("item_id").isin(changedItemIds: _*))
+      .select("snapshot_date").distinct()
+      .collect().map(_.getDate(0)).toSeq // <= retention-window dates
+    if (affectedDates.isEmpty) return
+    val d = dims
+    val affected = silver.where(col("snapshot_date").isin(affectedDates: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    overwriteDatePartitions("g1_daily_market_summary",
+      Marts.dailyMarketSummary(affected, d))
+    overwriteDatePartitions("g7_sector_trends", Marts.sectorTrends(affected, d))
+    affected.unpersist()
   }
 
   /** E1 step 4 — full recompute of the seven gold marts (the
@@ -188,9 +243,14 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     *    snapshot_date: a backfill stamps many partitions with one
     *    processing day. Affected bar dates = distinct
     *    date(created_at) in partition D; their bars are recomputed
-    *    from a created_at-filtered scan (column-pruned; parquet
-    *    row-group stats skip cold partitions since created_at
-    *    correlates with write time) and partition-overwritten.
+    *    from a created_at RANGE scan ([[Pipeline.createdAtRangeFilter]]
+    *    — plain comparisons that reach the parquet scan as
+    *    PushedFilters, where `to_date(created_at) IN (...)` would
+    *    not) and partition-overwritten. [[runSilver]] writes each
+    *    partition created_at-sorted, so row groups carry tight
+    *    min/max stats and the range scan skips cold data
+    *    STRUCTURALLY — it does not rely on created_at correlating
+    *    with write time, which a backfill breaks.
     *  - G4's avg_daily_stock couples every day of an item's history
     *    (window over all dates), so its rows are never final — but
     *    its input is the (id,item,qty,date) bronze mirror BOUNDED by
@@ -215,7 +275,8 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
       .select(to_date(col("created_at")).as("d")).distinct()
       .collect().map(_.getDate(0)) // <= backfill-days values; driver-safe
     if (affectedBarDates.nonEmpty) {
-      val barRows = silver.where(to_date(col("created_at")).isin(affectedBarDates: _*))
+      val barRows = silver.where(
+        Pipeline.createdAtRangeFilter(affectedBarDates.toSeq))
       overwriteDatePartitions("g2_price_history",
         Marts.priceHistory(barRows, ts = col("created_at"))
           .withColumn("snapshot_date", to_date(col("snapshot_hour"))))
@@ -229,9 +290,21 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     overwriteDatePartitions("g3_market_opportunities",
       Marts.marketOpportunities(g1Window)
         .where(col("snapshot_date") === dayCol))
+    // G6's lag must read the LATEST PRIOR G1 date actually present —
+    // a full recompute's lag() skips over gap days (a failed/skipped
+    // ingest), so hard-coding D-1 would diverge exactly then. The
+    // prior date comes from the partition listing (metadata-only) and
+    // may be older than the G3 window, so G6 reads its own pruned
+    // two-partition slice.
+    val prevG1Date = partitionDates(goldPath("g1_daily_market_summary"))
+      .filter(_.isBefore(date))
+      .reduceOption((a, b) => if (a.isAfter(b)) a else b)
+    val g6Dates = (Seq(date) ++ prevG1Date).map(java.sql.Date.valueOf)
+    val g6Input = gold("g1_daily_market_summary")
+      .where(col("snapshot_date").isin(g6Dates: _*))
+      .select(col("item_id"), col("snapshot_date"), col("median_buyout"))
     overwriteDatePartitions("g6_market_index",
-      Marts.marketIndex(
-        g1Window.where(col("snapshot_date") >= date_sub(dayCol, 1)))
+      Marts.marketIndex(g6Input)
         .where(col("snapshot_date") === dayCol))
     write("g4_item_demand", Marts.itemDemand(bronzeDaily))
     day.unpersist()
@@ -345,8 +418,11 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
       retentionDays: Int = 30): Unit = {
     ingest(date, rawJson)
     runSilver(date)
-    runDims(source)
+    // day-D gold below sees the fresh dims; the refresh afterwards
+    // re-enriches the HISTORICAL G1/G7 partitions the upsert staled
+    val (_, changedDims) = runDimsTracked(source)
     runGoldIncremental(date)
+    refreshDimAffectedGold(changedDims)
     runRetention(date, retentionDays)
   }
 
@@ -376,4 +452,25 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
 
   private def write(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(goldPath(name))
+}
+
+object Pipeline {
+
+  /** `to_date(created_at) IN (dates)` as pushdown-friendly ranges:
+    * `(created_at >= D AND created_at < D+1) OR ...`. A function call
+    * on the column would block parquet predicate pushdown entirely;
+    * these fold to timestamp-literal comparisons that land in the
+    * scan's PushedFilters and prune row groups via min/max stats
+    * (PlanSpec proves it on a backfill fixture). Semantics identical
+    * under the UTC session timezone: to_date truncates to the same
+    * day boundaries the casts produce.
+    */
+  private[graft] def createdAtRangeFilter(dates: Seq[java.sql.Date]): org.apache.spark.sql.Column = {
+    require(dates.nonEmpty, "no bar dates to filter")
+    dates.map { d =>
+      val dl = lit(d)
+      (col("created_at") >= dl.cast("timestamp")) &&
+        (col("created_at") < date_add(dl, 1).cast("timestamp"))
+    }.reduce(_ || _)
+  }
 }

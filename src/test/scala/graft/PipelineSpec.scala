@@ -87,6 +87,64 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dim change re-enriches historical gold partitions (incremental == full)") {
+    val wh = Files.createTempDirectory("graft-wh-dims").toString
+    val p = new Pipeline(spark, wh)
+    // day 1: every fetch succeeds but carries no name — the enrichment
+    // backlog scenario (r02 re-picks null-name dims for retry)
+    val nameless = new Dimensions.ItemMetadataSource {
+      override def fetch(itemId: Long): Option[Dimensions.ItemPayload] =
+        Some(Dimensions.ItemPayload(None, Some("Rare"), None, None))
+    }
+    p.ingest(d1, Fixtures.day1Json)
+    p.runSilver(d1)
+    p.runDimsTracked(nameless)
+    p.runGoldIncremental(d1)
+    assert(p.gold("g1_daily_market_summary")
+      .where("item_name IS NOT NULL").count() === 0)
+
+    // day 2: the backlog fills in — names arrive, dims CHANGE, and the
+    // historical G1/G7 partitions that froze null names must be
+    // rewritten (the reference recomputes gold from silver and would
+    // re-enrich implicitly)
+    p.ingest(d2, Fixtures.day2Json)
+    p.runSilver(d2)
+    val (_, changed) = p.runDimsTracked(source)
+    assert(changed.nonEmpty)
+    p.runGoldIncremental(d2)
+    p.refreshDimAffectedGold(changed)
+    assert(p.gold("g1_daily_market_summary")
+      .where(s"snapshot_date = DATE'$d1' AND item_name IS NOT NULL").count() > 0)
+
+    val incG1 = p.gold("g1_daily_market_summary").collect().map(_.toString).toSet
+    val incG7 = p.gold("g7_sector_trends").collect().map(_.toString).toSet
+    p.runGold()
+    assert(incG1 === p.gold("g1_daily_market_summary").collect().map(_.toString).toSet)
+    assert(incG7 === p.gold("g7_sector_trends").collect().map(_.toString).toSet)
+  }
+
+  test("incremental G6 lags across a gap day exactly like the full recompute") {
+    val wh = Files.createTempDirectory("graft-wh-gap").toString
+    val p = new Pipeline(spark, wh)
+    p.ingest(d1, Fixtures.day1Json)
+    p.runSilver(d1)
+    p.runGoldIncremental(d1)
+    // d2 never lands (failed ingest); d3 runs incrementally
+    val d3 = d1.plusDays(2)
+    p.ingest(d3, Fixtures.day2Json)
+    p.runSilver(d3)
+    p.runGoldIncremental(d3)
+    // the lag resolved against d1 (latest present), not the absent d2
+    val incRow = p.gold("g6_market_index")
+      .where(s"snapshot_date = DATE'$d3'").collect()
+    assert(incRow.length === 1)
+    assert(!incRow.head.isNullAt(incRow.head.fieldIndex("inflation_pct_daily")),
+      "gap day left inflation_pct_daily null on the incremental path")
+    val inc = p.gold("g6_market_index").collect().map(_.toString).toSet
+    p.runGold()
+    assert(inc === p.gold("g6_market_index").collect().map(_.toString).toSet)
+  }
+
   test("silver re-run of the same day is idempotent (ON CONFLICT parity)") {
     val wh = Files.createTempDirectory("graft-wh2").toString
     val p = new Pipeline(spark, wh)

@@ -102,6 +102,36 @@ class PlanSpec extends SparkSpec {
     assert(q.count() === 2) // only day-2's new listings, day-1 files unread
   }
 
+  test("G2 increment: created_at ranges reach the scan as PushedFilters on a backfill") {
+    // backfill fixture: created_at does NOT correlate with
+    // snapshot_date (each partition holds three different created_at
+    // dates) — the scenario where relying on write-time correlation
+    // for row-group skipping breaks down
+    val days = Seq("2026-03-01", "2026-03-02", "2026-03-03")
+    val rows = for {
+      (snap, si) <- days.zipWithIndex
+      (created, ci) <- days.zipWithIndex
+    } yield (si * 10L + ci, java.sql.Timestamp.valueOf(s"$created 0$ci:30:00"),
+      java.sql.Date.valueOf(snap))
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-backfill").toString + "/silver"
+    rows.toDF("id", "created_at", "snapshot_date")
+      .sortWithinPartitions(col("snapshot_date"), col("created_at"))
+      .write.partitionBy("snapshot_date").parquet(path)
+    val table = spark.read.parquet(path)
+    val barDates = Seq(java.sql.Date.valueOf("2026-03-02"))
+    val q = table.where(Pipeline.createdAtRangeFilter(barDates))
+    val plan = q.queryExecution.executedPlan.toString
+    // plain comparisons push down; the old to_date(created_at) IN (...)
+    // formulation leaves PushedFilters empty
+    assert("PushedFilters: \\[[^\\]]*created_at".r.findFirstIn(plan).isDefined,
+      s"created_at ranges not pushed to the scan:\n$plan")
+    val old = table.where(to_date(col("created_at"))
+      .isin(barDates: _*)).collect().map(_.getLong(0)).toSet
+    assert(q.collect().map(_.getLong(0)).toSet === old)
+    assert(old === Set(1L, 11L, 21L)) // one created_at-day row per partition
+  }
+
   test("first-seen anti-join stays a join, not a driver-side collect") {
     val bronze = bronzeDailyFromEvents(spark, dir)
     val plan = planOf(silver.SilverTransform.firstSeenOnly(
