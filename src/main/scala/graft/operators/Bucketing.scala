@@ -47,17 +47,27 @@ object Bucketing {
     val uri = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
     if (uri.getScheme == null || uri.getScheme == "file" || uri.getScheme == "local") {
       val warehouse = java.nio.file.Paths.get(uri.getPath)
-      // saveAsTable lower-cases identifiers; a managed table in
-      // database `db` lives at <warehouse>/db.db/<table>. Locale.ROOT:
-      // the default locale would fold 'I' to dotless-i under tr_TR,
+      // saveAsTable lower-cases identifiers; Locale.ROOT because the
+      // default locale would fold 'I' to dotless-i under tr_TR,
       // checking a path the catalog never writes
       val parts = table.toLowerCase(java.util.Locale.ROOT).split('.')
-      val stale = parts match {
-        case Array(t) => warehouse.resolve(t)
-        case Array(db, t) => warehouse.resolve(db + ".db").resolve(t)
+      val (dbName, tName) = parts match {
+        case Array(t) => (spark.catalog.currentDatabase, t)
+        case Array(db, t) => (db, t)
         case _ => throw new IllegalArgumentException(
           s"table name '$table' has more than one qualifier")
       }
+      // a managed table lives under its DATABASE's location: for the
+      // default database that is the warehouse ROOT (not
+      // default.db/), so resolve from the catalog; if the database is
+      // unknown to this (fresh in-memory) catalog, fall back to the
+      // on-disk convention a previous session would have used
+      val dbPath = scala.util.Try(java.nio.file.Paths.get(
+        new java.net.URI(spark.catalog.getDatabase(dbName).locationUri).getPath))
+        .getOrElse(
+          if (dbName == "default") warehouse
+          else warehouse.resolve(dbName + ".db"))
+      val stale = dbPath.resolve(tName)
       if (java.nio.file.Files.exists(stale)) {
         val s = java.nio.file.Files.walk(stale)
         try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)

@@ -41,13 +41,29 @@ object Dedup {
         min(col(idCol)).as("keeper_doc_id"))
 
   /** Keep one row per distinct content (first by id — deterministic,
-    * unlike dropDuplicates which keeps an arbitrary row).
+    * unlike dropDuplicates which keeps an arbitrary row). Assumes ids
+    * identify rows (a corpus invariant; duplicate ids would keep all
+    * copies of the keeper id).
+    *
+    * Shape: (hash, id) keepers + semi-join back — the hash
+    * aggregation shuffles 24-byte rows, never text, with map-side
+    * combine, so a million copies of one hot document reduce to one
+    * row per map task. The previous `Window.partitionBy(md5(text))`
+    * formulation shuffled the FULL TEXT by content hash — at corpus
+    * scale that serializes every copy of a hot document through a
+    * single task and fully sorts text within partitions. Here the
+    * keeper side is hash+id only (broadcast at moderate scale —
+    * PlanSpec asserts no shuffled exchange carries text; at extreme
+    * scale the semi-join shuffles df by its UNIQUE id, which cannot
+    * hot-spot).
     */
   def dropExactDuplicates(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    val keepers = df
+      .select(md5(col(textCol)).as("__h"), col(idCol))
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keepers, Seq(idCol), "left_semi")
   }
 
   /** Word n-gram shingles, one row per distinct (id, shingle). Docs
@@ -88,18 +104,22 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact pairwise Jaccard over shingle sets, for all pairs sharing
-    * at least one (frequency-capped) shingle. Returns
-    * (doc_a < doc_b, jaccard >= threshold).
-    */
-  /** `persistShingles=false` opts out of the internal MEMORY_AND_DISK
+  /** The shared capped-index overlap plan behind [[jaccardPairs]] and
+    * [[containmentPairs]]: df-cap the shingle index, count common
+    * shingles per candidate pair, join back the true set sizes, score
+    * with `ratio(common, size_a, size_b)` and threshold. One
+    * pair-join, one pair-grain aggregation; only the final ratio
+    * differs between the metrics.
+    *
+    * `persistShingles=false` opts out of the internal MEMORY_AND_DISK
     * persist for callers that manage caching themselves (the cache
     * otherwise lives until session end — fine for one-shot jobs,
     * unwanted in long-lived services; blocks evict LRU under pressure
     * either way).
     */
-  def jaccardPairs(shingledIn: DataFrame, threshold: Double,
-      maxShingleDf: Int = 100, persistShingles: Boolean = true): DataFrame = {
+  private def overlapPairs(shingledIn: DataFrame, threshold: Double,
+      maxShingleDf: Int, persistShingles: Boolean, metric: String)(
+      ratio: (Column, Column, Column) => Column): DataFrame = {
     // The shingle frame feeds FOUR consumers (set sizes, df cap, both
     // sides of the pair join) — persist it or the explode+distinct
     // upstream recomputes per consumer (measured 2-3x slower).
@@ -126,11 +146,19 @@ object Dedup {
         .withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("common") / (col("size_a") + col("size_b") - col("common")))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+      .withColumn(metric, ratio(col("common"), col("size_a"), col("size_b")))
+      .where(col(metric) >= threshold)
+      .select("doc_a", "doc_b", "common", "size_a", "size_b", metric)
   }
+
+  /** Exact pairwise Jaccard over shingle sets, for all pairs sharing
+    * at least one (frequency-capped) shingle. Returns
+    * (doc_a < doc_b, jaccard >= threshold).
+    */
+  def jaccardPairs(shingledIn: DataFrame, threshold: Double,
+      maxShingleDf: Int = 100, persistShingles: Boolean = true): DataFrame =
+    overlapPairs(shingledIn, threshold, maxShingleDf, persistShingles,
+      "jaccard")((common, sa, sb) => common / (sa + sb - common))
 
   /** Containment (overlap-coefficient) pairs: |A ∩ B| / min(|A|,|B|)
     * >= threshold over the same df-capped shingle index as
@@ -138,36 +166,12 @@ object Dedup {
     * misses: a short document wholly quoted inside a long one has
     * containment ~1 but Jaccard ~|short|/|long| — the standard
     * companion metric for training-corpus quote/boilerplate
-    * deduplication. Same plan shape (one pair-join, one pair-grain
-    * aggregation); only the final ratio differs.
+    * deduplication.
     */
   def containmentPairs(shingledIn: DataFrame, threshold: Double,
-      maxShingleDf: Int = 100, persistShingles: Boolean = true): DataFrame = {
-    val shingled =
-      if (persistShingles)
-        shingledIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else shingledIn
-    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val capped = shingled.join(
-      shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .where(col("df") <= maxShingleDf)
-        .select("shingle"),
-      Seq("shingle"), "left_semi")
-    val a = capped.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = capped.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
-      .withColumn("containment", col("common") / least(col("size_a"), col("size_b")))
-      .where(col("containment") >= threshold)
-      .select("doc_a", "doc_b", "common", "size_a", "size_b", "containment")
-  }
+      maxShingleDf: Int = 100, persistShingles: Boolean = true): DataFrame =
+    overlapPairs(shingledIn, threshold, maxShingleDf, persistShingles,
+      "containment")((common, sa, sb) => common / least(sa, sb))
 
   /** MinHash signature: numHashes independent min-hashes of the
     * shingle set.

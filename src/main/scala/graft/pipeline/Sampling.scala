@@ -23,14 +23,29 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform variate in [0, 1): 32 bits of md5(key ++ "/" ++ salt).
-    * conv() parses the hex; division by 2^32 is exact (both operands
-    * integral powers of two apart), so thresholds compare identically
-    * in any engine.
+  /** Uniform variate in [0, 1): 32 bits of
+    * md5(len(key) ++ ":" ++ key ++ "/" ++ salt). conv() parses the
+    * hex; division by 2^32 is exact (both operands integral powers of
+    * two apart), so thresholds compare identically in any engine.
+    *
+    * The LENGTH PREFIX makes the (key, salt) encoding injective — a
+    * bare concat would collide (key="a", salt="b/c") with
+    * (key="a/b", salt="c"), silently correlating samples that use
+    * '/' in keys. A NULL key hashes as the sentinel "null" (md5(NULL)
+    * is NULL, and a null variate fails BOTH u < f and u >= f — rows
+    * would vanish from every split, violating the disjoint-and-
+    * covering contract). All null-keyed rows share one variate and
+    * travel together; use a non-null unique key for per-row
+    * uniformity.
     */
-  def uniform(key: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(key.cast("string"), lit("/" + salt))), 1, 8), 16, 10)
+  def uniform(key: Column, salt: String = ""): Column = {
+    val k = key.cast("string")
+    val encoded = concat(
+      coalesce(concat(length(k).cast("string"), lit(":"), k), lit("null")),
+      lit("/" + salt))
+    conv(substring(md5(encoded), 1, 8), 16, 10)
       .cast("long") / lit(4294967296.0)
+  }
 
   /** Keep a deterministic `fraction` of rows, selected by key. */
   def uniformByKey(df: DataFrame, fraction: Double, keyCol: String,

@@ -466,7 +466,8 @@ object PipelineQueries {
 
     // Deterministic stratified sampling (corpus mixture weighting):
     // keep iff u(doc) < per-language threshold, u = 32 md5 bits of
-    // (doc_id ++ salt) — a pure row function, so the kept set is
+    // the length-prefixed (len(key) ++ ':' ++ key ++ '/' ++ salt)
+    // encoding — a pure row function, so the kept set is
     // engine-reproducible and the oracle recomputes it exactly.
     QueryDef("p18_stratified_sample",
       (s, dir) => Sampling.stratified(
@@ -475,7 +476,9 @@ object PipelineQueries {
         keyCol = "doc_id", salt = "mix")
         .select("doc_id", "lang"),
       Some("""SELECT doc_id, lang FROM documents
-             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/mix'), 1, 8))::BIGINT
+             |WHERE ('0x' || substr(md5(
+             |          CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |          || ':' || CAST(doc_id AS VARCHAR) || '/mix'), 1, 8))::BIGINT
              |        / 4294967296.0
              |      < CASE WHEN lang = 'en' THEN 0.5
              |             WHEN lang = 'zh' THEN 1.0

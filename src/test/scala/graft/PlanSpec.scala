@@ -146,6 +146,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"no map-side partial agg:\n$plan")
   }
 
+  test("dropExactDuplicates: no shuffled exchange carries the text column") {
+    // the old Window.partitionBy(md5(text)) shape shuffled FULL TEXT
+    // by content hash (hot-document partition skew + text sort); the
+    // keeper/semi-join shape shuffles only (hash, id)
+    val docs = Tables.documents(spark, dir)
+    val q = pipeline.Dedup.dropExactDuplicates(docs)
+    q.write.mode("overwrite").format("noop").save() // final AQE plan
+    val shuffled = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    shuffled.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        s"text flows through a shuffle:\n${e.treeString}")
+    }
+    assert(q.count() > 0)
+  }
+
   test("brute-force top-k: corpus side never shuffles (broadcast + TakeOrdered)") {
     val plan = planOf(pipeline.Similarity.bruteForceTopK(
       Tables.embeddings(spark, dir), queryId = 0L, k = 5))

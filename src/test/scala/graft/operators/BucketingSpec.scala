@@ -51,6 +51,23 @@ class BucketingSpec extends SparkSpec {
     assert(Bucketing.table(spark, "bkt_db.MixedCase").count() > 0)
   }
 
+  test("default-db qualified name cleans its stale dir at the WAREHOUSE ROOT") {
+    // default-database managed tables live directly at <warehouse>/<t>
+    // (not <warehouse>/default.db/<t>); a leftover dir from a previous
+    // session's in-memory catalog must be cleaned from there or
+    // saveAsTable fails with LOCATION_ALREADY_EXISTS
+    val warehouse = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val staleDir = warehouse.resolve("bkt_stale")
+    java.nio.file.Files.createDirectories(staleDir)
+    java.nio.file.Files.write(staleDir.resolve("leftover"), Array[Byte](1))
+    spark.sql("DROP TABLE IF EXISTS default.bkt_stale")
+    Bucketing.writeBucketed(
+      silverFromLineitem(spark, dir), "default.bkt_stale", "item_id", buckets = 2)
+    assert(Bucketing.table(spark, "default.bkt_stale").count() > 0)
+    assert(!java.nio.file.Files.exists(staleDir.resolve("leftover")))
+  }
+
   test("mismatched bucket counts fall back to a correct (shuffling) join") {
     Bucketing.writeBucketed(
       silverFromLineitem(spark, dir), "b_facts8", "item_id", buckets = 8)

@@ -35,6 +35,26 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(kept("fr") / 1000.0 - 0.5) < 0.06, s"fr kept ${kept("fr")}")
   }
 
+  test("null keys stay disjoint-and-covering; '/' in keys cannot collide with salt") {
+    // null key: md5(NULL) is NULL and a null variate fails BOTH split
+    // predicates — rows would silently vanish from every split
+    val withNulls = Seq((Some("a"), 1), (None, 2), (None, 3))
+      .toDF("k", "v")
+    val (train, test) = Sampling.trainTestSplit(withNulls, 0.5, "k")
+    assert(train.count() + test.count() === 3,
+      "null-keyed rows fell out of the split")
+    // all null-keyed rows share one variate -> they travel together
+    val nullSides = Seq(train, test).map(_.where(col("k").isNull).count())
+    assert(nullSides.contains(0L) && nullSides.contains(2L))
+
+    // injective (key, salt) encoding: without the length prefix,
+    // (key="a", salt="b/c") and (key="a/b", salt="c") hash the same
+    // string and correlate perfectly
+    val u1 = Seq("a").toDF("k").select(Sampling.uniform(col("k"), "b/c")).head().getDouble(0)
+    val u2 = Seq("a/b").toDF("k").select(Sampling.uniform(col("k"), "c")).head().getDouble(0)
+    assert(u1 !== u2)
+  }
+
   test("trainTestSplit: disjoint, covering, stable") {
     val (train, test) = Sampling.trainTestSplit(corpus, 0.25, "doc_id")
     val tr = train.collect().map(_.getLong(0)).toSet
