@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -61,6 +61,12 @@ object PipelineQueries {
       |     WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
       |     WHEN de_hits >= fr_hits THEN 'de'
       |     ELSE 'fr' END AS predicted_lang""".stripMargin
+
+  /** Fixed artifact path for the p16b BPE vocab side table: the gate
+    * query writes it, the static oracle SQL joins it — consistent for
+    * any single Verify -> compare cycle regardless of sf dir.
+    */
+  private val BpeVocabPath = "/tmp/graft_bpe_vocab_p16b.parquet"
 
   /** The driver-generated embeddings tables are 64-dimensional at
     * every scale factor (TESTDATA.md); [[Similarity.dimOf]] resolves
@@ -437,6 +443,36 @@ object PipelineQueries {
               |         '${TextAnalysis.BpeTokenPattern.replace("'", "''")}'))
               |         AS BIGINT) AS n_bpe_tokens
               |FROM documents""".stripMargin)),
+
+    // REAL BPE token counts: merges trained on the corpus (driver
+    // loop over the distributed pretoken histogram), applied to the
+    // distinct-pretoken set, joined back — next to the pretoken lower
+    // bound. The vocab table (pretoken -> token count) is written to
+    // a fixed path by the query itself and the oracle joins the SAME
+    // parquet, so DuckDB independently re-derives every document's
+    // count from its own pretokenization (pretokenizer parity is
+    // itself oracle-proven by p16); BpeSpec verifies the merge
+    // application against an independent min-rank implementation.
+    QueryDef("p16b_bpe_token_counts",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = Bpe.trainMerges(docs, numMerges = 64)
+        Bpe.writeVocab(docs, merges, BpeVocabPath)
+        Bpe.tokenCounts(docs, merges)
+      },
+      Some(s"""WITH pt AS (SELECT doc_id,
+              |              unnest(regexp_extract_all(text,
+              |                '${TextAnalysis.BpeTokenPattern.replace("'", "''")}')) AS pt
+              |            FROM documents),
+              |v AS (SELECT * FROM '$BpeVocabPath/*.parquet'),
+              |c AS (SELECT doc_id, CAST(sum(v.n_tokens) AS BIGINT) AS n_bpe_real
+              |      FROM pt JOIN v USING (pt) GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |       CAST(len(regexp_extract_all(d.text,
+              |         '${TextAnalysis.BpeTokenPattern.replace("'", "''")}'))
+              |         AS BIGINT) AS n_pretokens,
+              |       coalesce(c.n_bpe_real, 0) AS n_bpe_real
+              |FROM documents d LEFT JOIN c USING (doc_id)""".stripMargin)),
 
     // Winnowed rolling-hash fingerprints (Rabin-Karp over code
     // points, min per 4-window band, distinct). The oracle recomputes
