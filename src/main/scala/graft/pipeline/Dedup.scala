@@ -202,7 +202,11 @@ object Dedup {
     * a pure string function of the signature, so the oracle mirrors
     * it with `md5(string_agg(mv, ',' ORDER BY i))`.
     */
-  def lshCandidatePairs(signatures: DataFrame, numHashes: Int = 16,
+  /** (doc_id, band, bucket) rows from minhash signatures — the LSH
+    * index itself; [[lshCandidatePairs]] self-joins it, the streaming
+    * near-dup path keys state by it.
+    */
+  def bandBuckets(signatures: DataFrame, numHashes: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes=$numHashes must be a multiple of rowsPerBand=$rowsPerBand")
@@ -211,15 +215,59 @@ object Dedup {
         .map(r => element_at(col("minhash"), b * rowsPerBand + r + 1).cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", bandCols: _*)).as("bucket"))
     }
-    val buckets = signatures
+    signatures
       .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val buckets = bandBuckets(signatures, numHashes, rowsPerBand)
     val l = buckets.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val r = buckets.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+  }
+
+  /** The LSH band buckets as a pure COLUMN expression over (id, text)
+    * — array of (band, bucket) structs with NO per-doc aggregation,
+    * so it evaluates in a single streaming scan. Same shingling and
+    * hash family as [[minHashSignatures]] + [[bandBuckets]]: batch
+    * and stream produce IDENTICAL buckets (StreamingNearDupSpec
+    * asserts it row-for-row).
+    *
+    * Docs with fewer than `n` tokens have no shingles (batch: no
+    * signature row, never a candidate); here they get a doc-unique
+    * sentinel bucket md5('short:' ++ id) per band — they collide with
+    * nothing and flow through the same dedup operator (an exact
+    * re-delivery of the same id still dedups).
+    *
+    * Perf note: the min-hash folds are interpreted HOFs per document
+    * (fine at stream ingest rates); the batch corpus path keeps its
+    * exploded codegen'd aggregation shape.
+    */
+  def minHashBandBuckets(id: Column, text: Column, n: Int = 3,
+      numHashes: Int = 16, rowsPerBand: Int = 4): Column = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes=$numHashes must be a multiple of rowsPerBand=$rowsPerBand")
+    // materialize the shingle + (a, b) hash arrays once; members are
+    // zip_with folds over them (duplicate shingles cannot change a MIN)
+    val sh = graft.functions.NGramFunctions.wordNGrams(TextAnalysis.tokens(text), n)
+    val ha = transform(sh, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    val hb = transform(sh, s => conv(substring(md5(s), 9, 8), 16, 10).cast("long"))
+    def member(i: Int): Column =
+      array_min(zip_with(ha, hb, (a, b) => a + lit(i.toLong) * b))
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => member(i).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", bandCols: _*)).as("bucket"))
+    }
+    val sentinel = (0 until numHashes / rowsPerBand).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat(lit("short:"), id.cast("string"))).as("bucket")))
+    when(size(sh) >= 1, array(bands: _*)).otherwise(array(sentinel: _*))
   }
 
   /** MinHash+LSH near-dup end-to-end: candidates from banding,
