@@ -138,18 +138,34 @@ object Bpe {
       .toDF("pt", "n_tokens")
   }
 
+  /** The corpus' distinct-pretoken vocab table — compute ONCE and
+    * share between [[writeVocab]] and [[tokenCounts]] (each would
+    * otherwise re-run the explode+distinct+merge application).
+    */
+  def corpusVocab(df: DataFrame, merges: Array[(String, String)],
+      textCol: String = "text"): DataFrame =
+    vocabFor(
+      df.select(explode(TextAnalysis.bpeTokens(col(textCol))).as("pt")).distinct(),
+      merges)
+
   /** Per-document REAL BPE token counts next to the pretoken lower
     * bound: (doc_id, n_pretokens, n_bpe_real). Empty documents keep a
     * 0 count (left join back to the id spine). By construction
     * n_bpe_real >= n_pretokens always (a merge list maps each
     * pretoken to >= 1 symbols) — BpeSpec holds the invariant.
+    *
+    * Pass `vocab` to reuse a precomputed/materialized vocab table
+    * (e.g. one read back from [[writeVocab]]'s parquet) instead of
+    * deriving it from this corpus; it must cover every pretoken of
+    * `df` (inner join — uncovered pretokens would undercount).
     */
   def tokenCounts(df: DataFrame, merges: Array[(String, String)],
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      vocab: Option[DataFrame] = None): DataFrame = {
     val pts = df.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.bpeTokens(col(textCol))).as("pt"))
-    val vocab = vocabFor(pts.select("pt").distinct(), merges)
-    val perDoc = pts.join(vocab, Seq("pt"))
+    val v = vocab.getOrElse(vocabFor(pts.select("pt").distinct(), merges))
+    val perDoc = pts.join(v, Seq("pt"))
       .groupBy("doc_id").agg(sum(col("n_tokens")).as("n_bpe_real"))
     df.select(col(idCol).as("doc_id"),
         TextAnalysis.bpeTokenCount(col(textCol)).as("n_pretokens"))
@@ -157,13 +173,9 @@ object Bpe {
       .withColumn("n_bpe_real", coalesce(col("n_bpe_real"), lit(0L)))
   }
 
-  /** Materialize the vocab table (the reusable tokenization artifact;
+  /** Materialize a vocab table (the reusable tokenization artifact;
     * the p16b gate oracle joins this exact parquet).
     */
-  def writeVocab(df: DataFrame, merges: Array[(String, String)], path: String,
-      textCol: String = "text"): Unit =
-    vocabFor(
-      df.select(explode(TextAnalysis.bpeTokens(col(textCol))).as("pt")).distinct(),
-      merges)
-      .write.mode("overwrite").parquet(path)
+  def writeVocab(vocab: DataFrame, path: String): Unit =
+    vocab.write.mode("overwrite").parquet(path)
 }

@@ -185,11 +185,25 @@ object Dedup {
     * pattern). a/b land in one codegen'd projection; CSE shares the
     * md5 digest between the two substrings.
     */
+  /** THE hash family, single-sourced (batch signatures, the LSH band
+    * index, the streaming in-scan buckets and the p08 oracle all
+    * derive from these three definitions — a change here must change
+    * everywhere at once or the load-bearing batch==stream==oracle
+    * identity breaks): a/b are the first/second 32 bits of md5,
+    * members are a + i*b, a band bucket is md5 over the comma-joined
+    * member values.
+    */
+  private[pipeline] def hashA(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+  private[pipeline] def hashB(s: Column): Column =
+    conv(substring(md5(s), 9, 8), 16, 10).cast("long")
+  private[pipeline] def bandBucketOf(members: Seq[Column]): Column =
+    md5(concat_ws(",", members.map(_.cast("string")): _*))
+
   def minHashSignatures(shingled: DataFrame, numHashes: Int = 16): DataFrame =
     shingled
       .select(col("doc_id"),
-        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("__ha"),
-        conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long").as("__hb"))
+        hashA(col("shingle")).as("__ha"), hashB(col("shingle")).as("__hb"))
       .groupBy("doc_id").agg(
         array((0 until numHashes).map(i =>
           min(col("__ha") + lit(i.toLong) * col("__hb"))): _*).as("minhash"))
@@ -212,8 +226,8 @@ object Dedup {
       s"numHashes=$numHashes must be a multiple of rowsPerBand=$rowsPerBand")
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       val bandCols = (0 until rowsPerBand)
-        .map(r => element_at(col("minhash"), b * rowsPerBand + r + 1).cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws(",", bandCols: _*)).as("bucket"))
+        .map(r => element_at(col("minhash"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), bandBucketOf(bandCols).as("bucket"))
     }
     signatures
       .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
@@ -255,14 +269,13 @@ object Dedup {
     // materialize the shingle + (a, b) hash arrays once; members are
     // zip_with folds over them (duplicate shingles cannot change a MIN)
     val sh = graft.functions.NGramFunctions.wordNGrams(TextAnalysis.tokens(text), n)
-    val ha = transform(sh, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
-    val hb = transform(sh, s => conv(substring(md5(s), 9, 8), 16, 10).cast("long"))
+    val ha = transform(sh, s => hashA(s))
+    val hb = transform(sh, s => hashB(s))
     def member(i: Int): Column =
       array_min(zip_with(ha, hb, (a, b) => a + lit(i.toLong) * b))
     val bands = (0 until numHashes / rowsPerBand).map { b =>
-      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => member(i).cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws(",", bandCols: _*)).as("bucket"))
+      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(member)
+      struct(lit(b).as("band"), bandBucketOf(bandCols).as("bucket"))
     }
     val sentinel = (0 until numHashes / rowsPerBand).map(b =>
       struct(lit(b).as("band"),
@@ -320,6 +333,13 @@ object Dedup {
     */
   val SimHashBits = 60
 
+  /** The 60-bit SimHash token hash (single-sourced for the agg and
+    * expression paths; the p09 oracle mirrors it as
+    * `('0x'||substr(md5(t),1,15))::BIGINT`).
+    */
+  private[pipeline] def simHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** SimHash over whitespace tokens: per bit, sum +1/-1 votes of each
     * token's 60-bit md5-derived hash, sign becomes the bit.
     *
@@ -338,8 +358,7 @@ object Dedup {
     val hashes = df.select(
       col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("__t"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long").as("__h"))
+      .select(col("doc_id"), simHash60(col("__t")).as("__h"))
     val votes = (0 until SimHashBits).map(b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         .as(s"__v$b"))
@@ -355,8 +374,7 @@ object Dedup {
     * [[simHashSignatures]] for corpus-scale use — same result).
     */
   def simHash64(text: Column): Column = {
-    val tokenHashes = transform(TextAnalysis.tokens(text),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val tokenHashes = transform(TextAnalysis.tokens(text), t => simHash60(t))
     val bits = (0 until SimHashBits).map { b =>
       val votes = aggregate(
         tokenHashes,

@@ -28,6 +28,13 @@ object Sampling {
     * hex; division by 2^32 is exact (both operands integral powers of
     * two apart), so thresholds compare identically in any engine.
     *
+    * ENCODING v2 (round 4) — a deliberate one-time break: v1 hashed
+    * the bare concat key ++ "/" ++ salt, so EVERY key's variate
+    * changes across the upgrade. Splits persisted under v1 must be
+    * re-materialized (or re-derived wholesale); mixing v1-persisted
+    * and v2-derived splits of one corpus contaminates held-out sets.
+    * From v2 on, the "never migrate" contract holds again.
+    *
     * The LENGTH PREFIX makes the (key, salt) encoding injective — a
     * bare concat would collide (key="a", salt="b/c") with
     * (key="a/b", salt="c"), silently correlating samples that use

@@ -95,17 +95,20 @@ object Similarity {
   }
 
   /** Embedding dimensionality for plan-time plane construction: the
-    * MAX vector length in the corpus — a deterministic single-value
-    * aggregate (an unordered `limit(1)` probe would make every bucket
-    * nondeterministic across runs, and an all-NULL first row would
-    * NPE). Shorter (malformed) vectors then quarantine via
-    * [[lshBucket]]'s NULL path. Empty / all-NULL corpus → 1 (nothing
-    * will be bucketed anyway).
+    * MODAL (most common) vector length — a deterministic aggregate
+    * over at most a handful of distinct lengths. Max() would let ONE
+    * over-length corrupt row quarantine the entire corpus, and an
+    * unordered limit(1) probe would make every bucket
+    * nondeterministic across runs (and NPE on a null first row); the
+    * mode quarantines whichever lengths are the minority, long or
+    * short. Ties break to the larger length, deterministically.
+    * Empty / all-NULL corpus → 1 (nothing will be bucketed anyway).
     */
-  private def dimOf(emb: DataFrame, vecCol: String): Int = {
-    val r = emb.select(max(size(col(vecCol))).as("d")).collect().head
-    if (r.isNullAt(0)) 1 else math.max(r.getInt(0), 1)
-  }
+  private def dimOf(emb: DataFrame, vecCol: String): Int =
+    emb.groupBy(size(col(vecCol)).as("d")).agg(count(lit(1)).as("n"))
+      .where(col("d").isNotNull && col("d") >= 1)
+      .orderBy(col("n").desc, col("d").desc).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(1)
 
   /** ANN top-k: score only vectors in the query's LSH bucket(s).
     * Exact within the probed set; recall < 1 by construction (the
@@ -348,9 +351,15 @@ object Similarity {
   def embeddingNearDups(emb: DataFrame, threshold: Double, bits: Int = 8,
       maxBucketSize: Int = 100000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // persist: the bucket projection (bits x dim codegen'd dots over
+    // the whole corpus) feeds THREE consumers — the population count
+    // and both sides of the self-join; unpersisted, Spark recomputes
+    // the scan+projection subtree per consumer (the jaccardPairs
+    // lesson)
     val bucketed = emb.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), bits, dimOf(emb, vecCol)).as("__bucket"))
       .where(col("__bucket").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepable = bucketed.groupBy("__bucket")
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") <= maxBucketSize)

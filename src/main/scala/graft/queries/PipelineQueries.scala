@@ -457,8 +457,10 @@ object PipelineQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val merges = Bpe.trainMerges(docs, numMerges = 64)
-        Bpe.writeVocab(docs, merges, BpeVocabPath)
-        Bpe.tokenCounts(docs, merges)
+        // one vocab derivation: materialize, then count against the
+        // read-back artifact (the exact table the oracle joins)
+        Bpe.writeVocab(Bpe.corpusVocab(docs, merges), BpeVocabPath)
+        Bpe.tokenCounts(docs, merges, vocab = Some(s.read.parquet(BpeVocabPath)))
       },
       Some(s"""WITH pt AS (SELECT doc_id,
               |              unnest(regexp_extract_all(text,

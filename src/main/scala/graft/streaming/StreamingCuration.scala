@@ -37,6 +37,12 @@ object StreamingCuration {
         .dropDuplicatesWithinWatermark("fp"))
   }
 
+  /** One exploded (doc, band) observation / one surviving band row. */
+  case class BandObs(doc_id: Long, text: String,
+      ingested_at: java.sql.Timestamp, band: Int, bucket: String)
+  case class BandSurvival(doc_id: Long, text: String,
+      ingested_at: java.sql.Timestamp)
+
   /** Streaming MINHASH near-dup suppression — the batch
     * [[graft.pipeline.Dedup.minHashNearDups]] dedup class on a
     * stream, where [[curate]]'s fingerprint dedup only catches
@@ -45,39 +51,84 @@ object StreamingCuration {
     * Shape: each document's LSH band buckets are computed in-scan
     * ([[Dedup.minHashBandBuckets]] — same hash family as batch, so
     * signatures are identical), the doc explodes into one row per
-    * band, `dropDuplicatesWithinWatermark` keeps the FIRST row per
-    * (band, bucket), and a doc survives iff ALL its bands were
-    * first-seen — any collided band means a prior in-horizon doc was
-    * a near-dup candidate. The second stateful stage (windowed count
-    * of surviving bands) emits exactly the keepers once their window
-    * closes.
+    * band, and a `flatMapGroupsWithState` keyed by (band, bucket)
+    * lets each bucket's FIRST claimant through — where "first" is
+    * decided by (event time, doc_id), NOT arrival/partition order: a
+    * whole near-dup group landing in one micro-batch elects the SAME
+    * winner in every contested bucket, so exactly one group member
+    * survives. (A per-row first-wins dedup like
+    * `dropDuplicatesWithinWatermark` can split a group's buckets
+    * between two members — each loses a band, BOTH drop, and the
+    * content vanishes.) A doc is a keeper iff ALL its bands
+    * survived; the second stateful stage (windowed count) emits
+    * keepers once their window closes.
     *
     * Semantics vs batch: candidate-level dedup — LSH banding WITHOUT
     * the exact-Jaccard verify join (verification would require
     * retaining every prior doc's shingle set in state; banding
     * parameters tune the FP rate exactly as in batch LSH). State =
-    * band buckets within the watermark horizon, never the corpus —
-    * the same bound as [[curate]]'s fingerprint store, x numBands.
+    * one boolean per in-horizon band bucket, never the corpus — the
+    * same bound as [[curate]]'s fingerprint store, x numBands;
+    * buckets expire by EVENT-TIME timeout `stateHorizonHours` after
+    * their latest observation (a re-observed bucket's clock resets).
     *
-    * Arrival order decides keepers (first-wins, the streaming analog
-    * of batch's min-id keeper).
+    * NOTE — requires
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
+    * Spark's static checker rejects every flatMapGroupsWithState →
+    * aggregation chain because the first stage COULD emit rows with
+    * arbitrary old event times that the downstream watermark would
+    * discard. This operator cannot: it only ever emits rows of the
+    * CURRENT micro-batch (claimants are chosen among, and stamped
+    * with, that batch's event times, which are >= the watermark by
+    * construction), and they flow through the downstream aggregation
+    * in the same micro-batch, before the watermark advances.
     */
   def nearDupKeepers(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       rowsPerBand: Int = 4,
       eventTimeCol: String = "ingested_at",
       watermarkDelay: String = "1 day",
-      emitWindow: String = "1 hour"): DataFrame = {
+      emitWindow: String = "1 hour",
+      stateHorizonHours: Int = 24): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
     val numBands = numHashes / rowsPerBand
+    val horizonMs = stateHorizonHours.toLong * 3600 * 1000
     val exploded = docs
-      .select(col("doc_id"), col("text"), col(eventTimeCol),
+      .select(col("doc_id"), col("text"), col(eventTimeCol).as("ingested_at"),
         explode(Dedup.minHashBandBuckets(
           col("doc_id"), col("text"), n, numHashes, rowsPerBand)).as("__bb"))
-      .select(col("doc_id"), col("text"), col(eventTimeCol),
-        col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"))
-      .withWatermark(eventTimeCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("__band", "__bucket")
-    exploded
-      .groupBy(window(col(eventTimeCol), emitWindow), col("doc_id"))
+      .select(col("doc_id"), col("text"), col("ingested_at"),
+        col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
+      .withWatermark("ingested_at", watermarkDelay)
+      .as[BandObs]
+    val survived = exploded
+      .groupByKey(o => (o.band, o.bucket))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, String), rows: Iterator[BandObs], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq
+            val out =
+              if (state.exists) Iterator.empty
+              else {
+                // deterministic claimant — by EVENT TIME then id, not
+                // iterator order (no intra-batch ordering guarantee)
+                val w = rs.minBy(r => (r.ingested_at.getTime, r.doc_id))
+                Iterator.single(BandSurvival(w.doc_id, w.text, w.ingested_at))
+              }
+            state.update(true)
+            // rows are never behind the watermark here, so this
+            // timestamp is always ahead of it
+            state.setTimeoutTimestamp(rs.map(_.ingested_at.getTime).max + horizonMs)
+            out
+          })
+    survived.toDF()
+      // the watermark does not propagate through the stateful map:
+      // re-declare it on the surviving rows' event-time column
+      .withWatermark("ingested_at", watermarkDelay)
+      .groupBy(window(col("ingested_at"), emitWindow), col("doc_id"))
       .agg(count(lit(1)).as("__kept_bands"), first(col("text")).as("text"))
       .where(col("__kept_bands") === numBands)
       .select(col("doc_id"), col("text"), col("window.start").as("window_start"))

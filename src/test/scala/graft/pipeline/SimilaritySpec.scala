@@ -148,6 +148,23 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.lshTopK(df, 2L, 4, bits = 2).collect().isEmpty)
   }
 
+  test("one OVER-length corrupt vector quarantines itself, not the corpus") {
+    // dim = the MODAL length: with max() a single 5-element row would
+    // flip the corpus dim to 5 and quarantine every well-formed
+    // 3-dim vector, silently emptying the output
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-3.0f, 1.0f, -2.0f)),
+      (9L, Array(9.0f, 9.0f, 9.0f, 9.0f, 9.0f))) // corrupt: too long
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(df, threshold = 0.99, bits = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs === Set((0L, 1L)))
+    val quarantined = Similarity.overflowBuckets(df, bits = 4).collect()
+      .filter(_.isNullAt(0)).map(_.getAs[Long]("population"))
+    assert(quarantined.toSeq === Seq(1L))
+  }
+
   test("lshTopK: results are a subset of brute-force ordering semantics") {
     val brute = Similarity.bruteForceTopK(emb, 0L, 4).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap

@@ -13,6 +13,20 @@ class StreamingNearDupSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  // nearDupKeepers' claimant stage only emits current-batch rows (see
+  // its scaladoc) — the blanket static check cannot know that
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    super.afterAll()
+  }
+
   private val base =
     "the quick brown fox jumps over the lazy dog while the cat naps " +
       "in the warm afternoon sun near the old garden wall"
@@ -91,5 +105,34 @@ class StreamingNearDupSpec extends SparkSpec {
     q.stop()
     assert(kept.intersect(fixture.map(_.doc_id).toSet) === expectedKeepers,
       s"streaming keepers $kept diverge from batch greedy $expectedKeepers")
+  }
+
+  test("a whole near-dup group in ONE micro-batch keeps exactly one member") {
+    // the failure mode of per-row first-wins dedup: two near-dups in
+    // one batch can split the contested buckets between them (each
+    // loses a band, both drop, the content VANISHES). The
+    // (event time, id)-deterministic claimant must keep doc 1.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Doc]
+    val q = StreamingCuration.nearDupKeepers(mem.toDF(),
+      watermarkDelay = "2 hours", emitWindow = "10 minutes")
+      .writeStream.format("memory").queryName("near_dup_batch")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    // all three docs + both near-dups land in the SAME micro-batch
+    mem.addData(
+      Doc(1L, base, ts("2026-05-01 10:00:00")),
+      Doc(2L, base.replace("lazy", "sleepy"), ts("2026-05-01 10:00:00")),
+      Doc(3L, other, ts("2026-05-01 10:05:00")))
+    q.processAllAvailable()
+    mem.addData(Doc(99L, "sentinel closes the windows", ts("2026-05-02 13:00:00")))
+    q.processAllAvailable()
+    mem.addData(Doc(100L, "and flushes the last state", ts("2026-05-02 14:00:00")))
+    q.processAllAvailable()
+    val kept = spark.table("near_dup_batch").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(kept.intersect(Set(1L, 2L, 3L)) === Set(1L, 3L),
+      s"same-batch near-dup group mishandled: kept $kept")
   }
 }
