@@ -124,7 +124,15 @@ object Marts {
       silver: DataFrame,
       ts: Column = col("created_at"),
       price: Column = col("unit_price")): DataFrame = {
-    val key = struct(ts, price)
+    // open/close consider only NON-NULL prices, like high/low/avg
+    // skip nulls: min_by/max_by IGNORE rows whose ordering key is
+    // null, so the `when` guard excludes null-price rows from the
+    // candidates (a null-price row on a created_at tie would
+    // otherwise win `open` by struct null-first ordering — while the
+    // close side's max would pick the non-null, an asymmetry the
+    // oracle's NULLS-LAST ordering does not share). Ties on ts break
+    // to smallest price for open, largest for close (struct field 2).
+    val key = when(price.isNotNull, struct(ts, price))
     silver
       .withColumn("snapshot_hour", date_trunc("hour", ts))
       .groupBy(col("item_id"), col("snapshot_hour"))

@@ -287,16 +287,25 @@ object Dedup {
     * verified with exact Jaccard (so the output is a true near-dup
     * set, LSH only prunes the pair space).
     */
+  /** `persistShingles=false` opts out of the internal cache like
+    * [[overlapPairs]]' flag — for long-lived sessions that manage
+    * caching themselves (the blocks otherwise live until session
+    * end).
+    */
   def minHashNearDups(df: DataFrame, threshold: Double, n: Int = 3,
-      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      numHashes: Int = 16, rowsPerBand: Int = 4,
+      persistShingles: Boolean = true): DataFrame = {
     // MEMORY_AND_DISK: the exploded shingle corpus is reused by the
     // signature pass, the size pass and the verify join; partitions
     // that don't fit executor memory spill to local disk rather than
     // evicting (a bare MEMORY_ONLY cache of a corpus-sized frame would
     // thrash at 100 TB — there, shingles would be written once to a
     // bucketed table instead and each pass would read it back).
-    val shingled = wordShingles(df, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shingledRaw = wordShingles(df, n)
+    val shingled =
+      if (persistShingles)
+        shingledRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shingledRaw
     val candidates = lshCandidatePairs(
       minHashSignatures(shingled, numHashes), numHashes, rowsPerBand)
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))

@@ -169,13 +169,52 @@ object Similarity {
     * nodes, OOM at codegen.) The row-side norm |v| is constant across
     * centroids, so argmax cosine = argmax dot/|c| — |c| folds to a
     * driver-computed literal and the row cost is nlist codegen'd dots.
+    *
+    * A ZERO-NORM (all-zero) centroid scores -Infinity instead of
+    * dot/0: division by a zero norm is NaN, and Spark's ordering
+    * ranks NaN GREATEST — one degenerate sampled centroid would
+    * swallow the whole corpus into its cell while the driver-side
+    * probe ranked that same cell last. With -Inf (mirrored in
+    * [[cosDriver]]) a degenerate centroid wins nothing unless every
+    * centroid is degenerate, where the cid tie-break stays consistent
+    * between assignment and probing.
     */
   private def cellOf(vec: Column, centroids: Array[(Long, Array[Float])]): Column =
     array_max(array(centroids.map { case (cid, c) =>
       val cNorm = math.sqrt(c.map(x => x.toDouble * x).sum)
-      struct((dot(vec, centroidCol(c)) / lit(cNorm)).as("score"),
-        lit(cid).as("cid"))
+      val score =
+        if (cNorm == 0) lit(Double.NegativeInfinity)
+        else dot(vec, centroidCol(c)) / lit(cNorm)
+      struct(score.as("score"), lit(cid).as("cid"))
     }: _*)).getField("cid")
+
+  /** Driver-side cosine for probe selection — sequential
+    * accumulation, identical to the distributed FloatVectorDot path;
+    * zero-norm inputs score -Infinity (the [[cellOf]] degenerate-
+    * centroid rule). Shared by both IVF probe paths so the
+    * tie-break-sensitive ordering has ONE definition.
+    */
+  private def cosDriver(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < math.min(a.length, b.length)) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) Double.NegativeInfinity
+    else d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The nprobe cells nearest the query — tie-break MUST match cell
+    * assignment's array_max (lexicographic (score, cid): equal scores
+    * prefer the larger cid). Duplicate centroid vectors otherwise
+    * send rows to one cell while the probe picks the other, silently
+    * emptying the result.
+    */
+  private def probeCellsFor(centroids: Array[(Long, Array[Float])],
+      queryVec: Array[Float], nprobe: Int): Array[Long] =
+    centroids.sortBy { case (cid, c) => (-cosDriver(queryVec, c), -cid) }
+      .take(nprobe).map(_._1)
 
   /** Deterministic hash-spread sample as initial centroids: filter to
     * ~1/nlist of ids by hash bucket, collect AT MOST nlist rows —
@@ -245,24 +284,16 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val celled = emb.withColumn("__cell", cellOf(col(vecCol), centroids))
     val q = emb.where(col(idCol) === queryId).select(col(vecCol).as("__q"))
-    val qVec = q.collect().head.getSeq[Float](0).toArray
-    // probe cells: nprobe centroids nearest the query (driver-side — the
-    // centroid list is tiny)
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < math.min(a.length, b.length)) {
-        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
-        i += 1
-      }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
-    // tie-break MUST match cell assignment's array_max (lexicographic
-    // (score, cid) -> equal scores prefer the larger cid): duplicate
-    // centroid vectors otherwise send rows to one cell while the probe
-    // picks the other, silently emptying the result
-    val probeCells = centroids.sortBy { case (cid, c) => (-cos(qVec, c), -cid) }
-      .take(nprobe).map(_._1)
+    // a missing query id returns an EMPTY result like
+    // bruteForceTopK/lshTopK do, not a driver crash
+    val qRow = q.collect().headOption
+    if (qRow.isEmpty)
+      return emb.select(col(idCol), lit(null).cast("double").as("cosine"))
+        .where(lit(false))
+    val qVec = qRow.get.getSeq[Float](0).toArray
+    // probe cells: nprobe centroids nearest the query (driver-side —
+    // the centroid list is tiny)
+    val probeCells = probeCellsFor(centroids, qVec, nprobe)
     celled
       .where(col("__cell").isin(probeCells: _*) && col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
@@ -311,18 +342,7 @@ object Similarity {
       centroids: Array[(Long, Array[Float])], queryVec: Array[Float],
       k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < math.min(a.length, b.length)) {
-        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
-        i += 1
-      }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probeCells = centroids
-      .sortBy { case (cid, c) => (-cos(queryVec, c), -cid) }
-      .take(nprobe).map(_._1)
+    val probeCells = probeCellsFor(centroids, queryVec, nprobe)
     val qCol = array(queryVec.toSeq.map(lit(_)): _*).cast("array<float>")
     spark.read.parquet(path)
       .where(col("__cell").isin(probeCells: _*))
@@ -350,16 +370,21 @@ object Similarity {
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double, bits: Int = 8,
       maxBucketSize: Int = 100000,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      persistBuckets: Boolean = true): DataFrame = {
     // persist: the bucket projection (bits x dim codegen'd dots over
     // the whole corpus) feeds THREE consumers — the population count
     // and both sides of the self-join; unpersisted, Spark recomputes
     // the scan+projection subtree per consumer (the jaccardPairs
-    // lesson)
-    val bucketed = emb.select(col(idCol), col(vecCol),
+    // lesson). `persistBuckets=false` opts out for long-lived
+    // sessions that manage caching themselves.
+    val bucketedRaw = emb.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), bits, dimOf(emb, vecCol)).as("__bucket"))
       .where(col("__bucket").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed =
+      if (persistBuckets)
+        bucketedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bucketedRaw
     val keepable = bucketed.groupBy("__bucket")
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") <= maxBucketSize)

@@ -17,8 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenizer (the fast baseline). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenizer (the fast baseline). Empty/whitespace-only
+    * text yields ZERO tokens — `split` alone returns [""] there,
+    * which would count a phantom token into every budget and hand
+    * empty docs a real SimHash signature; the `array_remove` is the
+    * only case "" can occur (trim + \s+ cannot produce interior
+    * empties). Oracle mirror: `list_filter(string_split_regex(...),
+    * t -> t <> '')`.
+    */
+  def tokens(text: Column): Column =
+    array_remove(split(trim(text), "\\s+"), "")
 
   def tokenCount(text: Column): Column =
     size(tokens(text)).cast("long")
@@ -54,12 +62,17 @@ object TextAnalysis {
     Seq("the", "and", "of", "to", "is", "in", "a", "that")
 
   /** Quality features + a composite score in [0, 1]:
-    * 0.4 * min(tokens,50)/50  (length credit)
-    *  + 0.3 * stopword_ratio   (natural-language credit)
-    *  + 0.3 * alpha_ratio      (clean-characters credit).
+    * 0.4 * min(tokens,50)/50       (length credit)
+    *  + 0.3 * min(stopword_ratio,1) (natural-language credit)
+    *  + 0.3 * alpha_ratio           (clean-characters credit).
     * Weights are our documented parameters; the shape (length /
     * stopword / character-class ratios) follows standard pretraining
-    * data quality heuristics (e.g. Gopher rules).
+    * data quality heuristics (e.g. Gopher rules). The stopword term
+    * is CLAMPED: hits are regex matches over raw text against a
+    * whitespace-token denominator, so the raw ratio (exposed
+    * unclamped as `stopword_ratio`) can exceed 1 on
+    * punctuation-joined stopwords ("the,the" = one token, two hits) —
+    * without the clamp the documented [0,1] score bound would break.
     */
   def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
@@ -73,7 +86,7 @@ object TextAnalysis {
         col("alpha_chars") / when(col("n_chars_total") === 0, lit(null)).otherwise(col("n_chars_total")))
       .withColumn("quality_score",
         least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4 +
-          coalesce(col("stopword_ratio"), lit(0.0)) * 0.3 +
+          least(coalesce(col("stopword_ratio"), lit(0.0)), lit(1.0)) * 0.3 +
           coalesce(col("alpha_ratio"), lit(0.0)) * 0.3)
   }
 

@@ -32,10 +32,10 @@ object MartQueries {
        |w AS (
        |  SELECT item_id, date_trunc('hour', created_at) AS snapshot_hour,
        |         unit_price, quantity,
-       |         first_value(unit_price) OVER (
+       |         first_value(unit_price IGNORE NULLS) OVER (
        |           PARTITION BY item_id, date_trunc('hour', created_at)
        |           ORDER BY created_at ASC, unit_price ASC) AS open_p,
-       |         first_value(unit_price) OVER (
+       |         first_value(unit_price IGNORE NULLS) OVER (
        |           PARTITION BY item_id, date_trunc('hour', created_at)
        |           ORDER BY created_at DESC, unit_price DESC) AS close_p
        |  FROM ticks)

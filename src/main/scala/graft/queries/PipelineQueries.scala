@@ -25,7 +25,10 @@ object PipelineQueries {
     */
   private val shingleSql =
     """toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'),
+      |                     t -> t <> '') AS w
+      |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
       |    SELECT doc_id,
@@ -41,7 +44,8 @@ object PipelineQueries {
     * and the composed pipeline gate (p15) can never drift apart.
     */
   private val qualityColsSql =
-    s"""CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+    s"""CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                     t -> t <> '')) AS BIGINT) AS n_tokens,
        |CAST(len(regexp_extract_all(text,
        |     '${stopwordRegex(TextAnalysis.EnglishStopwords)}')) AS BIGINT) AS n_stopwords,
        |CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha_chars,
@@ -49,7 +53,7 @@ object PipelineQueries {
 
   private val qualityScoreSql =
     """least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-      |  + coalesce(n_stopwords / nullif(n_tokens, 0), 0.0) * 0.3
+      |  + least(coalesce(n_stopwords / nullif(n_tokens, 0), 0.0), 1.0) * 0.3
       |  + coalesce(alpha_chars / nullif(n_chars_total, 0), 0.0) * 0.3""".stripMargin
 
   private val langHitsSql = TextAnalysis.LangMarkers.map { case (l, ws) =>
@@ -113,7 +117,8 @@ object PipelineQueries {
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
        |  FROM documents),
        |toksh AS (
-       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+       |  FROM tok WHERE t <> ''),
        |votes AS (
        |  SELECT doc_id,
        |         $votes
@@ -437,7 +442,8 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens")),
       Some(s"""SELECT doc_id,
-              |       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+              |       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              |                            t -> t <> '')) AS BIGINT)
               |         AS n_ws_tokens,
               |       CAST(len(regexp_extract_all(text,
               |         '${TextAnalysis.BpeTokenPattern.replace("'", "''")}'))

@@ -58,8 +58,14 @@ object ListingLifetimes {
                   // latest snapshot's quantity wins — BY EVENT TIME, not
                   // iterator order (flatMapGroupsWithState gives no
                   // intra-batch ordering guarantee; on backfill several
-                  // snapshots of one listing share a micro-batch)
-                  quantity = if (e.created_at.before(s.last_seen)) s.quantity else e.quantity,
+                  // snapshots of one listing share a micro-batch).
+                  // EQUAL timestamps break to the LARGER quantity —
+                  // "before means keep old" would let iterator order
+                  // decide ties (duplicate same-day rows / re-delivery)
+                  quantity =
+                    if (e.created_at.before(s.last_seen)) s.quantity
+                    else if (e.created_at.after(s.last_seen)) e.quantity
+                    else math.max(e.quantity, s.quantity),
                   first_seen = if (e.created_at.before(s.first_seen)) e.created_at else s.first_seen,
                   last_seen = if (e.created_at.after(s.last_seen)) e.created_at else s.last_seen))
               }

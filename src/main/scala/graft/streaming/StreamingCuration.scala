@@ -23,6 +23,19 @@ object StreamingCuration {
   /** quality-filter -> fingerprint-dedup -> language-tag a document
     * stream. `docs` needs `doc_id`, `text`, and an event-time column
     * (default `ingested_at`).
+    *
+    * Dedup semantics — ARRIVAL order: `dropDuplicatesWithinWatermark`
+    * keeps the first-arriving row per fingerprint, which for two
+    * same-fp docs in one micro-batch is partition-order-dependent
+    * (their case/whitespace variants differ, so the surviving
+    * predicted_lang/n_tokens can differ run-to-run). This is the
+    * deliberate trade of the standard schema-preserving idiom: every
+    * input column flows through untouched. Where byte-stable keeper
+    * identity matters — replayed/backfilled corpora — use
+    * [[nearDupKeepers]], whose (event-time, doc_id)-deterministic
+    * claimant also subsumes exact duplicates (identical docs share
+    * every band), or batch
+    * [[graft.pipeline.Dedup.dropExactDuplicates]].
     */
   def curate(docs: DataFrame,
       minQuality: Double = 0.5,

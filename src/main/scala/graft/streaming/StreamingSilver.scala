@@ -64,7 +64,9 @@ object StreamingSilver {
     // window must be declared on the same attribute or Spark rejects
     // the append-mode aggregation at start()
     val ts = col(tsCol)
-    val key = struct(ts.as("__ts"), price.as("__price"))
+    // null-price rows are not open/close candidates (min_by/max_by
+    // skip null ordering keys) — same rule as the batch mart
+    val key = when(price.isNotNull, struct(ts.as("__ts"), price.as("__price")))
     ticks
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(col("item_id"), window(ts, "1 hour").as("w"))

@@ -165,6 +165,68 @@ class SimilaritySpec extends SparkSpec {
     assert(quarantined.toSeq === Seq(1L))
   }
 
+  test("ivfTopK: missing query id returns empty like the other ANN entry points") {
+    assert(Similarity.ivfTopK(emb, queryId = 424242L, k = 3, nlist = 2, nprobe = 2)
+      .collect().isEmpty)
+    assert(Similarity.bruteForceTopK(emb, 424242L, 3).collect().isEmpty)
+    assert(Similarity.lshTopK(emb, 424242L, 3, bits = 2).collect().isEmpty)
+  }
+
+  test("ivfTopK: an all-zero sampled centroid does not swallow the corpus") {
+    // a zero-norm centroid scores NaN without the guard, and NaN ranks
+    // GREATEST in Spark ordering — every row would assign to the
+    // degenerate cell while the probe ranked it last, returning empty
+    val withZero = ((1L until 20L).map { i =>
+      (i, Array(1.0f + 0.01f * i, 0.1f * (i % 3), 0.0f))
+    } :+ (0L, Array(1.0f, 0.0f, 0.0f)) :+ (999L, Array.fill(3)(0.0f)))
+      .toDF("vec_id", "embedding")
+    // force the zero vector into the centroid sample: nlist >= corpus
+    // stride keeps every md5-selected id, so try a few nlists until
+    // 999 is sampled — with nlist=21 stride=1, ALL ids are centroids
+    val centroids = Similarity.sampleCentroids(withZero, nlist = 21)
+    assert(centroids.exists(_._2.forall(_ == 0.0f)), "zero centroid not sampled")
+    val got = Similarity.ivfTopKWith(withZero, centroids, queryId = 0L,
+      k = 5, nprobe = 21).collect()
+    assert(got.nonEmpty, "degenerate centroid emptied the result")
+    val brute = Similarity.bruteForceTopK(withZero, 0L, 5).collect()
+      .map(r => r.getAs[Long]("vec_id")).toSeq
+    // probing every cell recovers brute force despite the zero centroid
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq === brute)
+  }
+
+  test("embeddingNearDups: recall vs brute-force pairs on a clustered corpus") {
+    // three tight clusters of 6 + scattered singletons; every
+    // same-cluster pair has cosine ~1 — single-table sign-LSH with few
+    // bits must still recover most of them (same-cluster vectors
+    // project to the same side of nearly every hyperplane)
+    val rows = (0 until 3).flatMap { c =>
+      val base = Array.tabulate(8)(d => if (d == c) 1.0f else 0.05f)
+      (0 until 6).map { j =>
+        (c * 10L + j, base.map(v => v + 0.001f * j))
+      }
+    } ++ (0 until 5).map { j =>
+      (100L + j, Array.tabulate(8)(d => if (d == (j + 3) % 8) 1.0f else -0.3f * ((j + d) % 3)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val ids = rows.map(_._1)
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+    } yield (a, b)).filter { case (a, b) =>
+      val va = rows.find(_._1 == a).get._2; val vb = rows.find(_._1 == b).get._2
+      val d = va.zip(vb).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(va.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+      d / (na * nb) >= 0.95
+    }.toSet
+    assert(brute.size >= 45) // 3 clusters x C(6,2)=15
+    val got = Similarity.embeddingNearDups(df, threshold = 0.95, bits = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // every reported pair is a true near-dup (cosine verified in-plan)
+    assert(got.subsetOf(brute))
+    val recall = got.size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall: ${got.size}/${brute.size} pairs")
+  }
+
   test("lshTopK: results are a subset of brute-force ordering semantics") {
     val brute = Similarity.bruteForceTopK(emb, 0L, 4).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap

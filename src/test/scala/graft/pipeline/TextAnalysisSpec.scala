@@ -26,6 +26,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("quality_score") >= 0.0)
   }
 
+  test("tokenizer: empty/whitespace-only text counts ZERO tokens, not a phantom ''") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, " one two ")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 2L))
+    // and empty docs get NO SimHash signature (no phantom-token votes)
+    val sigs = Dedup.simHashSignatures(df).collect().map(_.getLong(0)).toSet
+    assert(sigs === Set(3L))
+  }
+
+  test("quality_score stays within [0,1] when punctuation-joined stopwords inflate hits") {
+    // 2 whitespace tokens but 5 \b-bounded stopword matches:
+    // raw stopword_ratio = 2.5 — exposed unclamped, but the score's
+    // stopword TERM clamps at 1 so the documented bound holds
+    val df = Seq((1L, "the-and-of the,and")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df).head()
+    assert(r.getAs[Double]("stopword_ratio") === 2.5)
+    assert(r.getAs[Double]("quality_score") <= 1.0)
+  }
+
   test("langId: marker argmax with fixed tie priority") {
     val df = Seq(
       (1L, "the cat is in the house and it is warm"),
