@@ -400,6 +400,80 @@ object Dedup {
     * chunk (pigeonhole), so the join is on chunk equality, not a
     * cross product.
     */
+  /** Materialize an LSH dedup INDEX of a corpus: its band-bucket
+    * table and its shingle table, written as parquet artifacts — the
+    * MinHash analog of [[graft.pipeline.Similarity.writeIvfIndex]].
+    * Incremental ingest then dedups each NEW batch against the index
+    * ([[nearDupsAgainstIndex]]) and appends the batch's own rows
+    * ([[appendToLshIndex]]) — the corpus is shingled and signed
+    * exactly ONCE, ever; daily dedup cost scales with the batch, not
+    * the corpus.
+    */
+  def writeLshIndex(docs: DataFrame, path: String, n: Int = 3,
+      numHashes: Int = 16, rowsPerBand: Int = 4,
+      mode: String = "overwrite"): Unit = {
+    val shingled = wordShingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandBuckets(minHashSignatures(shingled, numHashes), numHashes, rowsPerBand)
+      .write.mode(mode).parquet(s"$path/bands")
+    shingled.write.mode(mode).parquet(s"$path/shingles")
+    shingled.unpersist()
+  }
+
+  /** Append a (deduplicated) batch into an existing index — the
+    * daily maintenance step after [[nearDupsAgainstIndex]].
+    */
+  def appendToLshIndex(docs: DataFrame, path: String, n: Int = 3,
+      numHashes: Int = 16, rowsPerBand: Int = 4): Unit =
+    writeLshIndex(docs, path, n, numHashes, rowsPerBand, mode = "append")
+
+  /** Near-dup pairs (doc_new, doc_old, jaccard) of a NEW batch
+    * against a materialized [[writeLshIndex]] index — incremental
+    * corpus dedup. Work: shingle+sign the batch, candidate-join its
+    * band buckets against the index's, then the candidate-first
+    * exact-Jaccard verify against the index's shingle table (linear
+    * in the candidate set — the r3 lesson). Same md5 hash family as
+    * everything else, so batch-vs-index equals one-shot
+    * [[minHashNearDups]] over the union, restricted to cross-side
+    * pairs (LshIndexSpec proves it; the p19 oracle recomputes both
+    * sides in SQL).
+    */
+  def nearDupsAgainstIndex(newDocs: DataFrame, indexPath: String,
+      threshold: Double, n: Int = 3,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newShingled = wordShingles(newDocs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = bandBuckets(
+      minHashSignatures(newShingled, numHashes), numHashes, rowsPerBand)
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+    val candidates = newBands
+      .select(col("doc_id").as("doc_new"), col("band"), col("bucket"))
+      .join(idxBands.select(col("doc_id").as("doc_old"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("doc_new") =!= col("doc_old"))
+      .select("doc_new", "doc_old")
+      .distinct()
+    val idxShingles = spark.read.parquet(s"$indexPath/shingles")
+    val a = newShingled.select(col("doc_id").as("doc_new"), col("shingle"))
+    val b = idxShingles.select(col("doc_id").as("doc_old"), col("shingle"))
+    val common = candidates
+      .join(a, Seq("doc_new"))
+      .join(b, Seq("doc_old", "shingle"))
+      .groupBy("doc_new", "doc_old").agg(count(lit(1)).as("common"))
+    val newSizes = newShingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val oldSizes = idxShingles.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    common
+      .join(newSizes.withColumnRenamed("doc_id", "doc_new")
+        .withColumnRenamed("set_size", "size_new"), Seq("doc_new"))
+      .join(oldSizes.withColumnRenamed("doc_id", "doc_old")
+        .withColumnRenamed("set_size", "size_old"), Seq("doc_old"))
+      .withColumn("jaccard",
+        col("common") / (col("size_new") + col("size_old") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_new", "doc_old", "jaccard")
+  }
+
   def simHashNearDups(df: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // 4 chunks guarantee a shared chunk only for hamming <= 3

@@ -72,6 +72,11 @@ object PipelineQueries {
     */
   private val BpeVocabPath = "/tmp/graft_bpe_vocab_p16b.parquet"
 
+  /** Fixed artifact path for the p19 LSH dedup index (same
+    * single-cycle contract as [[BpeVocabPath]]).
+    */
+  private val LshIndexPath = "/tmp/graft_lsh_index_p19"
+
   /** The driver-generated embeddings tables are 64-dimensional at
     * every scale factor (TESTDATA.md); [[Similarity.dimOf]] resolves
     * this value at plan time, the oracles pin it.
@@ -301,6 +306,48 @@ object PipelineQueries {
               |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
               |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin)),
+
+    // Incremental corpus dedup against a MATERIALIZED LSH index: the
+    // even-id half of documents is indexed (written once to parquet —
+    // bands + shingles), the odd-id half arrives as the "new batch"
+    // and dedups against the index without re-shingling the corpus.
+    // The oracle recomputes both sides' signatures, the cross-side
+    // candidates and the verified jaccard from scratch in SQL.
+    QueryDef("p19_index_neardups",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.writeLshIndex(docs.where(col("doc_id") % 2 === 0), LshIndexPath)
+        Dedup.nearDupsAgainstIndex(
+          docs.where(col("doc_id") % 2 === 1), LshIndexPath, threshold = 0.8)
+      },
+      Some(s"""WITH $shingleSql,
+              |hv AS (SELECT doc_id,
+              |              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
+              |              ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hb
+              |       FROM sh),
+              |mh AS (SELECT doc_id, i, min(ha + i * hb) AS mv
+              |       FROM hv CROSS JOIN (SELECT unnest(range(16)) AS i) idx
+              |       GROUP BY doc_id, i),
+              |bands AS (SELECT doc_id, i // 4 AS band,
+              |                 md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bucket
+              |          FROM mh GROUP BY doc_id, i // 4),
+              |cand AS (SELECT DISTINCT nw.doc_id AS doc_new, od.doc_id AS doc_old
+              |         FROM bands nw JOIN bands od
+              |           ON nw.band = od.band AND nw.bucket = od.bucket
+              |         WHERE nw.doc_id % 2 = 1 AND od.doc_id % 2 = 0),
+              |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
+              |          FROM sh GROUP BY doc_id),
+              |common AS (SELECT c.doc_new, c.doc_old, CAST(count(*) AS BIGINT) AS common
+              |           FROM cand c
+              |           JOIN sh a ON a.doc_id = c.doc_new
+              |           JOIN sh b ON b.doc_id = c.doc_old AND b.shingle = a.shingle
+              |           GROUP BY c.doc_new, c.doc_old)
+              |SELECT doc_new, doc_old,
+              |       common / (sn.set_size + so.set_size - common) AS jaccard
+              |FROM common
+              |JOIN sizes sn ON sn.doc_id = doc_new
+              |JOIN sizes so ON so.doc_id = doc_old
+              |WHERE common / (sn.set_size + so.set_size - common) >= 0.8""".stripMargin)),
 
     // Brute-force cosine top-k: the exact ANN baseline.
     QueryDef("p10_brute_force_topk",

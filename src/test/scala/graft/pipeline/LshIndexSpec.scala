@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LshIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat naps " +
+      "in the warm afternoon sun near the old garden wall"
+  private val other =
+    "completely different subject matter about distributed query engines " +
+      "optimizing shuffle partitions and broadcast joins at petabyte scale"
+
+  private def corpus = Seq(
+    (10L, base),
+    (12L, other),
+    (14L, base.replace("quick", "swift"))) // near-dup of 10 inside the corpus
+    .toDF("doc_id", "text")
+
+  private def batch = Seq(
+    (21L, base.replace("lazy", "sleepy")), // near-dup of 10 and 14
+    (23L, "entirely novel content with no overlap whatsoever to be found here"))
+    .toDF("doc_id", "text")
+
+  test("batch-vs-index equals one-shot minHashNearDups cross-side pairs") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString + "/idx"
+    Dedup.writeLshIndex(corpus, path)
+    val incremental = Dedup.nearDupsAgainstIndex(batch, path, threshold = 0.7)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old"),
+        r.getAs[Double]("jaccard"))).toSet
+    // ground truth: one-shot near-dups over the union, cross-side only
+    val oneShot = Dedup.minHashNearDups(corpus.unionByName(batch), threshold = 0.7)
+      .collect()
+      .flatMap { r =>
+        val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        val j = r.getAs[Double]("jaccard")
+        // orient as (new, old): batch ids are odd, corpus ids even
+        if (a % 2 == 1 && b % 2 == 0) Some((a, b, j))
+        else if (b % 2 == 1 && a % 2 == 0) Some((b, a, j))
+        else None
+      }.toSet
+    assert(incremental === oneShot)
+    // 21 vs 10 differ by one word (jaccard ~0.87); 21 vs 14 differ by
+    // TWO words (~0.57, below threshold) — only the one-word pair holds
+    assert(incremental.map(p => (p._1, p._2)) === Set((21L, 10L)))
+  }
+
+  test("append maintenance: a later batch dedups against earlier batches too") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh-idx2").toString + "/idx"
+    Dedup.writeLshIndex(corpus, path)
+    Dedup.appendToLshIndex(batch, path)
+    // batch 2 contains a near-dup of a BATCH-1 doc (21), invisible to
+    // the original corpus index without the append
+    val batch2 = Seq(
+      (31L, base.replace("lazy", "sleepy").replace("cat", "kitten")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupsAgainstIndex(batch2, path, threshold = 0.7)
+      .collect().map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old"))).toSet
+    assert(pairs.contains((31L, 21L)), s"append not visible: $pairs")
+  }
+}
