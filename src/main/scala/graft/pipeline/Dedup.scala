@@ -380,10 +380,15 @@ object Dedup {
   }
 
   /** Single-column SimHash expression (interpreted fold; prefer
-    * [[simHashSignatures]] for corpus-scale use — same result).
+    * [[simHashSignatures]] for corpus-scale use — same result,
+    * including the token-less case: a doc with zero tokens has no
+    * signature row there, so this yields NULL rather than an all-zero
+    * signature that would sit at hamming 0 from every other empty
+    * doc).
     */
   def simHash64(text: Column): Column = {
-    val tokenHashes = transform(TextAnalysis.tokens(text), t => simHash60(t))
+    val toks = TextAnalysis.tokens(text)
+    val tokenHashes = transform(toks, t => simHash60(t))
     val bits = (0 until SimHashBits).map { b =>
       val votes = aggregate(
         tokenHashes,
@@ -391,7 +396,7 @@ object Dedup {
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
-    bits.reduce(_.bitwiseOR(_))
+    when(size(toks) >= 1, bits.reduce(_.bitwiseOR(_)))
   }
 
   /** Near-dup pairs by SimHash hamming distance <= maxHamming.
@@ -408,24 +413,32 @@ object Dedup {
     * ([[appendToLshIndex]]) — the corpus is shingled and signed
     * exactly ONCE, ever; daily dedup cost scales with the batch, not
     * the corpus.
+    *
+    * Every write lands under a `batch=<batchId>` subdirectory, so a
+    * RETRIED write (at-least-once orchestration, or a crash between
+    * the bands and shingles writes) OVERWRITES its own batch rather
+    * than doubling rows — a doubled shingle table would double
+    * set_size and silently deflate every verified jaccard below
+    * threshold, admitting duplicates.
     */
   def writeLshIndex(docs: DataFrame, path: String, n: Int = 3,
       numHashes: Int = 16, rowsPerBand: Int = 4,
-      mode: String = "overwrite"): Unit = {
+      batchId: String = "base"): Unit = {
     val shingled = wordShingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandBuckets(minHashSignatures(shingled, numHashes), numHashes, rowsPerBand)
-      .write.mode(mode).parquet(s"$path/bands")
-    shingled.write.mode(mode).parquet(s"$path/shingles")
+      .write.mode("overwrite").parquet(s"$path/bands/batch=$batchId")
+    shingled.write.mode("overwrite").parquet(s"$path/shingles/batch=$batchId")
     shingled.unpersist()
   }
 
-  /** Append a (deduplicated) batch into an existing index — the
-    * daily maintenance step after [[nearDupsAgainstIndex]].
+  /** Add a (deduplicated) batch into an existing index — the daily
+    * maintenance step after [[nearDupsAgainstIndex]]. Re-running the
+    * same batchId is idempotent (directory overwrite).
     */
-  def appendToLshIndex(docs: DataFrame, path: String, n: Int = 3,
-      numHashes: Int = 16, rowsPerBand: Int = 4): Unit =
-    writeLshIndex(docs, path, n, numHashes, rowsPerBand, mode = "append")
+  def appendToLshIndex(docs: DataFrame, path: String, batchId: String,
+      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): Unit =
+    writeLshIndex(docs, path, n, numHashes, rowsPerBand, batchId = batchId)
 
   /** Near-dup pairs (doc_new, doc_old, jaccard) of a NEW batch
     * against a materialized [[writeLshIndex]] index — incremental
@@ -440,10 +453,14 @@ object Dedup {
     */
   def nearDupsAgainstIndex(newDocs: DataFrame, indexPath: String,
       threshold: Double, n: Int = 3,
-      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      numHashes: Int = 16, rowsPerBand: Int = 4,
+      persistShingles: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
-    val newShingled = wordShingles(newDocs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newShingledRaw = wordShingles(newDocs, n)
+    val newShingled =
+      if (persistShingles)
+        newShingledRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else newShingledRaw
     val newBands = bandBuckets(
       minHashSignatures(newShingled, numHashes), numHashes, rowsPerBand)
     val idxBands = spark.read.parquet(s"$indexPath/bands")

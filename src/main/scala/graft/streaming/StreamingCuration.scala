@@ -30,12 +30,13 @@ object StreamingCuration {
     * (their case/whitespace variants differ, so the surviving
     * predicted_lang/n_tokens can differ run-to-run). This is the
     * deliberate trade of the standard schema-preserving idiom: every
-    * input column flows through untouched. Where byte-stable keeper
-    * identity matters — replayed/backfilled corpora — use
-    * [[nearDupKeepers]], whose (event-time, doc_id)-deterministic
-    * claimant also subsumes exact duplicates (identical docs share
-    * every band), or batch
-    * [[graft.pipeline.Dedup.dropExactDuplicates]].
+    * input column flows through untouched. [[nearDupKeepers]]'
+    * claimant is deterministic by (event time, doc_id) WITHIN a
+    * micro-batch (its keeper set cannot depend on partition order),
+    * though across batches arrival still decides — fully
+    * replay-stable keeper identity needs reproduced batch boundaries
+    * or the batch path ([[graft.pipeline.Dedup.dropExactDuplicates]]
+    * / [[graft.pipeline.Dedup.minHashNearDups]]).
     */
   def curate(docs: DataFrame,
       minQuality: Double = 0.5,
@@ -50,11 +51,11 @@ object StreamingCuration {
         .dropDuplicatesWithinWatermark("fp"))
   }
 
-  /** One exploded (doc, band) observation / one surviving band row. */
+  /** One exploded (doc, band) observation / its claim verdict. */
   case class BandObs(doc_id: Long, text: String,
       ingested_at: java.sql.Timestamp, band: Int, bucket: String)
-  case class BandSurvival(doc_id: Long, text: String,
-      ingested_at: java.sql.Timestamp)
+  case class BandVerdict(doc_id: Long, text: String,
+      ingested_at: java.sql.Timestamp, survived: Boolean)
 
   /** Streaming MINHASH near-dup suppression — the batch
     * [[graft.pipeline.Dedup.minHashNearDups]] dedup class on a
@@ -115,7 +116,7 @@ object StreamingCuration {
         col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
       .withWatermark("ingested_at", watermarkDelay)
       .as[BandObs]
-    val survived = exploded
+    val verdicts = exploded
       .groupByKey(o => (o.band, o.bucket))
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
@@ -123,27 +124,34 @@ object StreamingCuration {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val rs = rows.toSeq
-            val out =
-              if (state.exists) Iterator.empty
-              else {
-                // deterministic claimant — by EVENT TIME then id, not
-                // iterator order (no intra-batch ordering guarantee)
-                val w = rs.minBy(r => (r.ingested_at.getTime, r.doc_id))
-                Iterator.single(BandSurvival(w.doc_id, w.text, w.ingested_at))
-              }
+            // deterministic claimant — by EVENT TIME then id, not
+            // iterator order (no intra-batch ordering guarantee).
+            // EVERY row is emitted with its verdict (not just the
+            // winner): the downstream watermark re-declaration only
+            // advances from rows it SEES, so a stretch of batches
+            // with zero winners would otherwise freeze keeper
+            // emission forever (liveness, not correctness).
+            val winner =
+              if (state.exists) None
+              else Some(rs.minBy(r => (r.ingested_at.getTime, r.doc_id)).doc_id)
             state.update(true)
             // rows are never behind the watermark here, so this
             // timestamp is always ahead of it
             state.setTimeoutTimestamp(rs.map(_.ingested_at.getTime).max + horizonMs)
-            out
+            rs.iterator.map(r => BandVerdict(r.doc_id, r.text, r.ingested_at,
+              survived = winner.contains(r.doc_id)))
           })
-    survived.toDF()
+    verdicts.toDF()
       // the watermark does not propagate through the stateful map:
-      // re-declare it on the surviving rows' event-time column
+      // re-declare it on the verdict rows' event-time column
       .withWatermark("ingested_at", watermarkDelay)
       .groupBy(window(col("ingested_at"), emitWindow), col("doc_id"))
-      .agg(count(lit(1)).as("__kept_bands"), first(col("text")).as("text"))
-      .where(col("__kept_bands") === numBands)
+      .agg(sum(when(col("survived"), 1L).otherwise(0L)).as("__kept_bands"),
+        first(col("text")).as("text"))
+      // >= not ==: an exact re-delivery of one doc_id within a single
+      // micro-batch doubles its surviving band rows (both copies are
+      // the claimant) — the doc is still a keeper, once
+      .where(col("__kept_bands") >= numBands)
       .select(col("doc_id"), col("text"), col("window.start").as("window_start"))
   }
 

@@ -53,14 +53,21 @@ class LshIndexSpec extends SparkSpec {
   test("append maintenance: a later batch dedups against earlier batches too") {
     val path = java.nio.file.Files.createTempDirectory("graft-lsh-idx2").toString + "/idx"
     Dedup.writeLshIndex(corpus, path)
-    Dedup.appendToLshIndex(batch, path)
+    Dedup.appendToLshIndex(batch, path, batchId = "b1")
+    // retried append of the SAME batch is idempotent: shingle rows
+    // must not double (a doubled set_size deflates every jaccard)
+    Dedup.appendToLshIndex(batch, path, batchId = "b1")
     // batch 2 contains a near-dup of a BATCH-1 doc (21), invisible to
     // the original corpus index without the append
     val batch2 = Seq(
       (31L, base.replace("lazy", "sleepy").replace("cat", "kitten")))
       .toDF("doc_id", "text")
-    val pairs = Dedup.nearDupsAgainstIndex(batch2, path, threshold = 0.7)
-      .collect().map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old"))).toSet
+    val rows = Dedup.nearDupsAgainstIndex(batch2, path, threshold = 0.7).collect()
+    val pairs = rows.map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old"))).toSet
     assert(pairs.contains((31L, 21L)), s"append not visible: $pairs")
+    // jaccard computed against SINGLE-counted shingles despite the
+    // double append (0.7 <= j <= 1; a doubled index would halve it)
+    val j = rows.find(r => r.getAs[Long]("doc_old") == 21L).get.getAs[Double]("jaccard")
+    assert(j >= 0.7 && j <= 1.0)
   }
 }
