@@ -424,6 +424,30 @@ object Dedup {
   def writeLshIndex(docs: DataFrame, path: String, n: Int = 3,
       numHashes: Int = 16, rowsPerBand: Int = 4,
       batchId: String = "base"): Unit = {
+    // a FRESH index replaces the whole band/shingle tables, not just
+    // its own batch subdir — stale files from a previous run (or a
+    // previous layout) would otherwise silently pollute every
+    // subsequent read
+    val hconf = docs.sparkSession.sparkContext.hadoopConfiguration
+    Seq(s"$path/bands", s"$path/shingles").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    writeIndexBatch(docs, path, n, numHashes, rowsPerBand, batchId)
+  }
+
+  /** Add a (deduplicated) batch into an existing index — the daily
+    * maintenance step after [[nearDupsAgainstIndex]]. Re-running the
+    * same batchId is idempotent (directory overwrite); the rest of
+    * the index is untouched.
+    */
+  def appendToLshIndex(docs: DataFrame, path: String, batchId: String,
+      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): Unit =
+    writeIndexBatch(docs, path, n, numHashes, rowsPerBand, batchId)
+
+  private def writeIndexBatch(docs: DataFrame, path: String, n: Int,
+      numHashes: Int, rowsPerBand: Int, batchId: String): Unit = {
     val shingled = wordShingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandBuckets(minHashSignatures(shingled, numHashes), numHashes, rowsPerBand)
@@ -431,14 +455,6 @@ object Dedup {
     shingled.write.mode("overwrite").parquet(s"$path/shingles/batch=$batchId")
     shingled.unpersist()
   }
-
-  /** Add a (deduplicated) batch into an existing index — the daily
-    * maintenance step after [[nearDupsAgainstIndex]]. Re-running the
-    * same batchId is idempotent (directory overwrite).
-    */
-  def appendToLshIndex(docs: DataFrame, path: String, batchId: String,
-      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): Unit =
-    writeLshIndex(docs, path, n, numHashes, rowsPerBand, batchId = batchId)
 
   /** Near-dup pairs (doc_new, doc_old, jaccard) of a NEW batch
     * against a materialized [[writeLshIndex]] index — incremental

@@ -28,7 +28,13 @@ class LshIndexSpec extends SparkSpec {
 
   test("batch-vs-index equals one-shot minHashNearDups cross-side pairs") {
     val path = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString + "/idx"
+    // a fresh index must CLEAR stale files from a previous run — a
+    // leftover flat-layout file would pollute (or break) every read
+    val staleDir = java.nio.file.Paths.get(path, "bands")
+    java.nio.file.Files.createDirectories(staleDir)
+    java.nio.file.Files.write(staleDir.resolve("stale.parquet"), Array[Byte](1, 2))
     Dedup.writeLshIndex(corpus, path)
+    assert(!java.nio.file.Files.exists(staleDir.resolve("stale.parquet")))
     val incremental = Dedup.nearDupsAgainstIndex(batch, path, threshold = 0.7)
       .collect()
       .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old"),
