@@ -6,6 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Pin gate side-artifacts (p16b vocab, p19 LSH index) under THIS
+    // run's output dir before any query/oracle string is built:
+    // concurrent Verify cycles stay isolated, and the dumped oracle
+    // SQL joins exactly the files this run wrote. Absolute path — the
+    // driver's DuckDB resolves it from its own cwd.
+    System.setProperty("graft.artifact.dir",
+      s"${new java.io.File(outDir).getAbsolutePath}/artifacts")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -85,6 +85,16 @@ object Bpe {
     * (count desc, pretoken asc) and pair ties break lexicographically,
     * so two clusters train byte-identical merge tables.
     *
+    * The pair counts are maintained INCREMENTALLY (the standard
+    * fast-BPE-trainer shape): after a merge, only the words that
+    * actually contain the merged pair — tracked by an inverted
+    * pair -> word-ids index — have their contributions retracted and
+    * re-added. A naive full recount is O(vocabRows) per round, which
+    * is a real latency ceiling at production merge counts (a 32k-merge
+    * vocab over a 100k-row histogram is 3.2B word visits recounted vs
+    * only the affected slice here); BpeSpec proves the incremental
+    * loop emits byte-identical merge tables to the naive recount.
+    *
     * `maxVocabRows` caps driver memory (train on the head of the
     * frequency dict — standard practice; the tail's counts cannot
     * win a merge anyway).
@@ -98,29 +108,59 @@ object Bpe {
       .limit(maxVocabRows)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
-    var words: Array[(Array[String], Long)] =
-      hist.map { case (w, n) => (splitSymbols(w), n) }
+    val words: Array[Array[String]] = hist.map { case (w, _) => splitSymbols(w) }
+    val freqs: Array[Long] = hist.map(_._2)
+
+    // counts: adjacent-pair frequencies, weighted by word frequency;
+    // pairToWords: which word indices currently contain each pair.
+    // Both are maintained exactly — an entry whose count reaches 0 is
+    // REMOVED (a lingering zero-count pair could win a late tie-break
+    // that the recount implementation would never see).
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val pairToWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+
+    def addContributions(idx: Int): Unit = {
+      val syms = words(idx); val n = freqs(idx)
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + n)
+        pairToWords.getOrElseUpdate(k, mutable.Set.empty[Int]) += idx
+        i += 1
+      }
+    }
+    def removeContributions(idx: Int): Unit = {
+      val syms = words(idx); val n = freqs(idx)
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        val left = counts.getOrElse(k, 0L) - n
+        if (left <= 0L) counts.remove(k) else counts.update(k, left)
+        pairToWords.get(k).foreach { s =>
+          s -= idx
+          if (s.isEmpty) pairToWords.remove(k)
+        }
+        i += 1
+      }
+    }
+
+    words.indices.foreach(addContributions)
+
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
-    var exhausted = false
-    while (round < numMerges && !exhausted) {
-      val counts = mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, n) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + n)
-          i += 1
-        }
-      }
-      if (counts.isEmpty) exhausted = true
-      else {
-        // max count; ties -> lexicographically smallest pair (determinism)
-        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
-        merges += best
-        words = words.map { case (syms, n) =>
-          (if (syms.length > 1) applyMerge(syms, best._1, best._2) else syms, n)
-        }
+    while (round < numMerges && counts.nonEmpty) {
+      // max count; ties -> lexicographically smallest pair (determinism
+      // — minBy totally orders, so HashMap iteration order is moot)
+      val best = counts.keysIterator.minBy { k => (-counts(k), k._1, k._2) }
+      merges += best
+      // only words containing the merged pair change their pair
+      // multiset; snapshot the index entry (the loop mutates it)
+      val affected = pairToWords.get(best).map(_.toArray).getOrElse(Array.empty)
+      java.util.Arrays.sort(affected)
+      affected.foreach { idx =>
+        removeContributions(idx)
+        words(idx) = applyMerge(words(idx), best._1, best._2)
+        addContributions(idx)
       }
       round += 1
     }

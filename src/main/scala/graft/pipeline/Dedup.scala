@@ -524,11 +524,15 @@ object Dedup {
       col("chunk"), col("val"))
     val r = keyed.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
       col("chunk"), col("val"))
+    // hamming filter BEFORE the distinct: hamming is a pure function of
+    // the pair, so the result is identical, but far-pair chunk
+    // collisions are discarded pre-exchange instead of being shuffled
+    // through the dedup only to be dropped after
     l.join(r, Seq("chunk", "val"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -79,6 +79,78 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec behind the same [[Decoder]] seam: PNG/JPEG via
+    * `javax.imageio` (JDK-public API, no extra dependency). Emits the
+    * decoded dimensions plus exact integer channel statistics —
+    * feature = [sumR, sumG, sumB, nPixels] — so downstream filters
+    * (mean brightness, aspect ratio, degenerate-image drop) run as
+    * plain column arithmetic. The sums are exact in Float for images
+    * up to 256x256 (255 * 65536 < 2^24); the mm05/mm06 gates stay
+    * within that bound so a SQL oracle can hash-match them.
+    *
+    * Undecodable payloads (truncated files, non-image bytes, empty
+    * arrays) QUARANTINE to a (0, 0, 0, empty) record instead of
+    * throwing — at corpus scale some media is always corrupt, and one
+    * bad file must not kill a 100 TB decode stage. Filter
+    * `n_frames = 0` downstream for the quarantine set.
+    */
+  object ImageIoDecoder extends Decoder {
+    // per-JVM init: no disk-backed ImageIO scratch files on executors
+    @transient private lazy val inited: Boolean = {
+      javax.imageio.ImageIO.setUseCache(false); true
+    }
+    override def decode(mediaId: Long, payload: Array[Byte]): DecodedFeatures = {
+      val _ = inited
+      val img =
+        try {
+          if (payload == null || payload.isEmpty) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        } catch { case _: java.io.IOException | _: RuntimeException => null }
+      if (img == null) DecodedFeatures(mediaId, 0, 0, 0, Array.empty)
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < rgb.length) {
+          val p = rgb(i)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          i += 1
+        }
+        DecodedFeatures(mediaId, w, h, 1,
+          Array(sr.toFloat, sg.toFloat, sb.toFloat, (w.toLong * h).toFloat))
+      }
+    }
+  }
+
+  /** Deterministic synthetic PNG: pixel (x, y) has channels
+    * r = (seed*7 + x*3 + y*5) % 256, g = (seed*11 + x + y*2) % 256,
+    * b = (seed*13 + x*2 + y) % 256 — REAL image bytes (encoded with
+    * the JDK PNG writer, losslessly round-trippable) whose decoded
+    * channel sums a SQL oracle recomputes from (seed, w, h) alone.
+    * Test/gate fixture for [[ImageIoDecoder]] and [[resizeImage]].
+    */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"dims must be positive, got ${w}x$h")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((seed * 7 + x * 3 + y * 5) % 256).toInt
+        val g = ((seed * 11 + x + y * 2) % 256).toInt
+        val b = ((seed * 13 + x * 2 + y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Distributed decode: one decoder instance per partition (codecs
     * are expensive to init), rows streamed through it — the Scala
     * analog of `mapInPandas` batch processing. Narrow (no shuffle);
@@ -129,6 +201,58 @@ object Multimodal {
           width = targetW,
           height = targetH,
           payload = sliced.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }(enc)
+  }
+
+  /** REAL image resize behind the [[resizeStub]] seam: decode
+    * (`javax.imageio`), nearest-neighbor resample with the integer
+    * mapping src(x * srcW / dstW, y * srcH / dstH), re-encode PNG.
+    * The resample is hand-indexed (not an AWT transform op) so its
+    * semantics are exactly specified and a SQL oracle can recompute
+    * the resized pixels of a [[syntheticPng]] fixture from arithmetic
+    * alone (the mm06 gate re-decodes the output and hash-matches the
+    * channel sums — proving the full decode -> resample -> encode ->
+    * decode round trip, not just the metadata).
+    *
+    * Same per-partition seam as [[decodeFeatures]]; undecodable
+    * payloads quarantine to (0, 0, empty) like the decoder does.
+    */
+  def resizeImage(media: DataFrame, targetW: Int, targetH: Int,
+      idCol: String = "media_id", payloadCol: String = "payload"): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0,
+      s"target dims must be positive, got ${targetW}x$targetH")
+    val enc = Encoders.product[ResizedMedia]
+    val idIdx = media.schema.fieldIndex(idCol)
+    val payloadIdx = media.schema.fieldIndex(payloadCol)
+    media.mapPartitions { rows: Iterator[Row] =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition init site
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val src =
+          try {
+            if (bytes == null || bytes.isEmpty) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: java.io.IOException | _: RuntimeException => null }
+        if (src == null) ResizedMedia(id, 0, 0, Array.emptyByteArray)
+        else {
+          val sw = src.getWidth; val sh = src.getHeight
+          val dst = new java.awt.image.BufferedImage(targetW, targetH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < targetH) {
+            var x = 0
+            while (x < targetW) {
+              dst.setRGB(x, y, src.getRGB(x * sw / targetW, y * sh / targetH) & 0xFFFFFF)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          ResizedMedia(id, targetW, targetH, bos.toByteArray)
+        }
       }
     }(enc)
   }

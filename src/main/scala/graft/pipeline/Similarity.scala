@@ -103,12 +103,23 @@ object Similarity {
     * mode quarantines whichever lengths are the minority, long or
     * short. Ties break to the larger length, deterministically.
     * Empty / all-NULL corpus → 1 (nothing will be bucketed anyway).
+    *
+    * Discovery is a full-corpus aggregation, so every LSH entry point
+    * takes an explicit `dim: Option[Int]` and only falls back to this
+    * scan when the caller doesn't know the dimensionality — at 100 TB
+    * an avoidable extra pass per operator call is real money, and
+    * production embedding tables have a known, fixed dim.
     */
   private def dimOf(emb: DataFrame, vecCol: String): Int =
     emb.groupBy(size(col(vecCol)).as("d")).agg(count(lit(1)).as("n"))
       .where(col("d").isNotNull && col("d") >= 1)
       .orderBy(col("n").desc, col("d").desc).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(1)
+
+  private def resolveDim(dim: Option[Int], emb: DataFrame, vecCol: String): Int = {
+    dim.foreach(d => require(d >= 1, s"dim=$d must be >= 1"))
+    dim.getOrElse(dimOf(emb, vecCol))
+  }
 
   /** ANN top-k: score only vectors in the query's LSH bucket(s).
     * Exact within the probed set; recall < 1 by construction (the
@@ -126,12 +137,13 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, bits: Int = 8,
       probes: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Option[Int] = None): DataFrame = {
     require(probes >= 1 && probes <= 1 + bits,
       s"probes=$probes outside [1, 1+bits=${1 + bits}]: single-bit " +
         "multi-probe offers the exact bucket plus one flip per bit")
     val bucketed = emb.withColumn("__bucket",
-      lshBucket(col(vecCol), bits, dimOf(emb, vecCol)))
+      lshBucket(col(vecCol), bits, resolveDim(dim, emb, vecCol)))
     // probe buckets: the query's own code, then one-bit flips (flip
     // order = bit order; a flip of bit i toggles 2^i in the code)
     val flips = lit(0L) +: (0 until (probes - 1)).map(b => shiftleft(lit(1L), b))
@@ -371,7 +383,7 @@ object Similarity {
   def embeddingNearDups(emb: DataFrame, threshold: Double, bits: Int = 8,
       maxBucketSize: Int = 100000,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      persistBuckets: Boolean = true): DataFrame = {
+      persistBuckets: Boolean = true, dim: Option[Int] = None): DataFrame = {
     // persist: the bucket projection (bits x dim codegen'd dots over
     // the whole corpus) feeds THREE consumers — the population count
     // and both sides of the self-join; unpersisted, Spark recomputes
@@ -379,7 +391,7 @@ object Similarity {
     // lesson). `persistBuckets=false` opts out for long-lived
     // sessions that manage caching themselves.
     val bucketedRaw = emb.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), bits, dimOf(emb, vecCol)).as("__bucket"))
+      lshBucket(col(vecCol), bits, resolveDim(dim, emb, vecCol)).as("__bucket"))
       .where(col("__bucket").isNotNull)
     val bucketed =
       if (persistBuckets)
@@ -409,9 +421,10 @@ object Similarity {
     */
   def overflowBuckets(emb: DataFrame, bits: Int = 8,
       maxBucketSize: Int = 100000,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Option[Int] = None): DataFrame = {
     val bucketed = emb.select(
-      lshBucket(col(vecCol), bits, dimOf(emb, vecCol)).as("__bucket"))
+      lshBucket(col(vecCol), bits, resolveDim(dim, emb, vecCol)).as("__bucket"))
     bucketed.groupBy("__bucket").agg(count(lit(1)).as("population"))
       .where(col("population") > maxBucketSize || col("__bucket").isNull)
       .withColumnRenamed("__bucket", "bucket")

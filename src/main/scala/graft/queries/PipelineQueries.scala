@@ -66,16 +66,30 @@ object PipelineQueries {
       |     WHEN de_hits >= fr_hits THEN 'de'
       |     ELSE 'fr' END AS predicted_lang""".stripMargin
 
-  /** Fixed artifact path for the p16b BPE vocab side table: the gate
-    * query writes it, the static oracle SQL joins it — consistent for
-    * any single Verify -> compare cycle regardless of sf dir.
+  /** Root for gate-written side artifacts (the p16b BPE vocab, the
+    * p19 LSH index). [[graft.Verify]] pins the `graft.artifact.dir`
+    * system property to `<outDir>/artifacts` before anything runs, so
+    * each Verify cycle is ISOLATED: two concurrent runs (or runs at
+    * different scale factors) never clobber each other's artifacts,
+    * and the oracle SQL a run dumps joins exactly the files that same
+    * run wrote. Outside Verify (Bench, ad-hoc sessions) the fixed /tmp
+    * default applies — no oracle is in play there.
+    *
+    * [[defs]] is a `def` (not a val) so the SQL strings below read the
+    * property at access time, not at first-classload.
     */
-  private val BpeVocabPath = "/tmp/graft_bpe_vocab_p16b.parquet"
+  private def artifactRoot: String =
+    sys.props.getOrElse("graft.artifact.dir", "/tmp/graft_artifacts")
 
-  /** Fixed artifact path for the p19 LSH dedup index (same
-    * single-cycle contract as [[BpeVocabPath]]).
+  /** Artifact path for the p16b BPE vocab side table: the gate query
+    * writes it, the dumped oracle SQL joins it.
     */
-  private val LshIndexPath = "/tmp/graft_lsh_index_p19"
+  private def bpeVocabPath = s"$artifactRoot/bpe_vocab_p16b.parquet"
+
+  /** Artifact path for the p19 LSH dedup index (same per-run contract
+    * as [[bpeVocabPath]]).
+    */
+  private def lshIndexPath = s"$artifactRoot/lsh_index_p19"
 
   /** The driver-generated embeddings tables are 64-dimensional at
     * every scale factor (TESTDATA.md); [[Similarity.dimOf]] resolves
@@ -131,7 +145,7 @@ object PipelineQueries {
        |sigs AS (SELECT doc_id, $sig AS sig FROM votes)""".stripMargin
   }
 
-  val defs: Seq[QueryDef] = Seq(
+  def defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: content-hash groups with deterministic keeper.
     QueryDef("p01_exact_dup_groups",
@@ -316,9 +330,9 @@ object PipelineQueries {
     QueryDef("p19_index_neardups",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        Dedup.writeLshIndex(docs.where(col("doc_id") % 2 === 0), LshIndexPath)
+        Dedup.writeLshIndex(docs.where(col("doc_id") % 2 === 0), lshIndexPath)
         Dedup.nearDupsAgainstIndex(
-          docs.where(col("doc_id") % 2 === 1), LshIndexPath, threshold = 0.8)
+          docs.where(col("doc_id") % 2 === 1), lshIndexPath, threshold = 0.8)
       },
       Some(s"""WITH $shingleSql,
               |hv AS (SELECT doc_id,
@@ -372,7 +386,8 @@ object PipelineQueries {
     // literal DOUBLE[]s and recomputes every bucket in SQL.
     QueryDef("p11_lsh_topk",
       (s, dir) => Similarity.lshTopK(
-        Tables.embeddings(s, dir), queryId = 0L, k = 10, bits = 4),
+        Tables.embeddings(s, dir), queryId = 0L, k = 10, bits = 4,
+        dim = Some(EmbeddingDim)),
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
               |           FROM embeddings),
               |b AS (SELECT vec_id, v,
@@ -433,7 +448,8 @@ object PipelineQueries {
     // well-formed gate corpus, both load-bearing at 100 TB).
     QueryDef("p12_embedding_neardups",
       (s, dir) => Similarity.embeddingNearDups(
-        Tables.embeddings(s, dir), threshold = 0.3, bits = 2),
+        Tables.embeddings(s, dir), threshold = 0.3, bits = 2,
+        dim = Some(EmbeddingDim)),
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
               |           FROM embeddings
               |           WHERE len(embedding) = $EmbeddingDim),
@@ -512,14 +528,14 @@ object PipelineQueries {
         val merges = Bpe.trainMerges(docs, numMerges = 64)
         // one vocab derivation: materialize, then count against the
         // read-back artifact (the exact table the oracle joins)
-        Bpe.writeVocab(Bpe.corpusVocab(docs, merges), BpeVocabPath)
-        Bpe.tokenCounts(docs, merges, vocab = Some(s.read.parquet(BpeVocabPath)))
+        Bpe.writeVocab(Bpe.corpusVocab(docs, merges), bpeVocabPath)
+        Bpe.tokenCounts(docs, merges, vocab = Some(s.read.parquet(bpeVocabPath)))
       },
       Some(s"""WITH pt AS (SELECT doc_id,
               |              unnest(regexp_extract_all(text,
               |                '${TextAnalysis.BpeTokenPattern.replace("'", "''")}')) AS pt
               |            FROM documents),
-              |v AS (SELECT * FROM '$BpeVocabPath/*.parquet'),
+              |v AS (SELECT * FROM '$bpeVocabPath/*.parquet'),
               |c AS (SELECT doc_id, CAST(sum(v.n_tokens) AS BIGINT) AS n_bpe_real
               |      FROM pt JOIN v USING (pt) GROUP BY doc_id)
               |SELECT d.doc_id,
@@ -654,6 +670,67 @@ object PipelineQueries {
              |       md5(substr(text, 1, 256)) AS payload_md5
              |FROM documents""".stripMargin)),
 
+    // REAL codec through the decode seam: driver-generated synthetic
+    // PNGs (deterministic pixel formulas of doc_id) are decoded by the
+    // javax.imageio path on executors; dims + exact integer channel
+    // sums hash-match an oracle that recomputes the same pixels from
+    // (doc_id, w, h) arithmetic alone. PNG is lossless, so the decoded
+    // pixels ARE the formula's — this gate fails if the codec, the
+    // RGB unpacking, or the sum accumulation is wrong.
+    QueryDef("mm05_real_decode",
+      (s, dir) => Multimodal.decodeFeatures(
+        syntheticPngMedia(s, dir), Multimodal.ImageIoDecoder).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+          element_at(col("feature"), 1).cast("long").as("sum_r"),
+          element_at(col("feature"), 2).cast("long").as("sum_g"),
+          element_at(col("feature"), 3).cast("long").as("sum_b")),
+      Some(s"""WITH dims AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+              |              FROM documents),
+              |px AS (
+              |  SELECT doc_id, w, h, gx.x AS x, gy.y AS y
+              |  FROM dims
+              |  CROSS JOIN (SELECT unnest(range(16)) AS x) gx
+              |  CROSS JOIN (SELECT unnest(range(16)) AS y) gy
+              |  WHERE gx.x < w AND gy.y < h)
+              |SELECT doc_id AS media_id,
+              |       CAST(w AS INTEGER) AS width,
+              |       CAST(h AS INTEGER) AS height,
+              |       CAST(1 AS INTEGER) AS n_frames,
+              |       CAST(sum((doc_id*7 + x*3 + y*5) % 256) AS BIGINT) AS sum_r,
+              |       CAST(sum((doc_id*11 + x + y*2) % 256) AS BIGINT) AS sum_g,
+              |       CAST(sum((doc_id*13 + x*2 + y) % 256) AS BIGINT) AS sum_b
+              |FROM px GROUP BY doc_id, w, h""".stripMargin)),
+
+    // REAL resize round trip: decode -> nearest-neighbor resample
+    // (integer mapping sx = x*w/W) -> PNG re-encode -> re-DECODE. The
+    // oracle recomputes the resampled pixels' channel sums from
+    // arithmetic; a hash match proves the full codec round trip, not
+    // just metadata.
+    QueryDef("mm06_real_resize",
+      (s, dir) => Multimodal.decodeFeatures(
+        Multimodal.resizeImage(syntheticPngMedia(s, dir),
+          targetW = 12, targetH = 12).toDF(),
+        Multimodal.ImageIoDecoder).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          element_at(col("feature"), 1).cast("long").as("sum_r"),
+          element_at(col("feature"), 2).cast("long").as("sum_g"),
+          element_at(col("feature"), 3).cast("long").as("sum_b")),
+      Some(s"""WITH dims AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+              |              FROM documents),
+              |spx AS (
+              |  SELECT doc_id,
+              |         (gx.x * w) // 12 AS sx, (gy.y * h) // 12 AS sy
+              |  FROM dims
+              |  CROSS JOIN (SELECT unnest(range(12)) AS x) gx
+              |  CROSS JOIN (SELECT unnest(range(12)) AS y) gy)
+              |SELECT doc_id AS media_id,
+              |       CAST(12 AS INTEGER) AS width,
+              |       CAST(12 AS INTEGER) AS height,
+              |       CAST(sum((doc_id*7 + sx*3 + sy*5) % 256) AS BIGINT) AS sum_r,
+              |       CAST(sum((doc_id*11 + sx + sy*2) % 256) AS BIGINT) AS sum_g,
+              |       CAST(sum((doc_id*13 + sx*2 + sy) % 256) AS BIGINT) AS sum_b
+              |FROM spx GROUP BY doc_id""".stripMargin)),
+
     // Frame sampling: byte-range explode — the frame COUNT and LENGTH
     // math is oracle-checkable even though payload slicing is opaque.
     QueryDef("mm03_frame_sampling",
@@ -681,4 +758,21 @@ object PipelineQueries {
       lit("text").as("media_type"),
       col("text").cast("binary").as("payload"),
       col("source"))
+
+  /** documents -> REAL PNG media rows for the mm05/mm06 codec gates:
+    * per doc_id, a [[Multimodal.syntheticPng]] of deterministic dims
+    * (8..15 x 8..12 — small enough that channel sums stay float-exact
+    * and the pixel-level oracle stays cheap), generated ON EXECUTORS
+    * (narrow mapPartitions; the driver never holds image bytes).
+    */
+  private def syntheticPngMedia(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          (id, Multimodal.syntheticPng(id, w = 8 + (id % 8).toInt, h = 8 + (id % 5).toInt))
+        }
+      }.toDF("media_id", "payload")
+  }
 }

@@ -108,4 +108,69 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.trainMerges(docs.repartition(7), 24)
     assert(a.toSeq === b.toSeq)
   }
+
+  /** INDEPENDENT naive trainer: full pair recount every round (the
+    * textbook Sennrich loop), run on the same driver-side histogram
+    * the engine trains on. The engine's incremental-update trainer
+    * must emit a byte-identical merge table.
+    */
+  private def naiveTrain(hist: Array[(String, Long)], numMerges: Int): Array[(String, String)] = {
+    var words = hist.map { case (w, n) => (Bpe.splitSymbols(w), n) }
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach(k =>
+          counts.update(k, counts.getOrElse(k, 0L) + n))
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        words = words.map { case (syms, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += best._1 + best._2; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, n)
+        }
+      }
+      round += 1
+    }
+    merges.result().toArray
+  }
+
+  private def corpusHistogram(df: org.apache.spark.sql.DataFrame): Array[(String, Long)] =
+    df.select(explode(TextAnalysis.bpeTokens(col("text"))).as("pt"))
+      .groupBy("pt").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pt").asc)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  test("incremental pair counting == naive recount at 1024 merges (and at exhaustion)") {
+    // high-entropy corpus: md5-hex words give a 16-char alphabet with
+    // thousands of distinct adjacent pairs, so 1024 merges is a REAL
+    // training run, not an early exhaustion
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def word(d: Int, k: Int): String = md.digest(s"$d:$k".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(6)
+    val big = (0 until 100).map(d =>
+      (d.toLong, (0 until 40).map(k => word(d, k)).mkString(" ")))
+      .toDF("doc_id", "text")
+
+    val incremental = Bpe.trainMerges(big, numMerges = 1024)
+    val naive = naiveTrain(corpusHistogram(big), numMerges = 1024)
+    assert(incremental.length === 1024, "corpus exhausted early; gate would be weak")
+    assert(incremental.toSeq === naive.toSeq)
+
+    // exhaustion parity on the tiny corpus: both must stop at the same
+    // merge list when no adjacent pairs remain
+    val tinyInc = Bpe.trainMerges(docs, numMerges = 100000)
+    val tinyNaive = naiveTrain(corpusHistogram(docs), numMerges = 100000)
+    assert(tinyInc.toSeq === tinyNaive.toSeq)
+  }
 }

@@ -4,9 +4,12 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** The decode seam is stubbed (no codec libraries in this image); what
-  * IS tested is the distributed plumbing: schema, metadata derivation,
-  * per-partition decode shape, frame explode.
+/** Two decoder modes behind one seam: the deterministic md5 stub
+  * (oracle mode — its output is FROZEN; mm01-mm04 hash against it) and
+  * the REAL javax.imageio codec (PNG decode, NN resample, re-encode —
+  * mm05/mm06 hash its channel sums). Plus the distributed plumbing:
+  * schema, metadata derivation, per-partition decode shape, frame
+  * explode.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -49,6 +52,77 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.decodeFeatures(media, Multimodal.StubDecoder).collect()
     assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
       .forall { case (a, b) => a == b || a.feature.sameElements(b.feature) })
+  }
+
+  test("StubDecoder output is frozen (oracle mode must never drift)") {
+    // hardcoded from md5("graft-stub-fixture") = ca8c86bf... — if this
+    // fails, the mm01-mm04 gates' oracle SQL no longer matches the stub
+    val d = Multimodal.StubDecoder.decode(7L, "graft-stub-fixture".getBytes("UTF-8"))
+    assert(d.media_id === 7L)
+    assert(d.width === 218 && d.height === 156 && d.n_frames === 3)
+    val nibs = Seq(8, 6, 11, 15, 10, 11, 11, 14)
+    d.feature.zip(nibs).foreach { case (f, n) => assert(f === n / 15.0f) }
+  }
+
+  test("ImageIoDecoder: real PNG round trip with exact channel sums") {
+    // 3x2 image, hand-set pixels — sums computable by eye
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Seq( // (x, y, r, g, b)
+      (0, 0, 10, 20, 30), (1, 0, 40, 50, 60), (2, 0, 70, 80, 90),
+      (0, 1, 5, 6, 7), (1, 1, 255, 0, 128), (2, 1, 1, 2, 3))
+    px.foreach { case (x, y, r, g, b) => img.setRGB(x, y, (r << 16) | (g << 8) | b) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = Multimodal.ImageIoDecoder.decode(1L, bos.toByteArray)
+    assert(d.width === 3 && d.height === 2 && d.n_frames === 1)
+    assert(d.feature.toSeq === Seq[Float](
+      px.map(_._3).sum.toFloat, px.map(_._4).sum.toFloat,
+      px.map(_._5).sum.toFloat, 6.0f))
+  }
+
+  test("ImageIoDecoder: undecodable payloads quarantine instead of throwing") {
+    for (bad <- Seq(null, Array.emptyByteArray, "not an image".getBytes,
+        Multimodal.syntheticPng(1L, 4, 4).take(10))) { // truncated PNG
+      val d = Multimodal.ImageIoDecoder.decode(9L, bad)
+      assert(d.width === 0 && d.height === 0 && d.n_frames === 0 &&
+        d.feature.isEmpty, s"payload ${Option(bad).map(_.length)} not quarantined")
+    }
+  }
+
+  test("syntheticPng decodes to its defining formulas (PNG is lossless)") {
+    val (seed, w, h) = (42L, 9, 7)
+    val d = Multimodal.ImageIoDecoder.decode(seed, Multimodal.syntheticPng(seed, w, h))
+    assert(d.width === w && d.height === h)
+    def sum(f: (Int, Int) => Long): Long =
+      (for (y <- 0 until h; x <- 0 until w) yield f(x, y)).sum
+    assert(d.feature(0).toLong === sum((x, y) => (seed * 7 + x * 3 + y * 5) % 256))
+    assert(d.feature(1).toLong === sum((x, y) => (seed * 11 + x + y * 2) % 256))
+    assert(d.feature(2).toLong === sum((x, y) => (seed * 13 + x * 2 + y) % 256))
+  }
+
+  test("resizeImage: nearest-neighbor integer mapping, both directions, quarantine") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (seed, w, h) = (5L, 8, 6)
+    val media = Seq((0L, Multimodal.syntheticPng(seed, w, h)),
+      (1L, "garbage".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.resizeImage(media, targetW = 3, targetH = 12)
+      .collect().map(r => r.media_id -> r).toMap
+    // quarantined row
+    assert(out(1L).width === 0 && out(1L).payload.isEmpty)
+    // re-decode the resized PNG and check every pixel against the
+    // mapping src(x*w/W, y*h/H) applied to the synthetic formulas
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0L).payload))
+    assert(img.getWidth === 3 && img.getHeight === 12)
+    for (y <- 0 until 12; x <- 0 until 3) {
+      val sx = x * w / 3; val sy = y * h / 12
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 0xFF) === ((seed * 7 + sx * 3 + sy * 5) % 256).toInt, s"r@($x,$y)")
+      assert(((p >> 8) & 0xFF) === ((seed * 11 + sx + sy * 2) % 256).toInt, s"g@($x,$y)")
+      assert((p & 0xFF) === ((seed * 13 + sx * 2 + sy) % 256).toInt, s"b@($x,$y)")
+    }
   }
 
   test("sampleFrames: explode covers the payload in byte-range steps") {
