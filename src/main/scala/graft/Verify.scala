@@ -6,13 +6,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    // Pin gate side-artifacts (p16b vocab, p19 LSH index) under THIS
-    // run's output dir before any query/oracle string is built:
+    // Pin gate side-artifacts (p16b vocab, p19 LSH index) to a SIBLING
+    // of this run's output dir before any query/oracle string is built:
     // concurrent Verify cycles stay isolated, and the dumped oracle
-    // SQL joins exactly the files this run wrote. Absolute path — the
+    // SQL joins exactly the files this run wrote. Sibling, not child —
+    // the driver globs outDir/* as query results, so a nested artifact
+    // dir shows up as a spurious no-oracle "query". Absolute path — the
     // driver's DuckDB resolves it from its own cwd.
     System.setProperty("graft.artifact.dir",
-      s"${new java.io.File(outDir).getAbsolutePath}/artifacts")
+      s"${new java.io.File(outDir).getAbsolutePath}_artifacts")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

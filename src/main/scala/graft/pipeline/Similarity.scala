@@ -191,14 +191,17 @@ object Similarity {
     * centroid is degenerate, where the cid tie-break stays consistent
     * between assignment and probing.
     */
-  private def cellOf(vec: Column, centroids: Array[(Long, Array[Float])]): Column =
+  private def bestOf(vec: Column, centroids: Array[(Long, Array[Float])]): Column =
     array_max(array(centroids.map { case (cid, c) =>
       val cNorm = math.sqrt(c.map(x => x.toDouble * x).sum)
       val score =
         if (cNorm == 0) lit(Double.NegativeInfinity)
         else dot(vec, centroidCol(c)) / lit(cNorm)
       struct(score.as("score"), lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    }: _*))
+
+  private def cellOf(vec: Column, centroids: Array[(Long, Array[Float])]): Column =
+    bestOf(vec, centroids).getField("cid")
 
   /** Driver-side cosine for probe selection — sequential
     * accumulation, identical to the distributed FloatVectorDot path;
@@ -340,11 +343,84 @@ object Similarity {
     * scores that fraction after a full scan). Train centroids once
     * ([[sampleCentroids]] / [[kmeansCentroids]]), write once, serve
     * many queries against the same index + centroid list.
+    *
+    * Layout mirrors [[graft.pipeline.Dedup.writeLshIndex]]: every
+    * write lands under a `batch=<batchId>` subdirectory so
+    * incremental ingest ([[appendToIvfIndex]]) adds new embeddings
+    * without rewriting the corpus, and a RETRIED write (at-least-once
+    * orchestration) overwrites its own batch rather than doubling
+    * rows — doubled rows would surface as duplicate ids in every
+    * top-k. A fresh index CLEARS the whole path first: stale files
+    * from a previous run (or the previous flat layout) would
+    * otherwise silently pollute every read.
     */
   def writeIvfIndex(emb: DataFrame, centroids: Array[(Long, Array[Float])],
-      path: String, vecCol: String = "embedding"): Unit =
+      path: String, vecCol: String = "embedding",
+      batchId: String = "base"): Unit = {
+    val hconf = emb.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    if (fs.exists(p)) fs.delete(p, true)
+    writeIvfBatch(emb, centroids, path, vecCol, batchId)
+  }
+
+  /** Add a new embedding batch into an existing [[writeIvfIndex]]
+    * index WITHOUT retraining or rewriting: assign the batch to the
+    * EXISTING centroid list (the index's cell geometry must not move
+    * under already-written rows — a centroid that shifts would strand
+    * them in cells the probe no longer checks) and write it under its
+    * own `batch=<batchId>` subdir. Re-running the same batchId is
+    * idempotent (directory overwrite); the rest of the index is
+    * untouched. Daily maintenance cost scales with the batch, not the
+    * corpus.
+    *
+    * Appending does NOT retrain, so the cells fit the new data only
+    * as well as the old centroids do — run [[ivfAssignmentQuality]]
+    * on each batch and compare against the base corpus's quality row
+    * (the drift guard): a falling mean assigned-cosine means the
+    * embedding distribution has moved and the index wants a retrain
+    * ([[kmeansCentroids]] + fresh [[writeIvfIndex]]).
+    */
+  def appendToIvfIndex(emb: DataFrame, centroids: Array[(Long, Array[Float])],
+      path: String, batchId: String, vecCol: String = "embedding"): Unit =
+    writeIvfBatch(emb, centroids, path, vecCol, batchId)
+
+  private def writeIvfBatch(emb: DataFrame, centroids: Array[(Long, Array[Float])],
+      path: String, vecCol: String, batchId: String): Unit =
     emb.withColumn("__cell", cellOf(col(vecCol), centroids))
-      .write.mode("overwrite").partitionBy("__cell").parquet(path)
+      .write.mode("overwrite").partitionBy("__cell")
+      .parquet(s"$path/batch=$batchId")
+
+  /** Drift guard for an IVF index: one summary row of how well
+    * `centroids` fit `emb` — `n` rows scored, `avg_cos` / `min_cos`
+    * of each vector's cosine to its ASSIGNED (nearest) centroid,
+    * `frac_low` the fraction below `lowCosine`, and `degenerate`
+    * rows that cosine can't rank (zero-norm vectors, or every
+    * centroid zero-norm). One narrow pass over the batch — the same
+    * nlist codegen'd dots the assignment itself pays, so it's cheap
+    * to run on EVERY [[appendToIvfIndex]] batch. Compare the batch
+    * row against the base corpus's row: a materially lower `avg_cos`
+    * / higher `frac_low` means the embedding distribution has
+    * drifted off the trained cells and recall at fixed nprobe is
+    * decaying — retrain and rewrite.
+    */
+  def ivfAssignmentQuality(emb: DataFrame,
+      centroids: Array[(Long, Array[Float])],
+      lowCosine: Double = 0.5, vecCol: String = "embedding"): DataFrame = {
+    // bestOf scores dot/|c| (the |v| factor is rank-invariant within a
+    // row); divide it back out for a true cosine, guarding |v| = 0
+    val best = bestOf(col(vecCol), centroids).getField("score")
+    val vNorm = norm(col(vecCol))
+    val cos = when(vNorm > 0 && best =!= lit(Double.NegativeInfinity),
+      best / vNorm)
+    emb.select(cos.as("__cos"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("__cos")).as("avg_cos"),
+        min(col("__cos")).as("min_cos"),
+        (sum(when(col("__cos") < lowCosine, 1L).otherwise(0L)) /
+          greatest(count(col("__cos")), lit(1L))).as("frac_low"),
+        sum(when(col("__cos").isNull, 1L).otherwise(0L)).as("degenerate"))
+  }
 
   /** ANN top-k against a materialized [[writeIvfIndex]] index —
     * the probed cells become PartitionFilters on the scan

@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Incremental IVF index maintenance: [[Similarity.appendToIvfIndex]]
+  * must make a new batch visible to indexed queries WITHOUT a corpus
+  * rewrite, with results identical to the in-memory
+  * [[Similarity.ivfTopKWith]] over the union corpus under the SAME
+  * centroid list; [[Similarity.ivfAssignmentQuality]] is the drift
+  * guard that says when that centroid list has gone stale.
+  *
+  * Fixture: deterministic clustered embeddings (md5-driven, no RNG) —
+  * tight clusters so assignment is unambiguous, plus a "drifted"
+  * batch far from every trained centroid for the drift test.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dim = 16
+
+  // component i of a unit-scale pseudo-random vector for seed s:
+  // md5("<s>:<i>") first byte folded to [-1, 1] — deterministic and
+  // engine-independent, same device as Similarity.plane
+  private def rnd(s: String, i: Int): Float = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$s:$i".getBytes("UTF-8"))
+    ((h(0) & 0xFF) / 127.5f) - 1.0f
+  }
+
+  private def center(c: Int): Array[Float] =
+    Array.tabulate(dim)(i => rnd(s"ivfc:$c", i))
+
+  private def member(c: Int, m: Int): Array[Float] = {
+    val ctr = center(c)
+    Array.tabulate(dim)(i => ctr(i) + 0.05f * rnd(s"ivfm:$c:$m", i))
+  }
+
+  // base corpus: 8 clusters x 8 members, ids = c*100 + m
+  private def baseCorpus = (for {
+    c <- 0 until 8; m <- 0 until 8
+  } yield (c * 100L + m, member(c, m))).toDF("vec_id", "embedding")
+    .withColumn("embedding", col("embedding").cast("array<float>"))
+
+  // batch: 2 more members per cluster, ids = c*100 + 50 + m
+  private def batchCorpus = (for {
+    c <- 0 until 8; m <- 0 until 2
+  } yield (c * 100L + 50 + m, member(c, 10 + m))).toDF("vec_id", "embedding")
+    .withColumn("embedding", col("embedding").cast("array<float>"))
+
+  // drifted batch: members of 4 NEW clusters none of the trained
+  // centroids sit near (fresh md5 seeds => fresh directions)
+  private def driftedBatch = (for {
+    c <- 100 until 104; m <- 0 until 8
+  } yield (c * 100L + m, member(c, m))).toDF("vec_id", "embedding")
+    .withColumn("embedding", col("embedding").cast("array<float>"))
+
+  private def topIds(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.collect().map(_.getAs[Long]("vec_id")).toSeq
+
+  test("appendToIvfIndex: indexed query == in-memory union query; idempotent re-append") {
+    val base = baseCorpus
+    val batch = batchCorpus
+    val centroids = Similarity.kmeansCentroids(base, nlist = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString + "/idx"
+
+    // a fresh index must clear stale files (previous run / flat layout)
+    val staleDir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(staleDir)
+    java.nio.file.Files.write(staleDir.resolve("stale.parquet"), Array[Byte](1, 2))
+    Similarity.writeIvfIndex(base, centroids, path)
+    assert(!java.nio.file.Files.exists(staleDir.resolve("stale.parquet")))
+
+    Similarity.appendToIvfIndex(batch, centroids, path, batchId = "b1")
+    // retried append of the SAME batch must overwrite, not double —
+    // doubled rows would put duplicate ids in the top-k
+    Similarity.appendToIvfIndex(batch, centroids, path, batchId = "b1")
+
+    val union = base.unionByName(batch)
+    val qVec = member(3, 10) // batch member of cluster 3
+    val qId = 3L * 100 + 50
+    val indexed = Similarity.ivfTopKIndexed(spark, path, centroids, qVec,
+      k = 5, nprobe = 2)
+    val inMemory = Similarity.ivfTopKWith(union, centroids, qId,
+      k = 5, nprobe = 2)
+    // indexed probes by the raw vector and so includes the query row
+    // itself at cosine ~1; drop it for the comparison
+    val indexedIds = topIds(indexed).filterNot(_ == qId)
+    assert(indexedIds === topIds(inMemory).take(indexedIds.size),
+      "indexed-vs-union mismatch")
+    assert(indexedIds.nonEmpty && indexedIds.toSet.size == indexedIds.size,
+      s"duplicate ids from a doubled batch: $indexedIds")
+    // the append is VISIBLE: cluster 3's other batch member must rank
+    assert(indexedIds.contains(3L * 100 + 51), s"appended row invisible: $indexedIds")
+  }
+
+  test("centroid-list mismatch between writer and prober collapses recall (gate sensitivity)") {
+    val base = baseCorpus
+    val centroids = Similarity.kmeansCentroids(base, nlist = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-bad").toString + "/idx"
+    Similarity.writeIvfIndex(base, centroids, path)
+
+    val qVec = member(3, 0)
+    val truth = topIds(Similarity.bruteForceTopK(base, 3L * 100, k = 5)).toSet
+    val good = topIds(Similarity.ivfTopKIndexed(spark, path, centroids, qVec,
+      k = 5, nprobe = 1)).filterNot(_ == 300L).toSet
+    assert((good & truth).size >= 4, s"healthy recall broken: $good vs $truth")
+
+    // the injected bug: probe with a ROTATED cid->vector mapping (a
+    // stale/mismatched centroid artifact) — assignment used the real
+    // list, probing uses the corrupt one, so the probed cells hold the
+    // wrong vectors and recall collapses
+    val corrupt = centroids.indices.map(i =>
+      (centroids(i)._1, centroids((i + 1) % centroids.length)._2)).toArray
+    val bad = topIds(Similarity.ivfTopKIndexed(spark, path, corrupt, qVec,
+      k = 5, nprobe = 1)).filterNot(_ == 300L).toSet
+    assert((bad & truth).size < 4,
+      s"corrupt centroid list did not degrade recall — gate is vacuous: $bad")
+  }
+
+  test("ivfAssignmentQuality flags a drifted batch (retrain signal)") {
+    val base = baseCorpus
+    val centroids = Similarity.kmeansCentroids(base, nlist = 8, iters = 2)
+    val qBase = Similarity.ivfAssignmentQuality(base, centroids).head()
+    val qDrift = Similarity.ivfAssignmentQuality(driftedBatch, centroids).head()
+    val (avgBase, avgDrift) =
+      (qBase.getAs[Double]("avg_cos"), qDrift.getAs[Double]("avg_cos"))
+    // trained fit is tight for most clusters (the hash-spread seed can
+    // leave one cluster with a borrowed centroid — hence 0.8, not
+    // 0.99); drifted clusters point in fresh random directions, so
+    // their best-centroid cosine is materially worse
+    assert(avgBase > 0.8, s"base fit unexpectedly loose: $avgBase")
+    assert(avgDrift < avgBase - 0.2,
+      s"drift not visible: base=$avgBase drifted=$avgDrift")
+    assert(qBase.getAs[Long]("degenerate") == 0L)
+    // zero-norm vectors are counted, not crashed on
+    val degen = Seq((1L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val qDegen = Similarity.ivfAssignmentQuality(degen, centroids).head()
+    assert(qDegen.getAs[Long]("degenerate") == 1L)
+  }
+}

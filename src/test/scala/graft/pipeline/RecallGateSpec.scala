@@ -69,6 +69,101 @@ class RecallGateSpec extends SparkSpec {
       s"LSH recall collapsed: ${lsh.size}/${exact.size} = $recall")
   }
 
+  // ---- ANN recall gates (p11 / p13 defaults) -------------------------
+  //
+  // SimilaritySpec proves probe-ALL == brute force, but nothing there
+  // pins recall at the parameters the p11/p13 gates actually run
+  // (lshTopK bits=4 single-probe; ivfTopK nlist=16 nprobe=4 sampled
+  // centroids). These gates do, on a deterministic clustered corpus:
+  // 20 tight clusters of 12 members in 64 dims (md5-derived, no RNG),
+  // so the query's true top-10 are its 11 cluster-mates and an ANN
+  // path that loses its bucket/cell loses them all at once.
+
+  private val embDim = 64
+
+  private def rnd(s: String, i: Int): Float = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$s:$i".getBytes("UTF-8"))
+    ((h(0) & 0xFF) / 127.5f) - 1.0f
+  }
+
+  private def embMember(c: Int, m: Int): Array[Float] =
+    Array.tabulate(embDim)(i => rnd(s"rgc:$c", i) + 0.02f * rnd(s"rgm:$c:$m", i))
+
+  // ids: cluster c holds c*12 .. c*12+11
+  private def embCorpus = (for {
+    c <- 0 until 20; m <- 0 until 12
+  } yield (c * 12L + m, embMember(c, m)))
+    .toDF("vec_id", "embedding")
+    .withColumn("embedding",
+      org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+
+  private def idsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.collect().map(_.getAs[Long]("vec_id")).toSeq
+
+  private def recallAt10(got: Seq[Long], truth: Seq[Long]): Double =
+    got.toSet.intersect(truth.toSet).size.toDouble / truth.size
+
+  test("sign-LSH top-k recall@10 >= 0.9 at the p11 gate defaults (bits=4, single probe)") {
+    val emb = embCorpus
+    val truth = idsOf(Similarity.bruteForceTopK(emb, queryId = 0L, k = 10))
+    val lsh = idsOf(Similarity.lshTopK(emb, queryId = 0L, k = 10, bits = 4,
+      dim = Some(embDim)))
+    assert(recallAt10(lsh, truth) >= 0.9,
+      s"LSH recall@10 collapsed at gate defaults: got=$lsh truth=$truth")
+
+    // injected bug — an off-by-one banding defect: candidates read
+    // from the bucket at (true bucket XOR 1) instead of the query's
+    // own. Built from the PUBLIC lshBucket so the same projection
+    // code paths run; only the bucket equality is wrong. The gate
+    // must be able to see this class of failure.
+    import org.apache.spark.sql.functions._
+    val bucketed = emb.withColumn("__bucket",
+      Similarity.lshBucket(col("embedding"), bits = 4, dim = embDim))
+    val qRow = bucketed.where(col("vec_id") === 0L)
+      .select(col("embedding"), col("__bucket")).collect().head
+    val qVec = qRow.getSeq[Float](0).toArray
+    val shiftedBucket = qRow.getLong(1) ^ 1L
+    val qCol = array(qVec.toSeq.map(lit(_)): _*).cast("array<float>")
+    val shifted = idsOf(bucketed
+      .where(col("vec_id") =!= 0L && col("__bucket") === shiftedBucket)
+      .select(col("vec_id"),
+        Similarity.cosine(col("embedding"), qCol).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(10))
+    assert(recallAt10(shifted, truth) < 0.9,
+      s"shifted-bucket bug not visible to the gate — it is vacuous: $shifted")
+  }
+
+  test("IVF top-k recall@10 >= 0.9 at the p13 gate defaults (nlist=16, nprobe=4)") {
+    val emb = embCorpus
+    val truth = idsOf(Similarity.bruteForceTopK(emb, queryId = 0L, k = 10))
+    val ivf = idsOf(Similarity.ivfTopK(emb, queryId = 0L, k = 10,
+      nlist = 16, nprobe = 4))
+    assert(recallAt10(ivf, truth) >= 0.9,
+      s"IVF recall@10 collapsed at gate defaults: got=$ivf truth=$truth")
+
+    // injected bug — a stale/corrupt centroid ARTIFACT: the index on
+    // disk was written under the true centroid list, but the prober
+    // holds one whose cid->vector mapping is rotated (the failure
+    // mode of versioning centroids separately from the index files).
+    // Assignment and probing disagree about the cell geometry, so the
+    // probed directories hold the wrong vectors and recall collapses.
+    val sampled = Similarity.sampleCentroids(emb, nlist = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft-rg-ivf").toString + "/idx"
+    Similarity.writeIvfIndex(emb, sampled, path)
+    val qVec = embMember(0, 0)
+    val healthy = idsOf(Similarity.ivfTopKIndexed(spark, path, sampled, qVec,
+      k = 10, nprobe = 1)).filterNot(_ == 0L)
+    assert(recallAt10(healthy, truth.take(healthy.size)) >= 0.9,
+      s"healthy indexed recall broken: $healthy")
+    val rotated = sampled.indices.map(i =>
+      (sampled(i)._1, sampled((i + 1) % sampled.length)._2)).toArray
+    val stale = idsOf(Similarity.ivfTopKIndexed(spark, path, rotated, qVec,
+      k = 10, nprobe = 1)).filterNot(_ == 0L)
+    assert(recallAt10(stale, truth) < 0.9,
+      s"corrupt centroid artifact not visible to the gate — it is vacuous: $stale")
+  }
+
   test("simhash chunk banding is COMPLETE for hamming <= 3 (matches brute force)") {
     val sigs = Dedup.simHashSignatures(corpus).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
