@@ -43,7 +43,12 @@ object Dedup {
   /** Keep one row per distinct content (first by id — deterministic,
     * unlike dropDuplicates which keeps an arbitrary row). Assumes ids
     * identify rows (a corpus invariant; duplicate ids would keep all
-    * copies of the keeper id).
+    * copies of the keeper id — SILENTLY retaining duplicates).
+    * Callers fed by UNCURATED corpora where that invariant is not
+    * certain should pass `assertUniqueIds = true`: an opt-in eager
+    * guard job (one map-side-combinable aggregation, driver traffic
+    * bounded by `limit(1)`) that fails fast with the offending id
+    * instead of letting duplicates slip through.
     *
     * Shape: (hash, id) keepers + semi-join back — the hash
     * aggregation shuffles 24-byte rows, never text, with map-side
@@ -58,7 +63,14 @@ object Dedup {
     * hot-spot).
     */
   def dropExactDuplicates(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", assertUniqueIds: Boolean = false): DataFrame = {
+    if (assertUniqueIds) {
+      val dup = df.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+        .where(col("__n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"dropExactDuplicates: duplicate $idCol=${dup.head.get(0)} — " +
+          "ids must identify rows, or every copy of a keeper id survives")
+    }
     val keepers = df
       .select(md5(col(textCol)).as("__h"), col(idCol))
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))

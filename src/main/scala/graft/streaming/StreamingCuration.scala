@@ -86,18 +86,77 @@ object StreamingCuration {
     * buckets expire by EVENT-TIME timeout `stateHorizonHours` after
     * their latest observation (a re-observed bucket's clock resets).
     *
-    * NOTE — requires
-    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
-    * Spark's static checker rejects every flatMapGroupsWithState →
-    * aggregation chain because the first stage COULD emit rows with
-    * arbitrary old event times that the downstream watermark would
-    * discard. This operator cannot: it only ever emits rows of the
-    * CURRENT micro-batch (claimants are chosen among, and stamped
-    * with, that batch's event times, which are >= the watermark by
-    * construction), and they flow through the downstream aggregation
-    * in the same micro-batch, before the watermark advances.
+    * ==RUNBOOK WARNING — session-global config==
+    * Requires
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`,
+    * and that flag is SESSION-GLOBAL: it silences Spark's
+    * stateful-operator correctness checker for EVERY streaming query
+    * in the session, not just this one — an unrelated query with a
+    * genuinely late-emitting stateful stage would lose its guard.
+    * Run this operator in a DEDICATED SparkSession (or a dedicated
+    * application) and do not share that session with other streaming
+    * queries; set/restore the flag around the query if a shared
+    * session is unavoidable (the specs do exactly that).
+    *
+    * Why the disable is safe HERE: the checker rejects every
+    * flatMapGroupsWithState → aggregation chain because the first
+    * stage COULD emit rows with arbitrary old event times that the
+    * downstream watermark would discard. This operator cannot: it
+    * only ever emits rows of the CURRENT micro-batch (claimants are
+    * chosen among, and stamped with, that batch's event times, which
+    * are >= the watermark by construction), and they flow through the
+    * downstream aggregation in the same micro-batch, before the
+    * watermark advances.
     */
   def nearDupKeepers(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      eventTimeCol: String = "ingested_at",
+      watermarkDelay: String = "1 day",
+      emitWindow: String = "1 hour",
+      stateHorizonHours: Int = 24): DataFrame =
+    nearDupVerdictStream(docs, n, numHashes, rowsPerBand, eventTimeCol,
+      watermarkDelay, emitWindow, stateHorizonHours)
+      .where(col("keeper"))
+      .select(col("doc_id"), col("text"), col("window_start"))
+
+  /** The documents [[nearDupKeepers]] DROPPED, with how many of their
+    * bands were claimed — the observability side output for banding
+    * FALSE POSITIVES. Candidate-level streaming dedup deletes on
+    * unverified band collisions (see class doc), so a banding FP is
+    * silent data loss unless something reports it: sample this
+    * stream, join drops back to their bucket claimants, and
+    * spot-check true similarity offline; a drop rate far above the
+    * banding curve's FP estimate means the parameters (or the
+    * corpus) need a look. The
+    * [[graft.pipeline.Similarity.overflowBuckets]] pattern, applied
+    * to streaming dedup.
+    *
+    * NOTE: run EITHER this or [[nearDupKeepers]] as separate sinks
+    * and each materializes its own copy of the stateful pipeline
+    * (separate state stores, same verdicts). For one pass, run
+    * [[nearDupVerdictStream]] once and fork keeper/drop sinks in
+    * `foreachBatch`.
+    */
+  def nearDupDrops(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      eventTimeCol: String = "ingested_at",
+      watermarkDelay: String = "1 day",
+      emitWindow: String = "1 hour",
+      stateHorizonHours: Int = 24): DataFrame =
+    nearDupVerdictStream(docs, n, numHashes, rowsPerBand, eventTimeCol,
+      watermarkDelay, emitWindow, stateHorizonHours)
+      .where(!col("keeper"))
+      .select(col("doc_id"), col("text"), col("window_start"),
+        col("kept_bands"))
+
+  /** Shared verdict stream behind [[nearDupKeepers]] /
+    * [[nearDupDrops]]: one row per (window, doc) with `kept_bands`
+    * (how many of its band claims survived) and `keeper` (all of
+    * them). Public so a production job can run the stateful pipeline
+    * ONCE and fork keepers to the corpus sink and drops to the audit
+    * sink inside `foreachBatch`.
+    */
+  def nearDupVerdictStream(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       rowsPerBand: Int = 4,
       eventTimeCol: String = "ingested_at",
       watermarkDelay: String = "1 day",
@@ -151,8 +210,10 @@ object StreamingCuration {
       // >= not ==: an exact re-delivery of one doc_id within a single
       // micro-batch doubles its surviving band rows (both copies are
       // the claimant) — the doc is still a keeper, once
-      .where(col("__kept_bands") >= numBands)
-      .select(col("doc_id"), col("text"), col("window.start").as("window_start"))
+      .select(col("doc_id"), col("text"),
+        col("window.start").as("window_start"),
+        col("__kept_bands").as("kept_bands"),
+        (col("__kept_bands") >= numBands).as("keeper"))
   }
 
   /** Per-(language, window) corpus stats over the curated stream —

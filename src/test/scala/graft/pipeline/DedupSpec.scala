@@ -44,6 +44,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dropExactDuplicates(docs).count() === 4)
   }
 
+  test("dropExactDuplicates: opt-in unique-id guard fails fast on duplicate ids") {
+    import spark.implicits._
+    // duplicate doc_id 1 carrying duplicate content: the keeper id's
+    // copies would BOTH survive the semi-join — silent retention
+    val dirty = Seq((1L, "same text"), (1L, "same text"), (2L, "other"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dropExactDuplicates(dirty).count() === 3) // documented hazard
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dropExactDuplicates(dirty, assertUniqueIds = true)
+    }
+    assert(e.getMessage.contains("doc_id=1"))
+    // clean ids pass the guard unchanged
+    assert(Dedup.dropExactDuplicates(docs, assertUniqueIds = true).count() === 4)
+  }
+
   test("jaccardPairs finds the near-dup pair and the exact pair") {
     val pairs = Dedup.jaccardPairs(Dedup.wordShingles(docs, n = 3), threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Adversarial scale-stress for the two caps the 100 TB dedup story
+  * leans on: [[Dedup.jaccardPairs]]'s `maxShingleDf` and
+  * [[Similarity.embeddingNearDups]]'s `maxBucketSize`. The benign
+  * fixtures elsewhere never trip them; these corpora are BUILT to —
+  * every doc shares one boilerplate shingle set, and thousands of
+  * embeddings collapse into one LSH bucket — and the specs assert the
+  * capped plans finish with a PROVEN bound on materialized pair rows
+  * while the observability surfaces report exactly what was excluded.
+  *
+  * Scale arithmetic being defended: an uncapped shingle shared by N
+  * docs contributes C(N,2) candidate pairs — at N=2000 that is ~2M
+  * pairs PER boilerplate shingle (~56M for a 28-shingle boilerplate
+  * block); at corpus scale it is the job. The cap must turn that into
+  * zero without touching honest rare-shingle pairs.
+  */
+class ScaleStressSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val boilerplate =
+    (0 until 30).map(i => s"bp$i").mkString(" ") // 28 word-3-shingles, df = N
+
+  /** N docs, all sharing the boilerplate block, each with a unique
+    * 6-token tail; docs 2k and 2k+1 for k < plantedPairs share their
+    * tail (the honest rare-shingle near-dup pairs the cap must keep).
+    */
+  private def pathologicalDocs(n: Int, plantedPairs: Int) =
+    (0 until n).map { d =>
+      val tailSeed = if (d < 2 * plantedPairs) d / 2 else 1000 + d
+      // planted pairs are NEAR-dups: the odd doc's last tail token is
+      // mutated, so one shingle differs and the rare-shingle join has
+      // real (non-identical) work to do
+      val last = if (d < 2 * plantedPairs && d % 2 == 1) "m" else "5"
+      val tail = (0 until 5).map(i => s"t${tailSeed}_$i")
+        .mkString(" ") + s" t${tailSeed}_$last"
+      (d.toLong, s"$boilerplate $tail")
+    }.toDF("doc_id", "text")
+
+  test("maxShingleDf bounds the pair join under an all-docs boilerplate block") {
+    val n = 2000
+    val planted = 10
+    val shingled = Dedup.wordShingles(pathologicalDocs(n, planted), n = 3)
+
+    // first, prove the fixture is genuinely pathological: UNCAPPED on
+    // a 100-doc slice, the boilerplate alone pairs every doc with
+    // every other — C(100,2) materialized pair rows at threshold 0
+    val slice = Dedup.wordShingles(pathologicalDocs(100, 0), n = 3)
+    val uncapped = Dedup.jaccardPairs(slice, threshold = 0.0,
+      maxShingleDf = 1000000).count()
+    assert(uncapped == 100L * 99 / 2,
+      s"fixture not pathological: uncapped pairs = $uncapped")
+
+    // capped at the default 100: every boilerplate shingle has
+    // df = 2000 > 100 and is excluded, so the ONLY candidate pairs
+    // are the planted shared-tail pairs — the materialized pair grain
+    // is bounded by construction, not by luck. threshold=0 makes the
+    // output exactly that grain (nothing filtered after the join).
+    val capped = Dedup.jaccardPairs(shingled, threshold = 0.0,
+      maxShingleDf = 100)
+    val pairs = capped.collect()
+    assert(pairs.length == planted,
+      s"expected exactly the $planted planted pairs, got ${pairs.length}")
+    assert(pairs.forall { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      b == a + 1 && a % 2 == 0 && a < 2L * planted
+    }, s"unexpected pair survived the cap: ${pairs.mkString(",")}")
+
+    // capped-common semantics, pinned: `common` counts only CAPPED
+    // shingles (the boilerplate no longer votes for similarity — the
+    // point of the cap) while set sizes stay TRUE. Fixture shape: 36
+    // tokens -> 34 shingles per doc; the pair shares 5 rare shingles
+    // (6 tail-touching shingles, one mutated away), so
+    // jaccard = 5 / (34 + 34 - 5) = 5/63.
+    val j = pairs.head.getAs[Double]("jaccard")
+    assert(math.abs(j - 5.0 / 63.0) < 1e-9, s"jaccard drifted: $j")
+  }
+
+  test("containmentPairs shares the same df cap (no second uncapped path)") {
+    val shingled = Dedup.wordShingles(pathologicalDocs(500, 5), n = 3)
+    val got = Dedup.containmentPairs(shingled, threshold = 0.0,
+      maxShingleDf = 100).count()
+    assert(got == 5, s"containment path leaked boilerplate pairs: $got")
+  }
+
+  test("maxBucketSize excludes a degenerate all-zero-embedding bucket and reports it") {
+    val dim = 8
+    val zeros = (0 until 5000).map(i => (i.toLong, Array.fill(dim)(0.0f)))
+    // an honest tight cluster IN A DIFFERENT BUCKET: all-positive unit
+    // direction (projections > 0 on some planes -> nonzero bucket)
+    val honest = (10000 until 10005).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => 1.0f + 0.001f * (i % 3) * d)))
+    // malformed rows: wrong length -> NULL-bucket quarantine
+    val malformed = (20000 until 20003).map(i =>
+      (i.toLong, Array.fill(dim - 2)(0.5f)))
+    val emb = (zeros ++ honest ++ malformed).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+
+    val pairs = Similarity.embeddingNearDups(emb, threshold = 0.9,
+      bits = 4, maxBucketSize = 100, dim = Some(dim)).collect()
+    // bounded: only the honest cluster may pair — C(5,2) rows max,
+    // and not one zero-vector or malformed id appears
+    assert(pairs.length <= 10, s"pair bound exceeded: ${pairs.length}")
+    assert(pairs.nonEmpty, "honest cluster lost — cap over-applied")
+    assert(pairs.forall { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      a >= 10000 && a < 10005 && b >= 10000 && b < 10005
+    }, s"capped/quarantined id leaked into pairs: ${pairs.mkString(",")}")
+
+    // observability: the dropped bucket and the quarantine are REPORTED
+    val overflow = Similarity.overflowBuckets(emb, bits = 4,
+      maxBucketSize = 100, dim = Some(dim)).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getAs[Long]("population"))).toMap
+    val zeroBucketPop = overflow.collectFirst {
+      case (Some(_), pop) if pop == 5000L => pop }
+    assert(zeroBucketPop.contains(5000L),
+      s"all-zero bucket not reported: $overflow")
+    assert(overflow.get(None).contains(3L),
+      s"malformed-vector quarantine not reported: $overflow")
+  }
+}

@@ -135,4 +135,31 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(kept.intersect(Set(1L, 2L, 3L)) === Set(1L, 3L),
       s"same-batch near-dup group mishandled: kept $kept")
   }
+
+  test("nearDupDrops reports every dropped doc with its surviving band count") {
+    // candidate-level dedup deletes on unverified band collisions —
+    // a banding FP is silent data loss unless the drops are
+    // observable. The side output must carry exactly the fixture's
+    // non-keepers, each with kept_bands < numBands (= 16/4).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Doc]
+    val q = StreamingCuration.nearDupDrops(mem.toDF(),
+      watermarkDelay = "2 hours", emitWindow = "10 minutes")
+      .writeStream.format("memory").queryName("near_dup_drops")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    fixture.foreach { d => mem.addData(d); q.processAllAvailable() }
+    mem.addData(Doc(99L, "sentinel closes the windows", ts("2026-05-02 13:00:00")))
+    q.processAllAvailable()
+    mem.addData(Doc(100L, "and flushes the last state", ts("2026-05-02 14:00:00")))
+    q.processAllAvailable()
+    val drops = spark.table("near_dup_drops").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kept_bands")).toMap
+    q.stop()
+    // keepers were {1, 3, 6} (previous test); the complement drops
+    assert(drops.keySet.intersect(fixture.map(_.doc_id).toSet) === Set(2L, 4L, 5L),
+      s"drop side-output wrong: $drops")
+    assert(Set(2L, 4L, 5L).forall(k => drops(k) < 4),
+      s"a 'drop' claims all its bands survived: $drops")
+  }
 }
