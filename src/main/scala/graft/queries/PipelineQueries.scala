@@ -91,6 +91,11 @@ object PipelineQueries {
     */
   private def lshIndexPath = s"$artifactRoot/lsh_index_p19"
 
+  /** Artifact path for the p20 materialized IVF ANN index (same
+    * per-run contract as [[bpeVocabPath]]).
+    */
+  private def ivfIndexPath = s"$artifactRoot/ivf_index_p20"
+
   /** The driver-generated embeddings tables are 64-dimensional at
     * every scale factor (TESTDATA.md); [[Similarity.dimOf]] resolves
     * this value at plan time, the oracles pin it.
@@ -362,6 +367,58 @@ object PipelineQueries {
               |JOIN sizes sn ON sn.doc_id = doc_new
               |JOIN sizes so ON so.doc_id = doc_old
               |WHERE common / (sn.set_size + so.set_size - common) >= 0.8""".stripMargin)),
+
+    // Materialized INCREMENTAL IVF index: build from the even half of
+    // the corpus, append the odd half as a maintenance batch, then
+    // answer a top-k through the cell-partitioned parquet (directory-
+    // pruned probes — PlanSpec proves the PartitionFilters). The
+    // oracle recomputes the whole construction in SQL: centroids
+    // md5-spread-sampled from the EVEN half only, every row (both
+    // halves) assigned to its argmax-cosine cell, the 4 probe cells
+    // ranked for the query, candidates scored exactly. The query row
+    // itself is in the index, so it leads the result at cosine 1.
+    QueryDef("p20_ivf_index_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.where(col("vec_id") % 2 === 0)
+        val batch = emb.where(col("vec_id") % 2 === 1)
+        val centroids = Similarity.sampleCentroids(base, nlist = 16)
+        Similarity.writeIvfIndex(base, centroids, ivfIndexPath)
+        Similarity.appendToIvfIndex(batch, centroids, ivfIndexPath, batchId = "b1")
+        val qVec = emb.where(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0).toArray
+        Similarity.ivfTopKIndexed(s, ivfIndexPath, centroids, qVec,
+          k = 10, nprobe = 4)
+      },
+      Some(s"""WITH half AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |             FROM embeddings WHERE vec_id % 2 = 0),
+              |stride AS (SELECT greatest(count(*) // 16, 1) AS bkt FROM half),
+              |cent AS (SELECT vec_id AS cid, v AS c
+              |         FROM half, stride
+              |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
+              |               % bkt = 0
+              |         ORDER BY vec_id LIMIT 16),
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |assigned AS (
+              |  SELECT vec_id, v, cid,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC,
+              |                    cid DESC) AS rn
+              |  FROM e CROSS JOIN cent),
+              |celled AS (SELECT vec_id, v, cid AS cell FROM assigned WHERE rn = 1),
+              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              |probes AS (
+              |  SELECT cid,
+              |         row_number() OVER (ORDER BY
+              |           ${cosineSql("c", "q.qv")} DESC, cid DESC) AS pr
+              |  FROM cent, q)
+              |SELECT d.vec_id,
+              |       ${cosineSql("d.v", "q.qv")} AS cosine
+              |FROM celled d
+              |JOIN probes p ON d.cell = p.cid AND p.pr <= 4
+              |CROSS JOIN q
+              |ORDER BY cosine DESC, d.vec_id ASC
+              |LIMIT 10""".stripMargin)),
 
     // Brute-force cosine top-k: the exact ANN baseline.
     QueryDef("p10_brute_force_topk",
