@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -419,6 +419,30 @@ object PipelineQueries {
               |CROSS JOIN q
               |ORDER BY cosine DESC, d.vec_id ASC
               |LIMIT 10""".stripMargin)),
+
+    // Sequence packing: every document's deterministic (shard, chunk,
+    // offset) coordinate in the concatenated per-shard token stream a
+    // training loader slices into fixed seqLen windows. One shuffle
+    // by md5-derived shard, a per-shard running sum — the oracle
+    // recomputes shard, whitespace token counts (p16's definition)
+    // and the window arithmetic verbatim.
+    QueryDef("p21_sequence_packing",
+      (s, dir) => Packing.packSequences(
+        Tables.documents(s, dir), seqLen = 512, nShards = 8),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/pack'), 1, 8))::BIGINT
+              |           % 8 AS shard,
+              |         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              |                              t -> t <> '')) AS BIGINT) AS n_tokens
+              |       FROM documents),
+              |w AS (SELECT doc_id, shard, n_tokens,
+              |             COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+              |      FROM t)
+              |SELECT doc_id, shard, n_tokens,
+              |       CAST(tb // 512 AS BIGINT) AS chunk_id,
+              |       CAST(tb % 512 AS BIGINT) AS chunk_offset
+              |FROM w""".stripMargin)),
 
     // Brute-force cosine top-k: the exact ANN baseline.
     QueryDef("p10_brute_force_topk",

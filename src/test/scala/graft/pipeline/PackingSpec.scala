@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "alpha beta gamma"),            // 3 tokens
+    (2L, "one two three four five six"), // 6
+    (3L, ""),                            // 0 — zero width
+    (4L, "   "),                         // 0 — whitespace-only
+    (5L, "a b c d e f g h i j"),         // 10
+    (6L, "lone"),                        // 1
+    (7L, "w x y z"),                     // 4
+    (8L, "p q"),                         // 2
+    (9L, "tail end words here now"))     // 5
+    .toDF("doc_id", "text")
+
+  private def collectPacked(nShards: Int, seqLen: Int = 8) =
+    Packing.packSequences(corpus, seqLen = seqLen, nShards = nShards)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("chunk_id"), r.getAs[Long]("chunk_offset")))
+      .toMap
+
+  test("coordinates reconstruct a contiguous, gap-free per-shard token stream") {
+    val seqLen = 8
+    val packed = collectPacked(nShards = 2, seqLen = seqLen)
+    assert(packed.size === 9)
+    // group docs by shard, walk in id order, recompute the running
+    // offset independently and compare to chunk arithmetic
+    packed.toSeq.groupBy(_._2._1).foreach { case (_, docs) =>
+      var running = 0L
+      docs.sortBy(_._1).foreach { case (id, (_, n, chunk, off)) =>
+        assert(chunk === running / seqLen, s"doc $id chunk")
+        assert(off === running % seqLen, s"doc $id offset")
+        running += n
+      }
+    }
+    // zero-token docs occupy zero width: doc 3 and the doc after it
+    // in its shard share the same absolute position
+    val Some((_, n3, c3, o3)) = packed.get(3L)
+    assert(n3 === 0L && c3 * seqLen + o3 >= 0)
+  }
+
+  test("deterministic across partitionings and repeated runs") {
+    val a = collectPacked(nShards = 4)
+    val b = Packing.packSequences(corpus.repartition(7), seqLen = 8, nShards = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("chunk_id"), r.getAs[Long]("chunk_offset")))
+      .toMap
+    assert(a === b)
+  }
+
+  test("chunkManifest accounts for every started token exactly once") {
+    val packed = Packing.packSequences(corpus, seqLen = 8, nShards = 2)
+    val manifest = Packing.chunkManifest(packed).collect()
+    val totalFromManifest = manifest.map(_.getAs[Long]("tokens_started")).sum
+    val totalTokens = corpus
+      .select(sum(TextAnalysis.tokenCount(col("text")))).head().getLong(0)
+    assert(totalFromManifest === totalTokens)
+    val docsFromManifest = manifest.map(_.getAs[Long]("n_docs")).sum
+    assert(docsFromManifest === 9L)
+  }
+
+  test("guards: degenerate seqLen/nShards rejected") {
+    intercept[IllegalArgumentException](
+      Packing.packSequences(corpus, seqLen = 0))
+    intercept[IllegalArgumentException](
+      Packing.packSequences(corpus, seqLen = 8, nShards = 0))
+  }
+}
