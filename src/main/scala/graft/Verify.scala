@@ -6,15 +6,23 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    // Pin gate side-artifacts (p16b vocab, p19 LSH index) to a SIBLING
-    // of this run's output dir before any query/oracle string is built:
-    // concurrent Verify cycles stay isolated, and the dumped oracle
-    // SQL joins exactly the files this run wrote. Sibling, not child —
-    // the driver globs outDir/* as query results, so a nested artifact
-    // dir shows up as a spurious no-oracle "query". Absolute path — the
-    // driver's DuckDB resolves it from its own cwd.
-    System.setProperty("graft.artifact.dir",
-      s"${new java.io.File(outDir).getAbsolutePath}_artifacts")
+    // Pin gate side-artifacts (p16b vocab, p19 LSH / p20 IVF indexes)
+    // to a SIBLING of this run's output dir before any query/oracle
+    // string is built: concurrent Verify cycles stay isolated, and the
+    // dumped oracle SQL joins exactly the files this run wrote.
+    // Sibling, not child — the driver globs outDir/* as query results,
+    // so a nested artifact dir shows up as a spurious no-oracle
+    // "query". Absolute path — the driver's DuckDB resolves it from
+    // its own cwd. Pre-clean it: the sibling is OUTSIDE the output
+    // dir's lifecycle, so without this a harness that only removes
+    // outDir would accumulate one artifact tree per run.
+    val artifactDir = s"${new java.io.File(outDir).getAbsolutePath}_artifacts"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(artifactDir))
+    System.setProperty("graft.artifact.dir", artifactDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -68,7 +68,11 @@ object Packing {
       .withColumn("tokens_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(idCol), col("shard"), col("n_tokens"),
-        (col("tokens_before") / seqLen).cast("long").as("chunk_id"),
+        // integral floor division (tokens_before >= 0): stays exact at
+        // any stream length, where a double `/` + cast would silently
+        // round past 2^53 tokens — the determinism discipline is
+        // integer arithmetic only (oracle: `tb // seqLen`)
+        expr(s"tokens_before div CAST($seqLen AS BIGINT)").as("chunk_id"),
         (col("tokens_before") % seqLen).as("chunk_offset"))
   }
 

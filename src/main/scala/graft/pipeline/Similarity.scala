@@ -35,6 +35,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine for RANKING: NULL (instead of NaN) when either side has
+    * zero norm. Spark orders NaN GREATEST, so a single all-zero
+    * vector in the corpus would otherwise TOP every `orderBy(cosine
+    * desc)` top-k with its 0/0 score; NULL sorts last under desc.
+    * Used by every top-k scorer; [[cosine]] stays the raw definition
+    * (the gate corpora are well-formed, so the oracles are
+    * unaffected either way).
+    */
+  private def rankCosine(a: Column, b: Column): Column =
+    when(norm(a) > 0 && norm(b) > 0, cosine(a, b))
+
   /** Exact top-k by cosine against the query vector (the row of
     * `queryId`). The query side is a 1-row broadcast; the scan side
     * never shuffles — TakeOrdered keeps only k rows per partition.
@@ -46,7 +57,7 @@ object Similarity {
     emb.where(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        cosine(col(vecCol), col("__q")).as("cosine"))
+        rankCosine(col(vecCol), col("__q")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -154,7 +165,7 @@ object Similarity {
     bucketed.where(col(idCol) =!= queryId)
       .join(broadcast(q), Seq("__bucket"))
       .select(col(idCol),
-        cosine(col(vecCol), col("__q")).as("cosine"))
+        rankCosine(col(vecCol), col("__q")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -312,7 +323,7 @@ object Similarity {
     celled
       .where(col("__cell").isin(probeCells: _*) && col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .select(col(idCol), cosine(col(vecCol), col("__q")).as("cosine"))
+      .select(col(idCol), rankCosine(col(vecCol), col("__q")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -385,11 +396,25 @@ object Similarity {
       path: String, batchId: String, vecCol: String = "embedding"): Unit =
     writeIvfBatch(emb, centroids, path, vecCol, batchId)
 
+  /** Write one `batch=` subdir of the index. MALFORMED vectors
+    * (length != the centroid dimensionality) are QUARANTINED to a
+    * NULL cell — the [[lshBucket]] rule: FloatVectorDot scores them
+    * NULL against every centroid, and without the guard `array_max`
+    * over (NULL, cid) structs degrades to max-cid, silently piling a
+    * broken encoder's output into one ever-growing hot cell that
+    * real probes then scan. NULL cells land in the default partition
+    * directory, which no probe ever selects; they stay on disk for
+    * audit (`WHERE __cell IS NULL` lists the quarantine).
+    */
   private def writeIvfBatch(emb: DataFrame, centroids: Array[(Long, Array[Float])],
-      path: String, vecCol: String, batchId: String): Unit =
-    emb.withColumn("__cell", cellOf(col(vecCol), centroids))
+      path: String, vecCol: String, batchId: String): Unit = {
+    require(centroids.nonEmpty, "empty centroid list")
+    val dim = centroids.head._2.length
+    emb.withColumn("__cell",
+        when(size(col(vecCol)) === dim, cellOf(col(vecCol), centroids)))
       .write.mode("overwrite").partitionBy("__cell")
       .parquet(s"$path/batch=$batchId")
+  }
 
   /** Drift guard for an IVF index: one summary row of how well
     * `centroids` fit `emb` — `n` rows scored, `avg_cos` / `min_cos`
@@ -434,7 +459,7 @@ object Similarity {
     val qCol = array(queryVec.toSeq.map(lit(_)): _*).cast("array<float>")
     spark.read.parquet(path)
       .where(col("__cell").isin(probeCells: _*))
-      .select(col(idCol), cosine(col(vecCol), qCol).as("cosine"))
+      .select(col(idCol), rankCosine(col(vecCol), qCol).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -485,7 +510,7 @@ object Similarity {
     l.join(r, Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a"), col("vec_b")).as("cosine"))
+        rankCosine(col("vec_a"), col("vec_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

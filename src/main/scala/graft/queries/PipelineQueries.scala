@@ -67,12 +67,14 @@ object PipelineQueries {
       |     ELSE 'fr' END AS predicted_lang""".stripMargin
 
   /** Root for gate-written side artifacts (the p16b BPE vocab, the
-    * p19 LSH index). [[graft.Verify]] pins the `graft.artifact.dir`
-    * system property to `<outDir>/artifacts` before anything runs, so
-    * each Verify cycle is ISOLATED: two concurrent runs (or runs at
-    * different scale factors) never clobber each other's artifacts,
-    * and the oracle SQL a run dumps joins exactly the files that same
-    * run wrote. Outside Verify (Bench, ad-hoc sessions) the fixed /tmp
+    * p19 LSH / p20 IVF indexes). [[graft.Verify]] pins the
+    * `graft.artifact.dir` system property to the SIBLING
+    * `<outDir>_artifacts` before anything runs (sibling, not child —
+    * the driver globs everything under outDir as query results), so each Verify
+    * cycle is ISOLATED: two concurrent runs (or runs at different
+    * scale factors) never clobber each other's artifacts, and the
+    * oracle SQL a run dumps joins exactly the files that same run
+    * wrote. Outside Verify (Bench, ad-hoc sessions) the fixed /tmp
     * default applies — no oracle is in play there.
     *
     * [[defs]] is a `def` (not a val) so the SQL strings below read the

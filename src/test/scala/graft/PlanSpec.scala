@@ -204,6 +204,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: ONE shuffle (by shard), never a single-partition window") {
+    val docs = Tables.documents(spark, dir)
+    val packed = pipeline.Packing.packSequences(docs, seqLen = 512, nShards = 8)
+    val plan = planOf(packed)
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle, by shard:\n$plan")
+    // a global-order window would show SinglePartition here and
+    // serialize the corpus through one task
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition stage in packing plan:\n$plan")
+    assert(packed.count() > 0)
+  }
+
   test("LSH bucket assignment is the codegen'd dot, not an interpreted fold") {
     val plan = planOf(pipeline.Similarity.lshTopK(
       Tables.embeddings(spark, dir), queryId = 0L, k = 5, bits = 4))

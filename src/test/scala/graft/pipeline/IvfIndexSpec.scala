@@ -21,22 +21,10 @@ class IvfIndexSpec extends SparkSpec {
 
   private val dim = 16
 
-  // component i of a unit-scale pseudo-random vector for seed s:
-  // md5("<s>:<i>") first byte folded to [-1, 1] — deterministic and
-  // engine-independent, same device as Similarity.plane
-  private def rnd(s: String, i: Int): Float = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$s:$i".getBytes("UTF-8"))
-    ((h(0) & 0xFF) / 127.5f) - 1.0f
-  }
-
-  private def center(c: Int): Array[Float] =
-    Array.tabulate(dim)(i => rnd(s"ivfc:$c", i))
-
-  private def member(c: Int, m: Int): Array[Float] = {
-    val ctr = center(c)
-    Array.tabulate(dim)(i => ctr(i) + 0.05f * rnd(s"ivfm:$c:$m", i))
-  }
+  // deterministic md5-folded clustered corpus (no RNG) — shared
+  // generator, spec-specific seed prefix/dim/jitter
+  private def member(c: Int, m: Int): Array[Float] =
+    EmbeddingFixture.member("ivf", dim, 0.05f)(c, m)
 
   // base corpus: 8 clusters x 8 members, ids = c*100 + m
   private def baseCorpus = (for {
@@ -118,6 +106,30 @@ class IvfIndexSpec extends SparkSpec {
       k = 5, nprobe = 1)).filterNot(_ == 300L).toSet
     assert((bad & truth).size < 4,
       s"corrupt centroid list did not degrade recall — gate is vacuous: $bad")
+  }
+
+  test("malformed vectors quarantine to the NULL cell and are never probed") {
+    val base = baseCorpus
+    val centroids = Similarity.kmeansCentroids(base, nlist = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString + "/idx"
+    Similarity.writeIvfIndex(base, centroids, path)
+    // a broken-encoder batch: truncated and empty vectors
+    val bad = Seq((9000L, Array.fill(dim - 3)(0.5f)), (9001L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    Similarity.appendToIvfIndex(bad, centroids, path, batchId = "bad")
+    // quarantined: NULL cell on disk (auditable), not the max-cid cell
+    val idx = spark.read.parquet(path)
+    val quarantined = idx.where(col("__cell").isNull)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(quarantined === Set(9000L, 9001L), s"quarantine wrong: $quarantined")
+    // a probe-everything query still never surfaces them
+    val got = Similarity.ivfTopKIndexed(spark, path, centroids,
+      member(0, 0), k = 1000, nprobe = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(!got.contains(9000L) && !got.contains(9001L),
+      s"malformed row leaked into probe results")
+    assert(got.nonEmpty)
   }
 
   test("ivfAssignmentQuality flags a drifted batch (retrain signal)") {

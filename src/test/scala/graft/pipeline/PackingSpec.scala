@@ -42,10 +42,19 @@ class PackingSpec extends SparkSpec {
         running += n
       }
     }
-    // zero-token docs occupy zero width: doc 3 and the doc after it
-    // in its shard share the same absolute position
-    val Some((_, n3, c3, o3)) = packed.get(3L)
-    assert(n3 === 0L && c3 * seqLen + o3 >= 0)
+    // zero-token docs occupy zero width: a zero-n doc and the NEXT
+    // doc in its shard share the same absolute position (a phantom
+    // token — e.g. tokenizing "" to [""] — would shift every
+    // later doc in the shard)
+    Seq(3L, 4L).foreach { zid =>
+      val (zShard, n, zc, zo) = packed(zid)
+      assert(n === 0L, s"doc $zid should have 0 tokens")
+      packed.toSeq.filter { case (id, (s, _, _, _)) => s == zShard && id > zid }
+        .sortBy(_._1).headOption.foreach { case (nid, (_, _, nc, no)) =>
+          assert((zc, zo) === (nc, no),
+            s"zero-width doc $zid shifted successor $nid")
+        }
+    }
   }
 
   test("deterministic across partitionings and repeated runs") {

@@ -81,14 +81,10 @@ class RecallGateSpec extends SparkSpec {
 
   private val embDim = 64
 
-  private def rnd(s: String, i: Int): Float = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$s:$i".getBytes("UTF-8"))
-    ((h(0) & 0xFF) / 127.5f) - 1.0f
-  }
-
+  // deterministic md5-folded clustered corpus (no RNG) — shared
+  // generator, spec-specific seed prefix/dim/jitter
   private def embMember(c: Int, m: Int): Array[Float] =
-    Array.tabulate(embDim)(i => rnd(s"rgc:$c", i) + 0.02f * rnd(s"rgm:$c:$m", i))
+    EmbeddingFixture.member("rg", embDim, 0.02f)(c, m)
 
   // ids: cluster c holds c*12 .. c*12+11
   private def embCorpus = (for {
