@@ -216,6 +216,97 @@ object StreamingCuration {
         (col("__kept_bands") >= numBands).as("keeper"))
   }
 
+  /** One embedding observation / its claim verdict for
+    * [[embeddingNearDupKeepers]]. `bucket` is boxed (None =
+    * malformed-vector quarantine — a primitive Long would make
+    * NULL buckets indistinguishable from bucket 0).
+    */
+  case class EmbObs(vec_id: Long, embedding: Array[Float],
+      ingested_at: java.sql.Timestamp, bucket: Option[Long])
+  case class EmbVerdict(vec_id: Long, embedding: Array[Float],
+      ingested_at: java.sql.Timestamp, keeper: Boolean, quarantined: Boolean)
+
+  /** Streaming EMBEDDING near-dup suppression — the batch
+    * [[graft.pipeline.Similarity.embeddingNearDups]] dedup class on a
+    * stream: an embedding whose sign-LSH bucket was already claimed
+    * within the state horizon is dropped as a near-duplicate.
+    *
+    * Same claimant machinery as [[nearDupVerdictStream]], but an
+    * embedding has exactly ONE bucket (its 2^bits sign code), so a
+    * doc survives iff it wins its single claim — no band count, no
+    * second stateful stage, and therefore NO
+    * `statefulOperator.checkCorrectness` disable: one
+    * `flatMapGroupsWithState` in append mode is exactly what the
+    * static checker admits.
+    *
+    * Semantics vs batch: candidate-level — a bucket collision drops
+    * without a cosine verify (verification would retain every prior
+    * vector in state; `bits` tunes the FP rate, and the verdict
+    * stream makes drops auditable). Malformed vectors (length !=
+    * dim) are QUARANTINED like everywhere else: emitted as keepers
+    * with `quarantined = true`, never claiming or contesting a
+    * bucket — a broken encoder must not elect itself the claimant of
+    * one hot bucket and silently drop every later well-formed
+    * collision. State = one boolean per in-horizon bucket, bounded
+    * exactly like the fingerprint store.
+    *
+    * Degenerate-but-well-formed vectors (e.g. all-zero: every
+    * projection 0 -> bucket 0) contest their bucket like any other
+    * row, so a flood of them collapses to one survivor per horizon —
+    * the streaming counterpart of the batch `maxBucketSize` cap on
+    * the same pathology, trading the batch path's "keep all, pair
+    * none" for "keep first". Candidate-level semantics either way.
+    */
+  def embeddingNearDupKeepers(emb: DataFrame, bits: Int = 16, dim: Int = 64,
+      eventTimeCol: String = "ingested_at",
+      watermarkDelay: String = "1 day",
+      stateHorizonHours: Int = 24): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val horizonMs = stateHorizonHours.toLong * 3600 * 1000
+    val observed = emb
+      .select(col("vec_id"), col("embedding"),
+        col(eventTimeCol).as("ingested_at"),
+        graft.pipeline.Similarity.lshBucket(col("embedding"), bits, dim)
+          .as("bucket"))
+      .withWatermark("ingested_at", watermarkDelay)
+      .as[EmbObs]
+    observed
+      // key = (quarantined?, bucket-or-id): quarantined rows get a
+      // synthetic UNIQUE key (their own id) so they never share a
+      // group; well-formed rows contest their bucket
+      .groupByKey(o => o.bucket match {
+        case Some(b) => (false, b)
+        case None => (true, o.vec_id)
+      })
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Boolean, Long), rows: Iterator[EmbObs], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq
+            if (key._1) // malformed: keeper, no claim, no state
+              rs.iterator.map(r => EmbVerdict(r.vec_id, r.embedding,
+                r.ingested_at, keeper = true, quarantined = true))
+            else {
+              // deterministic claimant — (event time, id), not
+              // iterator order; every row emits its verdict so
+              // drops stay observable downstream
+              val winner =
+                if (state.exists) None
+                else Some(rs.minBy(r => (r.ingested_at.getTime, r.vec_id)).vec_id)
+              state.update(true)
+              state.setTimeoutTimestamp(
+                rs.map(_.ingested_at.getTime).max + horizonMs)
+              rs.iterator.map(r => EmbVerdict(r.vec_id, r.embedding,
+                r.ingested_at, keeper = winner.contains(r.vec_id),
+                quarantined = false))
+            }
+          })
+      .toDF()
+  }
+
   /** Per-(language, window) corpus stats over the curated stream —
     * the continuously-updated version of p15's corpus summary.
     * Append-mode windowed aggregation: closed windows emit exactly
