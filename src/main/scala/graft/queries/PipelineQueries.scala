@@ -422,6 +422,71 @@ object PipelineQueries {
               |ORDER BY cosine DESC, d.vec_id ASC
               |LIMIT 10""".stripMargin)),
 
+    // IVF with k-means-REFINED centroids: the full Lloyd training
+    // loop (2 iterations) recomputed in the oracle as unrolled SQL —
+    // md5-spread seeds, argmax-cosine assignment, per-(cell, dim)
+    // means ROUNDED THROUGH FLOAT exactly like the engine
+    // (kmeansCentroids stores Float components; the REAL cast absorbs
+    // double summation-order noise, which is what makes the hash
+    // stable cross-engine), empty-cell fallback to the previous
+    // centroid, then the standard probe/score tail under the refined
+    // list. kmeansCentroids stops being a trust-me component.
+    QueryDef("p22_ivf_kmeans_topk",
+      (s, dir) => Similarity.ivfTopK(
+        Tables.embeddings(s, dir), queryId = 0L, k = 10, nlist = 16,
+        nprobe = 4, refineIters = 2),
+      Some {
+        def iter(inCent: String, out: String): String =
+          s"""assigned_$out AS (
+             |  SELECT e.vec_id, e.v, c.cid,
+             |         row_number() OVER (PARTITION BY e.vec_id
+             |           ORDER BY list_dot_product(e.v, c.c) / sqrt(list_dot_product(c.c, c.c)) DESC,
+             |                    c.cid DESC) AS rn
+             |  FROM e CROSS JOIN $inCent c),
+             |celled_$out AS (SELECT vec_id, v, cid AS cell FROM assigned_$out WHERE rn = 1),
+             |means_$out AS (
+             |  SELECT cell, r.d AS d,
+             |         CAST(CAST(avg(v[CAST(r.d AS INT) + 1]) AS REAL) AS DOUBLE) AS m
+             |  FROM celled_$out, range($EmbeddingDim) r(d)
+             |  GROUP BY cell, r.d),
+             |rebuilt_$out AS (SELECT cell, list(m ORDER BY d) AS c
+             |                 FROM means_$out GROUP BY cell),
+             |$out AS (
+             |  SELECT c0.cid, COALESCE(rb.c, c0.c) AS c
+             |  FROM $inCent c0 LEFT JOIN rebuilt_$out rb ON rb.cell = c0.cid)"""
+        s"""WITH stride AS (SELECT greatest(count(*) // 16, 1) AS bkt
+           |                FROM embeddings),
+           |cent0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+           |          FROM embeddings, stride
+           |          WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
+           |                % bkt = 0
+           |          ORDER BY vec_id LIMIT 16),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |${iter("cent0", "cent1")},
+           |${iter("cent1", "cent2")},
+           |assigned_f AS (
+           |  SELECT e.vec_id, e.v, c.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY list_dot_product(e.v, c.c) / sqrt(list_dot_product(c.c, c.c)) DESC,
+           |                    c.cid DESC) AS rn
+           |  FROM e CROSS JOIN cent2 c),
+           |celled_f AS (SELECT vec_id, v, cid AS cell FROM assigned_f WHERE rn = 1),
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |probes AS (
+           |  SELECT cid,
+           |         row_number() OVER (ORDER BY
+           |           ${cosineSql("c", "q.qv")} DESC, cid DESC) AS pr
+           |  FROM cent2, q)
+           |SELECT d.vec_id,
+           |       ${cosineSql("d.v", "q.qv")} AS cosine
+           |FROM celled_f d
+           |JOIN probes p ON d.cell = p.cid AND p.pr <= 4
+           |CROSS JOIN q
+           |WHERE d.vec_id <> 0
+           |ORDER BY cosine DESC, d.vec_id ASC
+           |LIMIT 10""".stripMargin
+      }),
+
     // Sequence packing: every document's deterministic (shard, chunk,
     // offset) coordinate in the concatenated per-shard token stream a
     // training loader slices into fixed seqLen windows. One shuffle
