@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.vecDotInfo,
       GraftFunctions.vecDotBuilder))
     ext.injectFunction((
+      new FunctionIdentifier("int_vec_dot"),
+      GraftFunctions.intVecDotInfo,
+      GraftFunctions.intVecDotBuilder))
+    ext.injectFunction((
       new FunctionIdentifier("sum_at_min"),
       GraftFunctions.sumAtMinInfo,
       GraftFunctions.sumAtMinBuilder))
@@ -42,6 +46,16 @@ object GraftFunctions {
       FloatVectorDot(children.head, children(1))
     }
 
+  private[functions] val intVecDotInfo =
+    new ExpressionInfo(classOf[IntVectorDot].getName, null, "int_vec_dot")
+
+  private[functions] val intVecDotBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 2,
+        s"int_vec_dot expects 2 arguments, got ${children.length}")
+      IntVectorDot(children.head, children(1))
+    }
+
   private[functions] val sumAtMinInfo =
     new ExpressionInfo(classOf[SumAtMin].getName, null, "sum_at_min")
 
@@ -58,6 +72,8 @@ object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
       spark, "vec_dot", vecDotInfo, vecDotBuilder)
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "int_vec_dot", intVecDotInfo, intVecDotBuilder)
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
       spark, "sum_at_min", sumAtMinInfo, sumAtMinBuilder)
   }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for the embedding dot product.
   *
@@ -87,9 +87,83 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer dot product over two ARRAY<INT> columns (long
+  * result) — the scoring kernel for quantized embeddings
+  * ([[graft.pipeline.Quantization]]). Same rationale and null/length
+  * contract as [[FloatVectorDot]]; integer accumulation makes the
+  * score associativity-free (bit-identical under any partitioning or
+  * engine), which is what lets quantized rankings be hash-gated.
+  * Codes are int8-range so the long accumulator cannot overflow
+  * below ~2^47 dimensions.
+  */
+case class IntVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isIntArray(dt: DataType): Boolean = dt match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (isIntArray(left.dataType) && isIntArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<INT> inputs, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "int_vector_dot"
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $sum = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $sum += ((long) $a.getInt($i)) * ((long) $b.getInt($i));
+         |  }
+         |  ${ev.value} = $sum;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level dot product over two Array[Float] columns. */
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVectorDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level exact dot product over two Array[Int] columns. */
+  def intVecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(IntVectorDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find training-corpus documents that
+  * share verbatim word n-grams with an evaluation/benchmark set, so
+  * they can be dropped (or the benchmark discounted) before
+  * pretraining — the standard n-gram-overlap decontamination check
+  * (GPT-2/3, PaLM use 8–13-gram variants; n is a parameter here).
+  *
+  * Scale shape: the benchmark side is small by construction (eval
+  * suites are thousands of documents, the corpus is billions), so its
+  * DISTINCT shingle set is explicitly `broadcast()` — the corpus-side
+  * shingle stream joins map-side with NO shuffle of corpus data by
+  * shingle. The only corpus-keyed aggregation is the per-doc overlap
+  * count (doc_id grain). Corpus text itself never enters a join — only
+  * (doc_id, shingle) rows.
+  */
+object Contamination {
+
+  /** Per-corpus-doc overlap with the benchmark shingle set:
+    * (doc_id, n_shingles, n_overlap, contamination) for docs with at
+    * least one shared n-gram; `contamination` = n_overlap/n_shingles
+    * (distinct-shingle grain on both sides — one exact integer
+    * division, cross-engine safe).
+    */
+  def overlap(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val corpusSh = Dedup.wordShingles(corpus, n, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchSh = Dedup.wordShingles(benchmark, n, textCol, idCol)
+      .select("shingle").distinct()
+    val perDoc = corpusSh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = corpusSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    hits.join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap") / col("n_shingles")).as("contamination"))
+  }
+
+  /** The corpus with contaminated docs removed: drops every doc whose
+    * contamination is ≥ `threshold` (> 0 by default drops on ANY
+    * shared n-gram, the conservative standard). Anti-join on doc_id —
+    * corpus rows stream through unshuffled.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+      minOverlap: Long = 1L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bad = overlap(corpus, benchmark, n, textCol, idCol)
+      .where(col("n_overlap") >= minOverlap).select(col("doc_id"))
+    corpus.join(bad.withColumnRenamed("doc_id", "__bad_id"),
+      col(idCol) === col("__bad_id"), "left_anti")
+  }
+}

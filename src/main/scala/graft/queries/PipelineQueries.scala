@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Contamination, Dedup, Multimodal, Packing, Pii, Quantization, Repetition, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -510,6 +510,157 @@ object PipelineQueries {
               |       CAST(tb // 512 AS BIGINT) AS chunk_id,
               |       CAST(tb % 512 AS BIGINT) AS chunk_offset
               |FROM w""".stripMargin)),
+
+    // Gopher-style within-doc repetition signals. The fixture text is
+    // single-line, so the gate splits "lines" on the frequent token
+    // ' a ' (a literal separator both engines split identically) to
+    // exercise the line path on real structure; the n-gram fractions
+    // are live on the fixture as-is (~70% of docs repeat a bigram).
+    // Every fraction is one exact-integer division — hash-stable.
+    QueryDef("p23_repetition_signals",
+      (s, dir) => Repetition.signals(Tables.documents(s, dir),
+        lineSep = " a ", topNs = Seq(2, 3), dupNs = Seq(2)),
+      Some {
+        // occurrence-counted (NOT distinct) word n-gram CTE: g<n>
+        def gramCte(n: Int): String = {
+          val gram = (0 until n).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
+            .mkString(" || ' ' || ")
+          val rangeEnd = if (n == 2) "len(w)" else s"len(w) - ${n - 2}"
+          s"""g$n AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, $rangeEnd),
+             |         i -> $gram)) AS gram FROM tk)
+             |  GROUP BY doc_id, gram)"""
+        }
+        def topCte(n: Int): String =
+          s"""t$n AS (SELECT doc_id, cnt * length(gram) AS top_chars FROM (
+             |  SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY cnt DESC, gram ASC) AS rn FROM g$n) WHERE rn = 1)"""
+        s"""WITH lines0 AS (
+           |  SELECT doc_id,
+           |         unnest(list_filter(string_split(text, ' a '), l -> l <> '')) AS line
+           |  FROM documents),
+           |lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines0 GROUP BY doc_id, line),
+           |ls AS (SELECT doc_id,
+           |         CAST(sum(cnt) AS BIGINT) AS n_lines,
+           |         CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup,
+           |         CAST(sum(cnt * length(line)) AS BIGINT) AS line_chars,
+           |         CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END) AS BIGINT) AS dup_chars
+           |       FROM lc GROUP BY doc_id),
+           |tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+           |                                  t -> t <> '') AS w
+           |       FROM documents),
+           |${gramCte(2)},
+           |${topCte(2)},
+           |${gramCte(3)},
+           |${topCte(3)},
+           |d2 AS (SELECT doc_id,
+           |         CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS BIGINT) AS dup_gram_chars
+           |       FROM g2 GROUP BY doc_id),
+           |base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents)
+           |SELECT b.doc_id, b.n_chars,
+           |       COALESCE(ls.n_lines, 0) AS n_lines,
+           |       COALESCE(CAST(ls.n_dup AS DOUBLE) / nullif(ls.n_lines, 0), 0.0) AS dup_line_fraction,
+           |       COALESCE(CAST(ls.dup_chars AS DOUBLE) / nullif(ls.line_chars, 0), 0.0) AS dup_line_char_fraction,
+           |       COALESCE(CAST(t2.top_chars AS DOUBLE) / nullif(b.n_chars, 0), 0.0) AS top2gram_char_fraction,
+           |       COALESCE(CAST(t3.top_chars AS DOUBLE) / nullif(b.n_chars, 0), 0.0) AS top3gram_char_fraction,
+           |       least(COALESCE(CAST(d2.dup_gram_chars AS DOUBLE) / nullif(b.n_chars, 0), 0.0), 1.0) AS dup2gram_char_fraction
+           |FROM base b
+           |LEFT JOIN ls USING(doc_id) LEFT JOIN t2 USING(doc_id)
+           |LEFT JOIN t3 USING(doc_id) LEFT JOIN d2 USING(doc_id)""".stripMargin
+      }),
+
+    // Benchmark decontamination: corpus docs sharing a verbatim word
+    // 4-gram with the held-out "benchmark" slice (doc_id % 50 == 0 —
+    // a deterministic eval-set stand-in). The benchmark shingle set is
+    // broadcast in the engine; corpus text never shuffles.
+    QueryDef("p24_decontamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Contamination.overlap(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0), n = 4)
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |         list_filter(string_split_regex(trim(text), '\s+'),
+             |                     t -> t <> '') AS w
+             |       FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, gram FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+             |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS gram
+             |  FROM tk)),
+             |c AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+             |b AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0),
+             |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM c GROUP BY doc_id),
+             |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+             |         FROM c JOIN b USING(gram) GROUP BY doc_id)
+             |SELECT h.doc_id, pd.n_shingles, h.n_overlap,
+             |       CAST(h.n_overlap AS DOUBLE) / pd.n_shingles AS contamination
+             |FROM hits h JOIN pd USING(doc_id)""".stripMargin)),
+
+    // PII redaction. The fixture has no PII, so the gate synthesizes
+    // one of each shape per doc (identically in both engines: plain
+    // concat arithmetic on doc_id) and verifies counts AND the fully
+    // redacted text. Patterns/replacements are embedded from
+    // Pii.DefaultRules — the oracle can never drift from the engine.
+    QueryDef("p25_pii_redaction",
+      (s, dir) => Pii.redact(Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or 10.2."), (col("doc_id") % 256).cast("string"),
+            lit(".9 ref 123-45-6789 call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text")))
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_ssn"),
+          col("n_phone"), col("redacted_text")),
+      Some {
+        val Seq(em, ip, ssn, ph) = Pii.DefaultRules
+        s"""WITH aug AS (SELECT doc_id,
+           |  text || ' reach user' || CAST(doc_id AS VARCHAR)
+           |    || '@mail.example.com or 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+           |    || '.9 ref 123-45-6789 call 555-'
+           |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+           |  FROM documents),
+           |s1 AS (SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '${em.pattern}')) AS BIGINT) AS n_email,
+           |  regexp_replace(t, '${em.pattern}', '${em.replacement}', 'g') AS t1 FROM aug),
+           |s2 AS (SELECT doc_id, n_email,
+           |  CAST(len(regexp_extract_all(t1, '${ip.pattern}')) AS BIGINT) AS n_ipv4,
+           |  regexp_replace(t1, '${ip.pattern}', '${ip.replacement}', 'g') AS t2 FROM s1),
+           |s3 AS (SELECT doc_id, n_email, n_ipv4,
+           |  CAST(len(regexp_extract_all(t2, '${ssn.pattern}')) AS BIGINT) AS n_ssn,
+           |  regexp_replace(t2, '${ssn.pattern}', '${ssn.replacement}', 'g') AS t3 FROM s2)
+           |SELECT doc_id, n_email, n_ipv4, n_ssn,
+           |  CAST(len(regexp_extract_all(t3, '${ph.pattern}')) AS BIGINT) AS n_phone,
+           |  regexp_replace(t3, '${ph.pattern}', '${ph.replacement}', 'g') AS redacted_text
+           |FROM s3""".stripMargin
+      }),
+
+    // Int8-range scalar-quantized ANN: per-dim corpus min/max ranges,
+    // codes via floor((v-lo)*255/(hi-lo)+0.5) (floor, not round —
+    // half-case conventions differ across engines; floor doesn't),
+    // ranking by EXACT integer dot product, so score and order are
+    // engine- and partitioning-independent. The memory-bound scale
+    // path: 4x smaller vectors than float32.
+    QueryDef("p26_quantized_topk",
+      (s, dir) => Quantization.quantizedTopK(
+        Tables.embeddings(s, dir), queryId = 0L, k = 10),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |dims AS (SELECT r.d AS d,
+              |           min(v[CAST(r.d AS INT)+1]) AS lo,
+              |           max(v[CAST(r.d AS INT)+1]) AS hi
+              |         FROM e, range($EmbeddingDim) r(d) GROUP BY r.d),
+              |rng AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM dims),
+              |q AS (SELECT vec_id, list_transform(range($EmbeddingDim), d ->
+              |        CASE WHEN his[CAST(d AS INT)+1] = los[CAST(d AS INT)+1] THEN 0
+              |             ELSE CAST(least(greatest(floor((v[CAST(d AS INT)+1] - los[CAST(d AS INT)+1]) * 255.0
+              |                    / (his[CAST(d AS INT)+1] - los[CAST(d AS INT)+1]) + 0.5), 0.0), 255.0) AS INT)
+              |        END) AS qv
+              |      FROM e, rng),
+              |qq AS (SELECT qv AS query_qv FROM q WHERE vec_id = 0)
+              |SELECT q.vec_id,
+              |       CAST(list_dot_product(list_transform(q.qv, x -> CAST(x AS DOUBLE)),
+              |              list_transform(qq.query_qv, x -> CAST(x AS DOUBLE))) AS BIGINT) AS qscore
+              |FROM q, qq WHERE q.vec_id <> 0
+              |ORDER BY qscore DESC, q.vec_id ASC
+              |LIMIT 10""".stripMargin)),
 
     // Brute-force cosine top-k: the exact ANN baseline.
     QueryDef("p10_brute_force_topk",

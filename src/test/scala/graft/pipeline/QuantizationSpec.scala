@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QuantizationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("codes span [0,255] with endpoints exact and monotone interior") {
+    val df = emb(
+      (0L, Seq(0f, -1f)), (1L, Seq(0.5f, 0f)), (2L, Seq(1f, 3f)))
+    val q = Quantization.quantized(df)
+      .select($"vec_id", $"qvec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // dim0 range [0,1]: 0 -> 0, 0.5 -> 128 (floor(127.5+0.5)), 1 -> 255
+    assert(q(0L)(0) === 0)
+    assert(q(1L)(0) === 128)
+    assert(q(2L)(0) === 255)
+    // dim1 range [-1,3]: -1 -> 0, 0 -> 64 (255/4 = 63.75 -> floor(64.25)), 3 -> 255
+    assert(q(0L)(1) === 0)
+    assert(q(1L)(1) === 64)
+    assert(q(2L)(1) === 255)
+  }
+
+  test("degenerate constant dimension quantizes to 0") {
+    val df = emb((0L, Seq(7f, 1f)), (1L, Seq(7f, 2f)))
+    val q = Quantization.quantized(df)
+      .select($"qvec").collect().map(_.getSeq[Int](0))
+    assert(q.forall(_.head === 0))
+  }
+
+  test("dequantization error is bounded by half a step per dim") {
+    val df = emb((0L, Seq(0.13f, -0.7f)), (1L, Seq(0.87f, 0.2f)),
+      (2L, Seq(0.41f, 0.9f)), (3L, Seq(-0.3f, 0.05f)))
+    val ranges = Quantization.dimRanges(df).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val qs = Quantization.quantized(df).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getSeq[Int](2)))
+    qs.foreach { case (_, vec, qvec) =>
+      vec.zip(qvec).zipWithIndex.foreach { case ((v, code), d) =>
+        val (lo, hi) = ranges(d)
+        val step = (hi - lo) / 255.0
+        val deq = lo + code * step
+        assert(math.abs(deq - v.toDouble) <= step / 2 + 1e-12,
+          s"dim $d v=$v code=$code")
+      }
+    }
+  }
+
+  test("quantized top-k ranks like brute force on separated clusters") {
+    // 3 tight clusters in 4d; query in cluster A must rank the other
+    // A members first under the quantized integer dot
+    def jitter(base: Seq[Float], eps: Float) = base.map(_ + eps)
+    val a = Seq(10f, 0f, 0f, 0f); val b = Seq(0f, 10f, 0f, 0f); val c = Seq(0f, 0f, 10f, 0f)
+    val df = emb(
+      (0L, a), (1L, jitter(a, 0.1f)), (2L, jitter(a, -0.1f)),
+      (3L, b), (4L, jitter(b, 0.2f)),
+      (5L, c), (6L, jitter(c, 0.2f)))
+    val top = Quantization.quantizedTopK(df, queryId = 0L, k = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top === Set(1L, 2L))
+  }
+
+  test("qscore is an exact integer and ties break by vec_id") {
+    val df = emb((0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)),
+      (3L, Seq(0f, 1f)))
+    val rows = Quantization.quantizedTopK(df, queryId = 0L, k = 3).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(0).getLong(1) === rows(1).getLong(1))
+  }
+}
