@@ -97,31 +97,64 @@ object Repetition {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"),
       length(col(textCol)).cast("long").as("n_chars"))
-    val ls = lineStats(df, lineSep, textCol, idCol)
-    val withLines = base.join(ls, Seq("doc_id"), "left").select(
+    val ns = (topNs ++ dupNs).distinct
+
+    // ONE corpus scan for every signal family: lines ride the same
+    // explode as the n-grams, tagged kind=0 (n-grams tag kind=n).
+    // Tokens are materialized in their own projection so the n
+    // wordNGrams calls share one tokenization. From there: one
+    // (doc_id, kind, unit) count, one conditional aggregation per
+    // doc — the Gopher one-pass shape, vs one scan+shuffle per
+    // signal in the naive composition of the building blocks above.
+    val kinds =
+      struct(lit(0).as("kind"),
+        array_remove(split(col(textCol), lineSep), "").as("units")) +:
+      ns.map(n => struct(lit(n).as("kind"),
+        graft.functions.NGramFunctions.wordNGrams(col("__toks"), n).as("units")))
+    val counts = df
+      .select(col(idCol).as("doc_id"), col(textCol).as(textCol),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(array(kinds: _*)).as("ku"))
+      .select(col("doc_id"), col("ku.kind").as("kind"),
+        explode(col("ku.units")).as("unit"))
+      .groupBy("doc_id", "kind", "unit").agg(count(lit(1)).as("cnt"))
+
+    val kind = col("kind"); val cnt = col("cnt")
+    val unitChars = cnt * length(col("unit"))
+    val lineAggs = Seq(
+      sum(when(kind === 0, cnt)).as("n_lines"),
+      sum(when(kind === 0 && cnt >= 2, cnt)).as("__dl"),
+      sum(when(kind === 0, unitChars)).as("__lc"),
+      sum(when(kind === 0 && cnt >= 2, unitChars)).as("__dlc"))
+    val topAggs = topNs.map(n =>
+      min(when(kind === n, struct((-cnt).as("neg_cnt"), col("unit").as("gram"))))
+        .as(s"__t$n"))
+    val dupAggs = dupNs.map(n =>
+      sum(when(kind === n && cnt >= 2, unitChars)).as(s"__dc$n"))
+    val aggs = lineAggs ++ topAggs ++ dupAggs
+    val byDoc = counts.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+
+    val joined = base.join(byDoc, Seq("doc_id"), "left")
+    val withLines = joined.select(Seq(
       col("doc_id"), col("n_chars"),
       coalesce(col("n_lines"), lit(0L)).as("n_lines"),
-      coalesce(col("n_dup_lines") / when(col("n_lines") === 0, lit(null))
+      coalesce(col("__dl") / when(col("n_lines") === 0, lit(null))
         .otherwise(col("n_lines")), lit(0.0)).as("dup_line_fraction"),
-      coalesce(col("dup_line_chars") / when(col("line_chars") === 0, lit(null))
-        .otherwise(col("line_chars")), lit(0.0)).as("dup_line_char_fraction"))
+      coalesce(col("__dlc") / when(col("__lc") === 0, lit(null))
+        .otherwise(col("__lc")), lit(0.0)).as("dup_line_char_fraction")) ++
+      topNs.map(n => col(s"__t$n")) ++ dupNs.map(n => col(s"__dc$n")): _*)
     val withTops = topNs.foldLeft(withLines) { (acc, n) =>
-      acc.join(topNGram(df, n, textCol, idCol)
-          .select(col("doc_id"), col("top_chars").as(s"__tc$n")),
-        Seq("doc_id"), "left")
-        .withColumn(s"top${n}gram_char_fraction",
-          coalesce(col(s"__tc$n") / when(col("n_chars") === 0, lit(null))
-            .otherwise(col("n_chars")), lit(0.0)))
-        .drop(s"__tc$n")
+      acc.withColumn(s"top${n}gram_char_fraction",
+        coalesce((-col(s"__t$n.neg_cnt") * length(col(s"__t$n.gram"))) /
+          when(col("n_chars") === 0, lit(null)).otherwise(col("n_chars")),
+          lit(0.0)))
+        .drop(s"__t$n")
     }
-    dupNs.foldLeft(withTops) { (acc, m) =>
-      acc.join(dupNGramChars(df, m, textCol, idCol)
-          .select(col("doc_id"), col("dup_gram_chars").as(s"__dc$m")),
-        Seq("doc_id"), "left")
-        .withColumn(s"dup${m}gram_char_fraction",
-          least(coalesce(col(s"__dc$m") / when(col("n_chars") === 0, lit(null))
-            .otherwise(col("n_chars")), lit(0.0)), lit(1.0)))
-        .drop(s"__dc$m")
+    dupNs.foldLeft(withTops) { (acc, n) =>
+      acc.withColumn(s"dup${n}gram_char_fraction",
+        least(coalesce(col(s"__dc$n") / when(col("n_chars") === 0, lit(null))
+          .otherwise(col("n_chars")), lit(0.0)), lit(1.0)))
+        .drop(s"__dc$n")
     }
   }
 }
