@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Substring-level exact dedup: find the character spans that are
+  * REPEATED (within a document or verbatim across documents), as
+  * removable (doc_id, span_start, span_len) coordinates — the
+  * span-granular complement to doc-level near-dup dedup, after the
+  * "Deduplicating Training Data Makes Language Models Better"
+  * exact-substring pass (suffix-array there; positioned fingerprint
+  * windows here, the join-friendly formulation).
+  *
+  * Method: every k-char window (native codegen'd
+  * [[graft.functions.CharNGrams]], posexplode gives the 0-based
+  * offset), hashed to a 60-bit md5-derived key so the shuffled
+  * payload is fixed-width instead of k chars; windows whose hash
+  * occurs >= minOcc times corpus-wide are "duplicated"; consecutive
+  * duplicated offsets per doc merge into maximal spans (windows at
+  * p, p+1 overlap in k-1 chars — a repeated region of length L >= k
+  * yields L-k+1 consecutive marked windows, which merge back into
+  * one span of exactly L).
+  *
+  * Scale shape: NO pair materialization anywhere — the corpus-wide
+  * occurrence count is a per-hash aggregation and each window gets a
+  * per-occurrence verdict via semi-join, so a boilerplate string
+  * shared by a million documents costs one counter row plus its own
+  * occurrences, never C(n,2) pairs. Cost is linear in corpus
+  * characters (one window row per char): real at 100 TB, so
+  * production sparsifies the window stream first — e.g. keep only
+  * [[TextAnalysis.winnowedFingerprints]]-selected windows (1/band of
+  * the rows for band-length span resolution). The span-merge is one
+  * per-doc sort (window function over doc_id).
+  *
+  * Determinism: offsets and counts are exact integers; the md5 hash
+  * family is the engine-wide cross-engine standard. A 60-bit
+  * collision would mark a unique window as duplicated — at ~2^30
+  * windows the expected collision count is ~2^0; an oracle using the
+  * same family agrees bit-for-bit either way.
+  */
+object Spans {
+
+  def duplicatedWindowSpans(df: DataFrame, k: Int = 20, minOcc: Long = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val win = df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.NGramFunctions.charNGrams(col(textCol), k))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = win.groupBy("h").agg(count(lit(1)).as("nocc"))
+      .where(col("nocc") >= minOcc).select("h")
+    val marked = win.join(dup, Seq("h"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("new_span",
+        when(col("prev").isNull || col("pos") - col("prev") > 1, 1).otherwise(0))
+      .withColumn("span_id", sum("new_span").over(w))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + k).as("span_len"),
+        count(lit(1)).as("n_windows"))
+  }
+
+  /** The corpus with every duplicated span excised (first occurrence
+    * NOT preserved — the symmetric "remove all copies" policy; span
+    * coordinates come from [[duplicatedWindowSpans]], so callers
+    * wanting keep-one semantics can filter the span set first).
+    * Reassembles each doc from the characters outside its spans.
+    * Adjacent window islands can produce char spans that OVERLAP
+    * (islands are >= 2 window positions apart but each span extends
+    * k chars past its last window), so the walk clamps each kept gap
+    * at 0 and tracks the furthest excised end.
+    */
+  def removeDuplicatedSpans(df: DataFrame, k: Int = 20, minOcc: Long = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spans = duplicatedWindowSpans(df, k, minOcc, textCol, idCol)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_len"))))
+        .as("__spans"))
+    val t = col(textCol)
+    // walk the sorted spans, carrying (next-unexcised offset, kept
+    // prefix); spans never end earlier than a predecessor (each
+    // extends k past a later window), so `from` is monotone
+    val walked = aggregate(col("__spans"),
+      struct(lit(0).as("from"), lit("").as("acc")),
+      (st, sp) => struct(
+        (sp("span_start") + sp("span_len")).as("from"),
+        concat(st("acc"), t.substr(st("from") + lit(1),
+          greatest(sp("span_start") - st("from"), lit(0)))).as("acc")),
+      st => concat(st("acc"), t.substr(st("from") + lit(1), length(t))))
+    df.join(spans.withColumnRenamed("doc_id", "__sid"),
+        col(idCol) === col("__sid"), "left")
+      .withColumn("clean_text",
+        when(col("__spans").isNull, t).otherwise(walked))
+      .drop("__sid", "__spans")
+  }
+}

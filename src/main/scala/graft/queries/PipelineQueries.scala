@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Contamination, Dedup, Multimodal, Packing, Pii, Quantization, Repetition, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Contamination, Dedup, Multimodal, Packing, Pii, Quantization, Repetition, Sampling, Similarity, Spans, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -596,6 +596,35 @@ object PipelineQueries {
              |SELECT h.doc_id, pd.n_shingles, h.n_overlap,
              |       CAST(h.n_overlap AS DOUBLE) / pd.n_shingles AS contamination
              |FROM hits h JOIN pd USING(doc_id)""".stripMargin)),
+
+    // Substring-level exact dedup: repeated 20-char windows (60-bit
+    // md5-hashed — same family in the oracle) merged into maximal
+    // removable spans per doc. No pair materialization: a hot
+    // boilerplate string costs its own occurrences, never C(n,2).
+    QueryDef("p27_repeated_spans",
+      (s, dir) => Spans.duplicatedWindowSpans(
+        Tables.documents(s, dir), k = 20),
+      Some("""WITH win AS (
+             |  SELECT doc_id, CAST(i AS INT) AS pos,
+             |         ('0x' || substr(md5(substr(text, CAST(i AS INT)+1, 20)), 1, 15))::BIGINT AS h
+             |  FROM (SELECT doc_id, text,
+             |               unnest(range(greatest(length(text) - 20 + 1, 0))) AS i
+             |        FROM documents)),
+             |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+             |marked AS (SELECT doc_id, pos FROM win JOIN dup USING(h)),
+             |isl AS (SELECT doc_id, pos,
+             |          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+             |                 OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+             |               THEN 1 ELSE 0 END AS new_span
+             |        FROM marked),
+             |sp AS (SELECT doc_id, pos,
+             |              CAST(sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+             |       FROM isl)
+             |SELECT doc_id, span_id,
+             |       min(pos) AS span_start,
+             |       max(pos) - min(pos) + 20 AS span_len,
+             |       CAST(count(*) AS BIGINT) AS n_windows
+             |FROM sp GROUP BY doc_id, span_id""".stripMargin)),
 
     // PII redaction. The fixture has no PII, so the gate synthesizes
     // one of each shape per doc (identically in both engines: plain
