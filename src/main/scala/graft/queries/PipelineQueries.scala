@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Contamination, Dedup, Multimodal, Packing, Pii, Quantization, Repetition, Sampling, Similarity, Spans, TextAnalysis}
+import graft.pipeline.{Bpe, Clusters, Contamination, Dedup, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Sampling, Similarity, Spans, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -38,6 +38,43 @@ object PipelineQueries {
 
   private def stopwordRegex(words: Seq[String]): String =
     "\\b(" + words.mkString("|") + ")\\b"
+
+  /** The complete p08 MinHash+LSH verified-pair pipeline as a CTE
+    * chain ending in `pairs(doc_a, doc_b, jaccard)` — single-sourced
+    * so the pair gate (p08) and the cluster gate (p28, which runs
+    * connected components OVER these pairs) can never drift apart.
+    * Mirrors [[Dedup.minHashSignatures]]/[[Dedup.lshCandidatePairs]]/
+    * [[Dedup.minHashNearDups]] at threshold 0.8.
+    */
+  private def minhashPairsCtes =
+    s"""$shingleSql,
+       |hv AS (SELECT doc_id,
+       |              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
+       |              ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hb
+       |       FROM sh),
+       |mh AS (SELECT doc_id, i, min(ha + i * hb) AS mv
+       |       FROM hv CROSS JOIN (SELECT unnest(range(16)) AS i) idx
+       |       GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 4 AS band,
+       |                 md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bucket
+       |          FROM mh GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |          AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
+       |          FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS common
+       |           FROM cand c
+       |           JOIN sh a ON a.doc_id = c.doc_a
+       |           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |           GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (SELECT doc_a, doc_b,
+       |                 common / (sa.set_size + sb.set_size - common) AS jaccard
+       |          FROM common
+       |          JOIN sizes sa ON sa.doc_id = doc_a
+       |          JOIN sizes sb ON sb.doc_id = doc_b
+       |          WHERE common / (sa.set_size + sb.set_size - common) >= 0.8)""".stripMargin
 
   /** Shared oracle fragments mirroring [[TextAnalysis]] — single
     * source for the quality/lang formulas so the unit gates (p04/p05)
@@ -286,34 +323,30 @@ object PipelineQueries {
     QueryDef("p08_minhash_neardups",
       (s, dir) => Dedup.minHashNearDups(
         Tables.documents(s, dir), threshold = 0.8),
-      Some(s"""WITH $shingleSql,
-              |hv AS (SELECT doc_id,
-              |              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
-              |              ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hb
-              |       FROM sh),
-              |mh AS (SELECT doc_id, i, min(ha + i * hb) AS mv
-              |       FROM hv CROSS JOIN (SELECT unnest(range(16)) AS i) idx
-              |       GROUP BY doc_id, i),
-              |bands AS (SELECT doc_id, i // 4 AS band,
-              |                 md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bucket
-              |          FROM mh GROUP BY doc_id, i // 4),
-              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |         FROM bands a JOIN bands b
-              |           ON a.band = b.band AND a.bucket = b.bucket
-              |          AND a.doc_id < b.doc_id),
-              |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
-              |          FROM sh GROUP BY doc_id),
-              |common AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS common
-              |           FROM cand c
-              |           JOIN sh a ON a.doc_id = c.doc_a
-              |           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-              |           GROUP BY c.doc_a, c.doc_b)
-              |SELECT doc_a, doc_b,
-              |       common / (sa.set_size + sb.set_size - common) AS jaccard
-              |FROM common
-              |JOIN sizes sa ON sa.doc_id = doc_a
-              |JOIN sizes sb ON sb.doc_id = doc_b
-              |WHERE common / (sa.set_size + sb.set_size - common) >= 0.8""".stripMargin)),
+      Some(s"""WITH $minhashPairsCtes
+              |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin)),
+
+    // Duplicate CLUSTERS: connected components over the p08 verified
+    // near-dup pairs (label propagation + pointer shortcut in the
+    // engine). The oracle rebuilds the SAME pair set via the shared
+    // CTE chain, then computes each node's component as the min id
+    // reachable through a recursive CTE — two entirely different
+    // component algorithms agreeing bit-for-bit on (doc, cluster,
+    // size).
+    QueryDef("p28_dup_clusters",
+      (s, dir) => Clusters.nearDupClusters(
+        Tables.documents(s, dir), threshold = 0.8),
+      Some(s"""WITH RECURSIVE $minhashPairsCtes,
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |          UNION SELECT doc_b, doc_a FROM pairs),
+              |reach AS (SELECT src AS node, dst AS r FROM edges
+              |          UNION
+              |          SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.node = e.dst),
+              |lbl AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+              |        FROM reach GROUP BY node)
+              |SELECT doc_id, cluster_id, n_members
+              |FROM lbl JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+              |               FROM lbl GROUP BY cluster_id) USING (cluster_id)""".stripMargin)),
 
     // SimHash near-dups: banded hamming join. The banding is
     // output-invisible (pigeonhole: hamming <= 3 over 4 chunks always
@@ -625,6 +658,37 @@ object PipelineQueries {
              |       max(pos) - min(pos) + 20 AS span_len,
              |       CAST(count(*) AS BIGINT) AS n_windows
              |FROM sp GROUP BY doc_id, span_id""".stripMargin)),
+
+    // Corpus-level exact LINE dedup (RefinedWeb/C4-style): every
+    // non-blank line keeps only its corpus-wide first occurrence
+    // (min packed (doc_id, pos)); blank lines always survive. The
+    // oracle re-derives the line explosion, the 60-bit line hashes,
+    // the packed-order winners and the per-doc reconstruction.
+    QueryDef("p29_line_dedup",
+      (s, dir) => Lines.dedupLines(Tables.documents(s, dir)),
+      Some("""WITH lsrc AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+             |              FROM documents),
+             |occ AS (SELECT doc_id, CAST(i AS INT) AS pos,
+             |               ls[CAST(i AS INT) + 1] AS ln
+             |        FROM (SELECT doc_id, ls, unnest(range(len(ls))) AS i
+             |              FROM lsrc)),
+             |keyed AS (SELECT doc_id, pos, trim(ln) = '' AS blank,
+             |                 ('0x' || substr(md5(ln), 1, 15))::BIGINT AS h
+             |          FROM occ),
+             |win AS (SELECT h, min(doc_id * 4294967296 + pos) AS w
+             |        FROM keyed WHERE NOT blank GROUP BY h),
+             |verdict AS (SELECT k.doc_id, k.pos,
+             |                   (k.blank OR k.doc_id * 4294967296 + k.pos = w.w) AS keep
+             |            FROM keyed k LEFT JOIN win w USING (h)),
+             |kept AS (SELECT doc_id,
+             |                CAST(count(*) AS BIGINT) AS n_lines,
+             |                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |                list_sort(list(pos) FILTER (WHERE keep)) AS kp
+             |         FROM verdict GROUP BY doc_id)
+             |SELECT k.doc_id, n_lines, n_kept,
+             |       array_to_string(list_transform(kp, p -> l.ls[CAST(p AS INT) + 1]),
+             |                       chr(10)) AS clean_text
+             |FROM kept k JOIN lsrc l ON l.doc_id = k.doc_id""".stripMargin)),
 
     // PII redaction. The fixture has no PII, so the gate synthesizes
     // one of each shape per doc (identically in both engines: plain
