@@ -79,14 +79,16 @@ object Clusters {
       // (2) pointer shortcut: lbl := lbl(lbl). Every label IS a node
       // (labels only ever hold node ids), so the lookup always hits;
       // left join + coalesce keeps that a safety, not an assumption.
-      // eager localCheckpoint, not persist: labels feed the next
+      // LAZY localCheckpoint, not persist: labels feed the next
       // round's plan in four places, so an un-truncated plan grows
-      // 4^iter (see the scaladoc)
+      // 4^iter (see the scaladoc). Lazy so the convergence count
+      // below is the action that materializes it — one action per
+      // round, not a checkpoint action plus a count action.
       val next = stepped
         .join(stepped.select(col("node").as("lbl"), col("lbl").as("lbl2")),
           Seq("lbl"), "left")
         .select(col("node"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val changed = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("node"))
         .where(col("lbl") =!= col("prev")).count()
       labels = next

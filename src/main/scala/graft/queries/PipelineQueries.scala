@@ -149,6 +149,28 @@ object PipelineQueries {
     graft.pipeline.Similarity.plane(b, EmbeddingDim)
       .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
+  /** The p12 embedding near-dup pair pipeline as a CTE chain ending
+    * in `epairs(id_a, id_b, cosine)` — single-sourced for the pair
+    * gate (p12) and the semantic-cluster gate (p30, components over
+    * these pairs). Mirrors [[Similarity.embeddingNearDups]] at
+    * threshold 0.3, bits 2, with the hot-bucket cap and the
+    * malformed-vector len filter.
+    */
+  private def embPairsCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings
+       |      WHERE len(embedding) = $EmbeddingDim),
+       |b AS (SELECT vec_id, v,
+       |        ${bucketSql("v", 2)} AS bucket
+       |      FROM e),
+       |keep AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 100000),
+       |epairs AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |                  ${cosineSql("a.v", "c.v")} AS cosine
+       |           FROM b a
+       |           JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |           JOIN keep k ON k.bucket = a.bucket
+       |           WHERE ${cosineSql("a.v", "c.v")} >= 0.3)""".stripMargin
+
   /** Sign-LSH bucket id of DOUBLE[] expression `vecExpr`, mirroring
     * [[Similarity.lshBucket]]: bit b set iff vec . plane(b) > 0.
     */
@@ -659,6 +681,66 @@ object PipelineQueries {
              |       CAST(count(*) AS BIGINT) AS n_windows
              |FROM sp GROUP BY doc_id, span_id""".stripMargin)),
 
+    // Corpus token-frequency rarity profile — the unigram-LM-flavored
+    // quality signal kept EXACT: every emitted number is an integer
+    // aggregate or a single integer division (the engine-wide rule —
+    // corpus-order float sums would be nondeterministic), so the
+    // gate hash-matches without tolerance. Gibberish scores low
+    // avg_freq / high singleton_frac; boilerplate scores the
+    // opposite — the standard cheap quality-filter axis next to p04.
+    QueryDef("p31_token_rarity",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val occ = docs.select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("mult"))
+        val uni = occ.groupBy("tok").agg(sum("mult").as("cnt"))
+        val prof = occ.join(uni, Seq("tok"))
+          .groupBy("doc_id").agg(
+            sum("mult").as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("mult") * col("cnt")).as("sum_freq"),
+            min("cnt").as("min_freq"),
+            sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_singletons"))
+        docs.select("doc_id").join(prof, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+            coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
+            col("min_freq"),
+            coalesce(col("n_singletons"), lit(0L)).as("n_singletons"),
+            (col("sum_freq") / col("n_tokens")).as("avg_freq"),
+            (col("n_singletons") / col("n_tokens")).as("singleton_frac"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(trim(text), '\s+'),
+             |                     t -> t <> '') AS w
+             |  FROM documents),
+             |occ AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS mult
+             |        FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+             |        GROUP BY doc_id, tok),
+             |uni AS (SELECT tok, CAST(sum(mult) AS BIGINT) AS cnt
+             |        FROM occ GROUP BY tok),
+             |prof AS (SELECT doc_id,
+             |                CAST(sum(mult) AS BIGINT) AS n_tokens,
+             |                CAST(count(*) AS BIGINT) AS n_distinct,
+             |                CAST(sum(mult * cnt) AS BIGINT) AS sum_freq,
+             |                CAST(min(cnt) AS BIGINT) AS min_freq,
+             |                CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |                  AS n_singletons
+             |         FROM occ JOIN uni USING (tok)
+             |         GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       coalesce(n_tokens, 0) AS n_tokens,
+             |       coalesce(n_distinct, 0) AS n_distinct,
+             |       coalesce(sum_freq, 0) AS sum_freq,
+             |       min_freq,
+             |       coalesce(n_singletons, 0) AS n_singletons,
+             |       CAST(sum_freq AS DOUBLE) / n_tokens AS avg_freq,
+             |       CAST(n_singletons AS DOUBLE) / n_tokens AS singleton_frac
+             |FROM (SELECT doc_id FROM documents) d LEFT JOIN prof USING (doc_id)""".stripMargin)),
+
     // Corpus-level exact LINE dedup (RefinedWeb/C4-style): every
     // non-blank line keeps only its corpus-wide first occurrence
     // (min packed (doc_id, pos)); blank lines always survive. The
@@ -842,19 +924,37 @@ object PipelineQueries {
       (s, dir) => Similarity.embeddingNearDups(
         Tables.embeddings(s, dir), threshold = 0.3, bits = 2,
         dim = Some(EmbeddingDim)),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-              |           FROM embeddings
-              |           WHERE len(embedding) = $EmbeddingDim),
-              |b AS (SELECT vec_id, v,
-              |        ${bucketSql("v", 2)} AS bucket
-              |      FROM e),
-              |keep AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 100000)
-              |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-              |       ${cosineSql("a.v", "c.v")} AS cosine
-              |FROM b a
-              |JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-              |JOIN keep k ON k.bucket = a.bucket
-              |WHERE ${cosineSql("a.v", "c.v")} >= 0.3""".stripMargin)),
+      Some(s"""WITH $embPairsCtes
+              |SELECT id_a, id_b, cosine FROM epairs""".stripMargin)),
+
+    // SEMANTIC dup clusters (SemDeDup shape): connected components
+    // over the p12 embedding-cosine near-dup pairs — groups of
+    // semantically near-identical vectors under one representative,
+    // the embedding-space counterpart of the p28 text clusters. Same
+    // engine operator (Clusters.connectedComponents), same
+    // recursive-reachability oracle, driven by the shared p12 pair
+    // CTE chain.
+    QueryDef("p30_semantic_clusters",
+      (s, dir) => {
+        val cc = Clusters.connectedComponents(
+          Similarity.embeddingNearDups(Tables.embeddings(s, dir),
+            threshold = 0.3, bits = 2, dim = Some(EmbeddingDim)),
+          aCol = "id_a", bCol = "id_b")
+        cc.join(cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members")),
+            Seq("cluster_id"))
+          .select(col("doc_id").as("vec_id"), col("cluster_id"), col("n_members"))
+      },
+      Some(s"""WITH RECURSIVE $embPairsCtes,
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM epairs
+              |          UNION SELECT id_b, id_a FROM epairs),
+              |reach AS (SELECT src AS node, dst AS r FROM edges
+              |          UNION
+              |          SELECT e2.src, rc.r FROM edges e2 JOIN reach rc ON rc.node = e2.dst),
+              |lbl AS (SELECT node AS vec_id, least(node, min(r)) AS cluster_id
+              |        FROM reach GROUP BY node)
+              |SELECT vec_id, cluster_id, n_members
+              |FROM lbl JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+              |               FROM lbl GROUP BY cluster_id) USING (cluster_id)""".stripMargin)),
 
     // Composed curation pipeline — the operators as a user would chain
     // them: quality-score filter -> exact dedup -> language ID ->
