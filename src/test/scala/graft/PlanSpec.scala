@@ -163,6 +163,25 @@ class PlanSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("line dedup: verdict stages shuffle hashes, never line text; text moves at most once") {
+    // the dedup DECISION runs entirely over (doc_id, pos, h) — a line
+    // repeated across the corpus costs its 60-bit hash in the shuffle,
+    // not its characters; only the final per-doc reconstruction join
+    // may move the document text, and only once
+    val docs = Tables.documents(spark, dir)
+    val q = pipeline.Lines.dedupLines(docs)
+    q.write.mode("overwrite").format("noop").save() // final AQE plan
+    val shuffled = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    shuffled.foreach { e =>
+      assert(!e.output.map(_.name).contains("line"),
+        s"line text flows through a shuffle:\n${e.treeString}")
+    }
+    val textShuffles = shuffled.count(_.output.map(_.name).contains("text"))
+    assert(textShuffles <= 1, s"document text shuffles $textShuffles times")
+  }
+
   test("brute-force top-k: corpus side never shuffles (broadcast + TakeOrdered)") {
     val plan = planOf(pipeline.Similarity.bruteForceTopK(
       Tables.embeddings(spark, dir), queryId = 0L, k = 5))
