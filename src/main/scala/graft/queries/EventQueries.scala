@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Asof, Sessionize}
+
+/** Event-stream analytics operators (as-of join, sessionization)
+  * gate-checked over the driver's `events` table.
+  *
+  * Determinism conventions (TestdataAdapter rules): timestamps leave
+  * the gate as epoch-MICROS BIGINTs (Spark TimestampType is tz-aware,
+  * DuckDB TIMESTAMP is naive — raw timestamp columns hash-mismatch by
+  * dtype); money sums go through integer cents (`round(value*100)` is
+  * exact — the data is 2-decimal); every oracle runs a STRUCTURALLY
+  * different algorithm (join+rank vs union+carry-forward; the same
+  * window recurrence re-derived in SQL) over the same raw parquet.
+  */
+object EventQueries {
+
+  private val TwoHoursUs = 2L * 3600 * 1000000
+  private val ThirtyMinUs = 30L * 60 * 1000000
+
+  /** Purchase attribution: each purchase joined as-of to the user's
+    * most recent view within 2 h (exact-time views count; same-time
+    * view ties resolved by greatest event_id).
+    */
+  private def asofAttribution: QueryDef = QueryDef(
+    "p32_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.where(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "value")
+      Asof.joinAsOf(
+        purchases, views,
+        on = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightTie = "event_id", rightCols = Seq("ts", "event_id", "value"),
+        rightPrefix = "view_", toleranceMicros = Some(TwoHoursUs))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("view_event_id"),
+          unix_micros(col("view_ts")).as("view_ts_us"),
+          (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"),
+          round(col("view_value") * 100).cast("long").as("view_value_cents"))
+    },
+    Some(s"""WITH p AS (SELECT event_id, user_id,
+            |                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            |          FROM events WHERE event_type = 'purchase'),
+            |v AS (SELECT event_id, user_id,
+            |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+            |      FROM events WHERE event_type = 'view'),
+            |j AS (SELECT p.event_id, p.user_id, p.ts_us,
+            |             v.event_id AS view_event_id,
+            |             v.ts_us AS view_ts_us, v.value AS view_value,
+            |             row_number() OVER (
+            |               PARTITION BY p.event_id
+            |               ORDER BY v.ts_us DESC NULLS LAST,
+            |                        v.event_id DESC NULLS LAST) AS rn
+            |      FROM p LEFT JOIN v
+            |        ON v.user_id = p.user_id AND v.ts_us <= p.ts_us
+            |       AND p.ts_us - v.ts_us <= $TwoHoursUs)
+            |SELECT event_id, user_id, ts_us, view_event_id, view_ts_us,
+            |       ts_us - view_ts_us AS gap_us,
+            |       CAST(round(view_value * 100, 0) AS BIGINT)
+            |         AS view_value_cents
+            |FROM j WHERE rn = 1""".stripMargin))
+
+  /** 30-minute-gap sessions per user with integer-deterministic
+    * aggregates (counts + cents sums).
+    */
+  private def sessionize: QueryDef = QueryDef(
+    "p33_sessionize",
+    (s, dir) => Sessionize.sessionStats(
+      Tables.events(s, dir),
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      gapMicros = ThirtyMinUs,
+      aggs = Seq(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))),
+    Some(s"""WITH e AS (SELECT event_id, user_id,
+            |                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+            |                 event_type, value
+            |          FROM events),
+            |l AS (SELECT *, lag(ts_us) OVER (
+            |        PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+            |      FROM e),
+            |b AS (SELECT *, CASE WHEN prev IS NULL
+            |                       OR ts_us - prev > $ThirtyMinUs
+            |                     THEN 1 ELSE 0 END AS brk
+            |      FROM l),
+            |s AS (SELECT *, CAST(sum(brk) OVER (
+            |        PARTITION BY user_id ORDER BY ts_us, event_id
+            |        ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_seq
+            |      FROM b)
+            |SELECT user_id, session_seq,
+            |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+            |       CAST(count(*) AS BIGINT) AS n_events,
+            |       CAST(sum(CASE WHEN event_type = 'purchase'
+            |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+            |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+            |         AS value_cents
+            |FROM s GROUP BY user_id, session_seq""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(asofAttribution, sessionize)
+}

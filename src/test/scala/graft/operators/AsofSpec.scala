@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Asof.joinAsOf]] semantics on hand-built fixtures: nearest-prior
+  * selection, exact-time inclusion/exclusion, tolerance horizon,
+  * same-time tie-break, missing-match nulls, key isolation.
+  */
+class AsofSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(us: Long) = timestamp_micros(lit(us))
+
+  // left probes: (id, key, time-us)
+  private def leftDf = Seq(
+    (1L, "a", 1000L),
+    (2L, "a", 5000L),
+    (3L, "b", 1000L),
+    (4L, "c", 9000L)
+  ).toDF("id", "k", "us").withColumn("t", timestamp_micros(col("us"))).drop("us")
+
+  // right states: (rid, key, time-us, price)
+  private def rightDf = Seq(
+    (10L, "a", 500L, 1.0),
+    (11L, "a", 1000L, 2.0),  // exact tie with left id=1
+    (12L, "a", 1000L, 3.0),  // same-time duplicate: greater rid wins
+    (13L, "a", 4000L, 4.0),
+    (14L, "b", 2000L, 5.0),  // after left id=3 — never matches backward
+    (15L, "c", 100L, 6.0)    // far before left id=4 — tolerance test
+  ).toDF("rid", "k", "us", "price")
+    .withColumn("t", timestamp_micros(col("us"))).drop("us")
+
+  private def run(tol: Option[Long], exact: Boolean) =
+    Asof.joinAsOf(leftDf, rightDf, on = Seq("k"), leftTime = "t",
+      rightTime = "t", rightTie = "rid",
+      toleranceMicros = tol, allowExactMatches = exact)
+      .select(col("id"), col("right_rid"), col("right_price"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+  test("backward as-of picks nearest prior; exact time counts; same-time tie -> greatest tie id") {
+    val m = run(tol = None, exact = true)
+    assert(m(1L) === 12L) // both 1000us rows qualify at exact time; rid 12 wins
+    assert(m(2L) === 13L) // nearest prior of 5000 is 4000
+    assert(m(3L) === -1L) // only right row for b is LATER — no match
+    assert(m(4L) === 15L) // no tolerance: 8900us-old state still matches
+  }
+
+  test("allowExactMatches=false excludes the equal-timestamp state") {
+    val m = run(tol = None, exact = false)
+    assert(m(1L) === 10L) // 1000us rows excluded; falls back to 500us
+    assert(m(2L) === 13L) // strictly-before unchanged for non-ties
+  }
+
+  test("tolerance nulls out matches older than the horizon") {
+    val m = run(tol = Some(2000L), exact = true)
+    assert(m(1L) === 12L) // age 0 <= 2000
+    assert(m(2L) === 13L) // age 1000 <= 2000
+    assert(m(4L) === -1L) // age 8900 > 2000 — nulled
+  }
+
+  test("carried right columns are null exactly when no match") {
+    val rows = Asof.joinAsOf(leftDf, rightDf, Seq("k"), "t", "t", "rid")
+      .where(col("id") === 3L).collect()
+    assert(rows.length === 1)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("right_price")))
+    assert(rows.head.isNullAt(rows.head.fieldIndex("right_t")))
+  }
+
+  test("result is partitioning-invariant (1 vs 4 partitions)") {
+    val a = run(tol = None, exact = true)
+    val b = Asof.joinAsOf(leftDf.repartition(4), rightDf.repartition(1),
+      Seq("k"), "t", "t", "rid")
+      .select(col("id"), col("right_rid"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(a === b)
+  }
+}
