@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sum_at_min"),
       GraftFunctions.sumAtMinInfo,
       GraftFunctions.sumAtMinBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("kmin_values"),
+      GraftFunctions.kminValuesInfo,
+      GraftFunctions.kminValuesBuilder))
   }
 }
 
@@ -68,6 +72,16 @@ object GraftFunctions {
       SumAtMin(children.head, children(1))
     }
 
+  private[functions] val kminValuesInfo =
+    new ExpressionInfo(classOf[KMinValues].getName, null, "kmin_values")
+
+  private[functions] val kminValuesBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 2,
+        s"kmin_values expects 2 arguments, got ${children.length}")
+      KMinValues(children.head, children(1))
+    }
+
   /** Register on an already-built session (no withExtensions hook). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
@@ -76,5 +90,7 @@ object GraftFunctions {
       spark, "int_vec_dot", intVecDotInfo, intVecDotBuilder)
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
       spark, "sum_at_min", sumAtMinInfo, sumAtMinBuilder)
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "kmin_values", kminValuesInfo, kminValuesBuilder)
   }
 }

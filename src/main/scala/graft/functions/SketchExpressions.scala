@@ -1,0 +1,156 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** `kmin_values(hash, k)` — the K-Minimum-Values distinct-count
+  * sketch (Bar-Yossef et al. 2002): the k smallest DISTINCT hash
+  * values of a group, sorted ascending.
+  *
+  * Why a custom aggregate: the declarative equivalent —
+  * `groupBy(key, hash)` to dedup, then a per-key window `row_number
+  * <= k`, then `max` — shuffles EVERY distinct hash of every key and
+  * sorts each key's full distinct set, just to keep k values. As a
+  * [[TypedImperativeAggregate]] the state is a bounded k-element
+  * sorted set: map-side partials keep at most k longs per key, the
+  * exchange moves O(keys x k), and merge is a bounded set union —
+  * the mergeability that makes the sketch work at 100 TB (and across
+  * materialized per-partition sketches: merging two groups' arrays
+  * with the same k yields exactly the union corpus's sketch).
+  *
+  * Estimator contract (KMV, hash domain [0, 2^60) — the engine's
+  * md5-60-bit family): with fewer than k distinct values the sketch
+  * IS the distinct set (exact count); otherwise
+  * `(k-1) * 2^60 / kth_min` estimates the cardinality. Both the
+  * sketch contents and the estimate are exactly reproducible in SQL
+  * (sorted distinct + row_number + one correctly-rounded IEEE
+  * division), so the p34 gate hash-matches end-to-end — no
+  * engine-specific serialization leaks into results, unlike Spark's
+  * own HyperLogLog++ `approx_count_distinct`.
+  *
+  * Null hashes are skipped (`count(DISTINCT x)` semantics); an
+  * all-null group evaluates to an empty array.
+  */
+case class KMinValues(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with BinaryLike[Expression] {
+
+  def this(child: Expression, kExpr: Expression) = this(child, kExpr, 0, 0)
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
+
+  private lazy val k: Int = kExpr match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      "kmin_values: k must be a foldable integer literal")
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmin_values"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT hash column, got ${child.dataType.sql}")
+    else if (!kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be foldable")
+    else if (k <= 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be positive, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def bound(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) { buf.add(v); if (buf.size > k) buf.pollLast(); () }
+  }
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) bound(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) bound(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinValues =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinValues =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KMinValues =
+    copy(child = newLeft, kExpr = newRight)
+}
+
+object SketchFunctions {
+  import org.apache.spark.sql.functions._
+
+  /** 2^60 as a double — a power of two, exactly representable. */
+  private val HashDomain = 1152921504606846976.0d
+
+  /** Column-level `kmin_values(hash, k)` (hash: BIGINT in [0, 2^60)). */
+  def kminValues(hash: Column, k: Int): Column =
+    ColumnBridge.column(KMinValues(
+      ColumnBridge.expression(hash),
+      ColumnBridge.expression(lit(k))).toAggregateExpression())
+
+  /** KMV cardinality estimate from a `kminValues(_, k)` array:
+    * exact size below k, `(k-1) * 2^60 / kth` at k. Deterministic
+    * cross-engine: the multiply is exact (small-int x power of two),
+    * long->double and the divide are correctly-rounded IEEE ops.
+    */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(
+        lit((k - 1).toDouble * HashDomain) / element_at(sketch, k).cast("double"))
+}

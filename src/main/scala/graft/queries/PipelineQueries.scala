@@ -1236,7 +1236,64 @@ object PipelineQueries {
              |       CAST(least(64, len - frame_no * 64) AS INTEGER) AS frame_len
              |FROM (SELECT media_id, len,
              |             unnest(range(0, greatest((len - 1) // 64, 0) + 1)) AS frame_no
-             |      FROM m)""".stripMargin))
+             |      FROM m)""".stripMargin)),
+
+    // KMV distinct-count sketch (native bounded-k aggregate): per
+    // source, the 128 smallest distinct 60-bit token hashes + the
+    // cardinality estimate, NEXT TO the exact distinct count — the
+    // gate pins sketch contents, estimator arithmetic, and ground
+    // truth in one row. The oracle re-derives the sketch as sorted
+    // distinct + row_number (the shuffle-everything plan the native
+    // aggregate exists to avoid) and the estimate with the same
+    // exact-product / correctly-rounded-division float path.
+    QueryDef("p34_kmv_distinct",
+      (s, dir) => {
+        val k = 128
+        Tables.documents(s, dir)
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .select(col("source"),
+            conv(substring(md5(col("tok")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+          .groupBy(col("source"))
+          .agg(
+            graft.functions.SketchFunctions.kminValues(col("h"), k)
+              .as("sketch"),
+            count_distinct(col("h")).as("exact_distinct"))
+          .select(
+            col("source"),
+            lit(k.toLong).as("k_used"),
+            size(col("sketch")).cast("long").as("sketch_size"),
+            when(size(col("sketch")) > 0,
+              element_at(col("sketch"), size(col("sketch")))).as("kth_min"),
+            graft.functions.SketchFunctions.kmvEstimate(col("sketch"), k)
+              .as("est_distinct"),
+            col("exact_distinct"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |                            t -> t <> '')) AS tok
+             |  FROM documents),
+             |h AS (SELECT DISTINCT source,
+             |             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+             |      FROM toks),
+             |r AS (SELECT source, h,
+             |             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             |      FROM h),
+             |agg AS (SELECT source,
+             |               CAST(count(*) AS BIGINT) AS exact_distinct,
+             |               CAST(sum(CASE WHEN rn <= 128 THEN 1 ELSE 0 END)
+             |                    AS BIGINT) AS sketch_size,
+             |               max(CASE WHEN rn <= 128 THEN h END) AS kth_min
+             |        FROM r GROUP BY source)
+             |SELECT source, CAST(128 AS BIGINT) AS k_used, sketch_size, kth_min,
+             |       CASE WHEN exact_distinct < 128
+             |            THEN CAST(exact_distinct AS DOUBLE)
+             |            ELSE CAST(127 AS DOUBLE) * 1152921504606846976
+             |                   / CAST(kth_min AS DOUBLE) END AS est_distinct,
+             |       exact_distinct
+             |FROM agg""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque
