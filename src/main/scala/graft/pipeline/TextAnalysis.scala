@@ -149,4 +149,40 @@ object TextAnalysis {
       explode(when(size(hs) >= 1, mins).otherwise(array())).as("fp"))
       .distinct()
   }
+
+  /** Per-document top-`n` rarity-weighted terms — the TF-IDF keyword
+    * shape with weight `tf / df` instead of `tf * ln(N/df)`: one
+    * IEEE division of two exact integers is correctly rounded and
+    * therefore bit-identical across engines, where `ln` is a libm
+    * call with no cross-engine rounding contract (the engine-wide
+    * determinism rule). The 1/df weight preserves the ranking
+    * property that matters (rare-in-corpus, frequent-in-doc terms
+    * first); ties break by term ascending.
+    *
+    * Plan: tf aggregation (map-side combinable, keyed (doc, term)) →
+    * df aggregation over the tf grain (keyed term — counts DOCS, so
+    * df needs no second scan of the corpus) → tf⋈df on term → top-n
+    * window per doc. Three exchanges over token-grain frames that
+    * shrink at each step; the corpus TEXT is read once and never
+    * shuffled.
+    */
+  def topRarityTerms(df: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(docFreq, "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= n)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank").cast("long").as("rank"))
+  }
 }

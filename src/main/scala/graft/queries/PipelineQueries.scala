@@ -1293,7 +1293,31 @@ object PipelineQueries {
              |            ELSE CAST(127 AS DOUBLE) * 1152921504606846976
              |                   / CAST(kth_min AS DOUBLE) END AS est_distinct,
              |       exact_distinct
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // Rarity-weighted keyword extraction (TF-IDF shape, tf/df weight
+    // — a single exact-integer IEEE division, deterministic where
+    // ln(N/df) is not). Ties break by term ascending (binary
+    // collation in both engines).
+    QueryDef("p35_rarity_terms",
+      (s, dir) => TextAnalysis.topRarityTerms(Tables.documents(s, dir), n = 5),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |                            t -> t <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM toks GROUP BY doc_id, term),
+             |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |        FROM tf GROUP BY term),
+             |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+             |              CAST(tf.tf AS DOUBLE) / dfx.df AS score
+             |       FROM tf JOIN dfx USING (term)),
+             |r AS (SELECT *, row_number() OVER (
+             |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+             |      FROM sc)
+             |SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 5""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque

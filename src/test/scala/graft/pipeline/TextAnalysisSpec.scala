@@ -87,4 +87,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(counts.getLong(0) === 6L)
     assert(counts.getLong(1) === 9L)
   }
+
+  test("topRarityTerms: tf/df ranking, term-asc tie-break, top-n cut") {
+    // corpus: "rare" appears in 1 doc, "shared" in all 3; doc 1 repeats
+    // "rare" twice -> score 2.0 beats everything
+    val docs = Seq(
+      (1L, "rare rare shared alpha"),
+      (2L, "shared beta beta"),
+      (3L, "shared gamma")).toDF("doc_id", "text")
+    val got = TextAnalysis.topRarityTerms(docs, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1: rare tf=2 df=1 score 2.0; alpha tf=1 df=1 score 1.0
+    assert(got((1L, 1L)) === (("rare", 2L, 1L, 2.0)))
+    assert(got((1L, 2L)) === (("alpha", 1L, 1L, 1.0)))
+    // doc 2: beta tf=2 df=1 score 2.0 first; gamma-doc: gamma then shared
+    assert(got((2L, 1L))._1 === "beta")
+    assert(got((3L, 1L)) === (("gamma", 1L, 1L, 1.0)))
+    // "shared" df=3 score 1/3 only surfaces where the doc has < 2
+    // better terms
+    assert(got((3L, 2L)) === (("shared", 1L, 3L, 1.0 / 3)))
+    // top-n cut: no rank beyond 2
+    assert(got.keys.map(_._2).max === 2L)
+  }
+
+  test("topRarityTerms: equal scores order by term ascending") {
+    val docs = Seq((1L, "zeta alpha"), (2L, "keeper")).toDF("doc_id", "text")
+    // zeta and alpha both tf=1 df=1 -> score 1.0; alpha must rank first
+    val got = TextAnalysis.topRarityTerms(docs, n = 5)
+      .where(col("doc_id") === 1L).orderBy(col("rank"))
+      .collect().map(_.getString(1)).toSeq
+    assert(got === Seq("alpha", "zeta"))
+  }
 }
