@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Asof, Sessionize}
+import graft.operators.{Asof, Sessionize, ZOrder}
 
 /** Event-stream analytics operators (as-of join, sessionization)
   * gate-checked over the driver's `events` table.
@@ -105,5 +105,50 @@ object EventQueries {
             |         AS value_cents
             |FROM s GROUP BY user_id, session_seq""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(asofAttribution, sessionize)
+  /** Z-order values over (user_id, value-cents): the layout key the
+    * clustering writer sorts by. The oracle re-derives the exact
+    * normalize + magic-mask spread ladder with DuckDB bit ops —
+    * integer arithmetic end to end, so the interleave is
+    * hash-gateable bit for bit.
+    */
+  private def zorderValues: QueryDef = QueryDef(
+    "p36_zorder_values",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val stats = ev.agg(
+        min("user_id").as("alo"), max("user_id").as("ahi"),
+        min("cents").as("blo"), max("cents").as("bhi"))
+      ev.crossJoin(broadcast(stats))
+        .select(col("event_id"), col("user_id"), col("cents"),
+          ZOrder.zValue2(
+            col("user_id"), col("alo"), col("ahi"),
+            col("cents"), col("blo"), col("bhi")).as("zval"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id,
+            |                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+            |          FROM events),
+            |s AS (SELECT min(user_id) AS alo, max(user_id) AS ahi,
+            |             min(cents) AS blo, max(cents) AS bhi FROM e),
+            |n AS (SELECT event_id, user_id, cents,
+            |             CASE WHEN ahi - alo <= 0 THEN 0
+            |                  ELSE ((user_id - alo) * 65535) // (ahi - alo)
+            |             END AS na,
+            |             CASE WHEN bhi - blo <= 0 THEN 0
+            |                  ELSE ((cents - blo) * 65535) // (bhi - blo)
+            |             END AS nb
+            |      FROM e CROSS JOIN s),
+            |s1 AS (SELECT *, (na | (na << 8)) & 16711935 AS a1,
+            |                 (nb | (nb << 8)) & 16711935 AS b1 FROM n),
+            |s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+            |                 (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+            |s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+            |                 (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+            |s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+            |                 (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+            |SELECT event_id, user_id, cents, a4 | (b4 << 1) AS zval
+            |FROM s4""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(asofAttribution, sessionize, zorderValues)
 }

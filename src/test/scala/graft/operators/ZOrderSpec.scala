@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[ZOrder]]: bit-exact interleave on known patterns, normalization
+  * edges, and the point of the whole exercise — a box query's rows
+  * concentrate in FEW z-range partitions where a single-column sort
+  * scatters them across all.
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spread16 places bits on even positions (known patterns)") {
+    val got = Seq(0L, 1L, 2L, 3L, 0xFFFFL).toDF("x")
+      .select(ZOrder.spread16(col("x")).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    // 1 -> 1, 2 -> 4 (bit1 -> bit2), 3 -> 5, 0xFFFF -> 0x55555555
+    assert(got === Seq(0L, 1L, 4L, 5L, 0x55555555L))
+  }
+
+  test("zValue2 interleaves: (1,0) -> 1, (0,1) -> 2, (1,1) -> 3, identity bounds") {
+    val df = Seq((1L, 0L), (0L, 1L), (1L, 1L), (0xFFFFL, 0L))
+      .toDF("a", "b")
+    val got = df.select(ZOrder.zValue2(
+      col("a"), lit(0L), lit(65535L),
+      col("b"), lit(0L), lit(65535L)).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // bounds (0, 65535): normalize is identity -> pure interleave
+    assert(got === Seq(1L, 2L, 3L, 0x55555555L))
+  }
+
+  test("normalize: degenerate range -> 0; endpoints -> 0 and 65535") {
+    val df = Seq((5L, 5L, 5L), (10L, 10L, 20L), (20L, 10L, 20L))
+      .toDF("x", "lo", "hi")
+    val got = df.select(ZOrder.normalize(
+      col("x"), col("lo"), col("hi"), 16).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(0L, 0L, 65535L))
+  }
+
+  test("z-clustered layout: box query hits FEW partitions; (a)-sort scatters b-filters everywhere") {
+    // 64x64 grid of points, 16 partitions
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b))
+      .toDF("a", "b")
+    val nPart = 16
+
+    def partitionsWithMatches(df: org.apache.spark.sql.DataFrame): Long =
+      df.withColumn("__pid", spark_partition_id())
+        .where(col("a") >= 8 && col("a") < 16 && col("b") >= 8 && col("b") < 16)
+        .select("__pid").distinct().count()
+
+    val z = ZOrder.clusterByZ(grid, "a", "b", nPart)
+    val zHits = partitionsWithMatches(z)
+
+    // contrast layout: range-partition + sort by a alone, then filter
+    // on the box — the b-dimension is scattered, but the box is also
+    // narrow in a, so instead probe a pure-b filter for the scatter
+    val aSorted = grid.repartitionByRange(nPart, col("a"))
+      .sortWithinPartitions(col("a"))
+    val bOnlyHitsASorted = aSorted.withColumn("__pid", spark_partition_id())
+      .where(col("b") >= 8 && col("b") < 16)
+      .select("__pid").distinct().count()
+    val bOnlyHitsZ = z.withColumn("__pid", spark_partition_id())
+      .where(col("b") >= 8 && col("b") < 16)
+      .select("__pid").distinct().count()
+
+    // the 8x8 box is 1/64 of the space: a z-range layout confines it
+    // to a handful of the 16 shards
+    assert(zHits <= 4, s"box query touched $zHits of $nPart z-partitions")
+    // a-sorted layout spreads ANY b-filter over every shard; z-order
+    // keeps even the single-dimension b-filter sub-linear
+    assert(bOnlyHitsASorted === nPart.toLong)
+    assert(bOnlyHitsZ < nPart.toLong,
+      s"b-only filter touched all $bOnlyHitsZ z-partitions")
+  }
+
+  test("clusterByZ preserves rows and drops helper columns") {
+    val grid = (for (a <- 0L until 8L; b <- 0L until 8L) yield (a, b))
+      .toDF("a", "b")
+    val out = ZOrder.clusterByZ(grid, "a", "b", 4)
+    assert(out.columns.toSet === Set("a", "b", "__z"))
+    assert(out.count() === 64L)
+    assert(out.select("a", "b").distinct().count() === 64L)
+  }
+}
