@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.silver.{Dimensions, SilverTransform}
+import graft.silver.{Dimensions, Scd2, SilverTransform}
 import TestdataAdapter._
 
 /** Gate queries over the REAL bronze→silver→dims dataflow (the core of
@@ -221,6 +221,60 @@ object SilverQueries {
            |  FROM fixture_silver GROUP BY item_id, snapshot_date)
            |SELECT a.*, d.name AS item_name, CAST(NULL AS VARCHAR) AS icon_url
            |FROM agg a LEFT JOIN fixture_dims d ON a.item_id = d.item_id""".stripMargin
-      })
+      }),
+
+    // SCD2 dimension history: per customer, the versioned
+    // (priority, status) timeline derived from their order snapshots
+    // — consecutive equal-attribute snapshots collapse, each change
+    // opens a validity range. The oracle re-derives the change
+    // detection (IS DISTINCT FROM), version numbering, collapse and
+    // range close in SQL.
+    QueryDef("s11_scd2_history",
+      (s, dir) => Scd2.history(
+        graft.Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("snap_date"),
+          col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status")),
+        keyCol = "o_custkey", tsCol = "snap_date", tieCol = "o_orderkey",
+        attrs = Seq("priority", "status")),
+      Some("""WITH snaps AS (SELECT o_custkey,
+             |                      CAST(o_orderdate AS DATE) AS snap_date,
+             |                      o_orderkey,
+             |                      o_orderpriority AS priority,
+             |                      o_orderstatus AS status
+             |               FROM orders),
+             |lagged AS (SELECT *,
+             |             lag(priority) OVER w AS pp,
+             |             lag(status) OVER w AS ps,
+             |             lag(snap_date) OVER w AS pd
+             |           FROM snaps
+             |           WINDOW w AS (PARTITION BY o_custkey
+             |                        ORDER BY snap_date, o_orderkey)),
+             |flagged AS (SELECT *, CASE WHEN pd IS NULL
+             |                             OR priority IS DISTINCT FROM pp
+             |                             OR status IS DISTINCT FROM ps
+             |                           THEN 1 ELSE 0 END AS brk
+             |            FROM lagged),
+             |versioned AS (SELECT *, CAST(sum(brk) OVER (
+             |                PARTITION BY o_custkey
+             |                ORDER BY snap_date, o_orderkey
+             |                ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1
+             |                AS version_seq
+             |              FROM flagged),
+             |collapsed AS (SELECT o_custkey, version_seq,
+             |                     min(priority) AS priority,
+             |                     min(status) AS status,
+             |                     min(snap_date) AS valid_from,
+             |                     CAST(count(*) AS BIGINT) AS n_snapshots
+             |              FROM versioned GROUP BY o_custkey, version_seq)
+             |SELECT o_custkey, version_seq, priority, status, valid_from,
+             |       lead(valid_from) OVER (PARTITION BY o_custkey
+             |                              ORDER BY version_seq) AS valid_to,
+             |       n_snapshots,
+             |       lead(valid_from) OVER (PARTITION BY o_custkey
+             |                              ORDER BY version_seq) IS NULL
+             |         AS is_current
+             |FROM collapsed""".stripMargin))
   )
 }
