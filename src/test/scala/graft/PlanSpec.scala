@@ -150,17 +150,23 @@ class PlanSpec extends SparkSpec {
     // the old Window.partitionBy(md5(text)) shape shuffled FULL TEXT
     // by content hash (hot-document partition skew + text sort); the
     // keeper/semi-join shape shuffles only (hash, id)
+    // AQE's wrapper hides children from collect() on an unexecuted
+    // QueryExecution — the foreach was vacuous (round-6 fix). Assert
+    // on the concrete no-AQE plan, and require exchanges were FOUND.
     val docs = Tables.documents(spark, dir)
-    val q = pipeline.Dedup.dropExactDuplicates(docs)
-    q.write.mode("overwrite").format("noop").save() // final AQE plan
-    val shuffled = q.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    shuffled.foreach { e =>
-      assert(!e.output.map(_.name).contains("text"),
-        s"text flows through a shuffle:\n${e.treeString}")
-    }
-    assert(q.count() > 0)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = pipeline.Dedup.dropExactDuplicates(docs)
+      val shuffled = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffled.nonEmpty, "expected at least one exchange")
+      shuffled.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"text flows through a shuffle:\n${e.treeString}")
+      }
+      assert(q.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("line dedup: verdict stages shuffle hashes, never line text; text moves at most once") {
@@ -169,17 +175,20 @@ class PlanSpec extends SparkSpec {
     // not its characters; only the final per-doc reconstruction join
     // may move the document text, and only once
     val docs = Tables.documents(spark, dir)
-    val q = pipeline.Lines.dedupLines(docs)
-    q.write.mode("overwrite").format("noop").save() // final AQE plan
-    val shuffled = q.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    shuffled.foreach { e =>
-      assert(!e.output.map(_.name).contains("line"),
-        s"line text flows through a shuffle:\n${e.treeString}")
-    }
-    val textShuffles = shuffled.count(_.output.map(_.name).contains("text"))
-    assert(textShuffles <= 1, s"document text shuffles $textShuffles times")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = pipeline.Lines.dedupLines(docs)
+      val shuffled = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffled.nonEmpty, "expected at least one exchange")
+      shuffled.foreach { e =>
+        assert(!e.output.map(_.name).contains("line"),
+          s"line text flows through a shuffle:\n${e.treeString}")
+      }
+      val textShuffles = shuffled.count(_.output.map(_.name).contains("text"))
+      assert(textShuffles <= 1, s"document text shuffles $textShuffles times")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("brute-force top-k: corpus side never shuffles (broadcast + TakeOrdered)") {
@@ -242,5 +251,74 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("float_vector_dot"), s"native dot missing:\n$plan")
     assert(!plan.toLowerCase.contains("lambdafunction"),
       s"interpreted fold crept back into bucket assignment:\n$plan")
+  }
+
+  test("as-of join: ONE exchange, no join operator (union + carry-forward window)") {
+    // the quadratic alternative (range-condition join + per-pair max)
+    // would show a Join node and a pair blowup; the carry-forward
+    // shape is exactly one hash exchange + one sort
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.where(col("event_type") === "view")
+      .select("event_id", "user_id", "ts", "value")
+    // AQE's wrapper hides the tree from collect() until execution —
+    // assert on the concrete plan instead
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = operators.Asof.joinAsOf(purchases, views, Seq("user_id"),
+        "ts", "ts", "event_id")
+      val plan = q.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(exchanges.size === 1, s"expected 1 exchange:\n$plan")
+      assert(joins.isEmpty, s"unexpected join operator:\n$plan")
+      assert(q.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("rarity terms: no shuffled exchange carries the document text") {
+    // tf/df/rank move (doc_id, term, counts) grains; the corpus text
+    // itself is consumed in the scan projection and never shuffled
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = pipeline.TextAnalysis.topRarityTerms(
+        Tables.documents(spark, dir), n = 5)
+      val shuffled = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffled.nonEmpty)
+      shuffled.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"text flows through a shuffle:\n${e.treeString}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("KMV sketch: partial aggregation before the exchange (bounded map-side state)") {
+    // the native aggregate must plan as partial -> exchange -> final,
+    // proving the <= k-longs-per-key partials cross the wire, not the
+    // full distinct-hash stream of the declarative dedup+window plan
+    val docs = Tables.documents(spark, dir)
+    val q = docs.select(col("source"),
+        explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("source"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("source")
+      .agg(functions.SketchFunctions.kminValues(col("h"), 16).as("s"))
+    q.write.mode("overwrite").format("noop").save()
+    val plan = q.queryExecution.executedPlan.toString
+    val partialIdx = plan.indexOf("partial_kmin_values")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0, s"no partial aggregation:\n$plan")
+    assert(exchangeIdx >= 0, s"no hash exchange:\n$plan")
+    // tree prints top-down: final agg, then the exchange, then the
+    // map-side partial — partial BELOW the exchange == before the wire
+    assert(partialIdx > exchangeIdx,
+      s"partial kmin_values should sit below the exchange:\n$plan")
   }
 }
