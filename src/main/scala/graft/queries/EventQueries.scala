@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Asof, Sessionize, ZOrder}
+import graft.operators.{Asof, Funnel, Sessionize, ZOrder}
 
 /** Event-stream analytics operators (as-of join, sessionization)
   * gate-checked over the driver's `events` table.
@@ -150,5 +150,39 @@ object EventQueries {
             |SELECT event_id, user_id, cents, a4 | (b4 << 1) AS zval
             |FROM s4""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(asofAttribution, sessionize, zorderValues)
+  /** view -> click -> purchase conversion funnel, 1-day window
+    * anchored at the first view, strict step ordering.
+    */
+  private def funnel: QueryDef = QueryDef(
+    "p37_funnel",
+    (s, dir) => Funnel.analyze(
+      Tables.events(s, dir),
+      keyCol = "user_id", tsCol = "ts", typeCol = "event_type",
+      steps = Seq("view", "click", "purchase"),
+      windowMicros = Some(86400000000L)),
+    Some("""WITH e AS (SELECT user_id AS k,
+            |                 epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+            |                 event_type AS et
+            |          FROM events),
+            |s1 AS (SELECT k, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY k),
+            |s2 AS (SELECT s1.k, min(e.t) AS t2
+            |       FROM s1 JOIN e ON e.k = s1.k AND e.et = 'click'
+            |        AND e.t > s1.t1 AND e.t - s1.t1 <= 86400000000
+            |       GROUP BY s1.k),
+            |s3 AS (SELECT s1.k, min(e.t) AS t3
+            |       FROM s1 JOIN s2 ON s2.k = s1.k
+            |       JOIN e ON e.k = s1.k AND e.et = 'purchase'
+            |        AND e.t > s2.t2 AND e.t - s1.t1 <= 86400000000
+            |       GROUP BY s1.k)
+            |SELECT s1.k AS user_id, s1.t1 AS t1_us, s2.t2 AS t2_us,
+            |       s3.t3 AS t3_us,
+            |       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+            |                 WHEN t2 IS NOT NULL THEN 2
+            |                 ELSE 1 END AS BIGINT) AS furthest_step,
+            |       t3 IS NOT NULL AS converted
+            |FROM s1 LEFT JOIN s2 ON s2.k = s1.k
+            |        LEFT JOIN s3 ON s3.k = s1.k""".stripMargin))
+
+  def defs: Seq[QueryDef] =
+    Seq(asofAttribution, sessionize, zorderValues, funnel)
 }
