@@ -183,6 +183,47 @@ object EventQueries {
             |FROM s1 LEFT JOIN s2 ON s2.k = s1.k
             |        LEFT JOIN s3 ON s3.k = s1.k""".stripMargin))
 
+  /** Bloom pre-shuffle semi-filter: orders surviving a 512-bit bloom
+    * over nation-5 customers, with exact membership alongside — the
+    * gate pins the no-false-negative contract AND the exact
+    * md5-defined false-positive set (m deliberately small so FPs
+    * exist). Oracle rebuilds the bit set and probes it in SQL.
+    */
+  private def bloomSemijoin: QueryDef = QueryDef(
+    "p38_bloom_semijoin",
+    (s, dir) => {
+      val build = graft.Tables.customer(s, dir)
+        .where(col("c_nationkey") === 5).select("c_custkey")
+      val probe = graft.Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey")
+      graft.functions.BloomFunctions.bloomSemiFilter(
+        probe, "o_custkey", build, "c_custkey", mWords = 8, k = 4)
+        .join(build.withColumn("__m", lit(true)),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"),
+          coalesce(col("__m"), lit(false)).as("is_member"))
+    },
+    Some("""WITH build AS (SELECT c_custkey FROM customer
+            |               WHERE c_nationkey = 5),
+            |bh AS (SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT AS ha,
+            |              ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))::BIGINT AS hb
+            |       FROM build),
+            |bits AS (SELECT DISTINCT (ha + i * hb) % 512 AS pos
+            |         FROM bh CROSS JOIN (SELECT unnest(range(4)) AS i) ix),
+            |ph AS (SELECT o_orderkey, o_custkey,
+            |              ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS ha,
+            |              ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 9, 8))::BIGINT AS hb
+            |       FROM orders),
+            |pp AS (SELECT o_orderkey, o_custkey, (ha + i * hb) % 512 AS pos
+            |       FROM ph CROSS JOIN (SELECT unnest(range(4)) AS i) ix),
+            |surv AS (SELECT o_orderkey, o_custkey
+            |         FROM pp LEFT JOIN bits ON pp.pos = bits.pos
+            |         GROUP BY o_orderkey, o_custkey
+            |         HAVING count(bits.pos) = 4)
+            |SELECT s.o_orderkey, s.o_custkey,
+            |       s.o_custkey IN (SELECT c_custkey FROM build) AS is_member
+            |FROM surv s""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(asofAttribution, sessionize, zorderValues, funnel)
+    Seq(asofAttribution, sessionize, zorderValues, funnel, bloomSemijoin)
 }
