@@ -321,4 +321,26 @@ object Marts {
         col("auction_count"), col("total_quantity"), col("avg_price"),
         col("median_price"), col("market_cap"))
   }
+
+  /** Class x quality ROLLUP summary: the grouping-sets mart — every
+    * (class, quality) cell, per-class subtotals, and the grand total
+    * in ONE aggregation pass (Spark expands the rollup inside a
+    * single Expand + HashAggregate: one shuffle, map-side partials —
+    * NOT three separate scans of the fact table). `grouping_id`
+    * disambiguates subtotal rows from genuine NULL dimension values
+    * (the r02 enrichment backlog makes those real).
+    *
+    * Integer aggregates only (count, quantity sum) — the
+    * cross-engine determinism rule; money aggregates at the rollup
+    * grain would sum doubles in engine order.
+    */
+  def classQualityRollup(silver: DataFrame, dims: DataFrame): DataFrame =
+    silver
+      .join(broadcast(dims.select(col("item_id"), col("item_class"),
+        col("quality"))), Seq("item_id"), "left")
+      .rollup(col("item_class"), col("quality"))
+      .agg(
+        grouping_id().as("grouping_level"),
+        count(lit(1)).as("listings"),
+        sum(col("quantity").cast("long")).as("total_quantity"))
 }

@@ -250,6 +250,23 @@ object MartQueries {
       (s, dir) => ServingLayer.marketIndex(g6(s, dir), limit = 30),
       Some(s"""WITH g6 AS ($g6Sql)
               |SELECT * FROM g6 ORDER BY snapshot_date DESC LIMIT 30""".stripMargin)),
+    QueryDef("g08_class_quality_rollup",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        Marts.classQualityRollup(silverFromLineitem(s, dir), dimsFromPart(s, dir))
+          .select(col("item_class"), col("quality"),
+            col("grouping_level").cast("long").as("grouping_level"),
+            col("listings"), col("total_quantity"))
+      },
+      Some(s"""WITH $silverSql, $dimsSql,
+              |j AS (SELECT s.quantity, d.item_class, d.quality
+              |      FROM silver s LEFT JOIN dims d USING (item_id))
+              |SELECT item_class, quality,
+              |       CAST(GROUPING(item_class, quality) AS BIGINT)
+              |         AS grouping_level,
+              |       CAST(count(*) AS BIGINT) AS listings,
+              |       CAST(sum(quantity) AS BIGINT) AS total_quantity
+              |FROM j GROUP BY ROLLUP (item_class, quality)""".stripMargin)),
     QueryDef("serve_best_opportunity",
       (s, dir) => ServingLayer.bestOpportunity(g3(s, dir)),
       Some(s"""WITH g3 AS (${g3Sql(2.0)})

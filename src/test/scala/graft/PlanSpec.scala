@@ -321,4 +321,19 @@ class PlanSpec extends SparkSpec {
     assert(partialIdx > exchangeIdx,
       s"partial kmin_values should sit below the exchange:\n$plan")
   }
+
+  test("G8 rollup: ONE Expand + one exchange — grouping sets share a single scan") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = gold.Marts.classQualityRollup(
+        silverFromLineitem(spark, dir), dimsFromPart(spark, dir))
+      val plan = q.queryExecution.executedPlan.toString
+      val expands = plan.linesIterator.count(_.contains("Expand ["))
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(expands === 1, s"expected one Expand:\n$plan")
+      assert(exchanges === 1, s"expected one hash exchange:\n$plan")
+      assert(plan.contains("partial_count") || plan.contains("partial"),
+        s"no map-side partials:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
