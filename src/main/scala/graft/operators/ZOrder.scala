@@ -41,7 +41,7 @@ object ZOrder {
     * 2^53: span * 65535 reaches 2^63, where float rounding would
     * corrupt low bits AND diverge from the oracle's `//`.
     */
-  private def intDiv(a: Column, b: Column): Column =
+  private[operators] def intDiv(a: Column, b: Column): Column =
     ColumnBridge.column(org.apache.spark.sql.catalyst.expressions
       .IntegralDivide(ColumnBridge.expression(a), ColumnBridge.expression(b),
         evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))

@@ -68,42 +68,57 @@ object EventQueries {
             |         AS view_value_cents
             |FROM j WHERE rn = 1""".stripMargin))
 
-  /** 30-minute-gap sessions per user with integer-deterministic
-    * aggregates (counts + cents sums).
+  /** The 30-min-gap session recurrence as a shared CTE chain ending
+    * in `sess(user_id, session_seq, start_us, end_us, n_events,
+    * n_purchases, value_cents)` — single-sourced so the session gate
+    * (p33) and the range-join gate (p39, which joins INTO these
+    * sessions) can never drift apart.
     */
-  private def sessionize: QueryDef = QueryDef(
-    "p33_sessionize",
-    (s, dir) => Sessionize.sessionStats(
+  private val sessionCtes =
+    s"""e AS (SELECT event_id, user_id,
+       |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       |             event_type, value
+       |      FROM events),
+       |l AS (SELECT *, lag(ts_us) OVER (
+       |        PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+       |      FROM e),
+       |b AS (SELECT *, CASE WHEN prev IS NULL
+       |                       OR ts_us - prev > $ThirtyMinUs
+       |                     THEN 1 ELSE 0 END AS brk
+       |      FROM l),
+       |sq AS (SELECT *, CAST(sum(brk) OVER (
+       |        PARTITION BY user_id ORDER BY ts_us, event_id
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_seq
+       |      FROM b),
+       |sess AS (SELECT user_id, session_seq,
+       |                min(ts_us) AS start_us, max(ts_us) AS end_us,
+       |                CAST(count(*) AS BIGINT) AS n_events,
+       |                CAST(sum(CASE WHEN event_type = 'purchase'
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       |                CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+       |                     AS BIGINT) AS value_cents
+       |         FROM sq GROUP BY user_id, session_seq)""".stripMargin
+
+  /** Spark-side sessions shared by p33/p39. */
+  private def sessionFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Sessionize.sessionStats(
       Tables.events(s, dir),
       keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
       gapMicros = ThirtyMinUs,
       aggs = Seq(
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("n_purchases"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))),
-    Some(s"""WITH e AS (SELECT event_id, user_id,
-            |                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-            |                 event_type, value
-            |          FROM events),
-            |l AS (SELECT *, lag(ts_us) OVER (
-            |        PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
-            |      FROM e),
-            |b AS (SELECT *, CASE WHEN prev IS NULL
-            |                       OR ts_us - prev > $ThirtyMinUs
-            |                     THEN 1 ELSE 0 END AS brk
-            |      FROM l),
-            |s AS (SELECT *, CAST(sum(brk) OVER (
-            |        PARTITION BY user_id ORDER BY ts_us, event_id
-            |        ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_seq
-            |      FROM b)
-            |SELECT user_id, session_seq,
-            |       min(ts_us) AS start_us, max(ts_us) AS end_us,
-            |       CAST(count(*) AS BIGINT) AS n_events,
-            |       CAST(sum(CASE WHEN event_type = 'purchase'
-            |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
-            |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-            |         AS value_cents
-            |FROM s GROUP BY user_id, session_seq""".stripMargin))
+        sum(round(col("value") * 100).cast("long")).as("value_cents")))
+
+  /** 30-minute-gap sessions per user with integer-deterministic
+    * aggregates (counts + cents sums).
+    */
+  private def sessionize: QueryDef = QueryDef(
+    "p33_sessionize",
+    (s, dir) => sessionFrame(s, dir),
+    Some(s"""WITH $sessionCtes
+            |SELECT * FROM sess""".stripMargin))
 
   /** Z-order values over (user_id, value-cents): the layout key the
     * clustering writer sorts by. The oracle re-derives the exact
@@ -224,6 +239,36 @@ object EventQueries {
             |       s.o_custkey IN (SELECT c_custkey FROM build) AS is_member
             |FROM surv s""".stripMargin))
 
+  /** Binned range join: purchases matched back into the session
+    * intervals containing them — an equi-join on (user, hour-bucket)
+    * with exact containment post-filter, never a nested-loop range
+    * join. Oracle runs the PLAIN inequality join over the shared
+    * session CTEs (fine at sf0.01; the binned plan is the point at
+    * scale).
+    */
+  private def rangeJoin: QueryDef = QueryDef(
+    "p39_range_join",
+    (s, dir) => {
+      val sess = sessionFrame(s, dir)
+        .select("user_id", "session_seq", "start_us", "end_us")
+      val purchases = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t"))
+      graft.operators.RangeJoin.pointInInterval(
+        purchases, sess, keyCols = Seq("user_id"),
+        pointTime = "t", startCol = "start_us", endCol = "end_us",
+        bucketMicros = 3600000000L)
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+    },
+    Some(s"""WITH $sessionCtes
+            |SELECT p.event_id, p.user_id, s.session_seq
+            |FROM (SELECT event_id, user_id, ts_us FROM e
+            |      WHERE event_type = 'purchase') p
+            |JOIN sess s ON s.user_id = p.user_id
+            | AND p.ts_us BETWEEN s.start_us AND s.end_us""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(asofAttribution, sessionize, zorderValues, funnel, bloomSemijoin)
+    Seq(asofAttribution, sessionize, zorderValues, funnel, bloomSemijoin,
+      rangeJoin)
 }
