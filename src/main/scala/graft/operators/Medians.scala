@@ -53,4 +53,47 @@ object Medians {
         when(covers(col("__lo")), 1).otherwise(0) +
           when(covers(col("__hi")), 1).otherwise(0))) / 2.0).as(out))
   }
+
+  /** Exact DISCRETE quantiles (no interpolation) at arbitrary ranks,
+    * several per pass — same sort-based counts plan as
+    * [[exactMedianByCounts]], same no-per-group-value-map scale
+    * story; one extra output column per requested quantile, zero
+    * extra passes.
+    *
+    * Contract: quantile (num, den) selects the value at 0-based rank
+    * `floor((n - 1) * num / den)` of the group's non-null values in
+    * ascending order — exact integer arithmetic end to end
+    * (cross-engine deterministic; interpolating definitions would
+    * average doubles).
+    */
+  def exactQuantilesByCounts(df: DataFrame, keys: Seq[String],
+      valueCol: String, quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (_, num, den) =>
+      require(den > 0 && num >= 0 && num <= den, s"bad quantile $num/$den")
+    }
+    val v = col(valueCol)
+    val keyCols: Seq[Column] = keys.map(col)
+    val pg = df.where(v.isNotNull)
+      .groupBy((keyCols :+ v.as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(keyCols: _*)
+    val ranked = pg
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    def rankOf(num: Int, den: Int): Column =
+      ZOrder.intDiv((col("__n") - 1) * num, lit(den.toLong))
+    def covers(rank: Column): Column =
+      col("__cum") - col("__c") <= rank && col("__cum") - 1 >= rank
+    val anyCover = quantiles.map { case (_, n_, d) => covers(rankOf(n_, d)) }
+      .reduce(_ || _)
+    val aggs = quantiles.map { case (name, n_, d) =>
+      max(when(covers(rankOf(n_, d)), col("__v"))).as(name)
+    } :+ max(col("__n")).as("n_values")
+    ranked
+      .where(anyCover)
+      .groupBy(keyCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

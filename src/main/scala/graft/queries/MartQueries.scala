@@ -267,6 +267,37 @@ object MartQueries {
               |       CAST(count(*) AS BIGINT) AS listings,
               |       CAST(sum(quantity) AS BIGINT) AS total_quantity
               |FROM j GROUP BY ROLLUP (item_class, quality)""".stripMargin)),
+    QueryDef("g09_price_quartiles",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, broadcast}
+        val classed = silverFromLineitem(s, dir)
+          .join(broadcast(dimsFromPart(s, dir)
+            .select(col("item_id"), col("item_class"))), Seq("item_id"), "left")
+        graft.operators.Medians.exactQuantilesByCounts(
+          classed.select(col("item_class"), col("unit_price")),
+          keys = Seq("item_class"), valueCol = "unit_price",
+          quantiles = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)))
+      },
+      Some(s"""WITH $silverSql, $dimsSql,
+              |j AS (SELECT s.unit_price, d.item_class
+              |      FROM silver s LEFT JOIN dims d USING (item_id)),
+              |pg AS (SELECT item_class, unit_price AS v,
+              |              CAST(count(*) AS BIGINT) AS c
+              |       FROM j WHERE unit_price IS NOT NULL
+              |       GROUP BY item_class, unit_price),
+              |r AS (SELECT *,
+              |        sum(c) OVER (PARTITION BY item_class ORDER BY v) AS cum,
+              |        sum(c) OVER (PARTITION BY item_class) AS n
+              |      FROM pg)
+              |SELECT item_class,
+              |       max(CASE WHEN cum - c <= ((n-1) * 1) // 4
+              |                 AND cum - 1 >= ((n-1) * 1) // 4 THEN v END) AS p25,
+              |       max(CASE WHEN cum - c <= ((n-1) * 1) // 2
+              |                 AND cum - 1 >= ((n-1) * 1) // 2 THEN v END) AS p50,
+              |       max(CASE WHEN cum - c <= ((n-1) * 3) // 4
+              |                 AND cum - 1 >= ((n-1) * 3) // 4 THEN v END) AS p75,
+              |       CAST(max(n) AS BIGINT) AS n_values
+              |FROM r GROUP BY item_class""".stripMargin)),
     QueryDef("serve_best_opportunity",
       (s, dir) => ServingLayer.bestOpportunity(g3(s, dir)),
       Some(s"""WITH g3 AS (${g3Sql(2.0)})

@@ -39,4 +39,43 @@ class MediansSpec extends SparkSpec {
       .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
     assert(m === Map(Some("a") -> 15.0, None -> 6.0))
   }
+
+  test("exactQuantilesByCounts: discrete ranks vs brute force, duplicates, p0/p100") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      _ <- 1 to (if (g == "a") 101 else 40) // odd and even sizes
+    } yield (g, rnd.nextInt(50).toLong)     // heavy duplicates
+    val df = rows.toDF("g", "v")
+    val got = graft.operators.Medians.exactQuantilesByCounts(
+      df, Seq("g"), "v",
+      Seq(("p0", 0, 1), ("p25", 1, 4), ("p50", 1, 2),
+        ("p75", 3, 4), ("p100", 1, 1)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val sorted = rows.filter(_._1 == g).map(_._2).sorted
+      val n = sorted.length
+      def rank(num: Int, den: Int) = sorted(((n - 1).toLong * num / den).toInt)
+      val (p0, p25, p50, p75, p100, nv) = got(g)
+      assert(p0 === rank(0, 1), s"$g p0")
+      assert(p25 === rank(1, 4), s"$g p25")
+      assert(p50 === rank(1, 2), s"$g p50")
+      assert(p75 === rank(3, 4), s"$g p75")
+      assert(p100 === rank(1, 1), s"$g p100")
+      assert(nv === n.toLong)
+    }
+  }
+
+  test("exactQuantilesByCounts p50 == exactMedianByCounts on odd-sized groups") {
+    import spark.implicits._
+    val df = Seq(("g", 5L), ("g", 1L), ("g", 9L)).toDF("k", "v")
+    val q = graft.operators.Medians.exactQuantilesByCounts(
+      df, Seq("k"), "v", Seq(("p50", 1, 2))).collect().head.getLong(1)
+    val m = graft.operators.Medians.exactMedianByCounts(
+      df, Seq("k"), "v").collect().head.getDouble(1)
+    assert(q.toDouble === m)
+  }
 }
