@@ -89,4 +89,29 @@ object Sampling {
     val u = uniform(col(keyCol), salt)
     (df.where(u >= testFraction), df.where(u < testFraction))
   }
+
+  /** EXACTLY `k` rows per stratum (all rows when the stratum is
+    * smaller): the k smallest md5 variates win, ties broken by key.
+    * Fraction sampling can't build fixed-size eval/calibration sets —
+    * a 1% draw of a stratum is as big as the stratum happens to be;
+    * this is the deterministic reservoir: same k rows on every run,
+    * partitioning, retry, engine.
+    *
+    * Plan: one (stratum)-keyed window ranking by (variate, key) —
+    * rank <= k. A hot stratum costs one sort partition (no per-group
+    * heap); at the "stratum = half the corpus" extreme, pre-filter
+    * with `uniformByKey` at a few x k/|stratum| first and rank the
+    * survivors (doc'd escape hatch, not automatic — it needs a
+    * cardinality estimate).
+    */
+  def fixedSizeStratified(df: DataFrame, stratumCol: String, k: Int,
+      keyCol: String, salt: String = ""): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(uniform(col(keyCol), salt).asc, col(keyCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .drop("__rank")
+  }
 }

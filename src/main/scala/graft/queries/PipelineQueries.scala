@@ -1083,6 +1083,25 @@ object PipelineQueries {
              |             WHEN lang = 'zh' THEN 1.0
              |             ELSE 0.2 END""".stripMargin)),
 
+    // Fixed-size deterministic reservoir: EXACTLY k rows per stratum
+    // (the k smallest md5 variates; fraction sampling can't build
+    // fixed-size eval sets). Oracle re-ranks the same variates in SQL.
+    QueryDef("p40_fixed_sample",
+      (s, dir) => Sampling.fixedSizeStratified(
+        Tables.documents(s, dir), stratumCol = "source", k = 15,
+        keyCol = "doc_id", salt = "eval")
+        .select("doc_id", "source"),
+      Some("""WITH u AS (SELECT doc_id, source,
+             |  ('0x' || substr(md5(
+             |     CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |     || ':' || CAST(doc_id AS VARCHAR) || '/eval'), 1, 8))::BIGINT
+             |   / 4294967296.0 AS u
+             |  FROM documents),
+             |r AS (SELECT *, row_number() OVER (
+             |        PARTITION BY source ORDER BY u, doc_id) AS rn
+             |      FROM u)
+             |SELECT doc_id, source FROM r WHERE rn <= 15""".stripMargin)),
+
     // Native expression through the SQL surface: vec_dot registered
     // via SparkSessionExtensions / runtime registry (Engine.configure),
     // hash-checked against DuckDB's DOUBLE[] dot product.

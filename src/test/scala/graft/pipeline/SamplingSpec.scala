@@ -66,4 +66,23 @@ class SamplingSpec extends SparkSpec {
     val (_, test2) = Sampling.trainTestSplit(corpus.repartition(5), 0.25, "doc_id")
     assert(test2.collect().map(_.getLong(0)).toSet === te)
   }
+
+  test("fixedSizeStratified: exactly k per stratum, stable across partitionings, small strata whole") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, if (i <= 150) "big" else if (i <= 190) "mid" else "tiny"))
+    val df = rows.toDF("doc_id", "src")
+    val a = Sampling.fixedSizeStratified(df, "src", k = 25, keyCol = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a.count(_._2 == "big") === 25)
+    assert(a.count(_._2 == "mid") === 25)
+    assert(a.count(_._2 == "tiny") === 10) // smaller than k: kept whole
+    val b = Sampling.fixedSizeStratified(df.repartition(7), "src", k = 25,
+      keyCol = "doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+    // different salt -> different (but still size-k) selection
+    val c = Sampling.fixedSizeStratified(df, "src", k = 25, keyCol = "doc_id",
+      salt = "other").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(c.count(_._2 == "big") === 25)
+    assert(c !== a)
+  }
 }
