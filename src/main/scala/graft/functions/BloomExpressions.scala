@@ -5,13 +5,12 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.trees.{BinaryLike, TernaryLike}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 
 /** Deterministic Bloom filter for pre-shuffle semi-join filtering.
   *
@@ -48,14 +47,15 @@ case class BloomAgg(
 
   override def children: Seq[Expression] = Seq(ha, hb, mWordsExpr, kExpr)
 
-  private def litInt(e: Expression, name: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
-    case _ => throw new IllegalArgumentException(
-      s"bloom_agg: $name must be an integer literal")
-  }
-  private lazy val mWords = litInt(mWordsExpr, "mWords")
-  private lazy val k = litInt(kExpr, "k")
+  // constant-folding eval (not a Literal pattern): foldable non-
+  // literal args must reach the TypeCheckFailure below, not throw
+  private def foldInt(e: Expression): Option[Int] =
+    if (!e.foldable) None
+    else Option(e.eval()).collect { case n: Number => n.intValue() }
+  private lazy val mWordsOpt = foldInt(mWordsExpr)
+  private lazy val kOpt = foldInt(kExpr)
+  private lazy val mWords = mWordsOpt.get
+  private lazy val k = kOpt.get
   private lazy val mBits = mWords.toLong * 64L
 
   override def nullable: Boolean = false
@@ -66,8 +66,9 @@ case class BloomAgg(
     if (ha.dataType != LongType || hb.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires BIGINT hash halves")
-    else if (!mWordsExpr.foldable || !kExpr.foldable)
-      TypeCheckResult.TypeCheckFailure(s"$prettyName: m and k must be literals")
+    else if (mWordsOpt.isEmpty || kOpt.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: m and k must be foldable integers")
     else if (mWords <= 0 || k <= 0)
       TypeCheckResult.TypeCheckFailure(s"$prettyName: m and k must be positive")
     else TypeCheckResult.TypeCheckSuccess
@@ -131,12 +132,10 @@ case class BloomContains(
     extends Expression {
 
   override def children: Seq[Expression] = Seq(filter, ha, hb, kExpr)
-  private lazy val k: Int = kExpr match {
-    case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
-    case _ => throw new IllegalArgumentException(
-      "bloom_contains: k must be an integer literal")
-  }
+  private lazy val kOpt: Option[Int] =
+    if (!kExpr.foldable) None
+    else Option(kExpr.eval()).collect { case n: Number => n.intValue() }
+  private lazy val k: Int = kOpt.get
 
   override def nullable: Boolean = false
   override def dataType: DataType = BooleanType
@@ -150,8 +149,9 @@ case class BloomContains(
         s"$prettyName requires an ARRAY<BIGINT> filter")
     else if (ha.dataType != LongType || hb.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires BIGINT halves")
-    else if (!kExpr.foldable || k <= 0)
-      TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be a positive literal")
+    else if (kOpt.isEmpty || k <= 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: k must be a positive foldable integer")
     else TypeCheckResult.TypeCheckSuccess
 
   override def eval(input: InternalRow): Any = {

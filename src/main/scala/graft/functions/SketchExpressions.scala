@@ -5,12 +5,12 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** `kmin_values(hash, k)` — the K-Minimum-Values distinct-count
   * sketch (Bar-Yossef et al. 2002): the k smallest DISTINCT hash
@@ -53,12 +53,14 @@ case class KMinValues(
   override def left: Expression = child
   override def right: Expression = kExpr
 
-  private lazy val k: Int = kExpr match {
-    case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
-    case _ => throw new IllegalArgumentException(
-      "kmin_values: k must be a foldable integer literal")
-  }
+  // k via constant-folding eval, not a Literal pattern: SQL callers
+  // can legally pass any foldable integer expression (`1 + 1`), and a
+  // pattern miss here would throw from inside the analyzer instead of
+  // returning the TypeCheckFailure below
+  private lazy val kOpt: Option[Int] =
+    if (!kExpr.foldable) None
+    else Option(kExpr.eval()).collect { case n: Number => n.intValue() }
+  private lazy val k: Int = kOpt.get
 
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -68,8 +70,9 @@ case class KMinValues(
     if (child.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a BIGINT hash column, got ${child.dataType.sql}")
-    else if (!kExpr.foldable)
-      TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be foldable")
+    else if (kOpt.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: k must be a foldable integer")
     else if (k <= 0)
       TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be positive, got $k")
     else TypeCheckResult.TypeCheckSuccess

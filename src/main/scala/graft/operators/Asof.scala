@@ -92,7 +92,16 @@ object Asof {
       .select(on.map(col) ++ Seq(col("__t"), col("__side"), col("__tie"),
         col("__r")) ++ leftCols.filterNot(on.contains).map(col): _*)
 
+    // SQL equi-join semantics: a NULL key matches nothing, and a row
+    // with NULL event time can never be "at or before" anything —
+    // without this filter, NULL-keyed rows of both sides share a
+    // window partition and a NULL-time right row sorts FIRST (nulls
+    // first) and gets carried forward as a bogus universal match.
+    // Left rows always survive (left-join shape): a NULL-keyed or
+    // NULL-time left row simply finds no prior state.
     val r = right
+      .where(on.map(col(_).isNotNull).reduce(_ && _) &&
+        col(rightTime).isNotNull)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", rightSide)
       .withColumn("__tie", col(rightTie).cast("long"))

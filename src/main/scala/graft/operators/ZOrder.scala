@@ -73,15 +73,13 @@ object ZOrder {
     spread16(normalize(a, aLo, aHi, 16))
       .bitwiseOR(shiftleft(spread16(normalize(b, bLo, bHi, 16)), 1))
 
-  /** Cluster `df` for (aCol, bCol) locality: range-partition by the
-    * z-value into `numPartitions` shards and sort within each — every
-    * output partition (and the parquet files written from it) covers
-    * a tight (a, b) box. Bounds come from a broadcast 1-row aggregate
-    * (no driver collect; the same shape as the retention mart's
-    * max-date broadcast).
+  /** `df` + a `__z` column: the z-value of (aCol, bCol) under the
+    * frame's own min/max bounds, derived via a broadcast 1-row
+    * aggregate (no driver collect; the same shape as the retention
+    * mart's max-date broadcast). Single-sourced for [[clusterByZ]]
+    * and the p36 gate so the bounds convention can't drift.
     */
-  def clusterByZ(df: DataFrame, aCol: String, bCol: String,
-      numPartitions: Int): DataFrame = {
+  def withZValue(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val stats = df.agg(
       min(col(aCol)).as("__alo"), max(col(aCol)).as("__ahi"),
       min(col(bCol)).as("__blo"), max(col(bCol)).as("__bhi"))
@@ -89,8 +87,17 @@ object ZOrder {
       .withColumn("__z", zValue2(
         col(aCol), col("__alo"), col("__ahi"),
         col(bCol), col("__blo"), col("__bhi")))
-      .repartitionByRange(numPartitions, col("__z"))
-      .sortWithinPartitions(col("__z"))
       .drop("__alo", "__ahi", "__blo", "__bhi")
   }
+
+  /** Cluster `df` for (aCol, bCol) locality: range-partition by the
+    * z-value into `numPartitions` shards and sort within each — every
+    * output partition (and the parquet files written from it) covers
+    * a tight (a, b) box.
+    */
+  def clusterByZ(df: DataFrame, aCol: String, bCol: String,
+      numPartitions: Int): DataFrame =
+    withZValue(df, aCol, bCol)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
 }

@@ -132,14 +132,9 @@ object EventQueries {
       val ev = Tables.events(s, dir).select(
         col("event_id"), col("user_id"),
         round(col("value") * 100).cast("long").as("cents"))
-      val stats = ev.agg(
-        min("user_id").as("alo"), max("user_id").as("ahi"),
-        min("cents").as("blo"), max("cents").as("bhi"))
-      ev.crossJoin(broadcast(stats))
+      ZOrder.withZValue(ev, "user_id", "cents")
         .select(col("event_id"), col("user_id"), col("cents"),
-          ZOrder.zValue2(
-            col("user_id"), col("alo"), col("ahi"),
-            col("cents"), col("blo"), col("bhi")).as("zval"))
+          col("__z").as("zval"))
     },
     Some("""WITH e AS (SELECT event_id, user_id,
             |                 CAST(round(value * 100, 0) AS BIGINT) AS cents

@@ -44,9 +44,6 @@ object StreamingAsof {
       state_id: Option[Long], state_ts_us: Option[Long],
       state_value: Option[Double])
 
-  private def micros(t: Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
-
   /** `inputs` must already carry a watermark on `ts`. */
   def enrich(inputs: Dataset[AsofInput],
       keepStates: Int = 8): Dataset[Enriched] = {
@@ -56,11 +53,11 @@ object StreamingAsof {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: Long, batch: Iterator[AsofInput], state: GroupState[StateRing]) => {
           // batch operator's sort: time asc, state side first, id asc
-          val ordered = batch.toSeq.sortBy(e => (micros(e.ts), !e.is_state, e.id))
+          val ordered = batch.toSeq.sortBy(e => (EventTime.micros(e.ts), !e.is_state, e.id))
           var ring = state.getOption.map(_.rows).getOrElse(Seq.empty)
           val out = Seq.newBuilder[Enriched]
           ordered.foreach { e =>
-            val us = micros(e.ts)
+            val us = EventTime.micros(e.ts)
             if (e.is_state) {
               // insert in event-time order, keep the newest keepStates
               ring = (ring :+ ((us, e.id, e.value)))

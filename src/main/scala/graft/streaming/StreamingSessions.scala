@@ -10,10 +10,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (either a later event opens the next session, or event time passes
   * `end + gap` via the watermark-driven timeout).
   *
-  * State = ONE open-session aggregate per key (7 numeric fields) —
-  * bounded by the live-key count, never the stream length; exactly
-  * the `flatMapGroupsWithState` shape SURVEY §2.6 prescribes for
-  * custom state.
+  * State = ONE row per key: the open-session aggregate while a
+  * session is live, then a seq-carrying tombstone after it closes
+  * (so a returning key continues the batch operator's for-life
+  * numbering instead of colliding at 0) — bounded by the ever-seen
+  * key count, never the stream length; exactly the
+  * `flatMapGroupsWithState` shape SURVEY §2.6 prescribes for custom
+  * state.
   *
   * Parity contract (StreamingSessionsSpec): replaying a bounded,
   * watermark-ordered fixture yields byte-identical session rows to
@@ -42,9 +45,6 @@ object StreamingSessions {
       user_id: Long, session_seq: Long, start_us: Long, end_us: Long,
       n_events: Long, n_purchases: Long, value_cents: Long)
 
-  private def micros(t: Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
-
   /** `events` must already carry a watermark on `ts`. */
   def sessions(events: Dataset[SessionEvent],
       gapMicros: Long): Dataset[ClosedSession] = {
@@ -56,16 +56,29 @@ object StreamingSessions {
          state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
+            // keep a TOMBSTONE (n_events == 0) carrying the next
+            // session_seq: removing state entirely would restart the
+            // key's numbering at 0 and collide (user, session_seq)
+            // keys downstream — the batch operator numbers for life.
+            // No timeout on the tombstone; it is one tiny row per
+            // ever-seen key, the same "irreducible state" stance as
+            // StreamingAsof's current-state row.
+            state.update(OpenSession(s.session_seq + 1, 0L, 0L, 0L, 0L, 0L))
             Iterator.single(ClosedSession(user, s.session_seq, s.start_us,
               s.end_us, s.n_events, s.n_purchases, s.value_cents))
           } else {
             // fold in the batch operator's exact sort order
-            val ordered = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val ordered = batch.toSeq.sortBy(e => (EventTime.micros(e.ts), e.event_id))
             val closed = Seq.newBuilder[ClosedSession]
-            var open = state.getOption
+            // a tombstone (n_events == 0) is "no open session, next
+            // seq = session_seq"
+            var open = state.getOption.filter(_.n_events > 0)
+            val nextSeq = state.getOption match {
+              case Some(s) if s.n_events == 0 => s.session_seq
+              case _ => 0L
+            }
             ordered.foreach { e =>
-              val us = micros(e.ts)
+              val us = EventTime.micros(e.ts)
               val cents = math.round(e.value * 100)
               val purchase = if (e.event_type == "purchase") 1L else 0L
               open match {
@@ -82,15 +95,17 @@ object StreamingSessions {
                     n_purchases = s.n_purchases + purchase,
                     value_cents = s.value_cents + cents))
                 case None =>
-                  open = Some(OpenSession(0L, us, us, 1L, purchase, cents))
+                  open = Some(OpenSession(nextSeq, us, us, 1L, purchase, cents))
               }
             }
             open.foreach { s =>
               state.update(s)
               // close when event time passes end + gap (strictly after —
               // an event AT end+gap still joins the session, matching the
-              // batch operator's inclusive threshold)
-              state.setTimeoutTimestamp(s.end_us / 1000L + gapMicros / 1000L + 1L)
+              // batch operator's inclusive threshold). Sum in MICROS
+              // first, then truncate ONCE to ms: dividing each term
+              // separately can land up to ~1 ms early.
+              state.setTimeoutTimestamp((s.end_us + gapMicros) / 1000L + 1L)
             }
             closed.result().iterator
           })(Encoders.product[OpenSession], Encoders.product[ClosedSession])

@@ -154,8 +154,7 @@ class PlanSpec extends SparkSpec {
     // QueryExecution — the foreach was vacuous (round-6 fix). Assert
     // on the concrete no-AQE plan, and require exchanges were FOUND.
     val docs = Tables.documents(spark, dir)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withNoAqe {
       val q = pipeline.Dedup.dropExactDuplicates(docs)
       val shuffled = q.queryExecution.executedPlan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
@@ -166,7 +165,7 @@ class PlanSpec extends SparkSpec {
           s"text flows through a shuffle:\n${e.treeString}")
       }
       assert(q.count() > 0)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("line dedup: verdict stages shuffle hashes, never line text; text moves at most once") {
@@ -175,8 +174,7 @@ class PlanSpec extends SparkSpec {
     // not its characters; only the final per-doc reconstruction join
     // may move the document text, and only once
     val docs = Tables.documents(spark, dir)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withNoAqe {
       val q = pipeline.Lines.dedupLines(docs)
       val shuffled = q.queryExecution.executedPlan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
@@ -188,7 +186,7 @@ class PlanSpec extends SparkSpec {
       }
       val textShuffles = shuffled.count(_.output.map(_.name).contains("text"))
       assert(textShuffles <= 1, s"document text shuffles $textShuffles times")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("brute-force top-k: corpus side never shuffles (broadcast + TakeOrdered)") {
@@ -264,8 +262,7 @@ class PlanSpec extends SparkSpec {
       .select("event_id", "user_id", "ts", "value")
     // AQE's wrapper hides the tree from collect() until execution —
     // assert on the concrete plan instead
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withNoAqe {
       val q = operators.Asof.joinAsOf(purchases, views, Seq("user_id"),
         "ts", "ts", "event_id")
       val plan = q.queryExecution.executedPlan
@@ -278,14 +275,13 @@ class PlanSpec extends SparkSpec {
       assert(exchanges.size === 1, s"expected 1 exchange:\n$plan")
       assert(joins.isEmpty, s"unexpected join operator:\n$plan")
       assert(q.count() > 0)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("rarity terms: no shuffled exchange carries the document text") {
     // tf/df/rank move (doc_id, term, counts) grains; the corpus text
     // itself is consumed in the scan projection and never shuffled
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withNoAqe {
       val q = pipeline.TextAnalysis.topRarityTerms(
         Tables.documents(spark, dir), n = 5)
       val shuffled = q.queryExecution.executedPlan.collect {
@@ -296,7 +292,7 @@ class PlanSpec extends SparkSpec {
         assert(!e.output.map(_.name).contains("text"),
           s"text flows through a shuffle:\n${e.treeString}")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("KMV sketch: partial aggregation before the exchange (bounded map-side state)") {
@@ -323,8 +319,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("G8 rollup: ONE Expand + one exchange — grouping sets share a single scan") {
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withNoAqe {
       val q = gold.Marts.classQualityRollup(
         silverFromLineitem(spark, dir), dimsFromPart(spark, dir))
       val plan = q.queryExecution.executedPlan.toString
@@ -334,6 +329,6 @@ class PlanSpec extends SparkSpec {
       assert(exchanges === 1, s"expected one hash exchange:\n$plan")
       assert(plan.contains("partial_count") || plan.contains("partial"),
         s"no map-side partials:\n$plan")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 }

@@ -55,8 +55,7 @@ class BloomSpec extends SparkSpec {
   }
 
   test("probe filter sits BELOW the aggregation exchange (pre-shuffle)") {
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withNoAqe {
       val q = bloomSemiFilter(probeDf, "pkey", buildDf, "key",
         mWords = 8, k = 4).groupBy("pkey").count()
       val plan = q.queryExecution.executedPlan.toString
@@ -66,6 +65,6 @@ class BloomSpec extends SparkSpec {
       assert(exchangeIdx >= 0, s"no exchange:\n$plan")
       assert(probeIdx > exchangeIdx,
         s"bloom probe should sit below (before) the exchange:\n$plan")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 }

@@ -78,4 +78,21 @@ class AsofSpec extends SparkSpec {
         if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(a === b)
   }
+
+  test("NULL keys never match (SQL equi-join semantics); left nulls survive unenriched") {
+    import spark.implicits._
+    val l = Seq((1L, Option("a"), 100L), (2L, Option.empty[String], 100L))
+      .toDF("id", "k", "us")
+      .withColumn("t", timestamp_micros(col("us"))).drop("us")
+    val r = Seq((10L, Option("a"), 50L, 1.0), (11L, Option.empty[String], 50L, 2.0))
+      .toDF("rid", "k", "us", "price")
+      .withColumn("t", timestamp_micros(col("us"))).drop("us")
+    val m = Asof.joinAsOf(l, r, Seq("k"), "t", "t", "rid")
+      .collect().map(row => row.getLong(row.fieldIndex("id")) ->
+        (if (row.isNullAt(row.fieldIndex("right_rid"))) -1L
+         else row.getLong(row.fieldIndex("right_rid")))).toMap
+    assert(m(1L) === 10L)  // normal match
+    assert(m(2L) === -1L)  // NULL key: row kept, no match
+    assert(m.size === 2)
+  }
 }

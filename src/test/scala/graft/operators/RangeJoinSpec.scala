@@ -50,8 +50,7 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("plans as an equi-join — no BroadcastNestedLoopJoin, no cartesian") {
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withNoAqe {
       val plan = RangeJoin.pointInInterval(points, intervals, Seq("k"),
         "t", "lo", "hi", 100L).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
@@ -63,6 +62,6 @@ class RangeJoinSpec extends SparkSpec {
       // at this toy scale Spark broadcasts the naive join too, but the
       // binned plan must carry the bucket in its join keys
       assert(plan.contains("__b"), s"bucket not in join keys:\n$plan")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 }

@@ -87,4 +87,36 @@ class StreamingSessionsSpec extends SparkSpec {
     assert(got.head.n_events === 1L)
     assert(got.head.value_cents === 200L) // the 09:00 event, despite arrival order
   }
+
+  test("timeout-closed session does not reset numbering: returning user continues the sequence") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent]
+    val q = StreamingSessions.sessions(
+      mem.toDS().withWatermark("ts", "10 minutes"), GapUs)
+      .writeStream.format("memory").queryName("sess3")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+
+    // session 0 for user 1, then advance the watermark far past
+    // end+gap via another user so it closes by TIMEOUT
+    mem.addData(SessionEvent(1L, 1L, ts("2026-03-01 09:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(90L, 9L, ts("2026-03-01 12:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(91L, 9L, ts("2026-03-01 13:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    // user 1 returns -> must open session_seq 1, NOT 0
+    mem.addData(SessionEvent(2L, 1L, ts("2026-03-01 14:00:00"), "view", 2.0))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(92L, 9L, ts("2026-03-02 09:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(93L, 9L, ts("2026-03-02 10:00:00"), "view", 0.0))
+    q.processAllAvailable()
+
+    val got = spark.table("sess3").as[ClosedSession].collect()
+      .filter(_.user_id == 1L).map(s => s.session_seq -> s.n_events).toMap
+    q.stop()
+    assert(got === Map(0L -> 1L, 1L -> 1L),
+      s"expected sessions 0 and 1 for the returning user, got $got")
+  }
 }
