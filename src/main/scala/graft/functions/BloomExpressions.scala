@@ -246,4 +246,79 @@ object BloomFunctions {
       .where(bloomContains(col("__bloom"), pha, phb, k))
       .drop("__bloom")
   }
+
+  // ---- materialized bloom artifact (the p19/p20 index pattern) ----
+  //
+  // A bloom over a corpus's keys is a REUSABLE artifact: build it
+  // once (distributed aggregate), persist it as a tiny parquet of
+  // (idx, word) rows + parameters, and every later batch filters
+  // against it without touching the corpus — daily cost scales with
+  // the batch. Append = OR-merge of word arrays (exact: the merged
+  // artifact is bit-identical to a bloom built over the union), so
+  // maintenance never rebuilds from the corpus either.
+
+  /** Persist the bloom of `build`'s keys at `path` (overwrites). */
+  def writeBloom(build: org.apache.spark.sql.DataFrame, buildKey: String,
+      path: String, mWords: Int, k: Int): Unit = {
+    val spark = build.sparkSession
+    import spark.implicits._
+    val (bha, bhb) = md5Halves(col(buildKey))
+    val words = build.agg(bloomAgg(bha, bhb, mWords, k).as("w"))
+      .select(posexplode(col("w")).as(Seq("idx", "word")))
+      .withColumn("m_words", lit(mWords)).withColumn("k", lit(k))
+    words.coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted bloom: (words, k). The collect is mWords longs
+    * — the artifact's defining property is being tiny (a 2^20-bit
+    * filter is 128 KiB); corpus-scale data never flows through here.
+    */
+  def readBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Long], Int) = {
+    val df = spark.read.parquet(path)
+    val k = df.select("k").head().getInt(0)
+    val mWords = df.select("m_words").head().getInt(0)
+    val words = new Array[Long](mWords)
+    df.select("idx", "word").collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    (words, k)
+  }
+
+  /** OR a new batch's keys into the persisted bloom — equivalent to
+    * rebuilding over the union corpus, at batch cost.
+    */
+  def appendToBloom(newBuild: org.apache.spark.sql.DataFrame,
+      buildKey: String, path: String): Unit = {
+    val spark = newBuild.sparkSession
+    val (existing, k) = readBloom(spark, path)
+    val (bha, bhb) = md5Halves(col(buildKey))
+    val fresh = newBuild
+      .agg(bloomAgg(bha, bhb, existing.length, k).as("w"))
+      .head().getSeq[Long](0)
+    val merged = existing.zip(fresh).map { case (a, b) => a | b }
+    import spark.implicits._
+    val tmp = path + "__tmp"
+    merged.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+      .toDF("idx", "word")
+      .withColumn("m_words", lit(existing.length)).withColumn("k", lit(k))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    // swap via overwrite-from-read (small artifact; rewrite is cheap)
+    spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(path)
+    val d = new java.io.File(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(d)
+  }
+
+  /** Filter `probe` against a PERSISTED bloom — tomorrow's batch
+    * against yesterday's corpus filter, no corpus scan.
+    */
+  def bloomSemiFilterIndexed(probe: org.apache.spark.sql.DataFrame,
+      probeKey: String, path: String): org.apache.spark.sql.DataFrame = {
+    val (words, k) = readBloom(probe.sparkSession, path)
+    val (pha, phb) = md5Halves(col(probeKey))
+    probe.where(bloomContains(typedLit(words.toSeq), pha, phb, k))
+  }
 }

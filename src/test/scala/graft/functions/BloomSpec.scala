@@ -67,4 +67,29 @@ class BloomSpec extends SparkSpec {
         s"bloom probe should sit below (before) the exchange:\n$plan")
     }
   }
+
+  test("materialized bloom artifact: write/read round-trip, indexed == direct, append == union rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString + "/corpus_bloom"
+    val corpusA = (1L to 40L).map(_ * 3L).toDF("key")
+    val corpusB = (1L to 40L).map(_ * 7L).toDF("key")
+
+    // build over A, persist, filter a probe batch against the artifact
+    writeBloom(corpusA, "key", dir, mWords = 8, k = 4)
+    val direct = bloomSemiFilter(probeDf, "pkey", corpusA, "key",
+      mWords = 8, k = 4).collect().map(_.getLong(0)).toSet
+    val indexed = bloomSemiFilterIndexed(probeDf, "pkey", dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed === direct)
+
+    // append B: artifact must now equal a bloom built over A union B
+    appendToBloom(corpusB, "key", dir)
+    val indexedAB = bloomSemiFilterIndexed(probeDf, "pkey", dir)
+      .collect().map(_.getLong(0)).toSet
+    val directAB = bloomSemiFilter(probeDf, "pkey",
+      corpusA.union(corpusB), "key", mWords = 8, k = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(indexedAB === directAB)
+    // and it still contains everything the A-only filter passed
+    assert(direct.subsetOf(indexedAB))
+  }
 }

@@ -84,4 +84,27 @@ class ZOrderSpec extends SparkSpec {
     assert(out.count() === 64L)
     assert(out.select("a", "b").distinct().count() === 64L)
   }
+
+  test("written parquet files carry tight (a, b) boxes: box query skips most FILES") {
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b))
+      .toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/t"
+    ZOrder.clusterByZ(grid, "a", "b", 16).write.parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length === 16)
+    // per-file (a, b) bounding boxes from the data itself — the same
+    // min/max parquet row-group stats that drive file/row-group
+    // skipping on a real scan
+    val touching = files.count { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b")))
+        .head()
+      val (alo, ahi, blo, bhi) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      ahi >= 8 && alo < 16 && bhi >= 8 && blo < 16 // box [8,16) x [8,16)
+    }
+    assert(touching <= 4,
+      s"box query bounding-boxes touched $touching of 16 files")
+  }
 }
