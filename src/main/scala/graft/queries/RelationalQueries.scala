@@ -190,6 +190,39 @@ object RelationalQueries {
              |FROM (SELECT *, row_number() OVER (
              |        PARTITION BY user_id, event_type ORDER BY event_id) AS rn
              |      FROM events)
-             |WHERE rn = 1""".stripMargin))
+             |WHERE rn = 1""".stripMargin)),
+
+    // R10 — CDC latest-wins apply: the event stream read as a change
+    // log (errors tombstone the user), collapsed to current state.
+    // One key-grain shuffle, no join; oracle re-derives the rank in
+    // SQL.
+    QueryDef("r10_cdc_apply",
+      (s, dir) => {
+        val changelog = Tables.events(s, dir).select(
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        graft.silver.Cdc.apply(changelog, keyCol = "user_id",
+          tsCol = "ts_us", tieCol = "event_id", opCol = "op",
+          attrs = Seq("event_type", "cents"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             |                 event_id,
+             |                 CASE WHEN event_type = 'error' THEN 'D'
+             |                      ELSE 'U' END AS op,
+             |                 event_type,
+             |                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |          FROM events),
+             |r AS (SELECT *, row_number() OVER (
+             |        PARTITION BY user_id
+             |        ORDER BY ts_us DESC, event_id DESC) AS rn
+             |      FROM e)
+             |SELECT user_id, event_type, cents,
+             |       ts_us AS applied_ts, event_id AS applied_tie
+             |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin))
   )
 }
