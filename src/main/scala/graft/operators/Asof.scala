@@ -33,11 +33,11 @@ import org.apache.spark.sql.functions._
   * frame endpoint.
   *
   * Skew: one hot equality key serializes into one sort task, like any
-  * keyed window. At that shape, pre-bucket the time axis into the key
-  * (join on (key, time_bucket) after replicating each right row into
-  * the bucket it starts in and every later bucket it still "covers") —
-  * documented escape hatch, not the default, because it multiplies
-  * right-side rows by the cover factor.
+  * keyed window. At that shape, use [[joinAsOfBinned]] — the time
+  * axis joins into the shuffle key, spreading a hot key over its
+  * range, at the cost of tolerance/bucket right-row replication.
+  * Not the default because the replication factor is real money when
+  * keys are well-distributed.
   */
 object Asof {
 
@@ -131,5 +131,67 @@ object Asof {
     val outRight = (rightTime +: carry.filterNot(_ == rightTime))
       .map(c => col("__m")(c).as(rightPrefix + c))
     matched.select(leftCols.map(col) ++ outRight: _*)
+  }
+
+  /** The hot-key escape hatch, implemented: as-of join as a BINNED
+    * range join. Each right row's validity interval [t, t + tolerance]
+    * is replicated into the `bucketMicros` buckets it covers
+    * ([[RangeJoin.pointInInterval]]), candidates resolve per left row
+    * with one `max_by((t, tie))` aggregation, and unmatched left rows
+    * come back via a left anti-free join on the left's own columns.
+    *
+    * Trade vs [[joinAsOf]]: the shuffle key is (key, bucket), so ONE
+    * hot key spreads over its time range instead of serializing into
+    * a single sort task — at the cost of tolerance/bucket-factor
+    * right-row replication and a second aggregation. Use when a key's
+    * history exceeds a task's sort budget; otherwise the carry-forward
+    * plan is cheaper. Requires a finite tolerance (it bounds the
+    * replication factor) and timestamp time columns; exact-time
+    * matches always count (the pandas default).
+    *
+    * AsofSpec proves result-equivalence to `joinAsOf` on shared
+    * fixtures and randomized streams.
+    */
+  def joinAsOfBinned(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTie: String,
+      toleranceMicros: Long,
+      bucketMicros: Long,
+      rightCols: Seq[String] = Nil,
+      rightPrefix: String = "right_"): DataFrame = {
+    require(on.nonEmpty, "joinAsOfBinned needs at least one equality key")
+    require(toleranceMicros >= 0 && bucketMicros > 0,
+      "tolerance must be >= 0 and bucket > 0")
+    val carry =
+      if (rightCols.nonEmpty) rightCols
+      else right.columns.toSeq.filterNot(on.contains)
+    val orderedCarry = rightTime +: carry.filterNot(_ == rightTime)
+    val leftCols = left.columns.toSeq
+
+    val points = left.withColumn("__pt", unix_micros(col(leftTime)))
+    val intervals = right
+      .where(on.map(col(_).isNotNull).reduce(_ && _) &&
+        col(rightTime).isNotNull)
+      .select(on.map(col) ++ Seq(
+        unix_micros(col(rightTime)).as("__rt"),
+        col(rightTie).cast("long").as("__tie"),
+        struct(orderedCarry.map(col): _*).as("__r")): _*)
+      .withColumn("__lo", col("__rt"))
+      .withColumn("__hi", col("__rt") + toleranceMicros)
+
+    // distinct probe grain: left rows sharing (key, time) resolve once
+    val best = RangeJoin.pointInInterval(
+      points.select(on.map(col) :+ col("__pt"): _*).distinct(),
+      intervals, on, "__pt", "__lo", "__hi", bucketMicros)
+      .groupBy((on.map(col) :+ col("__pt")): _*)
+      .agg(max_by(col("__r"), struct(col("__rt"), col("__tie"))).as("__m"))
+
+    val joined = points.join(best, on :+ "__pt", "left")
+    val outRight = orderedCarry.map(c => col("__m")(c).as(rightPrefix + c))
+    joined.select(leftCols.map(col) ++ outRight: _*)
   }
 }

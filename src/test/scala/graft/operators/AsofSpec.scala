@@ -95,4 +95,42 @@ class AsofSpec extends SparkSpec {
     assert(m(2L) === -1L)  // NULL key: row kept, no match
     assert(m.size === 2)
   }
+
+  test("joinAsOfBinned == joinAsOf under a shared tolerance (fixture + 10 random streams)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def run2(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+        tol: Long, bucket: Long) = {
+      val a = Asof.joinAsOf(l, r, Seq("k"), "t", "t", "rid",
+        toleranceMicros = Some(tol))
+        .select(col("id"), col("right_rid"))
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+      val b = Asof.joinAsOfBinned(l, r, Seq("k"), "t", "t", "rid",
+        toleranceMicros = tol, bucketMicros = bucket)
+        .select(col("id"), col("right_rid"))
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+      (a, b)
+    }
+    // shared hand fixture
+    val (fa, fb) = run2(leftDf.withColumnRenamed("id", "id"), rightDf, 2000L, 700L)
+    assert(fa === fb)
+
+    // randomized streams with heavy ts collisions
+    val gen = Gen.listOfN(50, for {
+      k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 25L).map(_ * 10L)
+    } yield (k, t)).map(_.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) })
+    for (seed <- 1 to 10) {
+      val ev = gen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val (rr, ll) = ev.partition(_._1 % 2 == 0)
+      val l = ll.toDF("id", "k", "us")
+        .withColumn("t", timestamp_micros(col("us"))).drop("us")
+      val r = rr.map { case (id, k, t) => (id, k, t, t.toDouble) }
+        .toDF("rid", "k", "us", "price")
+        .withColumn("t", timestamp_micros(col("us"))).drop("us")
+      val (a, b) = run2(l, r, 60L, 25L)
+      assert(a === b, s"seed $seed diverged")
+    }
+  }
 }
