@@ -263,7 +263,25 @@ object EventQueries {
             |JOIN sess s ON s.user_id = p.user_id
             | AND p.ts_us BETWEEN s.start_us AND s.end_us""".stripMargin))
 
+  /** Equi-width cents histogram (25 x 2000-cent bins, out-of-range
+    * clamped to the edges) — exact counts, pure integer bins.
+    */
+  private def histogram: QueryDef = QueryDef(
+    "p41_histogram",
+    (s, dir) => graft.operators.Profiling.histogram(
+      Tables.events(s, dir)
+        .select(round(col("value") * 100).cast("long").as("cents")),
+      valueCol = "cents", lo = 0L, hi = 50000L, nBins = 25),
+    Some("""WITH v AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+            |          FROM events WHERE value IS NOT NULL),
+            |b AS (SELECT least(greatest((c - 0) // 2000, 0), 24) AS bin
+            |      FROM v)
+            |SELECT bin, 0 + bin * 2000 AS bin_lo,
+            |       0 + (bin + 1) * 2000 AS bin_hi,
+            |       CAST(count(*) AS BIGINT) AS n
+            |FROM b GROUP BY bin""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(asofAttribution, sessionize, zorderValues, funnel, bloomSemijoin,
-      rangeJoin)
+      rangeJoin, histogram)
 }

@@ -1102,6 +1102,38 @@ object PipelineQueries {
              |      FROM u)
              |SELECT doc_id, source FROM r WHERE rn <= 15""".stripMargin)),
 
+    // Single-pass column profiling: nulls + KMV distinct sketch +
+    // exact distinct for every column in one scan. The oracle
+    // re-derives each column's profile (union of per-column blocks,
+    // same md5-60bit hash family + estimator arithmetic as p34).
+    QueryDef("p42_profile",
+      (s, dir) => graft.operators.Profiling.profile(
+        Tables.documents(s, dir),
+        columns = Seq("doc_id", "text", "lang", "source", "n_chars"),
+        k = 128),
+      Some {
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        cols.map { c =>
+          s"""SELECT '$c' AS "column",
+             |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+             |    WHERE $c IS NULL) AS n_nulls,
+             |  (WITH h AS (SELECT DISTINCT
+             |          ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT AS h
+             |        FROM documents WHERE $c IS NOT NULL),
+             |    r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h),
+             |    a AS (SELECT CAST(count(*) AS BIGINT) AS ex,
+             |                 max(CASE WHEN rn <= 128 THEN h END) AS kth
+             |          FROM r)
+             |    SELECT CASE WHEN ex < 128 THEN CAST(ex AS DOUBLE)
+             |                ELSE CAST(127 AS DOUBLE) * 1152921504606846976
+             |                       / CAST(kth AS DOUBLE) END FROM a)
+             |    AS distinct_est,
+             |  (SELECT CAST(count(DISTINCT $c) AS BIGINT) FROM documents)
+             |    AS distinct_exact""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      }),
+
     // Native expression through the SQL surface: vec_dot registered
     // via SparkSessionExtensions / runtime registry (Engine.configure),
     // hash-checked against DuckDB's DOUBLE[] dot product.
