@@ -215,9 +215,7 @@ object BloomFunctions {
   /** md5 32-bit halves of a column's canonical string form — the
     * p08 MinHash hash family ((ha + i*hb) double hashing).
     */
-  def md5Halves(c: Column): (Column, Column) = (
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
-    conv(substring(md5(c.cast("string")), 9, 8), 16, 10).cast("long"))
+  def md5Halves(c: Column): (Column, Column) = Md5Hash.halves(c)
 
   def bloomAgg(ha: Column, hb: Column, mWords: Int, k: Int): Column =
     ColumnBridge.column(BloomAgg(
@@ -275,12 +273,14 @@ object BloomFunctions {
     */
   def readBloom(spark: org.apache.spark.sql.SparkSession,
       path: String): (Array[Long], Int) = {
-    val df = spark.read.parquet(path)
-    val k = df.select("k").head().getInt(0)
-    val mWords = df.select("m_words").head().getInt(0)
+    // ONE collect (one job) — k and m_words are constant per row
+    val rows = spark.read.parquet(path)
+      .select("idx", "word", "m_words", "k").collect()
+    require(rows.nonEmpty, s"empty bloom artifact at $path")
+    val mWords = rows.head.getInt(2)
+    val k = rows.head.getInt(3)
     val words = new Array[Long](mWords)
-    df.select("idx", "word").collect()
-      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    rows.foreach(r => words(r.getInt(0)) = r.getLong(1))
     (words, k)
   }
 
@@ -297,19 +297,13 @@ object BloomFunctions {
       .head().getSeq[Long](0)
     val merged = existing.zip(fresh).map { case (a, b) => a | b }
     import spark.implicits._
-    val tmp = path + "__tmp"
+    // the merged array is DRIVER-LOCAL (readBloom already collected) —
+    // the write plan is a LocalRelation with no dependency on `path`,
+    // so a direct overwrite is safe; no tmp-dir dance needed
     merged.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
       .toDF("idx", "word")
       .withColumn("m_words", lit(existing.length)).withColumn("k", lit(k))
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    // swap via overwrite-from-read (small artifact; rewrite is cheap)
-    spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(path)
-    val d = new java.io.File(tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(d)
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** Filter `probe` against a PERSISTED bloom — tomorrow's batch
@@ -318,7 +312,16 @@ object BloomFunctions {
   def bloomSemiFilterIndexed(probe: org.apache.spark.sql.DataFrame,
       probeKey: String, path: String): org.apache.spark.sql.DataFrame = {
     val (words, k) = readBloom(probe.sparkSession, path)
+    val spark = probe.sparkSession
+    import spark.implicits._
+    // same broadcast-1-row shape as bloomSemiFilter (a typedLit
+    // literal would ride the expression tree into EVERY task's
+    // serialized plan — real weight at 2^20-bit filters) and keeps
+    // both entry points on the identical probe-below-exchange plan
+    val filterDf = Seq(Tuple1(words.toSeq)).toDF("__bloom")
     val (pha, phb) = md5Halves(col(probeKey))
-    probe.where(bloomContains(typedLit(words.toSeq), pha, phb, k))
+    probe.crossJoin(broadcast(filterDf))
+      .where(bloomContains(col("__bloom"), pha, phb, k))
+      .drop("__bloom")
   }
 }

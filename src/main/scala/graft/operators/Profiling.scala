@@ -54,13 +54,11 @@ object Profiling {
   def profile(df: DataFrame, columns: Seq[String], k: Int = 128,
       withExact: Boolean = true): DataFrame = {
     require(columns.nonEmpty, "profile needs at least one column")
-    def h60(c: Column): Column =
-      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
     val aggs = columns.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
         SketchFunctions.kminValues(
-          when(col(c).isNotNull, h60(col(c))), k).as(s"__sk_$c")) ++
+          when(col(c).isNotNull, graft.functions.Md5Hash.h60String(col(c))), k).as(s"__sk_$c")) ++
         (if (withExact) Seq(count_distinct(col(c)).as(s"__ex_$c")) else Nil)
     } :+ count(lit(1)).as("__n")
     val row = df.agg(aggs.head, aggs.tail: _*)

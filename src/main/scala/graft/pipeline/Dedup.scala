@@ -359,7 +359,7 @@ object Dedup {
     * `('0x'||substr(md5(t),1,15))::BIGINT`).
     */
   private[pipeline] def simHash60(t: Column): Column =
-    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Hash.h60(t)
 
   /** SimHash over whitespace tokens: per bit, sum +1/-1 votes of each
     * token's 60-bit md5-derived hash, sign becomes the bit.

@@ -54,7 +54,7 @@ object Lines {
     val occ = lineOccurrences(df, textCol, idCol)
       .select(col("doc_id"), col("pos"),
         (trim(col("line")) === "").as("blank"),
-        conv(substring(md5(col("line")), 1, 15), 16, 10).cast("long").as("h"))
+        graft.functions.Md5Hash.h60(col("line")).as("h"))
     val winners = occ.where(!col("blank"))
       .groupBy("h").agg(min(ord(col("doc_id"), col("pos"))).as("w"))
     val kept = occ.join(winners, Seq("h"), "left")

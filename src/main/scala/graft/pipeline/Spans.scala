@@ -47,7 +47,7 @@ object Spans {
         posexplode(graft.functions.NGramFunctions.charNGrams(col(textCol), k))
           .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+        graft.functions.Md5Hash.h60(col("gram")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = win.groupBy("h").agg(count(lit(1)).as("nocc"))
       .where(col("nocc") >= minOcc).select("h")

@@ -1304,8 +1304,7 @@ object PipelineQueries {
           .select(col("source"),
             explode(TextAnalysis.tokens(col("text"))).as("tok"))
           .select(col("source"),
-            conv(substring(md5(col("tok")), 1, 15), 16, 10)
-              .cast("long").as("h"))
+            graft.functions.Md5Hash.h60(col("tok")).as("h"))
           .groupBy(col("source"))
           .agg(
             graft.functions.SketchFunctions.kminValues(col("h"), k)

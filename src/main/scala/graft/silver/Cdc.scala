@@ -34,7 +34,10 @@ object Cdc {
       .orderBy(col(tsCol).desc, col(tieCol).desc)
     changelog
       .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      // null-safe compare: a NULL/missing op is an UPSERT, not a
+      // silent delete (plain =!= is three-valued — NULL op would
+      // filter the row out and vanish the key)
+      .where(col("__rn") === 1 && !(col(opCol) <=> deleteOp))
       .select(Seq(col(keyCol)) ++ attrs.map(col) ++ Seq(
         col(tsCol).as("applied_ts"), col(tieCol).as("applied_tie")): _*)
   }

@@ -82,4 +82,40 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(got.head.converted)
     assert(got.head.step_times_us.length === 3)
   }
+
+  test("lifecycle: default restarts per attempt; oncePerKey never re-emits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def run(once: Boolean, name: String): Map[Long, Long] = {
+      val mem = MemoryStream[FunnelEvent]
+      val q = StreamingFunnel.analyze(
+        mem.toDS().withWatermark("ts", "10 minutes"), Steps, 3600000000L,
+        oncePerKey = once)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+      // attempt 1: view only, expires
+      mem.addData(FunnelEvent(1L, 1L, ts("2026-03-01 09:00:00"), "view"))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(90L, 9L, ts("2026-03-01 12:00:00"), "view"))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(91L, 9L, ts("2026-03-01 13:00:00"), "other"))
+      q.processAllAvailable()
+      // attempt 2: full conversion after the first window expired
+      mem.addData(
+        FunnelEvent(2L, 1L, ts("2026-03-01 14:00:00"), "view"),
+        FunnelEvent(3L, 1L, ts("2026-03-01 14:01:00"), "click"),
+        FunnelEvent(4L, 1L, ts("2026-03-01 14:02:00"), "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[FunnelResult].collect()
+        .filter(_.key == 1L)
+      q.stop()
+      rows.groupBy(_.furthest_step).map { case (k, v) => k -> v.length.toLong }
+    }
+    // default: expired attempt (furthest 1) AND the new converting
+    // attempt (furthest 3) both emit
+    assert(run(once = false, "funA") === Map(1L -> 1L, 3L -> 1L))
+    // oncePerKey: only the first attempt's expiry row, ever — strict
+    // parity with single-shot batch analyze
+    assert(run(once = true, "funB") === Map(1L -> 1L))
+  }
 }
