@@ -64,4 +64,14 @@ class RangeJoinSpec extends SparkSpec {
       assert(plan.contains("__b"), s"bucket not in join keys:\n$plan")
     }
   }
+
+  test("adversarial: one interval spanning the whole axis with a tiny bucket stays correct") {
+    import spark.implicits._
+    val p = (0L until 50L).map(t => (t, 1L, t * 100L)).toDF("pid", "k", "t")
+    val i = Seq((99L, 1L, 0L, 4900L)).toDF("iid", "k", "lo", "hi")
+    // bucket 10 -> the single interval replicates into 491 buckets;
+    // results must still be exact (every point matches)
+    val got = RangeJoin.pointInInterval(p, i, Seq("k"), "t", "lo", "hi", 10L)
+    assert(got.count() === 50L)
+  }
 }

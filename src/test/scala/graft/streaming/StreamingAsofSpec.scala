@@ -88,4 +88,29 @@ class StreamingAsofSpec extends SparkSpec {
     assert(got(1L) === 11L)
     assert(got(2L) === 10L) // pre-watermark ring row still present
   }
+
+  test("burst of states in one batch: probes bind the newest; keepStates cap holds") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[AsofInput]
+    val q = StreamingAsof.enrich(
+      mem.toDS().withWatermark("ts", "10 minutes"), keepStates = 8)
+      .writeStream.format("memory").queryName("asof3")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    // 100 states at second granularity + one probe after them all,
+    // in ONE batch — the fold must survive the cap and still pick
+    // the newest prior state
+    val states = (1 to 100).map(i => AsofInput(
+      100L + i, 1L, ts(f"2026-03-01 09:${i / 60}%02d:${i % 60}%02d"),
+      is_state = true, i.toDouble))
+    val probe = AsofInput(1L, 1L, ts("2026-03-01 10:00:00"),
+      is_state = false, 0.0)
+    mem.addData(states :+ probe: _*)
+    q.processAllAvailable()
+    val got = spark.table("asof3").as[Enriched].collect()
+    q.stop()
+    assert(got.length === 1)
+    assert(got.head.state_id === Some(200L)) // the 100th (newest) state
+    assert(got.head.state_value === Some(100.0))
+  }
 }
