@@ -2,12 +2,29 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Perf harness: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line for the driver's BENCH_r{N}.json.
+  * prints per-query timings incrementally plus ONE final aggregate JSON
+  * line for the driver's BENCH_r{N}.json.
   *
   * Each query is materialized through the `noop` sink — a full
   * computation of every output column. (`df.count()` would let Catalyst
   * prune all projections down to a row count, timing a different,
   * cheaper plan than the query's.)
+  *
+  * Survivability (round-6 lesson: an external kill mid-pass left zero
+  * parseable timings because the single JSON line printed only at the
+  * very end):
+  *   - a `{"query":name,"pass":k,"sec":t}` line is printed AND flushed
+  *     the moment each query finishes, so a killed run still leaves a
+  *     full per-query record up to the kill point;
+  *   - after every completed pass a partial aggregate goes to stderr
+  *     (stdout carries exactly one `"metric"` line — the final one — so
+  *     a driver that greps for it can never pick a stale partial);
+  *   - SPARK_GRAFT_BENCH_PASSES (default 2) lets a constrained run do
+  *     warmup + 1 pass;
+  *   - SPARK_GRAFT_BENCH_DEADLINE_SEC (default 1500) is a soft wall
+  *     budget: once exceeded, remaining queries/passes are skipped and
+  *     the final aggregate is printed from what completed — the bench
+  *     degrades to fewer samples instead of dying with no artifact.
   *
   * Failures are reported explicitly as -1 (never as elapsed-until-throw,
   * which would fake a fast timing for a broken query).
@@ -16,6 +33,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ >= 1).getOrElse(2)
+    val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC")
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption).filter(_ > 0).getOrElse(1500.0)
+    val start = System.nanoTime()
+    def elapsedSec = (System.nanoTime() - start) / 1e9
+    def overDeadline = elapsedSec > deadlineSec
     // Optional comma-separated name filter for isolating single queries
     // (perf triage); the driver never sets it, so driver runs time all.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -35,49 +59,79 @@ object Bench {
     // timed loop measures steady-state plans, not first-query JVM
     // compilation. Skipped if the bench target IS the smallest sf
     // (warming there would pre-fill the session mart caches and make
-    // the timed numbers serving-only).
+    // the timed numbers serving-only), and cut short if the deadline is
+    // already threatened (a cold timed pass beats no timed pass).
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      selected.foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+      selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        if (elapsedSec < deadlineSec * 0.25) {
+          try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => () }
+        }
       }
       // evict the warmup-scale materializations: the timed loop should
       // own the block manager
       graft.queries.TestdataAdapter.clearCache(spark, warmDir)
     }
     var failed = Set.empty[String]
-    // Two full timed passes with the mart cache cleared in between
-    // (so EVERY pass recomputes marts exactly like a fresh run), then
-    // per-query min across passes. A single sample is hostage to
+    // Up to `passes` full timed passes with the mart cache cleared in
+    // between (so EVERY pass recomputes marts exactly like a fresh run),
+    // then per-query min across passes. A single sample is hostage to
     // transient host load / GC (observed 4-23 s swings on the heavy
-    // marts); the min of two equivalent passes is the steady-state
-    // cost of the plan, which is what the 2x gate should judge.
-    def timedPass(): Map[String, Double] =
-      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            failed += name
-            false
-          }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue)
-      }.toMap
-    val pass1 = timedPass()
-    graft.queries.TestdataAdapter.clearCache(spark, sfDir)
-    val pass2 = timedPass()
-    val results = pass1.keys.toSeq.sorted.map { name =>
-      val t = math.min(pass1(name), pass2(name))
-      name -> (if (t == Double.MaxValue) -1.0 else t)
+    // marts); the min of equivalent passes is the steady-state cost of
+    // the plan, which is what the 2x gate should judge.
+    def timedPass(pass: Int): Map[String, Double] = {
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (!overDeadline) {
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              failed += name
+              false
+            }
+          val t = (System.nanoTime() - t0) / 1e9
+          acc(name) = if (ok) t else Double.MaxValue
+          // Double.toString always uses '.', locale-proof.
+          println(s"""{"query":"$name","pass":$pass,"sec":${if (ok) t else -1.0}}""")
+          Console.out.flush()
+        }
+      }
+      acc.toMap
     }
-    failed = failed.filter(n => results.toMap.get(n).contains(-1.0))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def aggregate(byPass: Seq[Map[String, Double]]): (String, Double, Seq[String]) = {
+      val names = byPass.flatMap(_.keys).distinct.sorted
+      val best = names.map { n =>
+        val ts = byPass.flatMap(_.get(n))
+        n -> (if (ts.isEmpty || ts.min == Double.MaxValue) -1.0 else ts.min)
+      }
+      val qs = best.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total = best.collect { case (_, v) if v >= 0 => v }.sum
+      val skipped = selected.keys.toSeq.filterNot(names.contains).sorted
+      (qs, total, skipped)
+    }
+    val completed = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    var pass = 1
+    while (pass <= passes && !overDeadline) {
+      if (pass > 1) graft.queries.TestdataAdapter.clearCache(spark, sfDir)
+      completed += timedPass(pass)
+      val (qs, total, skipped) = aggregate(completed.toSeq)
+      // Partial aggregates go to stderr so stdout has exactly one
+      // "metric" line for the driver to parse.
+      System.err.println(
+        s"""[bench] partial after pass $pass: {"metric":"total","value":$total,"queries":$qs,"skipped":${skipped.size},"elapsed":$elapsedSec}""")
+      pass += 1
+    }
+    val (qs, total, skipped) = aggregate(completed.toSeq)
+    failed = failed.filter { n =>
+      completed.forall(p => !p.get(n).exists(_ != Double.MaxValue))
+    }
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"passes":${completed.size},"sf":"$sfDir"}""")
+    Console.out.flush()
     spark.stop()
   }
 }

@@ -227,13 +227,17 @@ object MartQueries {
       Some(s"""WITH g2 AS ($g2Sql)
               |SELECT $g2GateCols FROM g2 WHERE item_id = 'purchase'
               |ORDER BY snapshot_hour DESC LIMIT 48""".stripMargin)),
+    // Route fidelity gate (round-6 verdict item 2): the reference
+    // opportunities endpoint has NO LIMIT and keeps NULL-z rows
+    // (sorted last). The HOLD filter makes both visible: every NULL-z
+    // row classifies HOLD, and the HOLD set is far larger than the old
+    // limit of 100 — a reintroduced limit or NULL filter breaks the
+    // row-count/hash compare.
     QueryDef("serve_opportunities",
       (s, dir) => ServingLayer.opportunities(
-        g3Serve(s, dir), recommendation = Some("buy"), limit = 100),
+        g3Serve(s, dir), recommendation = Some("hold")),
       Some(s"""WITH g3 AS (${g3Sql(1.0)})
-              |SELECT * FROM g3
-              |WHERE recommendation = 'BUY' AND z_score IS NOT NULL
-              |ORDER BY z_score ASC, item_id ASC, snapshot_date ASC LIMIT 100""".stripMargin)),
+              |SELECT * FROM g3 WHERE recommendation = 'HOLD'""".stripMargin)),
     QueryDef("serve_demand",
       (s, dir) => ServingLayer.demand(g4(s, dir), itemId = Some(3L), limit = 100),
       Some(s"""WITH g4 AS ($g4Sql)
@@ -301,7 +305,8 @@ object MartQueries {
     QueryDef("serve_best_opportunity",
       (s, dir) => ServingLayer.bestOpportunity(g3(s, dir)),
       Some(s"""WITH g3 AS (${g3Sql(2.0)})
-              |SELECT * FROM g3 WHERE z_score IS NOT NULL
-              |ORDER BY z_score ASC, item_id ASC, snapshot_date ASC LIMIT 1""".stripMargin))
+              |SELECT * FROM g3
+              |ORDER BY z_score ASC NULLS LAST, item_id ASC, snapshot_date ASC
+              |LIMIT 1""".stripMargin))
   )
 }

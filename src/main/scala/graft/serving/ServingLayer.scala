@@ -38,15 +38,20 @@ object ServingLayer {
   /** GET /analytics/opportunities?recommendation (`main.py:51-57`):
     * optional upper-cased equality filter (T14), z ascending (best
     * discounts first).
+    *
+    * Exact route fidelity: unlike every other analytics route, the
+    * reference applies NO LIMIT here (`main.py:57` is
+    * `.order_by(z_score.asc()).all()`), and it does not filter NULL-z
+    * rows — Postgres `ASC` sorts NULLs LAST, so they trail the ranked
+    * list. item_id/snapshot_date tie-breaks added for deterministic
+    * output (the reference inherits heap order on equal z).
     */
   def opportunities(
       g3: DataFrame,
-      recommendation: Option[String] = None,
-      limit: Int = 100): DataFrame =
+      recommendation: Option[String] = None): DataFrame =
     eqFilter(g3, "recommendation", recommendation.map(r => lit(r.toUpperCase)))
-      .where(col("z_score").isNotNull)
-      .orderBy(col("z_score").asc, col("item_id").asc, col("snapshot_date").asc)
-      .limit(limit)
+      .orderBy(col("z_score").asc_nulls_last, col("item_id").asc,
+        col("snapshot_date").asc)
 
   /** GET /analytics/demand?item_id (`main.py:59-65`). */
   def demand(g4: DataFrame, itemId: Option[Long] = None, limit: Int = 100): DataFrame =
@@ -72,10 +77,17 @@ object ServingLayer {
     * opportunity = argmin z_score with full tie-break (R7). Plans as
     * TakeOrderedAndProject (per-partition top-1 + merge — no global
     * sort materializes; see PlanSpec).
+    *
+    * NULLS-LAST head matches pandas `idxmin` (`app.py:96`), which
+    * skips NaN: whenever any non-NULL z exists the head of this
+    * ordering IS the argmin over non-NULL z. (All-NULL input is the
+    * one divergence: the reference raises; this returns the tie-break
+    * head — documented, not observable through the routes, which never
+    * serve an all-NULL mart.)
     */
   def bestOpportunity(g3: DataFrame): DataFrame =
-    g3.where(col("z_score").isNotNull)
-      .orderBy(col("z_score").asc, col("item_id").asc, col("snapshot_date").asc)
+    g3.orderBy(col("z_score").asc_nulls_last, col("item_id").asc,
+        col("snapshot_date").asc)
       .limit(1)
 
   /** T12: copper -> gold display string, `f"{int(v/10000):,}g"` with

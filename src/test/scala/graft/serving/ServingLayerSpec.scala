@@ -22,6 +22,27 @@ class ServingLayerSpec extends SparkSpec {
     assert(ServingLayer.opportunities(df, recommendation = None).count() === 2)
   }
 
+  test("opportunities: no limit, NULL-z rows included and sorted last") {
+    // reference main.py:57 — .order_by(z_score.asc()).all(): no LIMIT,
+    // and Postgres ASC sorts NULLs last.
+    val rows = (1L to 150L).map(i => (i, Option(-3.0 + i * 0.01), "BUY")) :+
+      ((151L, None: Option[Double], "BUY"))
+    val df = rows.toDF("item_id", "z_score", "recommendation")
+      .withColumn("snapshot_date", org.apache.spark.sql.functions.lit("2026-01-01").cast("date"))
+    val got = ServingLayer.opportunities(df, recommendation = Some("buy")).collect()
+    assert(got.length === 151) // > the old default limit of 100
+    assert(got.last.isNullAt(got.last.fieldIndex("z_score"))) // NULLS LAST
+    assert(got.head.getAs[Long]("item_id") === 1L) // min z first
+  }
+
+  test("bestOpportunity: NULLS-LAST head skips NULL z like pandas idxmin") {
+    val df = Seq((1L, None: Option[Double], "HOLD"), (2L, Option(1.5), "SELL"))
+      .toDF("item_id", "z_score", "recommendation")
+      .withColumn("snapshot_date", org.apache.spark.sql.functions.lit("2026-01-01").cast("date"))
+    val best = ServingLayer.bestOpportunity(df).collect()
+    assert(best.map(_.getAs[Long]("item_id")).toSeq === Seq(2L))
+  }
+
   test("T12: copper formats with dot separators, null -> 0g") {
     val df = Seq(
       (1L, Some(12500000L)), // 1250 gold
