@@ -38,6 +38,12 @@ object Engine {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB state store: bounded executor memory for streaming
+      // state (the HDFS-backed default keeps every key on-heap), and
+      // required by transformWithState (StreamingCuration's claimant
+      // stage uses its event-time timers + chained aggregation).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -57,6 +63,8 @@ object Engine {
     // column surfaces as a nanos-since-epoch Long and Tables.events
     // converts it to a microsecond timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // externally-built sessions (Verify/Bench) miss the withExtensions
     // hook — register graft's SQL functions in place
     graft.functions.GraftFunctions.register(spark)

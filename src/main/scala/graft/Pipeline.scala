@@ -41,6 +41,43 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
   private val dimsPath = s"$warehouse/dim_items"
   private def goldPath(name: String) = s"$warehouse/gold/$name"
 
+  // ---- single-writer guard (round-6 verdict item 6). Parquet dirs +
+  // rename swaps have no transaction layer — where the reference had
+  // Postgres transactions (postgres_client.py:26-50), two concurrent
+  // runDay/upsert writers here could interleave tmp/old swaps and
+  // corrupt a table SILENTLY. Every mutating entry point takes a
+  // warehouse-level lock (atomic directory create); a second writer
+  // fails LOUDLY instead. The lock records its owner (pid + acquire
+  // time); a crash-orphaned lock must be removed by the operator —
+  // refusing to auto-break it is deliberate, the owner may be alive.
+  // At scale this is exactly the slot Delta/Iceberg optimistic commits
+  // replace. A Pipeline instance is single-threaded by contract
+  // (matching the reference's one Dagster run); `lockDepth` makes
+  // composite runs (runDay) reentrant over their own steps.
+  private val writerLockPath = Paths.get(s"$warehouse/.graft_writer.lock")
+  private var lockDepth = 0
+
+  private def withWriterLock[T](body: => T): T =
+    if (lockDepth > 0) { lockDepth += 1; try body finally lockDepth -= 1 }
+    else {
+      try Files.createDirectory(writerLockPath)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val owner = scala.util.Try(
+            Files.readString(writerLockPath.resolve("owner"))).getOrElse("unknown")
+          throw new IllegalStateException(
+            s"another writer holds $writerLockPath (owner: $owner). " +
+              "Concurrent warehouse writers are unsupported: parquet " +
+              "directory swaps have no transaction layer, so a second " +
+              "writer could silently corrupt tables. If the owner " +
+              "process is dead, remove the lock directory and re-run.")
+      }
+      scala.util.Try(Files.writeString(writerLockPath.resolve("owner"),
+        s"pid=${ProcessHandle.current().pid()} acquired=${java.time.Instant.now()}"))
+      lockDepth = 1
+      try body finally { lockDepth = 0; deleteRecursively(writerLockPath) }
+    }
+
   // ---- S8: DDL bootstrap — create-if-not-exists with explicit
   // schemas on every pipeline construction, like the reference's
   // Base.metadata.create_all on client init (database.py:24-27).
@@ -89,7 +126,7 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     * injected so the pipeline is runnable offline.
     */
   def ingest(date: LocalDate, rawJson: String): String =
-    bronze.saveJson(date, rawJson)
+    withWriterLock { bronze.saveJson(date, rawJson) }
 
   /** E1 step 2 — bronze -> silver: normalize (T1-T10) then first-seen
     * append (§1.4): only never-seen auction ids land; the write is an
@@ -98,7 +135,7 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     * Returns inserted-row count like the reference
     * (postgres_client.py:26-50).
     */
-  def runSilver(date: LocalDate): Long = {
+  def runSilver(date: LocalDate): Long = withWriterLock {
     val normalized = SilverTransform.fromJson(
       spark, bronze.objectPath(date).toString, java.sql.Date.valueOf(date))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -151,24 +188,26 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     * retained silver every run and would re-enrich implicitly).
     */
   def runDimsTracked(source: Dimensions.ItemMetadataSource,
-      limit: Int = 100): (Long, Seq[Long]) = {
+      limit: Int = 100): (Long, Seq[Long]) = withWriterLock {
     val ids = Dimensions.missingItemIds(silver, dims, limit)
       .collect().map(_.getLong(0)).toSeq // <=100 ids by contract — driver-safe
-    if (ids.isEmpty) return (0L, Nil)
-    val updates = Dimensions.enrich(spark, ids, source)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val attrs = Seq("name", "quality", "item_class", "item_subclass", "icon_url")
-    // <= `limit` rows by construction — driver-safe
-    val changed = updates.alias("u")
-      .join(dims.select((Seq("item_id") ++ attrs).map(col): _*).alias("o"),
-        Seq("item_id"), "left")
-      .where(attrs.map(a => !(col(s"u.$a") <=> col(s"o.$a"))).reduce(_ || _))
-      .select("item_id").collect().map(_.getLong(0)).toSeq
-    val merged = Dimensions.upsert(dims, updates)
-    overwriteAtomically(dimsPath, merged, Schemas.itemDim)
-    val n = updates.count()
-    updates.unpersist()
-    (n, changed)
+    if (ids.isEmpty) (0L, Nil)
+    else {
+      val updates = Dimensions.enrich(spark, ids, source)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val attrs = Seq("name", "quality", "item_class", "item_subclass", "icon_url")
+      // <= `limit` rows by construction — driver-safe
+      val changed = updates.alias("u")
+        .join(dims.select((Seq("item_id") ++ attrs).map(col): _*).alias("o"),
+          Seq("item_id"), "left")
+        .where(attrs.map(a => !(col(s"u.$a") <=> col(s"o.$a"))).reduce(_ || _))
+        .select("item_id").collect().map(_.getLong(0)).toSeq
+      val merged = Dimensions.upsert(dims, updates)
+      overwriteAtomically(dimsPath, merged, Schemas.itemDim)
+      val n = updates.count()
+      updates.unpersist()
+      (n, changed)
+    }
   }
 
   /** Rewrite the G1/G7 partitions that bake in now-stale dim
@@ -179,20 +218,22 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     * No cascade: G3/G6 read only G1's `median_buyout` (a price, not a
     * dim attribute), and G2/G4/G5 are dim-free.
     */
-  def refreshDimAffectedGold(changedItemIds: Seq[Long]): Unit = {
-    if (changedItemIds.isEmpty) return
-    val affectedDates = silver
-      .where(col("item_id").isin(changedItemIds: _*))
-      .select("snapshot_date").distinct()
-      .collect().map(_.getDate(0)).toSeq // <= retention-window dates
-    if (affectedDates.isEmpty) return
-    val d = dims
-    val affected = silver.where(col("snapshot_date").isin(affectedDates: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    overwriteDatePartitions("g1_daily_market_summary",
-      Marts.dailyMarketSummary(affected, d))
-    overwriteDatePartitions("g7_sector_trends", Marts.sectorTrends(affected, d))
-    affected.unpersist()
+  def refreshDimAffectedGold(changedItemIds: Seq[Long]): Unit = withWriterLock {
+    val affectedDates =
+      if (changedItemIds.isEmpty) Nil
+      else silver
+        .where(col("item_id").isin(changedItemIds: _*))
+        .select("snapshot_date").distinct()
+        .collect().map(_.getDate(0)).toSeq // <= retention-window dates
+    if (affectedDates.nonEmpty) {
+      val d = dims
+      val affected = silver.where(col("snapshot_date").isin(affectedDates: _*))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      overwriteDatePartitions("g1_daily_market_summary",
+        Marts.dailyMarketSummary(affected, d))
+      overwriteDatePartitions("g7_sector_trends", Marts.sectorTrends(affected, d))
+      affected.unpersist()
+    }
   }
 
   /** E1 step 4 — full recompute of the seven gold marts (the
@@ -203,7 +244,7 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     * single partitions (G2 partitions by bar date = date of
     * snapshot_hour; G4 stays unpartitioned — see runGoldIncremental).
     */
-  def runGold(): Unit = {
+  def runGold(): Unit = withWriterLock {
     val s = silver.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d = dims
     // G1 already carries the exact per-(item,date) median — reuse it
@@ -260,7 +301,7 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     * Every write is a dynamic partition overwrite: re-running a day
     * is idempotent, and no historical partition is ever rewritten.
     */
-  def runGoldIncremental(date: LocalDate): Unit = {
+  def runGoldIncremental(date: LocalDate): Unit = withWriterLock {
     val d = dims
     val day = silver.where(col("snapshot_date") === lit(java.sql.Date.valueOf(date)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -362,7 +403,7 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     * date partitions older than the window. Partition drop = directory
     * delete, no data read.
     */
-  def runRetention(asOf: LocalDate, retentionDays: Int = 30): (Seq[LocalDate], Long) = {
+  def runRetention(asOf: LocalDate, retentionDays: Int = 30): (Seq[LocalDate], Long) = withWriterLock {
     val droppedBronze = bronze.retain(asOf, retentionDays)
     val cutoff = asOf.minusDays(retentionDays.toLong)
     // gold date partitions age out WITH silver: the incremental path
@@ -415,7 +456,7 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     */
   def runDay(date: LocalDate, rawJson: String,
       source: Dimensions.ItemMetadataSource,
-      retentionDays: Int = 30): Unit = {
+      retentionDays: Int = 30): Unit = withWriterLock {
     ingest(date, rawJson)
     runSilver(date)
     // day-D gold below sees the fresh dims; the refresh afterwards

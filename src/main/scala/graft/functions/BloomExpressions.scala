@@ -264,7 +264,32 @@ object BloomFunctions {
     val words = build.agg(bloomAgg(bha, bhb, mWords, k).as("w"))
       .select(posexplode(col("w")).as(Seq("idx", "word")))
       .withColumn("m_words", lit(mWords)).withColumn("k", lit(k))
-    words.coalesce(1).write.mode("overwrite").parquet(path)
+    writeArtifactAtomically(words, path)
+  }
+
+  /** Crash-safe artifact persist: write to a sibling tmp dir, then
+    * swap via renames (the [[graft.Pipeline]] overwriteAtomically
+    * discipline). A plain `mode("overwrite")` is delete-then-write: a
+    * crash in the hole destroys the only copy of an artifact whose
+    * entire point is never rebuilding it from the corpus.
+    */
+  private def writeArtifactAtomically(
+      df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
+    }
+    val live = Paths.get(path)
+    val tmp = Paths.get(path + ".tmp")
+    val old = Paths.get(path + ".old")
+    rm(tmp); rm(old)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (Files.exists(live)) Files.move(live, old)
+    Files.move(tmp, live)
+    rm(old)
   }
 
   /** Load a persisted bloom: (words, k). The collect is mWords longs
@@ -297,13 +322,15 @@ object BloomFunctions {
       .head().getSeq[Long](0)
     val merged = existing.zip(fresh).map { case (a, b) => a | b }
     import spark.implicits._
-    // the merged array is DRIVER-LOCAL (readBloom already collected) —
-    // the write plan is a LocalRelation with no dependency on `path`,
-    // so a direct overwrite is safe; no tmp-dir dance needed
-    merged.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
-      .toDF("idx", "word")
-      .withColumn("m_words", lit(existing.length)).withColumn("k", lit(k))
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    // the merged array is DRIVER-LOCAL (readBloom already collected),
+    // so the write plan has no dependency on `path` — but the persist
+    // still goes through the tmp+rename swap: overwrite-in-place has a
+    // delete->commit hole that a crash turns into total artifact loss
+    writeArtifactAtomically(
+      merged.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+        .toDF("idx", "word")
+        .withColumn("m_words", lit(existing.length)).withColumn("k", lit(k)),
+      path)
   }
 
   /** Filter `probe` against a PERSISTED bloom — tomorrow's batch

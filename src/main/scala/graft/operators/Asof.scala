@@ -71,9 +71,17 @@ object Asof {
     val carry =
       if (rightCols.nonEmpty) rightCols
       else right.columns.toSeq.filterNot(on.contains)
-    require(toleranceMicros.isEmpty ||
-      left.schema(leftTime).dataType.typeName == "timestamp",
-      "toleranceMicros requires timestamp time columns")
+    // Mismatched time types would fail later at analysis inside the
+    // carried struct (a confusing unix_micros error) or silently
+    // corrupt the union sort order — reject them up front, and require
+    // BOTH sides to be timestamps whenever the tolerance (expressed in
+    // micros) is set, not just the left.
+    val lt = left.schema(leftTime).dataType
+    val rt = right.schema(rightTime).dataType
+    require(lt == rt,
+      s"joinAsOf time columns must share one type; got $leftTime: ${lt.simpleString}, $rightTime: ${rt.simpleString}")
+    require(toleranceMicros.isEmpty || lt.typeName == "timestamp",
+      "toleranceMicros requires timestamp time columns on both sides")
 
     val leftCols = left.columns.toSeq
     // side ordinal places right rows before the left row at EQUAL time
@@ -166,6 +174,9 @@ object Asof {
     require(on.nonEmpty, "joinAsOfBinned needs at least one equality key")
     require(toleranceMicros >= 0 && bucketMicros > 0,
       "tolerance must be >= 0 and bucket > 0")
+    require(left.schema(leftTime).dataType.typeName == "timestamp" &&
+      right.schema(rightTime).dataType.typeName == "timestamp",
+      "joinAsOfBinned requires timestamp time columns on both sides")
     val carry =
       if (rightCols.nonEmpty) rightCols
       else right.columns.toSeq.filterNot(on.contains)

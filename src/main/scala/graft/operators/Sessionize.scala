@@ -49,8 +49,15 @@ object Sessionize {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(tieCol).asc)
     val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    // first-event detection is positional (row_number == 1), NOT
+    // prev.isNull: a NULL event timestamp sorts first and would make
+    // its successor misread itself as a session start (same fix as
+    // Scd2.history; round-6 advice 5). A row following a NULL-ts row
+    // gets a NULL gap comparison -> no break (non-null timestamps are
+    // the operator's contract; NULL-ts rows are upstream garbage).
     val isBreak = when(
-      prev.isNull || unix_micros(col(tsCol)) - prev > gapMicros, 1L)
+      row_number().over(w) === 1 ||
+        unix_micros(col(tsCol)) - prev > gapMicros, 1L)
       .otherwise(0L)
     events.withColumn("session_seq",
       sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding,

@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the dedup decision never shuffles text. Occurrences
   * are reduced to (doc_id, pos, h) with h a 60-bit md5 of the raw
-  * line; the winner per h is a map-side-combinable min over one
-  * packed BIGINT (doc_id * 2^32 + pos — ids and line offsets are
-  * both < 2^31 by corpus contract), so a line repeated a million
-  * times costs one counter row, and the only corpus-sized shuffle
+  * line; the winner per h is a map-side-combinable min over a
+  * (doc_id, pos) struct — lexicographic, correct for the FULL long
+  * id domain (the earlier packed doc_id * 2^32 + pos BIGINT silently
+  * overflowed for ids >= 2^31, a real hazard with the 60-bit
+  * hash-derived ids used elsewhere in this repo), so a line repeated
+  * a million times costs one counter row, and the only corpus-sized shuffle
   * carrying text is the final doc-keyed join that rebuilds
   * clean_text (the same reconstruction floor as
   * [[Spans.removeDuplicatedSpans]]). A hot line's h is a skewed join
@@ -30,11 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object Lines {
 
-  /** Packed global occurrence order — min over it IS lexicographic
-    * min over (doc_id, pos).
+  /** Global occurrence order: min over this struct IS lexicographic
+    * min over (doc_id, pos), with no domain restriction on either
+    * field (same shuffle payload class as a packed long — two
+    * fixed-width ints per group — without the 2^31 id overflow).
     */
   private def ord(doc: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column) =
-    doc * lit(4294967296L) + pos
+    struct(doc, pos)
 
   /** One row per (doc_id, pos, line): the exploded line frame.
     * split's -1 limit keeps trailing empty strings, so every '\n'

@@ -447,6 +447,47 @@ object Similarity {
         sum(when(col("__cos").isNull, 1L).otherwise(0L)).as("degenerate"))
   }
 
+  /** Outcome of [[maybeRetrain]]: whether the index was rebuilt, the
+    * measured low-cosine fraction that drove the decision, and the
+    * centroid list now in force (fresh when retrained, the input list
+    * otherwise — callers must probe with exactly this list).
+    */
+  case class RetrainDecision(retrained: Boolean, fracLow: Double,
+      centroids: Array[(Long, Array[Float])])
+
+  /** Close the drift loop (the [[ivfAssignmentQuality]] guard,
+    * ACTING): score how well the index's current `centroids` fit
+    * `corpus`, and when the fraction of vectors sitting below
+    * `lowCosine` of their assigned centroid exceeds `maxFracLow`,
+    * retrain ([[kmeansCentroids]] over the CURRENT corpus) and rebuild
+    * the index at `path` ([[writeIvfIndex]]) in one step.
+    *
+    * Cost when healthy: exactly the one narrow quality scan every
+    * append already pays — no k-means, no write. Cost when drifted: a
+    * k-means pass + full index rewrite, the same work the manual
+    * runbook prescribed, now behind a threshold. `corpus` must be the
+    * FULL corpus the index should serve (base + appended batches):
+    * retraining moves the cell geometry, so every row must be
+    * re-assigned — a partial rewrite would strand the missing rows in
+    * cells the probe no longer checks.
+    */
+  def maybeRetrain(corpus: DataFrame,
+      centroids: Array[(Long, Array[Float])], path: String,
+      maxFracLow: Double = 0.2, lowCosine: Double = 0.5,
+      nlist: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      batchId: String = "base"): RetrainDecision = {
+    val q = ivfAssignmentQuality(corpus, centroids, lowCosine, vecCol).head()
+    val fracLow =
+      if (q.isNullAt(q.fieldIndex("frac_low"))) 0.0
+      else q.getAs[Double]("frac_low")
+    if (fracLow > maxFracLow) {
+      val fresh = kmeansCentroids(corpus, nlist, iters, idCol, vecCol)
+      writeIvfIndex(corpus, fresh, path, vecCol, batchId)
+      RetrainDecision(retrained = true, fracLow, fresh)
+    } else RetrainDecision(retrained = false, fracLow, centroids)
+  }
+
   /** ANN top-k against a materialized [[writeIvfIndex]] index —
     * the probed cells become PartitionFilters on the scan
     * (PlanSpec proves the pruning).

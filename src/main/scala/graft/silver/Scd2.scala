@@ -42,12 +42,16 @@ object Scd2 {
     val byKey = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(tieCol).asc)
     // any tracked attribute differing from the previous snapshot
-    // (null-safe) opens a new version; the first snapshot always does
+    // (null-safe) opens a new version; the first snapshot always does.
+    // First-row detection is positional (row_number == 1), NOT
+    // lag(ts).isNull: a NULL snapshot timestamp sorts first, and the
+    // row AFTER it would see lag(ts) = NULL and misread itself as a
+    // version break even with unchanged attributes (round-6 advice 5).
     val changed = attrs
       .map(a => !(col(a) <=> lag(col(a), 1).over(byKey)))
       .reduce(_ || _)
     val isBreak =
-      when(lag(col(tsCol), 1).over(byKey).isNull || changed, 1L).otherwise(0L)
+      when(row_number().over(byKey) === 1 || changed, 1L).otherwise(0L)
     val versioned = snapshots
       .withColumn("version_seq",
         sum(isBreak).over(byKey.rowsBetween(

@@ -57,6 +57,63 @@ object StreamingCuration {
   case class BandVerdict(doc_id: Long, text: String,
       ingested_at: java.sql.Timestamp, survived: Boolean)
 
+  /** Per-(band, bucket) first-claimant state machine behind
+    * [[nearDupVerdictStream]]. State = the bucket's current expiry
+    * timestamp (presence == claimed); an event-time timer clears it
+    * `horizonMs` after the bucket's latest observation, and a
+    * re-observation extends the clock (delete + re-register, kept
+    * monotonic so a late-but-in-watermark row can never SHORTEN a
+    * bucket's life).
+    *
+    * Every row is emitted with its verdict (not just the winner): the
+    * downstream window only advances from rows it sees, so a stretch
+    * of batches with zero winners would otherwise freeze keeper
+    * emission forever (liveness, not correctness). The claimant is
+    * deterministic by (event time, doc_id), never iterator order.
+    */
+  private class BandClaimProcessor(horizonMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, String), BandObs, BandVerdict] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var expiresAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      expiresAt = getHandle.getValueState[Long]("expiresAt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, String), rows: Iterator[BandObs],
+        timerValues: TimerValues): Iterator[BandVerdict] = {
+      val rs = rows.toSeq
+      val winner =
+        if (expiresAt.exists()) None
+        else Some(rs.minBy(r => (r.ingested_at.getTime, r.doc_id)).doc_id)
+      val newExpiry = rs.map(_.ingested_at.getTime).max + horizonMs
+      if (expiresAt.exists()) {
+        val old = expiresAt.get()
+        if (newExpiry > old) {
+          getHandle.deleteTimer(old)
+          getHandle.registerTimer(newExpiry)
+          expiresAt.update(newExpiry)
+        }
+      } else {
+        getHandle.registerTimer(newExpiry)
+        expiresAt.update(newExpiry)
+      }
+      rs.iterator.map(r => BandVerdict(r.doc_id, r.text, r.ingested_at,
+        survived = winner.contains(r.doc_id)))
+    }
+
+    override def handleExpiredTimer(key: (Int, String),
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[BandVerdict] = {
+      // only the LATEST timer clears state: an extended bucket still
+      // has its superseded timer deleted above, but guard anyway
+      if (expiresAt.exists() && expiredTimerInfo.getExpiryTimeInMs >= expiresAt.get())
+        expiresAt.clear()
+      Iterator.empty
+    }
+  }
+
   /** Streaming MINHASH near-dup suppression — the batch
     * [[graft.pipeline.Dedup.minHashNearDups]] dedup class on a
     * stream, where [[curate]]'s fingerprint dedup only catches
@@ -83,30 +140,19 @@ object StreamingCuration {
     * parameters tune the FP rate exactly as in batch LSH). State =
     * one boolean per in-horizon band bucket, never the corpus — the
     * same bound as [[curate]]'s fingerprint store, x numBands;
-    * buckets expire by EVENT-TIME timeout `stateHorizonHours` after
+    * buckets expire by EVENT-TIME timer `stateHorizonHours` after
     * their latest observation (a re-observed bucket's clock resets).
     *
-    * ==RUNBOOK WARNING — session-global config==
-    * Requires
-    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`,
-    * and that flag is SESSION-GLOBAL: it silences Spark's
-    * stateful-operator correctness checker for EVERY streaming query
-    * in the session, not just this one — an unrelated query with a
-    * genuinely late-emitting stateful stage would lose its guard.
-    * Run this operator in a DEDICATED SparkSession (or a dedicated
-    * application) and do not share that session with other streaming
-    * queries; set/restore the flag around the query if a shared
-    * session is unavoidable (the specs do exactly that).
-    *
-    * Why the disable is safe HERE: the checker rejects every
-    * flatMapGroupsWithState → aggregation chain because the first
-    * stage COULD emit rows with arbitrary old event times that the
-    * downstream watermark would discard. This operator cannot: it
-    * only ever emits rows of the CURRENT micro-batch (claimants are
-    * chosen among, and stamped with, that batch's event times, which
-    * are >= the watermark by construction), and they flow through the
-    * downstream aggregation in the same micro-batch, before the
-    * watermark advances.
+    * The claimant stage is a `transformWithState` StatefulProcessor
+    * that DECLARES its output event-time column
+    * (`eventTimeColumnName = "ingested_at"`), so Spark admits the
+    * downstream windowed aggregation without touching the
+    * session-global `statefulOperator.checkCorrectness` flag — the
+    * declared column carries the watermark through the stateful map
+    * and the chain is checker-legal by construction. (The earlier
+    * `flatMapGroupsWithState` build needed the checker disabled
+    * session-wide; round-6 verdict item 3.) Requires the RocksDB
+    * state store provider ([[graft.Engine]] sets it engine-wide).
     */
   def nearDupKeepers(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       rowsPerBand: Int = 4,
@@ -162,7 +208,7 @@ object StreamingCuration {
       watermarkDelay: String = "1 day",
       emitWindow: String = "1 hour",
       stateHorizonHours: Int = 24): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.OutputMode
     val spark = docs.sparkSession
     import spark.implicits._
     val numBands = numHashes / rowsPerBand
@@ -175,35 +221,16 @@ object StreamingCuration {
         col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
       .withWatermark("ingested_at", watermarkDelay)
       .as[BandObs]
+    // eventTimeColumnName declares the verdicts' event-time column,
+    // carrying the watermark through the stateful map — the chained
+    // windowed aggregation below is admitted by Spark's correctness
+    // checker with no flag (see class doc).
     val verdicts = exploded
       .groupByKey(o => (o.band, o.bucket))
-      .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (_: (Int, String), rows: Iterator[BandObs], state: GroupState[Boolean]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val rs = rows.toSeq
-            // deterministic claimant — by EVENT TIME then id, not
-            // iterator order (no intra-batch ordering guarantee).
-            // EVERY row is emitted with its verdict (not just the
-            // winner): the downstream watermark re-declaration only
-            // advances from rows it SEES, so a stretch of batches
-            // with zero winners would otherwise freeze keeper
-            // emission forever (liveness, not correctness).
-            val winner =
-              if (state.exists) None
-              else Some(rs.minBy(r => (r.ingested_at.getTime, r.doc_id)).doc_id)
-            state.update(true)
-            // rows are never behind the watermark here, so this
-            // timestamp is always ahead of it
-            state.setTimeoutTimestamp(rs.map(_.ingested_at.getTime).max + horizonMs)
-            rs.iterator.map(r => BandVerdict(r.doc_id, r.text, r.ingested_at,
-              survived = winner.contains(r.doc_id)))
-          })
+      .transformWithState(new BandClaimProcessor(horizonMs),
+        eventTimeColumnName = "ingested_at",
+        outputMode = OutputMode.Append)
     verdicts.toDF()
-      // the watermark does not propagate through the stateful map:
-      // re-declare it on the verdict rows' event-time column
-      .withWatermark("ingested_at", watermarkDelay)
       .groupBy(window(col("ingested_at"), emitWindow), col("doc_id"))
       .agg(sum(when(col("survived"), 1L).otherwise(0L)).as("__kept_bands"),
         first(col("text")).as("text"))

@@ -79,7 +79,11 @@ object StreamingSessions {
             }
             ordered.foreach { e =>
               val us = EventTime.micros(e.ts)
-              val cents = math.round(e.value * 100)
+              // HALF_UP (away from zero) like the batch twin's Spark
+              // round(): math.round is half-toward-+inf, which diverges
+              // on negative half-cents (-12.5 -> -12 vs batch -13)
+              val cents = BigDecimal(e.value * 100)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
               val purchase = if (e.event_type == "purchase") 1L else 0L
               open match {
                 case Some(s) if us - s.end_us > gapMicros =>

@@ -55,6 +55,30 @@ class PipelineSpec extends SparkSpec {
       .where("item_id = 2589 AND item_name IS NOT NULL").count() > 0)
   }
 
+  test("a second concurrent writer fails loudly, never silently corrupts") {
+    // parquet dir swaps have no transaction layer (the reference had
+    // Postgres transactions) — the single-writer lock must REFUSE a
+    // second writer while one holds the warehouse (round-6 verdict 6)
+    val wh = Files.createTempDirectory("graft-wh-lock").toString
+    val p = new Pipeline(spark, wh)
+    // simulate a live writer from another process: its lock exists
+    val lock = java.nio.file.Paths.get(s"$wh/.graft_writer.lock")
+    Files.createDirectory(lock)
+    Files.writeString(lock.resolve("owner"), "pid=424242 acquired=test")
+    val e = intercept[IllegalStateException] { p.ingest(d1, Fixtures.day1Json) }
+    assert(e.getMessage.contains("another writer holds"))
+    assert(e.getMessage.contains("pid=424242"))
+    // nothing was written under the contested lock
+    assert(p.bronze.dates().isEmpty)
+    // owner released -> the writer proceeds, and the composite runDay
+    // is reentrant over its own steps (one lock, not a self-deadlock)
+    Files.delete(lock.resolve("owner"))
+    Files.delete(lock)
+    p.runDay(d1, Fixtures.day1Json, source)
+    assert(p.silver.count() === 6L)
+    assert(!Files.exists(lock), "lock must be released after the run")
+  }
+
   test("incremental gold equals full recompute on every mart") {
     val wh = Files.createTempDirectory("graft-wh-inc").toString
     val p = new Pipeline(spark, wh)

@@ -49,6 +49,24 @@ class SessionizeSpec extends SparkSpec {
     assert(seqs === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("a NULL-ts first event does not fake a session break for its successor") {
+    // NULLs sort first: with prev.isNull break detection the 0us event
+    // would misread itself as a NEW session start (round-6 advice 5) —
+    // positional first-row detection keeps the numbering contiguous.
+    val withNull = Seq(
+      (1L, 1L, None: Option[Long]),
+      (2L, 1L, Some(0L)),
+      (3L, 1L, Some(100L)),
+      (4L, 1L, Some(5000L))) // only this one opens a new session
+      .toDF("eid", "user", "us")
+      .withColumn("t", timestamp_micros(col("us"))).drop("us")
+    val seqs = Sessionize.assignSessions(withNull, "user", "t", "eid", 1000L)
+      .select(col("eid"), col("session_seq"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seqs === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L),
+      s"NULL-ts event split the numbering: $seqs")
+  }
+
   test("partitioning-invariant session numbering") {
     val a = Sessionize.assignSessions(events, "user", "t", "eid", 1000L)
       .select("eid", "session_seq").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -132,6 +132,51 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("maybeRetrain: injected drift triggers a retrain and recall recovers; healthy corpus is a no-op") {
+    // the re-encoded-corpus scenario (embedding model v2): the index
+    // was trained on the base distribution, then the corpus is
+    // replaced by vectors from FRESH directions with LOOSE jitter —
+    // loose, so each drifted cluster straddles several stale cells and
+    // a low-nprobe probe genuinely loses recall until the retrain
+    // moves the cell geometry (round-6 verdict item 7).
+    val looseMember = EmbeddingFixture.member("ivf", dim, 0.5f) _
+    val drifted = (for {
+      c <- 200 until 204; m <- 0 until 8
+    } yield (c * 100L + m, looseMember(c, m))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+
+    val base = baseCorpus
+    val oldCentroids = Similarity.kmeansCentroids(base, nlist = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-rt").toString + "/idx"
+    Similarity.writeIvfIndex(base, oldCentroids, path)
+
+    // healthy path first: the base corpus under its own centroids must
+    // NOT trigger (and must leave the index untouched)
+    val healthy = Similarity.maybeRetrain(base, oldCentroids, path,
+      maxFracLow = 0.2, nlist = 8)
+    assert(!healthy.retrained, s"healthy corpus retrained: $healthy")
+    assert(healthy.centroids eq oldCentroids)
+
+    // corpus swap: serve the drifted corpus from the stale geometry
+    Similarity.writeIvfIndex(drifted, oldCentroids, path)
+    val qId = 200L * 100
+    val qVec = looseMember(200, 0)
+    val truth = topIds(Similarity.bruteForceTopK(drifted, qId, k = 5)).toSet
+    val stale = topIds(Similarity.ivfTopKIndexed(spark, path, oldCentroids,
+      qVec, k = 5, nprobe = 2)).filterNot(_ == qId).toSet
+    assert((stale & truth).size < 4,
+      s"drift did not hurt recall — retrain test is vacuous: $stale vs $truth")
+
+    val decision = Similarity.maybeRetrain(drifted, oldCentroids, path,
+      maxFracLow = 0.2, nlist = 8)
+    assert(decision.retrained, s"drift not detected: $decision")
+    assert(decision.fracLow > 0.2)
+    val recovered = topIds(Similarity.ivfTopKIndexed(spark, path,
+      decision.centroids, qVec, k = 5, nprobe = 2)).filterNot(_ == qId).toSet
+    assert((recovered & truth).size >= 4,
+      s"recall did not recover after retrain: $recovered vs $truth")
+  }
+
   test("ivfAssignmentQuality flags a drifted batch (retrain signal)") {
     val base = baseCorpus
     val centroids = Similarity.kmeansCentroids(base, nlist = 8, iters = 2)

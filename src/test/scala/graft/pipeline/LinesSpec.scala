@@ -51,6 +51,19 @@ class LinesSpec extends SparkSpec {
     assert(out(2L)._3 === "y")
   }
 
+  test("doc ids beyond 2^31 order correctly (no packed-long overflow)") {
+    // with the old doc_id * 2^32 + pos packing, a 60-bit hash-derived
+    // id overflows the BIGINT and can order BELOW a small id — the
+    // small doc would lose its own first occurrence (round-6 advice
+    // item 3). The struct min must keep doc 5's copy, not the huge id's.
+    val huge = (1L << 60) + 7L
+    val out = run(Seq(
+      (5L, "SHARED\nmine"),
+      (huge, "SHARED\nother")))
+    assert(out(5L)._3 === "SHARED\nmine")
+    assert(out(huge)._3 === "other")
+  }
+
   test("a doc reduced to nothing yields an empty clean_text, not a lost row") {
     val out = run(Seq(
       (1L, "ONLY LINE"),

@@ -54,6 +54,22 @@ class Scd2Spec extends SparkSpec {
     assert(m === Map(0L -> "A", 1L -> "B"))
   }
 
+  test("a NULL-ts first snapshot does not fake a version break for its successor") {
+    // NULLs sort first: with lag(ts).isNull first-row detection the
+    // 10L row would see lag = NULL and open a spurious second version
+    // of the SAME attribute value (round-6 advice 5) — positional
+    // row_number detection keeps it in version 0.
+    val df = Seq(
+      (3L, 1L, None: Option[Long], "A"),
+      (3L, 2L, Some(10L), "A"),
+      (3L, 3L, Some(20L), "B")
+    ).toDF("k", "tie", "ts", "attr")
+    val m = Scd2.history(df, "k", "ts", "tie", Seq("attr"))
+      .collect().map(r => r.getLong(1) -> (r.getString(2), r.getLong(5))).toMap
+    assert(m === Map(0L -> (("A", 2L)), 1L -> (("B", 1L))),
+      s"NULL-ts snapshot split a version: $m")
+  }
+
   test("exactly one current version per key") {
     val cur = Scd2.history(snaps, "k", "ts", "tie", Seq("attr"))
       .where($"is_current").groupBy("k").count().collect()

@@ -13,19 +13,10 @@ class StreamingNearDupSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  // nearDupKeepers' claimant stage only emits current-batch rows (see
-  // its scaladoc) — the blanket static check cannot know that
-  override def beforeAll(): Unit = {
-    super.beforeAll()
-    spark.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-  }
-
-  override def afterAll(): Unit = {
-    spark.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
-    super.afterAll()
-  }
+  // No checkCorrectness set/restore here (round-6 verdict item 3): the
+  // claimant stage declares its event-time column via
+  // transformWithState, so the chained aggregation is checker-legal in
+  // a shared session.
 
   private val base =
     "the quick brown fox jumps over the lazy dog while the cat naps " +

@@ -88,6 +88,40 @@ class StreamingSessionsSpec extends SparkSpec {
     assert(got.head.value_cents === 200L) // the 09:00 event, despite arrival order
   }
 
+  test("negative half-cent values round HALF_UP like the batch round()") {
+    // -0.125 * 100 = -12.5 exactly: math.round gives -12 (half toward
+    // +inf) but Spark round() gives -13 (away from zero) — streaming
+    // must match batch (round-6 advice item 2).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      SessionEvent(1L, 1L, ts("2026-03-01 09:00:00"), "refund", -0.125),
+      SessionEvent(2L, 1L, ts("2026-03-01 09:01:00"), "view", 0.125))
+    val mem = MemoryStream[SessionEvent]
+    val q = StreamingSessions.sessions(
+      mem.toDS().withWatermark("ts", "10 minutes"), GapUs)
+      .writeStream.format("memory").queryName("sess_neg")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    mem.addData(SessionEvent(90L, 9L, ts("2026-03-02 12:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(91L, 9L, ts("2026-03-02 13:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    val streamedCents = spark.table("sess_neg").as[ClosedSession].collect()
+      .filter(_.user_id == 1L).map(_.value_cents).sum
+    q.stop()
+    val batchCents = Sessionize.sessionStats(
+      events.toDF(), "user_id", "ts", "event_id", GapUs,
+      aggs = Seq(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents")))
+      .collect().map(_.getLong(6)).sum
+    assert(streamedCents === batchCents)
+    assert(streamedCents === 0L) // -13 + 13: both halves rounded away from zero
+  }
+
   test("timeout-closed session does not reset numbering: returning user continues the sequence") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
