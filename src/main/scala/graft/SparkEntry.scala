@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{EventQueries, MartQueries, PipelineQueries, RelationalQueries, SilverQueries}
+import graft.queries.{EventQueries, MartQueries, PipelineQueries, RelationalQueries, SilverQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
 
   private def allDefs =
     RelationalQueries.defs ++ MartQueries.defs ++ PipelineQueries.defs ++
-      SilverQueries.defs ++ EventQueries.defs
+      SilverQueries.defs ++ EventQueries.defs ++ StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * G1 daily market summary — the reference's headline mart.

@@ -74,7 +74,7 @@ object EventQueries {
     * (p33) and the range-join gate (p39, which joins INTO these
     * sessions) can never drift apart.
     */
-  private val sessionCtes =
+  private[queries] val sessionCtes =
     s"""e AS (SELECT event_id, user_id,
        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
        |             event_type, value
@@ -163,14 +163,11 @@ object EventQueries {
   /** view -> click -> purchase conversion funnel, 1-day window
     * anchored at the first view, strict step ordering.
     */
-  private def funnel: QueryDef = QueryDef(
-    "p37_funnel",
-    (s, dir) => Funnel.analyze(
-      Tables.events(s, dir),
-      keyCol = "user_id", tsCol = "ts", typeCol = "event_type",
-      steps = Seq("view", "click", "purchase"),
-      windowMicros = Some(86400000000L)),
-    Some("""WITH e AS (SELECT user_id AS k,
+  /** Shared by the batch gate (p37) and the streaming-parity gate
+    * (st02) — one SQL so the two can never drift apart.
+    */
+  private[queries] val funnelSql =
+    """WITH e AS (SELECT user_id AS k,
             |                 epoch_us(CAST(ts AS TIMESTAMP)) AS t,
             |                 event_type AS et
             |          FROM events),
@@ -191,7 +188,16 @@ object EventQueries {
             |                 ELSE 1 END AS BIGINT) AS furthest_step,
             |       t3 IS NOT NULL AS converted
             |FROM s1 LEFT JOIN s2 ON s2.k = s1.k
-            |        LEFT JOIN s3 ON s3.k = s1.k""".stripMargin))
+            |        LEFT JOIN s3 ON s3.k = s1.k""".stripMargin
+
+  private def funnel: QueryDef = QueryDef(
+    "p37_funnel",
+    (s, dir) => Funnel.analyze(
+      Tables.events(s, dir),
+      keyCol = "user_id", tsCol = "ts", typeCol = "event_type",
+      steps = Seq("view", "click", "purchase"),
+      windowMicros = Some(86400000000L)),
+    Some(funnelSql))
 
   /** Bloom pre-shuffle semi-filter: orders surviving a 512-bit bloom
     * over nation-5 customers, with exact membership alongside — the

@@ -1,0 +1,199 @@
+package graft.queries
+
+import java.nio.file.{Files, Path}
+import java.util.{Comparator, UUID}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.streaming.{StreamingFunnel, StreamingSessions}
+
+/** Driver-visible batch-parity gates for the streaming operators
+  * (round-6 verdict item 8): replay the `events` table through the
+  * Structured Streaming twins and hash-compare against the SAME DuckDB
+  * oracle SQL as the batch gates (p33 / p37). Until now the seven
+  * streaming operators were spec-gated only; these two put the
+  * stateful core (flatMapGroupsWithState sessionization + funnel) under
+  * the driver's rows/schema/hash check too.
+  *
+  * Replay harness shape — file source, not MemoryStream: the fixture is
+  * STAGED to a scratch parquet dir and read back with `readStream`, so
+  * no driver-side collect of the corpus ever happens (the only probe is
+  * the 1-row max-timestamp lookup that positions the flush sentinel).
+  * That is exactly how a production replay/backfill of the streaming
+  * pipeline runs: point the stream at the historical directory and let
+  * the source meter it out.
+  *
+  * Closing open state deterministically (a bounded replay ends, a real
+  * stream doesn't):
+  *  - sessions: one flush event per user, `max(ts) + gap + 1h`, closes
+  *    every open session IN the fold (gap exceeded) — no reliance on
+  *    timer firing order. The flush event's own never-closed session is
+  *    excluded by its sentinel start time.
+  *  - funnel: funnel attempts close by EVENT-TIME TIMEOUT, so the
+  *    harness appends two watermark-advancing sentinel files and drains
+  *    between each (timers set in batch N fire in batch N+1 once the
+  *    watermark passed them — same two-step the StreamingFunnelSpec
+  *    proves). Sentinel key -1 never matches a step, so it adds no
+  *    state.
+  *
+  * Determinism: within a micro-batch both twins fold in (ts, event_id)
+  * order (their documented parity contract), the flush sentinels sit
+  * strictly after every real timestamp, and output values are integer
+  * cents/micros — so the hash gate is exact, not approximate.
+  */
+object StreamingQueries {
+
+  private val ThirtyMinUs = 30L * 60 * 1000000
+  private val OneDayUs = 86400000000L
+  private val OneHourUs = 3600000000L
+
+  /** Scratch dir for staged replay input + checkpoint; deleted once the
+    * query has terminated (the memory sink owns the rows by then).
+    */
+  private def scratch(tag: String): Path =
+    Files.createTempDirectory(s"graft-$tag-")
+
+  private def deleteRecursively(p: Path): Unit =
+    try {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+    } catch { case _: Throwable => () } // best-effort scratch cleanup
+
+  /** events projected to the streaming twins' input shape. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id").cast("long"),
+      col("user_id").cast("long"),
+      col("ts"),
+      col("event_type").cast("string"),
+      col("value").cast("double"))
+
+  /** 1-row probe: the corpus' max event time in micros (bounded by
+    * contract — this is the only driver-side data access).
+    */
+  private def maxTsUs(ev: DataFrame): Option[Long] = {
+    val row = ev.agg(max(unix_micros(col("ts")))).head()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
+  /** st01: the events table replayed through
+    * [[graft.streaming.StreamingSessions]] must equal batch
+    * sessionization — same oracle as p33.
+    */
+  private def streamingSessions: QueryDef = QueryDef(
+    "st01_streaming_sessions",
+    (s, dir) => {
+      import s.implicits._
+      val ev = eventStream(s, dir)
+      val schema = ev.schema
+      maxTsUs(ev) match {
+        case None => // empty corpus -> empty result, correct schema
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.Encoders.product[StreamingSessions.ClosedSession].schema)
+        case Some(maxUs) =>
+          val flushUs = maxUs + ThirtyMinUs + OneHourUs
+          val flush = ev.select(col("user_id")).distinct().select(
+            lit(-1L).as("event_id"), col("user_id"),
+            timestamp_micros(lit(flushUs)).as("ts"),
+            lit("flush").as("event_type"), lit(0.0).as("value"))
+          val dirP = scratch("st01")
+          val stage = dirP.resolve("input").toString
+          val ckpt = dirP.resolve("ckpt").toString
+          ev.unionByName(flush).write.parquet(stage)
+
+          val qname = "st01_" + UUID.randomUUID().toString.replace("-", "")
+          val q = StreamingSessions.sessions(
+            s.readStream.schema(schema).parquet(stage)
+              .as[StreamingSessions.SessionEvent]
+              .withWatermark("ts", "0 seconds"),
+            ThirtyMinUs)
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+          // the flush event's own session never closes (nothing after
+          // it), so it is absent from the sink; the start_us bound is a
+          // defensive invariant, not a filter doing semantic work
+          s.table(qname).where(col("start_us") < flushUs)
+      }
+    },
+    Some(s"""WITH ${EventQueries.sessionCtes}
+            |SELECT * FROM sess""".stripMargin))
+
+  /** st02: the events table replayed through
+    * [[graft.streaming.StreamingFunnel]] (oncePerKey — strict batch
+    * parity mode) must equal batch [[graft.operators.Funnel.analyze]] —
+    * same oracle as p37.
+    */
+  private def streamingFunnel: QueryDef = QueryDef(
+    "st02_streaming_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val ev = eventStream(s, dir)
+        .select(col("event_id"), col("user_id").as("key"), col("ts"),
+          col("event_type"))
+      val schema = ev.schema
+      maxTsUs(ev) match {
+        case None =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("user_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("t1_us",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("t2_us",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("t3_us",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("furthest_step",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("converted",
+                org.apache.spark.sql.types.BooleanType))))
+        case Some(maxUs) =>
+          val dirP = scratch("st02")
+          val stage = dirP.resolve("input").toString
+          val ckpt = dirP.resolve("ckpt").toString
+          ev.write.parquet(stage)
+
+          def sentinel(tsUs: Long): DataFrame =
+            s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("key"),
+              timestamp_micros(lit(tsUs)).as("ts"),
+              lit("flush").as("event_type"))
+
+          val qname = "st02_" + UUID.randomUUID().toString.replace("-", "")
+          val q = StreamingFunnel.analyze(
+            s.readStream.schema(schema).parquet(stage)
+              .as[StreamingFunnel.FunnelEvent]
+              .withWatermark("ts", "0 seconds"),
+            steps = Seq("view", "click", "purchase"),
+            windowMicros = OneDayUs,
+            oncePerKey = true)
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(Trigger.ProcessingTime(50)).start()
+          try {
+            q.processAllAvailable()
+            // watermark two-step: sentinel 1 advances the watermark past
+            // every attempt's t1 + window; sentinel 2 triggers the batch
+            // in which those timers actually fire
+            sentinel(maxUs + OneDayUs + OneHourUs).write.mode("append").parquet(stage)
+            q.processAllAvailable()
+            sentinel(maxUs + OneDayUs + 2 * OneHourUs).write.mode("append").parquet(stage)
+            q.processAllAvailable()
+          } finally { q.stop(); deleteRecursively(dirP) }
+          s.table(qname).where(col("key") =!= -1L).select(
+            col("key").as("user_id"),
+            element_at(col("step_times_us"), 1).as("t1_us"),
+            element_at(col("step_times_us"), 2).as("t2_us"),
+            element_at(col("step_times_us"), 3).as("t3_us"),
+            col("furthest_step"),
+            col("converted"))
+      }
+    },
+    Some(EventQueries.funnelSql))
+
+  def defs: Seq[QueryDef] = Seq(streamingSessions, streamingFunnel)
+}
