@@ -48,12 +48,32 @@ object Skew {
     * spreads less evenly — pass `saltBy` with a finer deterministic
     * source if that's the shape.)
     */
+  /** The `spread` flag and the subset-satisfies pitfall: Spark inserts
+    * the phase-1 exchange only when the child's partitioning does NOT
+    * already satisfy `ClusteredDistribution(keys :+ salt)` — and
+    * `HashPartitioning(keys)` DOES satisfy it (partitioning expressions
+    * are a subset of the clustering, so equal (keys, salt) tuples are
+    * trivially co-located). Consequence: on an input that is already
+    * hash-partitioned by `keys` — the post-join / post-repartition
+    * shape, which is exactly where a hot key is physically concentrated
+    * — the default plan adds NO exchange and the salt never spreads
+    * anything. `spread = true` forces an explicit raw-row
+    * `repartition(keys :+ salt)` so the hot key's rows physically move
+    * to `saltBuckets` tasks before any per-row work in the aggregate.
+    * Leave it false for raw scans: there the phase-1 exchange happens
+    * anyway and runs AFTER map-side partial aggregation (shuffles tiny
+    * partials, not rows), which the explicit repartition would forfeit.
+    */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       aggs: Map[String, (Column, String)],
-      saltBy: Seq[Column] = Nil): DataFrame = {
+      saltBy: Seq[Column] = Nil,
+      spread: Boolean = false): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
     val saltSrc = if (saltBy.nonEmpty) saltBy else df.columns.toSeq.map(col)
-    val salted = df.withColumn("__salt", salt(saltBuckets, saltSrc: _*))
+    val saltedRaw = df.withColumn("__salt", salt(saltBuckets, saltSrc: _*))
+    val salted =
+      if (spread) saltedRaw.repartition((keys :+ "__salt").map(col): _*)
+      else saltedRaw
     // avg is algebraic only as a (sum, count) PAIR of partials — it
     // expands to two phase-1 columns and a final divide (null-skipping
     // matches Spark's avg: sum skips nulls, count(c) counts non-null,
