@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Clusters, Contamination, Dedup, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Sampling, Similarity, Spans, TextAnalysis}
+import graft.pipeline.{Bpe, Chunking, Clusters, Contamination, Dedup, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Sampling, Similarity, Spans, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -565,6 +565,27 @@ object PipelineQueries {
               |       CAST(tb // 512 AS BIGINT) AS chunk_id,
               |       CAST(tb % 512 AS BIGINT) AS chunk_offset
               |FROM w""".stripMargin)),
+
+    // Context-window chunking: fixed-size token windows with overlap
+    // (chunk 32, overlap 8 => step 24; fixture docs span 1..~400
+    // tokens so short last chunks AND multi-chunk docs are both
+    // exercised). Narrow, shuffle-free plan — the oracle recomputes
+    // the start offsets and 1-based inclusive list slices verbatim
+    // on p16's tokenizer.
+    QueryDef("p43_context_chunks",
+      (s, dir) => Chunking.tokenChunks(
+        Tables.documents(s, dir), chunkTokens = 32, overlap = 8),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id,
+              |         list_filter(string_split_regex(trim(text), '\\s+'),
+              |                     t -> t <> '') AS w
+              |  FROM documents),
+              |nz AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0)
+              |SELECT doc_id,
+              |       CAST(s // 24 AS BIGINT) AS chunk_id,
+              |       array_to_string(w[s + 1 : least(s + 32, n)], ' ') AS chunk_text,
+              |       CAST(least(32, n - s) AS BIGINT) AS n_tokens
+              |FROM (SELECT doc_id, w, n, unnest(range(0, n, 24)) AS s FROM nz)""".stripMargin)),
 
     // Gopher-style within-doc repetition signals. The fixture text is
     // single-line, so the gate splits "lines" on the frequent token
