@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Derive a larger scale factor from the biggest driver-provided one,
+  * deterministically, for the BASELINE.md sf1-vs-sf0.1 scaling
+  * evidence (VERDICT r6 item 4). The driver generates sf0.001/0.01/0.1
+  * only; this produces an "sf1-shaped" corpus = `factor` independent
+  * sf0.1-like corpora side by side:
+  *
+  *  - documents x factor: copy k keeps copy 0's text verbatim for k=0
+  *    and suffixes EVERY token with `_c{k}` for k>0. Within a copy the
+  *    shingle/near-dup structure is preserved exactly (a bijective
+  *    token remap); across copies shingle overlap is zero. So true
+  *    pair/cluster volume scales exactly linearly — the honest shape
+  *    for judging the banded/capped algorithms, with none of the
+  *    artificial C(factor,2) cross-copy dup blowup naive replication
+  *    would plant.
+  *  - embeddings x factor: copy k flips the sign of dimension d iff
+  *    hash(k, d) is odd. A per-copy diagonal +-1 isometry preserves
+  *    every within-copy norm, dot product and cosine EXACTLY, while
+  *    cross-copy cosines become sign-scrambled (near-zero in
+  *    expectation) — again linear growth of the true near-dup set.
+  *  - all other tables are copied through unchanged (the heavy family
+  *    this scale point exists for only reads documents/embeddings).
+  *
+  * Ids: doc_id' = doc_id * factor + k (dense, distinct, order-mixing).
+  *
+  * Run: sbt "runMain graft.ScaleData"
+  *   env: SPARK_GRAFT_SRC (default /root/testdata/sf0.1),
+  *        SPARK_GRAFT_DST (default /tmp/graft-sf1),
+  *        SPARK_GRAFT_SCALE (default 10)
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_DST", "/tmp/graft-sf1")
+    val factor = sys.env.get("SPARK_GRAFT_SCALE")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 1)
+      .getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Engine.configure(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    new java.io.File(dst).mkdirs()
+    val copy = explode(sequence(lit(0), lit(factor - 1))).as("__k")
+
+    Tables.documents(spark, src)
+      .select(col("*"), copy)
+      .select(
+        ($"doc_id" * factor + $"__k").as("doc_id"),
+        // k=0 verbatim; k>0 bijective token remap (zero cross-copy
+        // shingle overlap, within-copy structure untouched)
+        when($"__k" === 0, $"text")
+          .otherwise(regexp_replace($"text", lit("(\\S+)"),
+            concat(lit("$1_c"), $"__k".cast("string")))).as("text"),
+        $"lang", $"source")
+      .withColumn("n_chars", length($"text"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    Tables.embeddings(spark, src)
+      .select(col("*"), copy)
+      .select(
+        ($"vec_id" * factor + $"__k").as("vec_id"),
+        transform($"embedding",
+          (v, d) => when(pmod(hash($"__k", d), lit(2)) === 0, v).otherwise(-v))
+          .as("embedding"),
+        $"label")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    // pass-through tables so any query surface resolves at the new dir
+    val pass = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events")
+    pass.foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"),
+        java.nio.file.Paths.get(s"$dst/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"""{"scaled":"$dst","factor":$factor,"docs":${
+      spark.read.parquet(s"$dst/documents.parquet").count()},"vecs":${
+      spark.read.parquet(s"$dst/embeddings.parquet").count()}}""")
+    spark.stop()
+  }
+}
