@@ -96,4 +96,30 @@ object Medians {
       .groupBy(keyCols: _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Keep rows whose value is at or above the exact (num/den)
+    * quantile of the (group's) non-null values — the quality-gate
+    * shape: "train only on the top quartile by score". The threshold
+    * is [[exactQuantilesByCounts]]'s discrete quantile (a value that
+    * OCCURS, never an interpolated double), broadcast back and
+    * compared — two scans of the input, no row-level shuffle of the
+    * corpus in either (the quantile pass shuffles the (value, count)
+    * grid only). Rows with a null value are dropped (they can't
+    * compare); a group whose values are all null disappears.
+    *
+    * Scale note: with `keys = Nil` the quantile pass ranks the GLOBAL
+    * distinct-value grid in one sort partition. Scores on a bounded
+    * grid (ratios, grades) are fine at any corpus size; for
+    * near-unique doubles quantize first (`round(v, 6)` changes the
+    * threshold by <= 1e-6 and bounds the grid at den*10^6 rows).
+    */
+  def filterAtOrAboveQuantile(df: DataFrame, valueCol: String,
+      num: Int, den: Int, keys: Seq[String] = Nil): DataFrame = {
+    val q = exactQuantilesByCounts(df, keys, valueCol,
+      Seq(("__q", num, den)))
+    val joined =
+      if (keys.isEmpty) df.crossJoin(broadcast(q.select(col("__q"))))
+      else df.join(broadcast(q.select((keys.map(col) :+ col("__q")): _*)), keys)
+    joined.where(col(valueCol) >= col("__q")).drop("__q")
+  }
 }

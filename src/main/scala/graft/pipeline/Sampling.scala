@@ -78,6 +78,49 @@ object Sampling {
     df.where(uniform(col(keyCol), salt) < threshold)
   }
 
+  /** Temperature-based corpus mixing (the multilingual-pretraining
+    * rebalance: sample stratum i with probability ∝ p_i^alpha, p_i its
+    * corpus share). Realized as downsample-only per-stratum keep
+    * fractions f_i = (cnt_min / cnt_i)^(1 - alpha): the SMALLEST
+    * stratum keeps everything, bigger strata are cut toward it —
+    * alpha = 1 keeps the natural mix (f ≡ 1), alpha = 0 equalizes
+    * (every stratum's expected kept count = cnt_min), alpha in
+    * between flattens the head without starving the tail. Keep is
+    * the [[uniform]] variate test, so the kept set is deterministic
+    * across runs/partitionings/engines and NESTED in alpha (a row
+    * kept at alpha is kept at every alpha' > alpha — u < f is
+    * monotone in f).
+    *
+    * Cross-engine exactness: alpha = 0.5 routes through sqrt and
+    * alpha ∈ {0, 1} through exact arithmetic — all correctly-rounded
+    * single IEEE ops, so thresholds compare identically in any
+    * engine (the p44 oracle re-derives them in SQL). Other alphas go
+    * through `pow`, which is NOT guaranteed correctly rounded across
+    * libm implementations — fine within Spark (one binary evaluates
+    * both sides), flagged for cross-engine persistence.
+    *
+    * Scale shape: one count aggregate over the stratum column (tiny
+    * output, broadcast back) + one narrow filter scan — no row-level
+    * shuffle of the corpus at any size.
+    */
+  def temperatureMix(df: DataFrame, stratumCol: String, alpha: Double,
+      keyCol: String, salt: String = ""): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha outside [0,1]")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cnt"))
+    val mn = counts.agg(min(col("__cnt")).as("__mn"))
+    val ratio = col("__mn").cast("double") / col("__cnt")
+    val keepF =
+      if (alpha == 1.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 0.0) ratio
+      else pow(ratio, 1.0 - alpha)
+    df.join(broadcast(counts.crossJoin(mn)
+        .select(col(stratumCol), keepF.as("__keep_f"))),
+        Seq(stratumCol))
+      .where(uniform(col(keyCol), salt) < col("__keep_f"))
+      .drop("__keep_f")
+  }
+
   /** Disjoint, covering train/test split: test = u < testFraction,
     * train = the exact complement. Stable across runs and
     * re-partitionings — a document can never migrate between splits.

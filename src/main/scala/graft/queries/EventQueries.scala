@@ -21,6 +21,38 @@ object EventQueries {
   private val TwoHoursUs = 2L * 3600 * 1000000
   private val ThirtyMinUs = 30L * 60 * 1000000
 
+  /** The purchase→view as-of attribution oracle, single-sourced so the
+    * batch gate (p32, 2 h tolerance) and the streaming-parity gate
+    * (st03, no tolerance — [[graft.streaming.StreamingAsof]] binds to
+    * the latest state with no window) can never drift apart. Join+rank
+    * formulation — structurally different from BOTH engine plans
+    * (union+carry-forward batch, ring-state fold streaming).
+    */
+  private[queries] def asofSql(toleranceUs: Option[Long]): String = {
+    val tolClause =
+      toleranceUs.map(t => s"\n       AND p.ts_us - v.ts_us <= $t").getOrElse("")
+    s"""WITH p AS (SELECT event_id, user_id,
+       |                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+       |          FROM events WHERE event_type = 'purchase'),
+       |v AS (SELECT event_id, user_id,
+       |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+       |      FROM events WHERE event_type = 'view'),
+       |j AS (SELECT p.event_id, p.user_id, p.ts_us,
+       |             v.event_id AS view_event_id,
+       |             v.ts_us AS view_ts_us, v.value AS view_value,
+       |             row_number() OVER (
+       |               PARTITION BY p.event_id
+       |               ORDER BY v.ts_us DESC NULLS LAST,
+       |                        v.event_id DESC NULLS LAST) AS rn
+       |      FROM p LEFT JOIN v
+       |        ON v.user_id = p.user_id AND v.ts_us <= p.ts_us$tolClause)
+       |SELECT event_id, user_id, ts_us, view_event_id, view_ts_us,
+       |       ts_us - view_ts_us AS gap_us,
+       |       CAST(round(view_value * 100, 0) AS BIGINT)
+       |         AS view_value_cents
+       |FROM j WHERE rn = 1""".stripMargin
+  }
+
   /** Purchase attribution: each purchase joined as-of to the user's
     * most recent view within 2 h (exact-time views count; same-time
     * view ties resolved by greatest event_id).
@@ -46,27 +78,7 @@ object EventQueries {
           (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"),
           round(col("view_value") * 100).cast("long").as("view_value_cents"))
     },
-    Some(s"""WITH p AS (SELECT event_id, user_id,
-            |                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-            |          FROM events WHERE event_type = 'purchase'),
-            |v AS (SELECT event_id, user_id,
-            |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
-            |      FROM events WHERE event_type = 'view'),
-            |j AS (SELECT p.event_id, p.user_id, p.ts_us,
-            |             v.event_id AS view_event_id,
-            |             v.ts_us AS view_ts_us, v.value AS view_value,
-            |             row_number() OVER (
-            |               PARTITION BY p.event_id
-            |               ORDER BY v.ts_us DESC NULLS LAST,
-            |                        v.event_id DESC NULLS LAST) AS rn
-            |      FROM p LEFT JOIN v
-            |        ON v.user_id = p.user_id AND v.ts_us <= p.ts_us
-            |       AND p.ts_us - v.ts_us <= $TwoHoursUs)
-            |SELECT event_id, user_id, ts_us, view_event_id, view_ts_us,
-            |       ts_us - view_ts_us AS gap_us,
-            |       CAST(round(view_value * 100, 0) AS BIGINT)
-            |         AS view_value_cents
-            |FROM j WHERE rn = 1""".stripMargin))
+    Some(asofSql(Some(TwoHoursUs))))
 
   /** The 30-min-gap session recurrence as a shared CTE chain ending
     * in `sess(user_id, session_seq, start_us, end_us, n_events,

@@ -1104,6 +1104,55 @@ object PipelineQueries {
              |             WHEN lang = 'zh' THEN 1.0
              |             ELSE 0.2 END""".stripMargin)),
 
+    // Temperature-based corpus mixing (multilingual-pretraining
+    // rebalance): per-language keep fractions DERIVED from corpus
+    // shares, f_lang = sqrt(cnt_min / cnt_lang) at alpha = 0.5 —
+    // unlike p18 where the mix is given. sqrt + division are
+    // correctly-rounded IEEE ops, so the derived thresholds (and the
+    // md5 variates) compare identically in both engines: a full hash
+    // gate on DERIVED fractions.
+    QueryDef("p44_temperature_mix",
+      (s, dir) => Sampling.temperatureMix(
+        Tables.documents(s, dir), stratumCol = "lang", alpha = 0.5,
+        keyCol = "doc_id", salt = "temp")
+        .select("doc_id", "lang"),
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+             |           FROM documents GROUP BY lang),
+             |m AS (SELECT min(cnt) AS mn FROM c),
+             |f AS (SELECT lang, sqrt(CAST(mn AS DOUBLE) / cnt) AS keep_f
+             |      FROM c CROSS JOIN m),
+             |u AS (SELECT doc_id, lang,
+             |        ('0x' || substr(md5(
+             |           CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |           || ':' || CAST(doc_id AS VARCHAR) || '/temp'), 1, 8))::BIGINT
+             |         / 4294967296.0 AS u
+             |      FROM documents)
+             |SELECT u.doc_id, u.lang
+             |FROM u JOIN f USING (lang) WHERE u.u < f.keep_f""".stripMargin)),
+
+    // Quality-percentile gate: keep documents at or above the exact
+    // corpus-wide P75 quality score — the "train on the top quartile"
+    // filter. The threshold is the DISCRETE exact quantile (a score
+    // that occurs, integer rank arithmetic — g09's engine), so the
+    // kept set is engine-exact, not approximate.
+    QueryDef("p45_quality_percentile_filter",
+      (s, dir) => graft.operators.Medians.filterAtOrAboveQuantile(
+        TextAnalysis.qualityFeatures(Tables.documents(s, dir))
+          .select(col("doc_id"), col("quality_score")),
+        valueCol = "quality_score", num = 3, den = 4),
+      Some(s"""WITH f AS (SELECT doc_id, $qualityColsSql FROM documents),
+              |q AS (SELECT doc_id, $qualityScoreSql AS quality_score FROM f),
+              |pg AS (SELECT quality_score AS v, CAST(count(*) AS BIGINT) AS c
+              |       FROM q WHERE quality_score IS NOT NULL GROUP BY 1),
+              |r AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
+              |             sum(c) OVER () AS n
+              |      FROM pg),
+              |t AS (SELECT max(CASE WHEN cum - c <= ((n-1) * 3) // 4
+              |                       AND cum - 1 >= ((n-1) * 3) // 4
+              |                      THEN v END) AS thr FROM r)
+              |SELECT q.doc_id, q.quality_score
+              |FROM q, t WHERE q.quality_score >= t.thr""".stripMargin)),
+
     // Fixed-size deterministic reservoir: EXACTLY k rows per stratum
     // (the k smallest md5 variates; fraction sampling can't build
     // fixed-size eval sets). Oracle re-ranks the same variates in SQL.

@@ -8,15 +8,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.Tables
-import graft.streaming.{StreamingFunnel, StreamingSessions}
+import graft.streaming.{StreamingAsof, StreamingFunnel, StreamingSessions}
 
 /** Driver-visible batch-parity gates for the streaming operators
   * (round-6 verdict item 8): replay the `events` table through the
   * Structured Streaming twins and hash-compare against the SAME DuckDB
-  * oracle SQL as the batch gates (p33 / p37). Until now the seven
-  * streaming operators were spec-gated only; these two put the
-  * stateful core (flatMapGroupsWithState sessionization + funnel) under
-  * the driver's rows/schema/hash check too.
+  * oracle SQL as the batch gates (p33 / p37 / p32-no-tolerance). Until
+  * round 7 the seven streaming operators were spec-gated only; these
+  * put the stateful core (flatMapGroupsWithState sessionization,
+  * funnel, and the as-of ring-state enrichment) under the driver's
+  * rows/schema/hash check too.
   *
   * Replay harness shape — file source, not MemoryStream: the fixture is
   * STAGED to a scratch parquet dir and read back with `readStream`, so
@@ -195,5 +196,75 @@ object StreamingQueries {
     },
     Some(EventQueries.funnelSql))
 
-  def defs: Seq[QueryDef] = Seq(streamingSessions, streamingFunnel)
+  /** st03: purchases enriched with the latest view at-or-before their
+    * time via [[graft.streaming.StreamingAsof]] (ring-state fold) must
+    * equal the batch as-of attribution — same join+rank oracle as p32,
+    * with no tolerance window (the streaming twin's semantics).
+    *
+    * Replay shape: both sides staged as ONE interleaved AsofInput
+    * parquet (views `is_state = true`, purchases probes) and drained in
+    * a single AvailableNow pass — in-order parity is the operator's
+    * documented contract and a bounded replay delivers it. No flush
+    * sentinel needed: enrichments emit in the batch that folds them
+    * (append output, no timers).
+    */
+  private def streamingAsof: QueryDef = QueryDef(
+    "st03_streaming_asof",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val inputs = ev
+        .where(col("event_type").isin("view", "purchase"))
+        .select(
+          col("event_id").cast("long").as("id"),
+          col("user_id").cast("long").as("key"),
+          col("ts"),
+          (col("event_type") === "view").as("is_state"),
+          coalesce(col("value").cast("double"), lit(0.0)).as("value"))
+      val schema = inputs.schema
+      if (inputs.isEmpty) {
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts_us",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("view_event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("view_ts_us",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("gap_us",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("view_value_cents",
+              org.apache.spark.sql.types.LongType))))
+      } else {
+        val dirP = scratch("st03")
+        val stage = dirP.resolve("input").toString
+        val ckpt = dirP.resolve("ckpt").toString
+        inputs.write.parquet(stage)
+
+        val qname = "st03_" + UUID.randomUUID().toString.replace("-", "")
+        val q = StreamingAsof.enrich(
+          s.readStream.schema(schema).parquet(stage)
+            .as[StreamingAsof.AsofInput]
+            .withWatermark("ts", "0 seconds"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+        s.table(qname).select(
+          col("id").as("event_id"),
+          col("key").as("user_id"),
+          col("ts_us"),
+          col("state_id").as("view_event_id"),
+          col("state_ts_us").as("view_ts_us"),
+          (col("ts_us") - col("state_ts_us")).as("gap_us"),
+          round(col("state_value") * 100).cast("long").as("view_value_cents"))
+      }
+    },
+    Some(EventQueries.asofSql(None)))
+
+  def defs: Seq[QueryDef] = Seq(streamingSessions, streamingFunnel, streamingAsof)
 }

@@ -78,4 +78,30 @@ class MediansSpec extends SparkSpec {
       df, Seq("k"), "v").collect().head.getDouble(1)
     assert(q.toDouble === m)
   }
+
+  test("filterAtOrAboveQuantile: global P75 vs brute force, ties at the threshold kept, nulls dropped") {
+    import spark.implicits._
+    // 0..99 plus five extra copies of 75 (ties AT the P75 boundary)
+    // and nulls that must not count toward ranks
+    val vals = (0L to 99L) ++ Seq.fill(5)(75L)
+    val df = (vals.map(Option(_)) ++ Seq.fill(7)(Option.empty[Long]))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val kept = graft.operators.Medians.filterAtOrAboveQuantile(df, "v", 3, 4)
+      .collect().map(_.getLong(1))
+    // brute: sorted non-nulls, 0-based rank floor((105-1)*3/4) = 78 -> value 74
+    val sorted = vals.sorted
+    val thr = sorted(((sorted.size - 1) * 3) / 4)
+    assert(kept.min === thr)
+    assert(kept.length === sorted.count(_ >= thr))
+    assert(kept.count(_ == 75L) === 6) // all boundary ties survive
+
+    // per-group: each group filters by its OWN quantile
+    val g = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 20L))
+      .toDF("k", "v")
+    val byKey = graft.operators.Medians.filterAtOrAboveQuantile(
+      g, "v", 1, 2, keys = Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // a: n=3 rank 1 -> 2; b: n=2 rank 0 -> 10
+    assert(byKey === Set(("a", 2L), ("a", 3L), ("b", 10L), ("b", 20L)))
+  }
 }

@@ -85,4 +85,48 @@ class SamplingSpec extends SparkSpec {
     assert(c.count(_._2 == "big") === 25)
     assert(c !== a)
   }
+
+  // skewed mix: en 1000, de 600, fr 400
+  private def skewedCorpus = (0L until 2000L).map(i =>
+    (i, if (i % 2 == 0) "en" else if (i % 5 < 3) "de" else "fr"))
+    .toDF("doc_id", "lang")
+
+  test("temperatureMix: alpha=1 identity, alpha=0 equalizes to the smallest stratum, alpha=0.5 in between") {
+    val df = skewedCorpus
+    val natural = df.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(natural === Map("en" -> 1000L, "de" -> 600L, "fr" -> 400L))
+
+    // alpha = 1: f == 1 everywhere, nothing dropped
+    val a1 = Sampling.temperatureMix(df, "lang", alpha = 1.0, keyCol = "doc_id")
+    assert(a1.count() === 2000L)
+
+    // alpha = 0: every stratum's EXPECTED kept count = cnt_min = 400
+    val a0 = Sampling.temperatureMix(df, "lang", alpha = 0.0, keyCol = "doc_id")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a0("fr") === 400L) // f = 1: smallest stratum kept whole
+    assert(math.abs(a0("en") - 400.0) < 80, s"en kept ${a0("en")}")
+    assert(math.abs(a0("de") - 400.0) < 80, s"de kept ${a0("de")}")
+
+    // alpha = 0.5: expected kept = sqrt(400 * cnt) — between the two
+    val a5 = Sampling.temperatureMix(df, "lang", alpha = 0.5, keyCol = "doc_id")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a5("fr") === 400L)
+    assert(math.abs(a5("en") - math.sqrt(400.0 * 1000)) < 90, s"en kept ${a5("en")}")
+    assert(a5("en") > a0("en") && a5("en") < 1000L)
+  }
+
+  test("temperatureMix: kept sets are NESTED in alpha and deterministic across partitionings") {
+    val df = skewedCorpus
+    def keptAt(alpha: Double, d: org.apache.spark.sql.DataFrame) =
+      Sampling.temperatureMix(d, "lang", alpha, keyCol = "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k0 = keptAt(0.0, df); val k5 = keptAt(0.5, df); val k1 = keptAt(1.0, df)
+    assert(k0.subsetOf(k5) && k5.subsetOf(k1)) // u < f monotone in f
+    assert(keptAt(0.5, df.repartition(13)) === k5)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(df, "lang", alpha = 1.5, keyCol = "doc_id"))
+  }
 }
