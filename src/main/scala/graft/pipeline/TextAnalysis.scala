@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: only rational arithmetic on integer counts (no
   * transcendental functions whose libm rounding could differ across
-  * engines), so results are oracle-comparable bit-for-bit.
+  * engines), so results are oracle-comparable bit-for-bit. The one
+  * documented exception is [[unigramLogProb]] (`ln` is the definition
+  * of the score) — see its determinism note.
   */
 object TextAnalysis {
 
@@ -148,6 +150,50 @@ object TextAnalysis {
     hashed.select(col("doc_id"),
       explode(when(size(hs) >= 1, mins).otherwise(array())).as("fp"))
       .distinct()
+  }
+
+  /** Per-document average unigram log-probability — the classic
+    * KenLM-style "LM perplexity" quality proxy with the corpus itself
+    * as the unigram model: `avg_logprob = Σ tf·ln(cnt/N) / Σ tf` where
+    * `cnt` is the word's corpus count and `N` the corpus token count.
+    * Natural-language docs score high (common words), gibberish and
+    * boilerplate-with-rare-symbols score low; downstream a quantile
+    * gate ([[graft.operators.Medians.filterAtOrAboveQuantile]])
+    * turns it into a filter. No smoothing is needed: the model is
+    * trained on the scored corpus, so every token has cnt ≥ 1. (To
+    * score a corpus against a FOREIGN vocab, left-join and decide the
+    * OOV penalty explicitly — deliberately not defaulted here.)
+    *
+    * Plan shape (the corpus text is read once and never shuffled):
+    * per-doc tf aggregation (map-side combinable, (doc, word) grain) →
+    * vocab counts from the tf grain (word grain, tiny) → tf⋈vocab on
+    * word → per-doc weighted average. Three exchanges, every one over
+    * the distinct-pair grain which is ≤ tokens and usually ≪ (Zipf);
+    * the 1-row total is a broadcast literal.
+    *
+    * Determinism note: `ln` is libm-rounded (≤ 1 ulp, no cross-engine
+    * contract) and the per-doc Σ is float-order-dependent — both
+    * effects are ~1e-12 relative, far inside the oracle's 6-dp
+    * rounding, but unlike this module's integer-ratio operators the
+    * raw doubles are NOT bit-stable across engines. Persist rounded
+    * (or compare rounded) when hashing across engines.
+    */
+  def unigramLogProb(df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n"))
+    tf.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        (sum(col("tf") * log(col("cnt").cast("double") / col("n"))) /
+          sum(col("tf"))).as("avg_logprob"))
   }
 
   /** Per-document top-`n` rarity-weighted terms — the TF-IDF keyword

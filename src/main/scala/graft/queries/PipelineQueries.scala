@@ -1153,6 +1153,28 @@ object PipelineQueries {
               |SELECT q.doc_id, q.quality_score
               |FROM q, t WHERE q.quality_score >= t.thr""".stripMargin)),
 
+    // Unigram-LM quality proxy: per-doc avg token log-probability
+    // under the corpus's own unigram distribution. Doubles compare
+    // through the harness's 6-dp rounding (ln is libm-rounded; the
+    // effect is ~1e-12 — see the operator's determinism note).
+    QueryDef("p46_unigram_logprob",
+      (s, dir) => TextAnalysis.unigramLogProb(Tables.documents(s, dir)),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |           string_split_regex(trim(text), '\s+'),
+             |           t -> t <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM toks GROUP BY 1, 2),
+             |vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt
+             |          FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab)
+             |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             |       sum(tf * ln(CAST(cnt AS DOUBLE) / n)) / sum(tf)
+             |         AS avg_logprob
+             |FROM tf JOIN vocab USING (term) CROSS JOIN tot
+             |GROUP BY doc_id""".stripMargin)),
+
     // Fixed-size deterministic reservoir: EXACTLY k rows per stratum
     // (the k smallest md5 variates; fraction sampling can't build
     // fixed-size eval sets). Oracle re-ranks the same variates in SQL.

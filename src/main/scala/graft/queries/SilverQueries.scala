@@ -18,7 +18,7 @@ import TestdataAdapter._
   */
 object SilverQueries {
 
-  private def silverDeterministic(df: org.apache.spark.sql.DataFrame) =
+  private[queries] def silverDeterministic(df: org.apache.spark.sql.DataFrame) =
     df.select(
       col("id"), col("item_id"), col("quantity"), col("unit_price"),
       col("buyout"), col("time_left"),
@@ -29,7 +29,7 @@ object SilverQueries {
     * aliases are not DuckDB syntax) so the oracle schema matches the
     * Spark silver schema (BIGINT ids/prices, INTEGER quantity).
     */
-  private def typedSilverValues(valuesSql: String): String =
+  private[queries] def typedSilverValues(valuesSql: String): String =
     s"""SELECT CAST(id AS BIGINT) AS id, CAST(item_id AS BIGINT) AS item_id,
        |       CAST(quantity AS INTEGER) AS quantity,
        |       CAST(unit_price AS BIGINT) AS unit_price,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.Tables
-import graft.streaming.{StreamingAsof, StreamingFunnel, StreamingSessions}
+import graft.streaming.{StreamingAsof, StreamingFunnel, StreamingSessions, StreamingSilver}
 
 /** Driver-visible batch-parity gates for the streaming operators
   * (round-6 verdict item 8): replay the `events` table through the
@@ -266,5 +266,59 @@ object StreamingQueries {
     },
     Some(EventQueries.asofSql(None)))
 
-  def defs: Seq[QueryDef] = Seq(streamingSessions, streamingFunnel, streamingAsof)
+  /** st04: the REAL streaming silver path — bronze file stream (date
+    * derived from the landed path), the shared T1–T10 normalization,
+    * and watermark-bounded first-seen dedup
+    * ([[graft.streaming.StreamingSilver]]) — must produce exactly the
+    * batch path's first-seen silver rows for the two fixture days
+    * (same expected rows as t02 + s06: day 2's re-listed auction 1002
+    * keeps its day-1 row).
+    *
+    * Replay shape: day dirs are landed through the real
+    * [[graft.sources.Bronze]] sink, mtimes forced strictly increasing
+    * and `maxFilesPerTrigger = 1` so the file source meters one day per
+    * micro-batch in calendar order — the production backfill contract
+    * (§1.4's first-seen semantics are day-ordered by definition).
+    * Within a day auction ids are unique, so the replay is fully
+    * deterministic.
+    */
+  private def streamingSilverGate: QueryDef = QueryDef(
+    "st04_streaming_silver",
+    (s, _) => {
+      val dirP = scratch("st04")
+      val root = dirP.resolve("bronze").toString
+      val bronze = new graft.sources.Bronze(root)
+      val p1 = bronze.saveJson(java.time.LocalDate.parse("2026-02-13"), Fixtures.day1Json)
+      val p2 = bronze.saveJson(java.time.LocalDate.parse("2026-02-14"), Fixtures.day2Json)
+      // force distinct, ordered mtimes: the file source orders pending
+      // files by modification time, and same-millisecond writes would
+      // leave day order to luck
+      Files.setLastModifiedTime(java.nio.file.Paths.get(p1),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L))
+      Files.setLastModifiedTime(java.nio.file.Paths.get(p2),
+        java.nio.file.attribute.FileTime.fromMillis(2000000L))
+
+      val qname = "st04_" + UUID.randomUUID().toString.replace("-", "")
+      val q = StreamingSilver.firstSeenStream(
+        StreamingSilver.silverStream(s, root, maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", dirP.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+      SilverQueries.silverDeterministic(s.table(qname))
+    },
+    Some(SilverQueries.typedSilverValues(
+      """  (1001, 190320, 1, 1250000, 1250000, 'VERY_LONG',
+        |   '[{"type":9,"value":70}]', DATE '2026-02-13'),
+        |  (1002, 2589, 200, 350, NULL, 'SHORT', NULL, DATE '2026-02-13'),
+        |  (1003, 2589, 50, 375, NULL, 'LONG', NULL, DATE '2026-02-13'),
+        |  (1004, NULL, 1, NULL, NULL, 'MEDIUM', NULL, DATE '2026-02-13'),
+        |  (1005, 777, 0, NULL, 5000, 'SHORT', NULL, DATE '2026-02-13'),
+        |  (1006, 888, 4, 249, 999, 'LONG', NULL, DATE '2026-02-13'),
+        |  (2001, 2589, 10, 400, NULL, 'SHORT', NULL, DATE '2026-02-14'),
+        |  (2002, 190320, 1, 90000, 90000, 'LONG', '[]', DATE '2026-02-14')""".stripMargin)))
+
+  def defs: Seq[QueryDef] =
+    Seq(streamingSessions, streamingFunnel, streamingAsof, streamingSilverGate)
 }

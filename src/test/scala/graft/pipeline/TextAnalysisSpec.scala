@@ -119,4 +119,24 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSeq
     assert(got === Seq("alpha", "zeta"))
   }
+
+  test("unigramLogProb: hand-computed corpus model, common words score higher, empty docs drop") {
+    // corpus tokens: a a a | b | a b  -> N=6, p(a)=4/6, p(b)=2/6
+    val docs = Seq(
+      (1L, "a a a"),     // avg = ln(4/6)
+      (2L, "b"),         // avg = ln(2/6)
+      (3L, "a b"),       // avg = (ln(4/6) + ln(2/6)) / 2
+      (4L, "   ")        // zero tokens -> no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    val (lnA, lnB) = (math.log(4.0 / 6), math.log(2.0 / 6))
+    assert(math.abs(got(1L)._2 - lnA) < 1e-12)
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(2L)._2 - lnB) < 1e-12)
+    assert(math.abs(got(3L)._2 - (lnA + lnB) / 2) < 1e-12)
+    // the common-word doc scores strictly higher than the rare-word doc
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2)
+  }
 }

@@ -31,4 +31,49 @@ class StreamingGatesSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("st03_streaming_asof == batch as-of with no tolerance on sf0.001") {
+    import org.apache.spark.sql.functions._
+    val streamed = rows("st03_streaming_asof")
+    val ev = graft.Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("value").cast("double"), lit(0.0)).as("value"))
+    val batch = graft.operators.Asof.joinAsOf(
+      purchases, views, on = Seq("user_id"),
+      leftTime = "ts", rightTime = "ts", rightTie = "event_id",
+      rightCols = Seq("ts", "event_id", "value"), rightPrefix = "view_")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("view_event_id"),
+        unix_micros(col("view_ts")).as("view_ts_us"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"),
+        round(col("view_value") * 100).cast("long").as("view_value_cents"))
+      .collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("st04_streaming_silver == batch first-seen silver on the fixture days") {
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("st04_streaming_silver")(spark, dir)
+      .collect().toSet
+    val d1 = graft.silver.SilverTransform.fromJson(
+      spark, graft.queries.Fixtures.materialize(
+        "day1.json", graft.queries.Fixtures.day1Json),
+      graft.queries.Fixtures.day1Date)
+    val d2 = graft.silver.SilverTransform.fromJson(
+      spark, graft.queries.Fixtures.materialize(
+        "day2.json", graft.queries.Fixtures.day2Json),
+      graft.queries.Fixtures.day2Date)
+    val batch = d1.unionByName(graft.silver.SilverTransform.firstSeenOnly(d2, d1))
+      .select(col("id"), col("item_id"), col("quantity"), col("unit_price"),
+        col("buyout"), col("time_left"),
+        to_json(col("modifiers")).as("modifiers_json"), col("snapshot_date"))
+      .collect().toSet
+    assert(streamed.size === 8)
+    assert(streamed === batch)
+  }
 }
