@@ -156,4 +156,26 @@ object SketchFunctions {
     when(size(sketch) < k, size(sketch).cast("double"))
       .otherwise(
         lit((k - 1).toDouble * HashDomain) / element_at(sketch, k).cast("double"))
+
+  /** The k smallest of two same-k sketches' union — exactly the
+    * sketch the UNION corpus would have produced (the KMV merge
+    * property). Pure array ops, no re-scan of either corpus.
+    */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** KMV Jaccard estimate between two same-k sketches (Beyer et al.
+    * 2007): the union sketch is a uniform size-k sample of the union's
+    * distinct values, so the fraction of it present in BOTH sides is
+    * an unbiased estimate of |A∩B| / |A∪B|. Deterministic cross-engine
+    * (set ops on exact longs + one int/int division); estimate the
+    * intersection cardinality as `kmvJaccard * kmvEstimate(kmvUnion)`.
+    * Null only when both sketches are empty (both corpora had no
+    * values — 0/0 has no meaningful Jaccard).
+    */
+  def kmvJaccard(a: Column, b: Column, k: Int): Column = {
+    val u = kmvUnion(a, b, k)
+    size(array_intersect(u, array_intersect(a, b))).cast("double") /
+      when(size(u) === 0, lit(null)).otherwise(size(u).cast("double"))
+  }
 }

@@ -61,8 +61,22 @@ object Clusters {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint() // eager: materializes AND truncates lineage
+    // Convergence via the label-sum invariant: both loop steps take a
+    // pointwise `least`, so labels are monotone non-increasing and the
+    // clustering changed this round IFF Σ lbl decreased. That turns
+    // the convergence probe from a node-grain self-join (a whole extra
+    // shuffle per round) into a map-side-combinable aggregate on the
+    // frame the round materializes anyway. Decimal(38,0) keeps the sum
+    // exact at any node count / id domain (1e11 63-bit ids would
+    // overflow a long sum).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
     var iter = 0
     var converged = labels.isEmpty // empty graph: nothing to do
+    var prevSum = if (converged) java.math.BigDecimal.ZERO else labelSum(labels)
     while (!converged && iter < maxIter) {
       // (1) min over the closed neighborhood: neighbors' labels via
       // the edge join (min is partial-aggregated before the shuffle),
@@ -81,18 +95,18 @@ object Clusters {
       // left join + coalesce keeps that a safety, not an assumption.
       // LAZY localCheckpoint, not persist: labels feed the next
       // round's plan in four places, so an un-truncated plan grows
-      // 4^iter (see the scaladoc). Lazy so the convergence count
+      // 4^iter (see the scaladoc). Lazy so the convergence probe
       // below is the action that materializes it — one action per
-      // round, not a checkpoint action plus a count action.
+      // round, not a checkpoint action plus a probe action.
       val next = stepped
         .join(stepped.select(col("node").as("lbl"), col("lbl").as("lbl2")),
           Seq("lbl"), "left")
         .select(col("node"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
         .localCheckpoint(eager = false)
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("node"))
-        .where(col("lbl") =!= col("prev")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()

@@ -1437,6 +1437,101 @@ object PipelineQueries {
              |       exact_distinct
              |FROM agg""".stripMargin)),
 
+    // KMV set-operation estimates: pairwise corpus overlap between
+    // sources from their k=128 sketches — union sketch (the KMV merge
+    // property), Jaccard estimate (fraction of the union sample in
+    // both sides), intersection estimate — NEXT TO the exact pairwise
+    // Jaccard (the shuffle-both-corpora ground-truth path the sketch
+    // replaces at 100 TB: sketches are O(sources x k), exact is a
+    // token-grain self-join). The 5x5 crossJoin is group-grain
+    // (bounded by source count), not row-grain.
+    QueryDef("p47_kmv_overlap",
+      (s, dir) => {
+        import graft.functions.SketchFunctions._
+        val k = 128
+        val hashed = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .select(col("source"), graft.functions.Md5Hash.h60(col("tok")).as("h"))
+        val sk = hashed.groupBy(col("source"))
+          .agg(kminValues(col("h"), k).as("sketch"),
+            count_distinct(col("h")).as("nd"))
+        val a = sk.select(col("source").as("source_a"),
+          col("sketch").as("sa"), col("nd").as("na"))
+        val b = sk.select(col("source").as("source_b"),
+          col("sketch").as("sb"), col("nd").as("nb"))
+        val dist = hashed.distinct()
+        val inter = dist.as("x")
+          .join(dist.as("y"),
+            col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("source_a"),
+            col("y.source").as("source_b"))
+          .agg(count(lit(1)).as("ni"))
+        a.crossJoin(broadcast(b)).where(col("source_a") < col("source_b"))
+          .join(inter, Seq("source_a", "source_b"), "left")
+          .select(col("source_a"), col("source_b"),
+            kmvJaccard(col("sa"), col("sb"), k).as("jaccard_est"),
+            kmvEstimate(kmvUnion(col("sa"), col("sb"), k), k).as("union_est"),
+            col("na"), col("nb"), coalesce(col("ni"), lit(0L)).as("ni"))
+          .select(col("source_a"), col("source_b"),
+            col("jaccard_est"), col("union_est"),
+            (col("jaccard_est") * col("union_est")).as("intersection_est"),
+            (col("ni").cast("double") /
+              (col("na") + col("nb") - col("ni"))).as("jaccard_exact"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |                            t -> t <> '')) AS tok
+             |  FROM documents),
+             |d AS (SELECT DISTINCT source,
+             |             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+             |      FROM toks),
+             |r AS (SELECT source, h,
+             |             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             |      FROM d),
+             |sk AS (SELECT source, h FROM r WHERE rn <= 128),
+             |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY 1),
+             |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+             |                 a.nd AS na, b.nd AS nb
+             |          FROM cnt a JOIN cnt b ON a.source < b.source),
+             |uall AS (SELECT p.source_a, p.source_b, s.h
+             |         FROM pairs p JOIN sk s
+             |           ON s.source IN (p.source_a, p.source_b)
+             |         GROUP BY 1, 2, 3),
+             |usk AS (SELECT source_a, source_b, h,
+             |               row_number() OVER (
+             |                 PARTITION BY source_a, source_b ORDER BY h) AS rn
+             |        FROM uall),
+             |agree AS (SELECT u.source_a, u.source_b,
+             |                 CAST(count(*) AS BIGINT) AS usize,
+             |                 CAST(count(CASE WHEN sa.h IS NOT NULL
+             |                                  AND sb.h IS NOT NULL
+             |                                 THEN 1 END) AS BIGINT) AS both_cnt,
+             |                 max(CASE WHEN u.rn = 128 THEN u.h END) AS kth
+             |          FROM usk u
+             |          LEFT JOIN sk sa ON sa.source = u.source_a AND sa.h = u.h
+             |          LEFT JOIN sk sb ON sb.source = u.source_b AND sb.h = u.h
+             |          WHERE u.rn <= 128
+             |          GROUP BY 1, 2),
+             |inter AS (SELECT x.source AS source_a, y.source AS source_b,
+             |                 CAST(count(*) AS BIGINT) AS ni
+             |          FROM d x JOIN d y ON x.h = y.h AND x.source < y.source
+             |          GROUP BY 1, 2),
+             |est AS (SELECT p.source_a, p.source_b,
+             |               CAST(both_cnt AS DOUBLE) / usize AS jaccard_est,
+             |               CASE WHEN usize < 128 THEN CAST(usize AS DOUBLE)
+             |                    ELSE CAST(127 AS DOUBLE) * 1152921504606846976
+             |                           / CAST(kth AS DOUBLE) END AS union_est,
+             |               na, nb, coalesce(ni, 0) AS ni
+             |        FROM pairs p
+             |        JOIN agree USING (source_a, source_b)
+             |        LEFT JOIN inter USING (source_a, source_b))
+             |SELECT source_a, source_b, jaccard_est, union_est,
+             |       jaccard_est * union_est AS intersection_est,
+             |       CAST(ni AS DOUBLE) / (na + nb - ni) AS jaccard_exact
+             |FROM est""".stripMargin)),
+
     // Rarity-weighted keyword extraction (TF-IDF shape, tf/df weight
     // — a single exact-integer IEEE division, deterministic where
     // ln(N/df) is not). Ties break by term ascending (binary

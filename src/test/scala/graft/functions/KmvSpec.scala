@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import SketchFunctions.{kminValues, kmvEstimate}
+import SketchFunctions.{kminValues, kmvEstimate, kmvJaccard, kmvUnion}
 
 /** [[KMinValues]] / [[SketchFunctions]]: bounded sketch contents,
   * exact-below-k estimates, partition/merge invariance, null
@@ -66,6 +66,36 @@ class KmvSpec extends SparkSpec {
     val got = spark.sql("SELECT kmin_values(h, 2) AS s FROM kmv_in")
       .collect().head.getSeq[Long](0)
     assert(got === Seq(2L, 5L))
+  }
+
+  test("kmvUnion equals the union corpus's sketch; kmvJaccard exact below k") {
+    val k = 8
+    val left = Seq(1L, 2L, 3L, 4L, 5L)
+    val right = Seq(4L, 5L, 6L, 7L)
+    val row = Seq((left, right)).toDF("l", "r")
+      .select(
+        kmvUnion(
+          kminValuesOf(left, k), kminValuesOf(right, k), k).as("u"),
+        kmvJaccard(
+          kminValuesOf(left, k), kminValuesOf(right, k), k).as("j"))
+      .collect().head
+    // below k both sketches are the exact sets, so the union sketch is
+    // the exact union and the Jaccard estimate is the exact Jaccard
+    assert(row.getSeq[Long](0) === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(row.getDouble(1) === 2.0 / 7)
+    // disjoint sides -> 0; empty-vs-empty -> null
+    val r2 = Seq(1).toDF("x").select(
+      kmvJaccard(kminValuesOf(Seq(1L, 2L), k), kminValuesOf(Seq(3L), k), k).as("j0"),
+      kmvJaccard(kminValuesOf(Nil, k), kminValuesOf(Nil, k), k).as("jn"))
+      .collect().head
+    assert(r2.getDouble(0) === 0.0)
+    assert(r2.isNullAt(1))
+  }
+
+  /** Literal array stand-in for a sketch (k smallest distinct, sorted). */
+  private def kminValuesOf(vals: Seq[Long], k: Int) = {
+    val sk = vals.distinct.sorted.take(k)
+    array(sk.map(lit): _*).cast("array<bigint>")
   }
 
   test("estimator lands near truth on a 60-bit uniform-ish domain") {
