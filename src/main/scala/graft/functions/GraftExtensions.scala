@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kmin_values"),
       GraftFunctions.kminValuesInfo,
       GraftFunctions.kminValuesBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("count_min"),
+      GraftFunctions.countMinInfo,
+      GraftFunctions.countMinBuilder))
   }
 }
 
@@ -82,6 +86,16 @@ object GraftFunctions {
       KMinValues(children.head, children(1))
     }
 
+  private[functions] val countMinInfo =
+    new ExpressionInfo(classOf[CountMin].getName, null, "count_min")
+
+  private[functions] val countMinBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 3,
+        s"count_min expects 3 arguments, got ${children.length}")
+      CountMin(children.head, children(1), children(2))
+    }
+
   /** Register on an already-built session (no withExtensions hook). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
@@ -92,5 +106,7 @@ object GraftFunctions {
       spark, "sum_at_min", sumAtMinInfo, sumAtMinBuilder)
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
       spark, "kmin_values", kminValuesInfo, kminValuesBuilder)
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "count_min", countMinInfo, countMinBuilder)
   }
 }

@@ -135,6 +135,111 @@ case class KMinValues(
     copy(child = newLeft, kExpr = newRight)
 }
 
+/** `count_min(hash, depth, width)` — the Count-Min frequency sketch
+  * (Cormode & Muthukrishnan 2005): a depth x width grid of counters;
+  * each value increments one counter per row, the estimated frequency
+  * of a value is the MIN of its counters (never an underestimate).
+  *
+  * Why a custom aggregate: exact per-term frequencies at corpus scale
+  * shuffle the full term histogram (every distinct term of every
+  * group). Here map-side partials are a fixed depth*width counter
+  * grid per group, the exchange moves O(groups x depth x width)
+  * regardless of term cardinality, and merge is elementwise sum —
+  * commutative and associative, so the sketch is identical under any
+  * partitioning/merge order (unlike Spark's own
+  * `count_min_sketch(...)`, whose binary output is not oracle-able).
+  *
+  * Row hashes derive from the engine's 60-bit md5 hash by
+  * Kirsch-Mitzenmacher ([[graft.pipeline.Dedup]]'s MinHash trick):
+  * h1 = low 30 bits, h2 = high 30 bits, bucket_i = (h1 + i*h2) mod
+  * width — integer arithmetic any SQL engine reproduces exactly.
+  * Null hashes are skipped (`count(x)` semantics).
+  */
+case class CountMin(
+    child: Expression,
+    depthExpr: Expression,
+    widthExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child, depthExpr, widthExpr)
+
+  private def foldInt(e: Expression): Option[Int] =
+    if (!e.foldable) None
+    else Option(e.eval()).collect { case n: Number => n.intValue() }
+  private lazy val depthOpt = foldInt(depthExpr)
+  private lazy val widthOpt = foldInt(widthExpr)
+  private lazy val depth = depthOpt.get
+  private lazy val width = widthOpt.get
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "count_min"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT hash column, got ${child.dataType.sql}")
+    else if (depthOpt.isEmpty || widthOpt.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: depth and width must be foldable integers")
+    else if (depth <= 0 || width <= 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: depth and width must be positive")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val h1 = h & ((1L << 30) - 1)
+      val h2 = h >>> 30
+      var i = 0
+      while (i < depth) {
+        buf(i * width + java.lang.Math.floorMod(h1 + i * h2, width.toLong).toInt) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](depth * width)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMin =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMin =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMin =
+    copy(child = newChildren(0), depthExpr = newChildren(1),
+      widthExpr = newChildren(2))
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.functions._
 
@@ -177,5 +282,30 @@ object SketchFunctions {
     val u = kmvUnion(a, b, k)
     size(array_intersect(u, array_intersect(a, b))).cast("double") /
       when(size(u) === 0, lit(null)).otherwise(size(u).cast("double"))
+  }
+
+  /** Column-level `count_min(hash, depth, width)` (hash: BIGINT in
+    * [0, 2^60)). Returns the depth*width counter grid, row-major.
+    */
+  def countMin(hash: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(CountMin(
+      ColumnBridge.expression(hash),
+      ColumnBridge.expression(lit(depth)),
+      ColumnBridge.expression(lit(width))).toAggregateExpression())
+
+  /** Estimated frequency of `hash` from a `countMin(_, depth, width)`
+    * grid: the min over depth rows of the counter each row hashed the
+    * value into. Always >= the true count (collisions only ever add).
+    * Pure integer column ops — exactly reproducible in SQL.
+    */
+  def cmEstimate(sketch: Column, hash: Column, depth: Int, width: Int): Column = {
+    val h1 = hash.bitwiseAND(lit((1L << 30) - 1))
+    val h2 = shiftright(hash, 30)
+    val probes = (0 until depth).map { i =>
+      element_at(sketch,
+        (pmod(h1 + lit(i.toLong) * h2, lit(width.toLong)) +
+          lit(i.toLong * width + 1L)).cast("int"))
+    }
+    if (probes.size == 1) probes.head else least(probes: _*)
   }
 }

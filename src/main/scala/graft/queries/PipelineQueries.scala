@@ -1532,6 +1532,61 @@ object PipelineQueries {
              |       CAST(ni AS DOUBLE) / (na + nb - ni) AS jaccard_exact
              |FROM est""".stripMargin)),
 
+    // Count-Min heavy hitters: one fixed 4x16 counter grid (width deliberately NARROW — the 31-term sf0.01 vocab must collide, so the error path is exercised) over the
+    // corpus token stream (the native `count_min` aggregate — map-side
+    // partials are the grid, the exchange never carries the term
+    // histogram), probed for the top-100 exact terms NEXT TO their
+    // exact counts. `overcount = est - exact` is the sketch's
+    // collision error, >= 0 by construction (CMS never
+    // underestimates). Grid, probes, and min are pure integer
+    // arithmetic on md5-derived 60-bit hashes (Kirsch-Mitzenmacher
+    // rows: (h_lo30 + i * h_hi30) mod width) — the oracle rebuilds
+    // the identical grid in SQL and hash-matches end-to-end, which
+    // Spark's own opaque `count_min_sketch` binary cannot offer.
+    QueryDef("p48_cms_heavy_hitters",
+      (s, dir) => {
+        import graft.functions.SketchFunctions.{cmEstimate, countMin}
+        val depth = 4
+        val width = 16
+        val hashed = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .select(col("tok"), graft.functions.Md5Hash.h60(col("tok")).as("h"))
+        val grid = hashed.agg(countMin(col("h"), depth, width).as("sketch"))
+        val top = hashed.groupBy(col("tok"), col("h"))
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("tok").asc)
+          .limit(100)
+        top.crossJoin(broadcast(grid))
+          .select(col("tok").as("term"), col("exact_cnt"),
+            cmEstimate(col("sketch"), col("h"), depth, width).as("est_cnt"))
+          .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |                            t -> t <> '')) AS tok
+             |  FROM documents),
+             |h AS (SELECT tok,
+             |             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+             |      FROM toks),
+             |parts AS (SELECT tok, h, h & 1073741823 AS h1, h >> 30 AS h2 FROM h),
+             |grid AS (SELECT d.i, (h1 + d.i * h2) % 16 AS b,
+             |                CAST(count(*) AS BIGINT) AS c
+             |         FROM parts CROSS JOIN (SELECT unnest(range(4)) AS i) d
+             |         GROUP BY 1, 2),
+             |top AS (SELECT tok AS term, h1, h2,
+             |               CAST(count(*) AS BIGINT) AS exact_cnt
+             |        FROM parts GROUP BY 1, 2, 3
+             |        ORDER BY exact_cnt DESC, term LIMIT 100),
+             |est AS (SELECT t.term, t.exact_cnt, min(g.c) AS est_cnt
+             |        FROM top t
+             |        CROSS JOIN (SELECT unnest(range(4)) AS i) d
+             |        JOIN grid g ON g.i = d.i
+             |                   AND g.b = (t.h1 + d.i * t.h2) % 16
+             |        GROUP BY 1, 2)
+             |SELECT term, exact_cnt, est_cnt,
+             |       est_cnt - exact_cnt AS overcount
+             |FROM est""".stripMargin)),
+
     // Rarity-weighted keyword extraction (TF-IDF shape, tf/df weight
     // — a single exact-integer IEEE division, deterministic where
     // ln(N/df) is not). Ties break by term ascending (binary
