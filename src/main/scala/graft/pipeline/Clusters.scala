@@ -145,4 +145,42 @@ object Clusters {
     df.join(drops.withColumnRenamed("doc_id", idCol),
       Seq(idCol), "left_anti")
   }
+
+  /** Leakage-safe train/test split: near-duplicate documents NEVER
+    * straddle the boundary. A per-document random split leaks — a
+    * held-out document whose near-twin sits in train is effectively
+    * memorized, and the eval overstates generalization (the standard
+    * argument for dedup-aware splits in the training-data
+    * literature). Here the split VARIATE is keyed by the near-dup
+    * cluster id for clustered documents (so the whole cluster draws
+    * ONE variate and moves atomically) and by the document's own id
+    * otherwise; test = variate < testFraction, train = the exact
+    * complement — disjoint, covering, and stable across runs,
+    * partitionings and engines ([[Sampling.uniform]]'s md5 contract).
+    *
+    * Returns every row of `df` with `split_key` (the variate key) and
+    * `split` ('train' | 'test') appended.
+    *
+    * Scale shape: the cluster map is the only added state (one id
+    * pair per CLUSTERED doc — near-dup components are a small
+    * fraction of a deduped corpus), joined on the id grain; the
+    * corpus text never reshuffles. At 100 TB the same split can also
+    * be derived from a MATERIALIZED cluster table (p19's index shape)
+    * instead of re-clustering per split.
+    */
+  def leakageSafeSplit(df: DataFrame, threshold: Double,
+      testFraction: Double, salt: String = "", n: Int = 3,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    require(testFraction >= 0.0 && testFraction <= 1.0,
+      s"testFraction=$testFraction outside [0,1]")
+    val cc = connectedComponents(
+      Dedup.minHashNearDups(df, threshold, n, numHashes, rowsPerBand))
+      .select(col("doc_id"), col("cluster_id"))
+    df.join(cc, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .drop("cluster_id")
+      .withColumn("split",
+        when(Sampling.uniform(col("split_key"), salt) < testFraction,
+          lit("test")).otherwise(lit("train")))
+  }
 }

@@ -1587,6 +1587,39 @@ object PipelineQueries {
              |       est_cnt - exact_cnt AS overcount
              |FROM est""".stripMargin)),
 
+    // Leakage-safe train/test split: near-duplicates never straddle
+    // the held-out boundary — the split variate is keyed by the
+    // near-dup CLUSTER id (whole cluster moves atomically), by the
+    // doc's own id for unclustered docs. Oracle recomputes the full
+    // chain in SQL: MinHash pairs -> recursive-CTE connected
+    // components (p28's formulation) -> md5 split variate on the
+    // cluster-or-self key (p18's encoding). Full hash gate — every
+    // doc's assignment must match, so a single cluster member drawing
+    // its own variate would fail the gate.
+    QueryDef("p49_leakage_safe_split",
+      (s, dir) => Clusters.leakageSafeSplit(
+        Tables.documents(s, dir), threshold = 0.8,
+        testFraction = 0.25, salt = "held")
+        .select("doc_id", "split_key", "split"),
+      Some(s"""WITH RECURSIVE $minhashPairsCtes,
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |          UNION SELECT doc_b, doc_a FROM pairs),
+              |reach AS (SELECT src AS node, dst AS r FROM edges
+              |          UNION
+              |          SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.node = e.dst),
+              |lbl AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+              |        FROM reach GROUP BY node),
+              |k AS (SELECT d.doc_id,
+              |             coalesce(l.cluster_id, d.doc_id) AS split_key
+              |      FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)
+              |SELECT doc_id, split_key,
+              |       CASE WHEN ('0x' || substr(md5(
+              |                CAST(length(CAST(split_key AS VARCHAR)) AS VARCHAR)
+              |                || ':' || CAST(split_key AS VARCHAR) || '/held'), 1, 8))::BIGINT
+              |              / 4294967296.0 < 0.25
+              |            THEN 'test' ELSE 'train' END AS split
+              |FROM k""".stripMargin)),
+
     // Rarity-weighted keyword extraction (TF-IDF shape, tf/df weight
     // — a single exact-integer IEEE division, deterministic where
     // ln(N/df) is not). Ties break by term ascending (binary
