@@ -318,6 +318,27 @@ class PlanSpec extends SparkSpec {
       s"partial kmin_values should sit below the exchange:\n$plan")
   }
 
+  test("Count-Min sketch: partial aggregation before the exchange (fixed-grid partials)") {
+    // same contract as the KMV plan proof: the grid must build
+    // map-side and cross the wire as one depth*width array per
+    // (partition, key), never as the raw token stream
+    val docs = Tables.documents(spark, dir)
+    val q = docs.select(col("source"),
+        explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("source"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("source")
+      .agg(functions.SketchFunctions.countMin(col("h"), 4, 64).as("s"))
+    q.write.mode("overwrite").format("noop").save()
+    val plan = q.queryExecution.executedPlan.toString
+    val partialIdx = plan.indexOf("partial_count_min")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0, s"no partial aggregation:\n$plan")
+    assert(exchangeIdx >= 0, s"no hash exchange:\n$plan")
+    assert(partialIdx > exchangeIdx,
+      s"partial count_min should sit below the exchange:\n$plan")
+  }
+
   test("G8 rollup: ONE Expand + one exchange — grouping sets share a single scan") {
     withNoAqe {
       val q = gold.Marts.classQualityRollup(
