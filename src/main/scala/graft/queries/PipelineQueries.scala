@@ -23,7 +23,7 @@ object PipelineQueries {
     * [[Dedup.wordShingles]] (word 3-grams, distinct per doc; docs with
     * <3 tokens yield none — range(1, len-1) is empty for len<3).
     */
-  private val shingleSql =
+  private[queries] val shingleSql =
     """toks AS (
       |  SELECT doc_id,
       |         list_filter(string_split_regex(trim(text), '\s+'),

@@ -319,6 +319,112 @@ object StreamingQueries {
         |  (2001, 2589, 10, 400, NULL, 'SHORT', NULL, DATE '2026-02-14'),
         |  (2002, 190320, 1, 90000, 90000, 'LONG', '[]', DATE '2026-02-14')""".stripMargin)))
 
+  /** st05: the documents table replayed through
+    * [[graft.streaming.StreamingCuration.nearDupKeepers]] (the
+    * checker-legal transformWithState claimant chain) must equal the
+    * batch LSH claimant simulation, recomputed from scratch in SQL
+    * (shingles -> md5 MinHash signatures -> band buckets -> per-bucket
+    * min-(ts, doc_id) winner -> keeper iff ALL bands won).
+    *
+    * Determinism: ingested_at = BASE + doc_id seconds is strictly
+    * monotone in doc_id, so the stream's (event time, doc_id) claimant
+    * is exactly the bucket's min doc_id in SQL. The whole fixture is
+    * staged as ONE parquet file (one micro-batch — the claimant
+    * contest happens against empty state, same as the oracle's global
+    * min); the shingle-less flush doc ("flush" < n tokens) claims only
+    * its own per-doc sentinel buckets and sits 1 day + 2 h after the
+    * corpus, so the final watermark (flush - 1 day) closes every real
+    * emit window while the flush doc's own window never closes — it is
+    * structurally absent from the sink, the =!= -1 filter is a
+    * defensive invariant.
+    */
+  private def streamingNearDup: QueryDef = QueryDef(
+    "st05_streaming_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val baseUs = 1767225600000000L // 2026-01-01T00:00:00Z
+      val ev = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("text").cast("string").as("text"))
+        .withColumn("ingested_at",
+          timestamp_micros(lit(baseUs) + col("doc_id") * lit(1000000L)))
+      val schema = ev.schema
+      maxTsUs(ev.select(col("ingested_at").as("ts"))) match {
+        case None =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("window_start",
+                org.apache.spark.sql.types.TimestampType))))
+        case Some(maxUs) =>
+          val flushUs = maxUs + OneDayUs + 2 * OneHourUs
+          val flush = s.range(1).select(lit(-1L).as("doc_id"),
+            lit("flush").as("text"),
+            timestamp_micros(lit(flushUs)).as("ingested_at"))
+          val dirP = scratch("st05")
+          val stage = dirP.resolve("input").toString
+          val ckpt = dirP.resolve("ckpt").toString
+          // ONE file -> one micro-batch: the claimant contest runs
+          // against empty state exactly once, like the oracle's
+          // global per-bucket min
+          ev.unionByName(flush).coalesce(1).write.parquet(stage)
+
+          val qname = "st05_" + UUID.randomUUID().toString.replace("-", "")
+          // Pin the stateful-shuffle width for THIS query's fresh
+          // checkpoint: a bounded replay's cost is dominated by
+          // per-partition RocksDB store init (x 2 stateful stages
+          // x micro-batches), not data volume — 8 partitions cuts
+          // that 4x at these corpus sizes. A real deployment sizes
+          // this to its own key cardinality (the conf is restored
+          // immediately; batch queries are unaffected either way).
+          val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val q =
+            try graft.streaming.StreamingCuration.nearDupKeepers(
+              s.readStream.schema(schema).parquet(stage))
+              .writeStream.format("memory").queryName(qname)
+              .outputMode("append").option("checkpointLocation", ckpt)
+              .trigger(Trigger.AvailableNow()).start()
+            finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+          s.table(qname).where(col("doc_id") =!= -1L)
+            .select(col("doc_id"), col("text"), col("window_start"))
+      }
+    },
+    Some(s"""WITH ${PipelineQueries.shingleSql},
+            |hv AS (SELECT doc_id,
+            |              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
+            |              ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hb
+            |       FROM sh),
+            |mh AS (SELECT doc_id, i, min(ha + i * hb) AS mv
+            |       FROM hv CROSS JOIN (SELECT unnest(range(16)) AS i) idx
+            |       GROUP BY doc_id, i),
+            |bands AS (SELECT doc_id, i // 4 AS band,
+            |                 md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bucket
+            |          FROM mh GROUP BY doc_id, i // 4),
+            |nosh AS (SELECT d.doc_id, r.i AS band,
+            |                md5('short:' || CAST(d.doc_id AS VARCHAR)) AS bucket
+            |         FROM documents d
+            |         CROSS JOIN (SELECT unnest(range(4)) AS i) r
+            |         WHERE d.doc_id NOT IN (SELECT doc_id FROM sh)),
+            |allb AS (SELECT * FROM bands UNION ALL SELECT * FROM nosh),
+            |win AS (SELECT band, bucket, min(doc_id) AS winner
+            |        FROM allb GROUP BY 1, 2),
+            |keep AS (SELECT a.doc_id
+            |         FROM allb a
+            |         JOIN win w ON w.band = a.band AND w.bucket = a.bucket
+            |         GROUP BY a.doc_id
+            |         HAVING count(*) =
+            |                sum(CASE WHEN w.winner = a.doc_id THEN 1 ELSE 0 END))
+            |SELECT d.doc_id, d.text,
+            |       time_bucket(INTERVAL '1 hour',
+            |                   epoch_ms((1767225600 + d.doc_id) * 1000)) AS window_start
+            |FROM keep JOIN documents d USING (doc_id)""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(streamingSessions, streamingFunnel, streamingAsof, streamingSilverGate)
+    Seq(streamingSessions, streamingFunnel, streamingAsof,
+      streamingSilverGate, streamingNearDup)
 }
