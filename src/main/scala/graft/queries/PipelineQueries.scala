@@ -139,7 +139,7 @@ object PipelineQueries {
     * every scale factor (TESTDATA.md); [[Similarity.dimOf]] resolves
     * this value at plan time, the oracles pin it.
     */
-  private val EmbeddingDim = 64
+  private[queries] val EmbeddingDim = 64
 
   /** [[Similarity.plane]]'s ±1 components as a DuckDB DOUBLE[]
     * literal — the oracle scores the exact hyperplanes the engine
@@ -174,7 +174,7 @@ object PipelineQueries {
   /** Sign-LSH bucket id of DOUBLE[] expression `vecExpr`, mirroring
     * [[Similarity.lshBucket]]: bit b set iff vec . plane(b) > 0.
     */
-  private def bucketSql(vecExpr: String, bits: Int): String =
+  private[queries] def bucketSql(vecExpr: String, bits: Int): String =
     (0 until bits).map(b =>
       s"(CASE WHEN list_dot_product($vecExpr, ${planeListSql(b)}) > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString("\n          + ")

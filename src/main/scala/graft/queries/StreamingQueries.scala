@@ -424,7 +424,75 @@ object StreamingQueries {
             |                   epoch_ms((1767225600 + d.doc_id) * 1000)) AS window_start
             |FROM keep JOIN documents d USING (doc_id)""".stripMargin))
 
+  /** st06: the embeddings table replayed through
+    * [[graft.streaming.StreamingCuration.embeddingNearDupKeepers]]
+    * (single sign-LSH bucket claimant, one `flatMapGroupsWithState`)
+    * must equal the SQL claimant simulation over the SAME md5-derived
+    * hyperplanes as the batch p12 gate. Verdicts emit in the batch
+    * that folds them (append, no window stage), so no flush sentinel
+    * is needed; one staged file = one micro-batch = the claimant
+    * contest runs against empty state once, like the oracle's global
+    * per-bucket min (ingested_at = BASE + vec_id seconds keeps the
+    * (event time, id) claimant equal to min vec_id). The flush-free
+    * shape also means every verdict row — keepers AND drops — is
+    * gate-checked, not just the survivors.
+    */
+  private def streamingEmbNearDup: QueryDef = QueryDef(
+    "st06_streaming_emb_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val baseUs = 1767225600000000L
+      val ev = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        .withColumn("ingested_at",
+          timestamp_micros(lit(baseUs) + col("vec_id") * lit(1000000L)))
+      val schema = ev.schema
+      if (ev.isEmpty) {
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("keeper",
+              org.apache.spark.sql.types.BooleanType),
+            org.apache.spark.sql.types.StructField("quarantined",
+              org.apache.spark.sql.types.BooleanType))))
+      } else {
+        val dirP = scratch("st06")
+        val stage = dirP.resolve("input").toString
+        val ckpt = dirP.resolve("ckpt").toString
+        ev.coalesce(1).write.parquet(stage)
+
+        val qname = "st06_" + UUID.randomUUID().toString.replace("-", "")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try graft.streaming.StreamingCuration.embeddingNearDupKeepers(
+            s.readStream.schema(schema).parquet(stage),
+            bits = 2, dim = PipelineQueries.EmbeddingDim)
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+        s.table(qname).select(col("vec_id"), col("keeper"), col("quarantined"))
+      }
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |           FROM embeddings
+            |           WHERE len(embedding) = ${PipelineQueries.EmbeddingDim}),
+            |b AS (SELECT vec_id, ${PipelineQueries.bucketSql("v", 2)} AS bucket
+            |      FROM e),
+            |win AS (SELECT bucket, min(vec_id) AS winner
+            |        FROM b GROUP BY bucket)
+            |SELECT em.vec_id,
+            |       CASE WHEN b.vec_id IS NULL THEN true
+            |            ELSE w.winner = em.vec_id END AS keeper,
+            |       b.vec_id IS NULL AS quarantined
+            |FROM embeddings em
+            |LEFT JOIN b ON b.vec_id = em.vec_id
+            |LEFT JOIN win w ON w.bucket = b.bucket""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
-      streamingSilverGate, streamingNearDup)
+      streamingSilverGate, streamingNearDup, streamingEmbNearDup)
 }
