@@ -121,6 +121,52 @@ object Sampling {
       .drop("__keep_f")
   }
 
+  /** Weight-proportional Bernoulli subsample: keep each row with
+    * probability min(1, w * c), where c = targetFraction * N / ΣW
+    * scales the EXPECTED kept fraction of ROWS to `targetFraction`
+    * while making each row's keep odds proportional to its weight.
+    * With weight = token count this is token-budget-proportional
+    * document selection (a kept-row is ~a uniform draw over TOKENS,
+    * the standard shape for "select ~X% of the corpus by content,
+    * not by document count"); with weight = a quality score it is
+    * quality-weighted upsampling.
+    *
+    * Determinism: the variate is [[uniform]]'s md5 contract; ΣW
+    * accumulates as Decimal(38,6) (exact, order-independent — a
+    * double sum would vary with partitioning); c is computed once
+    * with a pinned operation order `(targetFraction * N) / ΣW` and
+    * the keep test `u < least(1, w * c)` is correctly-rounded IEEE
+    * ops — so any engine reproduces the kept set exactly. INTEGER
+    * weights make the Decimal accumulation lossless; fractional
+    * weights round HALF_UP at 6 dp on entry (document if a foreign
+    * oracle rounds differently). NULL weights are dropped by an
+    * EXPLICIT isNotNull guard — `least(1, NULL * c)` alone would
+    * keep the row, because SQL `least` skips NULL arguments and
+    * leaves threshold 1.
+    *
+    * One bounded driver probe (ΣW, N) — the same 1-row aggregate
+    * class as the engine's other scalar frames.
+    */
+  def weightedByKey(df: DataFrame, weightCol: String,
+      targetFraction: Double, keyCol: String,
+      salt: String = ""): DataFrame = {
+    require(targetFraction >= 0.0 && targetFraction <= 1.0,
+      s"targetFraction=$targetFraction outside [0,1]")
+    val probe = df.agg(
+      sum(col(weightCol).cast(
+        org.apache.spark.sql.types.DecimalType(38, 6))).as("sw"),
+      count(col(weightCol)).as("n")).head()
+    if (probe.isNullAt(0) || probe.getDecimal(0).signum() <= 0)
+      df.where(lit(false)) // empty / all-null / degenerate weights
+    else {
+      val c = targetFraction * probe.getLong(1) /
+        probe.getDecimal(0).doubleValue()
+      df.where(col(weightCol).isNotNull &&
+        uniform(col(keyCol), salt) <
+          least(lit(1.0), col(weightCol).cast("double") * lit(c)))
+    }
+  }
+
   /** Disjoint, covering train/test split: test = u < testFraction,
     * train = the exact complement. Stable across runs and
     * re-partitionings — a document can never migrate between splits.

@@ -1620,6 +1620,38 @@ object PipelineQueries {
               |            THEN 'test' ELSE 'train' END AS split
               |FROM k""".stripMargin)),
 
+    // Token-budget-proportional sampling: keep probability
+    // min(1, n_tokens * c) with c scaling the expected kept ROW
+    // fraction to 30% — a kept row is ~a uniform draw over TOKENS
+    // ("select ~30% of the corpus by content, not by doc count").
+    // Fully deterministic: ΣW sums integer token counts through an
+    // exact Decimal (order-independent), c is one pinned-order
+    // double expression, the variate is the md5 contract — so the
+    // oracle reproduces the kept SET, not a statistic of it.
+    QueryDef("p50_token_weighted_sample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        Sampling.weightedByKey(docs, "n_tokens",
+          targetFraction = 0.3, keyCol = "doc_id", salt = "tw")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |s AS (SELECT CAST(sum(CAST(n_tokens AS DECIMAL(38, 6))) AS DOUBLE) AS sw,
+             |             CAST(count(n_tokens) AS BIGINT) AS n
+             |      FROM t)
+             |SELECT doc_id, n_tokens
+             |FROM t CROSS JOIN s
+             |WHERE ('0x' || substr(md5(
+             |          CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |          || ':' || CAST(doc_id AS VARCHAR) || '/tw'), 1, 8))::BIGINT
+             |        / 4294967296.0
+             |      < least(1.0, CAST(n_tokens AS DOUBLE) * ((0.3 * n) / sw))""".stripMargin)),
+
     // Rarity-weighted keyword extraction (TF-IDF shape, tf/df weight
     // — a single exact-integer IEEE division, deterministic where
     // ln(N/df) is not). Ties break by term ascending (binary

@@ -129,4 +129,44 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.temperatureMix(df, "lang", alpha = 1.5, keyCol = "doc_id"))
   }
+
+  test("weightedByKey: kept set matches the closed-form predicate exactly") {
+    // weights 1..200 over 200 docs; c = 0.4 * 200 / sum(1..200)
+    val df = (1L to 200L).map(i => (i, i)).toDF("doc_id", "w")
+    val kept = Sampling.weightedByKey(df, "w", targetFraction = 0.4,
+      keyCol = "doc_id", salt = "s")
+      .collect().map(_.getLong(0)).toSet
+    val c = 0.4 * 200L / BigDecimal((1L to 200L).sum).setScale(6).toDouble
+    val variates = df
+      .select(col("doc_id"), Sampling.uniform(col("doc_id"), "s").as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = (1L to 200L).filter(i =>
+      variates(i) < math.min(1.0, i.toDouble * c)).toSet
+    assert(kept === expected)
+    assert(kept.nonEmpty && kept.size < 200)
+    // heavier rows keep more often: compare the top and bottom decile
+    val top = (181L to 200L).count(kept)
+    val bottom = (1L to 20L).count(kept)
+    assert(top > bottom, s"top-decile kept $top vs bottom $bottom")
+  }
+
+  test("weightedByKey: partitioning invariance, zero/null weights dropped, edge fractions") {
+    val df = Seq((1L, Some(10L)), (2L, Some(0L)), (3L, None),
+      (4L, Some(10L)), (5L, Some(5L))).toDF("doc_id", "w")
+    val a = Sampling.weightedByKey(df, "w", 0.5, "doc_id", "x")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedByKey(df.repartition(7), "w", 0.5, "doc_id", "x")
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(!a.contains(2L)) // zero weight: keep probability 0
+    assert(!a.contains(3L)) // null weight: comparison never passes
+    // targetFraction 0 -> empty; equal weights at 1.0 -> w*c = 1, all kept
+    assert(Sampling.weightedByKey(df, "w", 0.0, "doc_id").count() === 0L)
+    val eq = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("doc_id", "w")
+    assert(Sampling.weightedByKey(eq, "w", 1.0, "doc_id").count() === 3L)
+    // empty / all-null corpora return empty, not NPE
+    assert(Sampling.weightedByKey(
+      Seq.empty[(Long, Option[Long])].toDF("doc_id", "w"),
+      "w", 0.5, "doc_id").count() === 0L)
+  }
 }
