@@ -1620,6 +1620,77 @@ object PipelineQueries {
               |            THEN 'test' ELSE 'train' END AS split
               |FROM k""".stripMargin)),
 
+    // Per-document curation VERDICTS — the audit surface of the
+    // filter chain: every doc gets a machine-readable keep/drop
+    // reason, first matching rule wins (too_short -> repetitive ->
+    // non_english -> low_quality -> keep; lang-ID precedes quality
+    // because the stopword-based quality score is English-centric —
+    // quality-first would misfile every foreign doc as low_quality).
+    // Filters that only emit
+    // survivors make drop rates uninspectable; production curation
+    // reports WHY each doc fell. The repetition rule compares exact
+    // integer 2-gram char counts cross-multiplied (dup*25 > total*3
+    // == dup/total > 0.12, NO IEEE division anywhere in the rule);
+    // quality and lang-id reuse the p04/p05 exact fragments; docs
+    // with fewer than 2 tokens have no 2-grams and coalesce to
+    // not-repetitive. Thresholds sit inside the corpus' actual
+    // signal spread (p90 dup-2-gram fraction ~0.13), so 4 of the 5
+    // branches fire at sf0.01 (keep/too_short/repetitive/
+    // low_quality); non_english cannot fire on this corpus — its
+    // synthetic vocabulary contains no language-marker words, every
+    // doc's hits are all-zero, and the p05 tie-break lands on 'en'
+    // (the branch is still hash-checked as always-false on both
+    // engines).
+    QueryDef("p51_curation_verdicts",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = TextAnalysis.langId(TextAnalysis.qualityFeatures(docs))
+        val g2 = docs.select(col("doc_id"),
+            explode(graft.functions.NGramFunctions.wordNGrams(
+              TextAnalysis.tokens(col("text")), 2)).as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id").agg(
+            sum(col("cnt") * length(col("gram"))).as("tot2"),
+            sum(when(col("cnt") >= 2, col("cnt") * length(col("gram")))
+              .otherwise(0L)).as("dup2"))
+        scored.join(g2, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("n_tokens") < 12, "too_short")
+              .when(coalesce(col("dup2") * 25 > col("tot2") * 3,
+                lit(false)), "repetitive")
+              .when(col("predicted_lang") =!= "en", "non_english")
+              .when(col("quality_score") < 0.5, "low_quality")
+              .otherwise("keep").as("verdict"))
+      },
+      Some(s"""WITH f AS (SELECT *, $qualityColsSql FROM documents),
+              |q AS (SELECT *, $qualityScoreSql AS quality_score FROM f),
+              |langs AS (SELECT *, $langHitsSql FROM q),
+              |pl AS (SELECT doc_id, n_tokens, quality_score, $langCaseSql
+              |       FROM langs),
+              |tk AS (SELECT doc_id,
+              |              list_filter(string_split_regex(trim(text), '\\s+'),
+              |                          x -> x <> '') AS w
+              |       FROM documents),
+              |g2 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+              |         SELECT doc_id,
+              |                unnest(list_transform(range(1, len(w)),
+              |                       i -> w[i] || ' ' || w[i+1])) AS gram
+              |         FROM tk)
+              |       GROUP BY doc_id, gram),
+              |d2 AS (SELECT doc_id,
+              |              CAST(sum(cnt * length(gram)) AS BIGINT) AS tot2,
+              |              CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram)
+              |                            ELSE 0 END) AS BIGINT) AS dup2
+              |       FROM g2 GROUP BY doc_id)
+              |SELECT p.doc_id,
+              |       CASE WHEN p.n_tokens < 12 THEN 'too_short'
+              |            WHEN coalesce(d2.dup2 * 25 > d2.tot2 * 3, false)
+              |              THEN 'repetitive'
+              |            WHEN p.predicted_lang <> 'en' THEN 'non_english'
+              |            WHEN p.quality_score < 0.5 THEN 'low_quality'
+              |            ELSE 'keep' END AS verdict
+              |FROM pl p LEFT JOIN d2 ON d2.doc_id = p.doc_id""".stripMargin)),
+
     // Token-budget-proportional sampling: keep probability
     // min(1, n_tokens * c) with c scaling the expected kept ROW
     // fraction to 30% — a kept row is ~a uniform draw over TOKENS
