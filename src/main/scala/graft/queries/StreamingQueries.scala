@@ -383,8 +383,14 @@ object StreamingQueries {
           val prevParts = s.conf.get("spark.sql.shuffle.partitions")
           s.conf.set("spark.sql.shuffle.partitions", "8")
           val q =
+            // repartition right after the source: ONE staged file
+            // means one scan partition, which would serialize the
+            // in-scan shingle/MinHash projection; spreading rows
+            // BEFORE that projection parallelizes it without touching
+            // the claimant contest (per-batch min, not per-partition)
             try graft.streaming.StreamingCuration.nearDupKeepers(
-              s.readStream.schema(schema).parquet(stage))
+              s.readStream.schema(schema).parquet(stage)
+                .repartition(8, col("doc_id")))
               .writeStream.format("memory").queryName(qname)
               .outputMode("append").option("checkpointLocation", ckpt)
               .trigger(Trigger.AvailableNow()).start()
