@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot diffing — the dataset-versioning primitive: given
+  * two snapshots of a corpus (yesterday's crawl and today's), classify
+  * every id as added / removed / changed / unchanged. Training-data
+  * pipelines need this to answer "what actually moved between crawls"
+  * before re-running expensive downstream stages (re-dedup, re-embed)
+  * on the delta only — the corpus-level counterpart of the warehouse
+  * CDC apply ([[graft.silver.Cdc]] consumes a change LOG; this
+  * derives one from two materialized states).
+  *
+  * Scale shape: each side reduces to (id, 32-char content hash) in
+  * the scan — the join carries hashes, never document text, so the
+  * exchange is id-grain regardless of document size. The hash is md5
+  * over length-prefixed content columns (the injective encoding
+  * discipline of [[Sampling.uniform]]: bare concatenation would
+  * collide ("ab","c") with ("a","bc") and misreport unchanged). NULL
+  * content encodes as the sentinel "null" so a NULL-vs-NULL column
+  * compares EQUAL (SQL NULL <> NULL would misreport every null-held
+  * row as changed on each diff).
+  */
+object Snapshots {
+
+  /** (idCol, status) for the union of both snapshots' ids, status in
+    * {'added', 'removed', 'changed', 'unchanged'}. Ids must be unique
+    * per snapshot (a corpus primary key).
+    */
+  def diff(old: DataFrame, cur: DataFrame, idCol: String = "doc_id",
+      contentCols: Seq[String] = Seq("text")): DataFrame = {
+    require(contentCols.nonEmpty, "diff needs at least one content column")
+    def fingerprinted(df: DataFrame, fpName: String) = df.select(
+      col(idCol),
+      md5(concat(contentCols.map { c =>
+        coalesce(
+          concat(length(col(c).cast("string")).cast("string"),
+            lit(":"), col(c).cast("string")),
+          lit("null"))
+      }: _*)).as(fpName))
+    fingerprinted(old, "__fp_old")
+      .join(fingerprinted(cur, "__fp_cur"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_cur").isNull, "removed")
+          .when(col("__fp_old") =!= col("__fp_cur"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Chunking, Clusters, Contamination, Dedup, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Sampling, Similarity, Spans, TextAnalysis}
+import graft.pipeline.{Bpe, Chunking, Clusters, Contamination, Dedup, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Sampling, Similarity, Snapshots, Spans, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -1619,6 +1619,36 @@ object PipelineQueries {
               |              / 4294967296.0 < 0.25
               |            THEN 'test' ELSE 'train' END AS split
               |FROM k""".stripMargin)),
+
+    // Corpus snapshot diff — dataset versioning: v1 = 3/4 of the
+    // corpus, v2 = an overlapping 3/4 with every (id % 6 == 1) text
+    // edited, so all four statuses materialize (added / removed /
+    // changed / unchanged). The engine diffs via id-grain content
+    // hashes (text never crosses the join exchange); the oracle
+    // full-outer-joins the raw texts — hash-equality == text-equality
+    // modulo md5 collisions, so the gate also guards the injective
+    // encoding (a concat collision would misreport 'unchanged').
+    QueryDef("p52_snapshot_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val v1 = docs.where(col("doc_id") % 4 =!= 3)
+        val v2 = docs.where(col("doc_id") % 4 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 6 === 1, concat(col("text"), lit(" edited")))
+              .otherwise(col("text")))
+        Snapshots.diff(v1, v2)
+      },
+      Some("""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
+             |v2 AS (SELECT doc_id,
+             |              CASE WHEN doc_id % 6 = 1 THEN text || ' edited'
+             |                   ELSE text END AS text
+             |       FROM documents WHERE doc_id % 4 <> 0)
+             |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             |       CASE WHEN a.doc_id IS NULL THEN 'added'
+             |            WHEN b.doc_id IS NULL THEN 'removed'
+             |            WHEN a.text <> b.text THEN 'changed'
+             |            ELSE 'unchanged' END AS status
+             |FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id""".stripMargin)),
 
     // Per-document curation VERDICTS — the audit surface of the
     // filter chain: every doc gets a machine-readable keep/drop

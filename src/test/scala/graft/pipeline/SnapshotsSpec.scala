@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Snapshots.diff]]: all four statuses, null-content equality,
+  * injective multi-column encoding, partitioning invariance.
+  */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def statuses(old: Seq[(Long, String)], cur: Seq[(Long, String)]) =
+    Snapshots.diff(old.toDF("doc_id", "text"), cur.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("added / removed / changed / unchanged all classify") {
+    val old = Seq(1L -> "a", 2L -> "b", 3L -> "c")
+    val cur = Seq(2L -> "b", 3L -> "C", 4L -> "d")
+    assert(statuses(old, cur) === Map(
+      1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("NULL content compares equal to NULL, not changed") {
+    val old = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = Snapshots.diff(old, cur)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed"))
+  }
+
+  test("multi-column encoding is injective across column boundaries") {
+    // ("ab","c") vs ("a","bc"): a bare concat would hash equal
+    val old = Seq((1L, "ab", "c")).toDF("doc_id", "t1", "t2")
+    val cur = Seq((1L, "a", "bc")).toDF("doc_id", "t1", "t2")
+    val got = Snapshots.diff(old, cur, contentCols = Seq("t1", "t2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "changed"))
+  }
+
+  test("result is invariant under partitioning") {
+    val old = (1L to 500L).map(i => i -> s"t$i").toDF("doc_id", "text")
+    val cur = (200L to 700L).map(i => i -> s"t${i + (i % 3)}").toDF("doc_id", "text")
+    val a = Snapshots.diff(old, cur)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Snapshots.diff(old.repartition(13), cur.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+    assert(a.size === 700)
+  }
+}
