@@ -80,7 +80,7 @@ object PipelineQueries {
     * source for the quality/lang formulas so the unit gates (p04/p05)
     * and the composed pipeline gate (p15) can never drift apart.
     */
-  private val qualityColsSql =
+  private[queries] val qualityColsSql =
     s"""CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
        |                     t -> t <> '')) AS BIGINT) AS n_tokens,
        |CAST(len(regexp_extract_all(text,
@@ -93,11 +93,11 @@ object PipelineQueries {
       |  + least(coalesce(n_stopwords / nullif(n_tokens, 0), 0.0), 1.0) * 0.3
       |  + coalesce(alpha_chars / nullif(n_chars_total, 0), 0.0) * 0.3""".stripMargin
 
-  private val langHitsSql = TextAnalysis.LangMarkers.map { case (l, ws) =>
+  private[queries] val langHitsSql = TextAnalysis.LangMarkers.map { case (l, ws) =>
     s"CAST(len(regexp_extract_all(text, '${stopwordRegex(ws)}')) AS BIGINT) AS ${l}_hits"
   }.mkString(",\n")
 
-  private val langCaseSql =
+  private[queries] val langCaseSql =
     """CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
       |     WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
       |     WHEN de_hits >= fr_hits THEN 'de'

@@ -498,7 +498,82 @@ object StreamingQueries {
             |LEFT JOIN b ON b.vec_id = em.vec_id
             |LEFT JOIN win w ON w.bucket = b.bucket""".stripMargin))
 
+  /** st07: windowed per-language corpus stats over the scored stream
+    * ([[graft.streaming.StreamingCuration.corpusStats]]) must equal
+    * the batch grouping — quality featurization and lang-ID are
+    * stateless projections, so the parity question is the windowed
+    * append-mode aggregation itself (integral aggregates only, same
+    * determinism discipline as the batch p15 gate). The scored
+    * stream is fed UNFILTERED (no dedup stage — [[StreamingCuration
+    * .curate]]'s `dropDuplicatesWithinWatermark` elects a
+    * batch-order-dependent survivor among exact dups, which no
+    * deterministic oracle can reproduce; that op stays spec-gated).
+    * Flush doc 1 day + 2 h after the corpus closes every real
+    * window; its own window never closes. Docs are spaced 60 s
+    * apart so the corpus spans many emit windows (~9 at sf0.01) —
+    * a 1 s spacing collapsed everything into one row.
+    */
+  private def streamingCorpusStats: QueryDef = QueryDef(
+    "st07_streaming_corpus_stats",
+    (s, dir) => {
+      import s.implicits._
+      val baseUs = 1767225600000000L
+      val ev = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("text").cast("string").as("text"))
+        .withColumn("ingested_at",
+          timestamp_micros(lit(baseUs) + col("doc_id") * lit(60000000L)))
+      val schema = ev.schema
+      maxTsUs(ev.select(col("ingested_at").as("ts"))) match {
+        case None =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("predicted_lang",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("window_start",
+                org.apache.spark.sql.types.TimestampType),
+              org.apache.spark.sql.types.StructField("n_docs",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("total_tokens",
+                org.apache.spark.sql.types.LongType))))
+        case Some(maxUs) =>
+          val flushUs = maxUs + OneDayUs + 2 * OneHourUs
+          val flush = s.range(1).select(lit(-1L).as("doc_id"),
+            lit("flush").as("text"),
+            timestamp_micros(lit(flushUs)).as("ingested_at"))
+          val dirP = scratch("st07")
+          val stage = dirP.resolve("input").toString
+          val ckpt = dirP.resolve("ckpt").toString
+          ev.unionByName(flush).coalesce(1).write.parquet(stage)
+
+          val qname = "st07_" + UUID.randomUUID().toString.replace("-", "")
+          val scored = graft.pipeline.TextAnalysis.langId(
+            graft.pipeline.TextAnalysis.qualityFeatures(
+              s.readStream.schema(schema).parquet(stage)))
+            .withWatermark("ingested_at", "1 day")
+          val q = graft.streaming.StreamingCuration.corpusStats(scored)
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+          s.table(qname)
+            .select(col("predicted_lang"), col("window_start"),
+              col("n_docs"), col("total_tokens"))
+      }
+    },
+    Some(s"""WITH f AS (SELECT *, ${PipelineQueries.qualityColsSql} FROM documents),
+            |langs AS (SELECT *, ${PipelineQueries.langHitsSql} FROM f),
+            |pl AS (SELECT doc_id, n_tokens, ${PipelineQueries.langCaseSql}
+            |       FROM langs)
+            |SELECT predicted_lang,
+            |       time_bucket(INTERVAL '1 hour',
+            |                   epoch_ms((1767225600 + doc_id * 60) * 1000)) AS window_start,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            |FROM pl GROUP BY 1, 2""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
-      streamingSilverGate, streamingNearDup, streamingEmbNearDup)
+      streamingSilverGate, streamingNearDup, streamingEmbNearDup,
+      streamingCorpusStats)
 }
