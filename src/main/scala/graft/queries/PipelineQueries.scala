@@ -130,6 +130,11 @@ object PipelineQueries {
     */
   private def lshIndexPath = s"$artifactRoot/lsh_index_p19"
 
+  /** Artifact path for the p53 delta-dedup LSH index (same per-run
+    * contract as [[bpeVocabPath]]).
+    */
+  private def deltaIndexPath = s"$artifactRoot/lsh_index_p53"
+
   /** Artifact path for the p20 materialized IVF ANN index (same
     * per-run contract as [[bpeVocabPath]]).
     */
@@ -1649,6 +1654,84 @@ object PipelineQueries {
              |            WHEN a.text <> b.text THEN 'changed'
              |            ELSE 'unchanged' END AS status
              |FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id""".stripMargin)),
+
+    // Delta-scoped incremental dedup — the p52 + p19 composition that
+    // closes the versioning loop: diff the two snapshots, index ONLY
+    // the unchanged corpus (materialized LSH band/shingle tables),
+    // and dedup ONLY the added/changed delta against that index. At
+    // 100 TB this is the difference between re-shingling the corpus
+    // per crawl and paying for the delta; the statuses come from the
+    // same id-grain hash diff p52 gates. Oracle recomputes the whole
+    // chain: diff statuses -> shingles over v2 -> MinHash bands ->
+    // cross-STATUS candidates (new side = added/changed, old side =
+    // unchanged) -> exact-Jaccard verification.
+    QueryDef("p53_delta_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val v1 = docs.where(col("doc_id") % 4 =!= 3)
+        val v2 = docs.where(col("doc_id") % 4 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 6 === 1, concat(col("text"), lit(" edited")))
+              .otherwise(col("text")))
+        val st = Snapshots.diff(v1, v2)
+        val unchanged = v2.join(
+          st.where(col("status") === "unchanged").select("doc_id"), Seq("doc_id"))
+        val delta = v2.join(
+          st.where(col("status").isin("added", "changed")).select("doc_id"),
+          Seq("doc_id"))
+        Dedup.writeLshIndex(unchanged, deltaIndexPath)
+        Dedup.nearDupsAgainstIndex(delta, deltaIndexPath, threshold = 0.8)
+      },
+      Some("""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
+             |v2 AS (SELECT doc_id,
+             |              CASE WHEN doc_id % 6 = 1 THEN text || ' edited'
+             |                   ELSE text END AS text
+             |       FROM documents WHERE doc_id % 4 <> 0),
+             |st AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             |              CASE WHEN a.doc_id IS NULL THEN 'added'
+             |                   WHEN b.doc_id IS NULL THEN 'removed'
+             |                   WHEN a.text <> b.text THEN 'changed'
+             |                   ELSE 'unchanged' END AS status
+             |       FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+             |tkv AS (SELECT doc_id,
+             |               list_filter(string_split_regex(trim(text), '\s+'),
+             |                           t -> t <> '') AS w
+             |        FROM v2),
+             |shv AS (SELECT DISTINCT doc_id, shingle FROM (
+             |          SELECT doc_id,
+             |                 unnest(list_transform(range(1, len(w) - 1),
+             |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+             |          FROM tkv)),
+             |hv AS (SELECT doc_id,
+             |              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
+             |              ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hb
+             |       FROM shv),
+             |mh AS (SELECT doc_id, i, min(ha + i * hb) AS mv
+             |       FROM hv CROSS JOIN (SELECT unnest(range(16)) AS i) idx
+             |       GROUP BY doc_id, i),
+             |bands AS (SELECT doc_id, i // 4 AS band,
+             |                 md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bucket
+             |          FROM mh GROUP BY doc_id, i // 4),
+             |cand AS (SELECT DISTINCT nw.doc_id AS doc_new, od.doc_id AS doc_old
+             |         FROM bands nw
+             |         JOIN st sn ON sn.doc_id = nw.doc_id
+             |                   AND sn.status IN ('added', 'changed')
+             |         JOIN bands od ON nw.band = od.band AND nw.bucket = od.bucket
+             |         JOIN st so ON so.doc_id = od.doc_id
+             |                   AND so.status = 'unchanged'),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
+             |          FROM shv GROUP BY doc_id),
+             |common AS (SELECT c.doc_new, c.doc_old, CAST(count(*) AS BIGINT) AS common
+             |           FROM cand c
+             |           JOIN shv a ON a.doc_id = c.doc_new
+             |           JOIN shv b ON b.doc_id = c.doc_old AND b.shingle = a.shingle
+             |           GROUP BY c.doc_new, c.doc_old)
+             |SELECT doc_new, doc_old,
+             |       common / (sn.set_size + so.set_size - common) AS jaccard
+             |FROM common
+             |JOIN sizes sn ON sn.doc_id = doc_new
+             |JOIN sizes so ON so.doc_id = doc_old
+             |WHERE common / (sn.set_size + so.set_size - common) >= 0.8""".stripMargin)),
 
     // Per-document curation VERDICTS — the audit surface of the
     // filter chain: every doc gets a machine-readable keep/drop
