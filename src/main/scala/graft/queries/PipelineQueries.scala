@@ -1442,6 +1442,62 @@ object PipelineQueries {
              |       exact_distinct
              |FROM agg""".stripMargin)),
 
+    // KMV sketch MERGEABILITY, driver-visible: sketch the even-id and
+    // odd-id halves of each source INDEPENDENTLY, merge with kmvUnion,
+    // and the result must hash-equal the sketch the full corpus would
+    // have produced — the property that lets 100 TB pipelines maintain
+    // per-partition/per-day sketch artifacts and combine them at read
+    // time instead of re-scanning. The oracle computes the FULL-corpus
+    // sketch only; any merge defect (lost value, wrong k-bound, order)
+    // breaks the hash.
+    QueryDef("p54_sketch_merge",
+      (s, dir) => {
+        import graft.functions.SketchFunctions._
+        val k = 128
+        val hashed = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .select(col("source"), col("doc_id"),
+            graft.functions.Md5Hash.h60(col("tok")).as("h"))
+        def half(parity: Int) = hashed.where(col("doc_id") % 2 === parity)
+          .groupBy(col("source"))
+          .agg(kminValues(col("h"), k).as(s"sk$parity"))
+        half(0).join(half(1), Seq("source"), "full_outer")
+          .select(col("source"),
+            kmvUnion(
+              coalesce(col("sk0"), array().cast("array<bigint>")),
+              coalesce(col("sk1"), array().cast("array<bigint>")),
+              k).as("sketch"))
+          .select(col("source"),
+            size(col("sketch")).cast("long").as("sketch_size"),
+            when(size(col("sketch")) > 0,
+              element_at(col("sketch"), size(col("sketch")))).as("kth_min"),
+            md5(concat_ws(",", col("sketch"))).as("sketch_md5"),
+            kmvEstimate(col("sketch"), k).as("est_distinct"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |                            t -> t <> '')) AS tok
+             |  FROM documents),
+             |h AS (SELECT DISTINCT source,
+             |             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+             |      FROM toks),
+             |r AS (SELECT source, h,
+             |             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             |      FROM h),
+             |sk AS (SELECT source,
+             |              CAST(count(*) AS BIGINT) AS sketch_size,
+             |              max(h) AS kth_min,
+             |              md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS sketch_md5
+             |       FROM r WHERE rn <= 128 GROUP BY source)
+             |SELECT source, sketch_size, kth_min, sketch_md5,
+             |       CASE WHEN sketch_size < 128
+             |            THEN CAST(sketch_size AS DOUBLE)
+             |            ELSE CAST(127 AS DOUBLE) * 1152921504606846976
+             |                   / CAST(kth_min AS DOUBLE) END AS est_distinct
+             |FROM sk""".stripMargin)),
+
     // KMV set-operation estimates: pairwise corpus overlap between
     // sources from their k=128 sketches — union sketch (the KMV merge
     // property), Jaccard estimate (fraction of the union sample in
