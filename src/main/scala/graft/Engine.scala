@@ -83,13 +83,14 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet is written with INT64 TIMESTAMP(NANOS), which
-    * Spark 4 refuses to read natively. With
+  /** Some driver generations write events.parquet with INT64
+    * TIMESTAMP(NANOS), which Spark 4 refuses to read natively; others
+    * (current) write plain TIMESTAMP(MICROS). With
     * `spark.sql.legacy.parquet.nanosAsLong` (set here defensively in
-    * case the session skipped [[Engine.configure]]) the column reads as
-    * nanos-since-epoch Long; convert via integer division (precision-
-    * exact, unlike double `/`) to a microsecond timestamp. The DuckDB
-    * oracle reads the raw table, so queries must not depend on
+    * case the session skipped [[Engine.configure]]) a NANOS column
+    * reads as nanos-since-epoch Long while a MICROS column still reads
+    * as a timestamp, so [[events]] branches on the surfaced type. The
+    * DuckDB oracle reads the raw table, so queries must not depend on
     * sub-microsecond precision (driver data is second-grained).
     */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
@@ -104,9 +105,19 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame =
-    eventsRaw(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = eventsRaw(spark, dir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // INT64 TIMESTAMP(NANOS)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // pandas-written timestamp[us] without tz; the session tz is UTC,
+        // so the cast is value-identical and restores the TIMESTAMP type
+        // that unix_micros / streaming watermarks require.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already a real timestamp column
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }
