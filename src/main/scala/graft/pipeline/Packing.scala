@@ -88,4 +88,46 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("tokens_started"),
         min(col(idCol)).as("first_doc_id"))
+
+  /** Training-export writer: materialize the corpus as `nShards`
+    * hash-sharded parquet directories (`shard=<s>/...`) and return a
+    * per-shard manifest computed by reading BACK the files just
+    * written — the manifest certifies the round trip (what a training
+    * loader will actually see), not the writer's intent.
+    *
+    * Shape and scale: shard assignment is the same md5 variate as
+    * [[packSequences]] (deterministic across engines/retries; docs
+    * hash-uniform over shards), the write is ONE shuffle to shard
+    * grain (`repartition($"shard")` → `partitionBy("shard")`, so each
+    * task owns whole shard directories and writes one file per shard
+    * instead of `tasks × shards` small files — the small-files
+    * failure mode at 100 TB), and the manifest is a read-back scan of
+    * only the columns it aggregates (parquet column pruning: text
+    * never leaves the files). `xor_h60` is a bitwise-XOR fold of each
+    * doc's 60-bit md5 content hash — order-independent and
+    * overflow-free where a SUM of 2^60-scale values would wrap, so
+    * identical corpora produce identical checksums under any
+    * partitioning; any dropped/duplicated/corrupted row flips it.
+    */
+  def writeShards(docs: DataFrame, nShards: Int, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    docs
+      .select(col(idCol),
+        shardOf(col(idCol), nShards).as("shard"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+        graft.functions.Md5Hash.h60(col(textCol)).as("h60"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    docs.sparkSession.read.parquet(path)
+      // partition-directory column comes back as the inferred INT type;
+      // pin the contract type
+      .withColumn("shard", col("shard").cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col(idCol)).as("min_doc_id"),
+        max(col(idCol)).as("max_doc_id"),
+        bit_xor(col("h60")).as("xor_h60"))
+  }
 }

@@ -505,6 +505,108 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched exact top-k: every query row's brute-force cosine top-k
+    * in ONE corpus pass. The query set is a broadcast (Q rows — query
+    * batches are small by contract; the corpus is the big side), the
+    * corpus side never shuffles its vectors: score + per-query
+    * row_number, keep rank <= k. Self-matches are excluded, matching
+    * [[bruteForceTopK]].
+    *
+    * Output: `query_id`, `<idCol>`, `cosine`, `rank` (1-based, ties
+    * broken by ascending id — the [[bruteForceTopK]] ordering).
+    */
+  def bruteSearchAll(emb: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    emb.crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
+      .where(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        rankCosine(col(vecCol), col(qvecCol)).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Batched IVF top-k: every query row's IVF-probed top-k in one
+    * pass, fully distributed — unlike [[ivfTopKWith]] (whose per-query
+    * driver probe selection serves the point-lookup path), the probe
+    * sets here are computed as a dataframe: queries × broadcast
+    * centroid table → per-query rank by (cosine DESC, cid DESC), keep
+    * nprobe — the exact [[probeCellsFor]] tie-break, so a duplicate
+    * centroid vector still probes the same cell the assignment chose.
+    * Candidates are then cell-joined (probe list broadcast: Q × nprobe
+    * rows) and scored exactly.
+    *
+    * At 100 TB this is the batch-scoring path: one corpus assignment
+    * pass (or a pre-materialized [[writeIvfIndex]] read) serves the
+    * whole query batch, instead of Q point lookups re-scanning the
+    * corpus.
+    */
+  def ivfSearchAll(emb: DataFrame, queries: DataFrame,
+      centroids: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+    val qs = queries.select(col(qidCol), col(qvecCol))
+    val centDf = {
+      val s = emb.sparkSession
+      import s.implicits._
+      centroids.toSeq.toDF("__cid", "__c")
+        .select(col("__cid"), col("__c").cast("array<float>"))
+    }
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("__pcos").desc, col("__cid").desc)
+    val probes = qs.crossJoin(broadcast(centDf))
+      .select(col(qidCol), col("__cid"),
+        (dot(col(qvecCol), col("__c")) /
+          (norm(col(qvecCol)) * norm(col("__c")))).as("__pcos"))
+      .withColumn("__pr", row_number().over(wProbe))
+      .where(col("__pr") <= nprobe)
+      .select(col(qidCol), col("__cid").as("__cell"))
+    val celled = emb.select(col(idCol), col(vecCol),
+      cellOf(col(vecCol), centroids).as("__cell"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    celled
+      .join(broadcast(probes), Seq("__cell"))
+      .join(broadcast(qs), Seq(qidCol))
+      .where(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        rankCosine(col(vecCol), col(qvecCol)).as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+  }
+
+  /** Recall@k of the IVF path against exact brute force, per query —
+    * the evaluation harness that justifies an ANN deployment's
+    * nlist/nprobe choice (and the batch twin of the
+    * [[ivfAssignmentQuality]] drift probe: quality says "cells got
+    * loose", recall says what that costs users). One corpus scan per
+    * side; the per-query comparison joins two k-row-per-query frames
+    * on (query, id).
+    *
+    * Output: `query_id`, `n_hits` (of the exact top-k, how many the
+    * IVF probe surfaced), `recall` = n_hits / k.
+    */
+  def ivfRecallAtK(emb: DataFrame, queries: DataFrame,
+      centroids: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+    val brute = bruteSearchAll(emb, queries, k, idCol, vecCol, qidCol, qvecCol)
+      .select(col(qidCol), col(idCol))
+    val approx = ivfSearchAll(emb, queries, centroids, k, nprobe,
+      idCol, vecCol, qidCol, qvecCol)
+      .select(col(qidCol), col(idCol), lit(1L).as("__hit"))
+    brute.join(approx, Seq(qidCol, idCol), "left")
+      .groupBy(col(qidCol))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col(qidCol), col("n_hits"),
+        (col("n_hits").cast("double") / k).as("recall"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs
     * within the same bucket with cosine >= threshold. The in-bucket
     * self-join replaces the corpus-wide cross product.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Chunking, Clusters, Contamination, Dedup, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Sampling, Similarity, Snapshots, Spans, TextAnalysis}
+import graft.pipeline.{Bpe, Chunking, Clusters, Contamination, Dedup, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Reporting, Sampling, Similarity, Snapshots, Spans, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -139,6 +139,13 @@ object PipelineQueries {
     * per-run contract as [[bpeVocabPath]]).
     */
   private def ivfIndexPath = s"$artifactRoot/ivf_index_p20"
+
+  /** Artifact path for the p55 training-export shards (same per-run
+    * contract as [[bpeVocabPath]]; the gate's manifest is computed by
+    * reading these files back, the oracle recomputes it from the raw
+    * corpus — a mismatch means the written files lost/changed rows).
+    */
+  private def shardExportPath = s"$artifactRoot/shard_export_p55"
 
   /** The driver-generated embeddings tables are 64-dimensional at
     * every scale factor (TESTDATA.md); [[Similarity.dimOf]] resolves
@@ -1914,7 +1921,113 @@ object PipelineQueries {
              |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank
              |      FROM sc)
              |SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
-             |FROM r WHERE rank <= 5""".stripMargin))
+             |FROM r WHERE rank <= 5""".stripMargin)),
+
+    // Training-export shard writer: hash-shard the corpus, WRITE it
+    // as shard-partitioned parquet, manifest the files by reading
+    // them back (docs, tokens, id range, order-independent XOR
+    // content checksum per shard). The oracle recomputes the manifest
+    // from the RAW corpus — so the gate certifies the round trip
+    // through the written files: a lost, duplicated or corrupted row
+    // in any shard flips n_docs/xor_h60 and fails the hash match.
+    QueryDef("p55_shard_export",
+      (s, dir) => Packing.writeShards(
+        Tables.documents(s, dir), nShards = 8, path = shardExportPath),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/pack'), 1, 8))::BIGINT
+             |           % 8 AS shard,
+             |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              t -> t <> '')) AS BIGINT) AS n_tokens,
+             |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h60
+             |  FROM documents)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+             |       bit_xor(h60) AS xor_h60
+             |FROM t GROUP BY shard""".stripMargin)),
+
+    // Corpus data card: per-(source, lang) docs/tokens/chars and each
+    // stratum's exact share of the corpus — the composition report a
+    // training run ships with (and the auditable input to p44's
+    // temperature mixing). Shares are single divisions of exact
+    // integers, so the doubles hash-match across engines.
+    QueryDef("p56_data_card",
+      (s, dir) => Reporting.dataCard(Tables.documents(s, dir)),
+      Some("""WITH strata AS (
+             |  SELECT source, lang,
+             |         CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |                                  t -> t <> ''))) AS BIGINT) AS total_tokens,
+             |         CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |  FROM documents GROUP BY source, lang),
+             |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS corpus_docs,
+             |               CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens
+             |        FROM strata)
+             |SELECT source, lang, n_docs, total_tokens, total_chars,
+             |       CAST(n_docs AS DOUBLE) / corpus_docs AS doc_share,
+             |       CAST(total_tokens AS DOUBLE) / corpus_tokens AS token_share
+             |FROM strata, tot""".stripMargin)),
+
+    // ANN recall@10 evaluation: IVF (p13's md5-strided centroids)
+    // scored against exact brute force for every 31st vector as a
+    // query — per-query hit counts and recall, the harness that
+    // justifies an nlist/nprobe choice. Both search paths run BATCHED
+    // (one corpus pass each, per-query window ranks) — not Q point
+    // lookups. The oracle replays assignment, per-query probe
+    // selection (cosine DESC, cid DESC — the engine's tie-break),
+    // both top-10s and the hit join, end-to-end in SQL.
+    QueryDef("p57_ann_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val centroids = Similarity.sampleCentroids(emb, nlist = 16)
+        val queries = emb.where(col("vec_id") % 31 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        Similarity.ivfRecallAtK(emb, queries, centroids, k = 10, nprobe = 4)
+      },
+      Some(s"""WITH stride AS (SELECT greatest(count(*) // 16, 1) AS bkt
+              |                FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+              |         FROM embeddings, stride
+              |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
+              |               % bkt = 0
+              |         ORDER BY vec_id LIMIT 16),
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 31 = 0),
+              |assigned AS (
+              |  SELECT vec_id, v, cid,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC,
+              |                    cid DESC) AS rn
+              |  FROM e CROSS JOIN cent),
+              |celled AS (SELECT vec_id, v, cid AS cell FROM assigned WHERE rn = 1),
+              |probes AS (
+              |  SELECT query_id, cid,
+              |         row_number() OVER (PARTITION BY query_id
+              |           ORDER BY ${cosineSql("c", "qv")} DESC, cid DESC) AS pr
+              |  FROM cent CROSS JOIN qs),
+              |ivf AS (
+              |  SELECT q.query_id, d.vec_id,
+              |         row_number() OVER (PARTITION BY q.query_id
+              |           ORDER BY ${cosineSql("d.v", "q.qv")} DESC, d.vec_id ASC) AS rn
+              |  FROM celled d
+              |  JOIN probes p ON d.cell = p.cid AND p.pr <= 4
+              |  JOIN qs q ON q.query_id = p.query_id
+              |  WHERE d.vec_id <> q.query_id),
+              |brute AS (
+              |  SELECT q.query_id, e.vec_id,
+              |         row_number() OVER (PARTITION BY q.query_id
+              |           ORDER BY ${cosineSql("e.v", "q.qv")} DESC, e.vec_id ASC) AS rn
+              |  FROM e CROSS JOIN qs q
+              |  WHERE e.vec_id <> q.query_id)
+              |SELECT b.query_id,
+              |       CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+              |       CAST(count(i.vec_id) AS DOUBLE) / 10 AS recall
+              |FROM brute b
+              |LEFT JOIN (SELECT query_id, vec_id FROM ivf WHERE rn <= 10) i
+              |       ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+              |WHERE b.rn <= 10
+              |GROUP BY b.query_id""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque

@@ -84,5 +84,44 @@ class PackingSpec extends SparkSpec {
       Packing.packSequences(corpus, seqLen = 0))
     intercept[IllegalArgumentException](
       Packing.packSequences(corpus, seqLen = 8, nShards = 0))
+    intercept[IllegalArgumentException](
+      Packing.writeShards(corpus, nShards = 0, path = "/tmp/unused"))
+  }
+
+  test("writeShards: read-back manifest accounts for every doc and token") {
+    val path = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/export"
+    val manifest = Packing.writeShards(corpus, nShards = 3, path = path).collect()
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum === 9L)
+    val totalTokens = corpus
+      .select(sum(TextAnalysis.tokenCount(col("text")))).head().getLong(0)
+    assert(manifest.map(_.getAs[Long]("total_tokens")).sum === totalTokens)
+    // shard assignment in the FILES matches shardOf: every written
+    // row sits in the directory its id hashes to
+    val disk = spark.read.parquet(path)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        Packing.shardOf(col("doc_id"), 3).as("expected"))
+      .collect()
+    assert(disk.length === 9)
+    disk.foreach(r => assert(r.getAs[Long]("shard") === r.getAs[Long]("expected")))
+  }
+
+  test("writeShards: xor_h60 checksum detects a content change, overwrite is clean") {
+    val path = java.nio.file.Files.createTempDirectory("graft-shards2").toString + "/export"
+    val before = Packing.writeShards(corpus, nShards = 2, path = path).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("xor_h60")).toMap
+    // identical corpus, different partitioning -> identical checksums
+    // (XOR is order-independent) and no doubled rows from the overwrite
+    val again = Packing.writeShards(corpus.repartition(5), nShards = 2, path = path)
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("xor_h60")).toMap
+    assert(before === again)
+    // flip one doc's text -> exactly that doc's shard checksum changes
+    val edited = corpus.withColumn("text",
+      when(col("doc_id") === 6L, lit("lone EDITED")).otherwise(col("text")))
+    val editedShard = Packing.writeShards(edited, nShards = 2, path = path)
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("xor_h60")).toMap
+    val shard6 = Packing.shardOf(lit(6L), 2)
+    val s6 = corpus.select(shard6).head().getLong(0)
+    assert(editedShard(s6) !== before(s6))
+    assert(editedShard.filter(_._1 != s6) === before.filter(_._1 != s6))
   }
 }
