@@ -100,4 +100,104 @@ object Quantization {
       .orderBy(col("qscore").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  // ---- Product quantization (PQ): the other compression axis.
+  // Scalar quantization above shrinks each COMPONENT to a byte (4x);
+  // PQ shrinks each SUBVECTOR to a single codeword id — m bytes per
+  // vector for m subspaces (dim*4/m x smaller, e.g. 32x at dim=64,
+  // m=8), the compression that makes a 100 TB ANN index RAM-resident.
+  // Scoring is asymmetric distance computation (ADC): the query stays
+  // exact; a candidate's approximate score is the sum over subspaces
+  // of dot(query_sub, codeword(code_sub)) — m table lookups per
+  // candidate instead of a dim-length dot.
+  //
+  // Codebooks here are slices of the same md5-strided corpus sample
+  // that seeds IVF ([[Similarity.sampleCentroids]]): deterministic,
+  // model-free, re-derivable by any engine (k-means per subspace
+  // would tighten them; the code/ADC machinery is identical). Codes
+  // are the SAMPLE IDS, not dense indexes, mirroring the IVF cell
+  // convention.
+
+  /** Per-row PQ code assignment expression for subspace `s`:
+    * argmin-L2 codeword over the broadcast literal codebook. With
+    * the row's own |sub|^2 constant across codewords, argmin L2 =
+    * argmax (2*dot(sub, cw) - |cw|^2) — one codegen'd dot per
+    * codeword, |cw|^2 folded to a driver literal. array_max over
+    * (score, cid) structs: lexicographic, equal scores prefer the
+    * larger cid (duplicate codewords stay consistent with the
+    * oracle's `ORDER BY score DESC, cid DESC`).
+    */
+  private def codeOf(vec: Column, s: Int, subDim: Int,
+      codebook: Array[(Long, Array[Float])]): Column =
+    array_max(array(codebook.map { case (cid, full) =>
+      val cw = full.slice(s * subDim, (s + 1) * subDim)
+      val cwLit = array(cw.toSeq.map(lit(_)): _*).cast("array<float>")
+      val bb = {
+        var acc = 0.0; var i = 0
+        while (i < cw.length) { acc += cw(i).toDouble * cw(i); i += 1 }
+        acc
+      }
+      val sub = slice(vec, s * subDim + 1, subDim)
+      struct((lit(2.0) * graft.functions.VectorFunctions.vecDot(sub, cwLit)
+        - lit(bb)).as("score"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** The corpus with an m-entry `codes: array<bigint>` column — the
+    * PQ index build (materialize next to the id, drop the vector,
+    * and the index is m longs per row). One narrow codegen'd
+    * projection: m × ksub dots per row, no shuffle.
+    */
+  def pqCodes(emb: DataFrame, codebook: Array[(Long, Array[Float])], m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = codebook.headOption.map(_._2.length)
+      .getOrElse(throw new IllegalArgumentException("empty PQ codebook"))
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    emb.select(col(idCol),
+      array((0 until m).map(s => codeOf(col(vecCol), s, subDim, codebook)): _*)
+        .as("codes"))
+  }
+
+  /** PQ-ADC top-k for `queryId`: codes computed (or reuse a
+    * materialized [[pqCodes]] frame via `precomputedCodes`), then
+    * each candidate scored by m literal-map lookups summed LEFT TO
+    * RIGHT (fixed association order, so the double is reproducible
+    * engine-to-engine — the oracle parenthesizes identically).
+    * No shuffle, no join: the ADC tables ride in the expression.
+    */
+  def pqTopK(emb: DataFrame, queryId: Long, k: Int = 10, m: Int = 8,
+      ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codebook = Similarity.sampleCentroids(emb, ksub, idCol, vecCol)
+    val dim = codebook.head._2.length
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val qRow = emb.where(col(idCol) === queryId)
+      .select(col(vecCol)).collect().headOption
+    if (qRow.isEmpty)
+      return emb.select(col(idCol), lit(null).cast("double").as("qscore"))
+        .where(lit(false))
+    val qVec = qRow.get.getSeq[Float](0).toArray
+    // driver-side ADC tables: t(s)(cid) = dot(query_sub, codeword) in
+    // ascending-index double accumulation (the list_dot_product order)
+    def adc(s: Int)(cw: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < subDim) {
+        acc += qVec(s * subDim + i).toDouble * cw(s * subDim + i); i += 1
+      }
+      acc
+    }
+    val codes = pqCodes(emb, codebook, m, idCol, vecCol)
+    val terms = (0 until m).map { s =>
+      val kv = codebook.flatMap { case (cid, full) =>
+        Seq(lit(cid), lit(adc(s)(full)))
+      }
+      element_at(map(kv.toSeq: _*), element_at(col("codes"), s + 1))
+    }
+    codes
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), terms.reduce(_ + _).as("qscore"))
+      .orderBy(col("qscore").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -73,4 +73,54 @@ class QuantizationSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
     assert(rows(0).getLong(1) === rows(1).getLong(1))
   }
+
+  // ---- PQ
+
+  private val pqDim = 8
+
+  /** 4 tight clusters x 8 members at dim 8 (divisible by m=2 and
+    * m=4): a PQ query's ADC ranking should surface cluster-mates.
+    */
+  private def pqCorpus = {
+    val rows = for (c <- 0 until 4; mm <- 0 until 8) yield
+      (c * 10L + mm, EmbeddingFixture.member("pq", pqDim, 0.03f)(c, mm))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("pqCodes: codes are codebook ids, deterministic across partitionings") {
+    val codebook = Similarity.sampleCentroids(pqCorpus, 8)
+    val cids = codebook.map(_._1).toSet
+    val a = Quantization.pqCodes(pqCorpus, codebook, m = 4).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+    assert(a.size === 32)
+    a.values.foreach { codes =>
+      assert(codes.length === 4)
+      codes.foreach(c => assert(cids.contains(c)))
+    }
+    val b = Quantization.pqCodes(pqCorpus.repartition(7), codebook, m = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+    intercept[IllegalArgumentException](
+      Quantization.pqCodes(pqCorpus, codebook, m = 3)) // 8 % 3 != 0
+  }
+
+  test("pqTopK: ADC ranking surfaces the query's cluster-mates") {
+    // query 0 belongs to cluster 0 (members 0..7); with tight jitter
+    // the 7 nearest under ADC must be exactly its cluster-mates
+    val top = Quantization.pqTopK(pqCorpus, queryId = 0L, k = 7, m = 4, ksub = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top === (1L to 7L).toSet)
+  }
+
+  test("pqTopK: m=1 single subspace equals full-vector codeword scoring; missing query is empty") {
+    // with m=1 the ADC score of candidate v is dot(q, codeword(v)) —
+    // every member of a tight cluster scores (near-)identically; the
+    // ranking must still be complete, deterministic, and well-formed
+    val rows = Quantization.pqTopK(pqCorpus, queryId = 0L, k = 31, m = 1, ksub = 8)
+      .collect()
+    val allIds = (for (c <- 0 until 4; mm <- 0 until 8) yield c * 10L + mm).toSet
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet === allIds - 0L)
+    val empty = Quantization.pqTopK(pqCorpus, queryId = 999L, k = 5)
+    assert(empty.count() === 0L)
+  }
 }
