@@ -200,4 +200,56 @@ object Quantization {
       .orderBy(col("qscore").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** IVF + PQ — the two scale axes composed, which is what a 100 TB
+    * ANN deployment actually runs (FAISS's IVFPQ shape): IVF cell
+    * probing cuts the CANDIDATE SET to nprobe/nlist of the corpus,
+    * PQ-ADC cuts the PER-CANDIDATE cost to m table lookups. Cells and
+    * codebooks both come from the same md5-strided deterministic
+    * sample ([[Similarity.sampleCentroids]] — with nlist == ksub they
+    * share one sample); candidates outside the probed cells are never
+    * code-assigned or scored.
+    *
+    * Scoring and tie-breaks are exactly [[pqTopK]]'s; the only
+    * difference is the probe filter in front. At nprobe == nlist the
+    * result IS pqTopK's (spec-pinned).
+    */
+  def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = Similarity.sampleCentroids(emb, nlist, idCol, vecCol)
+    val codebook =
+      if (ksub == nlist) centroids
+      else Similarity.sampleCentroids(emb, ksub, idCol, vecCol)
+    val dim = codebook.head._2.length
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val qRow = emb.where(col(idCol) === queryId)
+      .select(col(vecCol)).collect().headOption
+    if (qRow.isEmpty)
+      return emb.select(col(idCol), lit(null).cast("double").as("qscore"))
+        .where(lit(false))
+    val qVec = qRow.get.getSeq[Float](0).toArray
+    val probeCells = Similarity.probeCellsFor(centroids, qVec, nprobe)
+    def adc(s: Int)(cw: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < subDim) {
+        acc += qVec(s * subDim + i).toDouble * cw(s * subDim + i); i += 1
+      }
+      acc
+    }
+    val candidates = emb.where(
+      Similarity.cellOf(col(vecCol), centroids).isin(probeCells: _*) &&
+        col(idCol) =!= queryId)
+    val terms = (0 until m).map { s =>
+      val kv = codebook.flatMap { case (cid, full) =>
+        Seq(lit(cid), lit(adc(s)(full)))
+      }
+      element_at(map(kv.toSeq: _*), element_at(col("codes"), s + 1))
+    }
+    pqCodes(candidates, codebook, m, idCol, vecCol)
+      .select(col(idCol), terms.reduce(_ + _).as("qscore"))
+      .orderBy(col("qscore").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -211,7 +211,7 @@ object Similarity {
       struct(score.as("score"), lit(cid).as("cid"))
     }: _*))
 
-  private def cellOf(vec: Column, centroids: Array[(Long, Array[Float])]): Column =
+  private[pipeline] def cellOf(vec: Column, centroids: Array[(Long, Array[Float])]): Column =
     bestOf(vec, centroids).getField("cid")
 
   /** Driver-side cosine for probe selection — sequential
@@ -237,7 +237,7 @@ object Similarity {
     * send rows to one cell while the probe picks the other, silently
     * emptying the result.
     */
-  private def probeCellsFor(centroids: Array[(Long, Array[Float])],
+  private[pipeline] def probeCellsFor(centroids: Array[(Long, Array[Float])],
       queryVec: Array[Float], nprobe: Int): Array[Long] =
     centroids.sortBy { case (cid, c) => (-cosDriver(queryVec, c), -cid) }
       .take(nprobe).map(_._1)

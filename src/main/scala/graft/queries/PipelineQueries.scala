@@ -2086,6 +2086,78 @@ object PipelineQueries {
               |JOIN adc a7 ON a7.s = 7 AND a7.cid = cv.c7
               |WHERE cv.vec_id <> 0
               |ORDER BY qscore DESC, cv.vec_id ASC
+              |LIMIT 10""".stripMargin)),
+
+    // IVF + PQ composed (the FAISS IVFPQ shape): probe the 4 nearest
+    // of 16 cells, PQ-ADC-score ONLY the candidates inside them —
+    // candidate-set and per-candidate cost cut at once. Cells and
+    // codebooks share the md5-strided sample; scoring, association
+    // order and every tie-break are p58's, so the oracle is p13's
+    // probe CTEs fused with p58's code/ADC CTEs, restricted to the
+    // probed candidates.
+    QueryDef("p59_ivfpq_topk",
+      (s, dir) => Quantization.ivfPqTopK(
+        Tables.embeddings(s, dir), queryId = 0L, k = 10,
+        nlist = 16, nprobe = 4, m = 8, ksub = 16),
+      Some(s"""WITH stride AS (SELECT greatest(count(*) // 16, 1) AS bkt
+              |                FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+              |         FROM embeddings, stride
+              |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
+              |               % bkt = 0
+              |         ORDER BY vec_id LIMIT 16),
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |assigned AS (
+              |  SELECT vec_id, v, cid,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC,
+              |                    cid DESC) AS rn
+              |  FROM e CROSS JOIN cent),
+              |celled AS (SELECT vec_id, v, cid AS cell FROM assigned WHERE rn = 1),
+              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              |probes AS (
+              |  SELECT cid,
+              |         row_number() OVER (ORDER BY
+              |           ${cosineSql("c", "q.qv")} DESC, cid DESC) AS pr
+              |  FROM cent, q),
+              |cand AS (SELECT d.vec_id, d.v FROM celled d
+              |         JOIN probes p ON d.cell = p.cid AND p.pr <= 4
+              |         WHERE d.vec_id <> 0),
+              |subs AS (SELECT CAST(unnest(range(8)) AS INT) AS s),
+              |cw AS (SELECT s, cid, c[s*8+1 : s*8+8] AS csub FROM cent, subs),
+              |asg0 AS (SELECT d.vec_id, w.s, w.cid,
+              |           2*list_dot_product(d.v[w.s*8+1 : w.s*8+8], w.csub)
+              |             - list_dot_product(w.csub, w.csub) AS score
+              |         FROM cand d CROSS JOIN cw w),
+              |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+              |                    ORDER BY score DESC, cid DESC) AS rn
+              |        FROM asg0),
+              |codes AS (SELECT vec_id,
+              |            max(CASE WHEN s=0 THEN cid END) AS c0,
+              |            max(CASE WHEN s=1 THEN cid END) AS c1,
+              |            max(CASE WHEN s=2 THEN cid END) AS c2,
+              |            max(CASE WHEN s=3 THEN cid END) AS c3,
+              |            max(CASE WHEN s=4 THEN cid END) AS c4,
+              |            max(CASE WHEN s=5 THEN cid END) AS c5,
+              |            max(CASE WHEN s=6 THEN cid END) AS c6,
+              |            max(CASE WHEN s=7 THEN cid END) AS c7
+              |          FROM asg WHERE rn = 1 GROUP BY vec_id),
+              |adc AS (SELECT w.s, w.cid,
+              |               list_dot_product(q.qv[w.s*8+1 : w.s*8+8], w.csub) AS t
+              |        FROM cw w, q)
+              |SELECT cv.vec_id,
+              |       (((((((a0.t + a1.t) + a2.t) + a3.t) + a4.t) + a5.t) + a6.t) + a7.t)
+              |         AS qscore
+              |FROM codes cv
+              |JOIN adc a0 ON a0.s = 0 AND a0.cid = cv.c0
+              |JOIN adc a1 ON a1.s = 1 AND a1.cid = cv.c1
+              |JOIN adc a2 ON a2.s = 2 AND a2.cid = cv.c2
+              |JOIN adc a3 ON a3.s = 3 AND a3.cid = cv.c3
+              |JOIN adc a4 ON a4.s = 4 AND a4.cid = cv.c4
+              |JOIN adc a5 ON a5.s = 5 AND a5.cid = cv.c5
+              |JOIN adc a6 ON a6.s = 6 AND a6.cid = cv.c6
+              |JOIN adc a7 ON a7.s = 7 AND a7.cid = cv.c7
+              |ORDER BY qscore DESC, cv.vec_id ASC
               |LIMIT 10""".stripMargin))
   )
 

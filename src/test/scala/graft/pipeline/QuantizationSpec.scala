@@ -123,4 +123,23 @@ class QuantizationSpec extends SparkSpec {
     val empty = Quantization.pqTopK(pqCorpus, queryId = 999L, k = 5)
     assert(empty.count() === 0L)
   }
+
+  test("ivfPqTopK: probing every cell recovers pqTopK exactly; narrow probe is a subset") {
+    val full = Quantization.pqTopK(pqCorpus, queryId = 0L, k = 7, m = 4, ksub = 8)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("qscore"))).toSeq
+    val all = Quantization.ivfPqTopK(pqCorpus, queryId = 0L, k = 7,
+      nlist = 8, nprobe = 8, m = 4, ksub = 8)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("qscore"))).toSeq
+    assert(all === full)
+    // narrow probing returns candidates only from probed cells, with
+    // the SAME ADC scores for whatever it does return
+    val narrow = Quantization.ivfPqTopK(pqCorpus, queryId = 0L, k = 7,
+      nlist = 8, nprobe = 2, m = 4, ksub = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("qscore")).toMap
+    val fullScores = Quantization.pqTopK(pqCorpus, queryId = 0L, k = 31, m = 4, ksub = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("qscore")).toMap
+    narrow.foreach { case (id, score) => assert(score === fullScores(id), s"id $id") }
+    val emptyQ = Quantization.ivfPqTopK(pqCorpus, queryId = 999L, k = 5)
+    assert(emptyQ.count() === 0L)
+  }
 }
