@@ -2158,7 +2158,37 @@ object PipelineQueries {
               |JOIN adc a6 ON a6.s = 6 AND a6.cid = cv.c6
               |JOIN adc a7 ON a7.s = 7 AND a7.cid = cv.c7
               |ORDER BY qscore DESC, cv.vec_id ASC
-              |LIMIT 10""".stripMargin))
+              |LIMIT 10""".stripMargin)),
+
+    // Curriculum export order: quality tier (fixed thresholds — no
+    // data-dependent quantile pass) descending, md5-shuffled within
+    // tier, doc_id tiebreak to totality; every doc gets its GLOBAL
+    // 1-based rank. The engine computes the rank WITHOUT a
+    // single-partition window: range-repartitioned parallel sort +
+    // per-partition offset zip (GlobalOrder.withGlobalRank) — rank
+    // depends only on the total order, so the oracle's plain
+    // row_number() OVER (ORDER BY ...) must hash-match it exactly.
+    QueryDef("p60_curriculum_order",
+      (s, dir) => {
+        val scored = TextAnalysis.qualityFeatures(Tables.documents(s, dir))
+          .select(col("doc_id"),
+            least(floor(col("quality_score") * 4), lit(3.0)).cast("long").as("tier"),
+            conv(substring(md5(concat(col("doc_id").cast("string"), lit("/cur"))),
+              1, 8), 16, 10).cast("long").as("shuf"))
+        graft.operators.GlobalOrder.withGlobalRank(scored, "rank",
+          Seq(col("tier").desc, col("shuf").asc, col("doc_id").asc))
+      },
+      Some(s"""WITH f AS (SELECT doc_id, $qualityColsSql FROM documents),
+              |q AS (SELECT doc_id, $qualityScoreSql AS qs FROM f),
+              |t AS (SELECT doc_id,
+              |             CAST(least(floor(qs * 4), 3) AS BIGINT) AS tier,
+              |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/cur'), 1, 8))::BIGINT
+              |               AS shuf
+              |      FROM q)
+              |SELECT doc_id, tier, shuf,
+              |       CAST(row_number() OVER (ORDER BY tier DESC, shuf ASC, doc_id ASC)
+              |            AS BIGINT) AS rank
+              |FROM t""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque
