@@ -352,4 +352,41 @@ class PlanSpec extends SparkSpec {
         s"no map-side partials:\n$plan")
     }
   }
+
+  test("shard-export manifest: read-back scan prunes to the aggregated columns") {
+    val path = java.nio.file.Files.createTempDirectory("graft-plan-shards")
+      .toString + "/export"
+    val manifest = pipeline.Packing.writeShards(
+      Tables.documents(spark, dir), nShards = 4, path = path)
+    val plan = planOf(manifest)
+    // the manifest aggregates counts/ids/hashes — the wide text column
+    // must not be read back from the shard files
+    assert(!plan.contains("text"), s"unpruned read-back scan:\n$plan")
+    assert(manifest.count() > 0)
+  }
+
+  test("PQ ADC scoring: codegen'd subspace dots, no join or shuffle for the lookups") {
+    val q = pipeline.Quantization.pqTopK(
+      Tables.embeddings(spark, dir), queryId = 0L, k = 5, m = 8, ksub = 16)
+    val plan = planOf(q)
+    assert(plan.contains("float_vector_dot"), s"native dot missing:\n$plan")
+    // ADC tables ride in the expression as literal maps: scoring must
+    // stay a scan + TakeOrdered, never join the codebook
+    assert(!plan.contains("Join"), s"ADC lookup became a join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$plan")
+  }
+
+  test("batched IVF search: probe set and queries broadcast, corpus never re-scanned per query") {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = pipeline.Similarity.sampleCentroids(emb, nlist = 8)
+    val qs = emb.where(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val res = pipeline.Similarity.ivfSearchAll(emb, qs, centroids, k = 5, nprobe = 2)
+    res.write.mode("overwrite").format("noop").save()
+    val plan = res.queryExecution.executedPlan.toString
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(broadcasts >= 2, s"probe/query sides not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"candidate join degraded to sort-merge:\n$plan")
+  }
 }
