@@ -66,7 +66,47 @@ object Asof {
       rightCols: Seq[String] = Nil,
       rightPrefix: String = "right_",
       toleranceMicros: Option[Long] = None,
-      allowExactMatches: Boolean = true): DataFrame = {
+      allowExactMatches: Boolean = true): DataFrame =
+    joinAsOfDir(left, right, on, leftTime, rightTime, rightTie, rightCols,
+      rightPrefix, toleranceMicros, allowExactMatches, forward = false)
+
+  /** FORWARD as-of: for every left row, the single right row with the
+    * SMALLEST event time at or after the left row's time (strictly
+    * after with `allowExactMatches = false`) — "next reading binds",
+    * the mirror of [[joinAsOf]]'s "latest quote binds". Same union +
+    * carry shape (ONE exchange + one sort; here the FIRST non-null
+    * right payload over the following frame), same NULL-key/NULL-time
+    * semantics, same tolerance contract with the distance measured
+    * forward. Equal-time right ties resolve by `rightTie` ascending
+    * (FIRST wins — the earliest-following convention), again making
+    * output independent of partitioning and replay.
+    */
+  def joinAsOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTie: String,
+      rightCols: Seq[String] = Nil,
+      rightPrefix: String = "right_",
+      toleranceMicros: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame =
+    joinAsOfDir(left, right, on, leftTime, rightTime, rightTie, rightCols,
+      rightPrefix, toleranceMicros, allowExactMatches, forward = true)
+
+  private def joinAsOfDir(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTie: String,
+      rightCols: Seq[String],
+      rightPrefix: String,
+      toleranceMicros: Option[Long],
+      allowExactMatches: Boolean,
+      forward: Boolean): DataFrame = {
     require(on.nonEmpty, "joinAsOf needs at least one equality key")
     val carry =
       if (rightCols.nonEmpty) rightCols
@@ -84,10 +124,13 @@ object Asof {
       "toleranceMicros requires timestamp time columns on both sides")
 
     val leftCols = left.columns.toSeq
-    // side ordinal places right rows before the left row at EQUAL time
-    // when exact matches count, after it when they don't — the carry-
-    // forward window then includes/excludes them by sort position alone.
-    val rightSide = if (allowExactMatches) lit(0) else lit(2)
+    // side ordinal places right rows on the FRAME side of the left row
+    // at EQUAL time when exact matches count, outside it when they
+    // don't — the carry window then includes/excludes them by sort
+    // position alone. Backward frame looks left (exact right rows sort
+    // BEFORE), forward frame looks right (exact right rows sort AFTER).
+    val rightSide =
+      if (allowExactMatches == !forward) lit(0) else lit(2)
 
     val l = left
       .withColumn("__t", col(leftTime))
@@ -119,18 +162,29 @@ object Asof {
         col("__r")) ++ leftCols.filterNot(on.contains)
         .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    val w = Window.partitionBy(on.map(col): _*)
+    val wBase = Window.partitionBy(on.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried =
+      if (forward)
+        first(col("__r"), ignoreNulls = true).over(
+          wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("__r"), ignoreNulls = true).over(
+          wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     val matchedRaw = l.unionByName(r)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", carried)
       .where(col("__side") === 1)
 
-    // tolerance: a carried match older than the horizon is no match
+    // tolerance: a carried match farther than the horizon (back for
+    // backward, ahead for forward) is no match
     val matched = toleranceMicros match {
       case Some(tol) =>
-        val dist = unix_micros(col("__t")) - unix_micros(col("__m")(rightTime))
+        val dist =
+          if (forward)
+            unix_micros(col("__m")(rightTime)) - unix_micros(col("__t"))
+          else
+            unix_micros(col("__t")) - unix_micros(col("__m")(rightTime))
         matchedRaw.withColumn("__m",
           when(col("__m").isNotNull && dist <= tol, col("__m")))
       case None => matchedRaw

@@ -299,7 +299,56 @@ object EventQueries {
             |       CAST(count(*) AS BIGINT) AS n
             |FROM b GROUP BY bin""".stripMargin))
 
+  /** Forward as-of: each purchase joined to the user's NEXT view
+    * within 2 h (post-purchase browsing attribution — the mirror of
+    * p32). Exact-time views count; same-time ties resolve by SMALLEST
+    * event_id (the earliest-following convention). The oracle runs
+    * the join+rank shape with the inequality and rank order flipped.
+    */
+  private def asofForward: QueryDef = QueryDef(
+    "p62_asof_forward",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.where(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "value")
+      Asof.joinAsOfForward(
+        purchases, views,
+        on = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightTie = "event_id", rightCols = Seq("ts", "event_id", "value"),
+        rightPrefix = "view_", toleranceMicros = Some(TwoHoursUs))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("view_event_id"),
+          unix_micros(col("view_ts")).as("view_ts_us"),
+          (unix_micros(col("view_ts")) - unix_micros(col("ts"))).as("gap_us"),
+          round(col("view_value") * 100).cast("long").as("view_value_cents"))
+    },
+    Some(s"""WITH p AS (SELECT event_id, user_id,
+            |                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            |          FROM events WHERE event_type = 'purchase'),
+            |v AS (SELECT event_id, user_id,
+            |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+            |      FROM events WHERE event_type = 'view'),
+            |j AS (SELECT p.event_id, p.user_id, p.ts_us,
+            |             v.event_id AS view_event_id,
+            |             v.ts_us AS view_ts_us, v.value AS view_value,
+            |             row_number() OVER (
+            |               PARTITION BY p.event_id
+            |               ORDER BY v.ts_us ASC NULLS LAST,
+            |                        v.event_id ASC NULLS LAST) AS rn
+            |      FROM p LEFT JOIN v
+            |        ON v.user_id = p.user_id AND v.ts_us >= p.ts_us
+            |       AND v.ts_us - p.ts_us <= $TwoHoursUs)
+            |SELECT event_id, user_id, ts_us, view_event_id, view_ts_us,
+            |       view_ts_us - ts_us AS gap_us,
+            |       CAST(round(view_value * 100, 0) AS BIGINT)
+            |         AS view_value_cents
+            |FROM j WHERE rn = 1""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(asofAttribution, sessionize, zorderValues, funnel, bloomSemijoin,
-      rangeJoin, histogram)
+      rangeJoin, histogram, asofForward)
 }

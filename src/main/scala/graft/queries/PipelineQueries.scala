@@ -2188,7 +2188,44 @@ object PipelineQueries {
               |SELECT doc_id, tier, shuf,
               |       CAST(row_number() OVER (ORDER BY tier DESC, shuf ASC, doc_id ASC)
               |            AS BIGINT) AS rank
-              |FROM t""".stripMargin))
+              |FROM t""".stripMargin)),
+
+    // Composed export pipeline — curation to loader index in one
+    // chain, the operators as a training-data team would run them:
+    // quality filter -> exact dedup (keep min id per content hash) ->
+    // sequence packing -> per-(shard, chunk) manifest. Also the gate
+    // for chunkManifest itself (spec-only until now). The oracle
+    // recomputes the whole chain from p45's quality CTE, p02's
+    // keeper formulation and p21's packing arithmetic.
+    QueryDef("p61_export_pipeline",
+      (s, dir) => {
+        val kept = TextAnalysis.qualityFeatures(Tables.documents(s, dir))
+          .where(col("quality_score") >= 0.5)
+          .select("doc_id", "text")
+        val deduped = Dedup.dropExactDuplicates(kept)
+        Packing.chunkManifest(
+          Packing.packSequences(deduped, seqLen = 512, nShards = 4))
+      },
+      Some(s"""WITH f AS (SELECT doc_id, text, $qualityColsSql FROM documents),
+              |q AS (SELECT doc_id, text, $qualityScoreSql AS qs FROM f),
+              |kept AS (SELECT doc_id, text FROM q WHERE qs >= 0.5),
+              |k AS (SELECT doc_id, text FROM kept
+              |      WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))),
+              |t AS (SELECT doc_id,
+              |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/pack'), 1, 8))::BIGINT
+              |           % 4 AS shard,
+              |         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              |                              t -> t <> '')) AS BIGINT) AS n_tokens
+              |       FROM k),
+              |w AS (SELECT doc_id, shard, n_tokens,
+              |             COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+              |      FROM t)
+              |SELECT shard, CAST(tb // 512 AS BIGINT) AS chunk_id,
+              |       CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+              |       min(doc_id) AS first_doc_id
+              |FROM w GROUP BY shard, CAST(tb // 512 AS BIGINT)""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque

@@ -133,4 +133,50 @@ class AsofSpec extends SparkSpec {
       assert(a === b, s"seed $seed diverged")
     }
   }
+
+  private def runFwd(tol: Option[Long], exact: Boolean) =
+    Asof.joinAsOfForward(leftDf, rightDf, on = Seq("k"), leftTime = "t",
+      rightTime = "t", rightTie = "rid",
+      toleranceMicros = tol, allowExactMatches = exact)
+      .select(col("id"), col("right_rid"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+  test("forward as-of picks nearest following; exact counts; same-time tie -> SMALLEST tie id") {
+    val m = runFwd(tol = None, exact = true)
+    assert(m(1L) === 11L) // exact-time rows qualify; earliest rid wins forward
+    assert(m(2L) === -1L) // nothing at or after 5000us for key a
+    assert(m(3L) === 14L) // 2000us is the next b state after 1000us
+    assert(m(4L) === -1L) // c's only state is BEFORE the probe
+  }
+
+  test("forward: allowExactMatches=false skips the equal-time states") {
+    val m = runFwd(tol = None, exact = false)
+    assert(m(1L) === 13L) // 1000us rows excluded; next is 4000us
+  }
+
+  test("forward tolerance nulls out matches beyond the horizon") {
+    val m = runFwd(tol = Some(1000L), exact = false)
+    assert(m(1L) === -1L) // 4000us is 3000us ahead — beyond 1000us
+    assert(m(3L) === 14L) // 1000us ahead — exactly at the horizon
+  }
+
+  test("forward mirrors backward under time negation") {
+    // negate the time axis (numeric time columns) and the forward
+    // join must reproduce the backward join's matches exactly
+    def neg(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("nt", -unix_micros(col("t")))
+    val back = Asof.joinAsOf(leftDf, rightDf, Seq("k"), "t", "t", "rid")
+      .select(col("id"), col("right_rid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val fwdOnNeg = Asof.joinAsOfForward(neg(leftDf), neg(rightDf),
+      Seq("k"), "nt", "nt", "rid")
+      .select(col("id"), col("right_rid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // ties flip too (greatest-rid backward vs smallest-rid forward),
+    // so compare only on keys without same-time duplicates
+    (back.keySet - 1L).foreach(id => assert(back(id) === fwdOnNeg(id), s"id $id"))
+  }
 }
