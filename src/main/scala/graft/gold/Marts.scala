@@ -343,4 +343,31 @@ object Marts {
         grouping_id().as("grouping_level"),
         count(lit(1)).as("listings"),
         sum(col("quantity").cast("long")).as("total_quantity"))
+
+  /** Period-over-period price momentum: per (item, day) floor price
+    * with the previous OBSERVED day's floor alongside (lag over the
+    * item's day series — gaps carry the last observed day, the
+    * trading-calendar convention) and the day-over-day delta.
+    *
+    * Scale shape: aggregate to (item, day) grain FIRST — the window
+    * then partitions by item over day-count rows (bounded by the
+    * retention span), never over raw listings. Deltas are exact
+    * integer subtraction on the BIGINT floor; only the final pct is a
+    * single IEEE division (deterministic). First observation of an
+    * item has NULL prev/delta/pct — a genuine "no prior signal",
+    * kept, not zero-filled.
+    */
+  def priceMomentum(silver: DataFrame): DataFrame = {
+    val daily = silver
+      .groupBy(col("item_id"), col("snapshot_date"))
+      .agg(min(col("unit_price")).as("min_price"),
+        count(lit(1)).as("listings"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item_id")).orderBy(col("snapshot_date"))
+    daily
+      .withColumn("prev_min_price", lag(col("min_price"), 1).over(w))
+      .withColumn("price_delta", col("min_price") - col("prev_min_price"))
+      .withColumn("pct_change",
+        col("price_delta").cast("double") / col("prev_min_price"))
+  }
 }

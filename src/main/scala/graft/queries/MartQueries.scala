@@ -302,6 +302,22 @@ object MartQueries {
               |                 AND cum - 1 >= ((n-1) * 3) // 4 THEN v END) AS p75,
               |       CAST(max(n) AS BIGINT) AS n_values
               |FROM r GROUP BY item_class""".stripMargin)),
+    QueryDef("g10_price_momentum",
+      (s, dir) => Marts.priceMomentum(silverFromLineitem(s, dir)),
+      Some(s"""WITH $silverSql,
+              |d AS (SELECT item_id, snapshot_date,
+              |             min(unit_price) AS min_price,
+              |             CAST(count(*) AS BIGINT) AS listings
+              |      FROM silver GROUP BY item_id, snapshot_date),
+              |l AS (SELECT *, lag(min_price) OVER (
+              |        PARTITION BY item_id ORDER BY snapshot_date) AS prev_min_price
+              |      FROM d)
+              |SELECT item_id, snapshot_date, min_price, listings,
+              |       prev_min_price,
+              |       min_price - prev_min_price AS price_delta,
+              |       CAST(min_price - prev_min_price AS DOUBLE) / prev_min_price
+              |         AS pct_change
+              |FROM l""".stripMargin)),
     QueryDef("serve_best_opportunity",
       (s, dir) => ServingLayer.bestOpportunity(g3(s, dir)),
       Some(s"""WITH g3 AS (${g3Sql(2.0)})

@@ -140,4 +140,29 @@ class MartsSpec extends SparkSpec {
     assert(math.abs(g6(1).getAs[Double]("inflation_pct_daily") - 10.0) < 1e-9)
     assert(g6(1).getAs[Long]("items_in_index") === 2L)
   }
+
+  test("G10: momentum lags the previous OBSERVED day; first day NULL; exact deltas") {
+    val silver = Seq(
+      // item 1: days 1, 2, 4 (gap at day 3 — lag must carry day 2)
+      (1L, 5, 100L, "2026-01-01"), (1L, 5, 90L, "2026-01-01"),
+      (1L, 5, 120L, "2026-01-02"),
+      (1L, 5, 60L, "2026-01-04"),
+      // item 2: single day -> NULL prev only
+      (2L, 1, 10L, "2026-01-02"))
+      .toDF("item_id", "quantity", "unit_price", "d")
+      .withColumn("snapshot_date", col("d").cast("date")).drop("d")
+    val rows = Marts.priceMomentum(silver)
+      .orderBy("item_id", "snapshot_date").collect()
+    assert(rows.length === 4)
+    val (d1, d2, d4, i2) = (rows(0), rows(1), rows(2), rows(3))
+    assert(d1.getAs[Long]("min_price") === 90L && d1.getAs[Any]("prev_min_price") === null)
+    assert(d2.getAs[Long]("prev_min_price") === 90L &&
+      d2.getAs[Long]("price_delta") === 30L)
+    assert(math.abs(d2.getAs[Double]("pct_change") - 30.0 / 90.0) < 1e-12)
+    // the day-3 gap: day 4 lags day 2's floor, not a calendar NULL
+    assert(d4.getAs[Long]("prev_min_price") === 120L &&
+      d4.getAs[Long]("price_delta") === -60L)
+    assert(i2.getAs[Any]("prev_min_price") === null &&
+      i2.getAs[Any]("pct_change") === null)
+  }
 }
