@@ -2190,6 +2190,55 @@ object PipelineQueries {
               |            AS BIGINT) AS rank
               |FROM t""".stripMargin)),
 
+    // MinHash recall harness — the text twin of p57's ANN recall
+    // eval: exact-Jaccard ground-truth pairs (p07's df-capped
+    // inverted index) vs the banded MinHash+verify pairs (p08), with
+    // the measured recall of the banding stage — the number that
+    // justifies a (numHashes, bands) choice the way p57 justifies
+    // nlist/nprobe. One summary row; both chains share the shingle
+    // substrate. The RecallGateSpec proves the measurement machinery
+    // catches injected recall bugs; this gate makes the measured
+    // value driver-visible.
+    QueryDef("p63_neardup_recall",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val exact = Dedup.jaccardPairs(
+          Dedup.wordShingles(docs, n = 3), threshold = 0.8,
+          maxShingleDf = 1000).select(col("doc_a"), col("doc_b"))
+        val lsh = Dedup.minHashNearDups(docs, threshold = 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        val common = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+          .crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"))))
+          .select(col("n_exact"), col("n_lsh"), col("n_common"),
+            (col("n_common").cast("double") / col("n_exact")).as("recall"))
+      },
+      Some(s"""WITH $minhashPairsCtes,
+              |sizes2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
+              |           FROM sh GROUP BY doc_id),
+              |capped2 AS (SELECT s.* FROM sh s
+              |            JOIN (SELECT shingle FROM sh
+              |                  GROUP BY shingle HAVING count(*) <= 1000) c
+              |            USING (shingle)),
+              |common2 AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         CAST(count(*) AS BIGINT) AS common
+              |  FROM capped2 a JOIN capped2 b
+              |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id),
+              |ex AS (SELECT doc_a, doc_b FROM common2
+              |       JOIN sizes2 sa ON sa.doc_id = doc_a
+              |       JOIN sizes2 sb ON sb.doc_id = doc_b
+              |       WHERE common / (sa.set_size + sb.set_size - common) >= 0.8),
+              |lsh AS (SELECT doc_a, doc_b FROM pairs),
+              |com AS (SELECT * FROM ex JOIN lsh USING (doc_a, doc_b))
+              |SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+              |       CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+              |       CAST((SELECT count(*) FROM com) AS BIGINT) AS n_common,
+              |       CAST((SELECT count(*) FROM com) AS DOUBLE)
+              |         / (SELECT count(*) FROM ex) AS recall""".stripMargin)),
+
     // Composed export pipeline — curation to loader index in one
     // chain, the operators as a training-data team would run them:
     // quality filter -> exact dedup (keep min id per content hash) ->
