@@ -158,12 +158,34 @@ object Quantization {
         .as("codes"))
   }
 
-  /** PQ-ADC top-k for `queryId`: codes computed (or reuse a
-    * materialized [[pqCodes]] frame via `precomputedCodes`), then
-    * each candidate scored by m literal-map lookups summed LEFT TO
-    * RIGHT (fixed association order, so the double is reproducible
-    * engine-to-engine — the oracle parenthesizes identically).
-    * No shuffle, no join: the ADC tables ride in the expression.
+  /** The ADC score expression over a `codes` column: per subspace, a
+    * literal map (code id -> driver-computed dot of the query's
+    * subvector with that codeword, in ascending-index double
+    * accumulation — the list_dot_product order), the m lookups summed
+    * LEFT TO RIGHT (fixed association order, so the double is
+    * reproducible engine-to-engine — the oracle parenthesizes
+    * identically). No shuffle, no join: the tables ride in the
+    * expression.
+    */
+  private def adcScore(qVec: Array[Float],
+      codebook: Array[(Long, Array[Float])], m: Int, subDim: Int): Column = {
+    def adc(s: Int, cw: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < subDim) {
+        acc += qVec(s * subDim + i).toDouble * cw(s * subDim + i); i += 1
+      }
+      acc
+    }
+    (0 until m).map { s =>
+      val kv = codebook.flatMap { case (cid, full) =>
+        Seq(lit(cid), lit(adc(s, full)))
+      }
+      element_at(map(kv.toSeq: _*), element_at(col("codes"), s + 1))
+    }.reduce(_ + _)
+  }
+
+  /** PQ-ADC top-k for `queryId`: codes assigned, then each candidate
+    * scored by [[adcScore]]'s m table lookups.
     */
   def pqTopK(emb: DataFrame, queryId: Long, k: Int = 10, m: Int = 8,
       ksub: Int = 16,
@@ -178,25 +200,9 @@ object Quantization {
       return emb.select(col(idCol), lit(null).cast("double").as("qscore"))
         .where(lit(false))
     val qVec = qRow.get.getSeq[Float](0).toArray
-    // driver-side ADC tables: t(s)(cid) = dot(query_sub, codeword) in
-    // ascending-index double accumulation (the list_dot_product order)
-    def adc(s: Int)(cw: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < subDim) {
-        acc += qVec(s * subDim + i).toDouble * cw(s * subDim + i); i += 1
-      }
-      acc
-    }
-    val codes = pqCodes(emb, codebook, m, idCol, vecCol)
-    val terms = (0 until m).map { s =>
-      val kv = codebook.flatMap { case (cid, full) =>
-        Seq(lit(cid), lit(adc(s)(full)))
-      }
-      element_at(map(kv.toSeq: _*), element_at(col("codes"), s + 1))
-    }
-    codes
+    pqCodes(emb, codebook, m, idCol, vecCol)
       .where(col(idCol) =!= queryId)
-      .select(col(idCol), terms.reduce(_ + _).as("qscore"))
+      .select(col(idCol), adcScore(qVec, codebook, m, subDim).as("qscore"))
       .orderBy(col("qscore").desc, col(idCol).asc)
       .limit(k)
   }
@@ -231,24 +237,11 @@ object Quantization {
         .where(lit(false))
     val qVec = qRow.get.getSeq[Float](0).toArray
     val probeCells = Similarity.probeCellsFor(centroids, qVec, nprobe)
-    def adc(s: Int)(cw: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < subDim) {
-        acc += qVec(s * subDim + i).toDouble * cw(s * subDim + i); i += 1
-      }
-      acc
-    }
     val candidates = emb.where(
       Similarity.cellOf(col(vecCol), centroids).isin(probeCells: _*) &&
         col(idCol) =!= queryId)
-    val terms = (0 until m).map { s =>
-      val kv = codebook.flatMap { case (cid, full) =>
-        Seq(lit(cid), lit(adc(s)(full)))
-      }
-      element_at(map(kv.toSeq: _*), element_at(col("codes"), s + 1))
-    }
     pqCodes(candidates, codebook, m, idCol, vecCol)
-      .select(col(idCol), terms.reduce(_ + _).as("qscore"))
+      .select(col(idCol), adcScore(qVec, codebook, m, subDim).as("qscore"))
       .orderBy(col("qscore").desc, col(idCol).asc)
       .limit(k)
   }
