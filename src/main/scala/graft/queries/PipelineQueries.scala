@@ -2190,6 +2190,61 @@ object PipelineQueries {
               |            AS BIGINT) AS rank
               |FROM t""".stripMargin)),
 
+    // Embedding drift report — dataset versioning for the vector
+    // modality (the p52 snapshot-diff analog): same-id vectors from
+    // two corpus versions joined, per-id cosine between the versions
+    // — re-embedding QA ("which vectors moved after the encoder
+    // update"). v2 simulates an encoder update by flipping one
+    // dimension's sign for every odd id (cosine drops measurably) and
+    // leaving even ids bit-identical (cosine 1). Per-row cosines only
+    // — no cross-row double aggregation, so every value is
+    // engine-exact.
+    QueryDef("p64_embedding_drift",
+      (s, dir) => {
+        val v1 = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val v2 = v1.select(col("vec_id"),
+          when(col("vec_id") % 2 === 1,
+            transform(col("embedding"),
+              (x, i) => when(i === 0, -x).otherwise(x)))
+            .otherwise(col("embedding")).as("embedding"))
+        v1.as("a").join(v2.as("b"), Seq("vec_id"))
+          .select(col("vec_id"),
+            Similarity.cosine(col("a.embedding"), col("b.embedding"))
+              .as("cosine_v1_v2"))
+      },
+      Some(s"""WITH v1 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |           FROM embeddings),
+              |v2 AS (SELECT vec_id,
+              |              CASE WHEN vec_id % 2 = 1
+              |                   THEN list_prepend(-v[1], v[2:len(v)])
+              |                   ELSE v END AS v
+              |       FROM v1)
+              |SELECT a.vec_id,
+              |       ${cosineSql("a.v", "b.v")} AS cosine_v1_v2
+              |FROM v1 a JOIN v2 b ON a.vec_id = b.vec_id""".stripMargin)),
+
+    // Per-group top-k: each source's 3 highest-quality docs (quality
+    // ties by doc_id) — the grouped-ranking shape users reach for
+    // constantly; windows partition by GROUP (parallel across
+    // sources), never a global sort.
+    QueryDef("p65_per_source_topk",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+        TextAnalysis.qualityFeatures(Tables.documents(s, dir))
+          .select(col("source"), col("doc_id"), col("quality_score"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3)
+      },
+      Some(s"""WITH f AS (SELECT doc_id, source, $qualityColsSql FROM documents),
+              |q AS (SELECT source, doc_id, $qualityScoreSql AS quality_score FROM f),
+              |r AS (SELECT *, CAST(row_number() OVER (
+              |        PARTITION BY source
+              |        ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS rank
+              |      FROM q)
+              |SELECT source, doc_id, quality_score, rank FROM r WHERE rank <= 3""".stripMargin)),
+
     // MinHash recall harness — the text twin of p57's ANN recall
     // eval: exact-Jaccard ground-truth pairs (p07's df-capped
     // inverted index) vs the banded MinHash+verify pairs (p08), with
