@@ -124,4 +124,49 @@ class ScaleStressSpec extends SparkSpec {
     assert(overflow.get(None).contains(3L),
       s"malformed-vector quarantine not reported: $overflow")
   }
+
+  test("GlobalOrder ranks 1M rows without a driver-side bottleneck") {
+    import org.apache.spark.sql.functions._
+    val n = 1000000L
+    val df = spark.range(n).select(col("id"),
+      pmod(col("id") * 2654435761L, lit(1000003L)).as("key"))
+    val t0 = System.nanoTime()
+    val ranked = graft.operators.GlobalOrder.withGlobalRank(
+      df, "rank", Seq(col("key").asc, col("id").asc))
+    // spot-probe the contract instead of collecting 1M rows: total
+    // count preserved, rank range exact, global min/max keys sit at
+    // the rank extremes
+    val stats = ranked.agg(
+      count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"),
+      min(struct(col("rank"), col("key"))).as("first"),
+      max(struct(col("rank"), col("key"))).as("last")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(stats.getAs[Long]("n") === n)
+    assert(stats.getAs[Long]("lo") === 1L && stats.getAs[Long]("hi") === n)
+    val firstKey = stats.getStruct(3).getLong(1)
+    val lastKey = stats.getStruct(4).getLong(1)
+    val keyBounds = df.agg(min("key"), max("key")).head()
+    assert(firstKey === keyBounds.getLong(0), "rank 1 not at the global min key")
+    assert(lastKey === keyBounds.getLong(1), s"rank $n not at the global max key")
+    assert(secs < 60.0, f"1M-row global rank took $secs%.1f s")
+  }
+
+  test("PQ duplicate codewords: assignment and ADC stay consistent (larger cid wins)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // codebook with two IDENTICAL codewords (cids 5 and 9): argmax
+    // tie must resolve to cid 9 everywhere, and scoring must be
+    // unaffected (same codeword content either way)
+    val cw = Array.tabulate(4)(i => 1.0f + i)
+    val codebook = Array(
+      (2L, Array(9f, 9f, 9f, 9f)), (5L, cw), (9L, cw.clone()))
+    val emb = Seq(
+      (0L, Array(1.1f, 2.1f, 2.9f, 4.2f)), // nearest the duplicated codeword
+      (1L, Array(9f, 9f, 9f, 9f)))
+      .toDF("vec_id", "embedding")
+    val codes = Quantization.pqCodes(emb, codebook, m = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+    assert(codes(0L) === Seq(9L), s"duplicate-codeword tie leaked: ${codes(0L)}")
+    assert(codes(1L) === Seq(2L))
+  }
 }
