@@ -572,8 +572,110 @@ object StreamingQueries {
             |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             |FROM pl GROUP BY 1, 2""".stripMargin))
 
+  /** Streaming mergeable-sketch aggregation: per (source, 1 h window)
+    * KMV distinct-token sketches through the STREAMING path — the
+    * production shape for streaming cardinality (bounded O(k) state
+    * per open group where exact distinct-counting state grows with
+    * the distinct set; the same native [[graft.functions.SketchFunctions
+    * .kminValues]] aggregate serves batch and stream). KMV content is
+    * a pure function of the input SET (order-independent), so the
+    * closed-window sketches — size, kth min, full-content md5, and
+    * the estimator — hash-match a batch oracle exactly, p54-style.
+    */
+  private def streamingKmv: QueryDef = QueryDef(
+    "st08_streaming_kmv",
+    (s, dir) => {
+      import graft.functions.SketchFunctions._
+      val k = 64
+      val baseUs = 1767225600000000L
+      val ev = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("source").cast("string").as("source"),
+          col("text").cast("string").as("text"))
+        .withColumn("ingested_at",
+          timestamp_micros(lit(baseUs) + col("doc_id") * lit(60000000L)))
+      val schema = ev.schema
+      maxTsUs(ev.select(col("ingested_at").as("ts"))) match {
+        case None =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("source",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("window_start",
+                org.apache.spark.sql.types.TimestampType),
+              org.apache.spark.sql.types.StructField("sketch_size",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("kth_min",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("sketch_md5",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("est_distinct",
+                org.apache.spark.sql.types.DoubleType))))
+        case Some(maxUs) =>
+          val flushUs = maxUs + OneDayUs + 2 * OneHourUs
+          val flush = s.range(1).select(lit(-1L).as("doc_id"),
+            lit("flush").as("source"), lit("flush").as("text"),
+            timestamp_micros(lit(flushUs)).as("ingested_at"))
+          val dirP = scratch("st08")
+          val stage = dirP.resolve("input").toString
+          val ckpt = dirP.resolve("ckpt").toString
+          ev.unionByName(flush).coalesce(1).write.parquet(stage)
+
+          val qname = "st08_" + UUID.randomUUID().toString.replace("-", "")
+          // the flush row rides through: it advances the watermark past
+          // every real window while its OWN window never closes, so it
+          // is never emitted (the st07 convention)
+          val hashed = s.readStream.schema(schema).parquet(stage)
+            .withWatermark("ingested_at", "1 day")
+            .select(col("source"), col("ingested_at"),
+              explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+            .select(col("source"), col("ingested_at"),
+              graft.functions.Md5Hash.h60(col("tok")).as("h"))
+          val q = hashed
+            .groupBy(col("source"), window(col("ingested_at"), "1 hour"))
+            .agg(kminValues(col("h"), k).as("sketch"))
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+          s.table(qname)
+            .select(col("source"), col("window.start").as("window_start"),
+              size(col("sketch")).cast("long").as("sketch_size"),
+              when(size(col("sketch")) > 0,
+                element_at(col("sketch"), size(col("sketch")))).as("kth_min"),
+              md5(concat_ws(",", col("sketch"))).as("sketch_md5"),
+              kmvEstimate(col("sketch"), k).as("est_distinct"))
+      }
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT source,
+            |         time_bucket(INTERVAL '1 hour',
+            |                     epoch_ms((1767225600 + doc_id * 60) * 1000))
+            |           AS window_start,
+            |         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+            |                            t -> t <> '')) AS tok
+            |  FROM documents),
+            |h AS (SELECT DISTINCT source, window_start,
+            |             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            |      FROM toks),
+            |r AS (SELECT source, window_start, h,
+            |             row_number() OVER (PARTITION BY source, window_start
+            |                                ORDER BY h) AS rn
+            |      FROM h),
+            |sk AS (SELECT source, window_start,
+            |              CAST(count(*) AS BIGINT) AS sketch_size,
+            |              max(h) AS kth_min,
+            |              md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS sketch_md5
+            |       FROM r WHERE rn <= 64 GROUP BY source, window_start)
+            |SELECT source, window_start, sketch_size, kth_min, sketch_md5,
+            |       CASE WHEN sketch_size < 64
+            |            THEN CAST(sketch_size AS DOUBLE)
+            |            ELSE CAST(63 AS DOUBLE) * 1152921504606846976
+            |                   / CAST(kth_min AS DOUBLE) END AS est_distinct
+            |FROM sk""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
-      streamingCorpusStats)
+      streamingCorpusStats, streamingKmv)
 }
