@@ -306,6 +306,17 @@ object Dedup {
     */
   def minHashNearDups(df: DataFrame, threshold: Double, n: Int = 3,
       numHashes: Int = 16, rowsPerBand: Int = 4,
+      persistShingles: Boolean = true): DataFrame =
+    minHashNearDupsFromShingles(wordShingles(df, n), threshold,
+      numHashes, rowsPerBand, persistShingles)
+
+  /** [[minHashNearDups]] over a PRE-SHINGLED frame — for callers that
+    * already hold the shingle substrate (e.g. the p63 recall harness,
+    * which feeds the SAME frame to [[jaccardPairs]] and here: one
+    * shingle scan, one cache, two consumers).
+    */
+  def minHashNearDupsFromShingles(shingledIn: DataFrame, threshold: Double,
+      numHashes: Int = 16, rowsPerBand: Int = 4,
       persistShingles: Boolean = true): DataFrame = {
     // MEMORY_AND_DISK: the exploded shingle corpus is reused by the
     // signature pass, the size pass and the verify join; partitions
@@ -313,11 +324,10 @@ object Dedup {
     // evicting (a bare MEMORY_ONLY cache of a corpus-sized frame would
     // thrash at 100 TB — there, shingles would be written once to a
     // bucketed table instead and each pass would read it back).
-    val shingledRaw = wordShingles(df, n)
     val shingled =
       if (persistShingles)
-        shingledRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else shingledRaw
+        shingledIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shingledIn
     val candidates = lshCandidatePairs(
       minHashSignatures(shingled, numHashes), numHashes, rowsPerBand)
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))

@@ -2256,11 +2256,14 @@ object PipelineQueries {
     // value driver-visible.
     QueryDef("p63_neardup_recall",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val exact = Dedup.jaccardPairs(
-          Dedup.wordShingles(docs, n = 3), threshold = 0.8,
+        // ONE shingle scan + cache feeds both chains (the
+        // minHashNearDupsFromShingles seam exists for exactly this)
+        val shingled = Dedup.wordShingles(Tables.documents(s, dir), n = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val exact = Dedup.jaccardPairs(shingled, threshold = 0.8,
           maxShingleDf = 1000).select(col("doc_a"), col("doc_b"))
-        val lsh = Dedup.minHashNearDups(docs, threshold = 0.8)
+        val lsh = Dedup.minHashNearDupsFromShingles(shingled,
+          threshold = 0.8, persistShingles = false)
           .select(col("doc_a"), col("doc_b"))
         val common = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
         exact.agg(count(lit(1)).as("n_exact"))
