@@ -529,6 +529,45 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Batched sign-LSH top-k: every query row's bucket-pruned top-k in
+    * one corpus pass — the third member of the batched trio next to
+    * [[bruteSearchAll]] and [[ivfSearchAll]]. The corpus is bucketed
+    * once ([[lshBucket]] — bits codegen'd dots per row); each query's
+    * probe set (own bucket + one-bit flips, the [[lshTopK]] multi-probe
+    * lever) is built on the BROADCAST side; candidates join on the
+    * bucket column and score exactly. Malformed vectors quarantine to
+    * NULL buckets on both sides and never match.
+    */
+  def lshSearchAll(emb: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 8, probes: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "query_id", qvecCol: String = "query_vec",
+      dim: Option[Int] = None): DataFrame = {
+    require(probes >= 1 && probes <= 1 + bits,
+      s"probes=$probes outside [1, 1+bits=${1 + bits}]")
+    val d = resolveDim(dim, emb, vecCol)
+    val bucketed = emb.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), bits, d).as("__bucket"))
+      .where(col("__bucket").isNotNull)
+    val flips = lit(0L) +: (0 until (probes - 1)).map(b => shiftleft(lit(1L), b))
+    val qs = queries.select(col(qidCol), col(qvecCol),
+      lshBucket(col(qvecCol), bits, d).as("__qb"))
+      .where(col("__qb").isNotNull)
+      .select(col(qidCol), col(qvecCol),
+        explode(array(flips.map(f => col("__qb").bitwiseXOR(f)): _*))
+          .as("__bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    bucketed
+      .join(broadcast(qs), Seq("__bucket"))
+      .where(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        rankCosine(col(vecCol), col(qvecCol)).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Batched IVF top-k: every query row's IVF-probed top-k in one
     * pass, fully distributed — unlike [[ivfTopKWith]] (whose per-query
     * driver probe selection serves the point-lookup path), the probe

@@ -2245,6 +2245,40 @@ object PipelineQueries {
               |      FROM q)
               |SELECT source, doc_id, quality_score, rank FROM r WHERE rank <= 3""".stripMargin)),
 
+    // Batched sign-LSH search — the third member of the batched ANN
+    // trio (p57 gates brute+IVF): every 31st vector as a query, each
+    // probing its own bucket, one corpus bucketing pass serving the
+    // whole batch. The oracle recomputes the literal hyperplane
+    // buckets for corpus AND queries and the per-query rank.
+    QueryDef("p66_lsh_batch_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.where(col("vec_id") % 31 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        Similarity.lshSearchAll(emb, queries, k = 10, bits = 4,
+          dim = Some(EmbeddingDim))
+          .select(col("query_id"), col("vec_id"), col("cosine"),
+            col("rank").cast("long").as("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |           FROM embeddings),
+              |b AS (SELECT vec_id, v,
+              |        CASE WHEN len(v) = $EmbeddingDim THEN
+              |            ${bucketSql("v", 4)}
+              |        END AS bucket
+              |      FROM e),
+              |qs AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
+              |       FROM b WHERE vec_id % 31 = 0 AND bucket IS NOT NULL),
+              |r AS (SELECT q.query_id, b.vec_id,
+              |             ${cosineSql("b.v", "q.qv")} AS cosine,
+              |             row_number() OVER (PARTITION BY q.query_id
+              |               ORDER BY ${cosineSql("b.v", "q.qv")} DESC,
+              |                        b.vec_id ASC) AS rn
+              |      FROM b JOIN qs q ON b.bucket = q.qb
+              |      WHERE b.vec_id <> q.query_id AND b.bucket IS NOT NULL)
+              |SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+              |FROM r WHERE rn <= 10""".stripMargin)),
+
     // MinHash recall harness — the text twin of p57's ANN recall
     // eval: exact-Jaccard ground-truth pairs (p07's df-capped
     // inverted index) vs the banded MinHash+verify pairs (p08), with

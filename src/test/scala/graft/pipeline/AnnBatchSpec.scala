@@ -77,6 +77,32 @@ class AnnBatchSpec extends SparkSpec {
     }
   }
 
+  test("lshSearchAll agrees with per-query lshTopK; multi-probe is a superset") {
+    val emb = corpus
+    val qs = queriesOf(emb)
+    val batch = Similarity.lshSearchAll(emb, qs, k = 5, bits = 3,
+      dim = Some(dim))
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq)
+      .toMap
+    qs.select("query_id").as[Long].collect().foreach { qid =>
+      val point = Similarity.lshTopK(emb, qid, 5, bits = 3, dim = Some(dim))
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) === point, s"query $qid")
+    }
+    // multi-probe returns at least the single-probe candidates per query
+    val multi = Similarity.lshSearchAll(emb, qs, k = 40, bits = 3,
+      probes = 4, dim = Some(dim))
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val single = Similarity.lshSearchAll(emb, qs, k = 40, bits = 3,
+      dim = Some(dim))
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(single.subsetOf(multi))
+  }
+
   test("ivfRecallAtK: narrow probing degrades recall but stays bounded and exact") {
     val emb = corpus
     val qs = queriesOf(emb)
