@@ -674,8 +674,107 @@ object StreamingQueries {
             |                   / CAST(kth_min AS DOUBLE) END AS est_distinct
             |FROM sk""".stripMargin))
 
+  /** Streaming Count-Min: the second native sketch through the
+    * streaming path — per (source, 1 h window) term-frequency grids
+    * with fixed O(depth x width) state per open group (elementwise-sum
+    * merge is what makes the grid micro-batch-mergeable). The grid is
+    * a pure function of the input MULTISET, so each closed window's
+    * full 4x16 counter grid md5-matches the batch oracle cell by
+    * cell, zeros included.
+    */
+  private def streamingCms: QueryDef = QueryDef(
+    "st09_streaming_cms",
+    (s, dir) => {
+      import graft.functions.SketchFunctions._
+      val depth = 4
+      val width = 16
+      val baseUs = 1767225600000000L
+      val ev = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("source").cast("string").as("source"),
+          col("text").cast("string").as("text"))
+        .withColumn("ingested_at",
+          timestamp_micros(lit(baseUs) + col("doc_id") * lit(60000000L)))
+      val schema = ev.schema
+      maxTsUs(ev.select(col("ingested_at").as("ts"))) match {
+        case None =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("source",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("window_start",
+                org.apache.spark.sql.types.TimestampType),
+              org.apache.spark.sql.types.StructField("grid_md5",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("n_tokens",
+                org.apache.spark.sql.types.LongType))))
+        case Some(maxUs) =>
+          val flushUs = maxUs + OneDayUs + 2 * OneHourUs
+          val flush = s.range(1).select(lit(-1L).as("doc_id"),
+            lit("flush").as("source"), lit("flush").as("text"),
+            timestamp_micros(lit(flushUs)).as("ingested_at"))
+          val dirP = scratch("st09")
+          val stage = dirP.resolve("input").toString
+          val ckpt = dirP.resolve("ckpt").toString
+          ev.unionByName(flush).coalesce(1).write.parquet(stage)
+
+          val qname = "st09_" + UUID.randomUUID().toString.replace("-", "")
+          val hashed = s.readStream.schema(schema).parquet(stage)
+            .withWatermark("ingested_at", "1 day")
+            .select(col("source"), col("ingested_at"),
+              explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+            .select(col("source"), col("ingested_at"),
+              graft.functions.Md5Hash.h60(col("tok")).as("h"))
+          val q = hashed
+            .groupBy(col("source"), window(col("ingested_at"), "1 hour"))
+            .agg(countMin(col("h"), depth, width).as("grid"))
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+          s.table(qname)
+            .select(col("source"), col("window.start").as("window_start"),
+              md5(concat_ws(",", col("grid"))).as("grid_md5"),
+              // every grid row sums to the window's token count; row 0
+              // is a 16-element slice — an exact integral fold
+              aggregate(slice(col("grid"), 1, width), lit(0L),
+                (acc, x) => acc + x).as("n_tokens"))
+      }
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT source,
+            |         time_bucket(INTERVAL '1 hour',
+            |                     epoch_ms((1767225600 + doc_id * 60) * 1000))
+            |           AS window_start,
+            |         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+            |                            t -> t <> '')) AS tok
+            |  FROM documents),
+            |parts AS (SELECT source, window_start,
+            |                 ('0x' || substr(md5(tok), 1, 15))::BIGINT & 1073741823 AS h1,
+            |                 ('0x' || substr(md5(tok), 1, 15))::BIGINT >> 30 AS h2
+            |          FROM toks),
+            |pop AS (SELECT source, window_start, d.i,
+            |               (h1 + d.i * h2) % 16 AS b,
+            |               CAST(count(*) AS BIGINT) AS c
+            |        FROM parts CROSS JOIN (SELECT unnest(range(4)) AS i) d
+            |        GROUP BY 1, 2, 3, 4),
+            |grp AS (SELECT DISTINCT source, window_start FROM parts),
+            |cells AS (SELECT g.source, g.window_start, d.i, w.b
+            |          FROM grp g
+            |          CROSS JOIN (SELECT unnest(range(4)) AS i) d
+            |          CROSS JOIN (SELECT unnest(range(16)) AS b) w),
+            |grid AS (SELECT c.source, c.window_start, c.i, c.b,
+            |                coalesce(p.c, 0) AS c
+            |         FROM cells c LEFT JOIN pop p
+            |           ON p.source = c.source AND p.window_start = c.window_start
+            |          AND p.i = c.i AND p.b = c.b)
+            |SELECT source, window_start,
+            |       md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY i, b)) AS grid_md5,
+            |       CAST(sum(CASE WHEN i = 0 THEN c END) AS BIGINT) AS n_tokens
+            |FROM grid GROUP BY source, window_start""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
-      streamingCorpusStats, streamingKmv)
+      streamingCorpusStats, streamingKmv, streamingCms)
 }
