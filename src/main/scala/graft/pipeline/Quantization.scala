@@ -207,6 +207,43 @@ object Quantization {
       .limit(k)
   }
 
+  /** IVF + scalar quantization — the OTHER compression composed with
+    * cell probing (completing the {flat, PQ, int8} × IVF matrix next
+    * to [[Similarity.ivfTopKWith]] and [[ivfPqTopK]]): probe
+    * nprobe/nlist cells, score only those candidates by the exact
+    * INTEGER dot of their int8 codes against the quantized query.
+    * Corpus-range quantization runs once (the index-build pass — at
+    * scale the qvec column is materialized next to the cell id and
+    * the float vectors never load at query time); scoring is the
+    * codegen'd [[intDot]], and the BIGINT scores make the ranking
+    * engine-exact like [[quantizedTopK]]'s.
+    */
+  def ivfQuantizedTopK(emb: DataFrame, queryId: Long, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = Similarity.sampleCentroids(emb, nlist, idCol, vecCol)
+    val qRow = emb.where(col(idCol) === queryId)
+      .select(col(vecCol)).collect().headOption
+    if (qRow.isEmpty)
+      return emb.select(col(idCol), lit(null).cast("long").as("qscore"))
+        .where(lit(false))
+    val qVec = qRow.get.getSeq[Float](0).toArray
+    val probeCells = Similarity.probeCellsFor(centroids, qVec, nprobe)
+    // quantize over the WHOLE corpus ranges (the index-build contract:
+    // codes are corpus-calibrated, not probe-set-calibrated), then
+    // prune to the probed cells for scoring
+    val q = quantized(emb, vecCol)
+      .select(col(idCol), col(vecCol), col("qvec"))
+    val queryQvec = q.where(col(idCol) === queryId)
+      .select(col("qvec").as("query_qvec"))
+    q.where(Similarity.cellOf(col(vecCol), centroids).isin(probeCells: _*) &&
+        col(idCol) =!= queryId)
+      .crossJoin(broadcast(queryQvec))
+      .select(col(idCol), intDot(col("qvec"), col("query_qvec")).as("qscore"))
+      .orderBy(col("qscore").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF + PQ — the two scale axes composed, which is what a 100 TB
     * ANN deployment actually runs (FAISS's IVFPQ shape): IVF cell
     * probing cuts the CANDIDATE SET to nprobe/nlist of the corpus,

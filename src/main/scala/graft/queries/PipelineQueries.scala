@@ -2160,6 +2160,59 @@ object PipelineQueries {
               |ORDER BY qscore DESC, cv.vec_id ASC
               |LIMIT 10""".stripMargin)),
 
+    // IVF + scalar quantization composed — completing the
+    // {flat, PQ, int8} x IVF matrix (p13 / p59 / here): probe the 4
+    // nearest of 16 cells, score ONLY those candidates by the exact
+    // INTEGER dot of corpus-calibrated int8 codes. The oracle fuses
+    // p13's probe CTEs with p26's quantization CTEs over the probed
+    // candidate set; BIGINT scores make the ranking engine-exact.
+    QueryDef("p67_ivf_quantized_topk",
+      (s, dir) => Quantization.ivfQuantizedTopK(
+        Tables.embeddings(s, dir), queryId = 0L, k = 10,
+        nlist = 16, nprobe = 4),
+      Some(s"""WITH stride AS (SELECT greatest(count(*) // 16, 1) AS bkt
+              |                FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+              |         FROM embeddings, stride
+              |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
+              |               % bkt = 0
+              |         ORDER BY vec_id LIMIT 16),
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |assigned AS (
+              |  SELECT vec_id, v, cid,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC,
+              |                    cid DESC) AS rn
+              |  FROM e CROSS JOIN cent),
+              |celled AS (SELECT vec_id, cid AS cell FROM assigned WHERE rn = 1),
+              |qx AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              |probes AS (
+              |  SELECT cid,
+              |         row_number() OVER (ORDER BY
+              |           ${cosineSql("c", "qx.qv")} DESC, cid DESC) AS pr
+              |  FROM cent, qx),
+              |cand AS (SELECT d.vec_id FROM celled d
+              |         JOIN probes p ON d.cell = p.cid AND p.pr <= 4
+              |         WHERE d.vec_id <> 0),
+              |dims AS (SELECT r.d AS d,
+              |           min(v[CAST(r.d AS INT)+1]) AS lo,
+              |           max(v[CAST(r.d AS INT)+1]) AS hi
+              |         FROM e, range($EmbeddingDim) r(d) GROUP BY r.d),
+              |rng AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM dims),
+              |codes AS (SELECT vec_id, list_transform(range($EmbeddingDim), d ->
+              |        CASE WHEN his[CAST(d AS INT)+1] = los[CAST(d AS INT)+1] THEN 0
+              |             ELSE CAST(least(greatest(floor((v[CAST(d AS INT)+1] - los[CAST(d AS INT)+1]) * 255.0
+              |                    / (his[CAST(d AS INT)+1] - los[CAST(d AS INT)+1]) + 0.5), 0.0), 255.0) AS INT)
+              |        END) AS qv
+              |      FROM e, rng),
+              |qq AS (SELECT qv AS query_qv FROM codes WHERE vec_id = 0)
+              |SELECT c.vec_id,
+              |       CAST(list_dot_product(list_transform(c.qv, x -> CAST(x AS DOUBLE)),
+              |              list_transform(qq.query_qv, x -> CAST(x AS DOUBLE))) AS BIGINT) AS qscore
+              |FROM codes c JOIN cand USING (vec_id), qq
+              |ORDER BY qscore DESC, c.vec_id ASC
+              |LIMIT 10""".stripMargin)),
+
     // Curriculum export order: quality tier (fixed thresholds — no
     // data-dependent quantile pass) descending, md5-shuffled within
     // tier, doc_id tiebreak to totality; every doc gets its GLOBAL

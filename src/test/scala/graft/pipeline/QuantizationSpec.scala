@@ -124,6 +124,25 @@ class QuantizationSpec extends SparkSpec {
     assert(empty.count() === 0L)
   }
 
+  test("ivfQuantizedTopK: probing every cell recovers quantizedTopK; codes stay corpus-calibrated") {
+    val full = Quantization.quantizedTopK(pqCorpus, queryId = 0L, k = 7)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("qscore"))).toSeq
+    val all = Quantization.ivfQuantizedTopK(pqCorpus, queryId = 0L, k = 7,
+      nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("qscore"))).toSeq
+    assert(all === full)
+    // narrow probe: a subset of candidates, with IDENTICAL integer
+    // scores (quantization ranges come from the whole corpus, not the
+    // probed subset — a probe-calibrated code would change scores)
+    val fullScores = Quantization.quantizedTopK(pqCorpus, queryId = 0L, k = 31)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("qscore")).toMap
+    val narrow = Quantization.ivfQuantizedTopK(pqCorpus, queryId = 0L, k = 7,
+      nlist = 8, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("qscore")).toMap
+    narrow.foreach { case (id, sc) => assert(sc === fullScores(id), s"id $id") }
+    assert(Quantization.ivfQuantizedTopK(pqCorpus, queryId = 999L, k = 5).count() === 0L)
+  }
+
   test("ivfPqTopK: probing every cell recovers pqTopK exactly; narrow probe is a subset") {
     val full = Quantization.pqTopK(pqCorpus, queryId = 0L, k = 7, m = 4, ksub = 8)
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("qscore"))).toSeq
