@@ -376,6 +376,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$plan")
   }
 
+  test("batched LSH search: query probe side broadcast, bucket join never sort-merge") {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.where(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val res = pipeline.Similarity.lshSearchAll(emb, qs, k = 5, bits = 4,
+      dim = Some(64))
+    res.write.mode("overwrite").format("noop").save()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"probe side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"bucket join degraded to sort-merge:\n$plan")
+    assert(plan.contains("float_vector_dot"), s"native dot missing:\n$plan")
+  }
+
   test("batched IVF search: probe set and queries broadcast, corpus never re-scanned per query") {
     val emb = Tables.embeddings(spark, dir)
     val centroids = pipeline.Similarity.sampleCentroids(emb, nlist = 8)
