@@ -131,6 +131,35 @@ object Bench {
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"passes":${completed.size},"sf":"$sfDir"}""")
+    // The driver captures only the LAST ~2000 chars of stdout; the full
+    // per-query line above is ~4 KB at 127 queries, so for eight rounds
+    // the driver's "parsed" field came back null (the tail started
+    // mid-JSON). Print one final COMPACT line sized under that window:
+    // per-query centisecond ints keyed by the unique leading token of
+    // each query name ("p63_neardup_recall" -> "p63"; serve_*/e2e_* use
+    // two tokens since the first alone collides). Whoever parses the
+    // tail gets the newest complete line = this one.
+    def shortKey(n: String): String = {
+      val parts = n.split("_")
+      if (parts.head == "serve" || parts.head == "e2e") parts.take(2).mkString("_")
+      else parts.head
+    }
+    val timedNames = completed.toSeq.flatMap(_.keys).distinct.sorted
+    val compactQs = timedNames.map { n =>
+      val ts = completed.toSeq.flatMap(_.get(n))
+      val cs =
+        if (ts.isEmpty || ts.min == Double.MaxValue) -1L
+        else math.round(ts.min * 100)
+      "\"" + shortKey(n) + "\":" + cs
+    }.mkString("{", ",", "}")
+    val totalR = math.round(total * 100) / 100.0
+    val head =
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n":${timedNames.size},"failed":$failedJson,"skipped":${skipped.size},"passes":${completed.size},"sf":"$sfDir""""
+    val compactFull = head + s""","q_cs":$compactQs}"""
+    // Hard guard: never emit a final line that itself overflows the
+    // tail window — drop the per-query map before dropping parseability.
+    val compact = if (compactFull.length <= 1900) compactFull else head + "}"
+    println(compact)
     Console.out.flush()
     spark.stop()
   }
