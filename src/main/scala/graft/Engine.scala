@@ -95,6 +95,11 @@ object Tables {
     */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ->TIMESTAMP cast in [[events]] is value-identical ONLY
+    // under a UTC session: pin it here too, so a session that skipped
+    // Engine.configure fails loudly into correctness (UTC semantics)
+    // instead of silently shifting every event time by the host zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     apply(spark, dir, "events")
   }
 

@@ -116,7 +116,11 @@ object Packing {
       .select(col(idCol),
         shardOf(col(idCol), nShards).as("shard"),
         TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
-        graft.functions.Md5Hash.h60(col(textCol)).as("h60"))
+        graft.functions.Md5Hash.h60(col(textCol)).as("h60"),
+        // the training content itself — the export is the corpus, not
+        // just its accounting; the manifest read-back below still never
+        // pays for this column (parquet pruning, PlanSpec-guarded)
+        col(textCol))
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     docs.sparkSession.read.parquet(path)

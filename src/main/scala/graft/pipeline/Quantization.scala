@@ -231,9 +231,14 @@ object Quantization {
     val probeCells = Similarity.probeCellsFor(centroids, qVec, nprobe)
     // quantize over the WHOLE corpus ranges (the index-build contract:
     // codes are corpus-calibrated, not probe-set-calibrated), then
-    // prune to the probed cells for scoring
+    // prune to the probed cells for scoring. Persisted (the
+    // quantizedTopK discipline): the query-qvec broadcast below and
+    // the scoring scan otherwise EACH re-run the corpus-wide min/max
+    // range aggregation embedded in quantized() — a doubled full
+    // corpus pass at scale.
     val q = quantized(emb, vecCol)
       .select(col(idCol), col(vecCol), col("qvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queryQvec = q.where(col(idCol) === queryId)
       .select(col("qvec").as("query_qvec"))
     q.where(Similarity.cellOf(col(vecCol), centroids).isin(probeCells: _*) &&

@@ -599,8 +599,14 @@ object Similarity {
       .orderBy(col("__pcos").desc, col("__cid").desc)
     val probes = qs.crossJoin(broadcast(centDf))
       .select(col(qidCol), col("__cid"),
-        (dot(col(qvecCol), col("__c")) /
-          (norm(col(qvecCol)) * norm(col("__c")))).as("__pcos"))
+        // zero-norm guard mirroring bestOf/cosDriver: a degenerate
+        // (all-zero) centroid or query must score -Inf, not NaN — NaN
+        // orders GREATEST in Spark, which would silently divert the
+        // probe set away from the cells cellOf assigned
+        when(norm(col(qvecCol)) > 0 && norm(col("__c")) > 0,
+          dot(col(qvecCol), col("__c")) /
+            (norm(col(qvecCol)) * norm(col("__c"))))
+          .otherwise(lit(Double.NegativeInfinity)).as("__pcos"))
       .withColumn("__pr", row_number().over(wProbe))
       .where(col("__pr") <= nprobe)
       .select(col(qidCol), col("__cid").as("__cell"))
