@@ -241,8 +241,9 @@ object Quantization {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queryQvec = q.where(col(idCol) === queryId)
       .select(col("qvec").as("query_qvec"))
-    q.where(Similarity.cellOf(col(vecCol), centroids).isin(probeCells: _*) &&
-        col(idCol) =!= queryId)
+    Similarity.assignCells(q, centroids, vecCol)
+      .where(col("__cell").isin(probeCells: _*) && col(idCol) =!= queryId)
+      .drop("__cell")
       .crossJoin(broadcast(queryQvec))
       .select(col(idCol), intDot(col("qvec"), col("query_qvec")).as("qscore"))
       .orderBy(col("qscore").desc, col(idCol).asc)
@@ -279,9 +280,9 @@ object Quantization {
         .where(lit(false))
     val qVec = qRow.get.getSeq[Float](0).toArray
     val probeCells = Similarity.probeCellsFor(centroids, qVec, nprobe)
-    val candidates = emb.where(
-      Similarity.cellOf(col(vecCol), centroids).isin(probeCells: _*) &&
-        col(idCol) =!= queryId)
+    val candidates = Similarity.assignCells(emb, centroids, vecCol)
+      .where(col("__cell").isin(probeCells: _*) && col(idCol) =!= queryId)
+      .drop("__cell")
     pqCodes(candidates, codebook, m, idCol, vecCol)
       .select(col(idCol), adcScore(qVec, codebook, m, subDim).as("qscore"))
       .orderBy(col("qscore").desc, col(idCol).asc)

@@ -214,6 +214,75 @@ object Similarity {
   private[pipeline] def cellOf(vec: Column, centroids: Array[(Long, Array[Float])]): Column =
     bestOf(vec, centroids).getField("cid")
 
+  /** Scalar budget for inlining centroids into the expression tree.
+    * [[bestOf]] compiles nlist x dim Float literals plus one codegen'd
+    * dot-loop per centroid into the generated method — unbeatable at
+    * gate scale (no join, pure codegen), but past JIT/method-size
+    * limits at a production nlist (1024-4096) x dim (768+), where
+    * codegen degrades to interpreted over a megabyte constant pool.
+    * Above this budget, assignment switches to [[withBestCentroid]]'s
+    * broadcast shape: the centroids ride as DATA (a 1-row broadcast of
+    * the packed centroid array), scored by an array_max over a
+    * transform lambda. The lambda is interpreted (HOFs don't codegen),
+    * but each term is still the native [[graft.functions.FloatVectorDot]]
+    * eval — and there is no generated-code cliff at any nlist.
+    * 16384 = the gate shapes (16x8, 16x64, 300x8-ish) stay inline;
+    * 1024x768 goes broadcast.
+    */
+  private[pipeline] val InlineCentroidScalars = 16384L
+
+  /** `df` + `outCol` = the winning `struct(score, cid)` over
+    * `centroids` — inline-literal codegen below the
+    * [[InlineCentroidScalars]] budget, broadcast-data above it. BOTH
+    * paths compute the identical score (dot/|c|, zero-norm centroid =
+    * -Infinity) with the identical array_max tie-break (equal scores
+    * prefer the larger cid), so a threshold crossing can never change
+    * an assignment — spec-pinned by forcing `inlineLimit` both ways.
+    */
+  private[pipeline] def withBestCentroid(df: DataFrame,
+      centroids: Array[(Long, Array[Float])], vecCol: String,
+      outCol: String,
+      inlineLimit: Long = InlineCentroidScalars): DataFrame = {
+    val scalars = centroids.length.toLong *
+      centroids.headOption.map(_._2.length).getOrElse(0)
+    if (scalars <= inlineLimit)
+      df.withColumn(outCol, bestOf(col(vecCol), centroids))
+    else {
+      val s = df.sparkSession
+      import s.implicits._
+      val centDf = centroids.toSeq.toDF("__cid", "__c")
+        .select(struct(col("__cid").as("cid"),
+          col("__c").cast("array<float>").as("c")).as("__ce"))
+        .agg(collect_list(col("__ce")).as("__cents"))
+      df.crossJoin(broadcast(centDf))
+        .withColumn(outCol, array_max(transform(col("__cents"), ce =>
+          struct(
+            // the norm(c) guard is bestOf's zero-norm rule; the
+            // division by norm(c) instead of a driver literal is
+            // bit-identical (FloatVectorDot accumulates in the same
+            // index order as the driver-side sum)
+            when(norm(ce("c")) > 0,
+              dot(col(vecCol), ce("c")) / norm(ce("c")))
+              .otherwise(lit(Double.NegativeInfinity)).as("score"),
+            ce("cid").as("cid")))))
+        .drop("__cents")
+    }
+  }
+
+  /** `df` + `cellCol` = each row's assigned cell id — the scale-safe
+    * front door for every assignment site (index build, k-means
+    * iteration, batch search, IVF-filtered quantized scoring).
+    */
+  def assignCells(df: DataFrame,
+      centroids: Array[(Long, Array[Float])], vecCol: String,
+      cellCol: String = "__cell",
+      inlineLimit: Long = InlineCentroidScalars): DataFrame = {
+    val tmp = "__best_" + cellCol
+    withBestCentroid(df, centroids, vecCol, tmp, inlineLimit)
+      .withColumn(cellCol, col(tmp).getField("cid"))
+      .drop(tmp)
+  }
+
   /** Driver-side cosine for probe selection — sequential
     * accumulation, identical to the distributed FloatVectorDot path;
     * zero-norm inputs score -Infinity (the [[cellOf]] degenerate-
@@ -280,8 +349,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Float])] = {
     var centroids = sampleCentroids(emb, nlist, idCol, vecCol)
     for (_ <- 0 until iters) {
-      val means = emb
-        .select(cellOf(col(vecCol), centroids).as("__cell"),
+      val means = assignCells(emb, centroids, vecCol)
+        .select(col("__cell"),
           posexplode(col(vecCol)).as(Seq("__d", "__x")))
         .groupBy(col("__cell"), col("__d"))
         .agg(avg(col("__x")).as("__m"))
@@ -308,7 +377,7 @@ object Similarity {
   def ivfTopKWith(emb: DataFrame, centroids: Array[(Long, Array[Float])],
       queryId: Long, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val celled = emb.withColumn("__cell", cellOf(col(vecCol), centroids))
+    val celled = assignCells(emb, centroids, vecCol)
     val q = emb.where(col(idCol) === queryId).select(col(vecCol).as("__q"))
     // a missing query id returns an EMPTY result like
     // bruteForceTopK/lshTopK do, not a driver crash
@@ -410,8 +479,8 @@ object Similarity {
       path: String, vecCol: String, batchId: String): Unit = {
     require(centroids.nonEmpty, "empty centroid list")
     val dim = centroids.head._2.length
-    emb.withColumn("__cell",
-        when(size(col(vecCol)) === dim, cellOf(col(vecCol), centroids)))
+    assignCells(emb, centroids, vecCol)
+      .withColumn("__cell", when(size(col(vecCol)) === dim, col("__cell")))
       .write.mode("overwrite").partitionBy("__cell")
       .parquet(s"$path/batch=$batchId")
   }
@@ -434,11 +503,12 @@ object Similarity {
       lowCosine: Double = 0.5, vecCol: String = "embedding"): DataFrame = {
     // bestOf scores dot/|c| (the |v| factor is rank-invariant within a
     // row); divide it back out for a true cosine, guarding |v| = 0
-    val best = bestOf(col(vecCol), centroids).getField("score")
+    val best = col("__best").getField("score")
     val vNorm = norm(col(vecCol))
     val cos = when(vNorm > 0 && best =!= lit(Double.NegativeInfinity),
       best / vNorm)
-    emb.select(cos.as("__cos"))
+    withBestCentroid(emb, centroids, vecCol, "__best")
+      .select(cos.as("__cos"))
       .agg(count(lit(1)).as("n"),
         avg(col("__cos")).as("avg_cos"),
         min(col("__cos")).as("min_cos"),
@@ -610,8 +680,8 @@ object Similarity {
       .withColumn("__pr", row_number().over(wProbe))
       .where(col("__pr") <= nprobe)
       .select(col(qidCol), col("__cid").as("__cell"))
-    val celled = emb.select(col(idCol), col(vecCol),
-      cellOf(col(vecCol), centroids).as("__cell"))
+    val celled = assignCells(emb, centroids, vecCol)
+      .select(col(idCol), col(vecCol), col("__cell"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qidCol))
       .orderBy(col("cosine").desc, col(idCol).asc)

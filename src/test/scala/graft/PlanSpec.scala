@@ -365,6 +365,27 @@ class PlanSpec extends SparkSpec {
     assert(manifest.count() > 0)
   }
 
+  test("IVF assignment: production-scale centroid set broadcasts as data, never inlines") {
+    val emb = Tables.embeddings(spark, dir)
+    // 300 x 64 = 19200 scalars > the inline budget: the centroids must
+    // ride as a broadcast relation, not expression-tree literals (the
+    // literal shape blows past JIT/codegen method limits at real
+    // nlist x dim and silently degrades to interpreted)
+    val big = Array.tabulate(300)(i =>
+      i.toLong -> Array.tabulate(64)(d => ((i * 31 + d) % 7 - 3).toFloat))
+    val bigPlan = planOf(pipeline.Similarity.assignCells(emb, big, "embedding"))
+    assert(bigPlan.contains("BroadcastExchange") ||
+      bigPlan.contains("BroadcastNestedLoopJoin"),
+      s"large centroid set not broadcast:\n$bigPlan")
+    // ...and the gate-scale shape keeps the pure-codegen literal path
+    // (no join at all in the assignment fragment)
+    val smallPlan = planOf(
+      pipeline.Similarity.assignCells(emb, big.take(16), "embedding"))
+    assert(!smallPlan.contains("BroadcastExchange") &&
+      !smallPlan.contains("Join"),
+      s"small centroid set lost the literal codegen shape:\n$smallPlan")
+  }
+
   test("PQ ADC scoring: codegen'd subspace dots, no join or shuffle for the lookups") {
     val q = pipeline.Quantization.pqTopK(
       Tables.embeddings(spark, dir), queryId = 0L, k = 5, m = 8, ksub = 16)

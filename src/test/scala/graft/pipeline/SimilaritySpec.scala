@@ -83,6 +83,39 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("assignCells: broadcast-data path matches inline-literal assignments exactly") {
+    // the edge cases that could diverge between the two shapes: a
+    // zero-norm corpus vector, a malformed (short) vector, a corpus
+    // vector exactly equal to a DUPLICATED centroid (tie-break), and
+    // a degenerate all-zero centroid
+    val cvecs = Array.tabulate(5)(i =>
+      Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat))
+    val centroids: Array[(Long, Array[Float])] =
+      cvecs.zipWithIndex.map { case (c, i) => i.toLong -> c } ++
+        Array(99L -> Array.fill(8)(0.0f), // degenerate centroid
+          100L -> cvecs(3).clone()) // duplicate of cid 3 — larger cid must win
+    val rows = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat))
+    } ++ cvecs.zipWithIndex.map { case (c, i) => (50L + i, c.clone()) } ++
+      Seq((60L, Array.fill(8)(0.0f)), (61L, Array(1.0f, 2.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    def cells(inlineLimit: Long) =
+      Similarity.assignCells(df, centroids, "embedding",
+          inlineLimit = inlineLimit)
+        .select($"vec_id", $"__cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inline = cells(Long.MaxValue)
+    val bcast = cells(0L)
+    assert(inline === bcast)
+    // the duplicated-centroid row ties (3, 100) and must pick 100 in
+    // BOTH shapes (array_max prefers the larger cid at equal score)
+    assert(inline(53L) === 100L)
+    assert(bcast(53L) === 100L)
+    // a malformed row scores NULL against every real centroid and
+    // -Inf against the degenerate one: quarantine cell 99, not a crash
+    assert(inline(61L) === 99L)
+  }
+
   test("vec_dot is callable from SQL (extensions registration)") {
     val r = spark.sql(
       """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
