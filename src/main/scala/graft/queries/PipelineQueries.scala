@@ -2419,7 +2419,44 @@ object PipelineQueries {
               |       CAST(count(*) AS BIGINT) AS n_docs,
               |       CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
               |       min(doc_id) AS first_doc_id
-              |FROM w GROUP BY shard, CAST(tb // 512 AS BIGINT)""".stripMargin))
+              |FROM w GROUP BY shard, CAST(tb // 512 AS BIGINT)""".stripMargin)),
+
+    // Salted two-phase aggregation under a PLANTED hot key: ~70% of
+    // documents collapse onto key 0 (the single-key skew AQE cannot
+    // split — it re-splits partitions, not keys), aggregated via
+    // Skew.saltedAgg's (key, salt) partial pass + natural-key combine.
+    // All aggregates are integral (token counts), so the salted plan
+    // is BIT-IDENTICAL to the plain group-by — which is exactly what
+    // the oracle asserts: DuckDB computes the straight aggregate, and
+    // any partial lost or double-counted across the two phases breaks
+    // the hash. avg divides two exact BIGINTs (one double op, order
+    // independent).
+    QueryDef("p68_skewed_agg",
+      (s, dir) => {
+        val hot = Tables.documents(s, dir).select(
+          when(pmod(col("doc_id"), lit(10)) < 7, lit(0L))
+            .otherwise(pmod(col("doc_id"), lit(100))).as("key"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        graft.operators.Skew.saltedAgg(hot, Seq("key"), saltBuckets = 8,
+          aggs = Map(
+            "n_docs" -> (lit(1L), "count"),
+            "total_tokens" -> (col("n_tokens"), "sum"),
+            "min_tokens" -> (col("n_tokens"), "min"),
+            "max_tokens" -> (col("n_tokens"), "max"),
+            "avg_tokens" -> (col("n_tokens"), "avg")))
+      },
+      Some("""WITH toks AS (
+             |  SELECT CASE WHEN doc_id % 10 < 7 THEN 0 ELSE doc_id % 100 END AS key,
+             |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              t -> t <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents)
+             |SELECT key,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |       min(n_tokens) AS min_tokens,
+             |       max(n_tokens) AS max_tokens,
+             |       CAST(sum(n_tokens) AS DOUBLE) / count(n_tokens) AS avg_tokens
+             |FROM toks GROUP BY key""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque
