@@ -468,6 +468,20 @@ object Dedup {
       n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): Unit =
     writeIndexBatch(docs, path, n, numHashes, rowsPerBand, batchId)
 
+  /** Fold both index tables' accumulated `batch=` subdirs into one
+    * ([[IndexCompaction]] — periodic maintenance after many
+    * [[appendToLshIndex]] days). Row content is unchanged, so
+    * [[nearDupsAgainstIndex]] answers identically before and after;
+    * bands and shingles compact independently (content-preserving, so
+    * a crash between the two leaves a correct, partially-compacted
+    * index). Returns the number of batches merged per table (they
+    * match unless a previous compaction half-finished).
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, intoBatchId: String = "compacted"): (Int, Int) =
+    (IndexCompaction.compact(spark, s"$path/bands", intoBatchId, Nil),
+      IndexCompaction.compact(spark, s"$path/shingles", intoBatchId, Nil))
+
   private def writeIndexBatch(docs: DataFrame, path: String, n: Int,
       numHashes: Int, rowsPerBand: Int, batchId: String): Unit = {
     val shingled = wordShingles(docs, n)

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** Batch-directory compaction shared by the incremental indexes
+  * ([[Similarity.writeIvfIndex]]'s `batch=/__cell=` layout and
+  * [[Dedup.writeLshIndex]]'s `bands`/`shingles` pair).
+  *
+  * Incremental appends are the right daily shape — per-batch cost
+  * scales with the batch, not the corpus — but each append adds a
+  * `batch=` subdir: after N batches every reader lists N directories
+  * and each cell's rows are spread over up to N small files, the
+  * listing + small-file tax that dominates scan planning on an
+  * object store. Compaction folds them back to ONE batch with
+  * unchanged row content: it changes file layout, never answers.
+  */
+private[pipeline] object IndexCompaction {
+
+  /** Rewrite all `batch=` subdirs of `tablePath` as a single
+    * `batch=<intoBatchId>`, preserving `partitionCols`
+    * subpartitioning, via write-aside + whole-directory swap (the
+    * [[graft.Pipeline]] overwrite discipline): the merged batch is
+    * fully materialized into a dot-prefixed SIBLING directory —
+    * invisible to Spark's file listing, so a crashed run can never
+    * pollute an index read — then live -> old, side -> live, old
+    * deleted. A crash before the first rename leaves the live index
+    * untouched; a crash between the renames leaves NO live directory,
+    * so readers fail loudly instead of silently serving half an index
+    * (re-run the compaction to restore). Idempotent — re-running on a
+    * compacted table rewrites its single batch to itself.
+    *
+    * Returns the number of batch subdirs merged (0 = table absent or
+    * batch-less: nothing to do, nothing touched).
+    */
+  def compact(spark: SparkSession, tablePath: String, intoBatchId: String,
+      partitionCols: Seq[String]): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = live.getFileSystem(hconf)
+    if (!fs.exists(live)) return 0
+    val batches = fs.listStatus(live).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (batches.isEmpty) return 0
+    val parent = live.getParent
+    val tmp = new org.apache.hadoop.fs.Path(parent, s".${live.getName}.compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(parent, s".${live.getName}.compact_old")
+    Seq(tmp, old).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    val df = spark.read.parquet(tablePath).drop("batch")
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(s"$tmp/batch=$intoBatchId")
+    // the write above fully materialized the merged batch — the lazy
+    // read of the live files is spent, so the swap is safe
+    fs.rename(live, old)
+    fs.rename(tmp, live)
+    fs.delete(old, true)
+    batches.size
+  }
+}

@@ -465,6 +465,17 @@ object Similarity {
       path: String, batchId: String, vecCol: String = "embedding"): Unit =
     writeIvfBatch(emb, centroids, path, vecCol, batchId)
 
+  /** Fold the index's accumulated `batch=` subdirs into one
+    * ([[IndexCompaction]] — the periodic maintenance step after many
+    * [[appendToIvfIndex]] days). Rows keep their STORED cell
+    * assignment: no re-scoring, so probes answer identically before
+    * and after; only the file layout changes (one subdir, one file
+    * set per cell). Returns the number of batches merged.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, intoBatchId: String = "compacted"): Int =
+    IndexCompaction.compact(spark, path, intoBatchId, Seq("__cell"))
+
   /** Write one `batch=` subdir of the index. MALFORMED vectors
     * (length != the centroid dimensionality) are QUARANTINED to a
     * NULL cell — the [[lshBucket]] rule: FloatVectorDot scores them

@@ -198,4 +198,30 @@ class IvfIndexSpec extends SparkSpec {
     val qDegen = Similarity.ivfAssignmentQuality(degen, centroids).head()
     assert(qDegen.getAs[Long]("degenerate") == 1L)
   }
+
+  test("compactIvfIndex: batch subdirs fold to one, probes answer identically, idempotent") {
+    val base = baseCorpus
+    val centroids = Similarity.kmeansCentroids(base, nlist = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-cmp").toString + "/idx"
+    Similarity.writeIvfIndex(base, centroids, path, batchId = "base")
+    Similarity.appendToIvfIndex(batchCorpus, centroids, path, batchId = "b1")
+    Similarity.appendToIvfIndex(driftedBatch, centroids, path, batchId = "b2")
+    val qVec = member(0, 20)
+    def ids() = topIds(Similarity.ivfTopKIndexed(spark, path, centroids,
+      qVec, k = 8, nprobe = 8))
+    val before = ids()
+    assert(before.nonEmpty)
+    val total = spark.read.parquet(path).count()
+    assert(Similarity.compactIvfIndex(spark, path) === 3)
+    val dirs = new java.io.File(path).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSeq
+    assert(dirs === Seq("batch=compacted"))
+    // same rows, same stored cells, same probe answers
+    assert(spark.read.parquet(path).count() === total)
+    assert(ids() === before)
+    // idempotent: the single compacted batch rewrites to itself
+    assert(Similarity.compactIvfIndex(spark, path) === 1)
+    assert(ids() === before)
+  }
 }

@@ -76,4 +76,29 @@ class LshIndexSpec extends SparkSpec {
     val j = rows.find(r => r.getAs[Long]("doc_old") == 21L).get.getAs[Double]("jaccard")
     assert(j >= 0.7 && j <= 1.0)
   }
+
+  test("compactLshIndex: batch subdirs fold to one, dedup answers identically, idempotent") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh-idx3").toString + "/idx"
+    Dedup.writeLshIndex(corpus, path)
+    Dedup.appendToLshIndex(batch, path, batchId = "b1")
+    val probe = Seq((41L, base.replace("lazy", "sleepy").replace("cat", "kitten")))
+      .toDF("doc_id", "text")
+    def dups() = Dedup.nearDupsAgainstIndex(probe, path, threshold = 0.7)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old"),
+        r.getAs[Double]("jaccard"))).toSet
+    val before = dups()
+    assert(before.nonEmpty) // 41 near-dups doc 21 (batch) at least
+    assert(Dedup.compactLshIndex(spark, path) === ((2, 2)))
+    def batchDirs(sub: String) =
+      new java.io.File(s"$path/$sub").listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).toSeq
+    assert(batchDirs("bands") === Seq("batch=compacted"))
+    assert(batchDirs("shingles") === Seq("batch=compacted"))
+    assert(dups() === before)
+    // idempotent: the single compacted batch rewrites to itself
+    assert(Dedup.compactLshIndex(spark, path) === ((1, 1)))
+    assert(dups() === before)
+  }
 }
