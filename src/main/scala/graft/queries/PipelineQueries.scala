@@ -88,7 +88,7 @@ object PipelineQueries {
        |CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha_chars,
        |CAST(length(text) AS BIGINT) AS n_chars_total""".stripMargin
 
-  private val qualityScoreSql =
+  private[queries] val qualityScoreSql =
     """least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
       |  + least(coalesce(n_stopwords / nullif(n_tokens, 0), 0.0), 1.0) * 0.3
       |  + coalesce(alpha_chars / nullif(n_chars_total, 0), 0.0) * 0.3""".stripMargin

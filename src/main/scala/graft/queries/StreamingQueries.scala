@@ -773,8 +773,81 @@ object StreamingQueries {
             |       CAST(sum(CASE WHEN i = 0 THEN c END) AS BIGINT) AS n_tokens
             |FROM grid GROUP BY source, window_start""".stripMargin))
 
+  /** st10: the documents table replayed through
+    * [[graft.streaming.StreamingCuration.curateVerdicts]] (the
+    * DETERMINISTIC fingerprint-dedup claimant — the variant that
+    * closes `curate`'s batch-order-dependent survivor gap, round-8
+    * verdict item 7) must equal the SQL claimant simulation:
+    * quality-filter, md5 fingerprint, per-fp min-(ts, doc_id) winner.
+    * ingested_at = BASE + doc_id seconds is strictly monotone, so the
+    * stream's (event time, doc_id) claimant is exactly the
+    * fingerprint's min doc_id; one staged file = one micro-batch =
+    * the contest runs against empty state once, like the oracle's
+    * global min. Flush-free (verdicts emit in the batch that folds
+    * them), so every row — keepers AND drops — is gate-checked;
+    * language-tagging the verdicts afterwards checks the composed
+    * [[graft.streaming.StreamingCuration.curateDeterministic]]
+    * projection on the same rows (langId is a stateless scan
+    * expression, identical plan either side of the sink).
+    */
+  private def streamingCurateDeterministic: QueryDef = QueryDef(
+    "st10_streaming_curate",
+    (s, dir) => {
+      val baseUs = 1767225600000000L
+      val ev = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("text").cast("string").as("text"),
+          col("source").cast("string").as("source"))
+        .withColumn("ingested_at",
+          timestamp_micros(lit(baseUs) + col("doc_id") * lit(1000000L)))
+      val schema = ev.schema
+      if (ev.isEmpty) {
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("keeper",
+              org.apache.spark.sql.types.BooleanType),
+            org.apache.spark.sql.types.StructField("predicted_lang",
+              org.apache.spark.sql.types.StringType))))
+      } else {
+        val dirP = scratch("st10")
+        val stage = dirP.resolve("input").toString
+        val ckpt = dirP.resolve("ckpt").toString
+        ev.coalesce(1).write.parquet(stage)
+
+        val qname = "st10_" + UUID.randomUUID().toString.replace("-", "")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try graft.streaming.StreamingCuration.curateVerdicts(
+            s.readStream.schema(schema).parquet(stage)
+              .repartition(8, col("doc_id")))
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+        graft.pipeline.TextAnalysis.langId(s.table(qname))
+          .select(col("doc_id"), col("keeper"), col("predicted_lang"))
+      }
+    },
+    Some(s"""WITH f AS (SELECT *, ${PipelineQueries.qualityColsSql} FROM documents),
+            |scored AS (SELECT *, ${PipelineQueries.qualityScoreSql} AS quality_score
+            |           FROM f),
+            |kept AS (SELECT doc_id, text,
+            |                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+            |         FROM scored WHERE quality_score >= 0.5),
+            |win AS (SELECT fp, min(doc_id) AS winner FROM kept GROUP BY fp),
+            |langs AS (SELECT k.doc_id, (k.doc_id = w.winner) AS keeper,
+            |                 ${PipelineQueries.langHitsSql}
+            |          FROM kept k JOIN win w USING (fp))
+            |SELECT doc_id, keeper, ${PipelineQueries.langCaseSql}
+            |FROM langs""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
-      streamingCorpusStats, streamingKmv, streamingCms)
+      streamingCorpusStats, streamingKmv, streamingCms,
+      streamingCurateDeterministic)
 }

@@ -51,6 +51,84 @@ object StreamingCuration {
         .dropDuplicatesWithinWatermark("fp"))
   }
 
+  /** One fingerprinted doc observation / its claim verdict for
+    * [[curateVerdicts]].
+    */
+  case class DocObs(doc_id: Long, text: String,
+      ingested_at: java.sql.Timestamp, fp: String)
+  case class DocVerdict(doc_id: Long, text: String,
+      ingested_at: java.sql.Timestamp, keeper: Boolean)
+
+  /** [[curate]]'s quality-filter + fingerprint-dedup with a
+    * DETERMINISTIC survivor: per fingerprint, the claimant is elected
+    * by (event time, doc_id) — never partition/arrival order, which
+    * is `dropDuplicatesWithinWatermark`'s documented trade (two
+    * same-fp docs landing in one micro-batch keep whichever row the
+    * shuffle surfaces first; their case/whitespace variants differ,
+    * so the surviving predicted_lang/n_tokens differ run-to-run).
+    * Here a replayed batch elects the SAME survivor every run, so the
+    * whole curation output is oracle-checkable (the st10 gate).
+    *
+    * Every quality-passing row is emitted WITH its verdict (the
+    * [[nearDupVerdictStream]] observability rule — drops stay
+    * auditable); [[curateDeterministic]] is the keeper-filtered,
+    * language-tagged composition matching [[curate]]'s shape. State =
+    * one boolean per in-horizon fingerprint with an event-time
+    * timeout, the same bound as [[curate]]'s internal store; across
+    * batches the first-claimed fingerprint wins exactly as there.
+    */
+  def curateVerdicts(docs: DataFrame,
+      minQuality: Double = 0.5,
+      eventTimeCol: String = "ingested_at",
+      watermarkDelay: String = "1 day",
+      stateHorizonHours: Int = 24): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonMs = stateHorizonHours.toLong * 3600 * 1000
+    val scored = TextAnalysis.qualityFeatures(docs)
+      .where(col("quality_score") >= minQuality)
+      .select(col("doc_id"), col("text"), col(eventTimeCol).as("ingested_at"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withWatermark("ingested_at", watermarkDelay)
+      .as[DocObs]
+    scored
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, rows: Iterator[DocObs], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq
+            val winner =
+              if (state.exists) None
+              else Some(rs.minBy(r => (r.ingested_at.getTime, r.doc_id)).doc_id)
+            state.update(true)
+            state.setTimeoutTimestamp(
+              rs.map(_.ingested_at.getTime).max + horizonMs)
+            rs.iterator.map(r => DocVerdict(r.doc_id, r.text, r.ingested_at,
+              keeper = winner.contains(r.doc_id)))
+          })
+      .toDF()
+  }
+
+  /** [[curate]] with the deterministic claimant: keeper-filtered
+    * [[curateVerdicts]], language-tagged. Same output contract as
+    * [[curate]] minus the quality-feature columns (the claimant
+    * projection carries doc_id/text/event-time through the state
+    * machine; re-derive features downstream if a sink wants them —
+    * they are stateless scan expressions).
+    */
+  def curateDeterministic(docs: DataFrame,
+      minQuality: Double = 0.5,
+      eventTimeCol: String = "ingested_at",
+      watermarkDelay: String = "1 day",
+      stateHorizonHours: Int = 24): DataFrame =
+    TextAnalysis.langId(
+      curateVerdicts(docs, minQuality, eventTimeCol, watermarkDelay,
+        stateHorizonHours)
+        .where(col("keeper")).drop("keeper"))
+
   /** One exploded (doc, band) observation / its claim verdict. */
   case class BandObs(doc_id: Long, text: String,
       ingested_at: java.sql.Timestamp, band: Int, bucket: String)
