@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Measured ANN recall curves — the evidence behind the production
+  * parameter defaults recorded in BASELINE.md (recall@10 vs nprobe
+  * for IVF at a production-shaped nlist, and vs bits/probes for
+  * sign-LSH), computed against exact brute force over a PINNED query
+  * batch (every 311th vector — a production eval pins Q; recall is a
+  * property of the parameters, not of how many queries you ask).
+  *
+  * Run: SPARK_GRAFT_SF_DIR=<corpus> sbt "runMain graft.RecallCurve"
+  * Prints one JSON line per configuration:
+  *   {"family":"ivf","nlist":64,"nprobe":4,"mean_recall":0.93,"q":65}
+  */
+object RecallCurve {
+
+  /** Deterministic CLUSTERED reference corpus for recall evaluation —
+    * the geometry real embedding models produce (semantic neighbors
+    * concentrate), in contrast to the driver's isotropic random
+    * vectors, on which NO cell-probing index can concentrate a
+    * query's true neighbors (the curse-of-dimensionality regime:
+    * random points' top-k spread uniformly over cells, so recall is
+    * bounded by roughly the probed corpus fraction — measure it on
+    * both and the pair brackets a deployment). md5-folded, no RNG:
+    * any engine re-derives the identical corpus.
+    *
+    * `clusters` cluster centers with +-1 (Rademacher-ish) components;
+    * member = center + jitter * u, u in [-1, 1) per (id, dim).
+    */
+  def clusteredCorpus(spark: org.apache.spark.sql.SparkSession,
+      n: Long, dim: Int, clusters: Int,
+      jitter: Float = 0.2f): DataFrame = {
+    import spark.implicits._
+    def fold(seed: String, d: Int): Float = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"$seed:$d".getBytes("UTF-8"))
+      ((h(0) & 0xFF) / 127.5f) - 1.0f // [-1, 1)
+    }
+    spark.range(n).map { id =>
+      val c = (id % clusters).toInt
+      val v = Array.tabulate(dim) { d =>
+        val center = if (fold(s"rc-center:$c", d) >= 0) 1.0f else -1.0f
+        center + jitter * fold(s"rc-member:$id", d)
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Engine.configure(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.pipeline.Similarity
+
+    // corpus: the driver tables (isotropic) by default; set
+    // SPARK_GRAFT_RECALL_CORPUS=clustered:<n>:<dim>:<clusters> for the
+    // clustered reference geometry at any scale
+    val emb = (sys.env.get("SPARK_GRAFT_RECALL_CORPUS") match {
+      case Some(s"clustered:$n:$d:$c") =>
+        clusteredCorpus(spark, n.toLong, d.toInt, c.toInt)
+      case _ => Tables.embeddings(spark, sfDir)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = emb.where(col("vec_id") % 311 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nQ = queries.count()
+
+    def meanRecall(approx: DataFrame, truth: DataFrame): Double = {
+      val a = approx.select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
+      val per = truth.select(col("query_id"), col("vec_id"))
+        .join(a, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("__hit"), lit(0L))) /
+          count(lit(1))).as("recall"))
+      per.agg(avg(col("recall"))).head().getDouble(0)
+    }
+
+    val k = 10
+    val truth = Similarity.bruteSearchAll(emb, queries, k)
+      .select(col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    truth.count()
+
+    // IVF: production-shaped nlist (~sqrt N, k-means-refined), sweep
+    // nprobe. ivfSearchAll is the batched deployment path.
+    val nlist = 64
+    val centroids = Similarity.kmeansCentroids(emb, nlist = nlist, iters = 2)
+    Seq(1, 2, 4, 8, 16).foreach { nprobe =>
+      val r = meanRecall(
+        Similarity.ivfSearchAll(emb, queries, centroids, k, nprobe), truth)
+      println(s"""{"family":"ivf","nlist":$nlist,"nprobe":$nprobe,"mean_recall":$r,"q":$nQ}""")
+      Console.out.flush()
+    }
+
+    // sign-LSH: sweep bits at single probe, then probes at the
+    // chosen bits (multi-probe is the recall lever that does NOT
+    // shrink buckets).
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    for (bits <- Seq(2, 4, 6, 8)) {
+      val r = meanRecall(
+        Similarity.lshSearchAll(emb, queries, k, bits = bits,
+          dim = Some(dim)), truth)
+      println(s"""{"family":"lsh","bits":$bits,"probes":1,"mean_recall":$r,"q":$nQ}""")
+      Console.out.flush()
+    }
+    for (probes <- Seq(2, 3, 5)) {
+      val r = meanRecall(
+        Similarity.lshSearchAll(emb, queries, k, bits = 4, probes = probes,
+          dim = Some(dim)), truth)
+      println(s"""{"family":"lsh","bits":4,"probes":$probes,"mean_recall":$r,"q":$nQ}""")
+      Console.out.flush()
+    }
+    spark.stop()
+  }
+}

@@ -160,6 +160,38 @@ class RecallGateSpec extends SparkSpec {
       s"corrupt centroid artifact not visible to the gate — it is vacuous: $stale")
   }
 
+  test("production ANN defaults hold on the clustered reference corpus (recall@10 >= 0.9)") {
+    // the geometry the BASELINE.md recall curves justify defaults on:
+    // RecallCurve.clusteredCorpus — semantic neighbors concentrate,
+    // the shape real embedding models produce. Defaults under test:
+    // IVF nlist=64/nprobe=4 (16x candidate pruning) and sign-LSH
+    // bits=4/probes=3. Same pinned-query protocol as the sf1 curve.
+    import org.apache.spark.sql.functions._
+    val emb = graft.RecallCurve.clusteredCorpus(spark, n = 2000, dim = 64,
+      clusters = 40)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = emb.where(col("vec_id") % 311 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val truth = Similarity.bruteSearchAll(emb, queries, 10)
+      .select(col("query_id"), col("vec_id"))
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      truth
+        .join(approx.select(col("query_id"), col("vec_id"),
+          lit(1L).as("__hit")), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("__hit"), lit(0L))) / count(lit(1))).as("r"))
+        .agg(avg(col("r"))).head().getDouble(0)
+    val centroids = Similarity.kmeansCentroids(emb, nlist = 64, iters = 2)
+    val ivf = meanRecall(
+      Similarity.ivfSearchAll(emb, queries, centroids, k = 10, nprobe = 4))
+    assert(ivf >= 0.9, s"IVF recall at production defaults collapsed: $ivf")
+    val lsh = meanRecall(
+      Similarity.lshSearchAll(emb, queries, k = 10, bits = 4, probes = 3,
+        dim = Some(64)))
+    assert(lsh >= 0.9, s"LSH recall at production defaults collapsed: $lsh")
+    emb.unpersist()
+  }
+
   test("simhash chunk banding is COMPLETE for hamming <= 3 (matches brute force)") {
     val sigs = Dedup.simHashSignatures(corpus).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
