@@ -73,6 +73,20 @@ object Bench {
       // own the block manager
       graft.queries.TestdataAdapter.clearCache(spark, warmDir)
     }
+    // Rig calibration: a fixed, data-independent CPU measure (codegen'd
+    // range reduction — no I/O, no shuffle) timed min-of-2 so any
+    // cross-round comparison can divide out host-speed differences.
+    // Round-9 lesson: a container rebuild shifted EVERY query ~1.4x
+    // while code was provably unchanged; without a calibration constant
+    // in the artifact that reads as a regression.
+    val calibSec = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(1L << 28).selectExpr("sum(id * (id + 3))").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); math.min(once(), once()) // warm codegen, then min of 2
+    }
     var failed = Set.empty[String]
     // Up to `passes` full timed passes with the mart cache cleared in
     // between (so EVERY pass recomputes marts exactly like a fresh run),
@@ -130,7 +144,8 @@ object Bench {
     }
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"passes":${completed.size},"sf":"$sfDir"}""")
+    val calibCs = math.round(calibSec * 100)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"passes":${completed.size},"sf":"$sfDir","calib_cs":$calibCs}""")
     // The driver captures only the LAST ~2000 chars of stdout; the full
     // per-query line above is ~4 KB at 127 queries, so for eight rounds
     // the driver's "parsed" field came back null (the tail started
@@ -154,7 +169,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val totalR = math.round(total * 100) / 100.0
     val head =
-      s"""{"metric":"total","value":$totalR,"unit":"sec","n":${timedNames.size},"failed":$failedJson,"skipped":${skipped.size},"passes":${completed.size},"sf":"$sfDir""""
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n":${timedNames.size},"failed":$failedJson,"skipped":${skipped.size},"passes":${completed.size},"sf":"$sfDir","calib_cs":$calibCs"""
     val compactFull = head + s""","q_cs":$compactQs}"""
     // Hard guard: never emit a final line that itself overflows the
     // tail window — drop the per-query map before dropping parseability.

@@ -25,9 +25,13 @@ object GlobalOrder {
   /** `df` plus a `rankCol` long column: the row's 1-based position
     * under `order` (which must be a TOTAL order — include a unique
     * tiebreak column). No persist: the zip's count job and data job
-    * re-evaluate a deterministic lineage (sorted scan), which at
-    * scale is cheaper than caching the corpus; callers looping over
-    * the result should cache it themselves.
+    * re-evaluate a deterministic lineage, but the range exchange's
+    * map outputs are REUSED across the two jobs (Spark shuffle
+    * reuse — the sampling and scan run once), so the repeated work
+    * is only the reduce-side per-partition sort; at scale that is
+    * cheaper than caching the corpus. The fixed map outputs are also
+    * why the two jobs cannot disagree about partition boundaries.
+    * Callers looping over the result should cache it themselves.
     */
   def withGlobalRank(df: DataFrame, rankCol: String,
       order: Seq[Column]): DataFrame = {
