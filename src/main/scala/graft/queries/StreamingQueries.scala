@@ -845,9 +845,74 @@ object StreamingQueries {
             |SELECT doc_id, keeper, ${PipelineQueries.langCaseSql}
             |FROM langs""".stripMargin))
 
+  /** st11: Spark's NATIVE watermarked stream-stream interval join
+    * ([[graft.streaming.StreamingIntervalJoin.within]]) — the one
+    * streaming operator class the other gates don't exercise (they
+    * are stateful maps and windowed aggs). Each view event joined to
+    * the same user's purchase events within (view_ts, view_ts + 2 h].
+    * Inner-join semantics make the output batch-deterministic (a
+    * match emits in the micro-batch that completes the pair — no
+    * claimant, no arrival-order sensitivity), so the oracle is the
+    * plain batch SQL interval join. Flush-free: one staged file =
+    * one micro-batch containing both sides of every pair.
+    */
+  private def streamingIntervalJoin: QueryDef = QueryDef(
+    "st11_streaming_interval_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val schema = ev.schema
+      if (ev.isEmpty) {
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("view_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("purchase_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("amount",
+              org.apache.spark.sql.types.DoubleType))))
+      } else {
+        val dirP = scratch("st11")
+        val stage = dirP.resolve("input").toString
+        val ckpt = dirP.resolve("ckpt").toString
+        ev.coalesce(1).write.parquet(stage)
+
+        val qname = "st11_" + UUID.randomUUID().toString.replace("-", "")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try {
+            val stream = s.readStream.schema(schema).parquet(stage)
+            val views = stream.where(col("event_type") === "view")
+              .select(col("event_id").as("view_id"),
+                col("user_id").as("v_user"), col("ts").as("view_ts"))
+            val purchases = stream.where(col("event_type") === "purchase")
+              .select(col("event_id").as("purchase_id"),
+                col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+                col("value").as("amount"))
+            graft.streaming.StreamingIntervalJoin.within(
+              views, purchases, ("v_user", "p_user"),
+              ("view_ts", "purchase_ts"),
+              watermarkDelay = "1 day", maxGap = "2 hours")
+              .select(col("view_id"), col("purchase_id"), col("amount"))
+              .writeStream.format("memory").queryName(qname)
+              .outputMode("append").option("checkpointLocation", ckpt)
+              .trigger(Trigger.AvailableNow()).start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+        s.table(qname).select(col("view_id"), col("purchase_id"), col("amount"))
+      }
+    },
+    Some("""SELECT v.event_id AS view_id,
+           |       p.event_id AS purchase_id,
+           |       p.value AS amount
+           |FROM events v JOIN events p
+           |  ON v.event_type = 'view' AND p.event_type = 'purchase'
+           | AND p.user_id = v.user_id
+           | AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
       streamingCorpusStats, streamingKmv, streamingCms,
-      streamingCurateDeterministic)
+      streamingCurateDeterministic, streamingIntervalJoin)
 }
