@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("count_min"),
       GraftFunctions.countMinInfo,
       GraftFunctions.countMinBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("hyper_log_log"),
+      GraftFunctions.hyperLogLogInfo,
+      GraftFunctions.hyperLogLogBuilder))
   }
 }
 
@@ -96,6 +100,16 @@ object GraftFunctions {
       CountMin(children.head, children(1), children(2))
     }
 
+  private[functions] val hyperLogLogInfo =
+    new ExpressionInfo(classOf[HyperLogLog].getName, null, "hyper_log_log")
+
+  private[functions] val hyperLogLogBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 2,
+        s"hyper_log_log expects 2 arguments, got ${children.length}")
+      HyperLogLog(children.head, children(1))
+    }
+
   /** Register on an already-built session (no withExtensions hook). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
@@ -108,5 +122,7 @@ object GraftFunctions {
       spark, "kmin_values", kminValuesInfo, kminValuesBuilder)
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
       spark, "count_min", countMinInfo, countMinBuilder)
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "hyper_log_log", hyperLogLogInfo, hyperLogLogBuilder)
   }
 }

@@ -240,6 +240,115 @@ case class CountMin(
       widthExpr = newChildren(2))
 }
 
+/** `hyper_log_log(hash, p)` — the HyperLogLog cardinality sketch
+  * (Flajolet et al. 2007): m = 2^p registers, each the maximum
+  * "leading-zero rank" rho of the hashes that landed in its bucket.
+  *
+  * Why a custom aggregate (KMV already estimates cardinality): HLL is
+  * THE industry-standard mergeable distinct sketch, and its state is
+  * 2^p BYTES per group regardless of cardinality — at p=4 that is 16
+  * bytes where KMV(k=128) moves 1 KB per group per partial. Map-side
+  * partials are the register array, the exchange moves O(groups x m)
+  * bytes, and merge is elementwise max — commutative, associative,
+  * idempotent, so the sketch is identical under any partitioning AND
+  * under re-aggregation of materialized per-shard sketches (the
+  * daily-rollup shape: union day sketches with [[SketchFunctions
+  * .hllMerge]] instead of re-scanning the year).
+  *
+  * Determinism contract (what makes this oracle-able where Spark's
+  * own `approx_count_distinct` HLL++ binary is not): hashes are the
+  * engine's 60-bit md5 family ([[Md5Hash.h60]]); bucket = low p bits,
+  * rho = (60-p) - bitlength(hash >> p) + 1 (so an all-zero remainder
+  * scores (60-p)+1) — pure integer ops any engine reproduces, e.g.
+  * `length(bin(h // m))` in DuckDB. The estimator is exposed as exact
+  * column arithmetic over the registers ([[SketchFunctions
+  * .hllHarmonicScaled]]: an exact DECIMAL sum of 2^(61-reg), cast to
+  * double only at the end), so both the registers and the estimate
+  * hash-match cross-engine. Null hashes are skipped; an all-null
+  * group evaluates to m zero registers.
+  */
+case class HyperLogLog(
+    child: Expression,
+    pExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with BinaryLike[Expression] {
+
+  def this(child: Expression, pExpr: Expression) = this(child, pExpr, 0, 0)
+
+  override def left: Expression = child
+  override def right: Expression = pExpr
+
+  private lazy val pOpt: Option[Int] =
+    if (!pExpr.foldable) None
+    else Option(pExpr.eval()).collect { case n: Number => n.intValue() }
+  private lazy val p: Int = pOpt.get
+  private lazy val m: Int = 1 << p
+  /** Remainder width: the hash domain is [0, 2^60). */
+  private lazy val w: Int = 60 - p
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyper_log_log"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT hash column, got ${child.dataType.sql}")
+    else if (pOpt.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: p must be a foldable integer")
+    else if (p < 2 || p > 16)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: p must be in [2, 16], got $p")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val bucket = (h & (m - 1)).toInt
+      val rem = h >>> p
+      val rho =
+        if (rem == 0L) w + 1
+        else w - (64 - java.lang.Long.numberOfLeadingZeros(rem)) + 1
+      if (rho > buf(bucket)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < buf.length) {
+      if (other(i) > buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val arr = new Array[Long](buf.length)
+    var i = 0
+    while (i < buf.length) { arr(i) = buf(i).toLong; i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HyperLogLog =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HyperLogLog =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HyperLogLog =
+    copy(child = newLeft, pExpr = newRight)
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.functions._
 
@@ -283,6 +392,70 @@ object SketchFunctions {
     size(array_intersect(u, array_intersect(a, b))).cast("double") /
       when(size(u) === 0, lit(null)).otherwise(size(u).cast("double"))
   }
+
+  /** Column-level `hyper_log_log(hash, p)` (hash: BIGINT in
+    * [0, 2^60)). Returns the 2^p register array (each register the
+    * max rho of its bucket; 0 = bucket never hit).
+    */
+  def hyperLogLog(hash: Column, p: Int): Column =
+    ColumnBridge.column(HyperLogLog(
+      ColumnBridge.expression(hash),
+      ColumnBridge.expression(lit(p))).toAggregateExpression())
+
+  /** `2^bits` as DECIMAL(38,0) via the catalyst ShiftLeft (the Scala
+    * `shiftleft` helper only takes a literal shift; the SQL
+    * expression shifts by any column). Exact for bits in [0, 62].
+    */
+  private def pow2Decimal(bits: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        ColumnBridge.expression(lit(1L)),
+        ColumnBridge.expression(bits.cast("int")))).cast("decimal(38,0)")
+
+  /** Count of never-hit registers — the input to linear-counting
+    * (`m * ln(m / n_zero)`), which production estimators apply below
+    * ~2.5m. Exposed as data rather than folded into [[hllEstimate]]:
+    * `ln` is not correctly-rounded IEEE, so baking it in would make
+    * the estimate engine-dependent in the last ulp.
+    */
+  def hllZeroRegisters(regs: Column): Column =
+    size(filter(regs, r => r === 0L)).cast("long")
+
+  /** The HLL harmonic denominator scaled by 2^61: an EXACT integer —
+    * sum over registers of 2^(61 - reg), accumulated in DECIMAL(38,0)
+    * (max m * 2^61 ~ 2^77 at p=16, well inside 38 digits) and cast to
+    * double only once at the end (one correctly-rounded conversion,
+    * identical in any IEEE engine; a float running sum would be
+    * accumulation-order-dependent and never hash-match).
+    */
+  def hllHarmonicScaled(regs: Column): Column =
+    aggregate(regs, lit(0L).cast("decimal(38,0)"),
+      (acc, r) => acc + pow2Decimal(lit(61L) - r)).cast("double")
+
+  /** Raw HLL cardinality estimate: alpha_m * m^2 * 2^61 / S where S =
+    * [[hllHarmonicScaled]] and alpha_m = 0.7213 / (1 + 1.079/m)
+    * (documented for all m — the small-m Flajolet constants are a
+    * calibration refinement, not a different estimator). Every factor
+    * before the divide is exact (m^2 and 2^61 are powers of two;
+    * 1.079/m is exact for power-of-two m), and the two divides are
+    * correctly-rounded IEEE ops in a pinned order — bit-identical
+    * cross-engine. Below ~2.5m apply linear counting from
+    * [[hllZeroRegisters]] instead.
+    */
+  def hllEstimate(regs: Column, p: Int): Column = {
+    val m = 1 << p
+    lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit((m.toLong * m).toDouble) * lit(1152921504606846976.0 * 2) /
+      hllHarmonicScaled(regs)
+  }
+
+  /** Elementwise max of two same-p register arrays — exactly the
+    * sketch the UNION corpus would have produced (the HLL merge
+    * property). Pure array ops: roll daily sketches into monthly
+    * without re-scanning a byte of the corpus.
+    */
+  def hllMerge(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => greatest(x, y))
 
   /** Column-level `count_min(hash, depth, width)` (hash: BIGINT in
     * [0, 2^60)). Returns the depth*width counter grid, row-major.

@@ -783,6 +783,100 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication with per-row keep/drop verdicts, the
+    * embedding-space pruning operator a 100 TB curation run applies
+    * after exact/MinHash dedup. Where [[embeddingNearDups]] reports
+    * PAIRS (LSH-bucket-scoped), this elects one REPRESENTATIVE per
+    * semantic-duplicate group and marks everyone else droppable:
+    *
+    *  1. centroids: md5-spread sample of `nlist` rows
+    *     ([[sampleCentroids]] — deterministic, engine-reproducible;
+    *     swap in [[kmeansCentroids]] for tighter cells, p22 proves
+    *     that refinement separately);
+    *  2. every well-formed vector is assigned to its argmax-cosine
+    *     cell ([[assignCells]] — inline codegen below the
+    *     [[InlineCentroidScalars]] budget, broadcast-data above);
+    *  3. candidate pairs are scored ONLY within a cell (the paper's
+    *     scalability trick: k cells cut the pair grain ~k-fold vs
+    *     all-pairs), cells above `maxCellSize` are excluded from
+    *     pairing (the [[embeddingNearDups]] hot-bucket analog — a
+    *     degenerate encoder collapsing the corpus into one cell must
+    *     not schedule an all-pairs join);
+    *  4. duplicate groups = connected components over pairs with
+    *     cosine >= `eps` ([[Clusters.connectedComponents]] — node-
+    *     grain state, O(log diameter) rounds);
+    *  5. per group the member with the LOWEST cosine to its centroid
+    *     is kept (the paper's best-performing policy: the most
+    *     "marginal" member preserves diversity), ties broken by
+    *     smallest id. Singletons keep themselves.
+    *
+    * Malformed vectors (length != corpus dim) are quarantined as
+    * flagged keepers with NULL cell/centroid_cos — a similarity we
+    * cannot compute never silently DROPS data (the st06 streaming
+    * policy).
+    *
+    * Scale shape: one persisted assignment pass feeds the cell-size
+    * cap, both pair-join sides and the output projection; the pair
+    * join shuffles by cell; components state is node-grain; the
+    * keeper election is a cluster-grain min over (centroid_cos, id)
+    * structs, co-partitioned with the final join. Nothing is
+    * quadratic beyond the capped in-cell pairing.
+    *
+    * Output: (idCol, cell, cluster_id, centroid_cos, keeper).
+    * Downstream: `.where(col("keeper"))` is the pruned corpus.
+    */
+  def semDedup(emb: DataFrame, nlist: Int, eps: Double,
+      maxCellSize: Int = 100000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Option[Int] = None): DataFrame = {
+    val d = resolveDim(dim, emb, vecCol)
+    val valid = emb.where(size(col(vecCol)) === d)
+    val centroids = sampleCentroids(valid, nlist, idCol, vecCol)
+    val s = emb.sparkSession
+    import s.implicits._
+    val centDf = centroids.toSeq.toDF("cell", "__c")
+      .select(col("cell"), col("__c").cast("array<float>").as("__c"))
+    // centroid_cos recomputes cosine in the oracle's division order
+    // (dot / (|v| * |c|)) via the tiny broadcast centroid join —
+    // assignCells' dot/|c| ranking score is NOT emitted (same argmax,
+    // different last-ulp rounding).
+    val celled = assignCells(valid.select(col(idCol), col(vecCol)),
+        centroids, vecCol, "cell")
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col(idCol), col(vecCol), col("cell"),
+        cosine(col(vecCol), col("__c")).as("centroid_cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepable = celled.groupBy("cell")
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxCellSize)
+      .select("cell")
+    val capped = celled.join(keepable, Seq("cell"), "left_semi")
+    val pairs = capped.select(col("cell"), col(idCol).as("id_a"),
+        col(vecCol).as("__va"))
+      .join(capped.select(col("cell"), col(idCol).as("id_b"),
+        col(vecCol).as("__vb")), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(rankCosine(col("__va"), col("__vb")) >= eps)
+      .select(col("id_a"), col("id_b"))
+    val cc = Clusters.connectedComponents(pairs, aCol = "id_a", bCol = "id_b")
+      .withColumnRenamed("doc_id", idCol)
+    val labeled = celled.join(cc, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val reps = labeled.groupBy("cluster_id")
+      .agg(min(struct(col("centroid_cos").as("c"), col(idCol).as("i")))
+        .as("__rep"))
+      .select(col("cluster_id"), col("__rep").getField("i").as("__keep_id"))
+    val verdicts = labeled.join(reps, Seq("cluster_id"))
+      .select(col(idCol), col("cell"), col("cluster_id"),
+        col("centroid_cos"), (col(idCol) === col("__keep_id")).as("keeper"))
+    val quarantined = emb.where(size(col(vecCol)) =!= d)
+      .select(col(idCol), lit(null).cast("bigint").as("cell"),
+        col(idCol).as("cluster_id"),
+        lit(null).cast("double").as("centroid_cos"), lit(true).as("keeper"))
+    verdicts.unionByName(quarantined)
+  }
+
   /** The buckets [[embeddingNearDups]] dropped under the same
     * parameters: (bucket, population) for populations >
     * maxBucketSize, plus the quarantine count of malformed vectors as

@@ -348,7 +348,76 @@ object EventQueries {
             |         AS view_value_cents
             |FROM j WHERE rn = 1""".stripMargin))
 
+  /** HyperLogLog distinct user-DAYS per event type (the DAU-dedup
+    * shape: one user active on three days counts three) at 2^p BYTES
+    * of state per group ([[graft.functions.HyperLogLog]]; p=4 keeps
+    * the raw estimator in its valid range at every testdata scale,
+    * and user-day cardinality VARIES per event type — plain distinct
+    * users is the same 150-user set for all five types, which would
+    * gate five identical sketches). The day is epoch-micros integer-
+    * divided by 86 400 000 000 — tz-free, exact in both engines.
+    * Registers leave as an md5 digest (index-ordered), the harmonic
+    * denominator as an EXACT integer cast once to double, the raw
+    * estimate as pinned-order IEEE arithmetic, and exact
+    * count(distinct) rides along as the accuracy witness — the
+    * oracle rebuilds every register from `length(bin(h // m))` and
+    * hash-matches all of it.
+    */
+  private def hllUsers: QueryDef = {
+    import graft.functions.{Md5Hash, SketchFunctions => SK}
+    val p = 4
+    QueryDef(
+      "p70_hll_users",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          Md5Hash.h60(concat(col("user_id").cast("string"), lit(":"),
+            expr("unix_micros(ts) div 86400000000").cast("string"))).as("h"))
+        .groupBy("event_type")
+        .agg(SK.hyperLogLog(col("h"), p).as("__regs"),
+          count_distinct(col("h")).as("exact_distinct"))
+        .select(col("event_type"),
+          md5(array_join(transform(col("__regs"), _.cast("string")), ","))
+            .as("register_digest"),
+          SK.hllZeroRegisters(col("__regs")).as("n_zero_registers"),
+          SK.hllHarmonicScaled(col("__regs")).as("harmonic_scaled"),
+          SK.hllEstimate(col("__regs"), p).as("est_distinct"),
+          col("exact_distinct")),
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+             |                  ('0x' || substr(md5(
+             |                    CAST(user_id AS VARCHAR) || ':' ||
+             |                    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS VARCHAR)
+             |                  ), 1, 15))::BIGINT AS h
+             |           FROM events),
+             |rho AS (SELECT event_type, h % 16 AS bucket,
+             |               CASE WHEN h // 16 = 0 THEN 57
+             |                    ELSE 56 - length(bin(h // 16)) + 1 END AS rho
+             |        FROM h),
+             |base AS (SELECT DISTINCT event_type FROM events),
+             |regs AS (SELECT base.event_type, b.bucket, COALESCE(mx.mr, 0) AS reg
+             |         FROM base
+             |         CROSS JOIN (SELECT unnest(range(16)) AS bucket) b
+             |         LEFT JOIN (SELECT event_type, bucket, max(rho) AS mr
+             |                    FROM rho GROUP BY event_type, bucket) mx
+             |           ON mx.event_type = base.event_type AND mx.bucket = b.bucket),
+             |agg AS (SELECT event_type,
+             |               md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY bucket))
+             |                 AS register_digest,
+             |               CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |                 AS n_zero_registers,
+             |               CAST(sum(1::HUGEINT << (61 - CAST(reg AS INT))) AS DOUBLE)
+             |                 AS harmonic_scaled
+             |        FROM regs GROUP BY event_type),
+             |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+             |       FROM h GROUP BY event_type)
+             |SELECT a.event_type, a.register_digest, a.n_zero_registers,
+             |       a.harmonic_scaled,
+             |       (0.7213 / (1 + 1.079 / 16.0)) * 256.0 * 2305843009213693952.0
+             |         / a.harmonic_scaled AS est_distinct,
+             |       ex.exact_distinct
+             |FROM agg a JOIN ex USING (event_type)""".stripMargin))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(asofAttribution, sessionize, zorderValues, funnel, bloomSemijoin,
-      rangeJoin, histogram, asofForward)
+      rangeJoin, histogram, asofForward, hllUsers)
 }

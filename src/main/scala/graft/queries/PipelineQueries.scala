@@ -2456,7 +2456,70 @@ object PipelineQueries {
              |       min(n_tokens) AS min_tokens,
              |       max(n_tokens) AS max_tokens,
              |       CAST(sum(n_tokens) AS DOUBLE) / count(n_tokens) AS avg_tokens
-             |FROM toks GROUP BY key""".stripMargin))
+             |FROM toks GROUP BY key""".stripMargin)),
+
+    // SemDeDup end-to-end: cell-scoped semantic dedup with per-row
+    // keep/drop verdicts (Similarity.semDedup — the pruning operator,
+    // where p30 only labels groups). The oracle recomputes EVERYTHING
+    // in SQL: md5-spread centroid sample, argmax-cosine cell
+    // assignment (tie = larger cid, matching array_max), within-cell
+    // pairs at cosine >= 0.3 under the hot-cell HAVING cap, recursive
+    // min-label components, and the keeper election (lowest
+    // centroid_cos, then smallest id — the SemDeDup paper's
+    // keep-the-marginal-member policy). eps=0.3 fits the synthetic
+    // fixture's cosine range (real-embedding deployments run ~0.95);
+    // nlist=16 matches the IVF gates.
+    QueryDef("p69_semdedup",
+      (s, dir) => Similarity.semDedup(Tables.embeddings(s, dir),
+        nlist = 16, eps = 0.3, dim = Some(EmbeddingDim)),
+      Some(s"""WITH RECURSIVE
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |      FROM embeddings WHERE len(embedding) = $EmbeddingDim),
+              |stride AS (SELECT greatest(count(*) // 16, 1) AS bkt FROM e),
+              |cent AS (SELECT vec_id AS cid, v AS c FROM e, stride
+              |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
+              |               % bkt = 0
+              |         ORDER BY vec_id LIMIT 16),
+              |assigned AS (
+              |  SELECT vec_id, v, cid,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC,
+              |                    cid DESC) AS rn
+              |  FROM e CROSS JOIN cent),
+              |celled AS (SELECT a.vec_id, a.v, a.cid AS cell,
+              |                  ${cosineSql("a.v", "ct.c")} AS centroid_cos
+              |           FROM assigned a JOIN cent ct ON ct.cid = a.cid
+              |           WHERE a.rn = 1),
+              |keepc AS (SELECT cell FROM celled GROUP BY cell
+              |          HAVING count(*) <= 100000),
+              |prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |        FROM celled a
+              |        JOIN celled b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |        JOIN keepc k ON k.cell = a.cell
+              |        WHERE ${cosineSql("a.v", "b.v")} >= 0.3),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+              |          UNION SELECT id_b, id_a FROM prs),
+              |reach AS (SELECT src AS node, dst AS r FROM edges
+              |          UNION
+              |          SELECT e2.src, rc.r FROM edges e2 JOIN reach rc ON rc.node = e2.dst),
+              |lbl AS (SELECT node, least(node, min(r)) AS cluster_id
+              |        FROM reach GROUP BY node),
+              |labeled AS (SELECT c.vec_id, c.cell,
+              |                   COALESCE(l.cluster_id, c.vec_id) AS cluster_id,
+              |                   c.centroid_cos
+              |            FROM celled c LEFT JOIN lbl l ON l.node = c.vec_id),
+              |reps AS (SELECT cluster_id, vec_id AS rep FROM (
+              |           SELECT cluster_id, vec_id,
+              |                  row_number() OVER (PARTITION BY cluster_id
+              |                    ORDER BY centroid_cos ASC, vec_id ASC) AS rn
+              |           FROM labeled) WHERE rn = 1)
+              |SELECT l.vec_id, l.cell, l.cluster_id, l.centroid_cos,
+              |       (l.vec_id = r.rep) AS keeper
+              |FROM labeled l JOIN reps r USING (cluster_id)
+              |UNION ALL
+              |SELECT vec_id, CAST(NULL AS BIGINT), vec_id,
+              |       CAST(NULL AS DOUBLE), TRUE
+              |FROM embeddings WHERE len(embedding) <> $EmbeddingDim""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import SketchFunctions.{hllEstimate, hllHarmonicScaled, hllMerge, hllZeroRegisters, hyperLogLog}
+
+/** [[HyperLogLog]] / [[SketchFunctions]]: register semantics (bucket,
+  * rho), partition/merge invariance, cross-sketch mergeability,
+  * estimator arithmetic, null skipping, SQL registration.
+  */
+class HllSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = 4
+  private val M = 1 << P
+
+  /** Reference rho over the 60-bit hash domain. */
+  private def refRegisters(hashes: Seq[Long], p: Int): Seq[Long] = {
+    val m = 1 << p
+    val regs = new Array[Long](m)
+    hashes.foreach { h =>
+      val b = (h & (m - 1)).toInt
+      val rem = h >>> p
+      val w = 60 - p
+      val rho = if (rem == 0L) w + 1
+      else w - (64 - java.lang.Long.numberOfLeadingZeros(rem)) + 1
+      if (rho > regs(b)) regs(b) = rho.toLong
+    }
+    regs.toSeq
+  }
+
+  test("registers match the reference bucket/rho definition") {
+    // craft hashes hitting chosen buckets with chosen remainders:
+    // h = rem * 2^p + bucket
+    val hashes = Seq(
+      (1L << 55) * M + 0L, // bucket 0, rem 2^55 -> rho 1
+      (1L << 20) * M + 0L, // bucket 0, rem 2^20 -> rho 36 (max wins)
+      0L * M + 3L, // bucket 3, rem 0 -> rho 57 (w+1)
+      (1L << 10) * M + 7L) // bucket 7, rem 2^10 -> rho 46
+    val got = hashes.toDF("h").agg(hyperLogLog(col("h"), P))
+      .collect().head.getSeq[Long](0)
+    assert(got === refRegisters(hashes, P))
+    assert(got(0) === 36L && got(3) === 57L && got(7) === 46L)
+  }
+
+  test("partitioning does not change the sketch (map-side partials merge)") {
+    val vals = (1L to 5000L).map(i => (i * 2654435761L) % (1L << 60))
+    val one = vals.toDF("h").repartition(1)
+      .agg(hyperLogLog(col("h"), P)).collect().head.getSeq[Long](0)
+    val many = vals.toDF("h").repartition(13)
+      .agg(hyperLogLog(col("h"), P)).collect().head.getSeq[Long](0)
+    assert(one === many)
+    assert(one === refRegisters(vals, P))
+  }
+
+  test("hllMerge of two sub-corpus sketches == the union corpus sketch") {
+    val left = (1L to 3000L).map(i => (i * 40503L) % (1L << 60))
+    val right = (1L to 3000L).map(i => (i * 69069L) % (1L << 60))
+    def sketch(v: Seq[Long]) = v.toDF("h")
+      .agg(hyperLogLog(col("h"), P).as("s"))
+    val merged = sketch(left).crossJoin(sketch(right).withColumnRenamed("s", "t"))
+      .select(hllMerge(col("s"), col("t")).as("u"))
+      .collect().head.getSeq[Long](0)
+    val union = sketch(left ++ right).collect().head.getSeq[Long](0)
+    assert(merged === union)
+  }
+
+  test("estimator: exact-integer harmonic sum, raw estimate within HLL error") {
+    val n = 10000
+    val vals = (1L to n.toLong).map(i => (i * 6364136223846793005L) % (1L << 60))
+      .map(h => if (h < 0) h + (1L << 60) else h)
+    val row = vals.toDF("h").agg(hyperLogLog(col("h"), P).as("s"))
+      .select(hllHarmonicScaled(col("s")).as("hs"),
+        hllEstimate(col("s"), P).as("est"),
+        hllZeroRegisters(col("s")).as("z"))
+      .collect().head
+    val regs = refRegisters(vals, P)
+    val expectedHs = regs.map(r => BigInt(1) << (61 - r.toInt)).sum
+    assert(row.getAs[Double]("hs") === expectedHs.toDouble)
+    assert(row.getAs[Long]("z") === 0L)
+    // m=16 -> sigma ~ 26%; accept 3 sigma
+    val est = row.getAs[Double]("est")
+    assert(est > n * 0.25 && est < n * 1.9, s"est $est vs n $n")
+  }
+
+  test("null hashes are skipped; all-null group yields zero registers") {
+    val df = Seq[(String, Option[Long])](("g", Some(4L)), ("g", None),
+      ("n", None)).toDF("k", "h")
+    val m = df.groupBy("k").agg(hyperLogLog(col("h"), P).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m("n") === Seq.fill(M)(0L))
+    assert(m("g") === refRegisters(Seq(4L), P))
+  }
+
+  test("SQL registration: hyper_log_log works in spark.sql") {
+    Seq(9L, 2L, 5L).toDF("h").createOrReplaceTempView("hll_in")
+    val got = spark.sql(s"SELECT hyper_log_log(h, $P) AS s FROM hll_in")
+      .collect().head.getSeq[Long](0)
+    assert(got === refRegisters(Seq(9L, 2L, 5L), P))
+  }
+}
