@@ -649,6 +649,66 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per
+    * query, the k corpus vectors MOST similar to it whose label
+    * DIFFERS — the negatives that actually move a contrastive loss
+    * (random negatives are trivially separated; the hard ones sit at
+    * the decision boundary). `maxCos` optionally excludes candidates
+    * ABOVE a similarity ceiling: in real corpora a different-label
+    * vector at cosine ~1 is usually a labeling error, and mining it
+    * as a negative actively corrupts training (the "false negative"
+    * guard from the hard-mining literature).
+    *
+    * Shapes: `bits = None` is the exact path — one corpus pass, the
+    * query batch broadcast ([[bruteSearchAll]] with the label
+    * predicate pushed BELOW the rank, so negatives never compete with
+    * same-label rows for window slots). `bits = Some(b)` is the scale
+    * path: corpus bucketed once by sign-LSH, candidates restricted to
+    * each query's bucket + one-bit flips ([[lshSearchAll]]'s
+    * multi-probe lever) — at 100 TB the label filter then applies to
+    * ~corpus/2^b candidates per query instead of the corpus.
+    *
+    * Output: `query_id`, `<idCol>`, `<labelCol>`, `cosine`, `rank`
+    * (1-based per query; ties broken by ascending id).
+    */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int,
+      maxCos: Double = 1.0, bits: Option[Int] = None, probes: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", qidCol: String = "query_id",
+      qvecCol: String = "query_vec", qlabelCol: String = "query_label",
+      dim: Option[Int] = None): DataFrame = {
+    val candidates = bits match {
+      case None =>
+        emb.crossJoin(broadcast(
+          queries.select(col(qidCol), col(qvecCol), col(qlabelCol))))
+      case Some(b) =>
+        val d = resolveDim(dim, emb, vecCol)
+        val flips = lit(0L) +: (0 until (probes - 1)).map(i => shiftleft(lit(1L), i))
+        val qs = queries
+          .select(col(qidCol), col(qvecCol), col(qlabelCol),
+            lshBucket(col(qvecCol), b, d).as("__qb"))
+          .where(col("__qb").isNotNull)
+          .select(col(qidCol), col(qvecCol), col(qlabelCol),
+            explode(array(flips.map(f => col("__qb").bitwiseXOR(f)): _*))
+              .as("__bucket"))
+        emb.select(col(idCol), col(vecCol), col(labelCol),
+          lshBucket(col(vecCol), b, d).as("__bucket"))
+          .where(col("__bucket").isNotNull)
+          .join(broadcast(qs), Seq("__bucket"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    candidates
+      .where(col(idCol) =!= col(qidCol))
+      .where(col(labelCol) =!= col(qlabelCol))
+      .select(col(qidCol), col(idCol), col(labelCol),
+        rankCosine(col(vecCol), col(qvecCol)).as("cosine"))
+      .where(col("cosine") <= maxCos)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Batched IVF top-k: every query row's IVF-probed top-k in one
     * pass, fully distributed — unlike [[ivfTopKWith]] (whose per-query
     * driver probe selection serves the point-lookup path), the probe

@@ -2519,7 +2519,41 @@ object PipelineQueries {
               |UNION ALL
               |SELECT vec_id, CAST(NULL AS BIGINT), vec_id,
               |       CAST(NULL AS DOUBLE), TRUE
-              |FROM embeddings WHERE len(embedding) <> $EmbeddingDim""".stripMargin))
+              |FROM embeddings WHERE len(embedding) <> $EmbeddingDim""".stripMargin)),
+
+    // Hard-negative mining for contrastive training: per query (every
+    // 50th vector), the 10 most-similar DIFFERENT-label vectors under
+    // a 0.35 similarity ceiling (the false-negative guard — a
+    // near-identical vector with another label is a labeling error,
+    // not a negative; live on this fixture, whose hottest cross-label
+    // cosines exceed it). Exact one-pass path gated; the LSH-pruned
+    // variant is spec-proven against it (HardNegativesSpec).
+    QueryDef("p71_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"), col("label").as("query_label"))
+        Similarity.hardNegatives(emb, queries, k = 10, maxCos = 0.35)
+          .select(col("query_id"), col("vec_id"), col("label"),
+            col("cosine"), col("rank").cast("long").as("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              |           FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, label AS qlab, v AS qv
+              |      FROM e WHERE vec_id % 50 = 0),
+              |scored AS (
+              |  SELECT q.query_id, e.vec_id, e.label,
+              |         ${cosineSql("e.v", "q.qv")} AS cosine,
+              |         row_number() OVER (PARTITION BY q.query_id
+              |           ORDER BY ${cosineSql("e.v", "q.qv")} DESC,
+              |                    e.vec_id ASC) AS rn
+              |  FROM e CROSS JOIN q
+              |  WHERE e.vec_id <> q.query_id AND e.label <> q.qlab
+              |    AND ${cosineSql("e.v", "q.qv")} <= 0.35)
+              |SELECT query_id, vec_id, label, cosine,
+              |       CAST(rn AS BIGINT) AS rank
+              |FROM scored WHERE rn <= 10""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque

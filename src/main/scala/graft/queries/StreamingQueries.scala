@@ -910,9 +910,122 @@ object StreamingQueries {
            | AND p.user_id = v.user_id
            | AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR""".stripMargin))
 
+  /** st12: per-(source, 1 h window) HyperLogLog distinct-token
+    * sketches through the STREAMING path — completing the streaming
+    * sketch trio next to st08 (KMV) and st09 (Count-Min) with the
+    * smallest-state member: 2^p BYTES per open group (16 at p=4)
+    * where KMV holds k longs. The same native
+    * [[graft.functions.HyperLogLog]] aggregate serves batch and
+    * stream; register content is a pure function of the input SET
+    * (max is order/batching-independent), so the closed windows —
+    * register digest, zero count, exact-integer harmonic denominator
+    * and the pinned-order estimate — hash-match the batch oracle
+    * exactly, p70-style.
+    */
+  private def streamingHll: QueryDef = QueryDef(
+    "st12_streaming_hll",
+    (s, dir) => {
+      import graft.functions.SketchFunctions._
+      val p = 4
+      val baseUs = 1767225600000000L
+      val ev = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("source").cast("string").as("source"),
+          col("text").cast("string").as("text"))
+        .withColumn("ingested_at",
+          timestamp_micros(lit(baseUs) + col("doc_id") * lit(60000000L)))
+      val schema = ev.schema
+      maxTsUs(ev.select(col("ingested_at").as("ts"))) match {
+        case None =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("source",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("window_start",
+                org.apache.spark.sql.types.TimestampType),
+              org.apache.spark.sql.types.StructField("register_digest",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("n_zero_registers",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("harmonic_scaled",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("est_distinct",
+                org.apache.spark.sql.types.DoubleType))))
+        case Some(maxUs) =>
+          val flushUs = maxUs + OneDayUs + 2 * OneHourUs
+          val flush = s.range(1).select(lit(-1L).as("doc_id"),
+            lit("flush").as("source"), lit("flush").as("text"),
+            timestamp_micros(lit(flushUs)).as("ingested_at"))
+          val dirP = scratch("st12")
+          val stage = dirP.resolve("input").toString
+          val ckpt = dirP.resolve("ckpt").toString
+          ev.unionByName(flush).coalesce(1).write.parquet(stage)
+
+          val qname = "st12_" + UUID.randomUUID().toString.replace("-", "")
+          // flush row: advances the watermark past every real window,
+          // its own window never closes (the st07 convention)
+          val hashed = s.readStream.schema(schema).parquet(stage)
+            .withWatermark("ingested_at", "1 day")
+            .select(col("source"), col("ingested_at"),
+              explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+            .select(col("source"), col("ingested_at"),
+              graft.functions.Md5Hash.h60(col("tok")).as("h"))
+          val q = hashed
+            .groupBy(col("source"), window(col("ingested_at"), "1 hour"))
+            .agg(hyperLogLog(col("h"), p).as("regs"))
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+          s.table(qname)
+            .select(col("source"), col("window.start").as("window_start"),
+              md5(array_join(transform(col("regs"), _.cast("string")), ","))
+                .as("register_digest"),
+              hllZeroRegisters(col("regs")).as("n_zero_registers"),
+              hllHarmonicScaled(col("regs")).as("harmonic_scaled"),
+              hllEstimate(col("regs"), p).as("est_distinct"))
+      }
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT source,
+            |         time_bucket(INTERVAL '1 hour',
+            |                     epoch_ms((1767225600 + doc_id * 60) * 1000))
+            |           AS window_start,
+            |         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+            |                            t -> t <> '')) AS tok
+            |  FROM documents),
+            |h AS (SELECT DISTINCT source, window_start,
+            |             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            |      FROM toks),
+            |rho AS (SELECT source, window_start, h % 16 AS bucket,
+            |               CASE WHEN h // 16 = 0 THEN 57
+            |                    ELSE 56 - length(bin(h // 16)) + 1 END AS rho
+            |        FROM h),
+            |base AS (SELECT DISTINCT source, window_start FROM toks),
+            |regs AS (SELECT base.source, base.window_start, b.bucket,
+            |                COALESCE(mx.mr, 0) AS reg
+            |         FROM base
+            |         CROSS JOIN (SELECT unnest(range(16)) AS bucket) b
+            |         LEFT JOIN (SELECT source, window_start, bucket, max(rho) AS mr
+            |                    FROM rho GROUP BY source, window_start, bucket) mx
+            |           ON mx.source = base.source
+            |          AND mx.window_start = base.window_start
+            |          AND mx.bucket = b.bucket)
+            |SELECT source, window_start,
+            |       md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY bucket))
+            |         AS register_digest,
+            |       CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            |         AS n_zero_registers,
+            |       CAST(sum(1::HUGEINT << (61 - CAST(reg AS INT))) AS DOUBLE)
+            |         AS harmonic_scaled,
+            |       (0.7213 / (1 + 1.079 / 16.0)) * 256.0 * 2305843009213693952.0
+            |         / CAST(sum(1::HUGEINT << (61 - CAST(reg AS INT))) AS DOUBLE)
+            |         AS est_distinct
+            |FROM regs GROUP BY source, window_start""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
       streamingCorpusStats, streamingKmv, streamingCms,
-      streamingCurateDeterministic, streamingIntervalJoin)
+      streamingCurateDeterministic, streamingIntervalJoin, streamingHll)
 }

@@ -76,4 +76,32 @@ class StreamingGatesSpec extends SparkSpec {
     assert(streamed.size === 8)
     assert(streamed === batch)
   }
+
+  test("st12_streaming_hll == batch windowed HLL on sf0.001") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SketchFunctions._
+    val streamed = rows("st12_streaming_hll")
+    val baseUs = 1767225600000000L
+    val ev = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("text"))
+      .withColumn("ingested_at",
+        timestamp_micros(lit(baseUs) + col("doc_id") * lit(60000000L)))
+    val batch = ev
+      .select(col("source"), col("ingested_at"),
+        explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("source"), col("ingested_at"),
+        graft.functions.Md5Hash.h60(col("tok")).as("h"))
+      .groupBy(col("source"), window(col("ingested_at"), "1 hour"))
+      .agg(hyperLogLog(col("h"), 4).as("regs"))
+      .select(col("source"), col("window.start").as("window_start"),
+        md5(array_join(transform(col("regs"), _.cast("string")), ","))
+          .as("register_digest"),
+        hllZeroRegisters(col("regs")).as("n_zero_registers"),
+        hllHarmonicScaled(col("regs")).as("harmonic_scaled"),
+        hllEstimate(col("regs"), 4).as("est_distinct"))
+      .collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
