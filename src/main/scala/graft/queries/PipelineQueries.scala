@@ -2553,7 +2553,38 @@ object PipelineQueries {
               |    AND ${cosineSql("e.v", "q.qv")} <= 0.35)
               |SELECT query_id, vec_id, label, cosine,
               |       CAST(rn AS BIGINT) AS rank
-              |FROM scored WHERE rn <= 10""".stripMargin))
+              |FROM scored WHERE rn <= 10""".stripMargin)),
+
+    // Salted JOIN under the p68 planted hot key: ~70% of probe rows
+    // share key 0; Skew.saltedJoin replicates the small build side
+    // over 8 salts and salts the probe with a content hash, so the
+    // hot key's probe rows spread over 8 tasks instead of one. The
+    // join is row-level (no floats, no aggregation), so the salted
+    // plan is BIT-IDENTICAL to the plain join the oracle computes —
+    // any lost or duplicated replication row breaks the hash.
+    QueryDef("p72_skewed_join",
+      (s, dir) => {
+        val probe = Tables.documents(s, dir).select(
+          col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) < 7, lit(0L))
+            .otherwise(pmod(col("doc_id"), lit(100))).as("key"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        val build = s.range(100).select(col("id").as("key"),
+          concat(lit("grp_"), pmod(col("id"), lit(7))).as("bucket_label"))
+        graft.operators.Skew.saltedJoin(probe, build, "key", saltBuckets = 8)
+          .select(col("doc_id"), col("key"), col("bucket_label"),
+            col("n_tokens"))
+      },
+      Some("""WITH probe AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 10 < 7 THEN 0 ELSE doc_id % 100 END AS key,
+             |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              t -> t <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |build AS (SELECT r AS key, 'grp_' || CAST(r % 7 AS VARCHAR) AS bucket_label
+             |          FROM (SELECT unnest(range(100)) AS r))
+             |SELECT doc_id, key, bucket_label, n_tokens
+             |FROM probe JOIN build USING (key)""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque

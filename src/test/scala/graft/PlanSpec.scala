@@ -424,4 +424,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"candidate join degraded to sort-merge:\n$plan")
   }
+
+  test("hard negatives: query batch broadcast, ONE corpus scan, native dot") {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+    val res = pipeline.Similarity.hardNegatives(emb, qs, k = 5)
+    res.write.mode("overwrite").format("noop").save()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"queries not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"query join degraded to a cartesian shuffle:\n$plan")
+    assert(plan.contains("float_vector_dot"), s"native dot missing:\n$plan")
+    // exactly two parquet scans: the corpus pass + the (filtered)
+    // query-batch extraction — per-query work rides the broadcast,
+    // never a per-query corpus re-scan
+    val scans = plan.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("embeddings"))
+    assert(scans == 2, s"expected corpus + query scans, got $scans:\n$plan")
+  }
+
+  test("semDedup: centroid join broadcast, no cartesian anywhere") {
+    val emb = Tables.embeddings(spark, dir)
+    val res = pipeline.Similarity.semDedup(emb, nlist = 8, eps = 0.3,
+      dim = Some(64))
+    res.write.mode("overwrite").format("noop").save()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"centroid join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pairing degraded to a cartesian product:\n$plan")
+  }
 }
