@@ -1023,9 +1023,80 @@ object StreamingQueries {
             |         AS est_distinct
             |FROM regs GROUP BY source, window_start""".stripMargin))
 
+  /** st13: Spark's NATIVE `session_window` streaming aggregation —
+    * the built-in counterpart of st01's custom
+    * [[graft.streaming.StreamingSessions]] state machine. Sessions
+    * merge while consecutive events are within the 30-min gap
+    * (boundary INCLUSIVE: two events exactly gap apart share a
+    * session — probed empirically, and exactly the batch CTE's
+    * `gap > 30min` break), the watermark closes a session once no
+    * mergeable event can still arrive, and state is one (start, end,
+    * partial-aggs) tuple per OPEN session per user — bounded by
+    * active users, self-cleaning. Same oracle recurrence as p33/st01
+    * with the native window's `end = last event + gap` convention;
+    * aggregates integral (counts + cents sums). A single sentinel
+    * flush row (user -1) advances the watermark past every real
+    * session; its own session never closes.
+    */
+  private def streamingSessionWindow: QueryDef = QueryDef(
+    "st13_streaming_session_window",
+    (s, dir) => {
+      val ev = eventStream(s, dir)
+      val schema = ev.schema
+      maxTsUs(ev) match {
+        case None =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("user_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("start_us",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("end_us",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n_events",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n_purchases",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("value_cents",
+                org.apache.spark.sql.types.LongType))))
+        case Some(maxUs) =>
+          val flushUs = maxUs + ThirtyMinUs + OneHourUs
+          val flush = s.range(1).select(lit(-1L).as("event_id"),
+            lit(-1L).as("user_id"), timestamp_micros(lit(flushUs)).as("ts"),
+            lit("flush").as("event_type"), lit(0.0).as("value"))
+          val dirP = scratch("st13")
+          val stage = dirP.resolve("input").toString
+          val ckpt = dirP.resolve("ckpt").toString
+          ev.unionByName(flush).coalesce(1).write.parquet(stage)
+
+          val qname = "st13_" + UUID.randomUUID().toString.replace("-", "")
+          val q = s.readStream.schema(schema).parquet(stage)
+            .withWatermark("ts", "0 seconds")
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                .as("n_purchases"),
+              sum(round(col("value") * 100).cast("long")).as("value_cents"))
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+          s.table(qname).where(col("user_id") =!= -1L)
+            .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("start_us"),
+              unix_micros(col("session_window.end")).as("end_us"),
+              col("n_events"), col("n_purchases"), col("value_cents"))
+      }
+    },
+    Some(s"""WITH ${EventQueries.sessionCtes}
+            |SELECT user_id, start_us, end_us + $ThirtyMinUs AS end_us,
+            |       n_events, n_purchases, value_cents
+            |FROM sess""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
       streamingCorpusStats, streamingKmv, streamingCms,
-      streamingCurateDeterministic, streamingIntervalJoin, streamingHll)
+      streamingCurateDeterministic, streamingIntervalJoin, streamingHll,
+      streamingSessionWindow)
 }

@@ -77,6 +77,18 @@ class StreamingGatesSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("st13 native session_window == custom sessionize (+gap end) on sf0.001") {
+    import org.apache.spark.sql.functions._
+    val streamed = rows("st13_streaming_session_window")
+    val batch = SparkEntry.queries("p33_sessionize")(spark, dir)
+      .select(col("user_id"), col("start_us"),
+        (col("end_us") + lit(30L * 60 * 1000000)).as("end_us"),
+        col("n_events"), col("n_purchases"), col("value_cents"))
+      .collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("st12_streaming_hll == batch windowed HLL on sf0.001") {
     import org.apache.spark.sql.functions._
     import graft.functions.SketchFunctions._
