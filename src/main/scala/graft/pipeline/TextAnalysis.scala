@@ -196,6 +196,62 @@ object TextAnalysis {
           sum(col("tf"))).as("avg_logprob"))
   }
 
+  /** Interpolated bigram-LM quality proxy — the context-aware upgrade
+    * of [[unigramLogProb]] and the shape of the classic
+    * LM-perplexity data filter (CCNet-style: score each document
+    * under a corpus LM, gate on the score): per-doc average
+    * ln P(w_i | w_{i-1}) with Jelinek-Mercer interpolation
+    * `lambda * cb(prev,w)/cu(prev) + (1-lambda) * cu(w)/N`; a
+    * document's first token scores unigram-only. The default
+    * lambda = 0.75 is chosen binary-exact so `1 - lambda` is too —
+    * an inexact lambda (0.7) would make the mixture constant itself
+    * engine-dependent, on top of the documented `ln` rounding.
+    *
+    * No smoothing: the model is self-trained on the scored corpus,
+    * so every observed token and bigram has count ≥ 1 (the foreign-
+    * vocab OOV decision is deliberately not defaulted, as in
+    * [[unigramLogProb]]).
+    *
+    * Plan shape: the corpus text is read ONCE and never shuffled —
+    * (prev, term) pairs come from `element_at` on the same token
+    * array (narrow), not a window or self-join; then unigram counts
+    * (term grain), bigram counts ((prev, term) grain ≤ tokens), two
+    * term-grain joins + one pair-grain join back onto the token rows,
+    * and the per-doc average. The 1-row total is a broadcast literal.
+    *
+    * Determinism: [[unigramLogProb]]'s note applies (`ln` + per-doc
+    * float Σ are ~1e-12 — inside the oracle's 6-dp rounding, not
+    * bit-stable).
+    */
+  def bigramLogProb(df: DataFrame, lambda: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), col("__w"),
+        posexplode(col("__w")).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("term"),
+        when(col("pos") > 0, element_at(col("__w"), col("pos"))).as("prev"))
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).as("n"))
+    val bi = toks.where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("cb"))
+    toks
+      .join(uni, Seq("term"))
+      .join(uni.select(col("term").as("prev"), col("cu").as("cu_prev")),
+        Seq("prev"), "left")
+      .join(bi, Seq("prev", "term"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__p",
+        when(col("prev").isNull, col("cu").cast("double") / col("n"))
+          .otherwise(
+            lit(lambda) * coalesce(col("cb"), lit(0L)).cast("double") /
+              col("cu_prev") +
+              lit(1.0 - lambda) * col("cu").cast("double") / col("n")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(log(col("__p"))) / count(lit(1))).as("avg_logprob"))
+  }
+
   /** Per-document top-`n` rarity-weighted terms — the TF-IDF keyword
     * shape with weight `tf / df` instead of `tf * ln(N/df)`: one
     * IEEE division of two exact integers is correctly rounded and

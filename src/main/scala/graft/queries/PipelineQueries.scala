@@ -1187,6 +1187,45 @@ object PipelineQueries {
              |FROM tf JOIN vocab USING (term) CROSS JOIN tot
              |GROUP BY doc_id""".stripMargin)),
 
+    // Interpolated bigram-LM scoring (the CCNet-style LM filter's
+    // score): per-doc avg ln of 0.75*bigram + 0.25*unigram, first
+    // token unigram-only. lambda = 0.75 is binary-exact (see the
+    // operator doc); ln + per-doc float sums ride p46's 6-dp-rounding
+    // determinism note. The oracle rebuilds tokens WITH positions
+    // (prev = w[i-1]), both count tables, the pinned-order mixture
+    // arithmetic and the average in SQL.
+    QueryDef("p73_bigram_logprob",
+      (s, dir) => TextAnalysis.bigramLogProb(Tables.documents(s, dir)),
+      Some("""WITH arr AS (
+             |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+             |                             t -> t <> '') AS w
+             |  FROM documents),
+             |tok AS (SELECT doc_id, w[i] AS term,
+             |               CASE WHEN i > 1 THEN w[i-1] END AS prev
+             |        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+             |              FROM arr)),
+             |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cu
+             |        FROM tok GROUP BY term),
+             |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+             |bi AS (SELECT prev, term, CAST(count(*) AS BIGINT) AS cb
+             |       FROM tok WHERE prev IS NOT NULL GROUP BY prev, term),
+             |p AS (SELECT t.doc_id,
+             |             CASE WHEN t.prev IS NULL
+             |                  THEN CAST(u.cu AS DOUBLE) / n
+             |                  ELSE (0.75::DOUBLE * CAST(COALESCE(b.cb, 0) AS DOUBLE))
+             |                         / up.cup
+             |                       + (0.25::DOUBLE * CAST(u.cu AS DOUBLE)) / n
+             |             END AS p
+             |      FROM tok t
+             |      JOIN uni u USING (term)
+             |      LEFT JOIN (SELECT term AS pterm, cu AS cup FROM uni) up
+             |        ON up.pterm = t.prev
+             |      LEFT JOIN bi b ON b.prev = t.prev AND b.term = t.term
+             |      CROSS JOIN tot)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |       sum(ln(p)) / count(*) AS avg_logprob
+             |FROM p GROUP BY doc_id""".stripMargin)),
+
     // Fixed-size deterministic reservoir: EXACTLY k rows per stratum
     // (the k smallest md5 variates; fraction sampling can't build
     // fixed-size eval sets). Oracle re-ranks the same variates in SQL.

@@ -139,4 +139,31 @@ class TextAnalysisSpec extends SparkSpec {
     // the common-word doc scores strictly higher than the rare-word doc
     assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2)
   }
+
+  test("bigramLogProb: hand-computed mixture, first token unigram-only") {
+    // single doc "a b a b": uni a=2 b=2 N=4; bi (a,b)=2 (b,a)=1
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val row = TextAnalysis.bigramLogProb(docs).collect().head
+    assert(row.getLong(1) === 4L)
+    val p1 = 2.0 / 4 // a (first token, unigram)
+    val p2 = 0.75 * 2 / 2 + 0.25 * 2 / 4 // b | a
+    val p3 = 0.75 * 1 / 2 + 0.25 * 2 / 4 // a | b
+    val expected =
+      (math.log(p1) + math.log(p2) + math.log(p3) + math.log(p2)) / 4
+    assert(math.abs(row.getDouble(2) - expected) < 1e-12)
+  }
+
+  test("bigramLogProb is context-sensitive where the unigram model is blind") {
+    // identical unigram histograms, different order: the bigram model
+    // must separate them, the unigram model must not
+    val docs = Seq((1L, "x y x y"), (2L, "x x y y")).toDF("doc_id", "text")
+    val bi = TextAnalysis.bigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val uniscores = TextAnalysis.unigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(uniscores(1L) - uniscores(2L)) < 1e-12)
+    assert(math.abs(bi(1L) - bi(2L)) > 1e-6)
+    // doc 1's alternation is the corpus's dominant pattern -> higher
+    assert(bi(1L) > bi(2L))
+  }
 }
