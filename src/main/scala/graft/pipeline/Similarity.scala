@@ -937,6 +937,30 @@ object Similarity {
     verdicts.unionByName(quarantined)
   }
 
+  /** The cells [[semDedup]] excluded from pairing under the same
+    * parameters — (cell, population) for populations > maxCellSize,
+    * plus the malformed-vector quarantine count as cell NULL (the
+    * [[overflowBuckets]] observability contract: every silently-
+    * skipped unit of work is reportable next to the run; a skipped
+    * cell's members all self-keep, so an overflowing cell means the
+    * dedup UNDER-dropped, never that it lost data).
+    */
+  def semDedupOverflowCells(emb: DataFrame, nlist: Int,
+      maxCellSize: Int = 100000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Option[Int] = None): DataFrame = {
+    val d = resolveDim(dim, emb, vecCol)
+    val valid = emb.where(size(col(vecCol)) === d)
+    val centroids = sampleCentroids(valid, nlist, idCol, vecCol)
+    val celled = assignCells(valid.select(col(idCol), col(vecCol)),
+      centroids, vecCol, "cell")
+      .select(col("cell"))
+      .unionByName(emb.where(size(col(vecCol)) =!= d)
+        .select(lit(null).cast("bigint").as("cell")))
+    celled.groupBy("cell").agg(count(lit(1)).as("population"))
+      .where(col("population") > maxCellSize || col("cell").isNull)
+  }
+
   /** The buckets [[embeddingNearDups]] dropped under the same
     * parameters: (bucket, population) for populations >
     * maxBucketSize, plus the quarantine count of malformed vectors as

@@ -363,15 +363,52 @@ object EventQueries {
     * oracle rebuilds every register from `length(bin(h // m))` and
     * hash-matches all of it.
     */
+  /** Engine-side user-day hash column shared by p70/p74. */
+  private def userDayHash = graft.functions.Md5Hash.h60(
+    concat(col("user_id").cast("string"), lit(":"),
+      expr("unix_micros(ts) div 86400000000").cast("string")))
+
+  /** p70/p74 shared oracle CTEs ending in `agg(event_type,
+    * register_digest, n_zero_registers, harmonic_scaled)` — single-
+    * sourced so the direct gate and the merge gate can never drift.
+    */
+  private val hllOracleCtes =
+    """h AS (SELECT DISTINCT event_type,
+      |                  ('0x' || substr(md5(
+      |                    CAST(user_id AS VARCHAR) || ':' ||
+      |                    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS VARCHAR)
+      |                  ), 1, 15))::BIGINT AS h
+      |           FROM events),
+      |rho AS (SELECT event_type, h % 16 AS bucket,
+      |               CASE WHEN h // 16 = 0 THEN 57
+      |                    ELSE 56 - length(bin(h // 16)) + 1 END AS rho
+      |        FROM h),
+      |base AS (SELECT DISTINCT event_type FROM events),
+      |regs AS (SELECT base.event_type, b.bucket, COALESCE(mx.mr, 0) AS reg
+      |         FROM base
+      |         CROSS JOIN (SELECT unnest(range(16)) AS bucket) b
+      |         LEFT JOIN (SELECT event_type, bucket, max(rho) AS mr
+      |                    FROM rho GROUP BY event_type, bucket) mx
+      |           ON mx.event_type = base.event_type AND mx.bucket = b.bucket),
+      |agg AS (SELECT event_type,
+      |               md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY bucket))
+      |                 AS register_digest,
+      |               CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |                 AS n_zero_registers,
+      |               CAST(sum(1::HUGEINT << (61 - CAST(reg AS INT))) AS DOUBLE)
+      |                 AS harmonic_scaled
+      |        FROM regs GROUP BY event_type)""".stripMargin
+
+  private val hllEstimateSql =
+    "(0.7213 / (1 + 1.079 / 16.0)) * 256.0 * 2305843009213693952.0"
+
   private def hllUsers: QueryDef = {
-    import graft.functions.{Md5Hash, SketchFunctions => SK}
+    import graft.functions.{SketchFunctions => SK}
     val p = 4
     QueryDef(
       "p70_hll_users",
       (s, dir) => Tables.events(s, dir)
-        .select(col("event_type"),
-          Md5Hash.h60(concat(col("user_id").cast("string"), lit(":"),
-            expr("unix_micros(ts) div 86400000000").cast("string"))).as("h"))
+        .select(col("event_type"), userDayHash.as("h"))
         .groupBy("event_type")
         .agg(SK.hyperLogLog(col("h"), p).as("__regs"),
           count_distinct(col("h")).as("exact_distinct"))
@@ -382,42 +419,58 @@ object EventQueries {
           SK.hllHarmonicScaled(col("__regs")).as("harmonic_scaled"),
           SK.hllEstimate(col("__regs"), p).as("est_distinct"),
           col("exact_distinct")),
-      Some("""WITH h AS (SELECT DISTINCT event_type,
-             |                  ('0x' || substr(md5(
-             |                    CAST(user_id AS VARCHAR) || ':' ||
-             |                    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS VARCHAR)
-             |                  ), 1, 15))::BIGINT AS h
-             |           FROM events),
-             |rho AS (SELECT event_type, h % 16 AS bucket,
-             |               CASE WHEN h // 16 = 0 THEN 57
-             |                    ELSE 56 - length(bin(h // 16)) + 1 END AS rho
-             |        FROM h),
-             |base AS (SELECT DISTINCT event_type FROM events),
-             |regs AS (SELECT base.event_type, b.bucket, COALESCE(mx.mr, 0) AS reg
-             |         FROM base
-             |         CROSS JOIN (SELECT unnest(range(16)) AS bucket) b
-             |         LEFT JOIN (SELECT event_type, bucket, max(rho) AS mr
-             |                    FROM rho GROUP BY event_type, bucket) mx
-             |           ON mx.event_type = base.event_type AND mx.bucket = b.bucket),
-             |agg AS (SELECT event_type,
-             |               md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY bucket))
-             |                 AS register_digest,
-             |               CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
-             |                 AS n_zero_registers,
-             |               CAST(sum(1::HUGEINT << (61 - CAST(reg AS INT))) AS DOUBLE)
-             |                 AS harmonic_scaled
-             |        FROM regs GROUP BY event_type),
+      Some(s"""WITH $hllOracleCtes,
              |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
              |       FROM h GROUP BY event_type)
              |SELECT a.event_type, a.register_digest, a.n_zero_registers,
              |       a.harmonic_scaled,
-             |       (0.7213 / (1 + 1.079 / 16.0)) * 256.0 * 2305843009213693952.0
+             |       $hllEstimateSql
              |         / a.harmonic_scaled AS est_distinct,
              |       ex.exact_distinct
              |FROM agg a JOIN ex USING (event_type)""".stripMargin))
   }
 
+  /** HLL MERGEABILITY, driver-visible (the p54 KMV-merge analog):
+    * sketch the even- and odd-event_id halves INDEPENDENTLY, combine
+    * with [[graft.functions.SketchFunctions.hllMerge]] (elementwise
+    * max), and the result must hash-equal the sketch of the full
+    * corpus — the property that lets a 100 TB pipeline keep per-day
+    * register files and roll them up at read time instead of
+    * re-scanning. The oracle computes the FULL-corpus registers only;
+    * a lost or mis-aligned register in the merge breaks the hash.
+    */
+  private def hllMergeGate: QueryDef = {
+    import graft.functions.{SketchFunctions => SK}
+    val p = 4
+    val emptyRegs = array((0 until (1 << p)).map(_ => lit(0L)): _*)
+    QueryDef(
+      "p74_hll_merge",
+      (s, dir) => {
+        val hashed = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"), userDayHash.as("h"))
+        def half(par: Int) = hashed.where(col("event_id") % 2 === par)
+          .groupBy("event_type")
+          .agg(SK.hyperLogLog(col("h"), p).as(s"__r$par"))
+        half(0).join(half(1), Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            SK.hllMerge(coalesce(col("__r0"), emptyRegs),
+              coalesce(col("__r1"), emptyRegs)).as("__regs"))
+          .select(col("event_type"),
+            md5(array_join(transform(col("__regs"), _.cast("string")), ","))
+              .as("register_digest"),
+            SK.hllZeroRegisters(col("__regs")).as("n_zero_registers"),
+            SK.hllHarmonicScaled(col("__regs")).as("harmonic_scaled"),
+            SK.hllEstimate(col("__regs"), p).as("est_distinct"))
+      },
+      Some(s"""WITH $hllOracleCtes
+             |SELECT event_type, register_digest, n_zero_registers,
+             |       harmonic_scaled,
+             |       $hllEstimateSql
+             |         / harmonic_scaled AS est_distinct
+             |FROM agg""".stripMargin))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(asofAttribution, sessionize, zorderValues, funnel, bloomSemijoin,
-      rangeJoin, histogram, asofForward, hllUsers)
+      rangeJoin, histogram, asofForward, hllUsers, hllMergeGate)
 }

@@ -125,6 +125,45 @@ class ScaleStressSpec extends SparkSpec {
       s"malformed-vector quarantine not reported: $overflow")
   }
 
+  test("semDedup maxCellSize: a 5000-row degenerate cell never schedules its C(n,2) pairing") {
+    val dim = 8
+    // 5000 identical vectors collapse into ONE cell: uncapped, the
+    // in-cell join is C(5000,2) ~ 12.5M pairs; capped, the cell is
+    // skipped (members all self-keep) and the honest cluster in some
+    // other cell still dedups
+    val hot = (0 until 5000).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => if (d == 0) 1.0f else 0.0f)))
+    val honest = (10000 until 10005).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => if (d == 1) 1.0f else 0.001f * (i % 3))))
+    val malformed = Seq((20000L, Array.fill(dim - 2)(0.5f)))
+    val emb = (hot ++ honest ++ malformed).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+
+    val v = Similarity.semDedup(emb, nlist = 4, eps = 0.9,
+      maxCellSize = 100, dim = Some(dim)).collect()
+    assert(v.length === 5006)
+    val hotRows = v.filter(_.getAs[Long]("vec_id") < 5000)
+    assert(hotRows.forall(_.getAs[Boolean]("keeper")),
+      "capped cell must self-keep, not drop")
+    assert(hotRows.forall(r => r.getAs[Long]("cluster_id") == r.getAs[Long]("vec_id")),
+      "capped cell must not cluster")
+    // the honest cluster still dedups IF it landed in an uncapped cell
+    // of its own; with 4 md5-sampled centroids over this frame that is
+    // the common case but not guaranteed — assert only the invariant
+    // that keepers exist per cluster
+    v.groupBy(_.getAs[Long]("cluster_id")).foreach { case (_, rows) =>
+      assert(rows.count(_.getAs[Boolean]("keeper")) === 1)
+    }
+    val overflow = Similarity.semDedupOverflowCells(emb, nlist = 4,
+      maxCellSize = 100, dim = Some(dim)).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getAs[Long]("population"))).toMap
+    assert(overflow.exists { case (k, pop) => k.isDefined && pop >= 5000L },
+      s"hot cell not reported: $overflow")
+    assert(overflow.get(None).contains(1L),
+      s"malformed-vector quarantine not reported: $overflow")
+  }
+
   test("GlobalOrder ranks 1M rows without a driver-side bottleneck") {
     import org.apache.spark.sql.functions._
     val n = 1000000L
