@@ -140,6 +140,11 @@ object PipelineQueries {
     */
   private def ivfIndexPath = s"$artifactRoot/ivf_index_p20"
 
+  /** Artifact path for the p75 incremental-semdedup IVF index (same
+    * per-run contract as [[bpeVocabPath]]).
+    */
+  private def semDedupIndexPath = s"$artifactRoot/ivf_index_p75"
+
   /** Artifact path for the p55 training-export shards (same per-run
     * contract as [[bpeVocabPath]]; the gate's manifest is computed by
     * reading these files back, the oracle recomputes it from the raw
@@ -2593,6 +2598,66 @@ object PipelineQueries {
               |SELECT query_id, vec_id, label, cosine,
               |       CAST(rn AS BIGINT) AS rank
               |FROM scored WHERE rn <= 10""".stripMargin)),
+
+    // Incremental SemDeDup against a MATERIALIZED IVF index: the even
+    // half of embeddings is indexed once (p20's artifact layout), the
+    // odd half arrives as the "new batch" and is judged cell-by-cell
+    // against indexed members only — the p19/p53 ingestion shape in
+    // embedding space (index wins; claimant = highest cosine, then
+    // smallest index id). The oracle recomputes the even-half centroid
+    // sample, BOTH halves' cell assignment, the cross-side cell join
+    // at cosine >= 0.3 under the index-side cap, and the claimant
+    // election end-to-end in SQL.
+    QueryDef("p75_semdedup_index",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.where(col("vec_id") % 2 === 0)
+        val batch = emb.where(col("vec_id") % 2 === 1)
+        val centroids = Similarity.sampleCentroids(base, nlist = 16)
+        Similarity.writeIvfIndex(base, centroids, semDedupIndexPath)
+        Similarity.semDedupAgainstIndex(s, batch, semDedupIndexPath,
+          centroids, eps = 0.3, dim = Some(EmbeddingDim))
+      },
+      Some(s"""WITH half AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |             FROM embeddings
+              |             WHERE vec_id % 2 = 0 AND len(embedding) = $EmbeddingDim),
+              |stride AS (SELECT greatest(count(*) // 16, 1) AS bkt FROM half),
+              |cent AS (SELECT vec_id AS cid, v AS c FROM half, stride
+              |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
+              |               % bkt = 0
+              |         ORDER BY vec_id LIMIT 16),
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |      FROM embeddings WHERE len(embedding) = $EmbeddingDim),
+              |assigned AS (
+              |  SELECT vec_id, v, cid,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC,
+              |                    cid DESC) AS rn
+              |  FROM e CROSS JOIN cent),
+              |celled AS (SELECT vec_id, v, cid AS cell FROM assigned WHERE rn = 1),
+              |idxc AS (SELECT * FROM celled WHERE vec_id % 2 = 0),
+              |keepc AS (SELECT cell FROM idxc GROUP BY cell
+              |          HAVING count(*) <= 100000),
+              |claims AS (SELECT * FROM (
+              |  SELECT o.vec_id, i.vec_id AS claimed_by,
+              |         ${cosineSql("o.v", "i.v")} AS claim_cosine,
+              |         row_number() OVER (PARTITION BY o.vec_id
+              |           ORDER BY ${cosineSql("o.v", "i.v")} DESC,
+              |                    i.vec_id ASC) AS rn
+              |  FROM celled o
+              |  JOIN idxc i ON i.cell = o.cell
+              |  JOIN keepc k ON k.cell = o.cell
+              |  WHERE o.vec_id % 2 = 1
+              |    AND ${cosineSql("o.v", "i.v")} >= 0.3) WHERE rn = 1)
+              |SELECT b.vec_id, b.cell, c.claimed_by, c.claim_cosine,
+              |       (c.claimed_by IS NULL) AS keeper
+              |FROM celled b LEFT JOIN claims c ON c.vec_id = b.vec_id
+              |WHERE b.vec_id % 2 = 1
+              |UNION ALL
+              |SELECT vec_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+              |       CAST(NULL AS DOUBLE), TRUE
+              |FROM embeddings
+              |WHERE vec_id % 2 = 1 AND len(embedding) <> $EmbeddingDim""".stripMargin)),
 
     // Salted JOIN under the p68 planted hot key: ~70% of probe rows
     // share key 0; Skew.saltedJoin replicates the small build side

@@ -82,4 +82,48 @@ class SemDedupSpec extends SparkSpec {
     assert(v.forall(_.getAs[Boolean]("keeper")))
     assert(v.forall(r => r.getAs[Long]("cluster_id") == r.getAs[Long]("vec_id")))
   }
+
+  test("semDedupAgainstIndex: index wins, batch-vs-batch not judged, quarantine") {
+    val dir = java.nio.file.Files.createTempDirectory("semdedup-idx-")
+      .toString + "/idx"
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Similarity.sampleCentroids(corpus, nlist = 2)
+    Similarity.writeIvfIndex(corpus, centroids, dir)
+    val batch = Seq(
+      (10L, Array(1.0f, 0.001f, 0.0f)), // near indexed 0 -> dropped
+      (11L, Array(0.0f, 0.0f, 1.0f)), // far from index -> keeper
+      (12L, Array(0.0f, 0.001f, 1.0f)), // near 11 but index-blind -> keeper
+      (13L, Array(0.5f, 0.5f))) // malformed -> quarantined keeper
+      .toDF("vec_id", "embedding")
+    val v = Similarity.semDedupAgainstIndex(spark, batch, dir, centroids,
+      eps = 0.95, dim = Some(3)).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(v.size === 4)
+    assert(!v(10L).getAs[Boolean]("keeper"))
+    assert(v(10L).getAs[Long]("claimed_by") === 0L)
+    assert(v(10L).getAs[Double]("claim_cosine") > 0.99)
+    assert(v(11L).getAs[Boolean]("keeper"))
+    assert(v(12L).getAs[Boolean]("keeper"),
+      "batch-vs-batch pair must not be judged against itself")
+    assert(v(13L).getAs[Boolean]("keeper"))
+    assert(v(13L).isNullAt(v(13L).fieldIndex("cell")))
+  }
+
+  test("semDedupAgainstIndex: overloaded index cell is skipped (batch self-keeps)") {
+    val dir = java.nio.file.Files.createTempDirectory("semdedup-idx2-")
+      .toString + "/idx"
+    val corpus = (0 until 50).map(i => (i.toLong, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Similarity.sampleCentroids(corpus, nlist = 1)
+    Similarity.writeIvfIndex(corpus, centroids, dir)
+    val batch = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val v = Similarity.semDedupAgainstIndex(spark, batch, dir, centroids,
+      eps = 0.9, maxCellSize = 10, dim = Some(3)).collect()
+    assert(v.length === 1)
+    assert(v.head.getAs[Boolean]("keeper"),
+      "capped index cell must under-drop, not claim")
+  }
 }
