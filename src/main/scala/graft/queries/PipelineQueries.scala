@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Chunking, Clusters, Contamination, Dedup, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Reporting, Sampling, Similarity, Snapshots, Spans, TextAnalysis}
+import graft.pipeline.{Bpe, Chunking, Clusters, Contamination, Dedup, Fuzzy, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Reporting, Sampling, Similarity, Snapshots, Spans, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -2658,6 +2658,38 @@ object PipelineQueries {
               |       CAST(NULL AS DOUBLE), TRUE
               |FROM embeddings
               |WHERE vec_id % 2 = 1 AND len(embedding) <> $EmbeddingDim""".stripMargin)),
+
+    // q-gram-blocked edit-distance join (ed-join) over the corpus
+    // vocabulary — the entity-resolution / vocab-reconciliation
+    // operator: every distinct-token pair within 2 edits, blocked by
+    // shared char 2-grams under the df cap plus the exact length
+    // filter, verified with levenshtein. The oracle mirrors the
+    // blocking (the p08 banding precedent: candidates are part of the
+    // operator's definition) and recomputes grams, cap, candidates
+    // and distances in SQL.
+    QueryDef("p76_fuzzy_vocab",
+      (s, dir) => Fuzzy.fuzzyPairs(
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w")),
+        strCol = "w", maxDist = 2, q = 2),
+      Some("""WITH w AS (
+             |  SELECT DISTINCT unnest(list_filter(
+             |           string_split_regex(trim(text), '\s+'),
+             |           t -> t <> '')) AS s
+             |  FROM documents),
+             |g AS (SELECT DISTINCT s,
+             |             unnest(list_transform(range(1, length(s)),
+             |                    i -> substring(s, CAST(i AS INTEGER), 2))) AS g
+             |      FROM w),
+             |keep AS (SELECT g FROM g GROUP BY g HAVING count(*) <= 10000),
+             |cand AS (SELECT DISTINCT a.s AS str_a, b.s AS str_b
+             |         FROM g a
+             |         JOIN g b ON a.g = b.g AND a.s < b.s
+             |         JOIN keep k ON k.g = a.g
+             |         WHERE abs(length(a.s) - length(b.s)) <= 2)
+             |SELECT str_a, str_b,
+             |       CAST(levenshtein(str_a, str_b) AS BIGINT) AS dist
+             |FROM cand WHERE levenshtein(str_a, str_b) <= 2""".stripMargin)),
 
     // Salted JOIN under the p68 planted hot key: ~70% of probe rows
     // share key 0; Skew.saltedJoin replicates the small build side
