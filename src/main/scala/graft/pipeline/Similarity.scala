@@ -886,13 +886,27 @@ object Similarity {
     * Output: (idCol, cell, cluster_id, centroid_cos, keeper).
     * Downstream: `.where(col("keeper"))` is the pruned corpus.
     */
+  /** nlist for a corpus of `n` vectors at a target mean cell
+    * population: in-cell pairing is quadratic in cell size, so cells
+    * must MULTIPLY as the corpus grows (the gate's pinned nlist=16 is
+    * a fixture choice, not a scale default). `semDedup(nlist = 0)`
+    * derives this automatically.
+    */
+  def semDedupNlist(n: Long, targetCellSize: Long = 4096L): Int =
+    math.max(1L, (n + targetCellSize - 1) / targetCellSize)
+      .min(1 << 20).toInt
+
   def semDedup(emb: DataFrame, nlist: Int, eps: Double,
       maxCellSize: Int = 100000,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Option[Int] = None): DataFrame = {
     val d = resolveDim(dim, emb, vecCol)
     val valid = emb.where(size(col(vecCol)) === d)
-    val centroids = sampleCentroids(valid, nlist, idCol, vecCol)
+    // nlist <= 0: scale cells with the corpus (one count job — the
+    // same count sampleCentroids pays anyway); assignment switches to
+    // the broadcast shape automatically past the inline budget
+    val k = if (nlist > 0) nlist else semDedupNlist(valid.count())
+    val centroids = sampleCentroids(valid, k, idCol, vecCol)
     val s = emb.sparkSession
     import s.implicits._
     val centDf = centroids.toSeq.toDF("cell", "__c")

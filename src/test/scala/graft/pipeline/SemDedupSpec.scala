@@ -83,6 +83,19 @@ class SemDedupSpec extends SparkSpec {
     assert(v.forall(r => r.getAs[Long]("cluster_id") == r.getAs[Long]("vec_id")))
   }
 
+  test("semDedup: nlist = 0 derives cell count from the corpus size") {
+    assert(Similarity.semDedupNlist(500) === 1)
+    assert(Similarity.semDedupNlist(4097) === 2)
+    assert(Similarity.semDedupNlist(1000000) === 245)
+    assert(Similarity.semDedupNlist(100000000000L) > (1 << 19))
+    // end-to-end: auto mode runs and keeps the one-keeper invariant
+    val v = Similarity.semDedup(grouped, nlist = 0, eps = 0.9).collect()
+    assert(v.length === 6)
+    v.groupBy(_.getAs[Long]("cluster_id")).foreach { case (_, rows) =>
+      assert(rows.count(_.getAs[Boolean]("keeper")) === 1)
+    }
+  }
+
   test("semDedupAgainstIndex: index wins, batch-vs-batch not judged, quarantine") {
     val dir = java.nio.file.Files.createTempDirectory("semdedup-idx-")
       .toString + "/idx"
