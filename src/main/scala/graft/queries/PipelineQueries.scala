@@ -2659,6 +2659,51 @@ object PipelineQueries {
               |FROM embeddings
               |WHERE vec_id % 2 = 1 AND len(embedding) <> $EmbeddingDim""".stripMargin)),
 
+    // The LSH-pruned hard-negative path (p71's scale variant): same
+    // mining semantics, but candidates come from each query's sign-LSH
+    // bucket plus a one-bit flip (multi-probe) instead of the full
+    // corpus — at 100 TB the label filter then sees ~corpus/2^bits
+    // rows per query. The oracle embeds the same md5-derived
+    // hyperplanes as SQL literals (the p11 contract), rebuilds the
+    // probe sets and ranks the label-filtered candidates.
+    QueryDef("p77_hard_negatives_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"), col("label").as("query_label"))
+        Similarity.hardNegatives(emb, queries, k = 10, maxCos = 0.35,
+          bits = Some(2), probes = 2, dim = Some(EmbeddingDim))
+          .select(col("query_id"), col("vec_id"), col("label"),
+            col("cosine"), col("rank").cast("long").as("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              |           FROM embeddings),
+              |b AS (SELECT vec_id, label, v,
+              |        CASE WHEN len(v) = $EmbeddingDim THEN
+              |            ${bucketSql("v", 2)}
+              |        END AS bucket
+              |      FROM e),
+              |q AS (SELECT vec_id AS query_id, label AS qlab, v AS qv,
+              |             bucket AS qb
+              |      FROM b WHERE vec_id % 50 = 0 AND bucket IS NOT NULL),
+              |probes AS (SELECT query_id, qlab, qv,
+              |                  unnest([qb, xor(qb, 1)]) AS bucket
+              |           FROM q),
+              |scored AS (
+              |  SELECT p.query_id, c.vec_id, c.label,
+              |         ${cosineSql("c.v", "p.qv")} AS cosine,
+              |         row_number() OVER (PARTITION BY p.query_id
+              |           ORDER BY ${cosineSql("c.v", "p.qv")} DESC,
+              |                    c.vec_id ASC) AS rn
+              |  FROM probes p
+              |  JOIN b c ON c.bucket = p.bucket
+              |  WHERE c.vec_id <> p.query_id AND c.label <> p.qlab
+              |    AND ${cosineSql("c.v", "p.qv")} <= 0.35)
+              |SELECT query_id, vec_id, label, cosine,
+              |       CAST(rn AS BIGINT) AS rank
+              |FROM scored WHERE rn <= 10""".stripMargin)),
+
     // q-gram-blocked edit-distance join (ed-join) over the corpus
     // vocabulary — the entity-resolution / vocab-reconciliation
     // operator: every distinct-token pair within 2 edits, blocked by
