@@ -457,6 +457,30 @@ object SketchFunctions {
   def hllMerge(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => greatest(x, y))
 
+  /** Linear-counting estimate `m * ln(m / V)` from the zero-register
+    * count V — NULL when no register is empty (LC undefined there).
+    * Engine-side convenience: `ln` makes it non-oracle-able (the
+    * [[hllZeroRegisters]] note), so the GATES expose V and raw-HLL
+    * instead; user pipelines want this below ~2.5m.
+    */
+  def hllLinearCount(regs: Column, p: Int): Column = {
+    val m = (1 << p).toDouble
+    val z = hllZeroRegisters(regs)
+    when(z > 0, lit(m) * log(lit(m) / z.cast("double")))
+  }
+
+  /** The production estimator ladder (Flajolet et al. §4): linear
+    * counting while the raw estimate sits below 2.5m and empty
+    * registers remain, raw HLL otherwise. Same ln caveat as
+    * [[hllLinearCount]] — use for analytics, not for hash-gated
+    * cross-engine outputs.
+    */
+  def hllEstimateCorrected(regs: Column, p: Int): Column = {
+    val raw = hllEstimate(regs, p)
+    when(raw <= lit(2.5 * (1 << p)) && hllZeroRegisters(regs) > 0,
+      hllLinearCount(regs, p)).otherwise(raw)
+  }
+
   /** Column-level `count_min(hash, depth, width)` (hash: BIGINT in
     * [0, 2^60)). Returns the depth*width counter grid, row-major.
     */

@@ -339,6 +339,27 @@ class PlanSpec extends SparkSpec {
       s"partial count_min should sit below the exchange:\n$plan")
   }
 
+  test("HLL sketch: partial aggregation before the exchange (2^p-byte partials)") {
+    // same contract as the KMV/Count-Min plan proofs: registers build
+    // map-side and cross the wire as one 2^p-byte buffer per
+    // (partition, key), never as the raw hash stream
+    val docs = Tables.documents(spark, dir)
+    val q = docs.select(col("source"),
+        explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("source"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("source")
+      .agg(functions.SketchFunctions.hyperLogLog(col("h"), 4).as("s"))
+    q.write.mode("overwrite").format("noop").save()
+    val plan = q.queryExecution.executedPlan.toString
+    val partialIdx = plan.indexOf("partial_hyper_log_log")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0, s"no partial aggregation:\n$plan")
+    assert(exchangeIdx >= 0, s"no hash exchange:\n$plan")
+    assert(partialIdx > exchangeIdx,
+      s"partial hyper_log_log should sit below the exchange:\n$plan")
+  }
+
   test("G8 rollup: ONE Expand + one exchange — grouping sets share a single scan") {
     withNoAqe {
       val q = gold.Marts.classQualityRollup(

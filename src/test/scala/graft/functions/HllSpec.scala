@@ -84,6 +84,32 @@ class HllSpec extends SparkSpec {
     assert(est > n * 0.25 && est < n * 1.9, s"est $est vs n $n")
   }
 
+  test("corrected estimator: linear counting rescues the low range") {
+    // n = 20 distinct at m = 16: raw HLL is badly biased below 2.5m;
+    // LC lands close
+    val n = 20
+    val vals = (1L to n.toLong).map(i => (i * 6364136223846793005L) % (1L << 60))
+      .map(h => if (h < 0) h + (1L << 60) else h)
+    val row = vals.toDF("h").agg(hyperLogLog(col("h"), P).as("s"))
+      .select(SketchFunctions.hllEstimateCorrected(col("s"), P).as("c"),
+        hllEstimate(col("s"), P).as("raw"))
+      .collect().head
+    val (corrected, raw) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(corrected - n) <= math.abs(raw - n),
+      s"LC ($corrected) should beat raw ($raw) at n=$n")
+    // m = 16 gives LC real variance above n = m — the load-bearing
+    // assertion is beats-raw; the band is a sanity rail
+    assert(corrected > n * 0.4 && corrected < n * 2.0,
+      s"corrected $corrected vs n $n")
+    // high range: no empty registers -> corrected == raw
+    val big = (1L to 10000L).map(i => (i * 6364136223846793005L) % (1L << 60))
+      .map(h => if (h < 0) h + (1L << 60) else h)
+    val r2 = big.toDF("h").agg(hyperLogLog(col("h"), P).as("s"))
+      .select(SketchFunctions.hllEstimateCorrected(col("s"), P).as("c"),
+        hllEstimate(col("s"), P).as("raw")).collect().head
+    assert(r2.getDouble(0) === r2.getDouble(1))
+  }
+
   test("null hashes are skipped; all-null group yields zero registers") {
     val df = Seq[(String, Option[Long])](("g", Some(4L)), ("g", None),
       ("n", None)).toDF("k", "h")
