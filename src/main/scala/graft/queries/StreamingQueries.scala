@@ -1093,10 +1093,77 @@ object StreamingQueries {
             |       n_events, n_purchases, value_cents
             |FROM sess""".stripMargin))
 
+  /** st14: HOPPING (sliding) windows — the third native windowing
+    * mode next to the tumbling gates (st07-st09/st12) and the session
+    * gate (st13): 1 h windows every 30 min, so each event contributes
+    * to exactly TWO windows. State is one partial-agg tuple per open
+    * (event_type, window) — window_count/slide_count times tumbling,
+    * bounded and watermark-closed. Window starts leave as epoch-micros
+    * BIGINTs (the events-family tz convention); the oracle derives
+    * both covering windows per event with integer floor arithmetic.
+    * Aggregates integral (counts + cents sums).
+    */
+  private def streamingHopping: QueryDef = QueryDef(
+    "st14_streaming_hopping",
+    (s, dir) => {
+      val ev = eventStream(s, dir)
+      val schema = ev.schema
+      maxTsUs(ev) match {
+        case None =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("event_type",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("ws_us",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n_events",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("value_cents",
+                org.apache.spark.sql.types.LongType))))
+        case Some(maxUs) =>
+          val flushUs = maxUs + 2 * OneHourUs
+          val flush = s.range(1).select(lit(-1L).as("event_id"),
+            lit(-1L).as("user_id"), timestamp_micros(lit(flushUs)).as("ts"),
+            lit("flush").as("event_type"), lit(0.0).as("value"))
+          val dirP = scratch("st14")
+          val stage = dirP.resolve("input").toString
+          val ckpt = dirP.resolve("ckpt").toString
+          ev.unionByName(flush).coalesce(1).write.parquet(stage)
+
+          val qname = "st14_" + UUID.randomUUID().toString.replace("-", "")
+          val q = s.readStream.schema(schema).parquet(stage)
+            .withWatermark("ts", "0 seconds")
+            .groupBy(col("event_type"),
+              window(col("ts"), "1 hour", "30 minutes"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(round(col("value") * 100).cast("long")).as("value_cents"))
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+          s.table(qname).where(col("event_type") =!= "flush")
+            .select(col("event_type"),
+              unix_micros(col("window.start")).as("ws_us"),
+              col("n_events"), col("value_cents"))
+      }
+    },
+    Some("""WITH e AS (SELECT event_type,
+           |                 epoch_us(CAST(ts AS TIMESTAMP)) AS t, value
+           |          FROM events),
+           |x AS (SELECT event_type, value,
+           |             unnest([(t // 1800000000) * 1800000000 - 1800000000,
+           |                     (t // 1800000000) * 1800000000]) AS ws_us
+           |      FROM e)
+           |SELECT event_type, ws_us,
+           |       CAST(count(*) AS BIGINT) AS n_events,
+           |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           |         AS value_cents
+           |FROM x GROUP BY event_type, ws_us""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
       streamingCorpusStats, streamingKmv, streamingCms,
       streamingCurateDeterministic, streamingIntervalJoin, streamingHll,
-      streamingSessionWindow)
+      streamingSessionWindow, streamingHopping)
 }

@@ -89,6 +89,20 @@ class StreamingGatesSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("st14 hopping windows == batch sliding aggregation on sf0.001") {
+    import org.apache.spark.sql.functions._
+    val streamed = rows("st14_streaming_hopping")
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("event_type"), unix_micros(col("window.start")).as("ws_us"),
+        col("n_events"), col("value_cents"))
+      .collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("st12_streaming_hll == batch windowed HLL on sf0.001") {
     import org.apache.spark.sql.functions._
     import graft.functions.SketchFunctions._
