@@ -287,4 +287,67 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("score"), col("rank").cast("long").as("rank"))
   }
+
+  /** Okapi BM25 keyword scoring (Lucene idf variant — always
+    * positive): every doc containing >= 1 query term scored as
+    *
+    *   Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    *       · tf·(k1+1) / (tf + k1·((1−b) + b·(dl/avgdl)))
+    *
+    * The corpus-side retrieval primitive (keyword search over a
+    * training corpus: contamination triage, topic probes, eval-set
+    * mining) — cheap enough to run inline because the term filter
+    * lands BEFORE the first exchange: text explodes in a narrow
+    * projection, non-query tokens are discarded at scan, so only
+    * (doc, query-term) hits — |Q| integers per doc max — ever
+    * shuffle. df table is |Q| rows broadcast; corpus stats a 1-row
+    * broadcast.
+    *
+    * Determinism: each (doc, term) addend is one pinned-order chain
+    * of IEEE ops and ONE ln; the per-doc sum over <= |Q| addends
+    * rides the engine-wide 6-dp note ([[unigramLogProb]]).
+    */
+  def bm25Scores(df: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scores needs at least one query term")
+    val toks = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__w"))
+    val dl = toks.select(col("doc_id"),
+      size(col("__w")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("__w")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(docFreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      // avgdl as ONE division of exact integer totals — identical in
+      // the SQL mirror (tot::DOUBLE / n)
+      .withColumn("__avgdl", col("tot").cast("double") / col("n"))
+      .withColumn("__s",
+        log(lit(1.0) +
+          (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("__avgdl")))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("__s")).as("score"))
+  }
+
+  /** Top-n BM25 retrieval: [[bm25Scores]] cut to the n best docs
+    * (score desc, doc_id tie-break) — a TakeOrderedAndProject, never
+    * a global sort. Spec-gated: the cut compares raw transcendental
+    * scores, which the cross-engine 6-dp contract cannot order; the
+    * SCORES (p79) carry the oracle.
+    */
+  def bm25TopK(df: DataFrame, queryTerms: Seq[String], n: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bm25Scores(df, queryTerms, k1, b, idCol, textCol)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(n)
 }

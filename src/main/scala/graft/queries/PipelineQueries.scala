@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Chunking, Clusters, Contamination, Dedup, Fuzzy, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Reporting, Sampling, Similarity, Snapshots, Spans, TextAnalysis}
+import graft.pipeline.{Bpe, Chunking, Clusters, Contamination, Dedup, Dsir, Fuzzy, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Reporting, Sampling, Similarity, Snapshots, Spans, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -2765,7 +2765,96 @@ object PipelineQueries {
              |build AS (SELECT r AS key, 'grp_' || CAST(r % 7 AS VARCHAR) AS bucket_label
              |          FROM (SELECT unnest(range(100)) AS r))
              |SELECT doc_id, key, bucket_label, n_tokens
-             |FROM probe JOIN build USING (key)""".stripMargin))
+             |FROM probe JOIN build USING (key)""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023): every doc scored by
+    // how much more likely its hashed unigram+bigram features are
+    // under the TARGET corpus (source='src0' — the curated-reference
+    // stand-in) than under the raw corpus itself. The oracle rebuilds
+    // the feature stream, the md5 bucket hash, both Laplace-smoothed
+    // bucket tables and the identically-parenthesized one-ln-per-
+    // bucket log-ratio in SQL; per-doc float sums ride the 6-dp note.
+    QueryDef("p78_dsir_weights",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dsir.importanceWeights(docs, docs.where(col("source") === "src0"),
+          buckets = 256)
+      },
+      Some("""WITH arr AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(trim(text), '\s+'),
+             |                     t -> t <> '') AS w
+             |  FROM documents),
+             |feats AS (
+             |  SELECT doc_id, source, unnest(w) AS f FROM arr
+             |  UNION ALL
+             |  SELECT doc_id, source,
+             |         unnest(list_transform(range(1, len(w)),
+             |                i -> w[i] || ' ' || w[i+1])) AS f
+             |  FROM arr),
+             |dc AS (SELECT doc_id, source,
+             |              ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS b,
+             |              CAST(count(*) AS BIGINT) AS c
+             |       FROM feats GROUP BY 1, 2, 3),
+             |tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS cnt
+             |        FROM dc WHERE source = 'src0' GROUP BY 1),
+             |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cnt
+             |        FROM dc GROUP BY 1),
+             |tots AS (SELECT
+             |           (SELECT COALESCE(sum(cnt), 0) FROM tgt) AS tt,
+             |           (SELECT COALESCE(sum(cnt), 0) FROM raw) AS tr),
+             |delta AS (
+             |  SELECT ids.b,
+             |         ln(((COALESCE(t.cnt, 0) + 1)::DOUBLE * (tr + 256)::DOUBLE)
+             |            / ((tt + 256)::DOUBLE * (COALESCE(r.cnt, 0) + 1)::DOUBLE))
+             |           AS d
+             |  FROM (SELECT unnest(range(256)) AS b) ids
+             |  LEFT JOIN tgt t ON t.b = ids.b
+             |  LEFT JOIN raw r ON r.b = ids.b
+             |  CROSS JOIN tots),
+             |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nf,
+             |               sum(c::DOUBLE * d) AS lw
+             |        FROM dc JOIN delta ON delta.b = dc.b
+             |        GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(nf, 0) AS n_feats,
+             |       COALESCE(lw, 0.0) AS log_weight
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN per USING (doc_id)""".stripMargin)),
+
+    // Okapi BM25 keyword retrieval (Lucene idf): scores for every
+    // doc hitting >= 1 of {spark, dup, vector} — "dup" is the rare
+    // term (df 25/500 at sf0.01), so the idf contrast is real. The
+    // oracle re-derives dl/avgdl, per-term df and the identically-
+    // parenthesized score chain; ln + per-doc sums ride the 6-dp
+    // note. Ranking cuts (bm25TopK) stay spec-side: 6-dp equality
+    // can't ORDER raw transcendental scores.
+    QueryDef("p79_bm25_scores",
+      (s, dir) => TextAnalysis.bm25Scores(
+        Tables.documents(s, dir), Seq("spark", "dup", "vector")),
+      Some("""WITH arr AS (
+             |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+             |                             t -> t <> '') AS w
+             |  FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM arr),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |                 CAST(sum(dl) AS BIGINT) AS tot
+             |          FROM dl),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM (SELECT doc_id, unnest(w) AS term FROM arr)
+             |       WHERE term IN ('spark', 'dup', 'vector')
+             |       GROUP BY 1, 2),
+             |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |        FROM tf GROUP BY 1)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+             |       sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+             |           * (tf * 2.2) /
+             |           (tf + 1.2 * (0.25 + 0.75 * (dl / (tot::DOUBLE / n)))))
+             |         AS score
+             |FROM tf
+             |JOIN dft USING (term)
+             |JOIN dl USING (doc_id)
+             |CROSS JOIN stats
+             |GROUP BY doc_id""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque

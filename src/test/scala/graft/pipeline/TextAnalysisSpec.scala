@@ -166,4 +166,40 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 1's alternation is the corpus's dominant pattern -> higher
     assert(bi(1L) > bi(2L))
   }
+
+  test("bm25Scores: hand-computed score, non-matching docs absent") {
+    // corpus: 3 docs, query {x}: df(x)=2, N=3, dl = 2/4/3, avgdl = 3
+    val docs = Seq(
+      (1L, "x y"), (2L, "x x q r"), (3L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Scores(docs, Seq("x"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!got.contains(3L), "doc without query terms must be absent")
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / 3.0)))
+    assert(got(1L)._1 === 1L)
+    assert(math.abs(got(1L)._2 - s(1, 2)) < 1e-12)
+    assert(math.abs(got(2L)._2 - s(2, 4)) < 1e-12)
+    // higher tf wins, but sub-linearly (saturation): score(tf=2) is
+    // less than twice score(tf=1) at equal length
+    assert(got(2L)._2 > got(1L)._2)
+  }
+
+  test("bm25: rare terms outrank common terms; length normalization bites") {
+    val docs = (0L until 100L).map { i =>
+      val base = "common common common"
+      (i, if (i == 7L) s"$base rare" else base)
+    }.toDF("doc_id", "text")
+    val scored = TextAnalysis.bm25Scores(docs, Seq("common", "rare"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 7 has everything the others have plus the df=1 term
+    assert(scored(7L) > scored(0L))
+    val top = TextAnalysis.bm25TopK(docs, Seq("common", "rare"), n = 1)
+      .collect().map(_.getLong(0))
+    assert(top === Array(7L))
+    // bm25TopK tie-break: equal-scored docs cut by doc_id ascending
+    val topTies = TextAnalysis.bm25TopK(docs, Seq("common"), n = 3)
+      .collect().map(_.getLong(0))
+    assert(topTies.take(2) === Array(0L, 1L))
+  }
 }
