@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hyper_log_log"),
       GraftFunctions.hyperLogLogInfo,
       GraftFunctions.hyperLogLogBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      GraftFunctions.nfcNormalizeInfo,
+      GraftFunctions.nfcNormalizeBuilder))
   }
 }
 
@@ -110,6 +114,18 @@ object GraftFunctions {
       HyperLogLog(children.head, children(1))
     }
 
+  // same SQL name as DuckDB's utf8proc-backed builtin — the oracle
+  // mirror is the IDENTICAL call text on both engines
+  private[functions] val nfcNormalizeInfo =
+    new ExpressionInfo(classOf[NfcNormalize].getName, null, "nfc_normalize")
+
+  private[functions] val nfcNormalizeBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 1,
+        s"nfc_normalize expects 1 argument, got ${children.length}")
+      NfcNormalize(children.head)
+    }
+
   /** Register on an already-built session (no withExtensions hook). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
@@ -124,5 +140,7 @@ object GraftFunctions {
       spark, "count_min", countMinInfo, countMinBuilder)
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
       spark, "hyper_log_log", hyperLogLogInfo, hyperLogLogBuilder)
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "nfc_normalize", nfcNormalizeInfo, nfcNormalizeBuilder)
   }
 }

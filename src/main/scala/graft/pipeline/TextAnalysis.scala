@@ -350,4 +350,29 @@ object TextAnalysis {
     bm25Scores(df, queryTerms, k1, b, idCol, textCol)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(n)
+
+  /** Non-whitespace C0/DEL control characters (keeps \t \n \r —
+    * they carry layout, and line-grain operators depend on \n).
+    * Hex-escape ranges only, no character-class intersection — the
+    * pattern text is valid and identical under Java regex AND RE2,
+    * so the DuckDB oracle runs the SAME pattern.
+    */
+  val ControlCharPattern: String =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Canonical text cleaning for corpus ingestion, in the order
+    * every step expects: (1) Unicode NFC composition (the native
+    * [[graft.functions.NfcNormalize]] — composed vs decomposed
+    * encodings of the same text must stop being distinct BEFORE
+    * anything hashes, shingles or tokenizes it), (2) strip
+    * non-whitespace control characters, (3) collapse space/tab runs,
+    * (4) trim. Pure narrow codegen'd scan ops — composes with every
+    * downstream operator at scan speed.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        graft.functions.UnicodeFunctions.nfcNormalize(text),
+        ControlCharPattern, ""),
+      "[ \\t]+", " "))
 }

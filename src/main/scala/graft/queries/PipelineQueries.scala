@@ -2854,7 +2854,53 @@ object PipelineQueries {
              |JOIN dft USING (term)
              |JOIN dl USING (doc_id)
              |CROSS JOIN stats
-             |GROUP BY doc_id""".stripMargin))
+             |GROUP BY doc_id""".stripMargin)),
+
+    // Unicode NFC + control/whitespace cleaning over a deterministic
+    // MESSY rendition of each doc (the ASCII testdata can't exercise
+    // composition, so both engines append the same decomposed-accent
+    // pairs, a BEL control and tab/space runs, keyed on doc_id % 3).
+    // The Spark side is the native codegen'd NfcNormalize expression;
+    // the oracle is DuckDB's utf8proc nfc_normalize + the SAME
+    // regex/step order — both implement the pinned Unicode canonical
+    // composition, so clean_text must hash-match byte-for-byte.
+    QueryDef("p80_nfc_clean",
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(3))
+        // decomposed base+combining pairs (NFC must compose them) and
+        // a BEL control (the strip step must remove it)
+        val accent = when(m === 0, lit("e\u0301"))
+          .when(m === 1, lit("e\u0300"))
+          .otherwise(lit("e\u0302"))
+        val messy = concat(col("text"), lit("  caf"), accent,
+          lit("\u0007 fin\tal "))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            length(messy).cast("long").as("n_chars_raw"),
+            TextAnalysis.cleanText(messy).as("clean_text"))
+          .withColumn("n_chars_clean",
+            length(col("clean_text")).cast("long"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |         text || '  caf' ||
+             |         CASE doc_id % 3 WHEN 0 THEN 'e' || chr(769)
+             |                         WHEN 1 THEN 'e' || chr(768)
+             |                         ELSE 'e' || chr(770) END ||
+             |         chr(7) || ' fin' || chr(9) || 'al ' AS messy
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, messy,
+             |         trim(regexp_replace(regexp_replace(
+             |           nfc_normalize(messy),
+             |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |           '[ \t]+', ' ', 'g')) AS clean_text
+             |  FROM m)
+             |SELECT doc_id,
+             |       CAST(length(messy) AS BIGINT) AS n_chars_raw,
+             |       clean_text,
+             |       CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+             |FROM c""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque
