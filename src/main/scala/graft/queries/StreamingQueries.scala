@@ -1160,10 +1160,93 @@ object StreamingQueries {
            |         AS value_cents
            |FROM x GROUP BY event_type, ws_us""".stripMargin))
 
+  /** st15: STREAM-STATIC enrichment — the production shape where a
+    * stream joins a slowly-changing dimension computed batch-side
+    * (here a user->tier dim; statically BROADCAST, so each
+    * micro-batch pays a map-side hash join, never a shuffle of the
+    * stream). LEFT OUTER from the stream side: users deliberately
+    * missing from the dim (user_id % 5 == 4) surface as 'unknown'
+    * instead of silently dropping — the audit-friendly default for
+    * enrichment. Downstream the enriched stream feeds a watermarked
+    * tumbling per-(tier, 1 h) aggregation, proving watermark
+    * propagation THROUGH the join. The flush sentinel advances the
+    * watermark past every real window; its own (never-closed or
+    * boundary-aligned) window is excluded by the ws_us <= max real
+    * timestamp cut, which no real window violates.
+    */
+  private def streamingStreamStatic: QueryDef = QueryDef(
+    "st15_stream_static_enrich",
+    (s, dir) => {
+      val ev = eventStream(s, dir)
+      val schema = ev.schema
+      maxTsUs(ev) match {
+        case None =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("tier",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("ws_us",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n_events",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("value_cents",
+                org.apache.spark.sql.types.LongType))))
+        case Some(maxUs) =>
+          // the static side: computed ONCE before the stream starts
+          val dim = Tables.events(s, dir)
+            .select(col("user_id").cast("long").as("user_id")).distinct()
+            .where(pmod(col("user_id"), lit(5)) =!= 4)
+            .withColumn("tier",
+              concat(lit("tier_"), pmod(col("user_id"), lit(3))))
+          val flushUs = maxUs + 2 * OneHourUs
+          val flush = s.range(1).select(lit(-1L).as("event_id"),
+            lit(-1L).as("user_id"), timestamp_micros(lit(flushUs)).as("ts"),
+            lit("flush").as("event_type"), lit(0.0).as("value"))
+          val dirP = scratch("st15")
+          val stage = dirP.resolve("input").toString
+          val ckpt = dirP.resolve("ckpt").toString
+          ev.unionByName(flush).coalesce(1).write.parquet(stage)
+
+          val qname = "st15_" + UUID.randomUUID().toString.replace("-", "")
+          val q = s.readStream.schema(schema).parquet(stage)
+            .withWatermark("ts", "0 seconds")
+            .join(broadcast(dim), Seq("user_id"), "left_outer")
+            .groupBy(coalesce(col("tier"), lit("unknown")).as("tier"),
+              window(col("ts"), "1 hour"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(round(col("value") * 100).cast("long")).as("value_cents"))
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+          s.table(qname)
+            .select(col("tier"),
+              unix_micros(col("window.start")).as("ws_us"),
+              col("n_events"), col("value_cents"))
+            .where(col("ws_us") <= maxUs)
+      }
+    },
+    Some("""WITH dim AS (
+           |  SELECT DISTINCT user_id,
+           |         'tier_' || CAST(user_id % 3 AS VARCHAR) AS tier
+           |  FROM events WHERE user_id % 5 <> 4),
+           |e AS (SELECT user_id,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) AS t, value
+           |      FROM events),
+           |j AS (SELECT COALESCE(d.tier, 'unknown') AS tier,
+           |             (e.t // 3600000000) * 3600000000 AS ws_us,
+           |             e.value
+           |      FROM e LEFT JOIN dim d USING (user_id))
+           |SELECT tier, ws_us,
+           |       CAST(count(*) AS BIGINT) AS n_events,
+           |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           |         AS value_cents
+           |FROM j GROUP BY tier, ws_us""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
       streamingCorpusStats, streamingKmv, streamingCms,
       streamingCurateDeterministic, streamingIntervalJoin, streamingHll,
-      streamingSessionWindow, streamingHopping)
+      streamingSessionWindow, streamingHopping, streamingStreamStatic)
 }

@@ -103,6 +103,30 @@ class StreamingGatesSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("st15 stream-static enrichment == batch join + window on sf0.001") {
+    import org.apache.spark.sql.functions._
+    val streamed = rows("st15_stream_static_enrich")
+    val ev = graft.Tables.events(spark, dir)
+    val dim = ev.select(col("user_id").cast("long").as("user_id")).distinct()
+      .where(pmod(col("user_id"), lit(5)) =!= 4)
+      .withColumn("tier", concat(lit("tier_"), pmod(col("user_id"), lit(3))))
+    val batch = ev
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value"))
+      .join(dim, Seq("user_id"), "left_outer")
+      .groupBy(coalesce(col("tier"), lit("unknown")).as("tier"),
+        window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("tier"), unix_micros(col("window.start")).as("ws_us"),
+        col("n_events"), col("value_cents"))
+      .collect().toSet
+    assert(streamed.nonEmpty)
+    // the dim is deliberately partial: the unknown bucket must exist
+    assert(streamed.exists(_.getString(0) == "unknown"))
+    assert(streamed === batch)
+  }
+
   test("st12_streaming_hll == batch windowed HLL on sf0.001") {
     import org.apache.spark.sql.functions._
     import graft.functions.SketchFunctions._
