@@ -203,4 +203,26 @@ object Sampling {
       .where(col("__rank") <= k)
       .drop("__rank")
   }
+
+  /** Deterministic per-epoch global shuffle: `epoch_rank` = the
+    * row's 1-based position in epoch `epoch`'s training order. The
+    * order is the md5 variate keyed by (key, "salt/epoch") — every
+    * epoch is an independent reproducible permutation (same corpus +
+    * epoch => same order on any partitioning, retry, or cluster
+    * size; a data-loader restart resumes mid-epoch by rank).
+    *
+    * Ranking is [[graft.operators.GlobalOrder.withGlobalRank]]
+    * (range-partitioned parallel sort + zip) — never the
+    * single-partition `row_number() OVER (ORDER BY ...)` window. The
+    * variate is a 32-bit integer scaled by 2^-32 — EXACT in double,
+    * so the order (variate, then key for the ~n²/2^33 birthday ties)
+    * is total and engine-reproducible, no float caveats.
+    */
+  def epochShuffle(df: DataFrame, epoch: Int, keyCol: String,
+      salt: String = "epoch"): DataFrame =
+    graft.operators.GlobalOrder.withGlobalRank(
+      df.withColumn("__u", uniform(col(keyCol), s"$salt/$epoch")),
+      "epoch_rank",
+      Seq(col("__u").asc, col(keyCol).asc))
+      .drop("__u")
 }

@@ -2900,7 +2900,28 @@ object PipelineQueries {
              |       CAST(length(messy) AS BIGINT) AS n_chars_raw,
              |       clean_text,
              |       CAST(length(clean_text) AS BIGINT) AS n_chars_clean
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // Per-epoch deterministic global shuffle: epoch 3's full training
+    // order as a 1-based rank — md5 variate per (doc, epoch) ranked
+    // through the distributed GlobalOrder zip (never a
+    // single-partition window). The variate is a 2^-32-scaled 32-bit
+    // integer (EXACT in double), so the oracle can rank by the raw
+    // integer hash and must reproduce every rank bit-for-bit.
+    QueryDef("p81_epoch_shuffle",
+      (s, dir) => Sampling.epochShuffle(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        epoch = 3, keyCol = "doc_id"),
+      Some("""WITH u AS (SELECT doc_id, source,
+             |  ('0x' || substr(md5(
+             |     CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |     || ':' || CAST(doc_id AS VARCHAR) || '/epoch/3'), 1, 8))::BIGINT
+             |   AS h
+             |  FROM documents)
+             |SELECT doc_id, source,
+             |       CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
+             |         AS epoch_rank
+             |FROM u""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque

@@ -12,6 +12,25 @@ class SamplingSpec extends SparkSpec {
     (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"))
     .toDF("doc_id", "lang")
 
+  test("epochShuffle: a reproducible permutation per epoch; epochs differ") {
+    val docs = corpus.select(col("doc_id"))
+    val e1 = Sampling.epochShuffle(docs, epoch = 1, keyCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a permutation: ranks are exactly 1..n, each doc once
+    assert(e1.values.toSeq.sorted === (1L to 2000L))
+    // partitioning-invariant (range partition boundaries move, ranks
+    // cannot — rank is a function of the total order alone)
+    val e1b = Sampling.epochShuffle(docs.repartition(17), epoch = 1,
+      keyCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1 === e1b)
+    // epoch 2 is a genuinely different permutation
+    val e2 = Sampling.epochShuffle(docs, epoch = 2, keyCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e2 !== e1)
+    assert(e2.values.toSeq.sorted === (1L to 2000L))
+  }
+
   test("uniformByKey: deterministic across runs AND partitionings; ~fraction kept") {
     val a = Sampling.uniformByKey(corpus, 0.3, "doc_id")
       .collect().map(_.getLong(0)).toSet
