@@ -185,6 +185,58 @@ object Dedup {
     overlapPairs(shingledIn, threshold, maxShingleDf, persistShingles,
       "containment")((common, sa, sb) => common / least(sa, sb))
 
+  /** Rarity-weighted sparse cosine pairs — the WEIGHTED companion to
+    * [[jaccardPairs]]: token-grain vectors with w = tf/df (the
+    * engine's rarity weight, [[TextAnalysis.topRarityTerms]] — tf-idf
+    * flavor without the cross-engine `ln`), cosine over pairs sharing
+    * at least one df-capped term. Jaccard treats "the the the spark"
+    * and "spark" alike; the weighted metric scores shared RARE mass,
+    * the signal for template-with-slots near-dups where the slots are
+    * the rare part.
+    *
+    * Same scale shape as the Jaccard index: candidate generation is
+    * the capped inverted index (a term pairs at most maxTermDf² docs
+    * — never corpus², the ScaleStressSpec bound), and the pair set is
+    * a pure integer predicate (df ≤ cap ∧ shared ≥ 1) — engine-exact.
+    * The cap trade, documented: common terms contribute to NORMS
+    * (true vector length) but cannot pair docs or add dot mass, so
+    * reported cosine ≤ true cosine, equal when all shared terms are
+    * index-eligible. Weights are single IEEE divisions (correctly
+    * rounded — engine-exact); only the dot/norm SUMS ride the 6-dp
+    * note.
+    */
+  def weightedCosinePairs(df: DataFrame, maxTermDf: Int = 100,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = tf.join(dfreq, Seq("term"))
+      .select(col("doc_id"), col("term"), col("df"),
+        (col("tf").cast("double") / col("df")).as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val capped = w.where(col("df") <= maxTermDf)
+    val a = capped.select(col("doc_id").as("doc_a"), col("term"),
+      col("w").as("wa"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("term"),
+      col("w").as("wb"))
+    a.join(b, Seq("term"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("wa") * col("wb")).as("__dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("__na")),
+        Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("__nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("__dot") / (col("__na") * col("__nb"))).as("cosine"))
+  }
+
   /** MinHash signature: numHashes independent min-hashes of the
     * shingle set.
     *

@@ -2921,7 +2921,42 @@ object PipelineQueries {
              |SELECT doc_id, source,
              |       CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
              |         AS epoch_rank
-             |FROM u""".stripMargin))
+             |FROM u""".stripMargin)),
+
+    // Rarity-weighted sparse cosine pairs: tf/df-weighted token
+    // vectors, cosine over pairs sharing >= 1 term with df <= 300 —
+    // at sf0.01 only 'dup' (df 25) is index-eligible, so the pair set
+    // is a real minority-term join, not corpus². The pair SET is an
+    // exact integer predicate; weights are single IEEE divisions; the
+    // dot/norm sums ride the 6-dp note.
+    QueryDef("p82_weighted_cosine",
+      (s, dir) => Dedup.weightedCosinePairs(
+        Tables.documents(s, dir), maxTermDf = 300),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |           string_split_regex(trim(text), '\s+'),
+             |           t -> t <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM toks GROUP BY 1, 2),
+             |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |        FROM tf GROUP BY 1),
+             |w AS (SELECT doc_id, term, df, tf::DOUBLE / df AS w
+             |      FROM tf JOIN dfr USING (term)),
+             |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+             |          FROM w GROUP BY 1),
+             |capped AS (SELECT * FROM w WHERE df <= 300),
+             |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |                 CAST(count(*) AS BIGINT) AS n_shared,
+             |                 sum(a.w * b.w) AS dot
+             |          FROM capped a JOIN capped b
+             |            ON a.term = b.term AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, n_shared,
+             |       dot / (na.nrm * nb.nrm) AS cosine
+             |FROM pairs
+             |JOIN norms na ON na.doc_id = doc_a
+             |JOIN norms nb ON nb.doc_id = doc_b""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque

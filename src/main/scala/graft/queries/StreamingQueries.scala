@@ -1243,10 +1243,103 @@ object StreamingQueries {
            |         AS value_cents
            |FROM j GROUP BY tier, ws_us""".stripMargin))
 
+  /** st16: the LEFT OUTER side of the watermarked stream-stream
+    * interval join ([[graft.streaming.StreamingIntervalJoin
+    * .withinLeftOuter]]) — st11's shape, but every view emits exactly
+    * once: converting views with their purchase, non-converting views
+    * with NULLs once the watermark proves no purchase can still
+    * arrive (eviction-time emission — deterministic, so the whole
+    * output incl. the null rows hash-checks against the batch LEFT
+    * JOIN). The online "did this view convert, including the no's"
+    * feed. Replay: watermark two-step like st02 — sentinel 1 (one
+    * flush row PER SIDE: the global watermark is the min over both)
+    * pushes the watermark past every view's horizon, sentinel 2
+    * triggers the eviction batch; flush rows filter out by id sign.
+    */
+  private def streamingIntervalJoinOuter: QueryDef = QueryDef(
+    "st16_streaming_interval_left",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val schema = ev.schema
+      maxTsUs(ev.select(col("ts"))) match {
+        case None =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("view_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("purchase_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("amount",
+                org.apache.spark.sql.types.DoubleType))))
+        case Some(maxUs) =>
+          val dirP = scratch("st16")
+          val stage = dirP.resolve("input").toString
+          val ckpt = dirP.resolve("ckpt").toString
+          ev.coalesce(1).write.parquet(stage)
+
+          // one flush row per SIDE: each side's watermark tracks its
+          // own filtered stream, and the join's effective watermark is
+          // the min of the two
+          def sentinel(tsUs: Long): DataFrame =
+            s.range(1).select(explode(array(
+              struct(lit(-1L).as("event_id"), timestamp_micros(lit(tsUs)).as("ts"),
+                lit(-1L).as("user_id"), lit("view").as("event_type"),
+                lit(0.0).as("value"), lit("{}").as("props")),
+              struct(lit(-2L).as("event_id"), timestamp_micros(lit(tsUs)).as("ts"),
+                lit(-2L).as("user_id"), lit("purchase").as("event_type"),
+                lit(0.0).as("value"), lit("{}").as("props")))).as("e"))
+              .select(col("e.*"))
+
+          val qname = "st16_" + UUID.randomUUID().toString.replace("-", "")
+          val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val q =
+            try {
+              val stream = s.readStream.schema(schema).parquet(stage)
+              val views = stream.where(col("event_type") === "view")
+                .select(col("event_id").as("view_id"),
+                  col("user_id").as("v_user"), col("ts").as("view_ts"))
+              val purchases = stream.where(col("event_type") === "purchase")
+                .select(col("event_id").as("purchase_id"),
+                  col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+                  col("value").as("amount"))
+              graft.streaming.StreamingIntervalJoin.withinLeftOuter(
+                views, purchases, ("v_user", "p_user"),
+                ("view_ts", "purchase_ts"),
+                watermarkDelay = "0 seconds", maxGap = "2 hours")
+                .select(col("view_id"), col("purchase_id"), col("amount"))
+                .writeStream.format("memory").queryName(qname)
+                .outputMode("append").option("checkpointLocation", ckpt)
+                .trigger(Trigger.ProcessingTime(50)).start()
+            } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          try {
+            q.processAllAvailable()
+            val ordered = schema.fieldNames.map(col)
+            sentinel(maxUs + 3 * OneHourUs).select(ordered: _*)
+              .write.mode("append").parquet(stage)
+            q.processAllAvailable()
+            sentinel(maxUs + 4 * OneHourUs).select(ordered: _*)
+              .write.mode("append").parquet(stage)
+            q.processAllAvailable()
+          } finally { q.stop(); deleteRecursively(dirP) }
+          s.table(qname).where(col("view_id") >= 0L)
+            .select(col("view_id"), col("purchase_id"), col("amount"))
+      }
+    },
+    Some("""SELECT v.event_id AS view_id,
+           |       p.event_id AS purchase_id,
+           |       p.value AS amount
+           |FROM events v LEFT JOIN events p
+           |  ON p.event_type = 'purchase'
+           | AND p.user_id = v.user_id
+           | AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+           |WHERE v.event_type = 'view'""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
       streamingCorpusStats, streamingKmv, streamingCms,
       streamingCurateDeterministic, streamingIntervalJoin, streamingHll,
-      streamingSessionWindow, streamingHopping, streamingStreamStatic)
+      streamingSessionWindow, streamingHopping, streamingStreamStatic,
+      streamingIntervalJoinOuter)
 }

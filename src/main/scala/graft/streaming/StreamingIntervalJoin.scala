@@ -32,7 +32,10 @@ object StreamingIntervalJoin {
   def within(left: DataFrame, right: DataFrame,
       joinKeys: (String, String), tsCols: (String, String),
       watermarkDelay: String, maxGap: String,
-      strictlyAfter: Boolean = true): DataFrame = {
+      strictlyAfter: Boolean = true,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType=$joinType: watermarked interval joins support inner/left_outer")
     val (lk, rk) = joinKeys
     val (lt, rt) = tsCols
     val l = left.withWatermark(lt, watermarkDelay)
@@ -42,6 +45,25 @@ object StreamingIntervalJoin {
     l.join(r,
       col(lk) === col(rk) && lower &&
         col(rt) <= col(lt) + expr(s"INTERVAL $maxGap"),
-      "inner")
+      joinType)
   }
+
+  /** LEFT OUTER variant: every left row emits exactly once — matched
+    * pairs in the micro-batch that completes them (same as inner),
+    * unmatched left rows with NULL right columns once the watermark
+    * passes `leftTs + maxGap` and Spark can PROVE no future right row
+    * can match (eviction time, not arrival time — so the null rows
+    * are just as deterministic as the matches, and the whole output
+    * hash-checks against the batch LEFT JOIN). The "did this view
+    * convert, including the no's" shape — an online funnel-drop feed.
+    * State bound is the inner join's; a bounded replay needs the
+    * watermark pushed past the last left row's horizon (flush
+    * sentinel) or its unmatched rows stay un-emitted.
+    */
+  def withinLeftOuter(left: DataFrame, right: DataFrame,
+      joinKeys: (String, String), tsCols: (String, String),
+      watermarkDelay: String, maxGap: String,
+      strictlyAfter: Boolean = true): DataFrame =
+    within(left, right, joinKeys, tsCols, watermarkDelay, maxGap,
+      strictlyAfter, joinType = "left_outer")
 }

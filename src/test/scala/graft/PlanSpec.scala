@@ -477,4 +477,48 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"pairing degraded to a cartesian product:\n$plan")
   }
+
+  test("DSIR weights: no shuffle carries text or feature strings; deltas broadcast") {
+    // the first exchange must already be at the (doc_id, bucket) long
+    // grain — feature strings live only inside the narrow explode→hash
+    // projection, and the 256-row log-ratio table rides a broadcast
+    val docs = Tables.documents(spark, dir)
+    withNoAqe {
+      val q = pipeline.Dsir.importanceWeights(docs,
+        docs.where(col("source") === "src0"), buckets = 64)
+      val shuffled = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffled.nonEmpty, "expected at least one exchange")
+      shuffled.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!names.contains("text") && !names.contains("__f"),
+          s"text/features flow through a shuffle:\n${e.treeString}")
+      }
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange"),
+        s"bucket-delta table not broadcast:\n$plan")
+      assert(q.count() > 0)
+    }
+  }
+
+  test("BM25: query-term filter lands before the first exchange; df and stats broadcast") {
+    val docs = Tables.documents(spark, dir)
+    withNoAqe {
+      val q = pipeline.TextAnalysis.bm25Scores(docs, Seq("spark", "dup"))
+      val shuffled = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffled.nonEmpty, "expected at least one exchange")
+      shuffled.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!names.contains("text") && !names.contains("__w"),
+          s"text/token arrays flow through a shuffle:\n${e.treeString}")
+      }
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange"),
+        s"df/stats tables not broadcast:\n$plan")
+      assert(q.count() > 0)
+    }
+  }
 }

@@ -116,4 +116,40 @@ class DedupSpec extends SparkSpec {
         Dedup.minHashSignatures(Dedup.wordShingles(docs), 6), numHashes = 6, rowsPerBand = 4)
     }
   }
+
+  test("weightedCosinePairs: hand-computed cosine; non-sharing docs never pair") {
+    import spark.implicits._
+    val fix = Seq((1L, "x x y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
+    val got = Dedup.weightedCosinePairs(fix, maxTermDf = 10).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) === ((1L, 2L)))
+    assert(r.getAs[Long]("n_shared") === 2L)
+    // w(1)=(x:2/2, y:1/2), w(2)=(x:1/2, y:1/2):
+    // dot=0.75, norms=sqrt(1.25), sqrt(0.5)
+    val expected = 0.75 / (math.sqrt(1.25) * math.sqrt(0.5))
+    assert(math.abs(r.getAs[Double]("cosine") - expected) < 1e-12)
+  }
+
+  test("weightedCosinePairs: df cap bounds the PAIR grain, norms stay true") {
+    import spark.implicits._
+    val fix = ((1L, "common rare") +: (2L, "common rare") +:
+      (3L until 13L).map(i => (i, "common"))).toDF("doc_id", "text")
+    val got = Dedup.weightedCosinePairs(fix, maxTermDf = 2).collect()
+    // 'common' (df 12) may not pair anyone; only the rare-sharing duo
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) === ((1L, 2L)))
+    assert(r.getAs[Long]("n_shared") === 1L)
+    // dot counts ONLY the index-eligible term, norms the full vector:
+    // w(rare)=1/2, w(common)=1/12; dot=0.25, norm²=0.25+1/144
+    val n2 = 0.25 + 1.0 / 144.0
+    val expected = 0.25 / n2 // both norms equal
+    assert(math.abs(r.getAs[Double]("cosine") - expected) < 1e-12)
+    // identical all-rare docs under no cap pressure score exactly 1
+    val twins = Seq((1L, "uniq twin"), (2L, "uniq twin")).toDF("doc_id", "text")
+    val c = Dedup.weightedCosinePairs(twins, maxTermDf = 10)
+      .collect().head.getAs[Double]("cosine")
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
 }

@@ -84,4 +84,45 @@ class StreamingIntervalJoinSpec extends SparkSpec {
     q.stop()
     assert(n === 0, "late purchase retro-matched an evicted view")
   }
+
+  test("left outer: matches emit like inner; unmatched views emit NULLs on eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vmem = MemoryStream[(Long, Long, Timestamp)]
+    val pmem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val joined = StreamingIntervalJoin.withinLeftOuter(
+      vmem.toDF().toDF("view_id", "v_user", "view_ts"),
+      pmem.toDF().toDF("purchase_id", "p_user", "purchase_ts", "amount"),
+      ("v_user", "p_user"), ("view_ts", "purchase_ts"),
+      watermarkDelay = "0 seconds", maxGap = "2 hours")
+      .select("view_id", "purchase_id", "amount")
+    val q = joined.writeStream.format("memory").queryName("sij3")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+
+    // view 1 converts; view 2 never will
+    vmem.addData((1L, 7L, ts("2026-03-01 09:00:00")),
+      (2L, 8L, ts("2026-03-01 09:00:00")))
+    pmem.addData((100L, 7L, ts("2026-03-01 09:30:00"), 5.0))
+    q.processAllAvailable()
+    val afterMatch = spark.table("sij3").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    // the match emits in the completing batch; view 2's NULL row must
+    // NOT have emitted yet — the watermark cannot prove no purchase
+    // is coming
+    assert(afterMatch === Set((1L, Some(100L))))
+
+    // watermark two-step past view 2's horizon (11:00) on BOTH sides
+    vmem.addData((3L, 9L, ts("2026-03-01 12:00:00")))
+    pmem.addData((998L, 10L, ts("2026-03-01 12:00:00"), 1.0))
+    q.processAllAvailable()
+    vmem.addData((4L, 9L, ts("2026-03-01 13:00:00")))
+    pmem.addData((999L, 10L, ts("2026-03-01 13:00:00"), 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sij3").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    q.stop()
+    assert(rows(1L) === Some(100L))
+    assert(rows.contains(2L) && rows(2L) === None,
+      s"unmatched view must emit a NULL row on eviction: $rows")
+  }
 }
