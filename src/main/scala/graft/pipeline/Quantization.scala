@@ -40,6 +40,55 @@ object Quantization {
         min(col("v").cast("double")).as("lo"),
         max(col("v").cast("double")).as("hi"))
 
+  /** Per-dimension ROBUST location/scale profile: exact discrete
+    * quartiles + IQR per dim. [[dimRanges]]' min/max calibration
+    * breaks under a single corrupted vector (one 1e30 coordinate
+    * collapses every real value into one int8 code); the
+    * (median, IQR) pair is the outlier-resistant calibration a
+    * production quantizer clips against, and the per-dim drift
+    * profile an embedding-QA report diffs across corpus versions.
+    *
+    * Fully deterministic, unlike mean/std (corpus-order float sums —
+    * engine-wide rule): float values group by BIT equality, the
+    * quartiles are exact ranks over (dim, value) counts (the G9
+    * counts plan — no per-group value buffer, a hot dim costs one
+    * sort partition of its DISTINCT values), and IQR subtracts
+    * through double — every output is rank-selected corpus data or
+    * one exact IEEE op away from it.
+    */
+  def dimRobustProfile(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    graft.operators.Medians.exactQuantilesByCounts(
+      emb.select(posexplode(col(vecCol)).as(Seq("d", "v"))),
+      keys = Seq("d"), valueCol = "v",
+      quantiles = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)))
+      .withColumn("iqr",
+        col("p75").cast("double") - col("p25").cast("double"))
+
+  /** Robust standardization against a [[dimRobustProfile]]: each
+    * coordinate becomes (v - p50) / iqr (zero-IQR dims pass 0 — a
+    * constant-valued dim carries no information to scale). Spec-gated
+    * (array-of-float transforms have no canonical hash form for the
+    * driver compare); the PROFILE (p83) carries the oracle.
+    */
+  def robustScale(emb: DataFrame, profile: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val packed = profile
+      .groupBy().agg(
+        sort_array(collect_list(struct(col("d"), col("p50")))).as("__m"),
+        sort_array(collect_list(struct(col("d"), col("iqr")))).as("__i"))
+      .select(transform(col("__m"), e => e("p50").cast("double")).as("meds"),
+        transform(col("__i"), e => e("iqr")).as("iqrs"))
+    emb.crossJoin(broadcast(packed))
+      .withColumn(vecCol,
+        zip_with(col(vecCol),
+          zip_with(col("meds"), col("iqrs"),
+            (m, i) => struct(m.as("m"), i.as("i"))),
+          (v, mi) => when(mi("i") === 0.0, lit(0.0))
+            .otherwise((v.cast("double") - mi("m")) / mi("i"))
+            .cast("float")))
+      .drop("meds", "iqrs")
+  }
+
   /** The ranges packed into two ordered arrays as a single row
     * (`los`, `his`) — the broadcastable form.
     */

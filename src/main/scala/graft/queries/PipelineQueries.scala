@@ -2956,7 +2956,39 @@ object PipelineQueries {
              |       dot / (na.nrm * nb.nrm) AS cosine
              |FROM pairs
              |JOIN norms na ON na.doc_id = doc_a
-             |JOIN norms nb ON nb.doc_id = doc_b""".stripMargin))
+             |JOIN norms nb ON nb.doc_id = doc_b""".stripMargin)),
+
+    // Per-dimension ROBUST embedding profile: exact discrete
+    // quartiles + IQR per dim (the outlier-resistant calibration
+    // min/max ranges can't give, and the drift profile embedding QA
+    // diffs). Fully deterministic — float values group by BIT
+    // equality, quantiles are exact ranks (the g09 counts plan over
+    // (dim, value)), IQR one exact double subtraction — so the hash
+    // gate needs NO float caveat at all.
+    QueryDef("p83_embedding_dim_profile",
+      (s, dir) => Quantization.dimRobustProfile(Tables.embeddings(s, dir)),
+      Some(s"""WITH x AS (
+              |  SELECT CAST(r.d AS INT) AS d,
+              |         embedding[CAST(r.d AS INT) + 1] AS v
+              |  FROM embeddings, range($EmbeddingDim) r(d)),
+              |pg AS (SELECT d, v, CAST(count(*) AS BIGINT) AS c
+              |       FROM x WHERE v IS NOT NULL GROUP BY d, v),
+              |r AS (SELECT *,
+              |        sum(c) OVER (PARTITION BY d ORDER BY v) AS cum,
+              |        sum(c) OVER (PARTITION BY d) AS n
+              |      FROM pg),
+              |q AS (SELECT d,
+              |        max(CASE WHEN cum - c <= ((n-1) * 1) // 4
+              |                  AND cum - 1 >= ((n-1) * 1) // 4 THEN v END) AS p25,
+              |        max(CASE WHEN cum - c <= ((n-1) * 1) // 2
+              |                  AND cum - 1 >= ((n-1) * 1) // 2 THEN v END) AS p50,
+              |        max(CASE WHEN cum - c <= ((n-1) * 3) // 4
+              |                  AND cum - 1 >= ((n-1) * 3) // 4 THEN v END) AS p75,
+              |        CAST(max(n) AS BIGINT) AS n_values
+              |      FROM r GROUP BY d)
+              |SELECT d, p25, p50, p75, n_values,
+              |       p75::DOUBLE - p25::DOUBLE AS iqr
+              |FROM q""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque

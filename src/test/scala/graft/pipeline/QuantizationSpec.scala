@@ -161,4 +161,41 @@ class QuantizationSpec extends SparkSpec {
     val emptyQ = Quantization.ivfPqTopK(pqCorpus, queryId = 999L, k = 5)
     assert(emptyQ.count() === 0L)
   }
+
+  test("dimRobustProfile: exact quartiles per dim; outliers cannot move them") {
+    // dim0: values 1..5 -> p25=2, p50=3, p75=4, iqr=2; dim1 constant
+    val df = emb(
+      (0L, Seq(1f, 7f)), (1L, Seq(2f, 7f)), (2L, Seq(3f, 7f)),
+      (3L, Seq(4f, 7f)), (4L, Seq(5f, 7f)))
+    val prof = Quantization.dimRobustProfile(df).collect()
+      .map(r => r.getInt(0) -> (r.getFloat(1), r.getFloat(2), r.getFloat(3),
+        r.getAs[Double]("iqr"))).toMap
+    assert(prof(0) === ((2f, 3f, 4f, 2.0)))
+    assert(prof(1) === ((7f, 7f, 7f, 0.0)))
+
+    // one corrupted vector: min/max calibration explodes, the robust
+    // profile moves by at most one rank step
+    val poisoned = df.unionByName(emb((5L, Seq(1e30f, 7f))))
+    val p2 = Quantization.dimRobustProfile(poisoned).collect()
+      .map(r => r.getInt(0) -> (r.getFloat(1), r.getFloat(2), r.getFloat(3))).toMap
+    assert(p2(0) === ((2f, 3f, 4f)))
+    val hi = Quantization.dimRanges(poisoned).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(hi(0) > 1e29, "ranges DO explode — that is the contrast")
+  }
+
+  test("robustScale: (v - median)/iqr; zero-IQR dims pass 0") {
+    val df = emb(
+      (0L, Seq(1f, 7f)), (1L, Seq(2f, 7f)), (2L, Seq(3f, 7f)),
+      (3L, Seq(4f, 7f)), (4L, Seq(5f, 7f)))
+    val prof = Quantization.dimRobustProfile(df)
+    val scaled = Quantization.robustScale(df, prof).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // dim0: median 3, iqr 2 -> 1f scales to -1, 5f to +1
+    assert(scaled(0L)(0) === -1f)
+    assert(scaled(4L)(0) === 1f)
+    assert(scaled(2L)(0) === 0f)
+    // constant dim: no information -> 0, never a division blowup
+    assert(scaled.values.forall(_(1) === 0f))
+  }
 }
