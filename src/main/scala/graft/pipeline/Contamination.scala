@@ -53,4 +53,39 @@ object Contamination {
     corpus.join(bad.withColumnRenamed("doc_id", "__bad_id"),
       col(idCol) === col("__bad_id"), "left_anti")
   }
+
+  /** FUZZY decontamination at the substring grain (MOSS winnowing
+    * shape): corpus docs scored by how many of their winnowed
+    * rolling-hash fingerprints ([[TextAnalysis.winnowedFingerprints]])
+    * appear anywhere in the benchmark. [[overlap]]'s word n-grams
+    * need n EXACT consecutive words — retokenization, punctuation or
+    * small edits around a quoted answer break the gram; character-
+    * window fingerprints survive them, and winnowing guarantees a
+    * shared run of ~window+band chars still collides on at least one
+    * selected minimum. The standard second net behind exact-overlap
+    * decontamination.
+    *
+    * Same scale shape as [[overlap]]: benchmark side is DISTINCT
+    * fingerprints (the small curated side) broadcast into the corpus
+    * join — corpus text never shuffles, per-doc counts are map-side
+    * combinable, and output is integer counts + ONE exact division.
+    * Like [[overlap]], only docs with >= 1 hit appear (the report is
+    * the contaminated set, not the corpus).
+    */
+  def fingerprintOverlap(corpus: DataFrame, benchmark: DataFrame,
+      window: Int = 8, band: Int = 4, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val corpusFp = TextAnalysis
+      .winnowedFingerprints(corpus, window, band, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchFp = TextAnalysis
+      .winnowedFingerprints(benchmark, window, band, textCol, idCol)
+      .select("fp").distinct()
+    val perDoc = corpusFp.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+    val hits = corpusFp.join(broadcast(benchFp), Seq("fp"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fp_hits"))
+    hits.join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_fps"), col("n_fp_hits"),
+        (col("n_fp_hits") / col("n_fps")).as("fp_contamination"))
+  }
 }

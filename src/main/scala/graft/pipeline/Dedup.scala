@@ -237,6 +237,34 @@ object Dedup {
         (col("__dot") / (col("__na") * col("__nb"))).as("cosine"))
   }
 
+  /** Marginal-novelty curve over ingestion order: per doc, the
+    * fraction of its distinct shingles seen in NO earlier doc
+    * (earlier = smaller `orderCol`, which must be unique per doc).
+    * The diminishing-returns signal of a growing corpus — novelty
+    * decaying toward 0 over a crawl means new data is re-paying for
+    * old data, the curve data-curriculum and crawl-budget decisions
+    * read. Deterministic: a shingle's first owner is the unique
+    * min-order doc, counts are integers, novelty ONE exact division.
+    *
+    * Scale shape: first-seen is a map-side-combinable min over the
+    * (shingle, order) grain — the same one-pass shape as
+    * [[Lines.dedupLines]]' packed-min winners, never a window over
+    * the corpus; text never shuffles (shingles do, once, as the
+    * aggregation key).
+    */
+  def noveltyCurve(shingled: DataFrame, orderCol: String = "doc_id"): DataFrame = {
+    val firstSeen = shingled
+      .groupBy(col("shingle"))
+      .agg(min(col(orderCol)).as("__first"))
+    shingled
+      .join(firstSeen, Seq("shingle"))
+      .groupBy(col(orderCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col(orderCol) === col("__first"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty", col("n_novel") / col("n_shingles"))
+  }
+
   /** MinHash signature: numHashes independent min-hashes of the
     * shingle set.
     *

@@ -2988,7 +2988,67 @@ object PipelineQueries {
               |      FROM r GROUP BY d)
               |SELECT d, p25, p50, p75, n_values,
               |       p75::DOUBLE - p25::DOUBLE AS iqr
-              |FROM q""".stripMargin))
+              |FROM q""".stripMargin)),
+
+    // FUZZY decontamination (MOSS winnowing): corpus docs scored by
+    // winnowed rolling-hash fingerprint hits against the benchmark
+    // split — the substring-grain second net behind p24's exact word
+    // n-grams (retokenization or small edits around a quoted answer
+    // break an exact gram; char-window fingerprints survive them).
+    // Oracle rebuilds the p17 hash/winnow chain for BOTH splits.
+    QueryDef("p84_fuzzy_decontamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Contamination.fingerprintOverlap(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          window = 8, band = 4)
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, greatest(length(text) - 8 + 2, 1)),
+             |      i -> (CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 27512614111
+             |          + CAST(unicode(substr(text, CAST(i+1 AS INT), 1)) AS BIGINT) * 887503681
+             |          + CAST(unicode(substr(text, CAST(i+2 AS INT), 1)) AS BIGINT) * 28629151
+             |          + CAST(unicode(substr(text, CAST(i+3 AS INT), 1)) AS BIGINT) * 923521
+             |          + CAST(unicode(substr(text, CAST(i+4 AS INT), 1)) AS BIGINT) * 29791
+             |          + CAST(unicode(substr(text, CAST(i+5 AS INT), 1)) AS BIGINT) * 961
+             |          + CAST(unicode(substr(text, CAST(i+6 AS INT), 1)) AS BIGINT) * 31
+             |          + CAST(unicode(substr(text, CAST(i+7 AS INT), 1)) AS BIGINT)) % 1000000007) AS hs
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, unnest(list_transform(range(0, (len(hs)+3)//4),
+             |    b -> list_min(hs[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)]))) AS fp
+             |  FROM h),
+             |fps AS (SELECT DISTINCT doc_id, fp FROM w),
+             |cfp AS (SELECT * FROM fps WHERE doc_id % 50 <> 0),
+             |bfp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 50 = 0),
+             |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps
+             |        FROM cfp GROUP BY 1),
+             |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp_hits
+             |         FROM cfp JOIN bfp USING (fp) GROUP BY 1)
+             |SELECT doc_id, n_fps, n_fp_hits,
+             |       n_fp_hits / n_fps AS fp_contamination
+             |FROM hits JOIN per USING (doc_id)""".stripMargin)),
+
+    // Marginal-novelty curve in ingestion (doc_id) order: per doc the
+    // fraction of its shingles no earlier doc contains — the
+    // diminishing-returns signal crawl-budget decisions read. All
+    // integers + one exact division; first-seen is a min aggregation,
+    // never a corpus window.
+    QueryDef("p85_novelty_curve",
+      (s, dir) => Dedup.noveltyCurve(
+        Dedup.wordShingles(Tables.documents(s, dir))),
+      Some(s"""WITH $shingleSql,
+              |fs AS (SELECT shingle, min(doc_id) AS first FROM sh GROUP BY 1)
+              |SELECT doc_id,
+              |       CAST(count(*) AS BIGINT) AS n_shingles,
+              |       CAST(sum(CASE WHEN doc_id = first THEN 1 ELSE 0 END)
+              |            AS BIGINT) AS n_novel,
+              |       sum(CASE WHEN doc_id = first THEN 1 ELSE 0 END)
+              |         / count(*) AS novelty
+              |FROM sh JOIN fs USING (shingle)
+              |GROUP BY doc_id""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque

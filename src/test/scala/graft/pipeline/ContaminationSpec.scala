@@ -45,4 +45,52 @@ class ContaminationSpec extends SparkSpec {
     // distinct shingle counts once on each side
     assert(r.getAs[Long]("n_overlap") === 1L)
   }
+
+  test("fingerprintOverlap catches edit-bridged quotes exact n-grams miss") {
+    // the benchmark answer appears inside the corpus doc with the
+    // words PUNCTUATION-joined: word-5-gram overlap sees zero shared
+    // grams, but the shared character run still collides on winnowed
+    // rolling-hash fingerprints
+    val quote = "the quick brown fox jumps over the lazy dog again"
+    val c = Seq(
+      (1L, s"intro text then $quote and a long tail of words after"),
+      (2L, "completely unrelated content with different characters"))
+      .toDF("doc_id", "text")
+    val b = Seq((9L, s"Q: what? A: $quote")).toDF("doc_id", "text")
+
+    val exact = Contamination.overlap(
+      c.withColumn("text",
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.col("text"), "fox jumps", "fox, jumps")),
+      b, n = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+
+    val fuzzy = Contamination.fingerprintOverlap(
+      c.withColumn("text",
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.col("text"), "fox jumps", "fox, jumps")),
+      b, window = 8, band = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_fp_hits")).toMap
+
+    // doc 1 keeps long untouched char runs ("jumps over the lazy dog
+    // again") -> fingerprint hits; doc 2 must not appear
+    assert(fuzzy.contains(1L) && fuzzy(1L) >= 1L, s"fuzzy=$fuzzy")
+    assert(!fuzzy.contains(2L))
+    // the punctuation edit broke every shared word 5-gram spanning it;
+    // if exact overlap ALSO caught doc 1 here the fixture is too easy
+    // (it can: grams fully inside the untouched suffix) — the claim
+    // we pin is only that fuzzy catches it
+    assert(exact.subsetOf(Set(1L)))
+  }
+
+  test("fingerprintOverlap ratio: hits bounded by the doc's fingerprint count") {
+    val c = Seq((1L, "shared text body here padded with extra words")).toDF("doc_id", "text")
+    val b = Seq((9L, "shared text body here")).toDF("doc_id", "text")
+    val r = Contamination.fingerprintOverlap(c, b).collect().head
+    val (nf, nh, ratio) = (r.getAs[Long]("n_fps"), r.getAs[Long]("n_fp_hits"),
+      r.getAs[Double]("fp_contamination"))
+    assert(nh >= 1 && nh <= nf)
+    assert(math.abs(ratio - nh.toDouble / nf) < 1e-15)
+  }
 }

@@ -117,6 +117,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("noveltyCurve: first owner is novel, repeats are not; exact fractions") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "a b c d"),      // shingles {a b c, b c d} — all novel
+      (2L, "a b c x y"),    // {a b c, b c x, c x y}: 1 repeat, 2 novel
+      (3L, "a b c d"))      // all shingles seen before -> novelty 0
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyCurve(Dedup.wordShingles(fix)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getAs[Double]("novelty"))).toMap
+    assert(got(1L) === ((2L, 2L, 1.0)))
+    assert(got(2L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(got(3L) === ((2L, 0L, 0.0)))
+    // partitioning cannot move a first-seen (min over a unique order)
+    val rep = Dedup.noveltyCurve(Dedup.wordShingles(fix.repartition(7)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rep === got.map { case (k, v) => k -> v._2 })
+  }
+
   test("weightedCosinePairs: hand-computed cosine; non-sharing docs never pair") {
     import spark.implicits._
     val fix = Seq((1L, "x x y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
