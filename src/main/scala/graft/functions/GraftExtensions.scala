@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       GraftFunctions.nfcNormalizeInfo,
       GraftFunctions.nfcNormalizeBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("reservoir_keys"),
+      GraftFunctions.reservoirKeysInfo,
+      GraftFunctions.reservoirKeysBuilder))
   }
 }
 
@@ -126,6 +130,16 @@ object GraftFunctions {
       NfcNormalize(children.head)
     }
 
+  private[functions] val reservoirKeysInfo =
+    new ExpressionInfo(classOf[ReservoirKeys].getName, null, "reservoir_keys")
+
+  private[functions] val reservoirKeysBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 3,
+        s"reservoir_keys expects 3 arguments, got ${children.length}")
+      ReservoirKeys(children.head, children(1), children(2))
+    }
+
   /** Register on an already-built session (no withExtensions hook). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
@@ -142,5 +156,7 @@ object GraftFunctions {
       spark, "hyper_log_log", hyperLogLogInfo, hyperLogLogBuilder)
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
       spark, "nfc_normalize", nfcNormalizeInfo, nfcNormalizeBuilder)
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "reservoir_keys", reservoirKeysInfo, reservoirKeysBuilder)
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, TernaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -349,6 +349,128 @@ case class HyperLogLog(
     copy(child = newLeft, pExpr = newRight)
 }
 
+/** `reservoir_keys(rank, key, k)` — the k keys with the SMALLEST
+  * (rank, key) pairs of a group, emitted in that order: the bounded
+  * deterministic reservoir behind fixed-size sampling.
+  *
+  * Why a custom aggregate: the declarative fixed-k-per-stratum shape
+  * ([[graft.pipeline.Sampling.fixedSizeStratified]]) is a stratum-
+  * keyed window — it shuffles EVERY row of every stratum and sorts
+  * the whole stratum just to keep k of them; a hot stratum ("half
+  * the corpus is English") is one giant sort partition. Here the
+  * state is a bounded k-pair sorted set: map-side partials keep at
+  * most k (rank, key) pairs per stratum, the exchange moves
+  * O(strata × k), and merge is a bounded union — the reservoir form
+  * that survives a 100 TB stratum. Determinism is inherited from the
+  * rank being the md5 variate's RAW 32-bit integer (scaling to
+  * [0, 1) divides by a constant — order-preserving — so the kept set
+  * equals the window formulation's exactly).
+  *
+  * Ties: (rank, key) pairs are totally ordered with the key as
+  * tiebreak, same contract as the window's `ORDER BY u, key`. Null
+  * ranks/keys are skipped. An all-null group yields an empty array.
+  */
+case class ReservoirKeys(
+    rankExpr: Expression,
+    keyExpr: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]]
+    with TernaryLike[Expression] {
+
+  def this(rankExpr: Expression, keyExpr: Expression, kExpr: Expression) =
+    this(rankExpr, keyExpr, kExpr, 0, 0)
+
+  override def first: Expression = rankExpr
+  override def second: Expression = keyExpr
+  override def third: Expression = kExpr
+
+  private lazy val kOpt: Option[Int] =
+    if (!kExpr.foldable) None
+    else Option(kExpr.eval()).collect { case n: Number => n.intValue() }
+  private lazy val k: Int = kOpt.get
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "reservoir_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (rankExpr.dataType != LongType || keyExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires BIGINT (rank, key) columns, got " +
+          s"(${rankExpr.dataType.sql}, ${keyExpr.dataType.sql})")
+    else if (kOpt.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: k must be a foldable integer")
+    else if (k <= 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be positive, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Long, Long)] =
+    new java.util.TreeSet[(Long, Long)](Ordering.Tuple2[Long, Long])
+
+  private def bound(buf: java.util.TreeSet[(Long, Long)],
+      pair: (Long, Long)): Unit = {
+    if (buf.size < k) { buf.add(pair); () }
+    else if (Ordering.Tuple2[Long, Long].lt(pair, buf.last)) {
+      buf.add(pair); if (buf.size > k) buf.pollLast(); ()
+    }
+  }
+
+  override def update(
+      buf: java.util.TreeSet[(Long, Long)],
+      input: InternalRow): java.util.TreeSet[(Long, Long)] = {
+    val r = rankExpr.eval(input)
+    val key = keyExpr.eval(input)
+    if (r != null && key != null)
+      bound(buf, (r.asInstanceOf[Long], key.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[(Long, Long)],
+      other: java.util.TreeSet[(Long, Long)]): java.util.TreeSet[(Long, Long)] = {
+    val it = other.iterator()
+    while (it.hasNext) bound(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[(Long, Long)]): Any = {
+    val arr = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { arr(i) = it.next()._2; i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Long, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val (r, key) = it.next(); bb.putLong(r); bb.putLong(key) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Long, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add((bb.getLong, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ReservoirKeys =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ReservoirKeys =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): ReservoirKeys =
+    copy(rankExpr = newFirst, keyExpr = newSecond, kExpr = newThird)
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.functions._
 
@@ -359,6 +481,15 @@ object SketchFunctions {
   def kminValues(hash: Column, k: Int): Column =
     ColumnBridge.column(KMinValues(
       ColumnBridge.expression(hash),
+      ColumnBridge.expression(lit(k))).toAggregateExpression())
+
+  /** Column-level `reservoir_keys(rank, key, k)`: the k keys with the
+    * smallest (rank, key) pairs, in that order.
+    */
+  def reservoirKeys(rank: Column, key: Column, k: Int): Column =
+    ColumnBridge.column(ReservoirKeys(
+      ColumnBridge.expression(rank),
+      ColumnBridge.expression(key),
       ColumnBridge.expression(lit(k))).toAggregateExpression())
 
   /** KMV cardinality estimate from a `kminValues(_, k)` array:

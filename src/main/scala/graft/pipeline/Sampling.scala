@@ -204,6 +204,36 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** [[fixedSizeStratified]]'s output via the native bounded-state
+    * reservoir aggregate ([[graft.functions.ReservoirKeys]]) instead
+    * of the stratum-keyed window: map-side partials keep at most k
+    * (variate, key) pairs per stratum, the exchange moves
+    * O(strata × k), and merge is a bounded union — where the window
+    * shuffles and sorts EVERY row of every stratum. Same kept set
+    * exactly: the aggregate ranks by the raw 32-bit md5 integer, and
+    * the window's u = h/2^32 scaling is order-preserving. Use this
+    * form when a stratum can be a large corpus fraction (the window's
+    * hot-stratum sort partition is the 100 TB failure mode its own
+    * doc warns about); output is (stratum, key) — join back by key
+    * for full rows. Requires a non-null NUMERIC key (cast to long);
+    * null-keyed rows are skipped (the window form ranks them under
+    * the shared "null" variate — use it if that edge matters).
+    */
+  def fixedSizeStratifiedAgg(df: DataFrame, stratumCol: String, k: Int,
+      keyCol: String, salt: String = ""): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val kc = col(keyCol).cast("string")
+    val encoded = concat(
+      coalesce(concat(length(kc).cast("string"), lit(":"), kc), lit("null")),
+      lit("/" + salt))
+    val h = conv(substring(md5(encoded), 1, 8), 16, 10).cast("long")
+    df.select(col(stratumCol), h.as("__h"), col(keyCol).cast("long").as("__k"))
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.SketchFunctions
+        .reservoirKeys(col("__h"), col("__k"), k).as("__keys"))
+      .select(col(stratumCol), explode(col("__keys")).as(keyCol))
+  }
+
   /** Deterministic per-epoch global shuffle: `epoch_rank` = the
     * row's 1-based position in epoch `epoch`'s training order. The
     * order is the md5 variate keyed by (key, "salt/epoch") — every

@@ -3048,7 +3048,29 @@ object PipelineQueries {
               |       sum(CASE WHEN doc_id = first THEN 1 ELSE 0 END)
               |         / count(*) AS novelty
               |FROM sh JOIN fs USING (shingle)
-              |GROUP BY doc_id""".stripMargin))
+              |GROUP BY doc_id""".stripMargin)),
+
+    // Fixed-size reservoir via the NATIVE bounded-state aggregate
+    // (reservoir_keys): p40's kept-set semantics (k smallest md5
+    // variates per stratum, key tiebreak) but O(strata × k) on the
+    // wire instead of a stratum-wide window sort — the hot-stratum
+    // scale path. The oracle is the window formulation in SQL: if the
+    // aggregate drops, duplicates or mis-orders even one key, the
+    // hash breaks.
+    QueryDef("p86_reservoir_sample",
+      (s, dir) => Sampling.fixedSizeStratifiedAgg(
+        Tables.documents(s, dir), stratumCol = "source", k = 12,
+        keyCol = "doc_id", salt = "eval2"),
+      Some("""WITH u AS (SELECT doc_id, source,
+             |  ('0x' || substr(md5(
+             |     CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |     || ':' || CAST(doc_id AS VARCHAR) || '/eval2'), 1, 8))::BIGINT
+             |   AS h
+             |  FROM documents),
+             |r AS (SELECT *, row_number() OVER (
+             |        PARTITION BY source ORDER BY h, doc_id) AS rn
+             |      FROM u)
+             |SELECT source, doc_id FROM r WHERE rn <= 12""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque

@@ -478,6 +478,24 @@ class PlanSpec extends SparkSpec {
       s"pairing degraded to a cartesian product:\n$plan")
   }
 
+  test("reservoir sampler: partial aggregation before the exchange (O(k) partials)") {
+    // the native reservoir must plan partial -> exchange -> final:
+    // at most k (rank, key) pairs per stratum cross the wire, where
+    // the window formulation ships and sorts the whole stratum
+    val docs = Tables.documents(spark, dir)
+    val q = pipeline.Sampling.fixedSizeStratifiedAgg(
+      docs, stratumCol = "source", k = 5, keyCol = "doc_id")
+    q.write.mode("overwrite").format("noop").save()
+    val plan = q.queryExecution.executedPlan.toString
+    val partialIdx = plan.indexOf("partial_reservoir_keys")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0, s"no partial aggregation:\n$plan")
+    assert(exchangeIdx >= 0, s"no hash exchange:\n$plan")
+    assert(partialIdx > exchangeIdx,
+      s"partial reservoir_keys should sit below the exchange:\n$plan")
+    assert(!plan.contains("Window"), s"window crept back in:\n$plan")
+  }
+
   test("DSIR weights: no shuffle carries text or feature strings; deltas broadcast") {
     // the first exchange must already be at the (doc_id, bucket) long
     // grain — feature strings live only inside the narrow explode→hash

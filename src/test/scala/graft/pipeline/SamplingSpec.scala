@@ -12,6 +12,41 @@ class SamplingSpec extends SparkSpec {
     (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"))
     .toDF("doc_id", "lang")
 
+  test("fixedSizeStratifiedAgg == window formulation; partition-invariant; SQL-registered") {
+    val docs = (0L until 2000L).map(i =>
+      (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaAgg = kept(Sampling.fixedSizeStratifiedAgg(
+      docs, "lang", k = 15, keyCol = "doc_id", salt = "s1")
+      .select(col("lang"), col("doc_id")))
+    val viaWindow = Sampling.fixedSizeStratified(
+      docs, "lang", k = 15, keyCol = "doc_id", salt = "s1")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(viaAgg === viaWindow, "aggregate and window forms must agree exactly")
+    assert(viaAgg.groupBy(_._1).forall(_._2.size == 15))
+    // bounded-state merge across partitionings cannot change the set
+    val repart = kept(Sampling.fixedSizeStratifiedAgg(
+      docs.repartition(17), "lang", k = 15, keyCol = "doc_id", salt = "s1")
+      .select(col("lang"), col("doc_id")))
+    assert(repart === viaAgg)
+    // whole small strata pass through (k larger than the stratum)
+    val small = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "lang")
+    assert(Sampling.fixedSizeStratifiedAgg(small, "lang", 15, "doc_id")
+      .count() === 2L)
+    // SQL surface: same aggregate through the registered function
+    docs.createOrReplaceTempView("rsv_docs")
+    val viaSql = spark.sql(
+      """SELECT lang, explode(reservoir_keys(
+        |  CAST(conv(substring(md5(concat(length(CAST(doc_id AS STRING)),
+        |    ':', CAST(doc_id AS STRING), '/s1')), 1, 8), 16, 10) AS BIGINT),
+        |  doc_id, 15)) AS doc_id
+        |FROM rsv_docs GROUP BY lang""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaSql === viaAgg)
+  }
+
   test("epochShuffle: a reproducible permutation per epoch; epochs differ") {
     val docs = corpus.select(col("doc_id"))
     val e1 = Sampling.epochShuffle(docs, epoch = 1, keyCol = "doc_id")
