@@ -130,6 +130,44 @@ object PipelineQueries {
     */
   private def lshIndexPath = s"$artifactRoot/lsh_index_p19"
 
+  /** The even-half-indexed / odd-half-deduped verdict oracle, shared
+    * VERBATIM by the batch gate (p19) and its streaming twin (st17):
+    * identical semantics by construction — index-wins and batch-blind
+    * verdicts are a pure per-row function of (doc, index), so
+    * micro-batching cannot change the union. Both sides' signatures,
+    * the cross-side candidates and the verified jaccard recomputed
+    * from scratch in SQL.
+    */
+  private[queries] def indexNeardupsOracleSql: String =
+    s"""WITH $shingleSql,
+       |hv AS (SELECT doc_id,
+       |              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
+       |              ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hb
+       |       FROM sh),
+       |mh AS (SELECT doc_id, i, min(ha + i * hb) AS mv
+       |       FROM hv CROSS JOIN (SELECT unnest(range(16)) AS i) idx
+       |       GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 4 AS band,
+       |                 md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bucket
+       |          FROM mh GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT nw.doc_id AS doc_new, od.doc_id AS doc_old
+       |         FROM bands nw JOIN bands od
+       |           ON nw.band = od.band AND nw.bucket = od.bucket
+       |         WHERE nw.doc_id % 2 = 1 AND od.doc_id % 2 = 0),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
+       |          FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.doc_new, c.doc_old, CAST(count(*) AS BIGINT) AS common
+       |           FROM cand c
+       |           JOIN sh a ON a.doc_id = c.doc_new
+       |           JOIN sh b ON b.doc_id = c.doc_old AND b.shingle = a.shingle
+       |           GROUP BY c.doc_new, c.doc_old)
+       |SELECT doc_new, doc_old,
+       |       common / (sn.set_size + so.set_size - common) AS jaccard
+       |FROM common
+       |JOIN sizes sn ON sn.doc_id = doc_new
+       |JOIN sizes so ON so.doc_id = doc_old
+       |WHERE common / (sn.set_size + so.set_size - common) >= 0.8""".stripMargin
+
   /** Artifact path for the p53 delta-dedup LSH index (same per-run
     * contract as [[bpeVocabPath]]).
     */
@@ -413,34 +451,7 @@ object PipelineQueries {
         Dedup.nearDupsAgainstIndex(
           docs.where(col("doc_id") % 2 === 1), lshIndexPath, threshold = 0.8)
       },
-      Some(s"""WITH $shingleSql,
-              |hv AS (SELECT doc_id,
-              |              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
-              |              ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hb
-              |       FROM sh),
-              |mh AS (SELECT doc_id, i, min(ha + i * hb) AS mv
-              |       FROM hv CROSS JOIN (SELECT unnest(range(16)) AS i) idx
-              |       GROUP BY doc_id, i),
-              |bands AS (SELECT doc_id, i // 4 AS band,
-              |                 md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bucket
-              |          FROM mh GROUP BY doc_id, i // 4),
-              |cand AS (SELECT DISTINCT nw.doc_id AS doc_new, od.doc_id AS doc_old
-              |         FROM bands nw JOIN bands od
-              |           ON nw.band = od.band AND nw.bucket = od.bucket
-              |         WHERE nw.doc_id % 2 = 1 AND od.doc_id % 2 = 0),
-              |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
-              |          FROM sh GROUP BY doc_id),
-              |common AS (SELECT c.doc_new, c.doc_old, CAST(count(*) AS BIGINT) AS common
-              |           FROM cand c
-              |           JOIN sh a ON a.doc_id = c.doc_new
-              |           JOIN sh b ON b.doc_id = c.doc_old AND b.shingle = a.shingle
-              |           GROUP BY c.doc_new, c.doc_old)
-              |SELECT doc_new, doc_old,
-              |       common / (sn.set_size + so.set_size - common) AS jaccard
-              |FROM common
-              |JOIN sizes sn ON sn.doc_id = doc_new
-              |JOIN sizes so ON so.doc_id = doc_old
-              |WHERE common / (sn.set_size + so.set_size - common) >= 0.8""".stripMargin)),
+      Some(indexNeardupsOracleSql)),
 
     // Materialized INCREMENTAL IVF index: build from the even half of
     // the corpus, append the odd half as a maintenance batch, then

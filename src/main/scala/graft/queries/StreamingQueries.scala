@@ -1335,11 +1335,73 @@ object StreamingQueries {
            | AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
            |WHERE v.event_type = 'view'""".stripMargin))
 
+  /** Gate side-artifact root — same per-run isolation contract as
+    * [[PipelineQueries]]' (Verify pins `graft.artifact.dir` to a
+    * sibling of the output dir before anything runs).
+    */
+  private def artifactRoot: String =
+    sys.props.getOrElse("graft.artifact.dir", "/tmp/graft_artifacts")
+
+  /** st17: ONLINE ingest dedup against the materialized LSH index —
+    * the streaming face of the p19 loop
+    * ([[graft.streaming.StreamingIndexDedup]]): even half indexed
+    * offline, the odd half REPLAYED AS A MULTI-BATCH STREAM (two
+    * staged files, maxFilesPerTrigger=1) with each micro-batch
+    * judged via foreachBatch against the static band/shingle tables.
+    * Index-wins + batch-blind verdicts are a pure per-row function
+    * of (doc, index), so the appended union must hash-match p19's
+    * one-shot oracle EXACTLY — micro-batching is output-invisible,
+    * which is precisely the property that makes the online loop
+    * trustworthy.
+    */
+  private def streamingIndexDedup: QueryDef = QueryDef(
+    "st17_streaming_index_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      val docs = Tables.documents(s, dir)
+      val indexPath = s"$artifactRoot/lsh_index_st17"
+      graft.pipeline.Dedup.writeLshIndex(
+        docs.where(col("doc_id") % 2 === 0), indexPath)
+
+      val odd = docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+      val schema = odd.schema
+      val dirP = scratch("st17")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      val out = dirP.resolve("out").toString
+      // two files -> two genuine micro-batches under maxFilesPerTrigger
+      odd.where(col("doc_id") % 4 === 1).coalesce(1).write.parquet(stage)
+      odd.where(col("doc_id") % 4 === 3).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val q = graft.streaming.StreamingIndexDedup.verdictWriter(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(stage),
+        indexPath, out, threshold = 0.8)
+        .option("checkpointLocation", ckpt).start()
+      try q.awaitTermination() finally q.stop()
+      val result =
+        try s.read.parquet(out).select("doc_new", "doc_old", "jaccard")
+        catch { case _: Throwable =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("doc_new", LongType),
+              StructField("doc_old", LongType),
+              StructField("jaccard", DoubleType))))
+        }
+      // materialize BEFORE the scratch dir disappears
+      val rows = result.collect()
+      deleteRecursively(dirP)
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq), result.schema)
+    },
+    Some(PipelineQueries.indexNeardupsOracleSql))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
       streamingCorpusStats, streamingKmv, streamingCms,
       streamingCurateDeterministic, streamingIntervalJoin, streamingHll,
       streamingSessionWindow, streamingHopping, streamingStreamStatic,
-      streamingIntervalJoinOuter)
+      streamingIntervalJoinOuter, streamingIndexDedup)
 }
