@@ -47,4 +47,32 @@ object Snapshots {
           .when(col("__fp_old") =!= col("__fp_cur"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** The diff rolled up into a RELEASE-NOTE composition card: per
+    * (status, stratum) doc and token counts — "this crawl added 1.2M
+    * docs / 900M tokens of src_news, removed 40k of src_forum, edited
+    * ..." — the versioning report a dataset release ships next to the
+    * [[Reporting.dataCard]]. Rows describe the CURRENT snapshot's
+    * content for added/changed/unchanged and the OLD snapshot's for
+    * removed (the only side that still has those docs).
+    *
+    * Scale shape: [[diff]]'s id-grain hash join + one id-grain
+    * attribute join + a (status, stratum)-grain aggregation — text
+    * reduces to token counts in the scan, never shuffles.
+    */
+  def diffCard(old: DataFrame, cur: DataFrame, stratumCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val statuses = diff(old, cur, idCol, Seq(textCol))
+    def attrs(df: DataFrame) = df.select(
+      col(idCol), col(stratumCol),
+      TextAnalysis.tokenCount(col(textCol)).as("__nt"))
+    // current rows for every id the current snapshot has; old rows
+    // only for ids that vanished (anti-join) — exactly one attribute
+    // row per diffed id
+    val side = attrs(cur).unionByName(
+      attrs(old).join(cur.select(col(idCol)), Seq(idCol), "left_anti"))
+    statuses.join(side, Seq(idCol))
+      .groupBy(col("status"), col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+  }
 }

@@ -470,7 +470,34 @@ object EventQueries {
              |FROM agg""".stripMargin))
   }
 
+  /** Cohort retention matrix over the events stream: users grouped by
+    * first-active day, each cohort's distinct actives per day offset,
+    * with the cohort size and ONE exact division per cell. Oracle
+    * re-derives the (user, day) grain, cohort mins, matrix counts and
+    * offset-0 sizes in SQL.
+    */
+  private def cohortRetention: QueryDef = QueryDef(
+    "p88_cohort_retention",
+    (s, dir) => graft.operators.Cohorts.retention(Tables.events(s, dir)),
+    Some("""WITH days AS (
+           |  SELECT DISTINCT user_id AS u,
+           |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |coh AS (SELECT u, min(day) AS cohort_day FROM days GROUP BY 1),
+           |cells AS (SELECT cohort_day,
+           |                 CAST(date_diff('day', cohort_day, day) AS INT)
+           |                   AS day_offset,
+           |                 CAST(count(DISTINCT u) AS BIGINT) AS n_active
+           |          FROM days JOIN coh USING (u)
+           |          GROUP BY 1, 2),
+           |sizes AS (SELECT cohort_day, n_active AS n_cohort
+           |          FROM cells WHERE day_offset = 0)
+           |SELECT cohort_day, day_offset, n_active, n_cohort,
+           |       n_active / n_cohort AS retention
+           |FROM cells JOIN sizes USING (cohort_day)""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(asofAttribution, sessionize, zorderValues, funnel, bloomSemijoin,
-      rangeJoin, histogram, asofForward, hllUsers, hllMergeGate)
+      rangeJoin, histogram, asofForward, hllUsers, hllMergeGate,
+      cohortRetention)
 }

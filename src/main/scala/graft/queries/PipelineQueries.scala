@@ -3081,7 +3081,52 @@ object PipelineQueries {
              |r AS (SELECT *, row_number() OVER (
              |        PARTITION BY source ORDER BY h, doc_id) AS rn
              |      FROM u)
-             |SELECT source, doc_id FROM r WHERE rn <= 12""".stripMargin))
+             |SELECT source, doc_id FROM r WHERE rn <= 12""".stripMargin)),
+
+    // Snapshot-diff composition card: the p52 diff rolled up to a
+    // release note — per (status, source) doc and token counts, rows
+    // describing the CURRENT snapshot for added/changed/unchanged and
+    // the OLD one for removed. Same two-version fixture as p52, with
+    // source carried through; all integers.
+    QueryDef("p87_diff_card",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"))
+        val v1 = docs.where(col("doc_id") % 4 =!= 3)
+        val v2 = docs.where(col("doc_id") % 4 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 6 === 1, concat(col("text"), lit(" edited")))
+              .otherwise(col("text")))
+        Snapshots.diffCard(v1, v2, stratumCol = "source")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, text, source FROM documents
+             |            WHERE doc_id % 4 <> 3),
+             |v2 AS (SELECT doc_id,
+             |              CASE WHEN doc_id % 6 = 1 THEN text || ' edited'
+             |                   ELSE text END AS text,
+             |              source
+             |       FROM documents WHERE doc_id % 4 <> 0),
+             |st AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             |              CASE WHEN a.doc_id IS NULL THEN 'added'
+             |                   WHEN b.doc_id IS NULL THEN 'removed'
+             |                   WHEN a.text <> b.text THEN 'changed'
+             |                   ELSE 'unchanged' END AS status
+             |       FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+             |side AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              t -> t <> '')) AS BIGINT) AS nt
+             |  FROM v2
+             |  UNION ALL
+             |  SELECT doc_id, source,
+             |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              t -> t <> '')) AS BIGINT) AS nt
+             |  FROM v1 WHERE doc_id NOT IN (SELECT doc_id FROM v2))
+             |SELECT status, source,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(nt) AS BIGINT) AS n_tokens
+             |FROM st JOIN side USING (doc_id)
+             |GROUP BY status, source""".stripMargin))
   )
 
   /** documents -> media rows: the text bytes stand in for an opaque

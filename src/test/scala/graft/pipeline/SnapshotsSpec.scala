@@ -50,4 +50,26 @@ class SnapshotsSpec extends SparkSpec {
     assert(a === b)
     assert(a.size === 700)
   }
+
+  test("diffCard: per-(status, stratum) counts; removed rows read the OLD side") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "a b c", "s1"),       // unchanged
+      (2L, "d e", "s1"),         // changed (2 -> 3 tokens in cur)
+      (3L, "x y z w", "s2"))     // removed: 4 tokens, counted from OLD
+      .toDF("doc_id", "text", "source")
+    val cur = Seq(
+      (1L, "a b c", "s1"),
+      (2L, "d e f", "s1"),
+      (4L, "new doc", "s2"))     // added
+      .toDF("doc_id", "text", "source")
+    val card = Snapshots.diffCard(old, cur, stratumCol = "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(card(("unchanged", "s1")) === ((1L, 3L)))
+    assert(card(("changed", "s1")) === ((1L, 3L))) // CURRENT tokens
+    assert(card(("removed", "s2")) === ((1L, 4L))) // OLD tokens
+    assert(card(("added", "s2")) === ((1L, 2L)))
+    assert(card.size === 4)
+  }
 }
