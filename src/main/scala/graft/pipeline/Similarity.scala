@@ -709,6 +709,65 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Contrastive training-PAIR assembly — the export stage the miners
+    * feed: per anchor query, its HARDEST POSITIVE (the least similar
+    * same-label vector — the positive that actually stretches the
+    * embedding space; trivially-close positives teach nothing) and
+    * the [[hardNegatives]] top-k, flattened to one row per
+    * (anchor, negative) with the positive carried alongside — the
+    * (anchor, positive, negative) triplet a contrastive loader
+    * consumes directly.
+    *
+    * One corpus pass scores BOTH roles: candidates are corpus ×
+    * broadcast-anchors, each window's label predicate sits below its
+    * rank (positives never compete with negatives for slots and vice
+    * versa), and the same `maxCos` false-negative ceiling guards the
+    * negative side. Anchors with NO qualifying positive (singleton
+    * labels) or no qualifying negative drop — a pair row without both
+    * sides is untrainable. Rank ties break by ascending id (the
+    * engine-wide window contract).
+    */
+  def contrastivePairs(emb: DataFrame, queries: DataFrame, kNeg: Int,
+      maxCos: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", qidCol: String = "query_id",
+      qvecCol: String = "query_vec", qlabelCol: String = "query_label"): DataFrame = {
+    val cands = emb
+      .crossJoin(broadcast(
+        queries.select(col(qidCol), col(qvecCol), col(qlabelCol))))
+      .where(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol), col(labelCol), col(qlabelCol),
+        rankCosine(col(vecCol), col(qvecCol)).as("cosine"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("cosine").asc, col(idCol).asc)
+    val pos = cands
+      .where(col(labelCol) === col(qlabelCol))
+      // the zero-norm guard scores malformed vectors -Infinity; under
+      // the ASCENDING positive rank that would make a broken vector
+      // the "hardest positive" — exclude it (the negative side's
+      // DESCENDING rank already buries it)
+      .where(col("cosine") =!= lit(Double.NegativeInfinity))
+      .withColumn("__r", row_number().over(wPos))
+      .where(col("__r") === 1)
+      .select(col(qidCol), col(idCol).as("pos_id"),
+        col("cosine").as("pos_cosine"))
+    val wNeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    val neg = cands
+      .where(col(labelCol) =!= col(qlabelCol) && col("cosine") <= maxCos)
+      .withColumn("neg_rank", row_number().over(wNeg))
+      .where(col("neg_rank") <= kNeg)
+      .select(col(qidCol), col(idCol).as("neg_id"),
+        col(labelCol).as("neg_label"), col("cosine").as("neg_cosine"),
+        col("neg_rank"))
+    neg.join(pos, Seq(qidCol))
+      .select(col(qidCol), col("pos_id"), col("pos_cosine"),
+        col("neg_id"), col("neg_label"), col("neg_cosine"), col("neg_rank"))
+  }
+
   /** Batched IVF top-k: every query row's IVF-probed top-k in one
     * pass, fully distributed — unlike [[ivfTopKWith]] (whose per-query
     * driver probe selection serves the point-lookup path), the probe

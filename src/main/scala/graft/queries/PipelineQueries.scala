@@ -2610,6 +2610,46 @@ object PipelineQueries {
               |       CAST(rn AS BIGINT) AS rank
               |FROM scored WHERE rn <= 10""".stripMargin)),
 
+    // Contrastive training-pair assembly: per anchor, the hardest
+    // positive (LEAST similar same-label — the one that stretches the
+    // space) + the p71 hard negatives, flattened to loader-ready
+    // (anchor, positive, negative) rows. The oracle scores both roles
+    // from the same cross join and re-derives both windows.
+    QueryDef("p89_contrastive_pairs",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"), col("label").as("query_label"))
+        Similarity.contrastivePairs(emb, queries, kNeg = 5, maxCos = 0.35)
+          .withColumn("neg_rank", col("neg_rank").cast("long"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              |           FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, label AS qlab, v AS qv
+              |      FROM e WHERE vec_id % 50 = 0),
+              |scored AS (
+              |  SELECT q.query_id, q.qlab, e.vec_id, e.label,
+              |         ${cosineSql("e.v", "q.qv")} AS cosine
+              |  FROM e CROSS JOIN q
+              |  WHERE e.vec_id <> q.query_id),
+              |pos AS (
+              |  SELECT query_id, vec_id AS pos_id, cosine AS pos_cosine
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              |                    ORDER BY cosine ASC, vec_id ASC) AS rn
+              |        FROM scored WHERE label = qlab)
+              |  WHERE rn = 1),
+              |neg AS (
+              |  SELECT query_id, vec_id AS neg_id, label AS neg_label,
+              |         cosine AS neg_cosine, CAST(rn AS BIGINT) AS neg_rank
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              |                    ORDER BY cosine DESC, vec_id ASC) AS rn
+              |        FROM scored WHERE label <> qlab AND cosine <= 0.35)
+              |  WHERE rn <= 5)
+              |SELECT query_id, pos_id, pos_cosine,
+              |       neg_id, neg_label, neg_cosine, neg_rank
+              |FROM neg JOIN pos USING (query_id)""".stripMargin)),
+
     // Incremental SemDeDup against a MATERIALIZED IVF index: the even
     // half of embeddings is indexed once (p20's artifact layout), the
     // odd half arrives as the "new batch" and is judged cell-by-cell

@@ -60,4 +60,32 @@ class HardNegativesSpec extends SparkSpec {
       bits = Some(bits), probes = 1 + bits).collect()
     assert(full.length >= pruned.length)
   }
+
+  test("contrastivePairs: hardest positive is the LEAST similar same-label row") {
+    // exclude the mislabeled twin via the ceiling; label-0 positives
+    // for query 0 are id 1 only -> pos_id 1; negatives by desc cosine
+    val rows = Similarity.contrastivePairs(emb, queries, kNeg = 2,
+      maxCos = 0.95).orderBy("neg_rank").collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[Long]("pos_id") == 1L))
+    assert(rows.map(_.getAs[Long]("neg_id")).toSeq === Seq(2L, 3L))
+    assert(rows.map(_.getAs[Int]("neg_rank")).toSeq === Seq(1, 2))
+    // with two same-label candidates the FARTHER one is the positive
+    val emb2 = emb.unionByName(
+      Seq((5L, Array(0.9f, 0.44f, 0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val pos2 = Similarity.contrastivePairs(emb2, queries, kNeg = 1,
+      maxCos = 0.95).collect().head
+    assert(pos2.getAs[Long]("pos_id") === 5L,
+      "hardest positive must be the least similar same-label vector")
+  }
+
+  test("contrastivePairs: anchors without a qualifying side drop whole") {
+    // query with a singleton label: no positive exists -> no rows
+    val lonely = emb.unionByName(
+      Seq((50L, Array(0.0f, 0.0f, 1.0f), 7)).toDF("vec_id", "embedding", "label"))
+    val qs = lonely.where(col("vec_id") === 50L)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+    assert(Similarity.contrastivePairs(lonely, qs, kNeg = 3).count() === 0L)
+  }
 }
