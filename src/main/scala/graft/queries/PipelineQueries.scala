@@ -2649,6 +2649,51 @@ object PipelineQueries {
               |SELECT query_id, pos_id, pos_cosine,
               |       neg_id, neg_label, neg_cosine, neg_rank
               |FROM neg JOIN pos USING (query_id)""".stripMargin)),
+    // Canonical (NFC-aware) dedup composition - WHY p80 exists: every
+    // doc gains an encoding-mangled twin (decomposed accent + BEL +
+    // doubled spaces vs the composed form on the original), and exact
+    // dedup over fingerprint(cleanText(text)) must reunite each pair
+    // under the original as keeper. Without the NFC step the two
+    // encodings hash apart and every twin survives - the silent
+    // dedup-miss this chain closes. Oracle: DuckDB nfc_normalize +
+    // the same clean/fingerprint/min-keeper chain.
+    QueryDef("p90_canonical_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val composedSide = docs.select(col("doc_id"),
+          concat(col("text"), lit(" caf\u00e9")).as("text"))
+        val decomposedSide = docs.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit("  cafe\u0301\u0007")).as("text"))
+        val fps = composedSide.unionByName(decomposedSide)
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(
+              TextAnalysis.cleanText(col("text"))).as("fp"))
+        val win = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("__keeper"))
+        fps.join(win, Seq("fp"))
+          .select(col("doc_id"), col("fp"),
+            (col("doc_id") === col("__keeper")).as("keeper"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, text || ' caf' || chr(233) AS text
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |         text || '  cafe' || chr(769) || chr(7) AS text
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |             trim(regexp_replace(regexp_replace(
+             |               nfc_normalize(text),
+             |               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |               '[ \t]+', ' ', 'g')) AS clean
+             |      FROM u),
+             |fp AS (SELECT doc_id,
+             |              md5(lower(regexp_replace(trim(clean), '\s+', ' ', 'g')))
+             |                AS fp
+             |       FROM c),
+             |win AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY fp)
+             |SELECT f.doc_id, f.fp, (f.doc_id = w.keeper) AS keeper
+             |FROM fp f JOIN win w USING (fp)""".stripMargin)),
 
     // Incremental SemDeDup against a MATERIALIZED IVF index: the even
     // half of embeddings is indexed once (p20's artifact layout), the

@@ -478,6 +478,46 @@ class PlanSpec extends SparkSpec {
       s"pairing degraded to a cartesian product:\n$plan")
   }
 
+  test("fuzzy decontamination: benchmark fingerprints broadcast, text never shuffles") {
+    val docs = Tables.documents(spark, dir)
+    withNoAqe {
+      val q = pipeline.Contamination.fingerprintOverlap(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0))
+      val shuffled = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffled.nonEmpty, "expected at least one exchange")
+      shuffled.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"text flows through a shuffle:\n${e.treeString}")
+      }
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange"),
+        s"benchmark fingerprint set not broadcast:\n$plan")
+      assert(q.count() > 0)
+    }
+  }
+
+  test("novelty curve: first-seen is an aggregation, never a corpus window; text stays out of shuffles") {
+    val docs = Tables.documents(spark, dir)
+    withNoAqe {
+      val q = pipeline.Dedup.noveltyCurve(pipeline.Dedup.wordShingles(docs))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"a window crept into the first-seen plan:\n$plan")
+      val shuffled = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffled.nonEmpty, "expected at least one exchange")
+      shuffled.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"text flows through a shuffle:\n${e.treeString}")
+      }
+      assert(q.count() > 0)
+    }
+  }
+
   test("reservoir sampler: partial aggregation before the exchange (O(k) partials)") {
     // the native reservoir must plan partial -> exchange -> final:
     // at most k (rank, key) pairs per stratum cross the wire, where

@@ -88,6 +88,27 @@ class ScaleStressSpec extends SparkSpec {
     assert(got == 5, s"containment path leaked boilerplate pairs: $got")
   }
 
+  test("weightedCosinePairs: the TERM df cap bounds the pair grain the same way") {
+    // every doc shares the 30 boilerplate TOKENS (df = 2000 each); the
+    // planted near-dup pairs share their 6 rare tail tokens. Capped at
+    // 100, boilerplate cannot pair anyone — the weighted-cosine pair
+    // grain is exactly the planted pairs, never C(2000, 2)
+    val planted = 10
+    val pairs = Dedup.weightedCosinePairs(
+      pathologicalDocs(2000, planted), maxTermDf = 100).collect()
+    assert(pairs.length == planted,
+      s"expected the $planted planted pairs, got ${pairs.length}")
+    assert(pairs.forall { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      b == a + 1 && a % 2 == 0 && a < 2L * planted
+    }, s"boilerplate leaked through the term cap: ${pairs.take(5).mkString(",")}")
+    // shared-rare-mass semantics: the pair shares 5 of its 6 rare
+    // tail tokens, dot counts ONLY those, norms stay true (include
+    // the boilerplate weights) -> cosine well inside (0, 1)
+    val c = pairs.head.getAs[Double]("cosine")
+    assert(c > 0.0 && c < 1.0, s"degenerate cosine: $c")
+  }
+
   test("maxBucketSize excludes a degenerate all-zero-embedding bucket and reports it") {
     val dim = 8
     val zeros = (0 until 5000).map(i => (i.toLong, Array.fill(dim)(0.0f)))
