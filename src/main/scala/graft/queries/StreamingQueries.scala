@@ -1397,11 +1397,106 @@ object StreamingQueries {
     },
     Some(PipelineQueries.indexNeardupsOracleSql))
 
+  /** st18: ONLINE corpus-novelty monitor
+    * ([[graft.streaming.StreamingNovelty]]) — the streaming face of
+    * p85 with BOUNDED state: the corpus-so-far is a persisted Bloom
+    * filter (seeded offline from the even-id half's shingles,
+    * OR-advanced after every batch), each micro-batch's docs scored
+    * by the fraction of their shingles the filter hasn't seen. The
+    * md5 double-hash family makes even the false-positive set
+    * engine-reproducible, so the oracle rebuilds the filter BIT FOR
+    * BIT in SQL — batch 1's verdicts against the base bits, batch 2's
+    * against base ∪ batch 1 — and the streamed underestimates must
+    * hash-match exactly.
+    */
+  private def streamingNovelty: QueryDef = QueryDef(
+    "st18_streaming_novelty",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id").cast("long"), col("text").cast("string"))
+      val bloomPath = s"$artifactRoot/novelty_bloom_st18"
+      graft.functions.BloomFunctions.writeBloom(
+        graft.pipeline.Dedup.wordShingles(docs.where(col("doc_id") % 2 === 0))
+          .select(col("shingle")).distinct(),
+        "shingle", bloomPath, mWords = 2048, k = 4)
+
+      val odd = docs.where(col("doc_id") % 2 === 1)
+      val schema = odd.schema
+      val dirP = scratch("st18")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      val out = dirP.resolve("out").toString
+      odd.where(col("doc_id") % 4 === 1).coalesce(1).write.parquet(stage)
+
+      val q = graft.streaming.StreamingNovelty.noveltyWriter(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(stage),
+        bloomPath, out)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        odd.where(col("doc_id") % 4 === 3).coalesce(1)
+          .write.mode("append").parquet(stage)
+        q.processAllAvailable()
+      } finally q.stop()
+      val result =
+        try s.read.parquet(out)
+          .select("doc_id", "n_shingles", "n_novel", "novelty")
+        catch { case _: Throwable =>
+          import org.apache.spark.sql.types._
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("doc_id", LongType),
+              StructField("n_shingles", LongType),
+              StructField("n_novel", LongType),
+              StructField("novelty", DoubleType))))
+        }
+      val rows = result.collect()
+      deleteRecursively(dirP)
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq), result.schema)
+    },
+    Some(s"""WITH ${PipelineQueries.shingleSql},
+            |hv AS (SELECT doc_id, shingle,
+            |              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
+            |              ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hb
+            |       FROM sh),
+            |bits0 AS (SELECT DISTINCT (ha + i * hb) % 131072 AS pos
+            |          FROM (SELECT DISTINCT ha, hb FROM hv WHERE doc_id % 2 = 0)
+            |          CROSS JOIN (SELECT unnest(range(4)) AS i) ix),
+            |b1p AS (SELECT doc_id, shingle, (ha + i * hb) % 131072 AS pos
+            |        FROM hv CROSS JOIN (SELECT unnest(range(4)) AS i) ix
+            |        WHERE doc_id % 4 = 1),
+            |b1s AS (SELECT doc_id, shingle, count(bits0.pos) = 4 AS seen
+            |        FROM b1p LEFT JOIN bits0 ON b1p.pos = bits0.pos
+            |        GROUP BY doc_id, shingle),
+            |out1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+            |                CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT)
+            |                  AS n_novel
+            |         FROM b1s GROUP BY doc_id),
+            |bits1 AS (SELECT pos FROM bits0
+            |          UNION
+            |          SELECT DISTINCT (ha + i * hb) % 131072 AS pos
+            |          FROM (SELECT DISTINCT ha, hb FROM hv WHERE doc_id % 4 = 1)
+            |          CROSS JOIN (SELECT unnest(range(4)) AS i) ix),
+            |b2p AS (SELECT doc_id, shingle, (ha + i * hb) % 131072 AS pos
+            |        FROM hv CROSS JOIN (SELECT unnest(range(4)) AS i) ix
+            |        WHERE doc_id % 4 = 3),
+            |b2s AS (SELECT doc_id, shingle, count(bits1.pos) = 4 AS seen
+            |        FROM b2p LEFT JOIN bits1 ON b2p.pos = bits1.pos
+            |        GROUP BY doc_id, shingle),
+            |out2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+            |                CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT)
+            |                  AS n_novel
+            |         FROM b2s GROUP BY doc_id)
+            |SELECT doc_id, n_shingles, n_novel,
+            |       n_novel / n_shingles AS novelty
+            |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2)""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
       streamingCorpusStats, streamingKmv, streamingCms,
       streamingCurateDeterministic, streamingIntervalJoin, streamingHll,
       streamingSessionWindow, streamingHopping, streamingStreamStatic,
-      streamingIntervalJoinOuter, streamingIndexDedup)
+      streamingIntervalJoinOuter, streamingIndexDedup, streamingNovelty)
 }
