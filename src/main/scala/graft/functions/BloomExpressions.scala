@@ -313,9 +313,21 @@ object BloomFunctions {
     * rebuilding over the union corpus, at batch cost.
     */
   def appendToBloom(newBuild: org.apache.spark.sql.DataFrame,
-      buildKey: String, path: String): Unit = {
+      buildKey: String, path: String): Unit =
+    advanceBloom(newBuild, buildKey, path, path)
+
+  /** OR a new batch's keys into the bloom at `fromPath`, persisting
+    * the advanced filter at `toPath` (which may equal `fromPath` —
+    * the in-place [[appendToBloom]]). Distinct paths give VERSIONED
+    * advancement: `fromPath` is left untouched, so a crashed-and-
+    * replayed batch can re-derive the identical `toPath` artifact
+    * from the identical pre-batch state — the replay-idempotence the
+    * st18 streaming monitor builds on.
+    */
+  def advanceBloom(newBuild: org.apache.spark.sql.DataFrame,
+      buildKey: String, fromPath: String, toPath: String): Unit = {
     val spark = newBuild.sparkSession
-    val (existing, k) = readBloom(spark, path)
+    val (existing, k) = readBloom(spark, fromPath)
     val (bha, bhb) = md5Halves(col(buildKey))
     val fresh = newBuild
       .agg(bloomAgg(bha, bhb, existing.length, k).as("w"))
@@ -330,7 +342,7 @@ object BloomFunctions {
       merged.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
         .toDF("idx", "word")
         .withColumn("m_words", lit(existing.length)).withColumn("k", lit(k)),
-      path)
+      toPath)
   }
 
   /** Filter `probe` against a PERSISTED bloom — tomorrow's batch

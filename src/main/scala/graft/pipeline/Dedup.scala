@@ -326,16 +326,45 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
 
+  /** Band buckets holding more than `maxBucketSize` docs are
+    * EXCLUDED from the self-join (the [[graft.pipeline.Similarity]]
+    * `embeddingNearDups` cap, same shape): a bucket of n docs yields
+    * C(n,2) candidates, and while exact dedup (the documented
+    * precondition) removes identical texts, a boilerplate-heavy
+    * crawl still puts thousands of near-identical-but-not-identical
+    * docs into one band bucket — millions of pairs from a single
+    * key. The exclusion is deterministic (an oracle mirrors it with
+    * a HAVING clause); [[lshOverflowBuckets]] reports what was
+    * dropped — run it alongside for observability.
+    */
   def lshCandidatePairs(signatures: DataFrame, numHashes: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4, maxBucketSize: Int = 100000): DataFrame = {
     val buckets = bandBuckets(signatures, numHashes, rowsPerBand)
-    val l = buckets.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-    val r = buckets.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    val keepable = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucketSize)
+      .select("band", "bucket")
+    val capped = buckets.join(keepable, Seq("band", "bucket"), "left_semi")
+    val l = capped.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val r = capped.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
   }
+
+  /** The band buckets [[lshCandidatePairs]] dropped under the same
+    * parameters: (band, bucket, population) for populations >
+    * maxBucketSize. Cheap (one aggregate over the bucket rows) — log
+    * it next to every near-dup run; a non-empty result at default cap
+    * means the corpus has a boilerplate pathology upstream dedup
+    * should be handling.
+    */
+  def lshOverflowBuckets(signatures: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4, maxBucketSize: Int = 100000): DataFrame =
+    bandBuckets(signatures, numHashes, rowsPerBand)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("population"))
+      .where(col("population") > maxBucketSize)
 
   /** The LSH band buckets as a pure COLUMN expression over (id, text)
     * — array of (band, bucket) structs with NO per-doc aggregation,

@@ -215,9 +215,15 @@ object Sampling {
     * form when a stratum can be a large corpus fraction (the window's
     * hot-stratum sort partition is the 100 TB failure mode its own
     * doc warns about); output is (stratum, key) — join back by key
-    * for full rows. Requires a non-null NUMERIC key (cast to long);
-    * null-keyed rows are skipped (the window form ranks them under
-    * the shared "null" variate — use it if that edge matters).
+    * for full rows. Requires a non-null NUMERIC key (cast to long)
+    * that is UNIQUE within its stratum: the aggregate's buffer is a
+    * set of (rank, key) pairs, so duplicate keys collapse to one
+    * entry where the window form's row_number keeps each duplicate
+    * row as its own sample — under duplicate keys the agg form
+    * returns fewer than k rows and the "same kept set" equivalence
+    * no longer holds. Null-keyed rows are skipped (the window form
+    * ranks them under the shared "null" variate — use it if either
+    * edge matters).
     */
   def fixedSizeStratifiedAgg(df: DataFrame, stratumCol: String, k: Int,
       keyCol: String, salt: String = ""): DataFrame = {

@@ -705,6 +705,11 @@ object Similarity {
       .select(col(qidCol), col(idCol), col(labelCol),
         rankCosine(col(vecCol), col(qvecCol)).as("cosine"))
       .where(col("cosine") <= maxCos)
+      // zero-norm vectors score the -Infinity sentinel, which passes
+      // `<= maxCos`; the DESC rank buries them only when >= k finite
+      // negatives exist — exclude them outright so a sparse query
+      // never mines a malformed vector
+      .where(col("cosine") =!= lit(Double.NegativeInfinity))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
@@ -758,6 +763,11 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
     val neg = cands
       .where(col(labelCol) =!= col(qlabelCol) && col("cosine") <= maxCos)
+      // same zero-norm exclusion on the NEGATIVE side: the DESCENDING
+      // rank buries -Infinity only when >= kNeg finite negatives
+      // exist — a sparse query would otherwise export a malformed
+      // vector as a training negative
+      .where(col("cosine") =!= lit(Double.NegativeInfinity))
       .withColumn("neg_rank", row_number().over(wNeg))
       .where(col("neg_rank") <= kNeg)
       .select(col(qidCol), col(idCol).as("neg_id"),

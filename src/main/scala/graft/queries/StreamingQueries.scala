@@ -1414,7 +1414,12 @@ object StreamingQueries {
     (s, dir) => {
       val docs = Tables.documents(s, dir).select(
         col("doc_id").cast("long"), col("text").cast("string"))
-      val bloomPath = s"$artifactRoot/novelty_bloom_st18"
+      val dirP = scratch("st18")
+      // bloom + its .v<batchId> version chain live in the per-run
+      // scratch dir: batchIds restart at 0 with each fresh
+      // checkpoint, so a version surviving from an earlier run would
+      // wrongly claim "already advanced"
+      val bloomPath = dirP.resolve("novelty_bloom").toString
       graft.functions.BloomFunctions.writeBloom(
         graft.pipeline.Dedup.wordShingles(docs.where(col("doc_id") % 2 === 0))
           .select(col("shingle")).distinct(),
@@ -1422,7 +1427,6 @@ object StreamingQueries {
 
       val odd = docs.where(col("doc_id") % 2 === 1)
       val schema = odd.schema
-      val dirP = scratch("st18")
       val stage = dirP.resolve("input").toString
       val ckpt = dirP.resolve("ckpt").toString
       val out = dirP.resolve("out").toString

@@ -26,28 +26,50 @@ import graft.pipeline.Dedup
   * Shape: `foreachBatch` — the per-batch chain needs multi-stage
   * aggregation (signatures, candidate dedup, verification counts)
   * that no single streaming output mode expresses; each micro-batch
-  * runs the BATCH operator and appends verdicts to the sink. That is
-  * also the production deployment: checkpointed micro-batch ingest
-  * with exactly-once parquet appends per epoch.
+  * runs the BATCH operator and commits verdicts to the sink.
+  *
+  * Failure semantics: the sink commit is REPLAY-IDEMPOTENT, which
+  * with Structured Streaming's deterministic batch replay gives
+  * effectively-once output. foreachBatch alone is at-least-once — a
+  * crash between the parquet write and the checkpoint commit replays
+  * the micro-batch — so each batch `mode("overwrite")`s its OWN
+  * `batch=<id>` partition directory (the [[Dedup.writeLshIndex]]
+  * `batch=` layout) instead of blind-appending to a shared one: the
+  * replay rewrites the same partition with the same rows (verdicts
+  * are a pure function of (doc, index) and the index is static for
+  * the writer's lifetime), never duplicating. Readers take the sink
+  * root as one partitioned table.
   */
 object StreamingIndexDedup {
 
-  /** Writer that appends (doc_new, doc_old, jaccard) verdict rows to
-    * `outPath` per micro-batch. Caller sets the checkpoint location
-    * and starts it; AvailableNow + maxFilesPerTrigger replays a
-    * bounded backlog in several genuine batches.
+  /** One micro-batch, replay-idempotent: judge `batch` against the
+    * static index and overwrite this batch's sink partition. Public
+    * (not an inline lambda) so the replay property is directly
+    * spec-testable — calling it twice with the same (batch, batchId)
+    * must leave the sink row set unchanged.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      outPath: String, threshold: Double, n: Int, numHashes: Int,
+      rowsPerBand: Int): Unit = {
+    // tiny batches: skip the persist (its unpersist-on-GC churn
+    // outweighs the re-scan of an in-memory micro-batch)
+    Dedup.nearDupsAgainstIndex(batch, indexPath, threshold,
+      n, numHashes, rowsPerBand, persistShingles = false)
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+  }
+
+  /** Writer committing (doc_new, doc_old, jaccard) verdict rows to
+    * `outPath/batch=<id>` per micro-batch. Caller sets the checkpoint
+    * location and starts it; AvailableNow + maxFilesPerTrigger
+    * replays a bounded backlog in several genuine batches.
     */
   def verdictWriter(docs: DataFrame, indexPath: String, outPath: String,
       threshold: Double, n: Int = 3, numHashes: Int = 16,
       rowsPerBand: Int = 4): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // tiny batches: skip the persist (its unpersist-on-GC churn
-        // outweighs the re-scan of an in-memory micro-batch)
-        Dedup.nearDupsAgainstIndex(batch, indexPath, threshold,
-          n, numHashes, rowsPerBand, persistShingles = false)
-          .write.mode("append").parquet(outPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, indexPath, outPath,
+          threshold, n, numHashes, rowsPerBand)
       }
       .trigger(Trigger.AvailableNow())
 }

@@ -88,4 +88,33 @@ class HardNegativesSpec extends SparkSpec {
         col("embedding").as("query_vec"), col("label").as("query_label"))
     assert(Similarity.contrastivePairs(lonely, qs, kNeg = 3).count() === 0L)
   }
+
+  test("zero-norm vectors are never mined, even when finite negatives run short") {
+    // corpus: ONE finite different-label row + a malformed zero-norm
+    // row; k = 3 > finite supply, so the DESC rank alone would let
+    // the -Infinity sentinel claim a slot
+    val sparse = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.43f, 0.0f), 1),
+      (66L, Array(0.0f, 0.0f, 0.0f), 1)) // zero norm -> -Inf cosine
+      .toDF("vec_id", "embedding", "label")
+    val qs = sparse.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+
+    val negs = Similarity.hardNegatives(sparse, qs, k = 3).collect()
+    assert(negs.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L),
+      s"malformed vector mined as hard negative: ${negs.mkString(",")}")
+
+    val pairs = Similarity.contrastivePairs(
+      sparse.unionByName( // a positive so the anchor survives
+        Seq((2L, Array(0.95f, 0.31f, 0.0f), 0)).toDF("vec_id", "embedding", "label")),
+      qs, kNeg = 3).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Long]("neg_id") == 1L),
+      s"malformed vector exported as training negative: ${pairs.mkString(",")}")
+    assert(pairs.forall(r =>
+      !r.getAs[Double]("neg_cosine").isNegInfinity &&
+        !r.getAs[Double]("pos_cosine").isNegInfinity))
+  }
 }

@@ -109,6 +109,51 @@ class ScaleStressSpec extends SparkSpec {
     assert(c > 0.0 && c < 1.0, s"degenerate cosine: $c")
   }
 
+  test("lshCandidatePairs maxBucketSize: a degenerate band bucket never materializes C(n,2)") {
+    // n docs with DISTINCT texts but the SAME distinct shingle set
+    // (a 3-token cycle repeated a varying number of times): exact
+    // dedup keeps all of them, yet their minhash signatures are
+    // identical, so every band puts all n into ONE bucket — the
+    // boilerplate-crawl pathology for the banded path.
+    val n = 200
+    val planted = 5
+    val hot = (0 until n).map { i =>
+      (i.toLong, Seq.fill(2 + i)("h0 h1 h2").mkString(" "))
+    }
+    // honest pairs, same cyclic trick per pair: identical shingle
+    // sets => identical signatures => deterministic band collision
+    // (no banding-recall luck in the assertion)
+    val honest = (0 until planted).flatMap { k =>
+      Seq((1000L + 2 * k, Seq.fill(2)(s"p${k}_0 p${k}_1 p${k}_2").mkString(" ")),
+        (1000L + 2 * k + 1, Seq.fill(3)(s"p${k}_0 p${k}_1 p${k}_2").mkString(" ")))
+    }
+    val docs = (hot ++ honest).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(Dedup.wordShingles(docs, n = 3))
+
+    // fixture IS pathological: at the default (effectively uncapped
+    // here) size the hot bucket materializes all C(n,2) pairs
+    val uncapped = Dedup.lshCandidatePairs(sigs).count()
+    assert(uncapped == n.toLong * (n - 1) / 2 + planted,
+      s"fixture not pathological: uncapped pairs = $uncapped")
+
+    // capped: the hot bucket is excluded wholesale, the pair grain is
+    // exactly the planted pairs
+    val capped = Dedup.lshCandidatePairs(sigs, maxBucketSize = 50).collect()
+    assert(capped.length == planted,
+      s"expected the $planted planted pairs, got ${capped.length}")
+    assert(capped.forall { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      a >= 1000L && b == a + 1 && a % 2 == 0
+    }, s"hot-bucket pair leaked through the cap: ${capped.take(5).mkString(",")}")
+
+    // and the drop is OBSERVABLE: one overflow row per band (all 4
+    // bands collapse to one bucket of n docs)
+    val overflow = Dedup.lshOverflowBuckets(sigs, maxBucketSize = 50).collect()
+    assert(overflow.length == 4, s"expected 4 overflowing bands: ${overflow.length}")
+    assert(overflow.forall(_.getAs[Long]("population") == n.toLong),
+      s"wrong reported population: ${overflow.mkString(",")}")
+  }
+
   test("maxBucketSize excludes a degenerate all-zero-embedding bucket and reports it") {
     val dim = 8
     val zeros = (0 until 5000).map(i => (i.toLong, Array.fill(dim)(0.0f)))

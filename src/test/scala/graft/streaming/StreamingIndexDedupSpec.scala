@@ -77,4 +77,30 @@ class StreamingIndexDedupSpec extends SparkSpec {
     // the unrelated arrival matched nothing
     assert(!streamed.exists(_._1 == 7L))
   }
+
+  test("replaying a committed micro-batch leaves the sink row set unchanged") {
+    val dirP = Files.createTempDirectory("graft-st17-replay-")
+    val indexPath = dirP.resolve("index").toString
+    val out = dirP.resolve("out").toString
+    Dedup.writeLshIndex(base.toDF("doc_id", "text"), indexPath)
+
+    val batch = arrivals.toDF("doc_id", "text")
+    def run(): Unit = StreamingIndexDedup.processBatch(
+      batch, batchId = 0L, indexPath, out,
+      threshold = 0.8, n = 3, numHashes = 16, rowsPerBand = 4)
+    def sinkRows(): Seq[(Long, Long)] =
+      spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old")))
+        .toSeq.sorted
+
+    run()
+    val first = sinkRows()
+    assert(first.nonEmpty)
+    // crash between parquet commit and checkpoint commit => the
+    // engine re-invokes the SAME (batch, batchId); the batch=0
+    // partition is overwritten, never double-appended
+    run()
+    assert(sinkRows() === first,
+      "replayed micro-batch changed the sink row set")
+  }
 }

@@ -58,4 +58,50 @@ class StreamingNoveltySpec extends SparkSpec {
       "a repeat of an EARLIER batch must be suppressed by the advanced filter")
     assert(got(4L) === ((4L, 4L)))
   }
+
+  test("replaying a batch is idempotent: same rows, same bloom version chain") {
+    val dirP = Files.createTempDirectory("graft-st18-replay-")
+    val bloomPath = dirP.resolve("bloom").toString
+    val out = dirP.resolve("out").toString
+
+    val base = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    BloomFunctions.writeBloom(
+      Dedup.wordShingles(base).select(col("shingle")).distinct(),
+      "shingle", bloomPath, mWords = 1024, k = 4)
+
+    val b0 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+
+    def bits(path: String): Seq[Long] =
+      BloomFunctions.readBloom(spark, path)._1.toSeq
+    def sinkRows(): Seq[(Long, Long, Long)] =
+      spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+          r.getAs[Long]("n_novel"))).toSeq.sorted
+
+    StreamingNovelty.processBatch(b0, batchId = 0L, bloomPath, out, n = 3)
+    val rows1 = sinkRows()
+    val seed1 = bits(bloomPath)
+    val v0 = bits(StreamingNovelty.versionPath(bloomPath, 0L))
+    assert(rows1.nonEmpty)
+    assert(v0 !== seed1, "advance must have OR-ed new shingles in")
+
+    // crash AFTER the advance but BEFORE the checkpoint commit: the
+    // engine re-invokes batch 0. It must be judged against the SAME
+    // pre-batch filter (the untouched seed, not its own v0) and must
+    // neither duplicate rows nor re-advance.
+    StreamingNovelty.processBatch(b0, batchId = 0L, bloomPath, out, n = 3)
+    assert(sinkRows() === rows1, "replayed batch changed the sink row set")
+    assert(bits(bloomPath) === seed1, "seed artifact was mutated")
+    assert(bits(StreamingNovelty.versionPath(bloomPath, 0L)) === v0)
+
+    // the NEXT batch is judged against v0 (fresh content of batch 0
+    // now scores zero novelty)
+    val b1 = Seq((3L, "one two three four five six")).toDF("doc_id", "text")
+    StreamingNovelty.processBatch(b1, batchId = 1L, bloomPath, out, n = 3)
+    val after = sinkRows()
+    assert(after.contains((3L, 4L, 0L)),
+      s"batch 1 must be judged against the advanced v0 filter: $after")
+  }
 }
