@@ -560,12 +560,57 @@ object Dedup {
     // previous layout) would otherwise silently pollute every
     // subsequent read
     val hconf = docs.sparkSession.sparkContext.hadoopConfiguration
-    Seq(s"$path/bands", s"$path/shingles").foreach { d =>
+    Seq(s"$path/bands", s"$path/shingles", lshTombstonePath(path)).foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(hconf)
       if (fs.exists(p)) fs.delete(p, true)
     }
     writeIndexBatch(docs, path, n, numHashes, rowsPerBand, batchId)
+  }
+
+  /** Tombstone table of an LSH index: ids EVICTED from dedup duty.
+    * A plain-named sibling of `bands`/`shingles` under the index root
+    * — safe because every reader addresses the sub-tables explicitly,
+    * never the root. (NOT dot-prefixed: Spark's path listing filters
+    * hidden names even when given as the read root.)
+    */
+  private def lshTombstonePath(path: String) = s"$path/tombstones"
+
+  /** EVICT documents from an LSH index — the retention counterpart of
+    * [[appendToLshIndex]]. A corpus under a retention policy (the
+    * 30-day crawl window) DELETES documents too; without eviction the
+    * index keeps their bands + shingles forever and dead docs go on
+    * claiming near-dup verdicts against every new batch — a doc
+    * deleted for policy reasons would silently keep suppressing its
+    * re-crawled twin.
+    *
+    * Deletion is LOGICAL first, physical later: the removed ids (the
+    * `removed` status rows of [[Snapshots.diff]] — id-grain, tiny
+    * next to the corpus) land under `batch=<batchId>` in the index's
+    * tombstone table; every reader anti-joins them out
+    * ([[nearDupsAgainstIndex]]), and the next [[compactLshIndex]]
+    * drops the rows physically and clears the tombstones. Daily
+    * eviction cost is therefore O(removed ids) — no corpus-sized
+    * index rewrite on the retention fast path. Re-running a batchId
+    * is idempotent (directory overwrite), matching the append side.
+    */
+  def tombstoneLshIndex(removedIds: DataFrame, path: String,
+      batchId: String, idCol: String = "doc_id"): Unit =
+    removedIds.select(col(idCol).as("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"${lshTombstonePath(path)}/batch=$batchId")
+
+  /** Subtract the index's tombstoned ids from one of its tables — a
+    * left-anti on the id-grain removed set (AQE broadcasts the
+    * typical small set; a huge backlog means compaction is overdue).
+    */
+  private def withoutLshTombstones(df: DataFrame, path: String): DataFrame = {
+    val spark = df.sparkSession
+    val tp = new org.apache.hadoop.fs.Path(lshTombstonePath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) df
+    else df.join(
+      spark.read.parquet(lshTombstonePath(path)).select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
   }
 
   /** Add a (deduplicated) batch into an existing index — the daily
@@ -585,11 +630,33 @@ object Dedup {
     * a crash between the two leaves a correct, partially-compacted
     * index). Returns the number of batches merged per table (they
     * match unless a previous compaction half-finished).
+    *
+    * Compaction also APPLIES any pending [[tombstoneLshIndex]]
+    * evictions: tombstoned rows are dropped from the rewrite and the
+    * tombstone table is cleared afterwards. Order makes a crash
+    * harmless at every point — a table compacted without its twin
+    * still has the tombstones on disk, so readers keep anti-joining
+    * them (double-subtracting an already-dropped id is a no-op), and
+    * a re-run finishes the job.
     */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, intoBatchId: String = "compacted"): (Int, Int) =
-    (IndexCompaction.compact(spark, s"$path/bands", intoBatchId, Nil),
-      IndexCompaction.compact(spark, s"$path/shingles", intoBatchId, Nil))
+      path: String, intoBatchId: String = "compacted"): (Int, Int) = {
+    val tp = new org.apache.hadoop.fs.Path(lshTombstonePath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exclude =
+      if (fs.exists(tp))
+        Some(("doc_id",
+          spark.read.parquet(lshTombstonePath(path)).select("doc_id")))
+      else None
+    val merged =
+      (IndexCompaction.compact(spark, s"$path/bands", intoBatchId, Nil, exclude),
+        IndexCompaction.compact(spark, s"$path/shingles", intoBatchId, Nil, exclude))
+    // tombstones are now physically applied (or there was no index to
+    // apply them to) — clear them LAST so any earlier crash leaves
+    // the logical deletion in force
+    if (fs.exists(tp)) fs.delete(tp, true)
+    merged
+  }
 
   private def writeIndexBatch(docs: DataFrame, path: String, n: Int,
       numHashes: Int, rowsPerBand: Int, batchId: String): Unit = {
@@ -624,7 +691,12 @@ object Dedup {
       else newShingledRaw
     val newBands = bandBuckets(
       minHashSignatures(newShingled, numHashes), numHashes, rowsPerBand)
-    val idxBands = spark.read.parquet(s"$indexPath/bands")
+    // tombstoned (evicted) docs must not claim verdicts: subtract
+    // them from BOTH index tables — bands (candidate generation) and
+    // shingles (verification) — so an evicted doc neither surfaces as
+    // doc_old nor distorts a surviving pair's jaccard
+    val idxBands = withoutLshTombstones(
+      spark.read.parquet(s"$indexPath/bands"), indexPath)
     val candidates = newBands
       .select(col("doc_id").as("doc_new"), col("band"), col("bucket"))
       .join(idxBands.select(col("doc_id").as("doc_old"), col("band"), col("bucket")),
@@ -632,7 +704,8 @@ object Dedup {
       .where(col("doc_new") =!= col("doc_old"))
       .select("doc_new", "doc_old")
       .distinct()
-    val idxShingles = spark.read.parquet(s"$indexPath/shingles")
+    val idxShingles = withoutLshTombstones(
+      spark.read.parquet(s"$indexPath/shingles"), indexPath)
     val a = newShingled.select(col("doc_id").as("doc_new"), col("shingle"))
     val b = idxShingles.select(col("doc_id").as("doc_old"), col("shingle"))
     val common = candidates

@@ -31,9 +31,19 @@ private[pipeline] object IndexCompaction {
     *
     * Returns the number of batch subdirs merged (0 = table absent or
     * batch-less: nothing to do, nothing touched).
+    *
+    * `exclude` (idCol, ids frame) physically drops rows whose idCol
+    * value appears in the frame — how the index TOMBSTONE sets
+    * ([[Dedup.tombstoneLshIndex]], [[Similarity.tombstoneIvfIndex]])
+    * are applied: readers anti-join tombstones on every query, so
+    * folding the deletion into the compaction rewrite the index pays
+    * for anyway makes the dead rows free to drop. The anti-join
+    * carries only the id column of the removed set against the table
+    * being rewritten (AQE broadcasts the typical small daily set).
     */
   def compact(spark: SparkSession, tablePath: String, intoBatchId: String,
-      partitionCols: Seq[String]): Int = {
+      partitionCols: Seq[String],
+      exclude: Option[(String, org.apache.spark.sql.DataFrame)] = None): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(tablePath)
     val fs = live.getFileSystem(hconf)
@@ -45,7 +55,11 @@ private[pipeline] object IndexCompaction {
     val tmp = new org.apache.hadoop.fs.Path(parent, s".${live.getName}.compact_tmp")
     val old = new org.apache.hadoop.fs.Path(parent, s".${live.getName}.compact_old")
     Seq(tmp, old).foreach(p => if (fs.exists(p)) fs.delete(p, true))
-    val df = spark.read.parquet(tablePath).drop("batch")
+    val raw = spark.read.parquet(tablePath).drop("batch")
+    val df = exclude.fold(raw) { case (idCol, ids) =>
+      raw.join(ids.select(org.apache.spark.sql.functions.col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    }
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(s"$tmp/batch=$intoBatchId")

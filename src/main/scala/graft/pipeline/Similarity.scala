@@ -438,9 +438,13 @@ object Similarity {
       path: String, vecCol: String = "embedding",
       batchId: String = "base"): Unit = {
     val hconf = emb.sparkSession.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(hconf)
-    if (fs.exists(p)) fs.delete(p, true)
+    // clear stale tombstones too — a rebuilt index re-admits every doc
+    // it was built from; an inherited eviction would shadow re-added rows
+    Seq(path, ivfTombstonePath(path)).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     writeIvfBatch(emb, centroids, path, vecCol, batchId)
   }
 
@@ -465,6 +469,47 @@ object Similarity {
       path: String, batchId: String, vecCol: String = "embedding"): Unit =
     writeIvfBatch(emb, centroids, path, vecCol, batchId)
 
+  /** Tombstone table of an IVF index: a plain-named SIBLING of the
+    * index root (`<path>_tombstones`) — the root itself is the
+    * cell-partitioned table every reader lists, so a foreign
+    * subdirectory inside it would break `batch=`/`__cell=` partition
+    * discovery, and a dot-prefixed one is unreadable (Spark's path
+    * listing filters hidden names even as the read root).
+    */
+  private def ivfTombstonePath(path: String) = s"${path}_tombstones"
+
+  /** EVICT vectors from an IVF index — the retention counterpart of
+    * [[appendToIvfIndex]], mirroring
+    * [[graft.pipeline.Dedup.tombstoneLshIndex]]: a corpus under a
+    * retention window deletes rows too, and without eviction deleted
+    * vectors keep surfacing in top-k results and keep claiming
+    * [[semDedupAgainstIndex]] verdicts forever. Deletion is LOGICAL
+    * first (the removed-id set — [[Snapshots.diff]] `removed` rows,
+    * id-grain — lands under `batch=<batchId>` in the tombstone
+    * table; readers anti-join it), physical at the next
+    * [[compactIvfIndex]] (rows dropped in the rewrite, tombstones
+    * cleared). Daily eviction cost is O(removed ids), never a
+    * corpus-sized index rewrite. Idempotent per batchId.
+    */
+  def tombstoneIvfIndex(removedIds: DataFrame, path: String,
+      batchId: String, idCol: String = "vec_id"): Unit =
+    removedIds.select(col(idCol)).distinct()
+      .write.mode("overwrite").parquet(s"${ivfTombstonePath(path)}/batch=$batchId")
+
+  /** Subtract tombstoned ids from an index read (left-anti on the
+    * id-grain removed set; AQE broadcasts the typical small set).
+    */
+  private def withoutIvfTombstones(df: DataFrame, path: String,
+      idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val tp = new org.apache.hadoop.fs.Path(ivfTombstonePath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) df
+    else df.join(
+      spark.read.parquet(ivfTombstonePath(path)).select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Fold the index's accumulated `batch=` subdirs into one
     * ([[IndexCompaction]] — the periodic maintenance step after many
     * [[appendToIvfIndex]] days). Rows keep their STORED cell
@@ -473,8 +518,23 @@ object Similarity {
     * set per cell). Returns the number of batches merged.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, intoBatchId: String = "compacted"): Int =
-    IndexCompaction.compact(spark, path, intoBatchId, Seq("__cell"))
+      path: String, intoBatchId: String = "compacted",
+      idCol: String = "vec_id"): Int = {
+    // Pending [[tombstoneIvfIndex]] evictions are APPLIED here: the
+    // tombstoned rows are dropped from the rewrite and the tombstone
+    // table cleared afterwards (cleared LAST, so a crash mid-compact
+    // leaves the logical deletion in force for readers).
+    val tp = new org.apache.hadoop.fs.Path(ivfTombstonePath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exclude =
+      if (fs.exists(tp))
+        Some((idCol, spark.read.parquet(ivfTombstonePath(path)).select(col(idCol))))
+      else None
+    val merged = IndexCompaction.compact(spark, path, intoBatchId,
+      Seq("__cell"), exclude)
+    if (fs.exists(tp)) fs.delete(tp, true)
+    merged
+  }
 
   /** Write one `batch=` subdir of the index. MALFORMED vectors
     * (length != the centroid dimensionality) are QUARANTINED to a
@@ -579,8 +639,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val probeCells = probeCellsFor(centroids, queryVec, nprobe)
     val qCol = array(queryVec.toSeq.map(lit(_)): _*).cast("array<float>")
-    spark.read.parquet(path)
-      .where(col("__cell").isin(probeCells: _*))
+    // subtract evicted ids AFTER the partition-pruned probe scan (the
+    // anti-join sees only nprobe/nlist of the index) and BEFORE the
+    // top-k, so a tombstoned vector can neither rank nor displace
+    withoutIvfTombstones(
+      spark.read.parquet(path).where(col("__cell").isin(probeCells: _*)),
+      path, idCol)
       .select(col(idCol), rankCosine(col(vecCol), qCol).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
@@ -1056,8 +1120,9 @@ object Similarity {
     val valid = batch.where(size(col(vecCol)) === d)
     val celled = assignCells(valid.select(col(idCol), col(vecCol)),
       centroids, vecCol, "cell")
-    val idx = spark.read.parquet(indexPath)
-      .where(col("__cell").isNotNull)
+    val idx = withoutIvfTombstones(
+      spark.read.parquet(indexPath).where(col("__cell").isNotNull), indexPath,
+      idCol)
       .select(col("__cell").as("cell"), col(idCol).as("__idx_id"),
         col(vecCol).as("__idx_vec"))
     val keepable = idx.groupBy("cell").agg(count(lit(1)).as("__n"))

@@ -139,6 +139,14 @@ object PipelineQueries {
     * from scratch in SQL.
     */
   private[queries] def indexNeardupsOracleSql: String =
+    indexNeardupsOracleSqlWhere("TRUE")
+
+  /** [[indexNeardupsOracleSql]] with an extra predicate on the INDEX
+    * side of the candidate join (`od` = indexed docs) — how the
+    * eviction gate (p91) states "these ids are no longer in the
+    * index" in pure SQL.
+    */
+  private[queries] def indexNeardupsOracleSqlWhere(oldPred: String): String =
     s"""WITH $shingleSql,
        |hv AS (SELECT doc_id,
        |              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
@@ -153,7 +161,8 @@ object PipelineQueries {
        |cand AS (SELECT DISTINCT nw.doc_id AS doc_new, od.doc_id AS doc_old
        |         FROM bands nw JOIN bands od
        |           ON nw.band = od.band AND nw.bucket = od.bucket
-       |         WHERE nw.doc_id % 2 = 1 AND od.doc_id % 2 = 0),
+       |         WHERE nw.doc_id % 2 = 1 AND od.doc_id % 2 = 0
+       |           AND ($oldPred)),
        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
        |          FROM sh GROUP BY doc_id),
        |common AS (SELECT c.doc_new, c.doc_old, CAST(count(*) AS BIGINT) AS common
@@ -177,6 +186,51 @@ object PipelineQueries {
     * per-run contract as [[bpeVocabPath]]).
     */
   private def ivfIndexPath = s"$artifactRoot/ivf_index_p20"
+
+  /** Artifact path for the p91 eviction-gate LSH index. */
+  private def evictLshIndexPath = s"$artifactRoot/lsh_index_p91"
+
+  /** Artifact path for the p92 eviction-gate IVF index. */
+  private def evictIvfIndexPath = s"$artifactRoot/ivf_index_p92"
+
+  /** The p20/p92 construction recomputed from scratch in SQL:
+    * centroids md5-spread-sampled from the EVEN half, every row
+    * assigned to its argmax-cosine cell, the 4 probe cells ranked for
+    * query vec 0, candidates scored exactly. `dPred` filters the
+    * INDEXED rows (`d`) — p92 states its eviction ("these vec_ids
+    * are out of the index") there; p20 passes TRUE.
+    */
+  private def ivfIndexedTopkOracleSql(dPred: String): String =
+    s"""WITH half AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |             FROM embeddings WHERE vec_id % 2 = 0),
+       |stride AS (SELECT greatest(count(*) // 16, 1) AS bkt FROM half),
+       |cent AS (SELECT vec_id AS cid, v AS c
+       |         FROM half, stride
+       |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
+       |               % bkt = 0
+       |         ORDER BY vec_id LIMIT 16),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, v, cid,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC,
+       |                    cid DESC) AS rn
+       |  FROM e CROSS JOIN cent),
+       |celled AS (SELECT vec_id, v, cid AS cell FROM assigned WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cid,
+       |         row_number() OVER (ORDER BY
+       |           ${cosineSql("c", "q.qv")} DESC, cid DESC) AS pr
+       |  FROM cent, q)
+       |SELECT d.vec_id,
+       |       ${cosineSql("d.v", "q.qv")} AS cosine
+       |FROM celled d
+       |JOIN probes p ON d.cell = p.cid AND p.pr <= 4
+       |CROSS JOIN q
+       |WHERE ($dPred)
+       |ORDER BY cosine DESC, d.vec_id ASC
+       |LIMIT 10""".stripMargin
 
   /** Artifact path for the p75 incremental-semdedup IVF index (same
     * per-run contract as [[bpeVocabPath]]).
@@ -475,35 +529,7 @@ object PipelineQueries {
         Similarity.ivfTopKIndexed(s, ivfIndexPath, centroids, qVec,
           k = 10, nprobe = 4)
       },
-      Some(s"""WITH half AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-              |             FROM embeddings WHERE vec_id % 2 = 0),
-              |stride AS (SELECT greatest(count(*) // 16, 1) AS bkt FROM half),
-              |cent AS (SELECT vec_id AS cid, v AS c
-              |         FROM half, stride
-              |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
-              |               % bkt = 0
-              |         ORDER BY vec_id LIMIT 16),
-              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              |assigned AS (
-              |  SELECT vec_id, v, cid,
-              |         row_number() OVER (PARTITION BY vec_id
-              |           ORDER BY list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC,
-              |                    cid DESC) AS rn
-              |  FROM e CROSS JOIN cent),
-              |celled AS (SELECT vec_id, v, cid AS cell FROM assigned WHERE rn = 1),
-              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-              |probes AS (
-              |  SELECT cid,
-              |         row_number() OVER (ORDER BY
-              |           ${cosineSql("c", "q.qv")} DESC, cid DESC) AS pr
-              |  FROM cent, q)
-              |SELECT d.vec_id,
-              |       ${cosineSql("d.v", "q.qv")} AS cosine
-              |FROM celled d
-              |JOIN probes p ON d.cell = p.cid AND p.pr <= 4
-              |CROSS JOIN q
-              |ORDER BY cosine DESC, d.vec_id ASC
-              |LIMIT 10""".stripMargin)),
+      Some(ivfIndexedTopkOracleSql("TRUE"))),
 
     // IVF with k-means-REFINED centroids: the full Lloyd training
     // loop (2 iterations) recomputed in the oracle as unrolled SQL —
@@ -2694,6 +2720,62 @@ object PipelineQueries {
              |win AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY fp)
              |SELECT f.doc_id, f.fp, (f.doc_id = w.keeper) AS keeper
              |FROM fp f JOIN win w USING (fp)""".stripMargin)),
+
+    // INDEX EVICTION under retention — the full versioning loop
+    // diff -> evict -> dedup: the even half of the corpus is indexed
+    // (p19's artifact layout); a retention pass then drops every
+    // (id % 10 == 0) doc from the corpus, Snapshots.diff derives the
+    // removed set, and tombstoneLshIndex evicts it from the index
+    // (id-grain logical delete — O(removed), no corpus rewrite; the
+    // next compaction applies it physically, LshIndexSpec proves the
+    // rebuild equivalence). The odd half dedups against the surviving
+    // index: without eviction the dead docs would keep claiming
+    // near-dup verdicts forever — a deleted doc would silently
+    // suppress its re-crawled twin. The oracle recomputes signatures,
+    // cross-side candidates and verified jaccard from scratch in SQL,
+    // stating the eviction as "indexed docs exclude id % 10 == 0".
+    QueryDef("p91_index_eviction",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cur = docs.where(col("doc_id") % 10 =!= 0)
+        Dedup.writeLshIndex(docs.where(col("doc_id") % 2 === 0),
+          evictLshIndexPath)
+        val removed = Snapshots.diff(docs, cur)
+          .where(col("status") === "removed")
+        Dedup.tombstoneLshIndex(removed, evictLshIndexPath, batchId = "ret1")
+        Dedup.nearDupsAgainstIndex(docs.where(col("doc_id") % 2 === 1),
+          evictLshIndexPath, threshold = 0.8)
+      },
+      Some(indexNeardupsOracleSqlWhere("od.doc_id % 10 != 0"))),
+
+    // IVF index eviction: p20's incremental construction (even half
+    // as base, odd half appended) followed by a retention eviction of
+    // every (vec_id % 7 == 0) vector — tombstoneIvfIndex, the
+    // embedding-space twin of p91's logical delete. The probe query
+    // (vec 0 — itself evicted, so the cosine-1 self-hit must NOT
+    // lead the result) answers from the surviving rows only, under
+    // the UNCHANGED centroid geometry (eviction never retrains: cells
+    // must not move under rows already written). Oracle: the p20
+    // construction in SQL with the evicted ids excluded from the
+    // indexed side.
+    QueryDef("p92_ivf_eviction",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.where(col("vec_id") % 2 === 0)
+        val batch = emb.where(col("vec_id") % 2 === 1)
+        val centroids = Similarity.sampleCentroids(base, nlist = 16)
+        Similarity.writeIvfIndex(base, centroids, evictIvfIndexPath)
+        Similarity.appendToIvfIndex(batch, centroids, evictIvfIndexPath,
+          batchId = "b1")
+        Similarity.tombstoneIvfIndex(
+          emb.where(col("vec_id") % 7 === 0).select("vec_id"),
+          evictIvfIndexPath, batchId = "ret1")
+        val qVec = emb.where(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0).toArray
+        Similarity.ivfTopKIndexed(s, evictIvfIndexPath, centroids, qVec,
+          k = 10, nprobe = 4)
+      },
+      Some(ivfIndexedTopkOracleSql("d.vec_id % 7 != 0"))),
 
     // Incremental SemDeDup against a MATERIALIZED IVF index: the even
     // half of embeddings is indexed once (p20's artifact layout), the

@@ -224,4 +224,39 @@ class IvfIndexSpec extends SparkSpec {
     assert(Similarity.compactIvfIndex(spark, path) === 1)
     assert(ids() === before)
   }
+
+  test("tombstoneIvfIndex: (index - removed) answers exactly like an index rebuilt without them") {
+    val base = baseCorpus
+    val centroids = Similarity.kmeansCentroids(base, nlist = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-evict").toString + "/idx"
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-ivf-evict-ref").toString + "/idx"
+    // remove ALL of cluster 0 — any surviving member would still own
+    // the cluster-0 probe top AND still claim the semdedup verdict
+    // below (intra-cluster cosines sit near 1)
+    val removed = (0 until 8).map(m => 0L * 100 + m)
+    Similarity.writeIvfIndex(base, centroids, path, batchId = "base")
+    Similarity.writeIvfIndex(
+      base.where(!col("vec_id").isin(removed: _*)), centroids, rebuilt,
+      batchId = "base")
+    Similarity.tombstoneIvfIndex(removed.toDF("vec_id"), path, batchId = "day1")
+    val qVec = member(0, 20)
+    def ids(p: String) = topIds(Similarity.ivfTopKIndexed(spark, p, centroids,
+      qVec, k = 8, nprobe = 8))
+    val evicted = ids(path)
+    assert(evicted.intersect(removed).isEmpty)
+    assert(evicted === ids(rebuilt))
+    // semDedupAgainstIndex: an evicted vector no longer claims a
+    // batch duplicate (the batch near-copies removed vec 0)
+    val dupBatch = Seq((9001L, member(0, 0))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val verdicts = Similarity.semDedupAgainstIndex(spark, dupBatch, path,
+      centroids, eps = 0.95).collect()
+    assert(verdicts.forall(_.getAs[Boolean]("keeper")))
+    // compaction applies physically and clears the tombstones
+    assert(Similarity.compactIvfIndex(spark, path) === 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + "_tombstones")))
+    assert(ids(path) === evicted)
+    assert(spark.read.parquet(path)
+      .where(col("vec_id").isin(removed: _*)).count() === 0L)
+  }
 }

@@ -101,4 +101,43 @@ class LshIndexSpec extends SparkSpec {
     assert(Dedup.compactLshIndex(spark, path) === ((1, 1)))
     assert(dups() === before)
   }
+
+  test("tombstoneLshIndex: (index - removed) answers exactly like an index rebuilt without them") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh-evict").toString + "/idx"
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-lsh-evict-ref").toString + "/idx"
+    // corpus = survivors + removed; removed includes a doc (14) that
+    // would otherwise claim a verdict against the probe
+    val survivors = corpus.where(col("doc_id") =!= 14L)
+    Dedup.writeLshIndex(corpus, path)
+    Dedup.writeLshIndex(survivors, rebuilt)
+    Dedup.tombstoneLshIndex(Seq(14L).toDF("doc_id"), path, batchId = "day1")
+    // one edit from doc 14 (j ~ 0.74), two from doc 10 (j ~ 0.54):
+    // at threshold 0.5 BOTH claim pre-eviction, only 10 after
+    val probe = Seq((51L, base.replace("quick", "swift").replace("cat", "kitten")))
+      .toDF("doc_id", "text")
+    def dups(p: String) = Dedup.nearDupsAgainstIndex(probe, p, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old"),
+        r.getAs[Double]("jaccard"))).toSet
+    val evicted = dups(path)
+    // the evicted doc stops claiming; surviving verdicts identical to
+    // a from-scratch rebuild over the surviving corpus
+    assert(!evicted.exists(_._2 == 14L))
+    assert(evicted === dups(rebuilt))
+    assert(evicted.exists(_._2 == 10L)) // survivor still claims
+    // idempotent re-tombstone of the same batch
+    Dedup.tombstoneLshIndex(Seq(14L).toDF("doc_id"), path, batchId = "day1")
+    assert(dups(path) === evicted)
+    // compaction applies the eviction physically and clears tombstones
+    assert(Dedup.compactLshIndex(spark, path) === ((1, 1)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "tombstones")))
+    assert(dups(path) === evicted)
+    // physically gone: the shingle table no longer holds doc 14
+    assert(spark.read.parquet(s"$path/shingles")
+      .where(col("doc_id") === 14L).count() === 0L)
+    // a fresh rebuild clears stale tombstones (re-added docs count again)
+    Dedup.tombstoneLshIndex(Seq(10L).toDF("doc_id"), path, batchId = "day2")
+    Dedup.writeLshIndex(corpus, path)
+    assert(dups(path).exists(_._2 == 10L))
+  }
 }
