@@ -76,9 +76,26 @@ object Dsir {
     */
   def importanceWeights(raw: DataFrame, target: DataFrame,
       buckets: Int = 256, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val rawFeats = hashedFeatureCounts(raw, buckets, idCol, textCol)
-    val tgtFeats = hashedFeatureCounts(target, buckets, idCol, textCol)
+      textCol: String = "text"): DataFrame =
+    importanceWeightsFromCounts(raw.select(col(idCol)),
+      hashedFeatureCounts(raw, buckets, idCol, textCol),
+      hashedFeatureCounts(target, buckets, idCol, textCol),
+      buckets, idCol)
+
+  /** [[importanceWeights]] over PRE-COMPUTED feature-count frames
+    * ([[hashedFeatureCounts]] output shape) — for pipelines that hold
+    * the (id, bucket, c) substrate already filtered to the live
+    * corpus (e.g. [[Curation]], which computes features once off the
+    * scan and intersects id sets on the narrow frame so document
+    * text never rides a verdict join). `rawIds` supplies the id
+    * universe: every id appears exactly once in the output,
+    * feature-less docs score 0.
+    */
+  def importanceWeightsFromCounts(rawIds: DataFrame, rawFeatsIn: DataFrame,
+      tgtFeatsIn: DataFrame, buckets: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val rawFeats = rawFeatsIn
+    val tgtFeats = tgtFeatsIn
     val (rawPer, rawTot) = bucketCounts(rawFeats)
     val (tgtPer, tgtTot) = bucketCounts(tgtFeats)
 
@@ -86,7 +103,7 @@ object Dsir {
     // once and broadcast into the per-doc scoring join. The ratio is
     // exact-integer sums pushed through ONE double product per side
     // and ONE ln — the whole cross-engine float surface per bucket.
-    val spark = raw.sparkSession
+    val spark = rawIds.sparkSession
     import spark.implicits._
     val ids = spark.createDataset(0L until buckets.toLong).toDF("bucket")
     val deltas = ids
@@ -109,7 +126,7 @@ object Dsir {
       .agg(sum(col("c")).as("__nf"),
         sum(col("c").cast("double") * col("delta")).as("__lw"))
 
-    raw.select(col(idCol)).distinct()
+    rawIds.select(col(idCol)).distinct()
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__nf"), lit(0L)).as("n_feats"),

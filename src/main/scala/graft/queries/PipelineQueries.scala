@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Chunking, Clusters, Contamination, Dedup, Dsir, Fuzzy, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Reporting, Sampling, Similarity, Snapshots, Spans, TextAnalysis}
+import graft.pipeline.{Bpe, Chunking, Clusters, Contamination, Curation, Dedup, Dsir, Fuzzy, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Reporting, Sampling, Similarity, Snapshots, Spans, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -2776,6 +2776,174 @@ object PipelineQueries {
           k = 10, nprobe = 4)
       },
       Some(ivfIndexedTopkOracleSql("d.vec_id % 7 != 0"))),
+
+    // THE END-TO-END CURATION PIPELINE — every fragment gate's stage
+    // chained in production order inside ONE lazy plan (Curation):
+    // quality floor -> canonical NFC-fingerprint dedup -> MinHash
+    // near-dedup (greedy smaller-id-wins) -> 4-gram benchmark
+    // decontamination -> DSIR Gumbel-top-200 resample -> sequence
+    // packing, hashed at the chunk-manifest grain. Corpus: the live
+    // docs plus a whitespace-mangled "re-crawl" rendition of each
+    // (id + 1e6) so the canonical stage has real work (384 copies
+    // die there); benchmark = the held-out doc_id % 50 == 0 slice
+    // (19 docs contaminated at n=4). The oracle recomputes all six
+    // stages in one CTE cascade — each stage's SQL is the SAME text
+    // its fragment oracle pins (p15/p90/p19-family/p84/p78/p61), so
+    // a drift in any stage OR in the wiring between stages breaks
+    // the hash. PlanSpec proves the composed plan never carries
+    // corpus text through a shuffle; BASELINE records the sf0.1/sf1
+    // walls.
+    QueryDef("p93_curation_e2e",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"))
+        val live = docs.where(col("doc_id") % 50 =!= 0)
+        val recrawl = live.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit(" "), col("text"), lit("  ")).as("text"),
+          col("source"))
+        Curation.curateManifest(
+          live.unionByName(recrawl),
+          docs.where(col("doc_id") % 50 === 0),
+          Curation.Config(contaminationN = 4))
+      },
+      Some(s"""WITH u AS (
+              |  SELECT doc_id, text, source FROM documents WHERE doc_id % 50 <> 0
+              |  UNION ALL
+              |  SELECT doc_id + 1000000, ' ' || text || '  ', source
+              |  FROM documents WHERE doc_id % 50 <> 0),
+              |f AS (SELECT doc_id, text, source, $qualityColsSql FROM u),
+              |q AS (SELECT doc_id, text, source, $qualityScoreSql AS qs FROM f),
+              |kept AS (SELECT doc_id, text, source FROM q WHERE qs >= 0.5),
+              |cf AS (SELECT doc_id, text, source,
+              |         trim(regexp_replace(regexp_replace(
+              |           nfc_normalize(text),
+              |           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+              |           '[ \\t]+', ' ', 'g')) AS clean
+              |       FROM kept),
+              |fp AS (SELECT doc_id, text, source,
+              |         md5(lower(regexp_replace(trim(clean), '\\s+', ' ', 'g'))) AS fp
+              |       FROM cf),
+              |canon AS (SELECT doc_id, text, source FROM fp
+              |          WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fp)),
+              |toks3 AS (SELECT doc_id,
+              |            list_filter(string_split_regex(trim(text), '\\s+'),
+              |                        t -> t <> '') AS w
+              |          FROM canon),
+              |sh3 AS (SELECT DISTINCT doc_id, shingle FROM (
+              |          SELECT doc_id,
+              |                 unnest(list_transform(range(1, len(w) - 1),
+              |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+              |          FROM toks3)),
+              |hv AS (SELECT doc_id,
+              |              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
+              |              ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hb
+              |       FROM sh3),
+              |mh AS (SELECT doc_id, i, min(ha + i * hb) AS mv
+              |       FROM hv CROSS JOIN (SELECT unnest(range(16)) AS i) idx
+              |       GROUP BY doc_id, i),
+              |bands AS (SELECT doc_id, i // 4 AS band,
+              |                 md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bucket
+              |          FROM mh GROUP BY doc_id, i // 4),
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |         FROM bands a JOIN bands b
+              |           ON a.band = b.band AND a.bucket = b.bucket
+              |         WHERE a.doc_id < b.doc_id),
+              |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
+              |          FROM sh3 GROUP BY doc_id),
+              |common AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS common
+              |           FROM cand c
+              |           JOIN sh3 x ON x.doc_id = c.doc_a
+              |           JOIN sh3 y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+              |           GROUP BY 1, 2),
+              |losers AS (SELECT DISTINCT doc_b AS doc_id
+              |           FROM common
+              |           JOIN sizes sa ON sa.doc_id = doc_a
+              |           JOIN sizes sb ON sb.doc_id = doc_b
+              |           WHERE common / (sa.set_size + sb.set_size - common) >= 0.8),
+              |near AS (SELECT * FROM canon
+              |         WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+              |ntoks AS (SELECT doc_id,
+              |            list_filter(string_split_regex(trim(text), '\\s+'),
+              |                        t -> t <> '') AS w
+              |          FROM near),
+              |nsh AS (SELECT DISTINCT doc_id, shingle FROM (
+              |          SELECT doc_id,
+              |                 unnest(list_transform(range(1, len(w) - 2),
+              |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+              |          FROM ntoks)),
+              |btoks AS (SELECT doc_id,
+              |            list_filter(string_split_regex(trim(text), '\\s+'),
+              |                        t -> t <> '') AS w
+              |          FROM documents WHERE doc_id % 50 = 0),
+              |bsh AS (SELECT DISTINCT shingle FROM (
+              |          SELECT unnest(list_transform(range(1, len(w) - 2),
+              |                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+              |          FROM btoks)),
+              |contaminated AS (SELECT DISTINCT doc_id FROM nsh JOIN bsh USING (shingle)),
+              |dec AS (SELECT * FROM near
+              |        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+              |darr AS (SELECT doc_id, source,
+              |           list_filter(string_split_regex(trim(text), '\\s+'),
+              |                       t -> t <> '') AS w
+              |         FROM dec),
+              |feats AS (
+              |  SELECT doc_id, source, unnest(w) AS ft FROM darr
+              |  UNION ALL
+              |  SELECT doc_id, source,
+              |         unnest(list_transform(range(1, len(w)),
+              |                i -> w[i] || ' ' || w[i+1])) AS ft
+              |  FROM darr),
+              |dc AS (SELECT doc_id, source,
+              |              ('0x' || substr(md5(ft), 1, 15))::BIGINT % 256 AS b,
+              |              CAST(count(*) AS BIGINT) AS c
+              |       FROM feats GROUP BY 1, 2, 3),
+              |tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS cnt
+              |        FROM dc WHERE source = 'src0' GROUP BY 1),
+              |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cnt
+              |        FROM dc GROUP BY 1),
+              |tots AS (SELECT
+              |           (SELECT COALESCE(sum(cnt), 0) FROM tgt) AS tt,
+              |           (SELECT COALESCE(sum(cnt), 0) FROM raw) AS tr),
+              |delta AS (
+              |  SELECT ids.b,
+              |         ln(((COALESCE(t.cnt, 0) + 1)::DOUBLE * (tr + 256)::DOUBLE)
+              |            / ((tt + 256)::DOUBLE * (COALESCE(r.cnt, 0) + 1)::DOUBLE))
+              |           AS d
+              |  FROM (SELECT unnest(range(256)) AS b) ids
+              |  LEFT JOIN tgt t ON t.b = ids.b
+              |  LEFT JOIN raw r ON r.b = ids.b
+              |  CROSS JOIN tots),
+              |per AS (SELECT doc_id, sum(c::DOUBLE * d) AS lw
+              |        FROM dc JOIN delta ON delta.b = dc.b
+              |        GROUP BY 1),
+              |wdocs AS (SELECT d.doc_id, COALESCE(per.lw, 0.0) AS lw
+              |          FROM (SELECT doc_id FROM dec) d
+              |          LEFT JOIN per USING (doc_id)),
+              |g AS (SELECT doc_id,
+              |             lw + -ln(-ln(
+              |               ((('0x' || substr(md5(
+              |                   CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+              |                   || ':' || CAST(doc_id AS VARCHAR) || '/dsir'),
+              |                 1, 8))::BIGINT)::DOUBLE + 0.5) / 4294967296.0))
+              |               AS gk
+              |      FROM wdocs),
+              |sel AS (SELECT doc_id FROM g ORDER BY gk DESC, doc_id LIMIT 200),
+              |t AS (SELECT doc_id,
+              |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/pack'), 1, 8))::BIGINT
+              |          % 4 AS shard,
+              |        CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              |                             t -> t <> '')) AS BIGINT) AS n_tokens
+              |      FROM dec WHERE doc_id IN (SELECT doc_id FROM sel)),
+              |w2 AS (SELECT doc_id, shard, n_tokens,
+              |              COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+              |       FROM t)
+              |SELECT shard, CAST(tb // 512 AS BIGINT) AS chunk_id,
+              |       CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+              |       min(doc_id) AS first_doc_id
+              |FROM w2 GROUP BY shard, CAST(tb // 512 AS BIGINT)""".stripMargin)),
 
     // Incremental SemDeDup against a MATERIALIZED IVF index: the even
     // half of embeddings is indexed once (p20's artifact layout), the

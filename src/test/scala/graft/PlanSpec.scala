@@ -243,6 +243,42 @@ class PlanSpec extends SparkSpec {
     assert(packed.count() > 0)
   }
 
+  test("curation e2e: no shuffle exchange in the composed plan carries corpus text") {
+    // the whole point of composing the six stages inside one lazy
+    // plan (Curation.curateManifest): every stage verdict is an
+    // id/hash-grain side that joins back onto the streaming corpus —
+    // quality is a scan filter, dedup keepers/losers and the
+    // contaminated set are id sets, the DSIR Gumbel-top-n sorts the
+    // NARROW weights frame, and packing drops text in its projection
+    // before the shard window. A regression in any stage's wiring
+    // (e.g. joining weights onto the corpus before the top-n) would
+    // put text back into an exchange and fail here.
+    val docs = Tables.documents(spark, dir)
+    withNoAqe {
+      val q = pipeline.Curation.curateManifest(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        // cache = false: a cached verdict frame would hide its
+        // subtree's exchanges from this plan walk
+        pipeline.Curation.Config(contaminationN = 4, sampleN = 20,
+          cache = false))
+      val shuffled = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffled.nonEmpty, "expected at least one exchange")
+      shuffled.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"text flows through a shuffle:\n${e.treeString}")
+      }
+      // the DSIR top-n must be a TakeOrdered over the narrow weights
+      // frame, never a global sort
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"expected TakeOrderedAndProject for the Gumbel top-n:\n$plan")
+      assert(q.count() > 0)
+    }
+  }
+
   test("LSH bucket assignment is the codegen'd dot, not an interpreted fold") {
     val plan = planOf(pipeline.Similarity.lshTopK(
       Tables.embeddings(spark, dir), queryId = 0L, k = 5, bits = 4))
