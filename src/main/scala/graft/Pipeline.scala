@@ -470,6 +470,21 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
   /** Parquet has no MERGE: write the merged table next to the live one,
     * then swap directories. The swap is two renames — the table is
     * never half-written. (Delta/Iceberg MERGE replaces this at scale.)
+    *
+    * CONCURRENCY CONTRACT (single-writer, quiescent-reader):
+    * `withWriterLock` serializes writers within THIS JVM only. A
+    * reader in another session that planned its scan before the swap
+    * holds the OLD directory's file list and will fail (file-not-
+    * found) or read torn state if it scans across the swap — plan
+    * lists files eagerly, execution reads them lazily. Run readers
+    * and the writer in the same session (the serving layer does:
+    * marts materialize behind the same lock), or schedule scans off
+    * the write window. Lifting this to concurrent cross-session
+    * readers needs snapshot isolation — a `v=N` versioned directory
+    * plus a pointer file the reader resolves once at plan time, or a
+    * table format (Delta/Iceberg) that owns exactly that metadata;
+    * /opt/spark/jars ships neither, so the contract stands documented
+    * instead (README "Concurrency").
     */
   private def overwriteAtomically(path: String, df: DataFrame,
       schema: org.apache.spark.sql.types.StructType): Unit = {

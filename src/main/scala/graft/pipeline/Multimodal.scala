@@ -130,7 +130,22 @@ object Multimodal {
     * channel sums a SQL oracle recomputes from (seed, w, h) alone.
     * Test/gate fixture for [[ImageIoDecoder]] and [[resizeImage]].
     */
-  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] =
+    encodeImage(syntheticImage(seed, w, h), "png")
+
+  /** The same deterministic fixture through the LOSSY branch of the
+    * `javax.imageio` seam: JPEG encode (JDK-bundled writer). Decoded
+    * DIMENSIONS and frame count survive the codec exactly (the mm07
+    * oracle hashes them); pixel values do not — channel sums are
+    * spec-gated within a lossy tolerance instead
+    * (MultimodalSpec), which is the honest contract for any lossy
+    * codec in the corpus.
+    */
+  def syntheticJpeg(seed: Long, w: Int, h: Int): Array[Byte] =
+    encodeImage(syntheticImage(seed, w, h), "jpg")
+
+  private def syntheticImage(seed: Long, w: Int,
+      h: Int): java.awt.image.BufferedImage = {
     require(w > 0 && h > 0, s"dims must be positive, got ${w}x$h")
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -146,8 +161,13 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  private def encodeImage(img: java.awt.image.BufferedImage,
+      format: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
   }
 

@@ -1459,6 +1459,27 @@ object PipelineQueries {
               |       CAST(sum((doc_id*13 + sx*2 + sy) % 256) AS BIGINT) AS sum_b
               |FROM spx GROUP BY doc_id""".stripMargin)),
 
+    // The LOSSY branch of the javax.imageio seam: JPEG fixtures
+    // (engine-generated on executors) encoded and re-DECODED through
+    // the same ImageIoDecoder as mm05/mm06. What a lossy codec
+    // preserves exactly — decoded dimensions and frame count — is
+    // hash-oracled for every doc; n_frames = 1 everywhere also proves
+    // no payload hit the quarantine path (a decoder that only
+    // sniffed headers, or a broken JPEG writer, fails here). Pixel
+    // values do NOT survive JPEG; their channel sums are spec-gated
+    // within a lossy tolerance (MultimodalSpec), the honest contract
+    // for lossy media in a corpus.
+    QueryDef("mm07_jpeg_decode",
+      (s, dir) => Multimodal.decodeFeatures(
+        syntheticJpegMedia(s, dir), Multimodal.ImageIoDecoder).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames")),
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(8 + doc_id % 8 AS INTEGER) AS width,
+             |       CAST(8 + doc_id % 5 AS INTEGER) AS height,
+             |       CAST(1 AS INTEGER) AS n_frames
+             |FROM documents""".stripMargin)),
+
     // Frame sampling: byte-range explode — the frame COUNT and LENGTH
     // math is oracle-checkable even though payload slicing is opaque.
     QueryDef("mm03_frame_sampling",
@@ -3489,6 +3510,21 @@ object PipelineQueries {
       .mapPartitions { ids =>
         ids.map { id =>
           (id, Multimodal.syntheticPng(id, w = 8 + (id % 8).toInt, h = 8 + (id % 5).toInt))
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  /** The same fixture through the LOSSY codec branch (mm07): per
+    * doc_id a [[Multimodal.syntheticJpeg]] of the SAME deterministic
+    * dims, generated on executors.
+    */
+  private def syntheticJpegMedia(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          (id, Multimodal.syntheticJpeg(id, w = 8 + (id % 8).toInt, h = 8 + (id % 5).toInt))
         }
       }.toDF("media_id", "payload")
   }

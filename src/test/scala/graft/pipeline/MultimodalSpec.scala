@@ -125,6 +125,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIoDecoder: JPEG round trip — exact dims, lossy channel sums within tolerance") {
+    val spark2 = spark
+    import spark2.implicits._
+    // same fixture, both codec branches; JPEG must preserve the
+    // decoded geometry exactly and the pixel content approximately
+    val seeds = Seq(1L, 2L, 3L, 9L, 42L)
+    val media = seeds.map(id =>
+      (id, Multimodal.syntheticJpeg(id, w = 8 + (id % 8).toInt, h = 8 + (id % 5).toInt)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeFeatures(media, Multimodal.ImageIoDecoder)
+      .collect().map(d => d.media_id -> d).toMap
+    seeds.foreach { id =>
+      val d = out(id)
+      val (w, h) = (8 + (id % 8).toInt, 8 + (id % 5).toInt)
+      assert(d.width === w && d.height === h && d.n_frames === 1,
+        s"JPEG geometry drifted for seed $id")
+      // exact sums from the generator formulas (what PNG would give)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        er += ((id * 7 + x * 3 + y * 5) % 256).toInt
+        eg += ((id * 11 + x + y * 2) % 256).toInt
+        eb += ((id * 13 + x * 2 + y) % 256).toInt
+      }
+      val n = (w * h).toDouble
+      // high-frequency noise is JPEG's worst case; the MEAN channel
+      // level still survives — bound the per-pixel mean drift
+      Seq((d.feature(0), er, "r"), (d.feature(1), eg, "g"),
+        (d.feature(2), eb, "b")).foreach { case (got, exact, c) =>
+        val drift = math.abs(got - exact) / n
+        assert(drift <= 48.0,
+          s"JPEG mean $c drift $drift for seed $id (got $got, exact $exact)")
+      }
+    }
+  }
+
   test("sampleFrames: explode covers the payload in byte-range steps") {
     val frames = Multimodal.sampleFrames(media.where("media_id = 3"), everyNBytes = 64)
     assert(frames.count() === 5) // ceil(300/64) = 5 frames (0..4)
