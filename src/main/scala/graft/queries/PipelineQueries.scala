@@ -193,6 +193,9 @@ object PipelineQueries {
   /** Artifact path for the p92 eviction-gate IVF index. */
   private def evictIvfIndexPath = s"$artifactRoot/ivf_index_p92"
 
+  /** Artifact path for the p94 incremental-ingest LSH index. */
+  private def incrIndexPath = s"$artifactRoot/lsh_index_p94"
+
   /** The p20/p92 construction recomputed from scratch in SQL:
     * centroids md5-spread-sampled from the EVEN half, every row
     * assigned to its argmax-cosine cell, the 4 probe cells ranked for
@@ -2797,6 +2800,100 @@ object PipelineQueries {
           k = 10, nprobe = 4)
       },
       Some(ivfIndexedTopkOracleSql("d.vec_id % 7 != 0"))),
+
+    // THE DAILY INCREMENTAL INGEST LOOP — diff -> evict -> dedup the
+    // delta, composed end-to-end: yesterday's corpus is indexed once;
+    // today's crawl drops every (id % 10 == 0) doc (retention),
+    // re-crawls every surviving (id % 7 == 1) doc with an edit, and
+    // adds clones of every (id % 9 == 0) doc under new ids.
+    // Snapshots.diff derives the statuses; the index evicts removed
+    // AND changed ids (a changed doc's STALE version must neither
+    // claim verdicts nor near-dup its own re-crawl); only the
+    // added+changed batch is shingled (delta-proportional daily
+    // cost); verdicts come from the surviving index. The decisive
+    // rows: a clone of a RETAINED doc is dropped (jaccard 1 against
+    // the index), a clone of a RETENTION-REMOVED doc survives — the
+    // eviction payoff, impossible with append-only indexes — and
+    // every re-crawled doc survives because its own stale version was
+    // evicted, not judged. The oracle rebuilds both sides' texts from
+    // the same formulas and recomputes signatures, cross-side
+    // candidates and verified jaccard in SQL.
+    QueryDef("p94_incremental_ingest",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"))
+        Dedup.writeLshIndex(docs, incrIndexPath)
+        val cur = docs.where(col("doc_id") % 10 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 1, concat(col("text"), lit(" edited")))
+              .otherwise(col("text")))
+          .unionByName(docs.where(col("doc_id") % 9 === 0).select(
+            (col("doc_id") + 2000000L).as("doc_id"), col("text"),
+            col("source")))
+        val st = Snapshots.diff(docs, cur)
+        Dedup.tombstoneLshIndex(
+          st.where(col("status").isin("removed", "changed")),
+          incrIndexPath, batchId = "day1")
+        val batch = cur.join(
+          st.where(col("status").isin("added", "changed")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val dropped = Dedup.nearDupsAgainstIndex(batch, incrIndexPath,
+          threshold = 0.8)
+          .select(col("doc_new").as("doc_id")).distinct()
+          .withColumn("__dropped", lit(true))
+        batch.select("doc_id").join(dropped, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__dropped"), lit(false)).as("dropped"))
+      },
+      Some("""WITH idx AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 1),
+             |bat AS (
+             |  SELECT doc_id, text || ' edited' AS text FROM documents
+             |  WHERE doc_id % 7 = 1 AND doc_id % 10 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, text FROM documents
+             |  WHERE doc_id % 9 = 0),
+             |u AS (SELECT doc_id, text FROM idx UNION ALL SELECT doc_id, text FROM bat),
+             |toks AS (SELECT doc_id,
+             |           list_filter(string_split_regex(trim(text), '\s+'),
+             |                       t -> t <> '') AS w
+             |         FROM u),
+             |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+             |         SELECT doc_id,
+             |                unnest(list_transform(range(1, len(w) - 1),
+             |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+             |         FROM toks)),
+             |hv AS (SELECT doc_id,
+             |              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
+             |              ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hb
+             |       FROM sh),
+             |mh AS (SELECT doc_id, i, min(ha + i * hb) AS mv
+             |       FROM hv CROSS JOIN (SELECT unnest(range(16)) AS i) idxs
+             |       GROUP BY doc_id, i),
+             |bands AS (SELECT doc_id, i // 4 AS band,
+             |                 md5(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i)) AS bucket
+             |          FROM mh GROUP BY doc_id, i // 4),
+             |cand AS (SELECT DISTINCT nw.doc_id AS doc_new, od.doc_id AS doc_old
+             |         FROM bands nw JOIN bands od
+             |           ON nw.band = od.band AND nw.bucket = od.bucket
+             |         WHERE nw.doc_id IN (SELECT doc_id FROM bat)
+             |           AND od.doc_id IN (SELECT doc_id FROM idx)),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
+             |          FROM sh GROUP BY doc_id),
+             |common AS (SELECT c.doc_new, c.doc_old, CAST(count(*) AS BIGINT) AS common
+             |           FROM cand c
+             |           JOIN sh a ON a.doc_id = c.doc_new
+             |           JOIN sh b ON b.doc_id = c.doc_old AND b.shingle = a.shingle
+             |           GROUP BY 1, 2),
+             |dropped AS (SELECT DISTINCT doc_new AS doc_id
+             |            FROM common
+             |            JOIN sizes sn ON sn.doc_id = doc_new
+             |            JOIN sizes so ON so.doc_id = doc_old
+             |            WHERE common / (sn.set_size + so.set_size - common) >= 0.8)
+             |SELECT b.doc_id,
+             |       (b.doc_id IN (SELECT doc_id FROM dropped)) AS dropped
+             |FROM bat b""".stripMargin)),
 
     // THE END-TO-END CURATION PIPELINE — every fragment gate's stage
     // chained in production order inside ONE lazy plan (Curation):
