@@ -1397,6 +1397,64 @@ object StreamingQueries {
     },
     Some(PipelineQueries.indexNeardupsOracleSql))
 
+  /** st19: ONLINE ingest dedup against an index with PENDING
+    * EVICTIONS — st17's shape after a retention pass: the even-id
+    * half is indexed, every (id % 10 == 0) doc is then tombstoned
+    * ([[graft.pipeline.Dedup.tombstoneLshIndex]] — the logical delete
+    * p91 gates in batch), and the odd half streams in two genuine
+    * micro-batches. Every batch's verdicts must come from the
+    * SURVIVING index only: a dead doc claiming a verdict in the
+    * online path would silently suppress re-crawled content exactly
+    * as it would in batch, and the streaming reader must pick up the
+    * tombstones without a restart (they are read inside
+    * nearDupsAgainstIndex per micro-batch, not captured at stream
+    * start). Oracle: st17's full SQL recomputation with the evicted
+    * ids excluded from the index side.
+    */
+  private def streamingIndexDedupEvicted: QueryDef = QueryDef(
+    "st19_streaming_evicted_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      val docs = Tables.documents(s, dir)
+      val indexPath = s"$artifactRoot/lsh_index_st19"
+      graft.pipeline.Dedup.writeLshIndex(
+        docs.where(col("doc_id") % 2 === 0), indexPath)
+      graft.pipeline.Dedup.tombstoneLshIndex(
+        docs.where(col("doc_id") % 10 === 0).select("doc_id"),
+        indexPath, batchId = "ret1")
+
+      val odd = docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+      val schema = odd.schema
+      val dirP = scratch("st19")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      val out = dirP.resolve("out").toString
+      odd.where(col("doc_id") % 4 === 1).coalesce(1).write.parquet(stage)
+      odd.where(col("doc_id") % 4 === 3).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val q = graft.streaming.StreamingIndexDedup.verdictWriter(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(stage),
+        indexPath, out, threshold = 0.8)
+        .option("checkpointLocation", ckpt).start()
+      try q.awaitTermination() finally q.stop()
+      val result =
+        try s.read.parquet(out).select("doc_new", "doc_old", "jaccard")
+        catch { case _: Throwable =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("doc_new", LongType),
+              StructField("doc_old", LongType),
+              StructField("jaccard", DoubleType))))
+        }
+      val rows = result.collect()
+      deleteRecursively(dirP)
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq), result.schema)
+    },
+    Some(PipelineQueries.indexNeardupsOracleSqlWhere("od.doc_id % 10 != 0")))
+
   /** st18: ONLINE corpus-novelty monitor
     * ([[graft.streaming.StreamingNovelty]]) — the streaming face of
     * p85 with BOUNDED state: the corpus-so-far is a persisted Bloom
@@ -1502,5 +1560,6 @@ object StreamingQueries {
       streamingCorpusStats, streamingKmv, streamingCms,
       streamingCurateDeterministic, streamingIntervalJoin, streamingHll,
       streamingSessionWindow, streamingHopping, streamingStreamStatic,
-      streamingIntervalJoinOuter, streamingIndexDedup, streamingNovelty)
+      streamingIntervalJoinOuter, streamingIndexDedup, streamingNovelty,
+      streamingIndexDedupEvicted)
 }
