@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Chunking, Clusters, Contamination, Curation, Dedup, Dsir, Fuzzy, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Reporting, Sampling, Similarity, Snapshots, Spans, TextAnalysis}
+import graft.pipeline.{Bpe, Chunking, Classifier, Clusters, Contamination, Curation, Dedup, Dsir, Fuzzy, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Reporting, Sampling, Similarity, Snapshots, Spans, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -2800,6 +2800,78 @@ object PipelineQueries {
           k = 10, nprobe = 4)
       },
       Some(ivfIndexedTopkOracleSql("d.vec_id % 7 != 0"))),
+
+    // CLASSIFIER-BASED QUALITY FILTERING — the learned filter every
+    // major LLM pipeline runs (GPT-3's reference-vs-crawl LR): full-
+    // batch logistic regression over the SAME hashed uni+bigram
+    // feature space as DSIR (p78), label = "is reference source"
+    // (src0), 2 gradient steps, L1-normalized features. The oracle
+    // unrolls BOTH training iterations in SQL — feature hash, per-doc
+    // margins, per-bucket gradient sums ROUNDED THROUGH FLOAT exactly
+    // like the engine (the p22 k-means discipline — the REAL cast
+    // absorbs double summation-order noise, making the trained
+    // weights bit-stable cross-engine), weight updates, and the final
+    // per-doc sigmoid scores. The trainer stops being a trust-me
+    // component: a drift in the feature hash, the gradient math, the
+    // update rule or the normalization breaks the hash.
+    QueryDef("p95_quality_classifier",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = Classifier.trainLogReg(docs,
+          (col("source") === "src0").cast("double"),
+          buckets = 256, iterations = 2, learningRate = 4.0)
+        Classifier.scoreLogReg(docs, model)
+      },
+      Some("""WITH arr AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(trim(text), '\s+'),
+             |                     t -> t <> '') AS w
+             |  FROM documents),
+             |feats AS (
+             |  SELECT doc_id, unnest(w) AS ft FROM arr
+             |  UNION ALL
+             |  SELECT doc_id,
+             |         unnest(list_transform(range(1, len(w)),
+             |                i -> w[i] || ' ' || w[i+1])) AS ft
+             |  FROM arr),
+             |dc AS (SELECT doc_id,
+             |              ('0x' || substr(md5(ft), 1, 15))::BIGINT % 256 AS b,
+             |              CAST(count(*) AS BIGINT) AS c
+             |       FROM feats GROUP BY 1, 2),
+             |nf AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nfc FROM dc GROUP BY 1),
+             |xf AS (SELECT dc.doc_id, dc.b, dc.c::DOUBLE / nf.nfc AS x
+             |       FROM dc JOIN nf USING (doc_id)),
+             |lab AS (SELECT doc_id,
+             |               CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+             |        FROM documents),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |e1 AS (SELECT doc_id, 0.5 - y AS err FROM lab),
+             |gb1 AS (SELECT CAST(CAST(sum(err) AS REAL) AS DOUBLE) AS g FROM e1),
+             |gw1 AS (SELECT xf.b, CAST(CAST(sum(e1.err * xf.x) AS REAL) AS DOUBLE) AS g
+             |        FROM e1 JOIN xf USING (doc_id) GROUP BY 1),
+             |w1 AS (SELECT ids.b,
+             |              COALESCE(-4.0 * gw1.g / nn.n, 0.0) AS w
+             |       FROM (SELECT unnest(range(256)) AS b) ids
+             |       LEFT JOIN gw1 ON gw1.b = ids.b
+             |       CROSS JOIN nn),
+             |b1 AS (SELECT -4.0 * g / nn.n AS bias FROM gb1 CROSS JOIN nn),
+             |d2 AS (SELECT xf.doc_id, sum(xf.x * w1.w) AS dot
+             |       FROM xf JOIN w1 ON w1.b = xf.b GROUP BY 1),
+             |e2 AS (SELECT lab.doc_id,
+             |              1.0 / (1.0 + exp(-(COALESCE(d2.dot, 0.0) + b1.bias))) - lab.y AS err
+             |       FROM lab LEFT JOIN d2 USING (doc_id) CROSS JOIN b1),
+             |gb2 AS (SELECT CAST(CAST(sum(err) AS REAL) AS DOUBLE) AS g FROM e2),
+             |gw2 AS (SELECT xf.b, CAST(CAST(sum(e2.err * xf.x) AS REAL) AS DOUBLE) AS g
+             |        FROM e2 JOIN xf USING (doc_id) GROUP BY 1),
+             |w2 AS (SELECT w1.b, w1.w - COALESCE(4.0 * gw2.g / nn.n, 0.0) AS w
+             |       FROM w1 LEFT JOIN gw2 ON gw2.b = w1.b CROSS JOIN nn),
+             |b2 AS (SELECT b1.bias - 4.0 * gb2.g / nn.n AS bias
+             |       FROM b1 CROSS JOIN gb2 CROSS JOIN nn),
+             |df AS (SELECT xf.doc_id, sum(xf.x * w2.w) AS dot
+             |       FROM xf JOIN w2 ON w2.b = xf.b GROUP BY 1)
+             |SELECT lab.doc_id,
+             |       1.0 / (1.0 + exp(-(COALESCE(df.dot, 0.0) + b2.bias))) AS score
+             |FROM lab LEFT JOIN df USING (doc_id) CROSS JOIN b2""".stripMargin)),
 
     // THE DAILY INCREMENTAL INGEST LOOP — diff -> evict -> dedup the
     // delta, composed end-to-end: yesterday's corpus is indexed once;

@@ -243,6 +243,31 @@ class PlanSpec extends SparkSpec {
     assert(packed.count() > 0)
   }
 
+  test("evicted index read: tombstone subtraction broadcasts, the probe scan stays partition-pruned") {
+    // the daily eviction fast path is O(removed ids) ONLY if the
+    // anti-join broadcasts the tombstone side — a plan that instead
+    // hash-repartitions the index to meet the anti-join would pay a
+    // corpus-sized shuffle per query and void the whole design
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-plan-evict").toString + "/idx"
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = pipeline.Similarity.sampleCentroids(emb, nlist = 8)
+    pipeline.Similarity.writeIvfIndex(emb, centroids, dir2)
+    pipeline.Similarity.tombstoneIvfIndex(
+      emb.where(col("vec_id") % 7 === 0).select("vec_id"), dir2, batchId = "r")
+    val qVec = emb.where(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val q = pipeline.Similarity.ivfTopKIndexed(spark, dir2, centroids, qVec,
+      k = 5, nprobe = 2)
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone subtraction is not a broadcast anti-join:\n$plan")
+    // the probe's cell filter must still prune index partitions at
+    // the scan — eviction must not break directory pruning
+    assert(plan.contains("PartitionFilters: [__cell"),
+      s"probe lost partition pruning under eviction:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("curation e2e: no shuffle exchange in the composed plan carries corpus text") {
     // the whole point of composing the six stages inside one lazy
     // plan (Curation.curateManifest): every stage verdict is an
