@@ -106,9 +106,42 @@ object Classifier {
     LogRegModel(w, b, buckets, learningRate, iterations)
   }
 
+  /** The trained model as a PURE COLUMN EXPRESSION: score =
+    * sigmoid(bias + Σ_f w[h(f)] / n_features), the per-occurrence
+    * reading of the same dot product [[scoreLogReg]] computes at the
+    * bucket grain (equal up to double summation order, ~1e-16 —
+    * ClassifierSpec pins it). The weights inline as a 256-entry map
+    * literal, so scoring is a STATELESS SCAN — no explode, no
+    * shuffle, no join: it composes into any projection, pushes
+    * through whole-stage codegen, and scores a STREAM without state
+    * or output-mode constraints (st20). This is the deployment shape
+    * of a quality filter at 100 TB — the model rides the plan, the
+    * corpus never re-partitions to be judged.
+    */
+  def scoreExpr(model: LogRegModel,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = TextAnalysis.tokens(text)
+    val bigrams = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, bg) => concat(a, lit(" "), bg)))
+      .otherwise(array().cast("array<string>"))
+    val fs = concat(toks, bigrams)
+    val wMap = map(model.weights.toIndexedSeq.zipWithIndex.flatMap {
+      case (wv, i) => Seq(lit(i.toLong), lit(wv))
+    }: _*)
+    // h60 is a non-negative 60-bit hash, so plain % matches the
+    // bucket id Dsir.hashedFeatureCounts assigns
+    val dot = aggregate(fs, lit(0.0), (acc, f) =>
+      acc + element_at(wMap,
+        graft.functions.Md5Hash.h60(f) % model.buckets.toLong)) / size(fs)
+    lit(1.0) / (lit(1.0) + exp(-(coalesce(dot, lit(0.0)) + model.bias)))
+  }
+
   /** Score docs under a trained model: (idCol, score) with score =
     * sigmoid(bias + w · x). One feature pass + one broadcast join —
-    * the filter is then `score >= threshold`.
+    * the filter is then `score >= threshold`. For a stateless
+    * scan-only scorer (and the streaming path), use [[scoreExpr]].
     */
   def scoreLogReg(docs: DataFrame, model: LogRegModel,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -193,6 +193,64 @@ object PipelineQueries {
   /** Artifact path for the p92 eviction-gate IVF index. */
   private def evictIvfIndexPath = s"$artifactRoot/ivf_index_p92"
 
+  /** The p95 classifier training + scoring recomputed end-to-end in
+    * SQL — shared verbatim by the batch gate (p95) and its streaming
+    * twin (st20): the inline scan scorer must reproduce the trained
+    * model's scores batch-for-stream (stateless projection, so
+    * micro-batching cannot change a single row).
+    */
+  private[queries] def qualityClassifierOracleSql: String =
+    """WITH arr AS (
+           |  SELECT doc_id, source,
+           |         list_filter(string_split_regex(trim(text), '\s+'),
+           |                     t -> t <> '') AS w
+           |  FROM documents),
+           |feats AS (
+           |  SELECT doc_id, unnest(w) AS ft FROM arr
+           |  UNION ALL
+           |  SELECT doc_id,
+           |         unnest(list_transform(range(1, len(w)),
+           |                i -> w[i] || ' ' || w[i+1])) AS ft
+           |  FROM arr),
+           |dc AS (SELECT doc_id,
+           |              ('0x' || substr(md5(ft), 1, 15))::BIGINT % 256 AS b,
+           |              CAST(count(*) AS BIGINT) AS c
+           |       FROM feats GROUP BY 1, 2),
+           |nf AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nfc FROM dc GROUP BY 1),
+           |xf AS (SELECT dc.doc_id, dc.b, dc.c::DOUBLE / nf.nfc AS x
+           |       FROM dc JOIN nf USING (doc_id)),
+           |lab AS (SELECT doc_id,
+           |               CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+           |        FROM documents),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |e1 AS (SELECT doc_id, 0.5 - y AS err FROM lab),
+           |gb1 AS (SELECT CAST(CAST(sum(err) AS REAL) AS DOUBLE) AS g FROM e1),
+           |gw1 AS (SELECT xf.b, CAST(CAST(sum(e1.err * xf.x) AS REAL) AS DOUBLE) AS g
+           |        FROM e1 JOIN xf USING (doc_id) GROUP BY 1),
+           |w1 AS (SELECT ids.b,
+           |              COALESCE(-4.0 * gw1.g / nn.n, 0.0) AS w
+           |       FROM (SELECT unnest(range(256)) AS b) ids
+           |       LEFT JOIN gw1 ON gw1.b = ids.b
+           |       CROSS JOIN nn),
+           |b1 AS (SELECT -4.0 * g / nn.n AS bias FROM gb1 CROSS JOIN nn),
+           |d2 AS (SELECT xf.doc_id, sum(xf.x * w1.w) AS dot
+           |       FROM xf JOIN w1 ON w1.b = xf.b GROUP BY 1),
+           |e2 AS (SELECT lab.doc_id,
+           |              1.0 / (1.0 + exp(-(COALESCE(d2.dot, 0.0) + b1.bias))) - lab.y AS err
+           |       FROM lab LEFT JOIN d2 USING (doc_id) CROSS JOIN b1),
+           |gb2 AS (SELECT CAST(CAST(sum(err) AS REAL) AS DOUBLE) AS g FROM e2),
+           |gw2 AS (SELECT xf.b, CAST(CAST(sum(e2.err * xf.x) AS REAL) AS DOUBLE) AS g
+           |        FROM e2 JOIN xf USING (doc_id) GROUP BY 1),
+           |w2 AS (SELECT w1.b, w1.w - COALESCE(4.0 * gw2.g / nn.n, 0.0) AS w
+           |       FROM w1 LEFT JOIN gw2 ON gw2.b = w1.b CROSS JOIN nn),
+           |b2 AS (SELECT b1.bias - 4.0 * gb2.g / nn.n AS bias
+           |       FROM b1 CROSS JOIN gb2 CROSS JOIN nn),
+           |df AS (SELECT xf.doc_id, sum(xf.x * w2.w) AS dot
+           |       FROM xf JOIN w2 ON w2.b = xf.b GROUP BY 1)
+           |SELECT lab.doc_id,
+           |       1.0 / (1.0 + exp(-(COALESCE(df.dot, 0.0) + b2.bias))) AS score
+           |FROM lab LEFT JOIN df USING (doc_id) CROSS JOIN b2""".stripMargin
+
   /** Artifact path for the p94 incremental-ingest LSH index. */
   private def incrIndexPath = s"$artifactRoot/lsh_index_p94"
 
@@ -2822,56 +2880,7 @@ object PipelineQueries {
           buckets = 256, iterations = 2, learningRate = 4.0)
         Classifier.scoreLogReg(docs, model)
       },
-      Some("""WITH arr AS (
-             |  SELECT doc_id, source,
-             |         list_filter(string_split_regex(trim(text), '\s+'),
-             |                     t -> t <> '') AS w
-             |  FROM documents),
-             |feats AS (
-             |  SELECT doc_id, unnest(w) AS ft FROM arr
-             |  UNION ALL
-             |  SELECT doc_id,
-             |         unnest(list_transform(range(1, len(w)),
-             |                i -> w[i] || ' ' || w[i+1])) AS ft
-             |  FROM arr),
-             |dc AS (SELECT doc_id,
-             |              ('0x' || substr(md5(ft), 1, 15))::BIGINT % 256 AS b,
-             |              CAST(count(*) AS BIGINT) AS c
-             |       FROM feats GROUP BY 1, 2),
-             |nf AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nfc FROM dc GROUP BY 1),
-             |xf AS (SELECT dc.doc_id, dc.b, dc.c::DOUBLE / nf.nfc AS x
-             |       FROM dc JOIN nf USING (doc_id)),
-             |lab AS (SELECT doc_id,
-             |               CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
-             |        FROM documents),
-             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-             |e1 AS (SELECT doc_id, 0.5 - y AS err FROM lab),
-             |gb1 AS (SELECT CAST(CAST(sum(err) AS REAL) AS DOUBLE) AS g FROM e1),
-             |gw1 AS (SELECT xf.b, CAST(CAST(sum(e1.err * xf.x) AS REAL) AS DOUBLE) AS g
-             |        FROM e1 JOIN xf USING (doc_id) GROUP BY 1),
-             |w1 AS (SELECT ids.b,
-             |              COALESCE(-4.0 * gw1.g / nn.n, 0.0) AS w
-             |       FROM (SELECT unnest(range(256)) AS b) ids
-             |       LEFT JOIN gw1 ON gw1.b = ids.b
-             |       CROSS JOIN nn),
-             |b1 AS (SELECT -4.0 * g / nn.n AS bias FROM gb1 CROSS JOIN nn),
-             |d2 AS (SELECT xf.doc_id, sum(xf.x * w1.w) AS dot
-             |       FROM xf JOIN w1 ON w1.b = xf.b GROUP BY 1),
-             |e2 AS (SELECT lab.doc_id,
-             |              1.0 / (1.0 + exp(-(COALESCE(d2.dot, 0.0) + b1.bias))) - lab.y AS err
-             |       FROM lab LEFT JOIN d2 USING (doc_id) CROSS JOIN b1),
-             |gb2 AS (SELECT CAST(CAST(sum(err) AS REAL) AS DOUBLE) AS g FROM e2),
-             |gw2 AS (SELECT xf.b, CAST(CAST(sum(e2.err * xf.x) AS REAL) AS DOUBLE) AS g
-             |        FROM e2 JOIN xf USING (doc_id) GROUP BY 1),
-             |w2 AS (SELECT w1.b, w1.w - COALESCE(4.0 * gw2.g / nn.n, 0.0) AS w
-             |       FROM w1 LEFT JOIN gw2 ON gw2.b = w1.b CROSS JOIN nn),
-             |b2 AS (SELECT b1.bias - 4.0 * gb2.g / nn.n AS bias
-             |       FROM b1 CROSS JOIN gb2 CROSS JOIN nn),
-             |df AS (SELECT xf.doc_id, sum(xf.x * w2.w) AS dot
-             |       FROM xf JOIN w2 ON w2.b = xf.b GROUP BY 1)
-             |SELECT lab.doc_id,
-             |       1.0 / (1.0 + exp(-(COALESCE(df.dot, 0.0) + b2.bias))) AS score
-             |FROM lab LEFT JOIN df USING (doc_id) CROSS JOIN b2""".stripMargin)),
+      Some(qualityClassifierOracleSql)),
 
     // THE DAILY INCREMENTAL INGEST LOOP — diff -> evict -> dedup the
     // delta, composed end-to-end: yesterday's corpus is indexed once;

@@ -1455,6 +1455,47 @@ object StreamingQueries {
     },
     Some(PipelineQueries.indexNeardupsOracleSqlWhere("od.doc_id % 10 != 0")))
 
+  /** st20: ONLINE quality scoring under a trained model — the
+    * deployment shape of the p95 classifier: train once in batch
+    * (identical construction to p95), then score the stream with
+    * [[graft.pipeline.Classifier.scoreExpr]], the model inlined as a
+    * 256-entry map literal in a PURE PROJECTION — no state, no
+    * shuffle, no output-mode constraint; micro-batching cannot change
+    * a single row, so the oracle is p95's full SQL (training unrolled
+    * + final sigmoid scores) verbatim. Two genuine micro-batches
+    * prove per-batch independence.
+    */
+  private def streamingQualityScore: QueryDef = QueryDef(
+    "st20_streaming_quality_score",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.pipeline.Classifier.trainLogReg(docs,
+        (col("source") === "src0").cast("double"),
+        buckets = 256, iterations = 2, learningRate = 4.0)
+
+      val in = docs.select(col("doc_id").cast("long"),
+        col("text").cast("string"))
+      val schema = in.schema
+      val dirP = scratch("st20")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      in.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(stage)
+      in.where(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val qname = "st20_" + UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .select(col("doc_id"),
+          graft.pipeline.Classifier.scoreExpr(model, col("text")).as("score"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+      s.table(qname).select("doc_id", "score")
+    },
+    Some(PipelineQueries.qualityClassifierOracleSql))
+
   /** st18: ONLINE corpus-novelty monitor
     * ([[graft.streaming.StreamingNovelty]]) — the streaming face of
     * p85 with BOUNDED state: the corpus-so-far is a persisted Bloom
@@ -1561,5 +1602,5 @@ object StreamingQueries {
       streamingCurateDeterministic, streamingIntervalJoin, streamingHll,
       streamingSessionWindow, streamingHopping, streamingStreamStatic,
       streamingIntervalJoinOuter, streamingIndexDedup, streamingNovelty,
-      streamingIndexDedupEvicted)
+      streamingIndexDedupEvicted, streamingQualityScore)
 }

@@ -56,6 +56,27 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("scoreExpr (inline scan scorer) matches scoreLogReg to summation-order noise") {
+    val model = Classifier.trainLogReg(corpus, col("y"),
+      buckets = 64, iterations = 3, learningRate = 4.0)
+    val withEmpty = corpus.unionByName(
+      Seq((1000L, "", 0.0)).toDF("doc_id", "text", "y"))
+    val viaJoin = Classifier.scoreLogReg(withEmpty, model).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val inline = withEmpty.select(col("doc_id"),
+      Classifier.scoreExpr(model, col("text")).as("score")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(inline.keySet === viaJoin.keySet)
+    inline.foreach { case (id, s) =>
+      assert(math.abs(s - viaJoin(id)) < 1e-12,
+        s"doc $id: inline $s vs join ${viaJoin(id)}")
+    }
+    // and it is a pure projection: the plan has no exchange at all
+    val plan = withEmpty.select(Classifier.scoreExpr(model, col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"inline scorer shuffles:\n$plan")
+  }
+
   test("feature-less docs train and score through the bias alone") {
     val withEmpty = corpus.unionByName(
       Seq((1000L, "", 0.0), (1001L, "   ", 1.0)).toDF("doc_id", "text", "y"))
