@@ -85,6 +85,58 @@ class CurationPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("eviction ≡ rebuild on random corpora with random removal sets (6 samples)") {
+    // the tombstone path must be semantically INVISIBLE: for any
+    // corpus and any removed subset, dedup against (index − removed)
+    // answers exactly like an index built from scratch without them —
+    // the law the targeted LshIndexSpec fixture can only sample once
+    for ((docs, i) <- samples(corpusGen, 6).zipWithIndex) {
+      val df = docs.toDF("doc_id", "text")
+      // removal set: every 3rd doc, shifted by sample index
+      val removedIds = docs.map(_._1).filter(id => (id + i) % 3 == 0)
+      val base = java.nio.file.Files.createTempDirectory(s"graft-prop-ev$i").toString
+      val full = s"$base/full"; val ref = s"$base/ref"
+      Dedup.writeLshIndex(df, full)
+      Dedup.tombstoneLshIndex(removedIds.toDF("doc_id"), full, batchId = "b")
+      Dedup.writeLshIndex(
+        df.where(!org.apache.spark.sql.functions.col("doc_id")
+          .isin(removedIds: _*)), ref)
+      val probe = docs.take(5).map { case (id, t) => (id + 10000L, t) }
+        .toDF("doc_id", "text")
+      def dups(p: String) = Dedup.nearDupsAgainstIndex(probe, p, threshold = 0.5)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old"),
+          BigDecimal(r.getAs[Double]("jaccard")).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP))).toSet
+      assert(dups(full) === dups(ref), s"sample $i: eviction != rebuild")
+      // physical apply preserves the law
+      Dedup.compactLshIndex(spark, full)
+      assert(dups(full) === dups(ref), s"sample $i: post-compact drift")
+    }
+  }
+
+  test("curate is a monotone filter chain: output ⊆ quality survivors, |output| ≤ sampleN, deterministic") {
+    for ((docs, i) <- samples(corpusGen, 4).zipWithIndex) {
+      val df = docs.map { case (id, t) => (id, t, s"src${id % 3}") }
+        .toDF("doc_id", "text", "source")
+      val bench = df.where(org.apache.spark.sql.functions.col("doc_id") % 11 === 0)
+      val corpus = df.where(org.apache.spark.sql.functions.col("doc_id") % 11 =!= 0)
+      val cfg = Curation.Config(minQuality = 0.1, nearDupThreshold = 0.9,
+        contaminationN = 6, dsirTargetSource = "src0", sampleN = 10,
+        cache = false)
+      def run() = Curation.curate(corpus, bench, cfg)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val out = run()
+      assert(out.size <= cfg.sampleN, s"sample $i: |out|=${out.size} > sampleN")
+      val quality = TextAnalysis.qualityFeatures(corpus)
+        .where(org.apache.spark.sql.functions.col("quality_score") >= cfg.minQuality)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out.subsetOf(quality), s"sample $i: non-survivor selected")
+      // determinism: a re-run (fresh plan) selects the identical set
+      assert(run() === out, s"sample $i: nondeterministic selection")
+    }
+  }
+
   test("weightedCosinePairs symmetry sanity: cosine in [-1, 1+eps] on random corpora") {
     for (docs <- samples(corpusGen, 6)) {
       val pairs = Dedup.weightedCosinePairs(
