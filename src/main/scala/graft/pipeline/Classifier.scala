@@ -127,14 +127,17 @@ object Classifier {
         (a, bg) => concat(a, lit(" "), bg)))
       .otherwise(array().cast("array<string>"))
     val fs = concat(toks, bigrams)
-    val wMap = map(model.weights.toIndexedSeq.zipWithIndex.flatMap {
-      case (wv, i) => Seq(lit(i.toLong), lit(wv))
-    }: _*)
+    // weights as an ARRAY literal indexed by bucket: element_at on an
+    // array is O(1), where a map literal's lookup scans its keys
+    // linearly — O(buckets) per FEATURE, measured 3.3x at sf1 (st20)
+    val wArr = array(model.weights.toIndexedSeq.map(lit(_)): _*)
     // h60 is a non-negative 60-bit hash, so plain % matches the
-    // bucket id Dsir.hashedFeatureCounts assigns
+    // bucket id Dsir.hashedFeatureCounts assigns; +1 for element_at's
+    // 1-based array indexing
     val dot = aggregate(fs, lit(0.0), (acc, f) =>
-      acc + element_at(wMap,
-        graft.functions.Md5Hash.h60(f) % model.buckets.toLong)) / size(fs)
+      acc + element_at(wArr,
+        (graft.functions.Md5Hash.h60(f) % model.buckets.toLong).cast("int") + 1)) /
+      size(fs)
     lit(1.0) / (lit(1.0) + exp(-(coalesce(dot, lit(0.0)) + model.bias)))
   }
 
