@@ -109,6 +109,39 @@ object Packing {
     * identical corpora produce identical checksums under any
     * partitioning; any dropped/duplicated/corrupted row flips it.
     */
+  /** JSONL training export — the format most training loaders
+    * actually consume: one `{"doc_id":…,"text":…}` object per line,
+    * hash-sharded into `shard=<s>/` directories (same md5 variate and
+    * one-shuffle write shape as [[writeShards]]). The manifest is
+    * computed ENTIRELY from the read-back files — token counts and
+    * the per-shard XOR content checksum derive from the text as a
+    * JSONL reader will see it, so the gate certifies the full encode
+    * → escape → decode round trip (a JSON-escaping bug on any quote,
+    * backslash, control char or non-ASCII code point flips xor_h60),
+    * not just the writer's accounting.
+    */
+  def writeJsonlShards(docs: DataFrame, nShards: Int, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    docs
+      .select(col(idCol), shardOf(col(idCol), nShards).as("shard"),
+        col(textCol))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").json(path)
+    docs.sparkSession.read
+      // explicit schema: inference would re-scan every shard just to
+      // learn two fields the contract already fixes
+      .schema(s"$idCol LONG, $textCol STRING")
+      .json(path)
+      .withColumn("shard", col("shard").cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol))).as("total_tokens"),
+        min(col(idCol)).as("min_doc_id"),
+        max(col(idCol)).as("max_doc_id"),
+        bit_xor(graft.functions.Md5Hash.h60(col(textCol))).as("xor_h60"))
+  }
+
   def writeShards(docs: DataFrame, nShards: Int, path: String,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(nShards >= 1, s"nShards=$nShards must be >= 1")

@@ -305,6 +305,9 @@ object PipelineQueries {
     */
   private def shardExportPath = s"$artifactRoot/shard_export_p55"
 
+  /** Artifact path for the p96 JSONL export gate. */
+  private def jsonlExportPath = s"$artifactRoot/jsonl_export_p96"
+
   /** The driver-generated embeddings tables are 64-dimensional at
     * every scale factor (TESTDATA.md); [[Similarity.dimOf]] resolves
     * this value at plan time, the oracles pin it.
@@ -2096,6 +2099,30 @@ object PipelineQueries {
     QueryDef("p55_shard_export",
       (s, dir) => Packing.writeShards(
         Tables.documents(s, dir), nShards = 8, path = shardExportPath),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/pack'), 1, 8))::BIGINT
+             |           % 8 AS shard,
+             |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              t -> t <> '')) AS BIGINT) AS n_tokens,
+             |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h60
+             |  FROM documents)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+             |       bit_xor(h60) AS xor_h60
+             |FROM t GROUP BY shard""".stripMargin)),
+
+    // JSONL training export: the same shard/manifest contract as p55
+    // through the format loaders actually read — one JSON object per
+    // line. The manifest derives ENTIRELY from the read-back files
+    // (token counts + XOR content checksums recomputed from the
+    // decoded text), so the hash match certifies the full JSON
+    // escape/round-trip of every document, not just the writer's
+    // intent; the oracle recomputes the manifest from the raw corpus.
+    QueryDef("p96_jsonl_export",
+      (s, dir) => Packing.writeJsonlShards(
+        Tables.documents(s, dir), nShards = 8, path = jsonlExportPath),
       Some("""WITH t AS (
              |  SELECT doc_id,
              |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/pack'), 1, 8))::BIGINT

@@ -124,4 +124,43 @@ class PackingSpec extends SparkSpec {
     assert(editedShard(s6) !== before(s6))
     assert(editedShard.filter(_._1 != s6) === before.filter(_._1 != s6))
   }
+
+  test("writeJsonlShards: hostile text round-trips byte-exactly through the JSON escape") {
+    val spark2 = spark
+    import spark2.implicits._
+    // every JSON escaping hazard in one corpus: quotes, backslashes,
+    // newlines/tabs, control chars, non-ASCII, surrogate pairs, the
+    // empty string
+    val hostile = Seq(
+      (0L, """he said "hello" and left"""),
+      (1L, "back\\slash \\\\ double"),
+      (2L, "line one\nline two\ttabbed"),
+      (3L, "bell null-ish edge"),
+      (4L, "café 日本語 text"),
+      (5L, "emoji 😀 pair"),
+      (6L, ""),
+      (7L, "plain words only here")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/exp"
+    val manifest = Packing.writeJsonlShards(hostile, nShards = 2, path = path)
+      .collect()
+    // read-back checksums equal the ORIGINAL texts' checksums — the
+    // escape/decode round trip lost nothing
+    val expected = hostile
+      .select(Packing.shardOf(col("doc_id"), 2).as("shard"),
+        graft.functions.Md5Hash.h60(col("text")).as("h60"))
+      .groupBy("shard").agg(org.apache.spark.sql.functions.bit_xor(col("h60")).as("xor_h60"))
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("xor_h60")).toMap
+    manifest.foreach { r =>
+      assert(r.getAs[Long]("xor_h60") === expected(r.getAs[Long]("shard")),
+        s"shard ${r.getAs[Long]("shard")} checksum drifted through JSON")
+    }
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum === 8L)
+    // the files really are one JSON object per line (a raw newline in
+    // doc 2 must have been escaped, not emitted)
+    val lines = new java.io.File(path).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles.filter(_.getName.endsWith(".json")))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toList)
+    assert(lines.length === 8)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+  }
 }
