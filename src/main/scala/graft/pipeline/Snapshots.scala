@@ -75,4 +75,55 @@ object Snapshots {
       .groupBy(col("status"), col(stratumCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
   }
+
+  /** Token-distribution drift between two snapshots — the TEXT-side
+    * drift monitor next to [[Similarity.ivfAssignmentQuality]]'s
+    * embedding drift guard: hashed uni+bigram feature distributions
+    * ([[Dsir.hashedFeatureCounts]]' space), Laplace-smoothed, compared
+    * by Jensen-Shannon divergence and total-variation distance. One
+    * summary row: `(n_old_feats, n_cur_feats, js_divergence,
+    * tv_distance)`. A rising JS between yesterday's and today's crawl
+    * is the "retrain/re-weight your filters" signal (the classifier's
+    * and DSIR's bucket tables went stale) — the release-note number a
+    * versioned corpus ships next to [[diffCard]].
+    *
+    * Scale shape: each side reduces to `buckets` (cnt) rows in one
+    * map-side-combinable pass (text scanned once per side, never
+    * shuffled); the divergence is a `buckets`-row aggregation. JS is
+    * symmetric and bounded by ln 2 — unlike raw KL it cannot blow up
+    * on a bucket one side has never seen, which hashed buckets of a
+    * fresh crawl routinely produce even under smoothing.
+    */
+  def tokenDrift(old: DataFrame, cur: DataFrame, buckets: Int = 256,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def bucketTotals(df: DataFrame, cntName: String) =
+      Dsir.hashedFeatureCounts(df.select(col(idCol), col(textCol)),
+        buckets, idCol, textCol)
+        .groupBy(col("bucket")).agg(sum(col("c")).as(cntName))
+    val spark = old.sparkSession
+    import spark.implicits._
+    val ids = spark.createDataset(0L until buckets.toLong).toDF("bucket")
+    val joined = ids
+      .join(bucketTotals(old, "__co"), Seq("bucket"), "left")
+      .join(bucketTotals(cur, "__cc"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("__co"), lit(0L)).as("co"),
+        coalesce(col("__cc"), lit(0L)).as("cc"))
+    // Laplace-smoothed probabilities over exact integer totals; the
+    // one-row totals broadcast into the 256-row frame
+    val totals = joined.agg(sum(col("co")).as("to"), sum(col("cc")).as("tc"))
+    val probs = joined.crossJoin(broadcast(totals))
+      .select(col("co"), col("cc"),
+        ((col("co") + 1L).cast("double") /
+          (col("to") + buckets.toLong).cast("double")).as("p"),
+        ((col("cc") + 1L).cast("double") /
+          (col("tc") + buckets.toLong).cast("double")).as("q"))
+    val m = (col("p") + col("q")) / 2.0
+    probs.agg(
+      sum(col("co")).as("n_old_feats"),
+      sum(col("cc")).as("n_cur_feats"),
+      (sum(col("p") * log(col("p") / m)) / 2.0 +
+        sum(col("q") * log(col("q") / m)) / 2.0).as("js_divergence"),
+      (sum(abs(col("p") - col("q"))) / 2.0).as("tv_distance"))
+  }
 }

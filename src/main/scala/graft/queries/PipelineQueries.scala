@@ -2137,6 +2137,65 @@ object PipelineQueries {
              |       bit_xor(h60) AS xor_h60
              |FROM t GROUP BY shard""".stripMargin)),
 
+    // Snapshot token-distribution drift: p52's two corpus versions
+    // compared as hashed-feature distributions — Jensen-Shannon
+    // divergence + total-variation distance, the text-side twin of
+    // p64's embedding drift guard (rising JS = the DSIR/classifier
+    // bucket tables went stale, retrain). Oracle: both snapshots'
+    // feature streams, the 256 smoothed bucket probabilities and the
+    // identically-parenthesized JS/TV sums in SQL (ln rides the 6-dp
+    // note; everything else is exact integers + single divisions).
+    QueryDef("p97_token_drift",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val v1 = docs.where(col("doc_id") % 4 =!= 3)
+        val v2 = docs.where(col("doc_id") % 4 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 6 === 1, concat(col("text"), lit(" edited")))
+              .otherwise(col("text")))
+        Snapshots.tokenDrift(v1, v2)
+      },
+      Some("""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
+             |v2 AS (SELECT doc_id,
+             |              CASE WHEN doc_id % 6 = 1 THEN text || ' edited'
+             |                   ELSE text END AS text
+             |       FROM documents WHERE doc_id % 4 <> 0),
+             |a1 AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+             |                                  t -> t <> '') AS w FROM v1),
+             |a2 AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+             |                                  t -> t <> '') AS w FROM v2),
+             |f1 AS (SELECT unnest(w) AS ft FROM a1
+             |       UNION ALL
+             |       SELECT unnest(list_transform(range(1, len(w)),
+             |              i -> w[i] || ' ' || w[i+1])) AS ft FROM a1),
+             |f2 AS (SELECT unnest(w) AS ft FROM a2
+             |       UNION ALL
+             |       SELECT unnest(list_transform(range(1, len(w)),
+             |              i -> w[i] || ' ' || w[i+1])) AS ft FROM a2),
+             |c1 AS (SELECT ('0x' || substr(md5(ft), 1, 15))::BIGINT % 256 AS b,
+             |              CAST(count(*) AS BIGINT) AS co
+             |       FROM f1 GROUP BY 1),
+             |c2 AS (SELECT ('0x' || substr(md5(ft), 1, 15))::BIGINT % 256 AS b,
+             |              CAST(count(*) AS BIGINT) AS cc
+             |       FROM f2 GROUP BY 1),
+             |j AS (SELECT ids.b, COALESCE(c1.co, 0) AS co, COALESCE(c2.cc, 0) AS cc
+             |      FROM (SELECT unnest(range(256)) AS b) ids
+             |      LEFT JOIN c1 ON c1.b = ids.b
+             |      LEFT JOIN c2 ON c2.b = ids.b),
+             |tots AS (SELECT CAST(sum(co) AS BIGINT) AS toto,
+             |                CAST(sum(cc) AS BIGINT) AS totc
+             |         FROM j),
+             |pq AS (SELECT co, cc,
+             |              (co + 1)::DOUBLE / (toto + 256)::DOUBLE AS p,
+             |              (cc + 1)::DOUBLE / (totc + 256)::DOUBLE AS q
+             |       FROM j CROSS JOIN tots)
+             |SELECT CAST(sum(co) AS BIGINT) AS n_old_feats,
+             |       CAST(sum(cc) AS BIGINT) AS n_cur_feats,
+             |       sum(p * ln(p / ((p + q) / 2.0))) / 2.0 +
+             |         sum(q * ln(q / ((p + q) / 2.0))) / 2.0 AS js_divergence,
+             |       sum(abs(p - q)) / 2.0 AS tv_distance
+             |FROM pq""".stripMargin)),
+
     // Corpus data card: per-(source, lang) docs/tokens/chars and each
     // stratum's exact share of the corpus — the composition report a
     // training run ships with (and the auditable input to p44's

@@ -72,4 +72,34 @@ class SnapshotsSpec extends SparkSpec {
     assert(card(("added", "s2")) === ((1L, 2L)))
     assert(card.size === 4)
   }
+
+  test("tokenDrift: zero on identical snapshots, near ln 2 on disjoint vocabularies, ordered in between") {
+    val spark2 = spark
+    import spark2.implicits._
+    def corpus(words: Seq[String]) = (0 until 20).map { i =>
+      (i.toLong, (0 until 10).map(j => words((i + j) % words.size)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val va = corpus(Seq("alpha", "beta", "gamma", "delta"))
+    val vb = corpus(Seq("omega", "sigma", "theta", "kappa"))
+    def drift(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) = {
+      val r = Snapshots.tokenDrift(a, b).head()
+      (r.getAs[Double]("js_divergence"), r.getAs[Double]("tv_distance"))
+    }
+    // identical snapshots: both measures exactly 0 (p == q bucket-wise)
+    val (js0, tv0) = drift(va, va)
+    assert(math.abs(js0) < 1e-12 && math.abs(tv0) < 1e-12)
+    // disjoint vocabularies: JS approaches its ln 2 bound, TV its 1 bound
+    val (jsD, tvD) = drift(va, vb)
+    assert(jsD > 0.5 * math.log(2) && jsD <= math.log(2) + 1e-9, s"js=$jsD")
+    assert(tvD > 0.5 && tvD <= 1.0 + 1e-9, s"tv=$tvD")
+    // a small edit sits strictly between the extremes, and JS is symmetric
+    val vaEdited = va.withColumn("text",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.lit(" drifted")))
+    val (jsE, _) = drift(va, vaEdited)
+    assert(jsE > 0.0 && jsE < jsD, s"jsE=$jsE not between 0 and $jsD")
+    val (jsE2, _) = drift(vaEdited, va)
+    assert(math.abs(jsE - jsE2) < 1e-12, "JS not symmetric")
+  }
 }
