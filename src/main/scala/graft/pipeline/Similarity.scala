@@ -611,6 +611,14 @@ object Similarity {
     * retraining moves the cell geometry, so every row must be
     * re-assigned — a partial rewrite would strand the missing rows in
     * cells the probe no longer checks.
+    *
+    * Under retention, "full" means the SURVIVING corpus: pass the
+    * corpus with [[tombstoneIvfIndex]]'d rows already excluded. The
+    * rebuild clears the tombstone table along with the old index
+    * (writeIvfIndex — stale evictions must not shadow re-added docs),
+    * so the rebuilt index serves exactly what you pass, nothing else;
+    * passing deleted rows silently re-admits them (IvfIndexSpec pins
+    * the survivors-only contract).
     */
   def maybeRetrain(corpus: DataFrame,
       centroids: Array[(Long, Array[Float])], path: String,

@@ -225,6 +225,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(ids() === before)
   }
 
+  test("retrain after eviction: rebuild from survivors clears tombstones and serves survivors only") {
+    val base = baseCorpus
+    val centroids = Similarity.kmeansCentroids(base, nlist = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-retr-ev").toString + "/idx"
+    Similarity.writeIvfIndex(base, centroids, path, batchId = "base")
+    val removed = (0 until 8).map(m => 0L * 100 + m)
+    Similarity.tombstoneIvfIndex(removed.toDF("vec_id"), path, batchId = "ret")
+    // drift arrives (the drifted batch appended) -> retrain fires; the
+    // corpus passed is the SURVIVING corpus, per the contract
+    val survivors = base.where(!col("vec_id").isin(removed: _*))
+      .unionByName(driftedBatch)
+    Similarity.appendToIvfIndex(driftedBatch, centroids, path, batchId = "d")
+    val decision = Similarity.maybeRetrain(survivors, centroids, path,
+      maxFracLow = 0.2, nlist = 12, iters = 2)
+    assert(decision.retrained, "drifted corpus must trigger the retrain")
+    // stale tombstones are gone with the rebuild...
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + "_tombstones")))
+    // ...and the rebuilt index holds exactly the survivors
+    val served = spark.read.parquet(path).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = survivors.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served === expected)
+    // a probe for the evicted cluster finds none of its members
+    val ids = topIds(Similarity.ivfTopKIndexed(spark, path,
+      decision.centroids, member(0, 20), k = 8, nprobe = 12))
+    assert(ids.toSet.intersect(removed.toSet).isEmpty)
+  }
+
   test("tombstoneIvfIndex: (index - removed) answers exactly like an index rebuilt without them") {
     val base = baseCorpus
     val centroids = Similarity.kmeansCentroids(base, nlist = 8, iters = 2)
