@@ -110,8 +110,8 @@ object Classifier {
     * sigmoid(bias + Σ_f w[h(f)] / n_features), the per-occurrence
     * reading of the same dot product [[scoreLogReg]] computes at the
     * bucket grain (equal up to double summation order, ~1e-16 —
-    * ClassifierSpec pins it). The weights inline as a 256-entry map
-    * literal, so scoring is a STATELESS SCAN — no explode, no
+    * ClassifierSpec pins it). The weights inline as a bucket-indexed
+    * ARRAY literal, so scoring is a STATELESS SCAN — no explode, no
     * shuffle, no join: it composes into any projection, pushes
     * through whole-stage codegen, and scores a STREAM without state
     * or output-mode constraints (st20). This is the deployment shape

@@ -61,7 +61,13 @@ object Curation {
 
   /** MEMORY_AND_DISK like every other pipeline cache: id/feature
     * partitions that outgrow executor memory spill to local disk
-    * rather than evicting.
+    * rather than evicting. Cache LIFETIME is session-scoped (the
+    * [[Dedup.minHashNearDups]] convention — the frames are internal
+    * to the lazy plan, so there is no post-action unpersist hook): a
+    * long-lived session running many corpora through [[curate]]
+    * should either pass `cache = false` and materialize its own
+    * boundary, or clear between runs with
+    * `spark.sharedState.cacheManager.clearCache()`.
     */
   private def maybeCache(df: DataFrame, cfg: Config): DataFrame =
     if (cfg.cache)

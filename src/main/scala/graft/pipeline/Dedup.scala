@@ -362,14 +362,25 @@ object Dedup {
 
   /** The band buckets [[lshCandidatePairs]] dropped under the same
     * parameters: (band, bucket, population) for populations >
-    * maxBucketSize. Cheap (one aggregate over the bucket rows) — log
-    * it next to every near-dup run; a non-empty result at default cap
-    * means the corpus has a boilerplate pathology upstream dedup
-    * should be handling.
+    * maxBucketSize. A non-empty result at default cap means the
+    * corpus has a boilerplate pathology upstream dedup should be
+    * handling. This overload recomputes the banding from signatures
+    * (a second banding pass); when running it NEXT TO a dedup, hold
+    * the [[bandBuckets]] frame yourself and use
+    * [[overflowBucketsFrom]] — one aggregate over the shared
+    * substrate, no second pass.
     */
   def lshOverflowBuckets(signatures: DataFrame, numHashes: Int = 16,
       rowsPerBand: Int = 4, maxBucketSize: Int = 100000): DataFrame =
-    bandBuckets(signatures, numHashes, rowsPerBand)
+    overflowBucketsFrom(bandBuckets(signatures, numHashes, rowsPerBand),
+      maxBucketSize)
+
+  /** [[lshOverflowBuckets]] over a PRE-BUILT bucket frame — the cheap
+    * form: one aggregate, no re-banding.
+    */
+  def overflowBucketsFrom(buckets: DataFrame,
+      maxBucketSize: Int = 100000): DataFrame =
+    buckets
       .groupBy("band", "bucket").agg(count(lit(1)).as("population"))
       .where(col("population") > maxBucketSize)
 
@@ -698,10 +709,14 @@ object Dedup {
       else newShingledRaw
     val newBands = bandBuckets(
       minHashSignatures(newShingled, numHashes), numHashes, rowsPerBand)
-    // tombstoned (evicted) docs must not claim verdicts: subtract
-    // them from BOTH index tables — bands (candidate generation) and
-    // shingles (verification) — so an evicted doc neither surfaces as
-    // doc_old nor distorts a surviving pair's jaccard
+    // tombstoned (evicted) docs must not claim verdicts: subtracting
+    // them from the BANDS table alone is sufficient — candidates are
+    // the only path to doc_old, and the verification/size joins below
+    // are keyed by the already-filtered candidate pairs (an evicted
+    // doc's shingle rows only ever feed its OWN size row, so they
+    // cannot distort any surviving pair's jaccard). Filtering the
+    // corpus-sized shingles table too would add a second anti-join on
+    // the per-batch hot path for zero semantic effect.
     val idxBands = withoutLshTombstones(
       spark.read.parquet(s"$indexPath/bands"), indexPath)
     val candidates = newBands
@@ -711,8 +726,7 @@ object Dedup {
       .where(col("doc_new") =!= col("doc_old"))
       .select("doc_new", "doc_old")
       .distinct()
-    val idxShingles = withoutLshTombstones(
-      spark.read.parquet(s"$indexPath/shingles"), indexPath)
+    val idxShingles = spark.read.parquet(s"$indexPath/shingles")
     val a = newShingled.select(col("doc_id").as("doc_new"), col("shingle"))
     val b = idxShingles.select(col("doc_id").as("doc_old"), col("shingle"))
     val common = candidates

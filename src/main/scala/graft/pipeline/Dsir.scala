@@ -91,11 +91,9 @@ object Dsir {
     * universe: every id appears exactly once in the output,
     * feature-less docs score 0.
     */
-  def importanceWeightsFromCounts(rawIds: DataFrame, rawFeatsIn: DataFrame,
-      tgtFeatsIn: DataFrame, buckets: Int,
+  def importanceWeightsFromCounts(rawIds: DataFrame, rawFeats: DataFrame,
+      tgtFeats: DataFrame, buckets: Int,
       idCol: String = "doc_id"): DataFrame = {
-    val rawFeats = rawFeatsIn
-    val tgtFeats = tgtFeatsIn
     val (rawPer, rawTot) = bucketCounts(rawFeats)
     val (tgtPer, tgtTot) = bucketCounts(tgtFeats)
 

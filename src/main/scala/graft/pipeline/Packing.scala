@@ -129,9 +129,11 @@ object Packing {
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").json(path)
     docs.sparkSession.read
-      // explicit schema: inference would re-scan every shard just to
-      // learn two fields the contract already fixes
-      .schema(s"$idCol LONG, $textCol STRING")
+      // explicit schema (inference would re-scan every shard), taken
+      // from the INPUT's actual field types — a hardcoded LONG would
+      // silently null out a string id column under PERMISSIVE parsing
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        docs.schema(idCol), docs.schema(textCol))))
       .json(path)
       .withColumn("shard", col("shard").cast("long"))
       .groupBy("shard")

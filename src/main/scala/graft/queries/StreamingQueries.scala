@@ -1459,7 +1459,7 @@ object StreamingQueries {
     * deployment shape of the p95 classifier: train once in batch
     * (identical construction to p95), then score the stream with
     * [[graft.pipeline.Classifier.scoreExpr]], the model inlined as a
-    * 256-entry map literal in a PURE PROJECTION — no state, no
+    * bucket-indexed array literal in a PURE PROJECTION — no state, no
     * shuffle, no output-mode constraint; micro-batching cannot change
     * a single row, so the oracle is p95's full SQL (training unrolled
     * + final sigmoid scores) verbatim. Two genuine micro-batches

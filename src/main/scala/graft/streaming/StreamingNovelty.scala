@@ -73,6 +73,19 @@ object StreamingNovelty {
       outPath: String, n: Int): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // STALE-CHAIN GUARD: our version can only pre-exist as a crashed
+    // prior attempt of THIS batch, and every such attempt wrote the
+    // sink partition BEFORE advancing — so version-committed with
+    // sink-missing means the chain belongs to a PREVIOUS run (a fresh
+    // checkpoint restarted batchIds over old artifacts). Proceeding
+    // would skip this batch's advance and judge the next batch
+    // against the old run's corpus — silently wrong rows, so refuse.
+    if (exists(versionPath(bloomPath, batchId)) &&
+        !exists(s"$outPath/batch=$batchId"))
+      throw new IllegalStateException(
+        s"stale bloom version chain: ${versionPath(bloomPath, batchId)} exists " +
+          s"but $outPath/batch=$batchId does not — a fresh checkpoint must " +
+          "start over fresh bloom/sink artifact paths")
     val prePath = preBatchPath(bloomPath, batchId)
     val sh = Dedup.wordShingles(batch, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -96,6 +109,21 @@ object StreamingNovelty {
         BloomFunctions.advanceBloom(
           sh.select(col("shingle")).distinct(), "shingle",
           prePath, verPath)
+      // BOUND THE VERSION CHAIN: replay only ever needs the newest
+      // version below the replayed batch, so once this batch's
+      // version is committed everything at batchId-2 and older is
+      // dead weight — prune it, walking back until the first gap
+      // (older versions were pruned by earlier batches; amortized
+      // O(1) per batch). Without this the "bounded state" promise is
+      // a lie on disk: a 20-batch/sec stream accumulates a full
+      // filter copy per batch forever.
+      var v = batchId - 2
+      while (v >= 0 && exists(versionPath(bloomPath, v))) {
+        java.nio.file.Files.walk(java.nio.file.Paths.get(versionPath(bloomPath, v)))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        v -= 1
+      }
     } finally { sh.unpersist(); () }
   }
 
