@@ -95,17 +95,34 @@ object Snapshots {
     * fresh crawl routinely produce even under smoothing.
     */
   def tokenDrift(old: DataFrame, cur: DataFrame, buckets: Int = 256,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    def bucketTotals(df: DataFrame, cntName: String) =
-      Dsir.hashedFeatureCounts(df.select(col(idCol), col(textCol)),
-        buckets, idCol, textCol)
-        .groupBy(col("bucket")).agg(sum(col("c")).as(cntName))
-    val spark = old.sparkSession
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    tokenDriftFromCounts(
+      bucketTotals(old, buckets, textCol, idCol),
+      bucketTotals(cur, buckets, textCol, idCol), buckets)
+
+  /** One side's hashed-feature bucket totals: (bucket, cnt) for the
+    * occupied buckets — the bounded substrate [[tokenDriftFromCounts]]
+    * compares and the state a STREAMING monitor accumulates
+    * ([[graft.streaming.StreamingDrift]]): merging two corpora's
+    * totals is a trivial per-bucket sum.
+    */
+  def bucketTotals(df: DataFrame, buckets: Int = 256,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    Dsir.hashedFeatureCounts(df.select(col(idCol), col(textCol)),
+      buckets, idCol, textCol)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("cnt"))
+
+  /** [[tokenDrift]] over PRE-AGGREGATED (bucket, cnt) frames. */
+  def tokenDriftFromCounts(oldCounts: DataFrame, curCounts: DataFrame,
+      buckets: Int = 256): DataFrame = {
+    def named(df: DataFrame, cntName: String) =
+      df.select(col("bucket"), col("cnt").as(cntName))
+    val spark = oldCounts.sparkSession
     import spark.implicits._
     val ids = spark.createDataset(0L until buckets.toLong).toDF("bucket")
     val joined = ids
-      .join(bucketTotals(old, "__co"), Seq("bucket"), "left")
-      .join(bucketTotals(cur, "__cc"), Seq("bucket"), "left")
+      .join(named(oldCounts, "__co"), Seq("bucket"), "left")
+      .join(named(curCounts, "__cc"), Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("__co"), lit(0L)).as("co"),
         coalesce(col("__cc"), lit(0L)).as("cc"))

@@ -1496,6 +1496,114 @@ object StreamingQueries {
     },
     Some(PipelineQueries.qualityClassifierOracleSql))
 
+  /** st21: ONLINE corpus-drift monitor
+    * ([[graft.streaming.StreamingDrift]]) — the streaming face of
+    * p97: the reference corpus's hashed-feature bucket totals are a
+    * never-mutated artifact; the stream's accumulated totals advance
+    * as versioned 256-row states (the st18 discipline); every
+    * micro-batch reports drift(reference, accumulated). Stream =
+    * the corpus in two genuine micro-batches (evens, then odds), so
+    * batch 0's row measures the even half against the full reference
+    * and batch 1's cumulative distribution IS the reference — its JS
+    * and TV must come out EXACTLY 0.0 (p == q bucket-for-bucket ⇒
+    * every ln(1) term is exactly zero in both engines), the
+    * bit-sharp convergence signature a drifting accumulator or a
+    * double-counted replay would break.
+    */
+  private def streamingDrift: QueryDef = QueryDef(
+    "st21_streaming_drift",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+      val dirP = scratch("st21")
+      val refPath = dirP.resolve("ref").toString
+      val statePath = dirP.resolve("state").toString
+      val outPath = dirP.resolve("out").toString
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      graft.pipeline.Snapshots.bucketTotals(docs).write.parquet(refPath)
+      docs.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(stage)
+      docs.where(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val q = graft.streaming.StreamingDrift.driftWriter(
+        s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+          .parquet(stage),
+        refPath, statePath, outPath)
+        .option("checkpointLocation", ckpt).start()
+      try q.awaitTermination() finally q.stop()
+      val rows = s.read.parquet(outPath)
+        .select(col("batch").cast("long").as("batch_id"),
+          col("n_old_feats"), col("n_cur_feats"),
+          col("js_divergence"), col("tv_distance"))
+        .collect()
+      deleteRecursively(dirP)
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_old_feats",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_cur_feats",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("js_divergence",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("tv_distance",
+            org.apache.spark.sql.types.DoubleType))))
+    },
+    Some("""WITH arr AS (
+           |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+           |                             t -> t <> '') AS w
+           |  FROM documents),
+           |feats AS (
+           |  SELECT doc_id, unnest(w) AS ft FROM arr
+           |  UNION ALL
+           |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+           |         i -> w[i] || ' ' || w[i+1])) AS ft
+           |  FROM arr),
+           |dc AS (SELECT doc_id % 2 AS par,
+           |              ('0x' || substr(md5(ft), 1, 15))::BIGINT % 256 AS b,
+           |              CAST(count(*) AS BIGINT) AS c
+           |       FROM feats GROUP BY 1, 2),
+           |ref AS (SELECT b, CAST(sum(c) AS BIGINT) AS cnt FROM dc GROUP BY 1),
+           |ev AS (SELECT b, CAST(sum(c) AS BIGINT) AS cnt
+           |       FROM dc WHERE par = 0 GROUP BY 1),
+           |j0 AS (SELECT ids.b, COALESCE(r.cnt, 0) AS co, COALESCE(e.cnt, 0) AS cc
+           |       FROM (SELECT unnest(range(256)) AS b) ids
+           |       LEFT JOIN ref r ON r.b = ids.b
+           |       LEFT JOIN ev e ON e.b = ids.b),
+           |t0 AS (SELECT CAST(sum(co) AS BIGINT) AS toto,
+           |              CAST(sum(cc) AS BIGINT) AS totc FROM j0),
+           |pq0 AS (SELECT co, cc,
+           |               (co + 1)::DOUBLE / (toto + 256)::DOUBLE AS p,
+           |               (cc + 1)::DOUBLE / (totc + 256)::DOUBLE AS q
+           |        FROM j0 CROSS JOIN t0),
+           |j1 AS (SELECT ids.b, COALESCE(r.cnt, 0) AS co, COALESCE(r2.cnt, 0) AS cc
+           |       FROM (SELECT unnest(range(256)) AS b) ids
+           |       LEFT JOIN ref r ON r.b = ids.b
+           |       LEFT JOIN ref r2 ON r2.b = ids.b),
+           |t1 AS (SELECT CAST(sum(co) AS BIGINT) AS toto,
+           |              CAST(sum(cc) AS BIGINT) AS totc FROM j1),
+           |pq1 AS (SELECT co, cc,
+           |               (co + 1)::DOUBLE / (toto + 256)::DOUBLE AS p,
+           |               (cc + 1)::DOUBLE / (totc + 256)::DOUBLE AS q
+           |        FROM j1 CROSS JOIN t1)
+           |SELECT CAST(0 AS BIGINT) AS batch_id,
+           |       CAST(sum(co) AS BIGINT) AS n_old_feats,
+           |       CAST(sum(cc) AS BIGINT) AS n_cur_feats,
+           |       sum(p * ln(p / ((p + q) / 2.0))) / 2.0 +
+           |         sum(q * ln(q / ((p + q) / 2.0))) / 2.0 AS js_divergence,
+           |       sum(abs(p - q)) / 2.0 AS tv_distance
+           |FROM pq0
+           |UNION ALL
+           |SELECT CAST(1 AS BIGINT),
+           |       CAST(sum(co) AS BIGINT),
+           |       CAST(sum(cc) AS BIGINT),
+           |       sum(p * ln(p / ((p + q) / 2.0))) / 2.0 +
+           |         sum(q * ln(q / ((p + q) / 2.0))) / 2.0,
+           |       sum(abs(p - q)) / 2.0
+           |FROM pq1""".stripMargin))
+
   /** st18: ONLINE corpus-novelty monitor
     * ([[graft.streaming.StreamingNovelty]]) — the streaming face of
     * p85 with BOUNDED state: the corpus-so-far is a persisted Bloom
@@ -1602,5 +1710,5 @@ object StreamingQueries {
       streamingCurateDeterministic, streamingIntervalJoin, streamingHll,
       streamingSessionWindow, streamingHopping, streamingStreamStatic,
       streamingIntervalJoinOuter, streamingIndexDedup, streamingNovelty,
-      streamingIndexDedupEvicted, streamingQualityScore)
+      streamingIndexDedupEvicted, streamingQualityScore, streamingDrift)
 }
