@@ -104,4 +104,43 @@ class StreamingNoveltySpec extends SparkSpec {
     assert(after.contains((3L, 4L, 0L)),
       s"batch 1 must be judged against the advanced v0 filter: $after")
   }
+
+  test("bloom version chain stays bounded: batchId-2 and older are pruned") {
+    val dirP = Files.createTempDirectory("graft-st18-prune-")
+    val bloomPath = dirP.resolve("bloom").toString
+    val out = dirP.resolve("out").toString
+    val base = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    BloomFunctions.writeBloom(
+      Dedup.wordShingles(base).select(col("shingle")).distinct(),
+      "shingle", bloomPath, mWords = 1024, k = 4)
+    (0L to 4L).foreach { b =>
+      StreamingNovelty.processBatch(
+        Seq((100 + b, s"w$b x$b y$b z$b q$b r$b")).toDF("doc_id", "text"),
+        b, bloomPath, out, n = 3)
+    }
+    val live = (0L to 4L).filter(v => Files.exists(
+      java.nio.file.Paths.get(StreamingNovelty.versionPath(bloomPath, v))))
+    assert(live === Seq(3L, 4L), s"chain not pruned: $live")
+    // the seed itself is never touched
+    assert(Files.exists(java.nio.file.Paths.get(bloomPath)))
+  }
+
+  test("a stale bloom chain from a previous run is refused, not silently reused") {
+    val dirP = Files.createTempDirectory("graft-st18-stale-")
+    val bloomPath = dirP.resolve("bloom").toString
+    val out = dirP.resolve("out").toString
+    val base = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    BloomFunctions.writeBloom(
+      Dedup.wordShingles(base).select(col("shingle")).distinct(),
+      "shingle", bloomPath, mWords = 1024, k = 4)
+    val b0 = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    StreamingNovelty.processBatch(b0, 0L, bloomPath, out, n = 3)
+    // a fresh checkpoint restarts batchIds over the SAME bloom chain
+    // but a NEW sink: skipping the advance would judge the next batch
+    // against the old run's corpus — must refuse instead
+    intercept[IllegalStateException] {
+      StreamingNovelty.processBatch(b0, 0L, bloomPath,
+        dirP.resolve("out_freshrun").toString, n = 3)
+    }
+  }
 }
