@@ -261,4 +261,109 @@ object Sampling {
       "epoch_rank",
       Seq(col("__u").asc, col(keyCol).asc))
       .drop("__u")
+
+  /** Raw 32-bit md5 rank of a key — [[uniform]]'s variate BEFORE the
+    * 2^-32 scaling (order-identical; the scaling is an exact divide
+    * by a power of two). The integer form is what the bounded-state
+    * aggregates key their reservoirs on.
+    */
+  private[pipeline] def rawRank(key: Column, salt: String): Column = {
+    val k = key.cast("string")
+    val encoded = concat(
+      coalesce(concat(length(k).cast("string"), lit(":"), k), lit("null")),
+      lit("/" + salt))
+    conv(substring(md5(encoded), 1, 8), 16, 10).cast("long")
+  }
+
+  /** Per-group approximate quantiles from a bounded uniform sample —
+    * the mergeable, fixed-memory alternative to the exact sort-based
+    * quantiles ([[graft.operators.Medians]]): per group, keep the k
+    * rows with the smallest md5 rank (the
+    * [[graft.functions.ReservoirKeys]] reservoir — map-side partials
+    * hold <= k pairs, the exchange moves O(groups x k)), join the
+    * kept keys back for their values (sample side broadcasts — the
+    * corpus is probed once, never shuffled), and read each requested
+    * quantile as the sorted sample's floor((n_sample-1) * q) element
+    * (lower interpolation: a SELECTION, so every emitted value is an
+    * actual data value — engine-exact, no float-summation caveat
+    * anywhere).
+    *
+    * Sampling error, not sketch error: the estimate's rank error is
+    * the order statistic's ~ sqrt(q(1-q)/k) — k=1024 gives ~1.5%
+    * rank error at the median. Groups with <= k rows sample
+    * everything, so their quantiles are EXACT (SampleQuantilesSpec
+    * pins both regimes).
+    *
+    * Contract (inherited from the reservoir aggregate): `keyCol`
+    * non-null numeric, unique within its group.
+    */
+  def sampleQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      keyCol: String, k: Int, qs: Seq[Double],
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles $qs must be in [0,1]")
+    val proj = df.select(col(groupCol), rawRank(col(keyCol), salt).as("__h"),
+      col(keyCol).cast("long").as("__k"),
+      col(valueCol).cast("double").as("__v"))
+    val sampled = proj.groupBy(col(groupCol))
+      .agg(graft.functions.SketchFunctions
+        .reservoirKeys(col("__h"), col("__k"), k).as("__keys"))
+      .select(col(groupCol), explode(col("__keys")).as("__k"))
+    val quantileCols = qs.map { q =>
+      val name = "p" + math.round(q * 100)
+      element_at(col("__vals"),
+        (floor(lit(q) * (col("n_sample") - 1)) + 1).cast("int")).as(name)
+    }
+    proj.join(broadcast(sampled), Seq(groupCol, "__k"))
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("__v"))).as("__vals"),
+        count(lit(1)).as("n_sample"))
+      .select(col(groupCol) +: col("n_sample") +: quantileCols: _*)
+  }
+
+  /** Mixture sampling to an absolute TOKEN BUDGET: allocate
+    * `budgetFrac` of the corpus' total tokens across strata by
+    * `shares` (strata absent from the map get `defaultShare`), then
+    * keep each stratum at rate = min(1, allocated / stratum_tokens)
+    * via the [[uniform]] variate. The "data mixing" step of a
+    * pretraining build — [[temperatureMix]] reshapes RELATIVE
+    * frequencies; this hits an ABSOLUTE budget ("train on B tokens,
+    * 25% of them src0"), capping at availability (a stratum smaller
+    * than its allocation keeps everything — the standard
+    * oversubscription rule; budget shares are targets, not
+    * guarantees).
+    *
+    * Scale shape: one integer aggregate over (stratum) — tiny output
+    * broadcast back with the 1-row grand total — then a narrow
+    * variate-filter scan; the corpus itself never shuffles. Rates
+    * are one pinned chain of IEEE ops over exact integer token
+    * totals, so the kept set is deterministic across runs,
+    * partitionings and engines.
+    *
+    * Output: the kept rows + their stratum's `rate` (the expected
+    * kept fraction — the export manifest's provenance column).
+    */
+  def tokenBudgetMix(df: DataFrame, stratumCol: String, tokenCol: String,
+      shares: Map[String, Double], defaultShare: Double,
+      budgetFrac: Double, keyCol: String, salt: String = ""): DataFrame = {
+    require(budgetFrac > 0.0, s"budgetFrac=$budgetFrac must be positive")
+    require((defaultShare +: shares.values.toSeq).forall(_ >= 0.0),
+      "shares must be non-negative")
+    val shareCol = shares.foldLeft(lit(defaultShare)) {
+      case (acc, (stratum, sh)) =>
+        when(col(stratumCol) === stratum, lit(sh)).otherwise(acc)
+    }
+    val perStratum = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol).cast("long")).as("__stratum_tokens"))
+    val total = df.agg(
+      sum(col(tokenCol).cast("long")).as("__total_tokens"))
+    val rates = perStratum.crossJoin(broadcast(total))
+      .select(col(stratumCol),
+        least(lit(1.0),
+          shareCol * (lit(budgetFrac) * col("__total_tokens")) /
+            col("__stratum_tokens")).as("rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .where(uniform(col(keyCol), salt) < col("rate"))
+  }
 }

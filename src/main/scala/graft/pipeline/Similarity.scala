@@ -1203,4 +1203,51 @@ object Similarity {
       .where(col("population") > maxBucketSize || col("__bucket").isNull)
       .withColumnRenamed("__bucket", "bucket")
   }
+
+  /** Embedding-space outlier flags: each vector's cosine to its
+    * NEAREST sampled centroid (`cell_cosine`), with `is_outlier` =
+    * that cosine below a fixed threshold `tau` — "far from every
+    * cluster center", the low-density/garbage detector a curation
+    * pipeline runs before embeddings feed dedup or retrieval
+    * (mislabeled modalities, truncated encodes, adversarial junk all
+    * land in no cell's core). Joined with the assigned cell's
+    * population (`cell_n`) so downstream triage sees "lone vector in
+    * a dense cell" vs "member of a fringe micro-cell" at a glance.
+    *
+    * Deliberately a FIXED threshold, not per-cell mean/stddev: the
+    * flag stays a pure per-row function of (vector, centroid set) —
+    * engine-exact (no cross-row float aggregation anywhere), stable
+    * under corpus growth, and comparable across daily snapshots.
+    * Per-cell robust stats live in the profiling family
+    * ([[graft.operators.Profiling]]); compose if a data-dependent
+    * cut is wanted.
+    *
+    * Scale shape: centroid assignment is [[assignCells]] (inline
+    * codegen'd dots below the scalar budget, broadcast-data above —
+    * the corpus never shuffles for it); `cell_n` is a tiny
+    * (nlist-row) aggregate broadcast back. Zero-norm vectors score
+    * -Infinity against every centroid (the engine-wide degenerate
+    * rule) and are therefore always flagged.
+    */
+  def embeddingOutliers(emb: DataFrame, nlist: Int, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = sampleCentroids(emb, nlist, idCol, vecCol)
+    val assigned = withBestCentroid(
+      emb.select(col(idCol), col(vecCol)), centroids, vecCol, "__best")
+      // the winning struct's score is the assignment metric dot/|c|
+      // (cosine x |v|, order-identical per row); the REPORTED value
+      // normalizes to the true cosine — (dot/|c|)/|v|, the
+      // parenthesization the oracle mirrors. |v| = 0 has no cosine:
+      // score -Infinity by the engine-wide degenerate rule, so the
+      // flag still fires.
+      .select(col(idCol), col("__best").getField("cid").as("cell"),
+        when(norm(col(vecCol)) > 0,
+          col("__best").getField("score") / norm(col(vecCol)))
+          .otherwise(lit(Double.NegativeInfinity)).as("cell_cosine"))
+    val cellCounts = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_n"))
+    assigned.join(broadcast(cellCounts), Seq("cell"))
+      .select(col(idCol), col("cell"), col("cell_cosine"),
+        (col("cell_cosine") < tau).as("is_outlier"), col("cell_n"))
+  }
 }

@@ -329,13 +329,96 @@ object TextAnalysis {
       // the SQL mirror (tot::DOUBLE / n)
       .withColumn("__avgdl", col("tot").cast("double") / col("n"))
       .withColumn("__s",
-        log(lit(1.0) +
-          (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") +
-            lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("__avgdl")))))
+        bm25Addend(col("tf"), col("df"), col("dl"), col("n"), col("__avgdl"), k1, b))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("__s")).as("score"))
+  }
+
+  /** One (doc, term) BM25 addend — the EXACT expression chain
+    * [[bm25Scores]] always used, factored so the multi-query
+    * ([[multiQueryBm25]]) and streaming
+    * ([[graft.streaming.StreamingRetrieval]]) paths score
+    * bit-identically (same parenthesization, ONE ln per addend; the
+    * per-doc sum over <= |Q| addends rides the engine-wide 6-dp
+    * note).
+    */
+  private[graft] def bm25Addend(tf: Column, df: Column, dl: Column,
+      n: Column, avgdl: Column, k1: Double, b: Double): Column =
+    log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5))) *
+      (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl / avgdl)))
+
+  /** One named term query of a retrieval batch. */
+  final case class TermQuery(queryId: Long, terms: Seq[String])
+
+  /** Batched BM25 retrieval — a whole QUERY SET scored in ONE corpus
+    * pass: `(query_id, doc_id, n_hit_terms, score)` for every doc
+    * hitting >= 1 term of a query. The eval-mining / contamination-
+    * triage shape: thousands of probe queries against a 100 TB
+    * corpus must share the scan, not rerun it per query
+    * ([[bm25Scores]] x |queries| would).
+    *
+    * Scale shape: the union of all query terms is a driver-side
+    * literal `isin` filter, so non-query tokens die AT THE SCAN and
+    * only (doc, hit-term) rows — <= |terms| integers per doc — ever
+    * shuffle. The term->query map and per-term df are |terms|-row
+    * broadcasts; corpus stats a 1-row broadcast; one exchange keyed
+    * by doc_id builds tf, one keyed by (query_id, doc_id) sums the
+    * final scores. A term shared by two queries scores once per
+    * query (the broadcast term->query join fans it out AFTER tf is
+    * aggregated — corpus work is per-term, never per-query).
+    *
+    * Determinism: each addend is [[bm25Addend]]'s pinned chain;
+    * per-(query, doc) sums ride the 6-dp note. Ranking cuts stay
+    * spec-side (6-dp equality cannot order raw transcendental
+    * scores — the [[bm25TopK]] contract).
+    */
+  def multiQueryBm25(df: DataFrame, queries: Seq[TermQuery],
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "multiQueryBm25 needs at least one query")
+    require(queries.forall(_.terms.nonEmpty), "every query needs >= 1 term")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_.terms).distinct
+    val termToQuery = queries
+      .flatMap(q => q.terms.distinct.map(t => (q.queryId, t)))
+      .toDF("query_id", "term")
+    val toks = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__w"))
+    val dl = toks.select(col("doc_id"),
+      size(col("__w")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("__w")).as("term"))
+      .where(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(docFreq), Seq("term"))
+      .join(broadcast(termToQuery), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl", col("tot").cast("double") / col("n"))
+      .withColumn("__s",
+        bm25Addend(col("tf"), col("df"), col("dl"), col("n"), col("__avgdl"), k1, b))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("__s")).as("score"))
+  }
+
+  /** Per-query top-n over [[multiQueryBm25]] — a query-partitioned
+    * window (parallel across queries, never a global sort); same
+    * spec-side-only ranking contract as [[bm25TopK]].
+    */
+  def multiQueryBm25TopK(df: DataFrame, queries: Seq[TermQuery], n: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    multiQueryBm25(df, queries, k1, b, idCol, textCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= n)
   }
 
   /** Top-n BM25 retrieval: [[bm25Scores]] cut to the n best docs

@@ -3746,8 +3746,205 @@ object PipelineQueries {
              |       CAST(count(*) AS BIGINT) AS n_docs,
              |       CAST(sum(nt) AS BIGINT) AS n_tokens
              |FROM st JOIN side USING (doc_id)
-             |GROUP BY status, source""".stripMargin))
+             |GROUP BY status, source""".stripMargin)),
+
+    // Batched BM25 retrieval — a whole query set in ONE corpus pass
+    // (eval mining / contamination triage at fleet scale: probe
+    // queries share the scan, never rerun it). Scores only (the
+    // p79 contract: per-(query, doc) ln-sums ride the 6-dp note;
+    // ranking cuts stay spec-side). q2 carries a vocabulary miss
+    // ('nosuchterm') to pin the df=0 never-scores rule; 'merge' and
+    // 'hash' hit most docs while 'dup' hits 25/500 — real idf
+    // contrast inside one batch.
+    QueryDef("p98_multiquery_bm25",
+      (s, dir) => TextAnalysis.multiQueryBm25(
+        Tables.documents(s, dir), RetrievalQueries),
+      Some(multiQueryBm25OracleSql)),
+
+    // Bounded-state approximate grouped quantiles: per event type,
+    // the 64-row md5 reservoir's lower-interpolated p25/p50/p90 over
+    // the event value — every emitted value an ACTUAL data value
+    // (selection, no float summation), the mergeable fixed-memory
+    // alternative to the exact sort-based g09 quantiles. Keyed by
+    // event_id — globally unique, the reservoir contract (the
+    // lineitem (orderkey, linenumber) pair is NOT unique in this
+    // synthetic corpus). The oracle re-derives the reservoir (rank
+    // window over the same raw 32-bit md5 variate) and the same
+    // index selection.
+    QueryDef("p99_sample_quantiles",
+      (s, dir) => Sampling.sampleQuantiles(
+        Tables.events(s, dir),
+        groupCol = "event_type", valueCol = "value",
+        keyCol = "event_id", k = 64, qs = Seq(0.25, 0.5, 0.9), salt = "sq"),
+      Some("""WITH u AS (SELECT event_type AS grp, event_id AS k, value AS v
+             |           FROM events),
+             |h AS (SELECT grp, k, v,
+             |        ('0x' || substr(md5(
+             |           CAST(length(CAST(k AS VARCHAR)) AS VARCHAR)
+             |           || ':' || CAST(k AS VARCHAR) || '/sq'), 1, 8))::BIGINT AS h
+             |      FROM u),
+             |r AS (SELECT *, row_number() OVER (
+             |        PARTITION BY grp ORDER BY h, k) AS rn
+             |      FROM h),
+             |s AS (SELECT grp, v FROM r WHERE rn <= 64),
+             |g AS (SELECT grp, list(v ORDER BY v) AS vals,
+             |             CAST(count(*) AS BIGINT) AS n
+             |      FROM s GROUP BY grp)
+             |SELECT grp AS event_type, n AS n_sample,
+             |       vals[CAST(floor(0.25 * (n - 1)) AS INT) + 1] AS p25,
+             |       vals[CAST(floor(0.5 * (n - 1)) AS INT) + 1] AS p50,
+             |       vals[CAST(floor(0.9 * (n - 1)) AS INT) + 1] AS p90
+             |FROM g""".stripMargin)),
+
+    // Autoregressive training-example assembly: each event whose
+    // user-stream position exceeds the 3-event look-back becomes one
+    // (context, label) next-step-prediction row. Key-partitioned
+    // ROWS-bounded window — parallel across users, O(window) eval
+    // state, never a global sort; the (ts, event_id) order is total,
+    // so every context string is engine-reproducible.
+    QueryDef("p100_sequence_examples",
+      (s, dir) => graft.pipeline.Sequences.nextEventExamples(
+        Tables.events(s, dir), window = 3),
+      Some(sequenceExamplesOracleSql)),
+
+    // Embedding-space outlier flags: cosine to the nearest sampled
+    // centroid (the p13 md5-spread centroid set) under a FIXED
+    // threshold — a pure per-row function of (vector, centroid set),
+    // no cross-row float aggregation, so every value and flag is
+    // engine-exact. tau=0.12 sits under the 5th percentile of the
+    // gate corpus' best-centroid cosines (~4% flagged) — both
+    // classes populated, neither degenerate.
+    QueryDef("p101_embedding_outliers",
+      (s, dir) => Similarity.embeddingOutliers(
+        Tables.embeddings(s, dir), nlist = 16, tau = 0.12),
+      Some("""WITH stride AS (SELECT greatest(count(*) // 16, 1) AS bkt
+             |                FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+             |         FROM embeddings, stride
+             |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
+             |               % bkt = 0
+             |         ORDER BY vec_id LIMIT 16),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |assigned AS (
+             |  SELECT vec_id, cid,
+             |         CASE WHEN sqrt(list_dot_product(v, v)) > 0
+             |              THEN (list_dot_product(v, c) / sqrt(list_dot_product(c, c)))
+             |                   / sqrt(list_dot_product(v, v))
+             |              ELSE CAST('-Infinity' AS DOUBLE) END AS cell_cosine,
+             |         row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC,
+             |                    cid DESC) AS rn
+             |  FROM e CROSS JOIN cent),
+             |best AS (SELECT vec_id, cid AS cell, cell_cosine
+             |         FROM assigned WHERE rn = 1),
+             |cn AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_n
+             |       FROM best GROUP BY cell)
+             |SELECT vec_id, cell, cell_cosine,
+             |       cell_cosine < 0.12 AS is_outlier, cell_n
+             |FROM best JOIN cn USING (cell)""".stripMargin)),
+
+    // Token-budget mixture sampling: 30% of the corpus' tokens
+    // allocated src0=25% / src1=15% / 3% each to the rest; src0's
+    // allocation exceeds its supply so it caps at rate 1.0 (keeps
+    // everything — the oversubscription rule), the default strata
+    // sample at ~0.19. Rates are one pinned IEEE chain over exact
+    // integer token totals; keep is the md5 variate test — kept set
+    // deterministic across engines and partitionings.
+    QueryDef("p102_token_budget_mix",
+      (s, dir) => Sampling.tokenBudgetMix(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        stratumCol = "source", tokenCol = "n_tokens",
+        shares = Map("src0" -> 0.25, "src1" -> 0.15), defaultShare = 0.03,
+        budgetFrac = 0.3, keyCol = "doc_id", salt = "mix"),
+      Some("""WITH d AS (SELECT doc_id, source,
+             |            CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |                                 t -> t <> '')) AS BIGINT) AS n_tokens
+             |           FROM documents),
+             |st AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS stok
+             |       FROM d GROUP BY source),
+             |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ttok FROM d),
+             |rates AS (SELECT source,
+             |            least(1.0,
+             |              (CASE source WHEN 'src0' THEN 0.25
+             |                           WHEN 'src1' THEN 0.15
+             |                           ELSE 0.03 END)
+             |              * (0.3 * ttok) / stok) AS rate
+             |          FROM st CROSS JOIN tot),
+             |u AS (SELECT doc_id, source, n_tokens,
+             |        ('0x' || substr(md5(
+             |           CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |           || ':' || CAST(doc_id AS VARCHAR) || '/mix'), 1, 8))::BIGINT
+             |          / 4294967296.0 AS uu
+             |      FROM d)
+             |SELECT u.source, doc_id, n_tokens, rate
+             |FROM u JOIN rates USING (source)
+             |WHERE uu < rate""".stripMargin))
   )
+
+  /** The p98 retrieval fixture — shared verbatim with the streaming
+    * twin (st22) so the two gates can never drift.
+    */
+  private[queries] val RetrievalQueries: Seq[TextAnalysis.TermQuery] = Seq(
+    TextAnalysis.TermQuery(0L, Seq("spark", "dup")),
+    TextAnalysis.TermQuery(1L, Seq("vector", "stream", "merge")),
+    TextAnalysis.TermQuery(2L, Seq("hash", "nosuchterm")))
+
+  /** The p98 multi-query BM25 oracle, shared VERBATIM by the batch
+    * gate and its streaming twin (st22): online scoring under frozen
+    * corpus stats is a pure per-row projection, and the frozen stats
+    * are computed from the SAME corpus the stream replays — so the
+    * two surfaces must hash-match the same SQL.
+    */
+  private[queries] val multiQueryBm25OracleSql: String =
+    """WITH qt(query_id, term) AS (VALUES
+      |  (0, 'spark'), (0, 'dup'),
+      |  (1, 'vector'), (1, 'stream'), (1, 'merge'),
+      |  (2, 'hash'), (2, 'nosuchterm')),
+      |arr AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+      |                             t -> t <> '') AS w
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM arr),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |                 CAST(sum(dl) AS BIGINT) AS tot
+      |          FROM dl),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM (SELECT doc_id, unnest(w) AS term FROM arr)
+      |       WHERE term IN (SELECT DISTINCT term FROM qt)
+      |       GROUP BY 1, 2),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |        FROM tf GROUP BY 1)
+      |SELECT CAST(qt.query_id AS BIGINT) AS query_id, doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_hit_terms,
+      |       sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+      |           * (tf * 2.2) /
+      |           (tf + 1.2 * (0.25 + 0.75 * (dl / (tot::DOUBLE / n)))))
+      |         AS score
+      |FROM tf
+      |JOIN dft USING (term)
+      |JOIN qt USING (term)
+      |JOIN dl USING (doc_id)
+      |CROSS JOIN stats
+      |GROUP BY 1, 2""".stripMargin
+
+  /** The p100 sequence-example oracle, shared VERBATIM by the batch
+    * gate and its streaming twin (st23): the stateful per-key fold
+    * replays the same (ts, event_id) total order the batch window
+    * sorts by, so the emitted example set is identical.
+    */
+  private[queries] val sequenceExamplesOracleSql: String =
+    """SELECT user_id, event_id, pos, context, label FROM (
+      |  SELECT user_id, event_id,
+      |         CAST(row_number() OVER w AS BIGINT) AS pos,
+      |         array_to_string(list(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ' ') AS context,
+      |         event_type AS label
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |) WHERE pos > 3""".stripMargin
 
   /** documents -> media rows: the text bytes stand in for an opaque
     * media payload (no codec libs in this image); schema matches

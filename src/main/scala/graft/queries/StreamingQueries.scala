@@ -1703,6 +1703,83 @@ object StreamingQueries {
             |       n_novel / n_shingles AS novelty
             |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2)""".stripMargin))
 
+  /** st22: ONLINE BM25 retrieval scoring
+    * ([[graft.streaming.StreamingRetrieval]]) — the deployment shape
+    * of the p98 batch retrieval: corpus statistics are frozen ONCE
+    * from the indexed corpus (a bounded |terms|+1-row pull — the
+    * "last published index epoch" contract), then every arriving doc
+    * is scored against the standing query set as a PURE PROJECTION —
+    * per-term tf inside the row's own token array, no state, no
+    * shuffle, no watermark; micro-batching cannot change a single
+    * row. Stream = the corpus in two genuine micro-batches, frozen
+    * stats = that same corpus — so the oracle is p98's SQL verbatim.
+    */
+  private def streamingRetrieval: QueryDef = QueryDef(
+    "st22_streaming_retrieval",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+      val stats = graft.streaming.StreamingRetrieval.frozenStats(
+        docs, PipelineQueries.RetrievalQueries.flatMap(_.terms))
+
+      val schema = docs.schema
+      val dirP = scratch("st22")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      docs.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(stage)
+      docs.where(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val qname = "st22_" + UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingRetrieval.scoreStream(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage),
+        PipelineQueries.RetrievalQueries, stats)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+      s.table(qname).select("query_id", "doc_id", "n_hit_terms", "score")
+    },
+    Some(PipelineQueries.multiQueryBm25OracleSql))
+
+  /** st23: ONLINE autoregressive example assembly
+    * ([[graft.streaming.StreamingSequences]]) — the streaming twin of
+    * p100: per-user (context, label) next-step rows emitted as events
+    * arrive, state = the last 3 event types + a position counter per
+    * user (O(window) per ever-seen key). Single staged replay batch,
+    * so the intra-batch (ts, event_id) fold IS the batch window's
+    * total order and the oracle is p100's SQL verbatim (the
+    * cross-batch arrival-order stance is documented on the operator
+    * and spec-pinned).
+    */
+  private def streamingSequences: QueryDef = QueryDef(
+    "st23_streaming_sequences",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(
+        col("event_id").cast("long"), col("user_id").cast("long"),
+        col("ts"), col("event_type").cast("string"))
+      val schema = ev.schema
+      val dirP = scratch("st23")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      ev.write.parquet(stage)
+
+      val qname = "st23_" + UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingSequences.examples(
+        s.readStream.schema(schema).parquet(stage)
+          .as[graft.streaming.StreamingSequences.SeqEvent]
+          .withWatermark("ts", "0 seconds"),
+        window = 3)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+      s.table(qname).select("user_id", "event_id", "pos", "context", "label")
+    },
+    Some(PipelineQueries.sequenceExamplesOracleSql))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -1710,5 +1787,6 @@ object StreamingQueries {
       streamingCurateDeterministic, streamingIntervalJoin, streamingHll,
       streamingSessionWindow, streamingHopping, streamingStreamStatic,
       streamingIntervalJoinOuter, streamingIndexDedup, streamingNovelty,
-      streamingIndexDedupEvicted, streamingQualityScore, streamingDrift)
+      streamingIndexDedupEvicted, streamingQualityScore, streamingDrift,
+      streamingRetrieval, streamingSequences)
 }
