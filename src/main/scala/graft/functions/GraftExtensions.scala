@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("reservoir_keys"),
       GraftFunctions.reservoirKeysInfo,
       GraftFunctions.reservoirKeysBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by_score"),
+      GraftFunctions.topKByScoreInfo,
+      GraftFunctions.topKByScoreBuilder))
   }
 }
 
@@ -140,6 +144,16 @@ object GraftFunctions {
       ReservoirKeys(children.head, children(1), children(2))
     }
 
+  private[functions] val topKByScoreInfo =
+    new ExpressionInfo(classOf[TopKByScore].getName, null, "top_k_by_score")
+
+  private[functions] val topKByScoreBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 3,
+        s"top_k_by_score expects 3 arguments, got ${children.length}")
+      TopKByScore(children.head, children(1), children(2))
+    }
+
   /** Register on an already-built session (no withExtensions hook). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
@@ -158,5 +172,7 @@ object GraftFunctions {
       spark, "nfc_normalize", nfcNormalizeInfo, nfcNormalizeBuilder)
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
       spark, "reservoir_keys", reservoirKeysInfo, reservoirKeysBuilder)
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "top_k_by_score", topKByScoreInfo, topKByScoreBuilder)
   }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, TernaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** `kmin_values(hash, k)` — the K-Minimum-Values distinct-count
   * sketch (Bar-Yossef et al. 2002): the k smallest DISTINCT hash
@@ -471,6 +471,141 @@ case class ReservoirKeys(
     copy(rankExpr = newFirst, keyExpr = newSecond, kExpr = newThird)
 }
 
+/** `top_k_by_score(score, key, k)` — the keys of a group's k BEST
+  * (score DESC, key ASC on ties) rows, emitted best-first: the
+  * bounded-state grouped top-k selector.
+  *
+  * Why a custom aggregate: the declarative top-k-per-group shape is a
+  * group-keyed window (`row_number() OVER (PARTITION BY g ORDER BY
+  * score DESC, key) <= k`) — it shuffles EVERY row of every group and
+  * sorts the whole group just to keep k of them; a hot group ("one
+  * source is half the corpus") is one giant sort partition. Here the
+  * state is a bounded k-pair sorted set: map-side partials keep at
+  * most k (score, key) pairs per group, the exchange moves
+  * O(groups × k), and merge is a bounded union — the selection form
+  * that survives a 100 TB group. The kept set equals the window
+  * formulation's EXACTLY (same total order), so a SQL-window oracle
+  * can hash-check it.
+  *
+  * Ordering is total: java.lang.Double.compare on the score (so -0.0
+  * < 0.0 and the comparator never violates the TreeSet contract),
+  * key ascending on equal scores. Null scores/keys and NaN scores
+  * are skipped (a NaN "score" carries no ranking information; with
+  * Double.compare it would outrank every real score). An all-null
+  * group yields an empty array.
+  */
+case class TopKByScore(
+    scoreExpr: Expression,
+    keyExpr: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]]
+    with TernaryLike[Expression] {
+
+  def this(scoreExpr: Expression, keyExpr: Expression, kExpr: Expression) =
+    this(scoreExpr, keyExpr, kExpr, 0, 0)
+
+  override def first: Expression = scoreExpr
+  override def second: Expression = keyExpr
+  override def third: Expression = kExpr
+
+  private lazy val kOpt: Option[Int] =
+    if (!kExpr.foldable) None
+    else Option(kExpr.eval()).collect { case n: Number => n.intValue() }
+  private lazy val k: Int = kOpt.get
+
+  // best-first: higher score first, smaller key first on equal scores
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "top_k_by_score"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (scoreExpr.dataType != DoubleType || keyExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (DOUBLE score, BIGINT key) columns, got " +
+          s"(${scoreExpr.dataType.sql}, ${keyExpr.dataType.sql})")
+    else if (kOpt.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: k must be a foldable integer")
+    else if (k <= 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be positive, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
+    new java.util.TreeSet[(Double, Long)](ord)
+
+  private def bound(buf: java.util.TreeSet[(Double, Long)],
+      pair: (Double, Long)): Unit = {
+    if (buf.size < k) { buf.add(pair); () }
+    else if (ord.lt(pair, buf.last)) {
+      buf.add(pair); if (buf.size > k) buf.pollLast(); ()
+    }
+  }
+
+  override def update(
+      buf: java.util.TreeSet[(Double, Long)],
+      input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+    val s = scoreExpr.eval(input)
+    val key = keyExpr.eval(input)
+    if (s != null && key != null) {
+      val score = s.asInstanceOf[Double]
+      if (!java.lang.Double.isNaN(score))
+        bound(buf, (score, key.asInstanceOf[Long]))
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[(Double, Long)],
+      other: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
+    val it = other.iterator()
+    while (it.hasNext) bound(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
+    val arr = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { arr(i) = it.next()._2; i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val (s, key) = it.next(); bb.putDouble(s); bb.putLong(key) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add((bb.getDouble, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): TopKByScore =
+    copy(scoreExpr = newFirst, keyExpr = newSecond, kExpr = newThird)
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.functions._
 
@@ -489,6 +624,15 @@ object SketchFunctions {
   def reservoirKeys(rank: Column, key: Column, k: Int): Column =
     ColumnBridge.column(ReservoirKeys(
       ColumnBridge.expression(rank),
+      ColumnBridge.expression(key),
+      ColumnBridge.expression(lit(k))).toAggregateExpression())
+
+  /** Column-level `top_k_by_score(score, key, k)`: the keys of the k
+    * best (score DESC, key ASC) rows, best-first.
+    */
+  def topKByScore(score: Column, key: Column, k: Int): Column =
+    ColumnBridge.column(TopKByScore(
+      ColumnBridge.expression(score),
       ColumnBridge.expression(key),
       ColumnBridge.expression(lit(k))).toAggregateExpression())
 

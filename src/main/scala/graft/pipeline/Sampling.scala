@@ -366,4 +366,64 @@ object Sampling {
     df.join(broadcast(rates), Seq(stratumCol))
       .where(uniform(col(keyCol), salt) < col("rate"))
   }
+
+  /** Per-stratum QUALITY cap: the k best (scoreCol DESC, keyCol ASC)
+    * keys of every stratum — the "cap any one domain's contribution,
+    * keep its best documents" curation rule (a boilerplate-heavy
+    * domain contributes its top k, not its volume).
+    *
+    * Scale shape: the bounded-state
+    * [[graft.functions.TopKByScore]] aggregate — map-side partials
+    * hold at most k (score, key) pairs per stratum, the exchange
+    * moves O(strata × k), and merge is a bounded union; the
+    * window-form equivalent shuffles and sorts EVERY row of a hot
+    * stratum. The kept set equals `row_number() OVER (PARTITION BY
+    * stratum ORDER BY score DESC, key) <= k` exactly (same total
+    * order), so the SQL-window oracle hash-checks it. Join the
+    * output (strata × k rows — broadcastable) back by key for full
+    * rows.
+    *
+    * Contract: `keyCol` non-null numeric (cast to long), unique
+    * within its stratum; `scoreCol` non-null non-NaN (NaN/null rows
+    * are skipped — they carry no ranking information).
+    */
+  def topKByStratum(df: DataFrame, stratumCol: String, scoreCol: String,
+      keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    df.select(col(stratumCol), col(scoreCol).cast("double").as("__s"),
+        col(keyCol).cast("long").as("__k"))
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.SketchFunctions
+        .topKByScore(col("__s"), col("__k"), k).as("__keys"))
+      .select(col(stratumCol), explode(col("__keys")).as(keyCol))
+  }
+
+  /** Adaptive per-group spread filter: keep rows whose `valueCol`
+    * falls inside the group's OWN [lo, hi] sample quantiles — the
+    * data-derived alternative to a global hand-tuned length filter
+    * (a terse language's length floor differs from a verbose one's;
+    * deriving bounds per group from the corpus is the standard
+    * adaptive-threshold curation rule).
+    *
+    * Built on [[sampleQuantiles]]: bounds come from the k-row md5
+    * reservoir (bounded state, every bound an ACTUAL data value —
+    * engine-exact, no float-summation caveat), land as a
+    * groups-sized frame that BROADCASTS back onto the corpus scan;
+    * the corpus itself never shuffles. Inclusive on both ends (the
+    * bounds are data values — a group at its own quantile survives).
+    * Output: kept rows + their group's `lo`/`hi` provenance columns.
+    */
+  def adaptiveSpreadFilter(df: DataFrame, groupCol: String, valueCol: String,
+      keyCol: String, k: Int, loQ: Double, hiQ: Double,
+      salt: String = ""): DataFrame = {
+    require(loQ >= 0.0 && hiQ <= 1.0 && loQ <= hiQ,
+      s"need 0 <= loQ=$loQ <= hiQ=$hiQ <= 1")
+    val loName = "p" + math.round(loQ * 100)
+    val hiName = "p" + math.round(hiQ * 100)
+    val bounds = sampleQuantiles(df, groupCol, valueCol, keyCol, k,
+        Seq(loQ, hiQ), salt)
+      .select(col(groupCol), col(loName).as("lo"), col(hiName).as("hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .where(col(valueCol).cast("double").between(col("lo"), col("hi")))
+  }
 }

@@ -3880,7 +3880,70 @@ object PipelineQueries {
              |      FROM d)
              |SELECT u.source, doc_id, n_tokens, rate
              |FROM u JOIN rates USING (source)
-             |WHERE uu < rate""".stripMargin))
+             |WHERE uu < rate""".stripMargin)),
+
+    // Per-source diversity cap: each source contributes its 15 BEST
+    // docs by the pinned quality score (ties by doc_id) — the "cap a
+    // domain's contribution, keep its best" curation rule, via the
+    // bounded-state top_k_by_score aggregate (O(strata x k) on the
+    // wire; the window form sorts every row of a hot source). The
+    // kept-keys frame broadcasts back for the score column.
+    QueryDef("p103_source_cap",
+      (s, dir) => {
+        val scored = TextAnalysis.qualityFeatures(Tables.documents(s, dir))
+          .select(col("source"), col("doc_id"), col("quality_score"))
+        scored.join(
+          broadcast(Sampling.topKByStratum(
+            scored, stratumCol = "source", scoreCol = "quality_score",
+            keyCol = "doc_id", k = 15)),
+          Seq("source", "doc_id"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id, source, $qualityColsSql
+             |           FROM documents),
+             |q AS (SELECT doc_id, source,
+             |        $qualityScoreSql AS quality_score
+             |      FROM f),
+             |r AS (SELECT *, row_number() OVER (
+             |        PARTITION BY source
+             |        ORDER BY quality_score DESC, doc_id) AS rn
+             |      FROM q)
+             |SELECT source, doc_id, quality_score
+             |FROM r WHERE rn <= 15""".stripMargin)),
+
+    // Adaptive per-language length filter: each language's [p5, p95]
+    // n_chars bounds come from ITS OWN 64-row md5 reservoir (every
+    // bound an actual data value — engine-exact), then the corpus
+    // keeps rows inside their language's bounds. The data-derived
+    // alternative to one global hand-tuned length window; bounds
+    // frame is languages-sized and broadcasts onto the scan.
+    QueryDef("p104_adaptive_length_filter",
+      (s, dir) => Sampling.adaptiveSpreadFilter(
+        Tables.documents(s, dir).select(
+          col("lang"), col("doc_id"), col("n_chars")),
+        groupCol = "lang", valueCol = "n_chars", keyCol = "doc_id",
+        k = 64, loQ = 0.05, hiQ = 0.95, salt = "len"),
+      Some("""WITH u AS (SELECT lang AS grp, doc_id AS k,
+             |             CAST(n_chars AS DOUBLE) AS v
+             |           FROM documents),
+             |h AS (SELECT grp, k, v,
+             |        ('0x' || substr(md5(
+             |           CAST(length(CAST(k AS VARCHAR)) AS VARCHAR)
+             |           || ':' || CAST(k AS VARCHAR) || '/len'), 1, 8))::BIGINT AS h
+             |      FROM u),
+             |r AS (SELECT *, row_number() OVER (
+             |        PARTITION BY grp ORDER BY h, k) AS rn
+             |      FROM h),
+             |s AS (SELECT grp, v FROM r WHERE rn <= 64),
+             |g AS (SELECT grp, list(v ORDER BY v) AS vals,
+             |             CAST(count(*) AS BIGINT) AS n
+             |      FROM s GROUP BY grp),
+             |b AS (SELECT grp AS lang,
+             |        vals[CAST(floor(0.05 * (n - 1)) AS INT) + 1] AS lo,
+             |        vals[CAST(floor(0.95 * (n - 1)) AS INT) + 1] AS hi
+             |      FROM g)
+             |SELECT lang, doc_id, n_chars, lo, hi
+             |FROM documents JOIN b USING (lang)
+             |WHERE CAST(n_chars AS DOUBLE) BETWEEN lo AND hi""".stripMargin))
   )
 
   /** The p98 retrieval fixture — shared verbatim with the streaming

@@ -1780,6 +1780,63 @@ object StreamingQueries {
     },
     Some(PipelineQueries.sequenceExamplesOracleSql))
 
+  /** st24: ONLINE per-source admission cap
+    * ([[graft.streaming.StreamingAdmission]]) — ingestion quota
+    * control: at most k docs per source, admitted in arrival order
+    * under a persistent per-source counter (O(1) state per key).
+    * Staged as TWO genuine micro-batches split at the doc_id midpoint
+    * with EXPLICITLY ordered file mtimes (the file source meters by
+    * modification time — two sub-second writes could otherwise tie),
+    * so arrival order == doc_id order and the admitted set equals the
+    * window form's `row_number() <= k` — while the quota counter
+    * genuinely persists across the batch boundary (with k=15 < 25
+    * docs/source, every source exhausts its quota mid-replay: batch 2
+    * arrivals are rejected by STATE, not by in-batch arithmetic).
+    */
+  private def streamingAdmission: QueryDef = QueryDef(
+    "st24_streaming_admission",
+    (s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("source").cast("string"))
+      val schema = docs.schema
+      val dirP = scratch("st24")
+      val stage = dirP.resolve("input")
+      val ckpt = dirP.resolve("ckpt").toString
+      val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+      def partFiles(): Set[Path] = Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+      docs.where(col("doc_id") <= cut).coalesce(1)
+        .write.parquet(stage.toString)
+      val firstBatch = partFiles()
+      docs.where(col("doc_id") > cut).coalesce(1)
+        .write.mode("append").parquet(stage.toString)
+      val t0 = java.nio.file.attribute.FileTime.fromMillis(1000000000000L)
+      val t1 = java.nio.file.attribute.FileTime.fromMillis(1000000060000L)
+      partFiles().foreach(p =>
+        Files.setLastModifiedTime(p, if (firstBatch(p)) t0 else t1))
+
+      val qname = "st24_" + UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingAdmission.admit(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          .as[graft.streaming.StreamingAdmission.AdmitDoc](
+            org.apache.spark.sql.Encoders.product[
+              graft.streaming.StreamingAdmission.AdmitDoc]),
+        k = 15)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+      s.table(qname).select("source", "doc_id", "admit_seq")
+    },
+    Some("""WITH r AS (SELECT source, doc_id,
+           |             row_number() OVER (
+           |               PARTITION BY source ORDER BY doc_id) AS admit_seq
+           |           FROM documents)
+           |SELECT source, doc_id, admit_seq
+           |FROM r WHERE admit_seq <= 15""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -1788,5 +1845,5 @@ object StreamingQueries {
       streamingSessionWindow, streamingHopping, streamingStreamStatic,
       streamingIntervalJoinOuter, streamingIndexDedup, streamingNovelty,
       streamingIndexDedupEvicted, streamingQualityScore, streamingDrift,
-      streamingRetrieval, streamingSequences)
+      streamingRetrieval, streamingSequences, streamingAdmission)
 }

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming per-source admission cap — ingestion-time quota control:
+  * each source (domain, crawl feed, data vendor) may contribute at
+  * most `k` documents to the corpus, enforced ONLINE as documents
+  * arrive, so an erupting source (a crawler loop, a spam domain) is
+  * throttled at the door instead of ballooning the lake and being
+  * cut later by the batch cap ([[graft.pipeline.Sampling.topKByStratum]]
+  * is the batch face: best-k by quality over the landed corpus; this
+  * is the streaming face: first-k by arrival under a hard quota).
+  *
+  * State = ONE long per ever-seen source (its admitted count) — O(1)
+  * per key, the smallest possible streaming state; no timers, no
+  * watermark dependence (admission is decidable the moment a document
+  * arrives). Output is append-only: admitted documents with their
+  * 1-based `admit_seq` provenance (the quota slot they consumed);
+  * rejected documents emit nothing (the quota answer a router needs).
+  *
+  * Determinism contract (StreamingAdmissionSpec + the st24 gate):
+  * within a micro-batch, documents fold in `doc_id` order (the crawl
+  * sequence number — documents carry no event time), so a staged
+  * replay whose batch boundaries respect doc_id order admits exactly
+  * the window form's `row_number() OVER (PARTITION BY source ORDER BY
+  * doc_id) <= k` set. Across batches the counter persists: a source
+  * that exhausts its quota in batch N rejects everything after,
+  * which is precisely the online semantics.
+  */
+object StreamingAdmission {
+
+  case class AdmitDoc(doc_id: Long, source: String)
+
+  case class AdmitState(admitted: Long)
+
+  case class Admitted(source: String, doc_id: Long, admit_seq: Long)
+
+  def admit(docs: Dataset[AdmitDoc], k: Long): Dataset[Admitted] = {
+    require(k > 0, s"k=$k must be positive")
+    docs
+      .groupByKey(_.source)(Encoders.STRING)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, batch: Iterator[AdmitDoc],
+         state: GroupState[AdmitState]) => {
+          val ordered = batch.toSeq.sortBy(_.doc_id)
+          var n = state.getOption.map(_.admitted).getOrElse(0L)
+          val out = Seq.newBuilder[Admitted]
+          ordered.foreach { d =>
+            if (n < k) { n += 1; out += Admitted(source, d.doc_id, n) }
+          }
+          state.update(AdmitState(n))
+          out.result().iterator
+        })(Encoders.product[AdmitState], Encoders.product[Admitted])
+  }
+}
