@@ -400,6 +400,46 @@ class PlanSpec extends SparkSpec {
       s"partial count_min should sit below the exchange:\n$plan")
   }
 
+  test("top-k by score: partial aggregation before the exchange (bounded k-pair partials)") {
+    // the quality-cap selector must plan partial -> exchange -> final:
+    // map-side partials hold <= k (score, key) pairs per stratum and
+    // the wire moves O(strata x k) — never the full row stream the
+    // window form shuffles and sorts
+    val docs = Tables.documents(spark, dir)
+    val scored = pipeline.TextAnalysis.qualityFeatures(docs)
+      .select(col("source"), col("doc_id"), col("quality_score"))
+    val q = pipeline.Sampling.topKByStratum(
+      scored, "source", "quality_score", "doc_id", 5)
+    q.write.mode("overwrite").format("noop").save()
+    val plan = q.queryExecution.executedPlan.toString
+    val partialIdx = plan.indexOf("partial_top_k_by_score")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0, s"no partial aggregation:\n$plan")
+    assert(exchangeIdx >= 0, s"no hash exchange:\n$plan")
+    assert(partialIdx > exchangeIdx,
+      s"partial top_k_by_score should sit below the exchange:\n$plan")
+    assert(!plan.contains("WindowExec"), s"degraded to a window sort:\n$plan")
+  }
+
+  test("adaptive spread filter: bounds broadcast onto the scan, no sorting join") {
+    // the groups-sized bounds frame must reach the corpus through a
+    // BroadcastHashJoin — the corpus branch itself never shuffles for
+    // the filter; only the narrow reservoir frames cross exchanges
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    val q = pipeline.Sampling.adaptiveSpreadFilter(
+      docs, "lang", "n_chars", "doc_id", k = 16, loQ = 0.1, hiQ = 0.9,
+      salt = "plan")
+    q.write.mode("overwrite").format("noop").save()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bounds join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"bounds join degraded to a sorting join:\n$plan")
+    assert(plan.contains("partial_reservoir_keys"),
+      s"reservoir not map-side partial:\n$plan")
+  }
+
   test("HLL sketch: partial aggregation before the exchange (2^p-byte partials)") {
     // same contract as the KMV/Count-Min plan proofs: registers build
     // map-side and cross the wire as one 2^p-byte buffer per
