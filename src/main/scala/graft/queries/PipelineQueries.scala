@@ -1302,35 +1302,7 @@ object PipelineQueries {
     // arithmetic and the average in SQL.
     QueryDef("p73_bigram_logprob",
       (s, dir) => TextAnalysis.bigramLogProb(Tables.documents(s, dir)),
-      Some("""WITH arr AS (
-             |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
-             |                             t -> t <> '') AS w
-             |  FROM documents),
-             |tok AS (SELECT doc_id, w[i] AS term,
-             |               CASE WHEN i > 1 THEN w[i-1] END AS prev
-             |        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
-             |              FROM arr)),
-             |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cu
-             |        FROM tok GROUP BY term),
-             |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
-             |bi AS (SELECT prev, term, CAST(count(*) AS BIGINT) AS cb
-             |       FROM tok WHERE prev IS NOT NULL GROUP BY prev, term),
-             |p AS (SELECT t.doc_id,
-             |             CASE WHEN t.prev IS NULL
-             |                  THEN CAST(u.cu AS DOUBLE) / n
-             |                  ELSE (0.75::DOUBLE * CAST(COALESCE(b.cb, 0) AS DOUBLE))
-             |                         / up.cup
-             |                       + (0.25::DOUBLE * CAST(u.cu AS DOUBLE)) / n
-             |             END AS p
-             |      FROM tok t
-             |      JOIN uni u USING (term)
-             |      LEFT JOIN (SELECT term AS pterm, cu AS cup FROM uni) up
-             |        ON up.pterm = t.prev
-             |      LEFT JOIN bi b ON b.prev = t.prev AND b.term = t.term
-             |      CROSS JOIN tot)
-             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             |       sum(ln(p)) / count(*) AS avg_logprob
-             |FROM p GROUP BY doc_id""".stripMargin)),
+      Some(bigramLogProbOracleSql)),
 
     // Fixed-size deterministic reservoir: EXACTLY k rows per stratum
     // (the k smallest md5 variates; fraction sampling can't build
@@ -3943,7 +3915,49 @@ object PipelineQueries {
              |      FROM g)
              |SELECT lang, doc_id, n_chars, lo, hi
              |FROM documents JOIN b USING (lang)
-             |WHERE CAST(n_chars AS DOUBLE) BETWEEN lo AND hi""".stripMargin))
+             |WHERE CAST(n_chars AS DOUBLE) BETWEEN lo AND hi""".stripMargin)),
+
+    // CCNet-style perplexity-band filter: score every doc under the
+    // corpus's own interpolated bigram LM (p73's exact chain), then
+    // keep docs inside their LANGUAGE's [p10, p95] score band — the
+    // adaptive-threshold composition (p73 x p104's primitive): the
+    // classic "drop the weird tail per language, with thresholds the
+    // corpus derives for itself" curation rule. The scored frame is
+    // cached (three probes: reservoir, key join-back, final filter —
+    // the LM chain is the expensive part; a production run persists
+    // its scored corpus the same way).
+    QueryDef("p105_perplexity_band",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = TextAnalysis.bigramLogProb(docs)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .cache()
+        Sampling.adaptiveSpreadFilter(scored, "lang", "avg_logprob",
+          "doc_id", k = 64, loQ = 0.1, hiQ = 0.95, salt = "ppl")
+          .select("lang", "doc_id", "n_tokens", "avg_logprob", "lo", "hi")
+      },
+      Some(s"""WITH $bigramLmCtesSql,
+             |d AS (SELECT lang, lm.doc_id, n_tokens, avg_logprob
+             |      FROM lm JOIN documents ON documents.doc_id = lm.doc_id),
+             |hh AS (SELECT lang AS grp, doc_id AS k, avg_logprob AS v,
+             |         ('0x' || substr(md5(
+             |            CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |            || ':' || CAST(doc_id AS VARCHAR) || '/ppl'), 1, 8))::BIGINT AS h
+             |       FROM d),
+             |r AS (SELECT *, row_number() OVER (
+             |        PARTITION BY grp ORDER BY h, k) AS rn
+             |      FROM hh),
+             |sm AS (SELECT grp, v FROM r WHERE rn <= 64),
+             |g AS (SELECT grp, list(v ORDER BY v) AS vals,
+             |             CAST(count(*) AS BIGINT) AS n
+             |      FROM sm GROUP BY grp),
+             |bnd AS (SELECT grp AS lang,
+             |        vals[CAST(floor(0.1 * (n - 1)) AS INT) + 1] AS lo,
+             |        vals[CAST(floor(0.95 * (n - 1)) AS INT) + 1] AS hi
+             |      FROM g)
+             |SELECT d.lang, d.doc_id, d.n_tokens, d.avg_logprob, bnd.lo, bnd.hi
+             |FROM d JOIN bnd USING (lang)
+             |WHERE d.avg_logprob BETWEEN bnd.lo AND bnd.hi""".stripMargin))
   )
 
   /** The p98 retrieval fixture — shared verbatim with the streaming
@@ -3960,6 +3974,47 @@ object PipelineQueries {
     * are computed from the SAME corpus the stream replays — so the
     * two surfaces must hash-match the same SQL.
     */
+  /** The interpolated bigram-LM CTE cascade (tokens WITH positions,
+    * both count tables, the pinned-order mixture arithmetic, per-doc
+    * average) — shared by p73, the p105 band filter and the st25
+    * streaming twin so the three gates can never drift. Ends with the
+    * `lm(doc_id, n_tokens, avg_logprob)` table.
+    */
+  private[queries] val bigramLmCtesSql: String =
+    """arr AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+      |                             t -> t <> '') AS w
+      |  FROM documents),
+      |tok AS (SELECT doc_id, w[i] AS term,
+      |               CASE WHEN i > 1 THEN w[i-1] END AS prev
+      |        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+      |              FROM arr)),
+      |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cu
+      |        FROM tok GROUP BY term),
+      |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+      |bi AS (SELECT prev, term, CAST(count(*) AS BIGINT) AS cb
+      |       FROM tok WHERE prev IS NOT NULL GROUP BY prev, term),
+      |p AS (SELECT t.doc_id,
+      |             CASE WHEN t.prev IS NULL
+      |                  THEN CAST(u.cu AS DOUBLE) / n
+      |                  ELSE (0.75::DOUBLE * CAST(COALESCE(b.cb, 0) AS DOUBLE))
+      |                         / up.cup
+      |                       + (0.25::DOUBLE * CAST(u.cu AS DOUBLE)) / n
+      |             END AS p
+      |      FROM tok t
+      |      JOIN uni u USING (term)
+      |      LEFT JOIN (SELECT term AS pterm, cu AS cup FROM uni) up
+      |        ON up.pterm = t.prev
+      |      LEFT JOIN bi b ON b.prev = t.prev AND b.term = t.term
+      |      CROSS JOIN tot),
+      |lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |              sum(ln(p)) / count(*) AS avg_logprob
+      |       FROM p GROUP BY doc_id)""".stripMargin
+
+  private[queries] val bigramLogProbOracleSql: String =
+    s"""WITH $bigramLmCtesSql
+       |SELECT doc_id, n_tokens, avg_logprob FROM lm""".stripMargin
+
   private[queries] val multiQueryBm25OracleSql: String =
     """WITH qt(query_id, term) AS (VALUES
       |  (0, 'spark'), (0, 'dup'),

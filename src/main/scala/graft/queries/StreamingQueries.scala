@@ -1837,6 +1837,47 @@ object StreamingQueries {
            |SELECT source, doc_id, admit_seq
            |FROM r WHERE admit_seq <= 15""".stripMargin))
 
+  /** st25: ONLINE LM-perplexity scoring
+    * ([[graft.streaming.StreamingPerplexity]]) — the deployment shape
+    * of the p73 CCNet-style LM filter: the interpolated bigram model
+    * trains ONCE batch-side, freezes, and rides a broadcast to the
+    * executors (the shipped-KenLM-binary topology); every arriving doc
+    * scores as a pure per-row function — no state, no shuffle, no
+    * watermark; micro-batching cannot change a row. Stream = the
+    * training corpus in two genuine micro-batches, so the oracle is
+    * p73's SQL verbatim.
+    */
+  private def streamingPerplexity: QueryDef = QueryDef(
+    "st25_streaming_perplexity",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+      val model = graft.streaming.StreamingPerplexity.frozenLm(docs)
+
+      val schema = docs.schema
+      val dirP = scratch("st25")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      docs.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(stage)
+      docs.where(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val qname = "st25_" + UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingPerplexity.scoreStream(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .as[graft.streaming.StreamingPerplexity.PplDoc](
+            org.apache.spark.sql.Encoders.product[
+              graft.streaming.StreamingPerplexity.PplDoc]),
+        model)(s)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+      s.table(qname).select("doc_id", "n_tokens", "avg_logprob")
+    },
+    Some(PipelineQueries.bigramLogProbOracleSql))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -1845,5 +1886,6 @@ object StreamingQueries {
       streamingSessionWindow, streamingHopping, streamingStreamStatic,
       streamingIntervalJoinOuter, streamingIndexDedup, streamingNovelty,
       streamingIndexDedupEvicted, streamingQualityScore, streamingDrift,
-      streamingRetrieval, streamingSequences, streamingAdmission)
+      streamingRetrieval, streamingSequences, streamingAdmission,
+      streamingPerplexity)
 }

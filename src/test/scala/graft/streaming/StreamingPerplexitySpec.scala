@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.pipeline.TextAnalysis
+import StreamingPerplexity.{PplDoc, frozenLm, scoreDoc}
+
+/** [[StreamingPerplexity]] — frozen-LM online scoring: batch parity on
+  * in-vocabulary text, the OOV floor (never ln(0)), the unseen-context
+  * unigram fallback, and the tokenizer mirror.
+  */
+class StreamingPerplexitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat on the log"),
+    (3L, "a cat and a dog"),
+    (4L, "the cat and the dog sat"))
+
+  test("in-vocabulary scores equal the batch operator's (1e-9)") {
+    val df = corpus.toDF("doc_id", "text")
+    val model = frozenLm(df)
+    val batch = TextAnalysis.bigramLogProb(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    corpus.foreach { case (id, text) =>
+      val got = scoreDoc(id, text, model)
+      val (nTok, avg) = batch(id)
+      assert(got.n_tokens === nTok, s"doc $id token count")
+      assert(math.abs(got.avg_logprob - avg) < 1e-9,
+        s"doc $id: ${got.avg_logprob} vs $avg")
+    }
+  }
+
+  test("OOV unigram floors at count 1 — finite score, below in-vocab") {
+    val model = frozenLm(corpus.toDF("doc_id", "text"))
+    val oov = scoreDoc(99L, "zzz qqq", model)
+    assert(oov.n_tokens === 2L)
+    assert(!oov.avg_logprob.isNegInfinity && !oov.avg_logprob.isNaN)
+    // both tokens score ln(1/n): the floor
+    assert(math.abs(oov.avg_logprob - math.log(1.0 / model.n)) < 1e-12)
+    val seen = scoreDoc(98L, "the cat", model)
+    assert(seen.avg_logprob > oov.avg_logprob)
+  }
+
+  test("unseen context falls back to unigram-only (the first-token rule)") {
+    val model = frozenLm(corpus.toDF("doc_id", "text"))
+    // "zzz the": 'the' after an OOV prev must score exactly like a
+    // first-token 'the' (cu/n), not through a zeroed bigram mixture
+    val s = scoreDoc(97L, "zzz the", model)
+    val expected = (math.log(1.0 / model.n) +
+      math.log(model.uni("the").toDouble / model.n)) / 2.0
+    assert(math.abs(s.avg_logprob - expected) < 1e-12)
+  }
+
+  test("empty and whitespace-only docs score 0.0 over 0 tokens") {
+    val model = frozenLm(corpus.toDF("doc_id", "text"))
+    for (t <- Seq("", "   ")) {
+      val s = scoreDoc(1L, t, model)
+      assert(s.n_tokens === 0L && s.avg_logprob === 0.0)
+    }
+  }
+
+  test("tokenizer mirrors TextAnalysis.tokens on hostile whitespace") {
+    val hostile = Seq((1L, "  a  b\tc\nd  "), (2L, " x "), (3L, "\t\n"))
+    val sparkToks = hostile.toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    hostile.foreach { case (id, t) =>
+      assert(StreamingPerplexity.tokenize(t).toList === sparkToks(id),
+        s"doc $id")
+    }
+  }
+
+  test("streamed scores equal direct scoring (stateless across batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    val model = frozenLm(corpus.toDF("doc_id", "text"))
+    val mem = MemoryStream[PplDoc]
+    implicit val sp = spark
+    val q = StreamingPerplexity.scoreStream(mem.toDS(), model)
+      .writeStream.format("memory").queryName("ppl_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    val batches = corpus.map { case (id, t) => PplDoc(id, t) }.grouped(2).toSeq
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    val got = spark.table("ppl_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob"))
+      .toMap
+    q.stop()
+    corpus.foreach { case (id, t) =>
+      assert(got(id) === scoreDoc(id, t, model).avg_logprob, s"doc $id")
+    }
+  }
+}
