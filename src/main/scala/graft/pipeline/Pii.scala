@@ -58,4 +58,39 @@ object Pii {
       d.drop(s"__pii_${r.name}")
     }
   }
+
+  /** k-anonymity suppression over quasi-identifier columns: keep only
+    * rows whose EXACT combination of `quasiCols` values is shared by
+    * at least `k` rows — the release rule that stops a rare attribute
+    * combo (one document in a rare language from a tiny source, one
+    * user in a small town with an uncommon device) from identifying
+    * its subject in a published dataset or report. Survivors carry
+    * their combo's `group_n` as the anonymity-set-size provenance.
+    *
+    * Scale shape: one count aggregation at the combo grain (map-side
+    * combinable — the wire moves one long per combo per partition)
+    * and one join back keyed by the same combo (co-partitioned with
+    * the aggregation's exchange; AQE broadcasts the counts side when
+    * the combo space is small). The row data shuffles once; no
+    * window, no global sort. Null combo values group as SQL
+    * grouping does (null == null for grouping) — a null-ridden combo
+    * is itself a quasi-identifier and is suppressed by the same rule.
+    */
+  def kAnonymitySuppress(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k=$k must be >= 1")
+    val keys = quasiCols.map(col)
+    // null-SAFE join back: grouping already treats null == null, and
+    // the join must agree — a plain equi-join would silently DROP
+    // every null-valued combo instead of counting it (exactly the
+    // quasi-identifier leak this operator exists to close)
+    val counts = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("group_n"))
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")) :+ col("group_n"): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    df.join(counts, cond)
+      .where(col("group_n") >= k)
+      .drop(quasiCols.map(c => s"__q_$c"): _*)
+  }
 }

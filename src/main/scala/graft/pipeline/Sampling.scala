@@ -367,6 +367,55 @@ object Sampling {
       .where(uniform(col(keyCol), salt) < col("rate"))
   }
 
+  /** Multi-epoch mixture allocation — [[tokenBudgetMix]]'s
+    * oversubscription rule inverted: where the budget mix CAPS a
+    * stratum at one pass of its data, this REPEATS it. The
+    * pretraining-recipe shape ("train on B tokens, 9% of them src0"
+    * where src0 holds far fewer tokens than its allocation): each
+    * stratum's allocated tokens `share * budgetFrac * total_tokens`
+    * convert to an epoch count over its supply — every doc of the
+    * stratum repeats `floor(rate)` times, plus one more for the
+    * deterministic `frac = rate - floor(rate)` slice selected by the
+    * md5 variate (so the FRACTIONAL epoch is a uniform subsample, the
+    * standard final-epoch rule). Output: one row per kept doc with
+    * its `n_repeats` (the loader expands; emitting n_repeats instead
+    * of physically exploding keeps the export data-proportional —
+    * a 40-epoch rare stratum costs one column, not 40 copies).
+    *
+    * Scale shape: identical to [[tokenBudgetMix]] — one integer
+    * aggregate per stratum + a 1-row grand total, rates broadcast
+    * back, then a narrow variate test on the scan; the corpus never
+    * shuffles. Rates are one pinned IEEE chain over exact integer
+    * totals; `floor` and the variate test are engine-exact, so the
+    * kept set AND every repeat count are deterministic across
+    * engines and partitionings.
+    */
+  def epochAllocation(df: DataFrame, stratumCol: String, tokenCol: String,
+      shares: Map[String, Double], defaultShare: Double,
+      budgetFrac: Double, keyCol: String, salt: String = ""): DataFrame = {
+    require(budgetFrac > 0.0, s"budgetFrac=$budgetFrac must be positive")
+    require((defaultShare +: shares.values.toSeq).forall(_ >= 0.0),
+      "shares must be non-negative")
+    val shareCol = shares.foldLeft(lit(defaultShare)) {
+      case (acc, (stratum, sh)) =>
+        when(col(stratumCol) === stratum, lit(sh)).otherwise(acc)
+    }
+    val perStratum = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol).cast("long")).as("__stratum_tokens"))
+    val total = df.agg(
+      sum(col(tokenCol).cast("long")).as("__total_tokens"))
+    val rates = perStratum.crossJoin(broadcast(total))
+      .select(col(stratumCol),
+        (shareCol * (lit(budgetFrac) * col("__total_tokens")) /
+          col("__stratum_tokens")).as("rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .withColumn("n_repeats",
+        (floor(col("rate")) +
+          when(uniform(col(keyCol), salt) < col("rate") - floor(col("rate")),
+            lit(1L)).otherwise(lit(0L))).cast("long"))
+      .where(col("n_repeats") > 0)
+  }
+
   /** Per-stratum QUALITY cap: the k best (scoreCol DESC, keyCol ASC)
     * keys of every stratum — the "cap any one domain's contribution,
     * keep its best documents" curation rule (a boilerplate-heavy

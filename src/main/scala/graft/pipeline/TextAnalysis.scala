@@ -316,14 +316,17 @@ object TextAnalysis {
     val dl = toks.select(col("doc_id"),
       size(col("__w")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    // dl rides the exploded hit rows (functionally dependent on
+    // doc_id, so an extra grouping key, not a grain change) — the
+    // corpus-sized dl frame never joins back: only hit rows shuffle
     val tf = toks
-      .select(col("doc_id"), explode(col("__w")).as("term"))
+      .select(col("doc_id"), size(col("__w")).cast("long").as("dl"),
+        explode(col("__w")).as("term"))
       .where(col("term").isin(queryTerms: _*))
-      .groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(docFreq), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       // avgdl as ONE division of exact integer totals — identical in
       // the SQL mirror (tot::DOUBLE / n)
@@ -389,15 +392,17 @@ object TextAnalysis {
     val dl = toks.select(col("doc_id"),
       size(col("__w")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    // dl rides the exploded hit rows (see bm25Scores) — no
+    // corpus-sized join back
     val tf = toks
-      .select(col("doc_id"), explode(col("__w")).as("term"))
+      .select(col("doc_id"), size(col("__w")).cast("long").as("dl"),
+        explode(col("__w")).as("term"))
       .where(col("term").isin(allTerms: _*))
-      .groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(docFreq), Seq("term"))
       .join(broadcast(termToQuery), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("__avgdl", col("tot").cast("double") / col("n"))
       .withColumn("__s",

@@ -3957,7 +3957,64 @@ object PipelineQueries {
              |      FROM g)
              |SELECT d.lang, d.doc_id, d.n_tokens, d.avg_logprob, bnd.lo, bnd.hi
              |FROM d JOIN bnd USING (lang)
-             |WHERE d.avg_logprob BETWEEN bnd.lo AND bnd.hi""".stripMargin))
+             |WHERE d.avg_logprob BETWEEN bnd.lo AND bnd.hi""".stripMargin)),
+
+    // k-anonymity suppression: publish only docs whose (lang, source)
+    // quasi-identifier combo has >= 5 members — the release rule that
+    // stops a rare combo from identifying its subject. k=5 splits the
+    // gate corpus 42 kept / 55 suppressed combos (both classes real).
+    // Survivors carry their anonymity-set size.
+    QueryDef("p106_k_anonymity",
+      (s, dir) => Pii.kAnonymitySuppress(
+        Tables.documents(s, dir).select(
+          col("lang"), col("source"), col("doc_id")),
+        quasiCols = Seq("lang", "source"), k = 5),
+      Some("""WITH c AS (SELECT lang, source,
+             |             CAST(count(*) AS BIGINT) AS group_n
+             |           FROM documents GROUP BY lang, source)
+             |SELECT lang, source, doc_id, group_n
+             |FROM documents JOIN c USING (lang, source)
+             |WHERE group_n >= 5""".stripMargin)),
+
+    // Multi-epoch mixture allocation: "train on 2.5 corpus-epochs of
+    // tokens, 9% of them src0" — src0's allocation exceeds its supply
+    // ~4.5x, so its docs repeat 4 or 5 times (the fractional epoch is
+    // the md5-variate subsample); default strata land ~2.25 epochs.
+    // The p102 budget mix CAPS at one pass; this REPEATS — together
+    // they are the two halves of the pretraining data recipe.
+    QueryDef("p107_epoch_allocation",
+      (s, dir) => Sampling.epochAllocation(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        stratumCol = "source", tokenCol = "n_tokens",
+        shares = Map("src0" -> 0.09), defaultShare = 0.045,
+        budgetFrac = 2.5, keyCol = "doc_id", salt = "ep"),
+      Some("""WITH d AS (SELECT doc_id, source,
+             |            CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |                                 t -> t <> '')) AS BIGINT) AS n_tokens
+             |           FROM documents),
+             |st AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS stok
+             |       FROM d GROUP BY source),
+             |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ttok FROM d),
+             |rates AS (SELECT source,
+             |            (CASE source WHEN 'src0' THEN 0.09
+             |                         ELSE 0.045 END)
+             |            * (2.5 * ttok) / stok AS rate
+             |          FROM st CROSS JOIN tot),
+             |u AS (SELECT doc_id, source, n_tokens,
+             |        ('0x' || substr(md5(
+             |           CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |           || ':' || CAST(doc_id AS VARCHAR) || '/ep'), 1, 8))::BIGINT
+             |          / 4294967296.0 AS uu
+             |      FROM d),
+             |rep AS (SELECT u.source, doc_id, n_tokens, rate,
+             |          CAST(floor(rate) AS BIGINT)
+             |            + CASE WHEN uu < rate - floor(rate) THEN 1 ELSE 0 END
+             |            AS n_repeats
+             |        FROM u JOIN rates USING (source))
+             |SELECT source, doc_id, n_tokens, rate, n_repeats
+             |FROM rep WHERE n_repeats > 0""".stripMargin))
   )
 
   /** The p98 retrieval fixture — shared verbatim with the streaming

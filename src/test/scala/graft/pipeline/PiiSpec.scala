@@ -48,4 +48,29 @@ class PiiSpec extends SparkSpec {
     val r = redactOne("write to a@b.co now")
     assert(r.getAs[String]("text") === "write to a@b.co now")
   }
+
+  test("k-anonymity: combos below k vanish, survivors carry group_n") {
+    val df = Seq(
+      (1L, "en", "a"), (2L, "en", "a"), (3L, "en", "a"),
+      (4L, "en", "b"), (5L, "en", "b"),
+      (6L, "fr", "a"))
+      .toDF("doc_id", "lang", "source")
+    val kept = Pii.kAnonymitySuppress(df, Seq("lang", "source"), k = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_n")))
+      .toSet
+    assert(kept === Set(
+      (1L, 3L), (2L, 3L), (3L, 3L), (4L, 2L), (5L, 2L)))
+  }
+
+  test("k-anonymity: k=1 keeps everything; null combos group together") {
+    val df = Seq[(Long, String, String)](
+      (1L, null, "a"), (2L, null, "a"), (3L, "en", "a"))
+      .toDF("doc_id", "lang", "source")
+    assert(Pii.kAnonymitySuppress(df, Seq("lang", "source"), 1).count() === 3L)
+    // the two null-lang rows form one anonymity set of 2
+    val kept2 = Pii.kAnonymitySuppress(df, Seq("lang", "source"), 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 === Set(1L, 2L))
+  }
 }

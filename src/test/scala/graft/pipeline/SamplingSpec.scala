@@ -223,4 +223,41 @@ class SamplingSpec extends SparkSpec {
       Seq.empty[(Long, Option[Long])].toDF("doc_id", "w"),
       "w", 0.5, "doc_id").count() === 0L)
   }
+
+  test("epochAllocation: full epochs repeat everything, fractional epoch subsamples") {
+    // stratum a: 100 tokens; b: 100 tokens; total 200.
+    // budgetFrac=1, share(a)=0.5 -> a's rate = 0.5*200/100 = 1.0 exactly
+    // (one full epoch, frac 0 -> every a doc repeats exactly once);
+    // share(b)=1.25 -> rate 2.5 (all docs 2x, ~half get a 3rd).
+    val df = (1 to 10).map(i => (i.toLong, "a", 10L)) ++
+      (11 to 20).map(i => (i.toLong, "b", 10L))
+    val out = Sampling.epochAllocation(df.toDF("doc_id", "src", "tok"),
+      "src", "tok", Map("a" -> 0.5, "b" -> 1.25), defaultShare = 0.0,
+      budgetFrac = 1.0, keyCol = "doc_id", salt = "e")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("src"),
+        r.getAs[Long]("n_repeats")))
+    val a = out.filter(_._2 == "a")
+    val b = out.filter(_._2 == "b")
+    assert(a.length === 10 && a.forall(_._3 === 1L))
+    assert(b.length === 10 && b.forall(x => x._3 === 2L || x._3 === 3L))
+    assert(b.exists(_._3 === 3L), "fractional epoch selected nobody")
+    assert(b.exists(_._3 === 2L), "fractional epoch selected everybody")
+  }
+
+  test("epochAllocation: zero-share strata vanish; deterministic across partitionings") {
+    val df = (1 to 60).map(i => (i.toLong, s"s${i % 3}", (i % 7 + 1).toLong))
+      .toDF("doc_id", "src", "tok")
+    def run(parts: Int) = Sampling.epochAllocation(df.repartition(parts),
+      "src", "tok", Map("s0" -> 0.0), defaultShare = 0.4,
+      budgetFrac = 1.5, keyCol = "doc_id", salt = "e")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_repeats"))).toSet
+    val one = run(1)
+    assert(one === run(7))
+    assert(one.nonEmpty)
+    // s0 allocated zero tokens -> no repeats at all
+    val s0Ids = (1 to 60).filter(_ % 3 == 0).map(_.toLong).toSet
+    assert(one.forall { case (id, _) => !s0Ids.contains(id) })
+  }
 }
