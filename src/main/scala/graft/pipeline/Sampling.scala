@@ -344,9 +344,16 @@ object Sampling {
     * Output: the kept rows + their stratum's `rate` (the expected
     * kept fraction — the export manifest's provenance column).
     */
-  def tokenBudgetMix(df: DataFrame, stratumCol: String, tokenCol: String,
-      shares: Map[String, Double], defaultShare: Double,
-      budgetFrac: Double, keyCol: String, salt: String = ""): DataFrame = {
+  /** Shared rate scaffold for [[tokenBudgetMix]] and
+    * [[epochAllocation]] (the two halves of the pretraining data
+    * recipe): per stratum, `share * budgetFrac * total_tokens /
+    * stratum_tokens` — UNCAPPED epochs-over-supply; the budget mix
+    * caps at 1.0, the epoch allocator floors into repeats. One pinned
+    * IEEE chain over exact integer token totals.
+    */
+  private def stratumRates(df: DataFrame, stratumCol: String,
+      tokenCol: String, shares: Map[String, Double], defaultShare: Double,
+      budgetFrac: Double): DataFrame = {
     require(budgetFrac > 0.0, s"budgetFrac=$budgetFrac must be positive")
     require((defaultShare +: shares.values.toSeq).forall(_ >= 0.0),
       "shares must be non-negative")
@@ -358,11 +365,18 @@ object Sampling {
       .agg(sum(col(tokenCol).cast("long")).as("__stratum_tokens"))
     val total = df.agg(
       sum(col(tokenCol).cast("long")).as("__total_tokens"))
-    val rates = perStratum.crossJoin(broadcast(total))
+    perStratum.crossJoin(broadcast(total))
       .select(col(stratumCol),
-        least(lit(1.0),
-          shareCol * (lit(budgetFrac) * col("__total_tokens")) /
-            col("__stratum_tokens")).as("rate"))
+        (shareCol * (lit(budgetFrac) * col("__total_tokens")) /
+          col("__stratum_tokens")).as("rate"))
+  }
+
+  def tokenBudgetMix(df: DataFrame, stratumCol: String, tokenCol: String,
+      shares: Map[String, Double], defaultShare: Double,
+      budgetFrac: Double, keyCol: String, salt: String = ""): DataFrame = {
+    val rates = stratumRates(df, stratumCol, tokenCol, shares,
+        defaultShare, budgetFrac)
+      .select(col(stratumCol), least(lit(1.0), col("rate")).as("rate"))
     df.join(broadcast(rates), Seq(stratumCol))
       .where(uniform(col(keyCol), salt) < col("rate"))
   }
@@ -393,21 +407,8 @@ object Sampling {
   def epochAllocation(df: DataFrame, stratumCol: String, tokenCol: String,
       shares: Map[String, Double], defaultShare: Double,
       budgetFrac: Double, keyCol: String, salt: String = ""): DataFrame = {
-    require(budgetFrac > 0.0, s"budgetFrac=$budgetFrac must be positive")
-    require((defaultShare +: shares.values.toSeq).forall(_ >= 0.0),
-      "shares must be non-negative")
-    val shareCol = shares.foldLeft(lit(defaultShare)) {
-      case (acc, (stratum, sh)) =>
-        when(col(stratumCol) === stratum, lit(sh)).otherwise(acc)
-    }
-    val perStratum = df.groupBy(col(stratumCol))
-      .agg(sum(col(tokenCol).cast("long")).as("__stratum_tokens"))
-    val total = df.agg(
-      sum(col(tokenCol).cast("long")).as("__total_tokens"))
-    val rates = perStratum.crossJoin(broadcast(total))
-      .select(col(stratumCol),
-        (shareCol * (lit(budgetFrac) * col("__total_tokens")) /
-          col("__stratum_tokens")).as("rate"))
+    val rates = stratumRates(df, stratumCol, tokenCol, shares,
+      defaultShare, budgetFrac)
     df.join(broadcast(rates), Seq(stratumCol))
       .withColumn("n_repeats",
         (floor(col("rate")) +
@@ -469,6 +470,12 @@ object Sampling {
       s"need 0 <= loQ=$loQ <= hiQ=$hiQ <= 1")
     val loName = "p" + math.round(loQ * 100)
     val hiName = "p" + math.round(hiQ * 100)
+    // sampleQuantiles names columns by rounded percent — two
+    // quantiles landing on the same name would make the lo/hi selects
+    // ambiguous instead of filtering a (degenerate) band
+    require(loName != hiName,
+      s"loQ=$loQ and hiQ=$hiQ both name column $loName — widen the band " +
+        "(quantile columns are named by rounded percent)")
     val bounds = sampleQuantiles(df, groupCol, valueCol, keyCol, k,
         Seq(loQ, hiQ), salt)
       .select(col(groupCol), col(loName).as("lo"), col(hiName).as("hi"))

@@ -3920,20 +3920,30 @@ object PipelineQueries {
     // CCNet-style perplexity-band filter: score every doc under the
     // corpus's own interpolated bigram LM (p73's exact chain), then
     // keep docs inside their LANGUAGE's [p10, p95] score band — the
-    // adaptive-threshold composition (p73 x p104's primitive): the
+    // adaptive-threshold composition (p73 x the p104 primitive): the
     // classic "drop the weird tail per language, with thresholds the
-    // corpus derives for itself" curation rule. The scored frame is
-    // cached (three probes: reservoir, key join-back, final filter —
-    // the LM chain is the expensive part; a production run persists
-    // its scored corpus the same way).
+    // corpus derives for itself" curation rule. Cache discipline: the
+    // scored frame caches only while the languages-sized bounds
+    // materialize (one LM pass), then RELEASES — the final filter
+    // recomputes one pass instead of pinning a corpus-grain cache for
+    // the rest of the 180+-query harness session.
     QueryDef("p105_perplexity_band",
       (s, dir) => {
+        import s.implicits._
         val docs = Tables.documents(s, dir)
         val scored = TextAnalysis.bigramLogProb(docs)
           .join(docs.select(col("doc_id"), col("lang")), "doc_id")
           .cache()
-        Sampling.adaptiveSpreadFilter(scored, "lang", "avg_logprob",
-          "doc_id", k = 64, loQ = 0.1, hiQ = 0.95, salt = "ppl")
+        val bounds = Sampling.sampleQuantiles(scored, "lang",
+            "avg_logprob", "doc_id", k = 64, qs = Seq(0.1, 0.95),
+            salt = "ppl")
+          .select(col("lang"), col("p10").as("lo"), col("p95").as("hi"))
+          .collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+          .toSeq
+        scored.unpersist(false)
+        scored.join(broadcast(bounds.toDF("lang", "lo", "hi")), Seq("lang"))
+          .where(col("avg_logprob").between(col("lo"), col("hi")))
           .select("lang", "doc_id", "n_tokens", "avg_logprob", "lo", "hi")
       },
       Some(s"""WITH $bigramLmCtesSql,
@@ -3969,11 +3979,13 @@ object PipelineQueries {
         Tables.documents(s, dir).select(
           col("lang"), col("source"), col("doc_id")),
         quasiCols = Seq("lang", "source"), k = 5),
-      Some("""WITH c AS (SELECT lang, source,
+      Some("""WITH c AS (SELECT lang AS cl, source AS cs,
              |             CAST(count(*) AS BIGINT) AS group_n
              |           FROM documents GROUP BY lang, source)
              |SELECT lang, source, doc_id, group_n
-             |FROM documents JOIN c USING (lang, source)
+             |FROM documents JOIN c
+             |  ON lang IS NOT DISTINCT FROM cl
+             | AND source IS NOT DISTINCT FROM cs
              |WHERE group_n >= 5""".stripMargin)),
 
     // Multi-epoch mixture allocation: "train on 2.5 corpus-epochs of

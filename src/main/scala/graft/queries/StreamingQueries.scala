@@ -1804,8 +1804,12 @@ object StreamingQueries {
       val stage = dirP.resolve("input")
       val ckpt = dirP.resolve("ckpt").toString
       val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
-      def partFiles(): Set[Path] = Files.list(stage).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+      def partFiles(): Set[Path] = {
+        val s = Files.list(stage)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+        finally s.close()
+      }
       docs.where(col("doc_id") <= cut).coalesce(1)
         .write.parquet(stage.toString)
       val firstBatch = partFiles()
