@@ -76,6 +76,49 @@ object Packing {
         (col("tokens_before") % seqLen).as("chunk_offset"))
   }
 
+  /** Length-bucketed batch assembly — dynamic batching for padded
+    * training/inference: documents bucket by token-length range
+    * (`bucket = n_tokens div bucketWidth`, so per-batch padding waste
+    * is bounded by the bucket width), each bucket's members are
+    * deterministically shuffled by the md5 variate (batch composition
+    * must not correlate with corpus order), and cut into
+    * `batchSize`-sized batches. Output coordinates per doc:
+    * `bucket`, `batch_id` (within its bucket), `slot` (position in
+    * its batch) — the loader materializes batches by
+    * (bucket, batch_id) and pads to the bucket ceiling.
+    *
+    * Scale shape: within-bucket ranks come from ONE range-partitioned
+    * global sort over (bucket, variate, id)
+    * ([[graft.operators.GlobalOrder.withGlobalRank]]) plus a
+    * bucket-grain min-rank broadcast back — buckets are FEW and HUGE
+    * by construction (a handful of length ranges over the whole
+    * corpus), which is exactly the hot-partition shape a per-bucket
+    * window sort dies on at 100 TB; the range sort spreads every
+    * bucket across tasks. Ranks are a pure function of the total
+    * (bucket, u, id) order — deterministic across runs,
+    * partitionings and engines.
+    */
+  def bucketedBatches(docs: DataFrame, bucketWidth: Int, batchSize: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "batch"): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth=$bucketWidth must be >= 1")
+    require(batchSize >= 1, s"batchSize=$batchSize must be >= 1")
+    val base = docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("bucket",
+        expr(s"n_tokens div CAST($bucketWidth AS BIGINT)"))
+      .withColumn("__u", Sampling.uniform(col(idCol), salt))
+    val ranked = graft.operators.GlobalOrder.withGlobalRank(
+      base, "__g", Seq(col("bucket").asc, col("__u").asc, col(idCol).asc))
+    val offsets = ranked.groupBy(col("bucket"))
+      .agg(min(col("__g")).as("__first"))
+    ranked.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("__r", col("__g") - col("__first")) // 0-based in bucket
+      .select(col(idCol), col("n_tokens"), col("bucket"),
+        expr(s"__r div CAST($batchSize AS BIGINT)").as("batch_id"),
+        (col("__r") % batchSize).as("slot"))
+  }
+
   /** Per-(shard, chunk) manifest of the packing: how many docs START
     * in each chunk and how many of its tokens they supply —
     * the loader's index, and the packing-quality observability

@@ -4026,7 +4026,34 @@ object PipelineQueries {
              |            AS n_repeats
              |        FROM u JOIN rates USING (source))
              |SELECT source, doc_id, n_tokens, rate, n_repeats
-             |FROM rep WHERE n_repeats > 0""".stripMargin))
+             |FROM rep WHERE n_repeats > 0""".stripMargin)),
+
+    // Length-bucketed batch assembly (dynamic batching): bucket by
+    // token-length range (width 20 -> padding waste bounded per
+    // batch), md5-shuffle within buckets, cut into batches of 8.
+    // Ranks via ONE range-partitioned global sort over
+    // (bucket, u, id) — buckets are few and huge, the hot-partition
+    // shape a per-bucket window dies on; the oracle IS that window.
+    QueryDef("p108_bucketed_batches",
+      (s, dir) => Packing.bucketedBatches(
+        Tables.documents(s, dir), bucketWidth = 20, batchSize = 8),
+      Some("""WITH d AS (SELECT doc_id,
+             |            CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |                                 t -> t <> '')) AS BIGINT) AS n_tokens
+             |           FROM documents),
+             |b AS (SELECT doc_id, n_tokens, n_tokens // 20 AS bucket,
+             |        ('0x' || substr(md5(
+             |           CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |           || ':' || CAST(doc_id AS VARCHAR) || '/batch'), 1, 8))::BIGINT
+             |          / 4294967296.0 AS u
+             |      FROM d),
+             |r AS (SELECT doc_id, n_tokens, bucket,
+             |        row_number() OVER (
+             |          PARTITION BY bucket ORDER BY u, doc_id) - 1 AS rr
+             |      FROM b)
+             |SELECT doc_id, n_tokens, bucket,
+             |       rr // 8 AS batch_id, rr % 8 AS slot
+             |FROM r""".stripMargin))
   )
 
   /** The p98 retrieval fixture — shared verbatim with the streaming
