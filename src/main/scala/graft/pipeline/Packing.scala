@@ -100,11 +100,24 @@ object Packing {
     */
   def bucketedBatches(docs: DataFrame, bucketWidth: Int, batchSize: Int,
       idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "batch"): DataFrame =
+    bucketedBatchesFromCounts(
+      docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens")),
+      bucketWidth, batchSize, idCol, "n_tokens", salt)
+
+  /** [[bucketedBatches]] over a PRECOMPUTED token-count column — the
+    * composed-pipeline entry point (an upstream stage already paid
+    * for the token counts; re-reading text to recount would violate
+    * the read-the-corpus-once discipline).
+    */
+  def bucketedBatchesFromCounts(docs: DataFrame, bucketWidth: Int,
+      batchSize: Int, idCol: String, tokensCol: String,
       salt: String = "batch"): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth=$bucketWidth must be >= 1")
     require(batchSize >= 1, s"batchSize=$batchSize must be >= 1")
     val base = docs.select(col(idCol),
-        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+        col(tokensCol).cast("long").as("n_tokens"))
       .withColumn("bucket",
         expr(s"n_tokens div CAST($bucketWidth AS BIGINT)"))
       .withColumn("__u", Sampling.uniform(col(idCol), salt))

@@ -4053,7 +4053,120 @@ object PipelineQueries {
              |      FROM b)
              |SELECT doc_id, n_tokens, bucket,
              |       rr // 8 AS batch_id, rr % 8 AS slot
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // The round-10 "assemble the training set" pipeline, composed
+    // end-to-end (the release-side complement of p93's clean-the-
+    // corpus pipeline): k-anonymity release gate -> per-source
+    // quality cap -> per-language adaptive length filter -> epoch
+    // allocation to the token budget -> length-bucketed batch
+    // assembly. ONE text scan total, ZERO text shuffles: the quality
+    // pass consumes text AT THE SCAN (per-row features commute with
+    // the k-anonymity filter, so it runs first), every later stage —
+    // including the k-anon combo join — is narrow-column algebra over
+    // the cached scored frame (docs x 6 scalars — the p93 cache
+    // discipline). Every stage is the SAME formula its fragment gate
+    // pins (p106/p103/p104/p107/p108), chained in SQL as one CTE
+    // cascade; PlanSpec proves no exchange carries text.
+    QueryDef("p109_recipe_e2e",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = Pii.kAnonymitySuppress(
+            TextAnalysis.qualityFeatures(docs)
+              .select(col("source"), col("lang"), col("doc_id"),
+                col("n_chars"), col("n_tokens"), col("quality_score")),
+            Seq("lang", "source"), k = 5)
+          .drop("group_n")
+          .cache()
+        val capped = scored.join(
+          broadcast(Sampling.topKByStratum(scored, "source",
+            "quality_score", "doc_id", 15)),
+          Seq("source", "doc_id"))
+        val sized = Sampling.adaptiveSpreadFilter(capped, "lang",
+          "n_chars", "doc_id", k = 64, loQ = 0.05, hiQ = 0.95,
+          salt = "len").drop("lo", "hi")
+        val alloc = Sampling.epochAllocation(sized, "source", "n_tokens",
+          Map("src0" -> 0.09), defaultShare = 0.045, budgetFrac = 2.5,
+          keyCol = "doc_id", salt = "ep")
+        val batches = Packing.bucketedBatchesFromCounts(alloc,
+          bucketWidth = 20, batchSize = 8, idCol = "doc_id",
+          tokensCol = "n_tokens")
+        alloc.select(col("source"), col("doc_id"), col("n_repeats"))
+          .join(batches, Seq("doc_id"))
+          .select("source", "doc_id", "n_tokens", "n_repeats",
+            "bucket", "batch_id", "slot")
+      },
+      Some(s"""WITH anonc AS (SELECT lang AS al, source AS asrc,
+             |                 CAST(count(*) AS BIGINT) AS gn
+             |               FROM documents GROUP BY lang, source),
+             |pub AS (SELECT d.doc_id, d.source, d.lang, d.text, d.n_chars
+             |        FROM documents d JOIN anonc
+             |          ON d.lang IS NOT DISTINCT FROM al
+             |         AND d.source IS NOT DISTINCT FROM asrc
+             |        WHERE gn >= 5),
+             |q AS (SELECT doc_id, source, lang, n_chars, $qualityColsSql
+             |      FROM pub),
+             |qs AS (SELECT doc_id, source, lang, n_chars, n_tokens,
+             |         $qualityScoreSql AS quality_score
+             |       FROM q),
+             |cap AS (SELECT doc_id, source, lang, n_chars, n_tokens
+             |        FROM (SELECT qs.*, row_number() OVER (
+             |                PARTITION BY source
+             |                ORDER BY quality_score DESC, doc_id) AS rn
+             |              FROM qs)
+             |        WHERE rn <= 15),
+             |lh AS (SELECT lang AS grp, doc_id AS k,
+             |         CAST(n_chars AS DOUBLE) AS v,
+             |         ('0x' || substr(md5(
+             |            CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |            || ':' || CAST(doc_id AS VARCHAR) || '/len'), 1, 8))::BIGINT AS h
+             |       FROM cap),
+             |lr AS (SELECT *, row_number() OVER (
+             |         PARTITION BY grp ORDER BY h, k) AS rn
+             |       FROM lh),
+             |lg AS (SELECT grp, list(v ORDER BY v) AS vals,
+             |              CAST(count(*) AS BIGINT) AS n
+             |       FROM lr WHERE rn <= 64 GROUP BY grp),
+             |lb AS (SELECT grp AS lang,
+             |         vals[CAST(floor(0.05 * (n - 1)) AS INT) + 1] AS lo,
+             |         vals[CAST(floor(0.95 * (n - 1)) AS INT) + 1] AS hi
+             |       FROM lg),
+             |sized AS (SELECT cap.doc_id, cap.source, cap.lang, cap.n_tokens
+             |          FROM cap JOIN lb USING (lang)
+             |          WHERE CAST(n_chars AS DOUBLE) BETWEEN lo AND hi),
+             |st AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS stok
+             |       FROM sized GROUP BY source),
+             |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ttok FROM sized),
+             |rates AS (SELECT source,
+             |            (CASE source WHEN 'src0' THEN 0.09
+             |                         ELSE 0.045 END)
+             |            * (2.5 * ttok) / stok AS rate
+             |          FROM st CROSS JOIN tot),
+             |eu AS (SELECT sized.*, rate,
+             |         ('0x' || substr(md5(
+             |            CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |            || ':' || CAST(doc_id AS VARCHAR) || '/ep'), 1, 8))::BIGINT
+             |           / 4294967296.0 AS uu
+             |       FROM sized JOIN rates USING (source)),
+             |alloc AS (SELECT doc_id, source, n_tokens,
+             |            CAST(floor(rate) AS BIGINT)
+             |              + CASE WHEN uu < rate - floor(rate) THEN 1 ELSE 0 END
+             |              AS n_repeats
+             |          FROM eu),
+             |kept AS (SELECT * FROM alloc WHERE n_repeats > 0),
+             |bu AS (SELECT doc_id, n_tokens, n_tokens // 20 AS bucket,
+             |         ('0x' || substr(md5(
+             |            CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |            || ':' || CAST(doc_id AS VARCHAR) || '/batch'), 1, 8))::BIGINT
+             |           / 4294967296.0 AS u
+             |       FROM kept),
+             |br AS (SELECT doc_id, n_tokens, bucket,
+             |         row_number() OVER (
+             |           PARTITION BY bucket ORDER BY u, doc_id) - 1 AS rr
+             |       FROM bu)
+             |SELECT k.source, b.doc_id, b.n_tokens, k.n_repeats,
+             |       b.bucket, b.rr // 8 AS batch_id, b.rr % 8 AS slot
+             |FROM br b JOIN kept k USING (doc_id)""".stripMargin))
   )
 
   /** The p98 retrieval fixture — shared verbatim with the streaming

@@ -440,6 +440,27 @@ class PlanSpec extends SparkSpec {
       s"reservoir not map-side partial:\n$plan")
   }
 
+  test("p109 recipe pipeline: no exchange carries the text column") {
+    // the composed assemble-the-training-set chain consumes text AT
+    // THE SCAN (quality features) and every later stage — k-anon
+    // combo join, top-k cap, length bounds, epoch rates, batch ranks
+    // — is narrow-column algebra; a refactor that lets text reach a
+    // shuffle (e.g. suppress-before-score) re-creates the corpus-
+    // sized exchange this composition exists to avoid
+    withNoAqe {
+      val q = SparkEntry.queries("p109_recipe_e2e")(spark, dir)
+      val shuffled = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffled.nonEmpty, "expected at least one exchange")
+      shuffled.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"text flows through a shuffle:\n${e.treeString}")
+      }
+      assert(q.count() > 0)
+    }
+  }
+
   test("HLL sketch: partial aggregation before the exchange (2^p-byte partials)") {
     // same contract as the KMV/Count-Min plan proofs: registers build
     // map-side and cross the wire as one 2^p-byte buffer per
