@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -4070,28 +4071,11 @@ object PipelineQueries {
     // cascade; PlanSpec proves no exchange carries text.
     QueryDef("p109_recipe_e2e",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val scored = Pii.kAnonymitySuppress(
-            TextAnalysis.qualityFeatures(docs)
-              .select(col("source"), col("lang"), col("doc_id"),
-                col("n_chars"), col("n_tokens"), col("quality_score")),
-            Seq("lang", "source"), k = 5)
-          .drop("group_n")
-          .cache()
-        val capped = scored.join(
-          broadcast(Sampling.topKByStratum(scored, "source",
-            "quality_score", "doc_id", 15)),
-          Seq("source", "doc_id"))
-        val sized = Sampling.adaptiveSpreadFilter(capped, "lang",
-          "n_chars", "doc_id", k = 64, loQ = 0.05, hiQ = 0.95,
-          salt = "len").drop("lo", "hi")
-        val alloc = Sampling.epochAllocation(sized, "source", "n_tokens",
-          Map("src0" -> 0.09), defaultShare = 0.045, budgetFrac = 2.5,
-          keyCol = "doc_id", salt = "ep")
-        val batches = Packing.bucketedBatchesFromCounts(alloc,
+        val st = recipeStages(s, dir)
+        val batches = Packing.bucketedBatchesFromCounts(st.alloc,
           bucketWidth = 20, batchSize = 8, idCol = "doc_id",
           tokensCol = "n_tokens")
-        alloc.select(col("source"), col("doc_id"), col("n_repeats"))
+        st.alloc.select(col("source"), col("doc_id"), col("n_repeats"))
           .join(batches, Seq("doc_id"))
           .select("source", "doc_id", "n_tokens", "n_repeats",
             "bucket", "batch_id", "slot")
@@ -4166,7 +4150,108 @@ object PipelineQueries {
              |       FROM bu)
              |SELECT k.source, b.doc_id, b.n_tokens, k.n_repeats,
              |       b.bucket, b.rr // 8 AS batch_id, b.rr % 8 AS slot
-             |FROM br b JOIN kept k USING (doc_id)""".stripMargin))
+             |FROM br b JOIN kept k USING (doc_id)""".stripMargin)),
+
+    // Pipeline yield report — the funnel every data team tracks: doc
+    // and token counts surviving each stage of the p109 recipe, plus
+    // token INSTANCES (supply x epoch repeats) for the allocated
+    // stage. Built from the SAME staged frames as p109
+    // (recipeStages), so the report can never drift from the
+    // pipeline it describes; each stage row is one bounded aggregate
+    // over the cached narrow frame.
+    QueryDef("p110_recipe_yield",
+      (s, dir) => {
+        val st = recipeStages(s, dir)
+        def stage(order: Int, name: String, df: DataFrame,
+            repeats: org.apache.spark.sql.Column): DataFrame =
+          df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+            coalesce(sum(col("n_tokens") * repeats), lit(0L))
+              .as("n_token_instances"))
+            .select(lit(order).as("stage_order"), lit(name).as("stage"),
+              col("n_docs"), col("n_tokens"), col("n_token_instances"))
+        stage(1, "raw", st.scoredAll, lit(1L))
+          .unionAll(stage(2, "k_anonymized", st.scored, lit(1L)))
+          .unionAll(stage(3, "quality_capped", st.capped, lit(1L)))
+          .unionAll(stage(4, "length_filtered", st.sized, lit(1L)))
+          .unionAll(stage(5, "epoch_allocated", st.alloc, col("n_repeats")))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, source, lang, n_chars, $qualityColsSql
+             |           FROM documents),
+             |qs AS (SELECT doc_id, source, lang, n_chars, n_tokens,
+             |         $qualityScoreSql AS quality_score
+             |       FROM q),
+             |anonc AS (SELECT lang AS al, source AS asrc,
+             |            CAST(count(*) AS BIGINT) AS gn
+             |          FROM documents GROUP BY lang, source),
+             |anon AS (SELECT qs.* FROM qs JOIN anonc
+             |           ON lang IS NOT DISTINCT FROM al
+             |          AND source IS NOT DISTINCT FROM asrc
+             |         WHERE gn >= 5),
+             |cap AS (SELECT doc_id, source, lang, n_chars, n_tokens
+             |        FROM (SELECT anon.*, row_number() OVER (
+             |                PARTITION BY source
+             |                ORDER BY quality_score DESC, doc_id) AS rn
+             |              FROM anon)
+             |        WHERE rn <= 15),
+             |lh AS (SELECT lang AS grp, doc_id AS k,
+             |         CAST(n_chars AS DOUBLE) AS v,
+             |         ('0x' || substr(md5(
+             |            CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |            || ':' || CAST(doc_id AS VARCHAR) || '/len'), 1, 8))::BIGINT AS h
+             |       FROM cap),
+             |lr AS (SELECT *, row_number() OVER (
+             |         PARTITION BY grp ORDER BY h, k) AS rn
+             |       FROM lh),
+             |lg AS (SELECT grp, list(v ORDER BY v) AS vals,
+             |              CAST(count(*) AS BIGINT) AS n
+             |       FROM lr WHERE rn <= 64 GROUP BY grp),
+             |lb AS (SELECT grp AS lang,
+             |         vals[CAST(floor(0.05 * (n - 1)) AS INT) + 1] AS lo,
+             |         vals[CAST(floor(0.95 * (n - 1)) AS INT) + 1] AS hi
+             |       FROM lg),
+             |sized AS (SELECT cap.doc_id, cap.source, cap.lang, cap.n_tokens
+             |          FROM cap JOIN lb USING (lang)
+             |          WHERE CAST(n_chars AS DOUBLE) BETWEEN lo AND hi),
+             |stk AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS stok
+             |        FROM sized GROUP BY source),
+             |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ttok FROM sized),
+             |rates AS (SELECT source,
+             |            (CASE source WHEN 'src0' THEN 0.09
+             |                         ELSE 0.045 END)
+             |            * (2.5 * ttok) / stok AS rate
+             |          FROM stk CROSS JOIN tot),
+             |eu AS (SELECT sized.*, rate,
+             |         ('0x' || substr(md5(
+             |            CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+             |            || ':' || CAST(doc_id AS VARCHAR) || '/ep'), 1, 8))::BIGINT
+             |           / 4294967296.0 AS uu
+             |       FROM sized JOIN rates USING (source)),
+             |kept AS (SELECT doc_id, n_tokens,
+             |           CAST(floor(rate) AS BIGINT)
+             |             + CASE WHEN uu < rate - floor(rate) THEN 1 ELSE 0 END
+             |             AS n_repeats
+             |         FROM eu
+             |         WHERE CAST(floor(rate) AS BIGINT)
+             |             + CASE WHEN uu < rate - floor(rate) THEN 1 ELSE 0 END > 0)
+             |SELECT 1 AS stage_order, 'raw' AS stage,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
+             |       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_token_instances
+             |FROM qs
+             |UNION ALL SELECT 2, 'k_anonymized', CAST(count(*) AS BIGINT),
+             |       CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+             |       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM anon
+             |UNION ALL SELECT 3, 'quality_capped', CAST(count(*) AS BIGINT),
+             |       CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+             |       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM cap
+             |UNION ALL SELECT 4, 'length_filtered', CAST(count(*) AS BIGINT),
+             |       CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+             |       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM sized
+             |UNION ALL SELECT 5, 'epoch_allocated', CAST(count(*) AS BIGINT),
+             |       CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+             |       CAST(coalesce(sum(n_tokens * n_repeats), 0) AS BIGINT)
+             |FROM kept""".stripMargin))
   )
 
   /** The p98 retrieval fixture — shared verbatim with the streaming
@@ -4183,6 +4268,37 @@ object PipelineQueries {
     * are computed from the SAME corpus the stream replays — so the
     * two surfaces must hash-match the same SQL.
     */
+  /** The p109 recipe chain's staged frames, shared by the e2e gate
+    * (p109) and the yield report (p110) so the two can never drift.
+    * `scoredAll` (quality features of EVERY doc — the one text scan)
+    * is cached as the narrow docs × 6-scalar frame; every stage after
+    * it is column algebra.
+    */
+  private final case class RecipeStages(scoredAll: DataFrame,
+      scored: DataFrame, capped: DataFrame, sized: DataFrame,
+      alloc: DataFrame)
+
+  private def recipeStages(s: SparkSession, dir: String): RecipeStages = {
+    val docs = Tables.documents(s, dir)
+    val scoredAll = TextAnalysis.qualityFeatures(docs)
+      .select(col("source"), col("lang"), col("doc_id"),
+        col("n_chars"), col("n_tokens"), col("quality_score"))
+      .cache()
+    val scored = Pii.kAnonymitySuppress(scoredAll, Seq("lang", "source"),
+      k = 5).drop("group_n")
+    val capped = scored.join(
+      broadcast(Sampling.topKByStratum(scored, "source",
+        "quality_score", "doc_id", 15)),
+      Seq("source", "doc_id"))
+    val sized = Sampling.adaptiveSpreadFilter(capped, "lang",
+      "n_chars", "doc_id", k = 64, loQ = 0.05, hiQ = 0.95,
+      salt = "len").drop("lo", "hi")
+    val alloc = Sampling.epochAllocation(sized, "source", "n_tokens",
+      Map("src0" -> 0.09), defaultShare = 0.045, budgetFrac = 2.5,
+      keyCol = "doc_id", salt = "ep")
+    RecipeStages(scoredAll, scored, capped, sized, alloc)
+  }
+
   /** The interpolated bigram-LM CTE cascade (tokens WITH positions,
     * both count tables, the pinned-order mixture arithmetic, per-doc
     * average) — shared by p73, the p105 band filter and the st25

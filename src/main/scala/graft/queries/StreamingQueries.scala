@@ -1882,6 +1882,72 @@ object StreamingQueries {
     },
     Some(PipelineQueries.bigramLogProbOracleSql))
 
+  /** st26: ONLINE per-source TOKEN budget
+    * ([[graft.streaming.StreamingAdmission.admitTokens]]) — st24's
+    * quota in the unit training budgets are written in: each source
+    * contributes at most `budget` tokens, the quota CLOSING at the
+    * first overflow so the admitted set is a prefix of arrival order
+    * and the oracle is a plain running-sum window (`cumsum <= B` —
+    * monotone, so prefix == predicate). Same two-genuine-micro-batch
+    * staging as st24 (doc_id-midpoint split, explicitly ordered
+    * mtimes); token counts are metered batch-side (the stream
+    * carries (doc_id, source, n_tokens) metadata — the router's
+    * view), and the counting formula is the p16 token-count gate's.
+    */
+  private def streamingTokenBudget: QueryDef = QueryDef(
+    "st26_streaming_token_budget",
+    (s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("source").cast("string"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val schema = docs.schema
+      val dirP = scratch("st26")
+      val stage = dirP.resolve("input")
+      val ckpt = dirP.resolve("ckpt").toString
+      val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+      def partFiles(): Set[Path] = {
+        val st = Files.list(stage)
+        try st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+        finally st.close()
+      }
+      docs.where(col("doc_id") <= cut).coalesce(1)
+        .write.parquet(stage.toString)
+      val firstBatch = partFiles()
+      docs.where(col("doc_id") > cut).coalesce(1)
+        .write.mode("append").parquet(stage.toString)
+      val t0 = java.nio.file.attribute.FileTime.fromMillis(1000000000000L)
+      val t1 = java.nio.file.attribute.FileTime.fromMillis(1000000060000L)
+      partFiles().foreach(p =>
+        Files.setLastModifiedTime(p, if (firstBatch(p)) t0 else t1))
+
+      val qname = "st26_" + UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingAdmission.admitTokens(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          .as[graft.streaming.StreamingAdmission.TokenDoc](
+            org.apache.spark.sql.Encoders.product[
+              graft.streaming.StreamingAdmission.TokenDoc]),
+        budget = 800L)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+      s.table(qname).select("source", "doc_id", "n_tokens", "tokens_before")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+           |            CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+           |                                 t -> t <> '')) AS BIGINT) AS n_tokens
+           |           FROM documents),
+           |c AS (SELECT source, doc_id, n_tokens,
+           |        CAST(sum(n_tokens) OVER (
+           |          PARTITION BY source ORDER BY doc_id
+           |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |      FROM d)
+           |SELECT source, doc_id, n_tokens, cum - n_tokens AS tokens_before
+           |FROM c WHERE cum <= 800""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -1891,5 +1957,5 @@ object StreamingQueries {
       streamingIntervalJoinOuter, streamingIndexDedup, streamingNovelty,
       streamingIndexDedupEvicted, streamingQualityScore, streamingDrift,
       streamingRetrieval, streamingSequences, streamingAdmission,
-      streamingPerplexity)
+      streamingPerplexity, streamingTokenBudget)
 }

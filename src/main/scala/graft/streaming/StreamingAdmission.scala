@@ -54,4 +54,50 @@ object StreamingAdmission {
           out.result().iterator
         })(Encoders.product[AdmitState], Encoders.product[Admitted])
   }
+
+  case class TokenDoc(doc_id: Long, source: String, n_tokens: Long)
+
+  /** `closed` latches at the first overflow — see [[admitTokens]]. */
+  case class TokenState(tokens: Long, closed: Boolean)
+
+  case class TokenAdmitted(
+      source: String, doc_id: Long, n_tokens: Long, tokens_before: Long)
+
+  /** [[admit]]'s TOKEN-grain sibling: each source may contribute at
+    * most `budget` TOKENS (the unit training budgets are written in),
+    * admitted in arrival order. The quota CLOSES at the first
+    * overflow — a later, smaller document never slips in past a
+    * rejected one, so the admitted set is always a PREFIX of the
+    * source's arrival order (exactly the docs whose running token
+    * total fits the budget — an auditable, engine-checkable
+    * invariant; first-fit packing would make the admitted set depend
+    * on arrival interleaving beyond the boundary and be expressible
+    * only as an order-dependent fold). State = one (long, bool) per
+    * source. Admitted rows carry `tokens_before` — the quota already
+    * consumed when they arrived — as provenance.
+    */
+  def admitTokens(docs: Dataset[TokenDoc],
+      budget: Long): Dataset[TokenAdmitted] = {
+    require(budget > 0, s"budget=$budget must be positive")
+    docs
+      .groupByKey(_.source)(Encoders.STRING)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, batch: Iterator[TokenDoc],
+         state: GroupState[TokenState]) => {
+          val ordered = batch.toSeq.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(TokenState(0L, closed = false))
+          val out = Seq.newBuilder[TokenAdmitted]
+          ordered.foreach { d =>
+            if (!st.closed) {
+              if (st.tokens + d.n_tokens <= budget) {
+                out += TokenAdmitted(source, d.doc_id, d.n_tokens, st.tokens)
+                st = st.copy(tokens = st.tokens + d.n_tokens)
+              } else st = st.copy(closed = true)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })(Encoders.product[TokenState], Encoders.product[TokenAdmitted])
+  }
 }
