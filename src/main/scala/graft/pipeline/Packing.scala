@@ -109,15 +109,26 @@ object Packing {
   /** [[bucketedBatches]] over a PRECOMPUTED token-count column — the
     * composed-pipeline entry point (an upstream stage already paid
     * for the token counts; re-reading text to recount would violate
-    * the read-the-corpus-once discipline).
+    * the read-the-corpus-once discipline). All OTHER input columns
+    * pass through to the output (so a composed pipeline's provenance
+    * — source, n_repeats — rides the batch coordinates without a
+    * second probe of the upstream chain). A NULL token count buckets
+    * as the NULL bucket and still receives coordinates (the offsets
+    * join-back is null-SAFE; a plain equi-join would silently drop
+    * exactly the rows a malformed-text audit needs to see).
     */
   def bucketedBatchesFromCounts(docs: DataFrame, bucketWidth: Int,
       batchSize: Int, idCol: String, tokensCol: String,
       salt: String = "batch"): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth=$bucketWidth must be >= 1")
     require(batchSize >= 1, s"batchSize=$batchSize must be >= 1")
-    val base = docs.select(col(idCol),
-        col(tokensCol).cast("long").as("n_tokens"))
+    require(tokensCol == "n_tokens" || !docs.columns.contains("n_tokens"),
+      "docs already has an n_tokens column distinct from tokensCol — " +
+        "rename one (the output's count column is named n_tokens)")
+    val passthrough =
+      docs.columns.filter(c => c != idCol && c != tokensCol && c != "n_tokens")
+    val base = docs
+      .withColumn("n_tokens", col(tokensCol).cast("long"))
       .withColumn("bucket",
         expr(s"n_tokens div CAST($bucketWidth AS BIGINT)"))
       .withColumn("__u", Sampling.uniform(col(idCol), salt))
@@ -125,11 +136,13 @@ object Packing {
       base, "__g", Seq(col("bucket").asc, col("__u").asc, col(idCol).asc))
     val offsets = ranked.groupBy(col("bucket"))
       .agg(min(col("__g")).as("__first"))
-    ranked.join(broadcast(offsets), Seq("bucket"))
+      .select(col("bucket").as("__ob"), col("__first"))
+    ranked.join(broadcast(offsets), col("bucket") <=> col("__ob"))
       .withColumn("__r", col("__g") - col("__first")) // 0-based in bucket
-      .select(col(idCol), col("n_tokens"), col("bucket"),
-        expr(s"__r div CAST($batchSize AS BIGINT)").as("batch_id"),
-        (col("__r") % batchSize).as("slot"))
+      .select(col(idCol) +: col("n_tokens") +:
+        passthrough.map(col) :+ col("bucket") :+
+        expr(s"__r div CAST($batchSize AS BIGINT)").as("batch_id") :+
+        (col("__r") % batchSize).as("slot"): _*)
   }
 
   /** Per-(shard, chunk) manifest of the packing: how many docs START

@@ -4072,11 +4072,13 @@ object PipelineQueries {
     QueryDef("p109_recipe_e2e",
       (s, dir) => {
         val st = recipeStages(s, dir)
-        val batches = Packing.bucketedBatchesFromCounts(st.alloc,
+        // provenance columns ride the batch coordinates through the
+        // passthrough — the alloc chain executes exactly once
+        Packing.bucketedBatchesFromCounts(
+          st.alloc.select(col("source"), col("doc_id"),
+            col("n_tokens"), col("n_repeats")),
           bucketWidth = 20, batchSize = 8, idCol = "doc_id",
           tokensCol = "n_tokens")
-        st.alloc.select(col("source"), col("doc_id"), col("n_repeats"))
-          .join(batches, Seq("doc_id"))
           .select("source", "doc_id", "n_tokens", "n_repeats",
             "bucket", "batch_id", "slot")
       },

@@ -1793,37 +1793,49 @@ object StreamingQueries {
     * docs/source, every source exhausts its quota mid-replay: batch 2
     * arrivals are rejected by STATE, not by in-batch arithmetic).
     */
+  /** Stage `docs` as TWO genuine micro-batches split at the doc_id
+    * midpoint, with EXPLICITLY ordered file mtimes (the file source
+    * meters by modification time; two sub-second writes could
+    * otherwise tie and replay out of order). Returns the stage dir.
+    * Shared by every quota gate whose oracle depends on arrival
+    * order == doc_id order across the batch boundary (st24, st26).
+    */
+  private def stageTwoBatchesByDocId(docs: DataFrame, dirP: Path): String = {
+    import scala.jdk.CollectionConverters._
+    val stage = dirP.resolve("input")
+    val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+    def partFiles(): Set[Path] = {
+      val s = Files.list(stage)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    docs.where(col("doc_id") <= cut).coalesce(1)
+      .write.parquet(stage.toString)
+    val firstBatch = partFiles()
+    docs.where(col("doc_id") > cut).coalesce(1)
+      .write.mode("append").parquet(stage.toString)
+    val t0 = java.nio.file.attribute.FileTime.fromMillis(1000000000000L)
+    val t1 = java.nio.file.attribute.FileTime.fromMillis(1000000060000L)
+    partFiles().foreach(p =>
+      Files.setLastModifiedTime(p, if (firstBatch(p)) t0 else t1))
+    stage.toString
+  }
+
   private def streamingAdmission: QueryDef = QueryDef(
     "st24_streaming_admission",
     (s, dir) => {
-      import scala.jdk.CollectionConverters._
       val docs = Tables.documents(s, dir)
         .select(col("doc_id").cast("long"), col("source").cast("string"))
       val schema = docs.schema
       val dirP = scratch("st24")
-      val stage = dirP.resolve("input")
       val ckpt = dirP.resolve("ckpt").toString
-      val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
-      def partFiles(): Set[Path] = {
-        val s = Files.list(stage)
-        try s.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSet
-        finally s.close()
-      }
-      docs.where(col("doc_id") <= cut).coalesce(1)
-        .write.parquet(stage.toString)
-      val firstBatch = partFiles()
-      docs.where(col("doc_id") > cut).coalesce(1)
-        .write.mode("append").parquet(stage.toString)
-      val t0 = java.nio.file.attribute.FileTime.fromMillis(1000000000000L)
-      val t1 = java.nio.file.attribute.FileTime.fromMillis(1000000060000L)
-      partFiles().foreach(p =>
-        Files.setLastModifiedTime(p, if (firstBatch(p)) t0 else t1))
+      val stage = stageTwoBatchesByDocId(docs, dirP)
 
       val qname = "st24_" + UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.StreamingAdmission.admit(
         s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
           .as[graft.streaming.StreamingAdmission.AdmitDoc](
             org.apache.spark.sql.Encoders.product[
               graft.streaming.StreamingAdmission.AdmitDoc]),
@@ -1897,35 +1909,18 @@ object StreamingQueries {
   private def streamingTokenBudget: QueryDef = QueryDef(
     "st26_streaming_token_budget",
     (s, dir) => {
-      import scala.jdk.CollectionConverters._
       val docs = Tables.documents(s, dir)
         .select(col("doc_id").cast("long"), col("source").cast("string"),
           graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       val schema = docs.schema
       val dirP = scratch("st26")
-      val stage = dirP.resolve("input")
       val ckpt = dirP.resolve("ckpt").toString
-      val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
-      def partFiles(): Set[Path] = {
-        val st = Files.list(stage)
-        try st.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSet
-        finally st.close()
-      }
-      docs.where(col("doc_id") <= cut).coalesce(1)
-        .write.parquet(stage.toString)
-      val firstBatch = partFiles()
-      docs.where(col("doc_id") > cut).coalesce(1)
-        .write.mode("append").parquet(stage.toString)
-      val t0 = java.nio.file.attribute.FileTime.fromMillis(1000000000000L)
-      val t1 = java.nio.file.attribute.FileTime.fromMillis(1000000060000L)
-      partFiles().foreach(p =>
-        Files.setLastModifiedTime(p, if (firstBatch(p)) t0 else t1))
+      val stage = stageTwoBatchesByDocId(docs, dirP)
 
       val qname = "st26_" + UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.StreamingAdmission.admitTokens(
         s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
           .as[graft.streaming.StreamingAdmission.TokenDoc](
             org.apache.spark.sql.Encoders.product[
               graft.streaming.StreamingAdmission.TokenDoc]),

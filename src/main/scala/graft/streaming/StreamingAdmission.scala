@@ -89,6 +89,10 @@ object StreamingAdmission {
           var st = state.getOption.getOrElse(TokenState(0L, closed = false))
           val out = Seq.newBuilder[TokenAdmitted]
           ordered.foreach { d =>
+            // a negative count would silently reopen spent headroom and
+            // break the prefix == cumsum audit invariant — fail loudly
+            require(d.n_tokens >= 0,
+              s"doc ${d.doc_id}: negative token count ${d.n_tokens}")
             if (!st.closed) {
               if (st.tokens + d.n_tokens <= budget) {
                 out += TokenAdmitted(source, d.doc_id, d.n_tokens, st.tokens)

@@ -446,12 +446,22 @@ class PlanSpec extends SparkSpec {
     // combo join, top-k cap, length bounds, epoch rates, batch ranks
     // — is narrow-column algebra; a refactor that lets text reach a
     // shuffle (e.g. suppress-before-score) re-creates the corpus-
-    // sized exchange this composition exists to avoid
+    // sized exchange this composition exists to avoid. The audit
+    // DESCENDS INTO CACHED SUBTREES: InMemoryTableScanExec is a leaf,
+    // so a plain collect would miss any exchange hidden in the cached
+    // relation's build plan — exactly where a suppress-before-score
+    // regression would put the text shuffle.
+    def allShuffles(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+      p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          Seq(e)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          allShuffles(m.relation.cachedPlan)
+      }.flatten
     withNoAqe {
       val q = SparkEntry.queries("p109_recipe_e2e")(spark, dir)
-      val shuffled = q.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }
+      val shuffled = allShuffles(q.queryExecution.executedPlan)
       assert(shuffled.nonEmpty, "expected at least one exchange")
       shuffled.foreach { e =>
         assert(!e.output.map(_.name).contains("text"),
