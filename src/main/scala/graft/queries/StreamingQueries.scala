@@ -1943,6 +1943,54 @@ object StreamingQueries {
            |SELECT source, doc_id, n_tokens, cum - n_tokens AS tokens_before
            |FROM c WHERE cum <= 800""".stripMargin))
 
+  /** st27: ONLINE length-bucketed batch formation
+    * ([[graft.streaming.StreamingBatching]]) — the loader-side face
+    * of p108: arriving docs are dealt (bucket, batch_id, slot)
+    * coordinates in arrival order under a persistent per-bucket
+    * counter (O(buckets) total state). Same doc_id-ordered
+    * two-batch staging as st24/st26, so the dealt order is doc_id
+    * order and the oracle is the plain per-bucket row_number window
+    * (the batch operator's md5 shuffle is explicitly NOT offered
+    * online — see the operator doc).
+    */
+  private def streamingBatching: QueryDef = QueryDef(
+    "st27_streaming_batching",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val schema = docs.schema
+      val dirP = scratch("st27")
+      val ckpt = dirP.resolve("ckpt").toString
+      val stage = stageTwoBatchesByDocId(docs, dirP)
+
+      val qname = "st27_" + UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingBatching.assignSlots(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .as[graft.streaming.StreamingBatching.SlotDoc](
+            org.apache.spark.sql.Encoders.product[
+              graft.streaming.StreamingBatching.SlotDoc]),
+        bucketWidth = 20, batchSize = 8)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+      s.table(qname).select("bucket", "doc_id", "n_tokens", "batch_id", "slot")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |            CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+           |                                 t -> t <> '')) AS BIGINT) AS n_tokens
+           |           FROM documents),
+           |b AS (SELECT doc_id, n_tokens, n_tokens // 20 AS bucket FROM d),
+           |r AS (SELECT bucket, doc_id, n_tokens,
+           |        row_number() OVER (
+           |          PARTITION BY bucket ORDER BY doc_id) - 1 AS rr
+           |      FROM b)
+           |SELECT bucket, doc_id, n_tokens,
+           |       rr // 8 AS batch_id, rr % 8 AS slot
+           |FROM r""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -1952,5 +2000,5 @@ object StreamingQueries {
       streamingIntervalJoinOuter, streamingIndexDedup, streamingNovelty,
       streamingIndexDedupEvicted, streamingQualityScore, streamingDrift,
       streamingRetrieval, streamingSequences, streamingAdmission,
-      streamingPerplexity, streamingTokenBudget)
+      streamingPerplexity, streamingTokenBudget, streamingBatching)
 }
