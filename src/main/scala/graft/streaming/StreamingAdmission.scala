@@ -3,6 +3,32 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** The deterministic micro-batch fold discipline shared by the
+  * quota/batching operators ([[StreamingAdmission]],
+  * [[StreamingBatching]]): documents fold in `sortKey` order within
+  * the batch, state reads get-or-init once, updates once after the
+  * fold. Centralized because the staged-replay oracles (st24, st26,
+  * st27) assume EXACTLY this in-batch order contract — three
+  * divergent copies of it would let one operator silently break the
+  * shared assumption.
+  */
+private[streaming] object MicroBatchFold {
+  def apply[D, K: Ordering, S, O](batch: Iterator[D],
+      state: GroupState[S], init: => S, sortKey: D => K)(
+      step: (S, D) => (S, Option[O])): Iterator[O] = {
+    val ordered = batch.toSeq.sortBy(sortKey)
+    var st = state.getOption.getOrElse(init)
+    val out = Seq.newBuilder[O]
+    ordered.foreach { d =>
+      val (next, o) = step(st, d)
+      st = next
+      o.foreach(out += _)
+    }
+    state.update(st)
+    out.result().iterator
+  }
+}
+
 /** Streaming per-source admission cap — ingestion-time quota control:
   * each source (domain, crawl feed, data vendor) may contribute at
   * most `k` documents to the corpus, enforced ONLINE as documents
@@ -43,16 +69,14 @@ object StreamingAdmission {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (source: String, batch: Iterator[AdmitDoc],
-         state: GroupState[AdmitState]) => {
-          val ordered = batch.toSeq.sortBy(_.doc_id)
-          var n = state.getOption.map(_.admitted).getOrElse(0L)
-          val out = Seq.newBuilder[Admitted]
-          ordered.foreach { d =>
-            if (n < k) { n += 1; out += Admitted(source, d.doc_id, n) }
-          }
-          state.update(AdmitState(n))
-          out.result().iterator
-        })(Encoders.product[AdmitState], Encoders.product[Admitted])
+         state: GroupState[AdmitState]) =>
+          MicroBatchFold(batch, state, AdmitState(0L), (_: AdmitDoc).doc_id) {
+            (st, d) =>
+              if (st.admitted < k)
+                (AdmitState(st.admitted + 1),
+                  Some(Admitted(source, d.doc_id, st.admitted + 1)))
+              else (st, None)
+          })(Encoders.product[AdmitState], Encoders.product[Admitted])
   }
 
   case class TokenDoc(doc_id: Long, source: String, n_tokens: Long)
@@ -84,24 +108,18 @@ object StreamingAdmission {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (source: String, batch: Iterator[TokenDoc],
-         state: GroupState[TokenState]) => {
-          val ordered = batch.toSeq.sortBy(_.doc_id)
-          var st = state.getOption.getOrElse(TokenState(0L, closed = false))
-          val out = Seq.newBuilder[TokenAdmitted]
-          ordered.foreach { d =>
+         state: GroupState[TokenState]) =>
+          MicroBatchFold(batch, state, TokenState(0L, closed = false),
+            (_: TokenDoc).doc_id) { (st, d) =>
             // a negative count would silently reopen spent headroom and
             // break the prefix == cumsum audit invariant — fail loudly
             require(d.n_tokens >= 0,
               s"doc ${d.doc_id}: negative token count ${d.n_tokens}")
-            if (!st.closed) {
-              if (st.tokens + d.n_tokens <= budget) {
-                out += TokenAdmitted(source, d.doc_id, d.n_tokens, st.tokens)
-                st = st.copy(tokens = st.tokens + d.n_tokens)
-              } else st = st.copy(closed = true)
-            }
-          }
-          state.update(st)
-          out.result().iterator
-        })(Encoders.product[TokenState], Encoders.product[TokenAdmitted])
+            if (st.closed) (st, None)
+            else if (st.tokens + d.n_tokens <= budget)
+              (st.copy(tokens = st.tokens + d.n_tokens),
+                Some(TokenAdmitted(source, d.doc_id, d.n_tokens, st.tokens)))
+            else (st.copy(closed = true), None)
+          })(Encoders.product[TokenState], Encoders.product[TokenAdmitted])
   }
 }

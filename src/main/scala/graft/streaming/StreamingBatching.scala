@@ -44,19 +44,14 @@ object StreamingBatching {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (bucket: Long, batch: Iterator[SlotDoc],
-         state: GroupState[SlotState]) => {
-          val ordered = batch.toSeq.sortBy(_.doc_id)
-          var dealt = state.getOption.map(_.dealt).getOrElse(0L)
-          val out = Seq.newBuilder[SlotAssigned]
-          ordered.foreach { d =>
-            require(d.n_tokens >= 0,
-              s"doc ${d.doc_id}: negative token count ${d.n_tokens}")
-            out += SlotAssigned(bucket, d.doc_id, d.n_tokens,
-              dealt / batchSize, dealt % batchSize)
-            dealt += 1
-          }
-          state.update(SlotState(dealt))
-          out.result().iterator
-        })(Encoders.product[SlotState], Encoders.product[SlotAssigned])
+         state: GroupState[SlotState]) =>
+          MicroBatchFold(batch, state, SlotState(0L), (_: SlotDoc).doc_id) {
+            (st, d) =>
+              require(d.n_tokens >= 0,
+                s"doc ${d.doc_id}: negative token count ${d.n_tokens}")
+              (SlotState(st.dealt + 1),
+                Some(SlotAssigned(bucket, d.doc_id, d.n_tokens,
+                  st.dealt / batchSize, st.dealt % batchSize)))
+          })(Encoders.product[SlotState], Encoders.product[SlotAssigned])
   }
 }
