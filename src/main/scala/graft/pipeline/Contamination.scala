@@ -40,6 +40,44 @@ object Contamination {
         (col("n_overlap") / col("n_shingles")).as("contamination"))
   }
 
+  /** [[overlap]] against a whole BENCHMARK SUITE in one corpus pass —
+    * the fleet-scale shape (a pretraining build decontaminates
+    * against dozens of eval sets; rescanning billions of docs per
+    * benchmark would multiply the dominant cost by the suite size,
+    * exactly the per-query rescan [[TextAnalysis.multiQueryBm25]]
+    * eliminates for retrieval). Output: one row per (corpus doc,
+    * benchmark) with >= 1 shared n-gram.
+    *
+    * Scale shape: corpus shingles compute once (persisted — two
+    * consumers); every benchmark's DISTINCT (bench_id, shingle) set
+    * unions into ONE broadcast, so the corpus-side join stays
+    * map-side and a shingle shared by k benchmarks fans out to k
+    * verdict rows AFTER the broadcast probe — corpus work is
+    * per-shingle, never per-benchmark.
+    */
+  def multiOverlap(corpus: DataFrame,
+      benchmarks: Seq[(String, DataFrame)], n: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(benchmarks.nonEmpty, "multiOverlap needs at least one benchmark")
+    require(benchmarks.map(_._1).distinct.size == benchmarks.size,
+      "benchmark ids must be distinct")
+    val corpusSh = Dedup.wordShingles(corpus, n, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchSh = benchmarks.map { case (bid, df) =>
+      Dedup.wordShingles(df, n, textCol, idCol)
+        .select(col("shingle")).distinct()
+        .select(lit(bid).as("bench_id"), col("shingle"))
+    }.reduce(_ unionByName _)
+    val perDoc = corpusSh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = corpusSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_overlap"))
+    hits.join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("bench_id"), col("n_shingles"),
+        col("n_overlap"),
+        (col("n_overlap") / col("n_shingles")).as("contamination"))
+  }
+
   /** The corpus with contaminated docs removed: drops every doc whose
     * contamination is ≥ `threshold` (> 0 by default drops on ANY
     * shared n-gram, the conservative standard). Anti-join on doc_id —

@@ -4253,7 +4253,46 @@ object PipelineQueries {
              |UNION ALL SELECT 5, 'epoch_allocated', CAST(count(*) AS BIGINT),
              |       CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
              |       CAST(coalesce(sum(n_tokens * n_repeats), 0) AS BIGINT)
-             |FROM kept""".stripMargin))
+             |FROM kept""".stripMargin)),
+
+    // Multi-benchmark decontamination: the whole eval SUITE checked
+    // in ONE corpus pass — per (doc, benchmark) 4-gram overlap, the
+    // corpus shingled once and every benchmark's distinct shingles
+    // riding a single broadcast (rescanning the corpus per benchmark
+    // multiplies the dominant cost by the suite size). Benchmarks =
+    // the two held-out slices doc_id % 50 in {0, 1}.
+    QueryDef("p111_multi_benchmark",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Contamination.multiOverlap(
+          docs.where(col("doc_id") % 50 >= 2),
+          Seq(
+            "bench_a" -> docs.where(col("doc_id") % 50 === 0),
+            "bench_b" -> docs.where(col("doc_id") % 50 === 1)),
+          n = 4)
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |         list_filter(string_split_regex(trim(text), '\s+'),
+             |                     t -> t <> '') AS w
+             |       FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, gram FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+             |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS gram
+             |  FROM tk)),
+             |c AS (SELECT * FROM sh WHERE doc_id % 50 >= 2),
+             |b AS (SELECT 'bench_a' AS bench_id, gram
+             |      FROM (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0)
+             |      UNION ALL
+             |      SELECT 'bench_b', gram
+             |      FROM (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 1)),
+             |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+             |       FROM c GROUP BY doc_id),
+             |hits AS (SELECT doc_id, bench_id,
+             |           CAST(count(*) AS BIGINT) AS n_overlap
+             |         FROM c JOIN b USING(gram) GROUP BY doc_id, bench_id)
+             |SELECT h.doc_id, h.bench_id, pd.n_shingles, h.n_overlap,
+             |       CAST(h.n_overlap AS DOUBLE) / pd.n_shingles AS contamination
+             |FROM hits h JOIN pd USING(doc_id)""".stripMargin))
   )
 
   /** The p98 retrieval fixture — shared verbatim with the streaming

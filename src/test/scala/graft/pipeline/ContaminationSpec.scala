@@ -93,4 +93,31 @@ class ContaminationSpec extends SparkSpec {
     assert(nh >= 1 && nh <= nf)
     assert(math.abs(ratio - nh.toDouble / nf) < 1e-15)
   }
+
+  test("multiOverlap: per-benchmark rows equal single-benchmark overlap runs") {
+    val benchB = Seq(
+      (200L, "completely novel words nothing shared here at all maybe"))
+      .toDF("doc_id", "text")
+    val multi = Contamination.multiOverlap(corpus,
+      Seq("a" -> benchmark, "b" -> benchB), n = 5).collect()
+      .map(r => (r.getAs[String]("bench_id"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_overlap")))
+      .toMap
+    for ((bid, bench) <- Seq("a" -> benchmark, "b" -> benchB)) {
+      val single = Contamination.overlap(corpus, bench, n = 5).collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_overlap"))).toMap
+      val got = multi.collect { case ((`bid`, id), v) => id -> v }.toMap
+      assert(got === single, s"benchmark $bid")
+    }
+    // a doc contaminated against BOTH benchmarks appears once per bench
+    assert(multi.keys.map(_._1).toSet === Set("a", "b"))
+  }
+
+  test("multiOverlap rejects duplicate benchmark ids") {
+    intercept[IllegalArgumentException] {
+      Contamination.multiOverlap(corpus,
+        Seq("a" -> benchmark, "a" -> benchmark))
+    }
+  }
 }
