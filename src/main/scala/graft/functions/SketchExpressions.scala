@@ -487,12 +487,16 @@ case class ReservoirKeys(
   * formulation's EXACTLY (same total order), so a SQL-window oracle
   * can hash-check it.
   *
-  * Ordering is total: java.lang.Double.compare on the score (so -0.0
-  * < 0.0 and the comparator never violates the TreeSet contract),
-  * key ascending on equal scores. Null scores/keys and NaN scores
-  * are skipped (a NaN "score" carries no ranking information; with
-  * Double.compare it would outrank every real score). An all-null
-  * group yields an empty array.
+  * Ordering is total: java.lang.Double.compare on the score, key
+  * ascending on equal scores. Signed zeros are normalized to +0.0 at
+  * update (Double.compare says -0.0 < 0.0, but Spark's window sort
+  * and SQL engines compare them EQUAL with the tie broken by key —
+  * without normalization the kept set would diverge from the window
+  * formulation when -0.0 and 0.0 scores straddle the k boundary).
+  * Null scores/keys and NaN scores are skipped (a NaN "score"
+  * carries no ranking information; with Double.compare it would
+  * outrank every real score). An all-null group yields an empty
+  * array.
   */
 case class TopKByScore(
     scoreExpr: Expression,
@@ -558,7 +562,9 @@ case class TopKByScore(
     if (s != null && key != null) {
       val score = s.asInstanceOf[Double]
       if (!java.lang.Double.isNaN(score))
-        bound(buf, (score, key.asInstanceOf[Long]))
+        // -0.0 → +0.0: match Spark/SQL sort semantics (see Scaladoc)
+        bound(buf, (if (score == 0.0) 0.0 else score,
+          key.asInstanceOf[Long]))
     }
     buf
   }

@@ -57,7 +57,16 @@ object Curation {
         * wall at sf0.1). Off only for plan inspection (PlanSpec needs
         * the full uncached tree to assert on every exchange).
         */
-      cache: Boolean = true)
+      cache: Boolean = true,
+      /** The MATERIALIZE half of cache-or-materialize: when set, each
+        * multiply-consumed stage frame is written to
+        * `<persistPath>/<stage>` and read back instead of persisted —
+        * nothing is pinned in the session cache manager, and the
+        * boundary survives job/executor churn. This is the setting a
+        * long-lived multi-tenant session (or an actual 100 TB run)
+        * should use; takes precedence over `cache`.
+        */
+      persistPath: Option[String] = None)
 
   /** MEMORY_AND_DISK like every other pipeline cache: id/feature
     * partitions that outgrow executor memory spill to local disk
@@ -65,14 +74,17 @@ object Curation {
     * [[Dedup.minHashNearDups]] convention — the frames are internal
     * to the lazy plan, so there is no post-action unpersist hook): a
     * long-lived session running many corpora through [[curate]]
-    * should either pass `cache = false` and materialize its own
-    * boundary, or clear between runs with
+    * should pass `persistPath` (materialized boundary, nothing left
+    * in the cache manager) or clear between runs with
     * `spark.sharedState.cacheManager.clearCache()`.
     */
-  private def maybeCache(df: DataFrame, cfg: Config): DataFrame =
-    if (cfg.cache)
+  private def stageBoundary(df: DataFrame, cfg: Config,
+      stage: String): DataFrame = cfg.persistPath match {
+    case Some(root) => graft.operators.Materialize.boundary(df, s"$root/$stage")
+    case None if cfg.cache =>
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else df
+    case None => df
+  }
 
   /** The curated, resampled corpus: `(doc_id, text, source)` rows
     * that survive quality → canonical dedup → near-dedup →
@@ -99,9 +111,9 @@ object Curation {
     // boundary is a one-time write of the filtered corpus to storage,
     // read back by each substrate — cache-or-materialize, never
     // recompute-per-branch.
-    val kept = maybeCache(TextAnalysis.qualityFeatures(docs)
+    val kept = stageBoundary(TextAnalysis.qualityFeatures(docs)
       .where(col("quality_score") >= cfg.minQuality)
-      .select(col("doc_id"), col("text"), col("source")), cfg)
+      .select(col("doc_id"), col("text"), col("source")), cfg, "kept")
 
     // 2. canonical exact dedup: the dedup KEY is the fingerprint of
     // NFC-normalized, control-stripped, case/whitespace-folded text
@@ -110,8 +122,8 @@ object Curation {
     // (fp, id) grain, never text.
     val fps = kept.select(col("doc_id"),
       TextAnalysis.fingerprint(TextAnalysis.cleanText(col("text"))).as("__fp"))
-    val canonIds = maybeCache(fps.groupBy(col("__fp"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id"), cfg)
+    val canonIds = stageBoundary(fps.groupBy(col("__fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id"), cfg, "canon_ids")
 
     // 3. near-dedup: banded MinHash candidates verified by exact
     // Jaccard (p06-p08 chain) over the canonical survivors' shingle
@@ -122,11 +134,16 @@ object Curation {
     // doc_a < doc_b — the smallest member of every cluster survives).
     val canonShingles = Dedup.wordShingles(kept, cfg.shingleN)
       .join(canonIds, Seq("doc_id"), "left_semi")
+    // persistPath mode opts out of the dedup-internal shingle persist
+    // too (nothing pinned after the run): the substrate re-derives
+    // from the materialized `kept` boundary — a narrow parquet
+    // re-read + explode, not a recompute of the upstream chain.
     val losers = Dedup.minHashNearDupsFromShingles(canonShingles,
-      cfg.nearDupThreshold)
+      cfg.nearDupThreshold,
+      persistShingles = cfg.persistPath.isEmpty)
       .select(col("doc_b").as("doc_id")).distinct()
-    val nearIds = maybeCache(
-      canonIds.join(losers, Seq("doc_id"), "left_anti"), cfg)
+    val nearIds = stageBoundary(
+      canonIds.join(losers, Seq("doc_id"), "left_anti"), cfg, "near_ids")
 
     // 4. decontamination: drop any doc sharing >= 1 word n-gram with
     // the benchmark ([[Contamination.decontaminate]]'s minOverlap = 1
@@ -139,17 +156,17 @@ object Curation {
       .select("shingle").distinct()
     val contaminated = liveSh.join(broadcast(benchSh), Seq("shingle"))
       .select("doc_id").distinct()
-    val decIds = maybeCache(
-      nearIds.join(contaminated, Seq("doc_id"), "left_anti"), cfg)
+    val decIds = stageBoundary(
+      nearIds.join(contaminated, Seq("doc_id"), "left_anti"), cfg, "dec_ids")
 
     // 5. DSIR: hashed-feature counts once off the scan, restricted to
     // the live ids at the (id, bucket) grain; importance weights
     // toward the target source's distribution; Gumbel-top-n on the
     // narrow (id, log_weight) frame (TakeOrderedAndProject — no
     // global sort, no text).
-    val liveFeats = maybeCache(
+    val liveFeats = stageBoundary(
       Dsir.hashedFeatureCounts(kept, cfg.dsirBuckets)
-        .join(decIds, Seq("doc_id"), "left_semi"), cfg)
+        .join(decIds, Seq("doc_id"), "left_semi"), cfg, "live_feats")
     val targetIds = kept.select(col("doc_id"), col("source"))
       .where(col("source") === cfg.dsirTargetSource).select("doc_id")
       .join(decIds, Seq("doc_id"), "left_semi")

@@ -125,24 +125,34 @@ object Packing {
     require(tokensCol == "n_tokens" || !docs.columns.contains("n_tokens"),
       "docs already has an n_tokens column distinct from tokensCol — " +
         "rename one (the output's count column is named n_tokens)")
+    // The output claims bucket/batch_id/slot; an input column of the
+    // same name would be silently overwritten, breaking the
+    // "all other input columns pass through" contract — reject loudly.
+    Seq("bucket", "batch_id", "slot").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"docs already has a '$c' column — the batch coordinates are " +
+          "emitted under that name; rename the input column")
+    }
+    require(!docs.columns.exists(_.startsWith("__bb_")),
+      "docs columns may not use the reserved __bb_ prefix")
     val passthrough =
       docs.columns.filter(c => c != idCol && c != tokensCol && c != "n_tokens")
     val base = docs
       .withColumn("n_tokens", col(tokensCol).cast("long"))
       .withColumn("bucket",
         expr(s"n_tokens div CAST($bucketWidth AS BIGINT)"))
-      .withColumn("__u", Sampling.uniform(col(idCol), salt))
+      .withColumn("__bb_u", Sampling.uniform(col(idCol), salt))
     val ranked = graft.operators.GlobalOrder.withGlobalRank(
-      base, "__g", Seq(col("bucket").asc, col("__u").asc, col(idCol).asc))
+      base, "__bb_g", Seq(col("bucket").asc, col("__bb_u").asc, col(idCol).asc))
     val offsets = ranked.groupBy(col("bucket"))
-      .agg(min(col("__g")).as("__first"))
-      .select(col("bucket").as("__ob"), col("__first"))
-    ranked.join(broadcast(offsets), col("bucket") <=> col("__ob"))
-      .withColumn("__r", col("__g") - col("__first")) // 0-based in bucket
+      .agg(min(col("__bb_g")).as("__bb_first"))
+      .select(col("bucket").as("__bb_ob"), col("__bb_first"))
+    ranked.join(broadcast(offsets), col("bucket") <=> col("__bb_ob"))
+      .withColumn("__bb_r", col("__bb_g") - col("__bb_first")) // 0-based in bucket
       .select(col(idCol) +: col("n_tokens") +:
         passthrough.map(col) :+ col("bucket") :+
-        expr(s"__r div CAST($batchSize AS BIGINT)").as("batch_id") :+
-        (col("__r") % batchSize).as("slot"): _*)
+        expr(s"__bb_r div CAST($batchSize AS BIGINT)").as("batch_id") :+
+        (col("__bb_r") % batchSize).as("slot"): _*)
   }
 
   /** Per-(shard, chunk) manifest of the packing: how many docs START

@@ -350,6 +350,12 @@ object Sampling {
     * stratum_tokens` — UNCAPPED epochs-over-supply; the budget mix
     * caps at 1.0, the epoch allocator floors into repeats. One pinned
     * IEEE chain over exact integer token totals.
+    *
+    * Zero-supply strata (every doc 0 tokens — e.g. an all-empty
+    * source) get NO rate row and their docs drop at the join: they
+    * can supply no tokens toward the budget, and the alternative —
+    * IEEE x/0 = +Infinity — would turn epochAllocation's
+    * floor(rate) into Long.MaxValue repeat counts.
     */
   private def stratumRates(df: DataFrame, stratumCol: String,
       tokenCol: String, shares: Map[String, Double], defaultShare: Double,
@@ -365,7 +371,8 @@ object Sampling {
       .agg(sum(col(tokenCol).cast("long")).as("__stratum_tokens"))
     val total = df.agg(
       sum(col(tokenCol).cast("long")).as("__total_tokens"))
-    perStratum.crossJoin(broadcast(total))
+    perStratum.where(col("__stratum_tokens") > 0)
+      .crossJoin(broadcast(total))
       .select(col(stratumCol),
         (shareCol * (lit(budgetFrac) * col("__total_tokens")) /
           col("__stratum_tokens")).as("rate"))

@@ -3836,7 +3836,7 @@ object PipelineQueries {
              |                                 t -> t <> '')) AS BIGINT) AS n_tokens
              |           FROM documents),
              |st AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS stok
-             |       FROM d GROUP BY source),
+             |       FROM d GROUP BY source HAVING sum(n_tokens) > 0),
              |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ttok FROM d),
              |rates AS (SELECT source,
              |            least(1.0,
@@ -4008,7 +4008,7 @@ object PipelineQueries {
              |                                 t -> t <> '')) AS BIGINT) AS n_tokens
              |           FROM documents),
              |st AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS stok
-             |       FROM d GROUP BY source),
+             |       FROM d GROUP BY source HAVING sum(n_tokens) > 0),
              |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ttok FROM d),
              |rates AS (SELECT source,
              |            (CASE source WHEN 'src0' THEN 0.09
@@ -4121,7 +4121,7 @@ object PipelineQueries {
              |          FROM cap JOIN lb USING (lang)
              |          WHERE CAST(n_chars AS DOUBLE) BETWEEN lo AND hi),
              |st AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS stok
-             |       FROM sized GROUP BY source),
+             |       FROM sized GROUP BY source HAVING sum(n_tokens) > 0),
              |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ttok FROM sized),
              |rates AS (SELECT source,
              |            (CASE source WHEN 'src0' THEN 0.09
@@ -4216,7 +4216,7 @@ object PipelineQueries {
              |          FROM cap JOIN lb USING (lang)
              |          WHERE CAST(n_chars AS DOUBLE) BETWEEN lo AND hi),
              |stk AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS stok
-             |        FROM sized GROUP BY source),
+             |        FROM sized GROUP BY source HAVING sum(n_tokens) > 0),
              |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ttok FROM sized),
              |rates AS (SELECT source,
              |            (CASE source WHEN 'src0' THEN 0.09
@@ -4312,8 +4312,12 @@ object PipelineQueries {
   /** The p109 recipe chain's staged frames, shared by the e2e gate
     * (p109) and the yield report (p110) so the two can never drift.
     * `scoredAll` (quality features of EVERY doc — the one text scan)
-    * is cached as the narrow docs × 6-scalar frame; every stage after
-    * it is column algebra.
+    * is MATERIALIZED as the narrow docs × 6-scalar frame
+    * ([[graft.operators.Materialize.boundary]]) rather than cached:
+    * each gate leaves nothing pinned in the session cache manager for
+    * the rest of a long harness run, and the boundary is exactly the
+    * one-time stage write a 100 TB recipe build performs. Every stage
+    * after it is column algebra over the read-back.
     */
   private final case class RecipeStages(scoredAll: DataFrame,
       scored: DataFrame, capped: DataFrame, sized: DataFrame,
@@ -4321,10 +4325,11 @@ object PipelineQueries {
 
   private def recipeStages(s: SparkSession, dir: String): RecipeStages = {
     val docs = Tables.documents(s, dir)
-    val scoredAll = TextAnalysis.qualityFeatures(docs)
-      .select(col("source"), col("lang"), col("doc_id"),
-        col("n_chars"), col("n_tokens"), col("quality_score"))
-      .cache()
+    val scoredAll = graft.operators.Materialize.boundary(
+      TextAnalysis.qualityFeatures(docs)
+        .select(col("source"), col("lang"), col("doc_id"),
+          col("n_chars"), col("n_tokens"), col("quality_score")),
+      sys.props("java.io.tmpdir") + "/graft_recipe_boundary/scored_all")
     val scored = Pii.kAnonymitySuppress(scoredAll, Seq("lang", "source"),
       k = 5).drop("group_n")
     val capped = scored.join(

@@ -115,14 +115,17 @@ object StreamingPerplexity {
   }
 
   /** Stateless stream scorer: the model rides a Spark broadcast (one
-    * copy per executor, not per task). Empty/null documents score 0.0
-    * over 0 tokens (the batch operator emits no row for them — the
-    * gate's corpus has none; the contract is spec-pinned).
+    * copy per executor, not per task). Empty/null documents emit NO
+    * row — the batch operator's contract (its tokens-explode produces
+    * nothing to aggregate for them). Emitting (0, 0.0) instead would
+    * hand empty docs the best possible score and a downstream
+    * perplexity-band filter would keep exactly the docs it must drop.
     */
   def scoreStream(stream: Dataset[PplDoc], model: LmModel)(
       implicit spark: SparkSession): Dataset[PplScore] = {
     val b = spark.sparkContext.broadcast(model)
     stream.map(d => scoreDoc(d.doc_id, d.text, b.value))(
       Encoders.product[PplScore])
+      .filter(_.n_tokens > 0L)
   }
 }

@@ -80,11 +80,20 @@ class TopKByScoreSpec extends SparkSpec {
     assert(got("b") === Seq(6L))
   }
 
-  test("-0.0 and 0.0 order consistently (comparator totality)") {
-    val df = Seq(("a", 1L, 0.0), ("a", 2L, -0.0), ("a", 3L, 0.1))
+  test("-0.0 == 0.0 like the window sort (tie broken by key, not sign bit)") {
+    // Double.compare alone says -0.0 < 0.0; Spark's window sort and
+    // SQL engines compare them EQUAL, tie broken by key. The
+    // aggregate normalizes -0.0 at update so the kept set cannot
+    // diverge when signed zeros straddle the k boundary:
+    // keys (1,-0.0),(2,0.0), k=1 — window keeps 1; unnormalized
+    // Double.compare would keep 2.
+    val df = Seq(("a", 1L, -0.0), ("a", 2L, 0.0))
       .toDF("g", "k", "s")
-    // Double.compare: -0.0 < 0.0, so top-2 = key 3 (0.1) then key 1 (0.0)
-    val got = topK(df, 2).select($"k").as[Long].collect().toSeq
-    assert(got === Seq(3L, 1L))
+    val got = topK(df, 1).select($"k").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+    // and the full order still puts both zeros below a real score
+    val df2 = Seq(("a", 1L, 0.0), ("a", 2L, -0.0), ("a", 3L, 0.1))
+      .toDF("g", "k", "s")
+    assert(topK(df2, 2).select($"k").as[Long].collect().toSeq === Seq(3L, 1L))
   }
 }

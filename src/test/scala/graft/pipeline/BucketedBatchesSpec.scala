@@ -77,4 +77,28 @@ class BucketedBatchesSpec extends SparkSpec {
           r.getAs[Long]("slot")))).toMap
     assert(got === expected)
   }
+
+  test("passthrough columns survive; coordinate-name collisions are rejected loudly") {
+    // provenance rides through untouched
+    val df = Seq((1L, 5L, "web"), (2L, 7L, "book"))
+      .toDF("doc_id", "toks", "source")
+    val out = Packing.bucketedBatchesFromCounts(df, 10, 2, "doc_id", "toks")
+    assert(out.columns.contains("source"))
+    assert(out.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(1L -> "web", 2L -> "book"))
+    // an input column named like an output coordinate would be
+    // silently overwritten — must throw instead
+    for (bad <- Seq("bucket", "batch_id", "slot")) {
+      val clash = df.withColumn(bad, lit(9L))
+      val e = intercept[IllegalArgumentException] {
+        Packing.bucketedBatchesFromCounts(clash, 10, 2, "doc_id", "toks")
+      }
+      assert(e.getMessage.contains(bad))
+    }
+    intercept[IllegalArgumentException] {
+      Packing.bucketedBatchesFromCounts(
+        df.withColumn("__bb_u", lit(1)), 10, 2, "doc_id", "toks")
+    }
+  }
 }

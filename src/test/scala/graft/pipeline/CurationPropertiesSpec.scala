@@ -137,6 +137,35 @@ class CurationPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("curate identical across {cache, no-cache, materialized}; materialized pins NO cache entry") {
+    val docs = samples(corpusGen, 1).head
+    val df = docs.map { case (id, t) => (id, t, s"src${id % 3}") }
+      .toDF("doc_id", "text", "source")
+    val bench = df.where(org.apache.spark.sql.functions.col("doc_id") % 11 === 0)
+    val corpus = df.where(org.apache.spark.sql.functions.col("doc_id") % 11 =!= 0)
+    def cfg(cache: Boolean, path: Option[String]) =
+      Curation.Config(minQuality = 0.1, nearDupThreshold = 0.9,
+        contaminationN = 6, dsirTargetSource = "src0", sampleN = 10,
+        cache = cache, persistPath = path)
+    def run(c: Curation.Config) = Curation.curate(corpus, bench, c)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    val tmp = java.nio.file.Files
+      .createTempDirectory("curation_boundary").toString
+    spark.sharedState.cacheManager.clearCache()
+    val materialized = run(cfg(cache = false, Some(tmp)))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "materialized mode must leave nothing pinned in the cache manager")
+    assert(run(cfg(cache = false, None)) === materialized)
+    val cached = run(cfg(cache = true, None))
+    assert(cached === materialized)
+    spark.sharedState.cacheManager.clearCache()
+    // the boundary actually wrote each stage
+    val stages = new java.io.File(tmp).listFiles().map(_.getName).toSet
+    assert(Set("kept", "canon_ids", "near_ids", "dec_ids", "live_feats")
+      .subsetOf(stages), s"missing stage writes: $stages")
+  }
+
   test("weightedCosinePairs symmetry sanity: cosine in [-1, 1+eps] on random corpora") {
     for (docs <- samples(corpusGen, 6)) {
       val pairs = Dedup.weightedCosinePairs(

@@ -245,6 +245,25 @@ class SamplingSpec extends SparkSpec {
     assert(b.exists(_._3 === 2L), "fractional epoch selected everybody")
   }
 
+  test("zero-token strata drop finitely (no +Infinity rate / MaxValue repeats)") {
+    // stratum 'z' is all empty docs: 0 supply. IEEE x/0 would give it
+    // rate = +Inf and epochAllocation floor(Inf) = Long.MaxValue
+    // repeats; the contract is zero-supply strata supply nothing.
+    val df = ((1 to 10).map(i => (i.toLong, "a", 10L)) ++
+      (11 to 14).map(i => (i.toLong, "z", 0L)))
+      .toDF("doc_id", "src", "tok")
+    val ep = Sampling.epochAllocation(df, "src", "tok",
+      Map("a" -> 0.5, "z" -> 0.5), defaultShare = 0.0,
+      budgetFrac = 1.0, keyCol = "doc_id", salt = "e").collect()
+    assert(ep.forall(_.getAs[String]("src") == "a"), "z docs must drop")
+    assert(ep.forall(_.getAs[Long]("n_repeats") < 1000L),
+      "repeat counts must stay finite")
+    val bm = Sampling.tokenBudgetMix(df, "src", "tok",
+      Map("a" -> 0.5, "z" -> 0.5), defaultShare = 0.0,
+      budgetFrac = 1.0, keyCol = "doc_id", salt = "b").collect()
+    assert(bm.forall(_.getAs[String]("src") == "a"))
+  }
+
   test("epochAllocation: zero-share strata vanish; deterministic across partitionings") {
     val df = (1 to 60).map(i => (i.toLong, s"s${i % 3}", (i % 7 + 1).toLong))
       .toDF("doc_id", "src", "tok")

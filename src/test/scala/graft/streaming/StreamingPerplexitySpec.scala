@@ -56,12 +56,23 @@ class StreamingPerplexitySpec extends SparkSpec {
     assert(math.abs(s.avg_logprob - expected) < 1e-12)
   }
 
-  test("empty and whitespace-only docs score 0.0 over 0 tokens") {
+  test("empty and whitespace-only docs emit NO stream row (batch contract)") {
+    // scoreDoc's internal sentinel is (0, 0.0) — but the batch
+    // operator emits no row for a token-less doc, and 0.0 is the best
+    // possible score: a band filter downstream would keep exactly the
+    // docs it must drop. scoreStream must filter them.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
     val model = frozenLm(corpus.toDF("doc_id", "text"))
-    for (t <- Seq("", "   ")) {
-      val s = scoreDoc(1L, t, model)
-      assert(s.n_tokens === 0L && s.avg_logprob === 0.0)
-    }
+    val mem = MemoryStream[PplDoc]
+    val q = StreamingPerplexity.scoreStream(mem.toDS(), model)
+      .writeStream.format("memory").queryName("ppl_empty")
+      .outputMode("append").start()
+    mem.addData(PplDoc(1L, ""), PplDoc(2L, "   \t\n"), PplDoc(3L, "the cat"))
+    q.processAllAvailable()
+    val got = spark.table("ppl_empty").collect().map(_.getAs[Long]("doc_id"))
+    q.stop()
+    assert(got.toSet === Set(3L), "token-less docs must emit no row")
   }
 
   test("tokenizer mirrors TextAnalysis.tokens on hostile whitespace") {
