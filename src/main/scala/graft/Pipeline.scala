@@ -35,7 +35,8 @@ import graft.sources.Bronze
   */
 final class Pipeline(spark: SparkSession, warehouse: String) {
 
-  val bronze = new Bronze(s"$warehouse/bronze")
+  val bronze = new Bronze(s"$warehouse/bronze",
+    spark.sparkContext.hadoopConfiguration)
   private val silverPath = s"$warehouse/silver_auctions"
   private val bronzeDailyPath = s"$warehouse/bronze_daily"
   private val dimsPath = s"$warehouse/dim_items"

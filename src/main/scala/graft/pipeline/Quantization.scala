@@ -238,8 +238,10 @@ object Quantization {
     */
   def pqTopK(emb: DataFrame, queryId: Long, k: Int = 10, m: Int = 8,
       ksub: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val codebook = Similarity.sampleCentroids(emb, ksub, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      knownCount: Option[Long] = None): DataFrame = {
+    val codebook = Similarity.sampleCentroids(emb, ksub, idCol, vecCol,
+      knownCount)
     val dim = codebook.head._2.length
     require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val subDim = dim / m
@@ -269,8 +271,10 @@ object Quantization {
     */
   def ivfQuantizedTopK(emb: DataFrame, queryId: Long, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = Similarity.sampleCentroids(emb, nlist, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      knownCount: Option[Long] = None): DataFrame = {
+    val centroids = Similarity.sampleCentroids(emb, nlist, idCol, vecCol,
+      knownCount)
     val qRow = emb.where(col(idCol) === queryId)
       .select(col(vecCol)).collect().headOption
     if (qRow.isEmpty)
@@ -314,11 +318,15 @@ object Quantization {
     */
   def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = Similarity.sampleCentroids(emb, nlist, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      knownCount: Option[Long] = None): DataFrame = {
+    // both samples stride off the same n — count at most once
+    val n = knownCount.orElse(
+      if (ksub == nlist) None else Some(emb.count()))
+    val centroids = Similarity.sampleCentroids(emb, nlist, idCol, vecCol, n)
     val codebook =
       if (ksub == nlist) centroids
-      else Similarity.sampleCentroids(emb, ksub, idCol, vecCol)
+      else Similarity.sampleCentroids(emb, ksub, idCol, vecCol, n)
     val dim = codebook.head._2.length
     require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val subDim = dim / m

@@ -317,10 +317,19 @@ object Similarity {
     * OOM at scale). The spread variate is 32 md5 bits of the id
     * (`('0x'||substr(md5(id||'/ivf'),1,8))::BIGINT` in the oracle's
     * dialect), so another engine selects the exact same centroid set.
+    *
+    * `knownCount`: the stride needs the corpus size; without it this
+    * pays ONE extra corpus pass (`emb.count()`) per index build — at
+    * 100 TB a real cost. An index builder almost always already knows
+    * n (it just wrote/counted the corpus, or a pipeline stage ahead
+    * of it did); pass it and the count job disappears. The sampled
+    * set is identical either way (the stride is a pure function of
+    * n), so oracles don't move.
     */
   def sampleCentroids(emb: DataFrame, nlist: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Float])] = {
-    val n = emb.count()
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      knownCount: Option[Long] = None): Array[(Long, Array[Float])] = {
+    val n = knownCount.getOrElse(emb.count())
     val bucket = math.max(1L, n / nlist)
     def centroidRows(df: DataFrame) = df
       .orderBy(col(idCol)).limit(nlist)
@@ -346,8 +355,9 @@ object Similarity {
     * (the standard empty-cluster fallback).
     */
   def kmeansCentroids(emb: DataFrame, nlist: Int = 16, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Float])] = {
-    var centroids = sampleCentroids(emb, nlist, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      knownCount: Option[Long] = None): Array[(Long, Array[Float])] = {
+    var centroids = sampleCentroids(emb, nlist, idCol, vecCol, knownCount)
     for (_ <- 0 until iters) {
       val means = assignCells(emb, centroids, vecCol)
         .select(col("__cell"),
@@ -408,10 +418,12 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
       nprobe: Int = 4, refineIters: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      knownCount: Option[Long] = None): DataFrame = {
     val centroids =
-      if (refineIters > 0) kmeansCentroids(emb, nlist, refineIters, idCol, vecCol)
-      else sampleCentroids(emb, nlist, idCol, vecCol)
+      if (refineIters > 0)
+        kmeansCentroids(emb, nlist, refineIters, idCol, vecCol, knownCount)
+      else sampleCentroids(emb, nlist, idCol, vecCol, knownCount)
     ivfTopKWith(emb, centroids, queryId, k, nprobe, idCol, vecCol)
   }
 

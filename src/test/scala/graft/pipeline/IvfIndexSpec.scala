@@ -287,4 +287,41 @@ class IvfIndexSpec extends SparkSpec {
     assert(spark.read.parquet(path)
       .where(col("vec_id").isin(removed: _*)).count() === 0L)
   }
+
+  test("knownCount skips the centroid-sampling count job; identical centroids") {
+    val base = baseCorpus.localCheckpoint() // pin lineage: job counts
+                                            // measure sampling only
+    val n = base.count()
+    def jobsDuring(group: String)(body: => Unit): Int = {
+      val sc = spark.sparkContext
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      // statusTracker is a synchronous API over the listener bus's
+      // app status store; poll briefly for the async events to land
+      def ids() = sc.statusTracker.getJobIdsForGroup(group).length
+      val deadline = System.nanoTime() + 5_000_000_000L
+      var last = ids()
+      while (System.nanoTime() < deadline && { Thread.sleep(50); ids() != last })
+        last = ids()
+      ids()
+    }
+    var withCount: Array[(Long, Array[Float])] = null
+    var withKnown: Array[(Long, Array[Float])] = null
+    val jobsCounting = jobsDuring("ivf_sample_counting") {
+      withCount = Similarity.sampleCentroids(base, nlist = 8)
+    }
+    val jobsKnown = jobsDuring("ivf_sample_known") {
+      withKnown = Similarity.sampleCentroids(base, nlist = 8,
+        knownCount = Some(n))
+    }
+    assert(jobsKnown === 1,
+      s"knownCount build must be EXACTLY the one centroid-collect job, " +
+        s"ran $jobsKnown")
+    assert(jobsCounting > jobsKnown,
+      s"counting path must pay extra jobs ($jobsCounting vs $jobsKnown)")
+    assert(withKnown.map(_._1).toSeq === withCount.map(_._1).toSeq)
+    assert(withKnown.zip(withCount).forall { case ((_, a), (_, b)) =>
+      a.toSeq == b.toSeq
+    }, "centroid vectors must be identical — the stride is a pure fn of n")
+  }
 }

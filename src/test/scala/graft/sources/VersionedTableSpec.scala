@@ -69,8 +69,64 @@ class VersionedTableSpec extends SparkSpec {
     val root = freshRoot()
     intercept[IllegalStateException] { VersionedTable.read(spark, root) }
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), root)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // out-of-band tamper (java.nio, stale CRC sidecar) — unreadable
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "_current"),
       "not-a-number".getBytes)
-    intercept[IllegalStateException] { VersionedTable.currentVersion(root) }
+    intercept[IllegalStateException] {
+      VersionedTable.currentVersion(root, hconf)
+    }
+    // in-band garbage (written through the FS, valid checksum) — unparseable
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_current"), true)
+    try out.write("not-a-number".getBytes) finally out.close()
+    intercept[IllegalStateException] {
+      VersionedTable.currentVersion(root, hconf)
+    }
+  }
+
+  test("second writer is refused while one writes — genuinely concurrent (two threads, latched)") {
+    // writer A's staging job blocks inside a UDF until the latch
+    // opens, so A provably HOLDS the lock when B attempts; B must be
+    // refused loudly, and after A commits B succeeds. The lock is an
+    // atomic mkdir — the same primitive across processes.
+    val root = freshRoot()
+    VersionedTableSpecLatch.reset()
+    val gate = udf { (id: Long) =>
+      VersionedTableSpecLatch.await(); id
+    }
+    val slow = Seq(1L, 2L).toDF("id").withColumn("id", gate($"id"))
+    @volatile var vA = -1L
+    val a = new Thread(() => { vA = VersionedTable.write(slow, root) })
+    a.start()
+    // wait until A actually holds the lock (acquisition = the
+    // exclusive owner-marker create, not the scaffold mkdir)
+    val lock = java.nio.file.Paths.get(root, ".graft_writer.lock")
+    val marker = lock.resolve("owner")
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (!java.nio.file.Files.exists(marker) && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(java.nio.file.Files.exists(marker), "writer A never took the lock")
+    val e = intercept[IllegalStateException] {
+      VersionedTable.write(Seq((9L, "b")).toDF("id", "s"), root)
+    }
+    assert(e.getMessage.contains("another writer holds"))
+    VersionedTableSpecLatch.open()
+    a.join(30000)
+    assert(vA === 1L, "writer A must commit v1 after the latch opens")
+    assert(!java.nio.file.Files.exists(lock), "lock released after commit")
+    // B retries post-release and lands v2
+    assert(VersionedTable.write(Seq(9L).toDF("id"), root) === 2L)
+    assert(VersionedTable.read(spark, root).count() === 1L)
+  }
+}
+
+/** Latch shared with the executor threads (local mode = same JVM). */
+object VersionedTableSpecLatch {
+  @volatile private var latch = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = { latch = new java.util.concurrent.CountDownLatch(1) }
+  def open(): Unit = latch.countDown()
+  def await(): Unit = {
+    latch.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
   }
 }
