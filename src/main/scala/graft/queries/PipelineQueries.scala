@@ -148,7 +148,15 @@ object PipelineQueries {
     * index" in pure SQL.
     */
   private[queries] def indexNeardupsOracleSqlWhere(oldPred: String): String =
-    s"""WITH $shingleSql,
+    s"""WITH ${indexNeardupCtesWhere(oldPred)}
+       |SELECT doc_new, doc_old, jaccard FROM dups""".stripMargin
+
+  /** The verdict chain as a composable CTE fragment ending in
+    * `dups(doc_new, doc_old, jaccard)` — shared by the st17/st19
+    * wrappers above and the st28 composed-pipeline oracle.
+    */
+  private[queries] def indexNeardupCtesWhere(oldPred: String): String =
+    s"""$shingleSql,
        |hv AS (SELECT doc_id,
        |              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS ha,
        |              ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hb
@@ -170,13 +178,13 @@ object PipelineQueries {
        |           FROM cand c
        |           JOIN sh a ON a.doc_id = c.doc_new
        |           JOIN sh b ON b.doc_id = c.doc_old AND b.shingle = a.shingle
-       |           GROUP BY c.doc_new, c.doc_old)
-       |SELECT doc_new, doc_old,
-       |       common / (sn.set_size + so.set_size - common) AS jaccard
-       |FROM common
-       |JOIN sizes sn ON sn.doc_id = doc_new
-       |JOIN sizes so ON so.doc_id = doc_old
-       |WHERE common / (sn.set_size + so.set_size - common) >= 0.8""".stripMargin
+       |           GROUP BY c.doc_new, c.doc_old),
+       |dups AS (SELECT doc_new, doc_old,
+       |           common / (sn.set_size + so.set_size - common) AS jaccard
+       |         FROM common
+       |         JOIN sizes sn ON sn.doc_id = doc_new
+       |         JOIN sizes so ON so.doc_id = doc_old
+       |         WHERE common / (sn.set_size + so.set_size - common) >= 0.8)""".stripMargin
 
   /** Artifact path for the p53 delta-dedup LSH index (same per-run
     * contract as [[bpeVocabPath]]).
@@ -201,18 +209,27 @@ object PipelineQueries {
     * micro-batching cannot change a single row).
     */
   private[queries] def qualityClassifierOracleSql: String =
-    """WITH arr AS (
+    s"""WITH $classifierCtesSql
+       |SELECT doc_id, score FROM clf""".stripMargin
+
+  /** The p95 training+scoring cascade as a composable CTE fragment
+    * ending in `clf(doc_id, score)` — shared by the p95/st20 wrapper
+    * above and the st28 composed-pipeline oracle. (Internal names
+    * carr/... chosen not to collide with the LM cascade's.)
+    */
+  private[queries] def classifierCtesSql: String =
+    """carr AS (
            |  SELECT doc_id, source,
            |         list_filter(string_split_regex(trim(text), '\s+'),
            |                     t -> t <> '') AS w
            |  FROM documents),
            |feats AS (
-           |  SELECT doc_id, unnest(w) AS ft FROM arr
+           |  SELECT doc_id, unnest(w) AS ft FROM carr
            |  UNION ALL
            |  SELECT doc_id,
            |         unnest(list_transform(range(1, len(w)),
            |                i -> w[i] || ' ' || w[i+1])) AS ft
-           |  FROM arr),
+           |  FROM carr),
            |dc AS (SELECT doc_id,
            |              ('0x' || substr(md5(ft), 1, 15))::BIGINT % 256 AS b,
            |              CAST(count(*) AS BIGINT) AS c
@@ -247,10 +264,10 @@ object PipelineQueries {
            |b2 AS (SELECT b1.bias - 4.0 * gb2.g / nn.n AS bias
            |       FROM b1 CROSS JOIN gb2 CROSS JOIN nn),
            |df AS (SELECT xf.doc_id, sum(xf.x * w2.w) AS dot
-           |       FROM xf JOIN w2 ON w2.b = xf.b GROUP BY 1)
-           |SELECT lab.doc_id,
-           |       1.0 / (1.0 + exp(-(COALESCE(df.dot, 0.0) + b2.bias))) AS score
-           |FROM lab LEFT JOIN df USING (doc_id) CROSS JOIN b2""".stripMargin
+           |       FROM xf JOIN w2 ON w2.b = xf.b GROUP BY 1),
+           |clf AS (SELECT lab.doc_id,
+           |          1.0 / (1.0 + exp(-(COALESCE(df.dot, 0.0) + b2.bias))) AS score
+           |        FROM lab LEFT JOIN df USING (doc_id) CROSS JOIN b2)""".stripMargin
 
   /** Artifact path for the p94 incremental-ingest LSH index. */
   private def incrIndexPath = s"$artifactRoot/lsh_index_p94"

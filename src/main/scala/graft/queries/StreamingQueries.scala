@@ -1991,6 +1991,132 @@ object StreamingQueries {
            |       rr // 8 AS batch_id, rr % 8 AS slot
            |FROM r""".stripMargin))
 
+  /** st28: the COMPOSED online ingest pipeline
+    * ([[graft.streaming.StreamingIngest]]) — the streaming twin of
+    * the p109 batch recipe, every fragment gate's stage chained in
+    * ONE checkpointed run: token-budget admission (st26) → LSH-index
+    * dedup with a pending eviction (st17/st19) → frozen-LM +
+    * classifier scoring (st25/st20) → quality band → length-bucketed
+    * batch formation (st27). Corpus split: even ids are the offline
+    * index (every %10==0 id then tombstoned — the retention pass),
+    * odd ids replay as the arriving stream in two genuine
+    * micro-batches. Models train batch-side on the FULL corpus
+    * (the frozen-artifact topology of st20/st25), so the oracle
+    * reuses the p73 LM cascade and p95 classifier cascade VERBATIM,
+    * composed with the st19 verdict chain and the st26/st27 window
+    * forms — the stage CTEs are single-sourced with the fragment
+    * gates, so the composition can never drift from its parts.
+    */
+  private def streamingIngestE2e: QueryDef = {
+    // calibrated so EVERY stage bites at sf0.01: sources carry
+    // ~1.3-1.6k odd-half tokens (budget 1200 closes each quota),
+    // the dedup drops the odd near-dups of the surviving index, and
+    // the band thresholds sit at the observed score quartiles
+    // (~25% cut each side) — a funnel, not a pass-through.
+    val budget = 1200L
+    val qMin = 0.10128
+    val pplMin = -3.413
+    val bucketWidth = 20
+    val batchSize = 8
+    QueryDef(
+      "st28_streaming_ingest_e2e",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val indexPath = s"$artifactRoot/lsh_index_st28"
+        graft.pipeline.Dedup.writeLshIndex(
+          docs.where(col("doc_id") % 2 === 0), indexPath)
+        graft.pipeline.Dedup.tombstoneLshIndex(
+          docs.where(col("doc_id") % 10 === 0).select("doc_id"),
+          indexPath, batchId = "ret1")
+        val lm = graft.streaming.StreamingPerplexity.frozenLm(
+          docs.select(col("doc_id").cast("long"), col("text").cast("string")))
+        val clf = graft.pipeline.Classifier.trainLogReg(docs,
+          (col("source") === "src0").cast("double"),
+          buckets = 256, iterations = 2, learningRate = 4.0)
+
+        val in = docs.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id").cast("long"), col("source").cast("string"),
+            col("text").cast("string"),
+            graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        val schema = in.schema
+        val dirP = scratch("st28")
+        val ckpt = dirP.resolve("ckpt").toString
+        val out = dirP.resolve("out").toString
+        val stage = stageTwoBatchesByDocId(in, dirP)
+
+        val cfg = graft.streaming.StreamingIngest.Config(
+          indexPath = indexPath, outPath = out, budget = budget,
+          threshold = 0.8, qMin = qMin, pplMin = pplMin,
+          bucketWidth = bucketWidth, batchSize = batchSize)
+        val q = graft.streaming.StreamingIngest.pipeline(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .as[graft.streaming.StreamingIngest.IngestDoc](
+              org.apache.spark.sql.Encoders.product[
+                graft.streaming.StreamingIngest.IngestDoc]),
+          cfg, lm, clf)
+          .option("checkpointLocation", ckpt).start()
+        try q.awaitTermination() finally q.stop()
+        val result =
+          try s.read.parquet(out).select("source", "doc_id", "n_tokens",
+            "tokens_before", "quality_score", "avg_logprob",
+            "bucket", "batch_id", "slot")
+          catch { case _: Throwable =>
+            import org.apache.spark.sql.types._
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("source", StringType),
+                StructField("doc_id", LongType),
+                StructField("n_tokens", LongType),
+                StructField("tokens_before", LongType),
+                StructField("quality_score", DoubleType),
+                StructField("avg_logprob", DoubleType),
+                StructField("bucket", LongType),
+                StructField("batch_id", LongType),
+                StructField("slot", LongType))))
+          }
+        val rows = result.collect()
+        deleteRecursively(dirP)
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toIndexedSeq), result.schema)
+      },
+      Some(s"""WITH ${PipelineQueries.indexNeardupCtesWhere("od.doc_id % 10 != 0")},
+             |${PipelineQueries.bigramLmCtesSql},
+             |${PipelineQueries.classifierCtesSql},
+             |admtok AS (SELECT doc_id, source,
+             |             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+             |                                  t -> t <> '')) AS BIGINT) AS n_tokens
+             |           FROM documents WHERE doc_id % 2 = 1),
+             |admc AS (SELECT source, doc_id, n_tokens,
+             |           CAST(sum(n_tokens) OVER (
+             |             PARTITION BY source ORDER BY doc_id
+             |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |         FROM admtok),
+             |adm AS (SELECT source, doc_id, n_tokens, cum - n_tokens AS tokens_before
+             |        FROM admc WHERE cum <= $budget),
+             |ingkeep AS (SELECT a.* FROM adm a
+             |            WHERE NOT EXISTS (SELECT 1 FROM dups
+             |                              WHERE dups.doc_new = a.doc_id)),
+             |ingscored AS (SELECT k.source, k.doc_id, k.n_tokens,
+             |                k.tokens_before, clf.score AS quality_score,
+             |                lm.avg_logprob
+             |              FROM ingkeep k
+             |              JOIN clf ON clf.doc_id = k.doc_id
+             |              JOIN lm ON lm.doc_id = k.doc_id),
+             |ingband AS (SELECT * FROM ingscored
+             |            WHERE quality_score >= $qMin
+             |              AND avg_logprob >= $pplMin),
+             |ingrk AS (SELECT *, n_tokens // $bucketWidth AS bucket,
+             |            row_number() OVER (
+             |              PARTITION BY n_tokens // $bucketWidth
+             |              ORDER BY doc_id) - 1 AS rr
+             |          FROM ingband)
+             |SELECT source, doc_id, n_tokens, tokens_before, quality_score,
+             |       avg_logprob, bucket, rr // $batchSize AS batch_id,
+             |       rr % $batchSize AS slot
+             |FROM ingrk""".stripMargin))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -2000,5 +2126,6 @@ object StreamingQueries {
       streamingIntervalJoinOuter, streamingIndexDedup, streamingNovelty,
       streamingIndexDedupEvicted, streamingQualityScore, streamingDrift,
       streamingRetrieval, streamingSequences, streamingAdmission,
-      streamingPerplexity, streamingTokenBudget, streamingBatching)
+      streamingPerplexity, streamingTokenBudget, streamingBatching,
+      streamingIngestE2e)
 }
