@@ -119,6 +119,40 @@ object RecallCurve {
       println(s"""{"family":"lsh","bits":4,"probes":$probes,"mean_recall":$r,"q":$nQ}""")
       Console.out.flush()
     }
+
+    // Quantized paths at production defaults — the honesty artifact
+    // behind the compression knobs: how much recall each code budget
+    // actually costs on this geometry.
+    import graft.pipeline.Quantization
+    val n = Some(emb.count())
+    // int8 scalar quantization: full-precision geometry at 1/4 the
+    // bytes — the near-free baseline
+    val rInt8 = meanRecall(
+      Quantization.quantizedSearchAll(emb, queries, k), truth)
+    println(s"""{"family":"int8","mean_recall":$rInt8,"q":$nQ}""")
+    Console.out.flush()
+    // PQ-ADC: sweep subspace count at the default ksub (code budget =
+    // m bytes/vector). PQ approximates the inner product, so it
+    // indexes the NORMALIZED corpus (cosine deployment recipe; truth
+    // is norm-invariant). Two metrics per config: recall@10 (the raw
+    // resolution, floored by code-granularity ties on clustered
+    // geometry) and truth@10-in-top50 — the shortlist coverage the
+    // standard ADC-shortlist -> exact-rerank pipeline actually needs.
+    val nemb = Quantization.l2Normalize(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nq2 = nemb.join(queries.select(col("query_id")),
+        col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("embedding").as("query_vec"))
+    for (m <- Seq(4, 8, 16) if dim % m == 0) {
+      val rPq = meanRecall(
+        Quantization.pqSearchAll(nemb, nq2, k, m = m, ksub = 16,
+          knownCount = n), truth)
+      val rSl = meanRecall(
+        Quantization.pqSearchAll(nemb, nq2, 50, m = m, ksub = 16,
+          knownCount = n), truth)
+      println(s"""{"family":"pq","m":$m,"ksub":16,"mean_recall":$rPq,"shortlist50_coverage":$rSl,"q":$nQ}""")
+      Console.out.flush()
+    }
     spark.stop()
   }
 }

@@ -237,9 +237,17 @@ object Multimodal {
     *
     * Same per-partition seam as [[decodeFeatures]]; undecodable
     * payloads quarantine to (0, 0, empty) like the decoder does.
+    *
+    * `format` picks the RE-ENCODE codec ("png" lossless — the mm06
+    * exact-oracle path; "jpg" lossy — the mm08 path, where the
+    * resized GEOMETRY stays exact and pixel sums hold only within
+    * the lossy tolerance the spec pins). Input payloads decode
+    * through ImageIO sniffing either way — a PNG in, JPEG out
+    * transcode is the same call.
     */
   def resizeImage(media: DataFrame, targetW: Int, targetH: Int,
-      idCol: String = "media_id", payloadCol: String = "payload"): Dataset[ResizedMedia] = {
+      idCol: String = "media_id", payloadCol: String = "payload",
+      format: String = "png"): Dataset[ResizedMedia] = {
     require(targetW > 0 && targetH > 0,
       s"target dims must be positive, got ${targetW}x$targetH")
     val enc = Encoders.product[ResizedMedia]
@@ -270,7 +278,7 @@ object Multimodal {
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(dst, "png", bos)
+          javax.imageio.ImageIO.write(dst, format, bos)
           ResizedMedia(id, targetW, targetH, bos.toByteArray)
         }
       }

@@ -201,6 +201,14 @@ object Quantization {
     val dim = codebook.headOption.map(_._2.length)
       .getOrElse(throw new IllegalArgumentException("empty PQ codebook"))
     require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    // the assignment is ONE literal projection of m x ksub argmin
+    // structs; past ~512 terms janino rejects the generated method
+    // (measured: 8 x 64 compiles, 8 x 128 does not). Fail loudly with
+    // the remedy instead of a 200-line codegen stack trace.
+    require(m * codebook.length <= 512,
+      s"m=$m x ksub=${codebook.length} exceeds the literal-expression " +
+        "code path's ~512-term codegen budget; shrink the codebook or " +
+        "assign codes via an exploded codebook join")
     val subDim = dim / m
     emb.select(col(idCol),
       array((0 until m).map(s => codeOf(col(vecCol), s, subDim, codebook)): _*)
@@ -344,5 +352,136 @@ object Quantization {
       .select(col(idCol), adcScore(qVec, codebook, m, subDim).as("qscore"))
       .orderBy(col("qscore").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** ADC-shortlist → EXACT rerank — the standard PQ deployment
+    * composition (and the honest answer to PQ's code-granularity
+    * resolution limit, measured in the BASELINE round-11 recall
+    * curves: recall@10 floors near k/cluster-size because whole
+    * clusters tie on identical codes, while the top-`shortlist` ADC
+    * candidates cover the true top-k at ~1.0): take the `shortlist`
+    * best by ADC score (m table lookups per candidate — the cheap
+    * pass over everything), then score ONLY those with the exact
+    * float cosine and return the true top-k of the shortlist.
+    * Same tie-breaks as [[pqTopK]] / the brute-force path, so the
+    * p112 oracle replays both stages exactly.
+    */
+  def pqRerankTopK(emb: DataFrame, queryId: Long, k: Int = 10,
+      shortlist: Int = 50, m: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      knownCount: Option[Long] = None): DataFrame = {
+    val sl = pqTopK(emb, queryId, shortlist, m, ksub, idCol, vecCol,
+      knownCount).select(col(idCol))
+    val q = emb.where(col(idCol) === queryId)
+      .select(col(vecCol).as("__q"))
+    emb.join(broadcast(sl), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        Similarity.rankCosine(col(vecCol), col("__q")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** L2-normalize an embedding column — the "normalize, then index"
+    * step of a cosine-metric ANN deployment: after it, inner product
+    * EQUALS cosine, so dot-approximating indexes (PQ-ADC) rank by the
+    * intended metric. Zero vectors pass through unchanged (they can
+    * win nothing under either metric). Cosine itself is norm-
+    * invariant, so ground truth computed before or after agrees.
+    */
+  def l2Normalize(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val n = Similarity.norm(col(vecCol))
+    emb.withColumn(vecCol,
+      when(n > 0, expr(s"transform($vecCol, x -> CAST(x / " +
+        s"sqrt(aggregate($vecCol, CAST(0.0 AS DOUBLE), " +
+        s"(acc, y) -> acc + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS FLOAT))"))
+        .otherwise(col(vecCol)))
+  }
+
+  /** Batched PQ-ADC search for a PINNED query set — the recall-curve
+    * / eval harness shape (one corpus coding pass serves every
+    * query; [[pqTopK]] is the single-query serving path). The m x
+    * ksub x Q distance tables compute driver-side (tiny — the ADC
+    * precompute) and ride a broadcast; scoring is one
+    * posexplode-join-sum over the coded corpus with map-side partial
+    * aggregation, so the exchange carries (query, id, partial-sum)
+    * rows, never vectors. Returns (query_id, vec_id, qscore, rank)
+    * rows for rank <= k, ties broken by vec_id ascending.
+    */
+  def pqSearchAll(emb: DataFrame, queries: DataFrame, k: Int = 10,
+      m: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "query_id", qvecCol: String = "query_vec",
+      knownCount: Option[Long] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val codebook = Similarity.sampleCentroids(emb, ksub, idCol, vecCol,
+      knownCount)
+    val dim = codebook.head._2.length
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    // bounded by contract: the pinned eval query batch
+    val qRows = queries.select(col(qidCol), col(qvecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val tables = qRows.flatMap { case (qid, qVec) =>
+      codebook.flatMap { case (cid, cw) =>
+        (0 until m).map { s =>
+          var acc = 0.0; var i = 0
+          while (i < subDim) {
+            acc += qVec(s * subDim + i).toDouble * cw(s * subDim + i); i += 1
+          }
+          (qid, s, cid, acc)
+        }
+      }
+    }.toSeq.toDF("query_id", "__s", "__cid", "__part")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col(idCol).asc)
+    pqCodes(emb, codebook, m, idCol, vecCol)
+      .select(col(idCol), posexplode(col("codes")).as(Seq("__s", "__cid")))
+      .join(broadcast(tables), Seq("__s", "__cid"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__part")).as("qscore"))
+      .where(col(idCol) =!= col("query_id"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+  }
+
+  /** Batched int8 search for a pinned query set — the recall-eval
+    * sibling of [[quantizedTopK]]: corpus-range quantization runs
+    * ONCE, the queries' own int8 codes come from the same calibration
+    * (the index-build contract), and every (query, corpus) pair
+    * scores by QUANTIZED COSINE — integer dot over integer norms, the
+    * metric-matched comparison against a cosine ground truth (raw
+    * dot would conflate quantization error with the dot-vs-cosine
+    * metric gap). All three dots are exact BIGINTs; only the final
+    * ratio is floating. Brute force over codes — the int8 recall
+    * baseline; compose with IVF ([[ivfQuantizedTopK]]) for the
+    * probed deployment path.
+    */
+  def quantizedSearchAll(emb: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+    val ranges = rangeArrays(emb, vecCol)
+    val q = emb.crossJoin(broadcast(ranges))
+      .withColumn("qvec", quantizeExpr(col(vecCol), col("los"), col("his")))
+      .select(col(idCol), col("qvec"))
+    val queryQ = queries.crossJoin(broadcast(ranges))
+      .withColumn("query_qvec",
+        quantizeExpr(col(qvecCol), col("los"), col("his")))
+      .select(col(qidCol), col("query_qvec"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("qscore").desc, col(idCol).asc)
+    val num = intDot(col("qvec"), col("query_qvec")).cast("double")
+    val den = sqrt(intDot(col("qvec"), col("qvec")).cast("double")) *
+      sqrt(intDot(col("query_qvec"), col("query_qvec")).cast("double"))
+    q.crossJoin(broadcast(queryQ))
+      .where(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        when(den > 0, num / den)
+          .otherwise(lit(Double.NegativeInfinity)).as("qscore"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
   }
 }

@@ -43,7 +43,7 @@ object Similarity {
     * (the gate corpora are well-formed, so the oracles are
     * unaffected either way).
     */
-  private def rankCosine(a: Column, b: Column): Column =
+  private[pipeline] def rankCosine(a: Column, b: Column): Column =
     when(norm(a) > 0 && norm(b) > 0, cosine(a, b))
 
   /** Exact top-k by cosine against the query vector (the row of

@@ -184,12 +184,12 @@ object MartQueries {
   // (the reference API serves floats) while g2Sql's max(open_p) over
   // BIGINT ticks stays integral in DuckDB — a dtype skew the hash gate
   // would see even with equal values.
-  private val g2GateCols =
+  private[queries] val g2GateCols =
     """item_id, CAST(epoch(snapshot_hour) AS BIGINT) AS snapshot_hour,
       |CAST(open_price AS DOUBLE) AS open_price, high_price, low_price,
       |CAST(close_price AS DOUBLE) AS close_price, avarage_price,
       |volume""".stripMargin
-  private val g2GateSql =
+  private[queries] val g2GateSql =
     s"""WITH g2 AS ($g2Sql)
        |SELECT $g2GateCols FROM g2""".stripMargin
 

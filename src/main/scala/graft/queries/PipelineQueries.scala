@@ -186,6 +186,59 @@ object PipelineQueries {
        |         JOIN sizes so ON so.doc_id = doc_old
        |         WHERE common / (sn.set_size + so.set_size - common) >= 0.8)""".stripMargin
 
+  /** The p58 PQ-ADC construction as a composable CTE fragment ending
+    * in `pqscore(vec_id, qscore)` — shared verbatim by the p58 gate
+    * and the p112 shortlist-rerank gate so the ADC arithmetic (code
+    * assignment tie-breaks, left-associated 8-term sum) has ONE
+    * definition.
+    */
+  private[queries] val pqAdcCtesSql: String =
+    s"""stride AS (SELECT greatest(count(*) // 16, 1) AS bkt
+       |                FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+       |         FROM embeddings, stride
+       |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
+       |               % bkt = 0
+       |         ORDER BY vec_id LIMIT 16),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |subs AS (SELECT CAST(unnest(range(8)) AS INT) AS s),
+       |cw AS (SELECT s, cid, c[s*8+1 : s*8+8] AS csub FROM cent, subs),
+       |asg0 AS (SELECT e.vec_id, w.s, w.cid,
+       |           2*list_dot_product(e.v[w.s*8+1 : w.s*8+8], w.csub)
+       |             - list_dot_product(w.csub, w.csub) AS score
+       |         FROM e CROSS JOIN cw w),
+       |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |                    ORDER BY score DESC, cid DESC) AS rn
+       |        FROM asg0),
+       |codes AS (SELECT vec_id,
+       |            max(CASE WHEN s=0 THEN cid END) AS c0,
+       |            max(CASE WHEN s=1 THEN cid END) AS c1,
+       |            max(CASE WHEN s=2 THEN cid END) AS c2,
+       |            max(CASE WHEN s=3 THEN cid END) AS c3,
+       |            max(CASE WHEN s=4 THEN cid END) AS c4,
+       |            max(CASE WHEN s=5 THEN cid END) AS c5,
+       |            max(CASE WHEN s=6 THEN cid END) AS c6,
+       |            max(CASE WHEN s=7 THEN cid END) AS c7
+       |          FROM asg WHERE rn = 1 GROUP BY vec_id),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |adc AS (SELECT w.s, w.cid,
+       |               list_dot_product(q.qv[w.s*8+1 : w.s*8+8], w.csub) AS t
+       |        FROM cw w, q),
+       |pqscore AS (
+       |  SELECT cv.vec_id,
+       |         (((((((a0.t + a1.t) + a2.t) + a3.t) + a4.t) + a5.t) + a6.t) + a7.t)
+       |           AS qscore
+       |  FROM codes cv
+       |  JOIN adc a0 ON a0.s = 0 AND a0.cid = cv.c0
+       |  JOIN adc a1 ON a1.s = 1 AND a1.cid = cv.c1
+       |  JOIN adc a2 ON a2.s = 2 AND a2.cid = cv.c2
+       |  JOIN adc a3 ON a3.s = 3 AND a3.cid = cv.c3
+       |  JOIN adc a4 ON a4.s = 4 AND a4.cid = cv.c4
+       |  JOIN adc a5 ON a5.s = 5 AND a5.cid = cv.c5
+       |  JOIN adc a6 ON a6.s = 6 AND a6.cid = cv.c6
+       |  JOIN adc a7 ON a7.s = 7 AND a7.cid = cv.c7
+       |  WHERE cv.vec_id <> 0)""".stripMargin
+
   /** Artifact path for the p53 delta-dedup LSH index (same per-run
     * contract as [[bpeVocabPath]]).
     */
@@ -1534,6 +1587,28 @@ object PipelineQueries {
              |       CAST(1 AS INTEGER) AS n_frames
              |FROM documents""".stripMargin)),
 
+    // REAL JPEG resize through the lossy codec end-to-end: JPEG
+    // fixture decoded, nearest-neighbor resampled, re-encoded JPEG,
+    // re-DECODED. The oracle pins everything a lossy codec preserves
+    // EXACTLY — output geometry (12x12 for every doc) and
+    // n_frames = 1 (no payload hit the quarantine path anywhere in
+    // decode -> resample -> encode -> decode). Channel sums do not
+    // survive two lossy trips bit-exactly; their bounded-drift
+    // contract is spec-pinned (MultimodalSpec), mirroring the
+    // mm07 contract one codec pass deeper.
+    QueryDef("mm08_jpeg_resize",
+      (s, dir) => Multimodal.decodeFeatures(
+        Multimodal.resizeImage(syntheticJpegMedia(s, dir),
+          targetW = 12, targetH = 12, format = "jpg").toDF(),
+        Multimodal.ImageIoDecoder).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames")),
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(12 AS INTEGER) AS width,
+             |       CAST(12 AS INTEGER) AS height,
+             |       CAST(1 AS INTEGER) AS n_frames
+             |FROM documents""".stripMargin)),
+
     // Frame sampling: byte-range explode — the frame COUNT and LENGTH
     // math is oracle-checkable even though payload slicing is opaque.
     QueryDef("mm03_frame_sampling",
@@ -2280,52 +2355,31 @@ object PipelineQueries {
     QueryDef("p58_pq_topk",
       (s, dir) => Quantization.pqTopK(
         Tables.embeddings(s, dir), queryId = 0L, k = 10, m = 8, ksub = 16),
-      Some(s"""WITH stride AS (SELECT greatest(count(*) // 16, 1) AS bkt
-              |                FROM embeddings),
-              |cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
-              |         FROM embeddings, stride
-              |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
-              |               % bkt = 0
-              |         ORDER BY vec_id LIMIT 16),
-              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              |subs AS (SELECT CAST(unnest(range(8)) AS INT) AS s),
-              |cw AS (SELECT s, cid, c[s*8+1 : s*8+8] AS csub FROM cent, subs),
-              |asg0 AS (SELECT e.vec_id, w.s, w.cid,
-              |           2*list_dot_product(e.v[w.s*8+1 : w.s*8+8], w.csub)
-              |             - list_dot_product(w.csub, w.csub) AS score
-              |         FROM e CROSS JOIN cw w),
-              |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
-              |                    ORDER BY score DESC, cid DESC) AS rn
-              |        FROM asg0),
-              |codes AS (SELECT vec_id,
-              |            max(CASE WHEN s=0 THEN cid END) AS c0,
-              |            max(CASE WHEN s=1 THEN cid END) AS c1,
-              |            max(CASE WHEN s=2 THEN cid END) AS c2,
-              |            max(CASE WHEN s=3 THEN cid END) AS c3,
-              |            max(CASE WHEN s=4 THEN cid END) AS c4,
-              |            max(CASE WHEN s=5 THEN cid END) AS c5,
-              |            max(CASE WHEN s=6 THEN cid END) AS c6,
-              |            max(CASE WHEN s=7 THEN cid END) AS c7
-              |          FROM asg WHERE rn = 1 GROUP BY vec_id),
-              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-              |adc AS (SELECT w.s, w.cid,
-              |               list_dot_product(q.qv[w.s*8+1 : w.s*8+8], w.csub) AS t
-              |        FROM cw w, q)
-              |SELECT cv.vec_id,
-              |       (((((((a0.t + a1.t) + a2.t) + a3.t) + a4.t) + a5.t) + a6.t) + a7.t)
-              |         AS qscore
-              |FROM codes cv
-              |JOIN adc a0 ON a0.s = 0 AND a0.cid = cv.c0
-              |JOIN adc a1 ON a1.s = 1 AND a1.cid = cv.c1
-              |JOIN adc a2 ON a2.s = 2 AND a2.cid = cv.c2
-              |JOIN adc a3 ON a3.s = 3 AND a3.cid = cv.c3
-              |JOIN adc a4 ON a4.s = 4 AND a4.cid = cv.c4
-              |JOIN adc a5 ON a5.s = 5 AND a5.cid = cv.c5
-              |JOIN adc a6 ON a6.s = 6 AND a6.cid = cv.c6
-              |JOIN adc a7 ON a7.s = 7 AND a7.cid = cv.c7
-              |WHERE cv.vec_id <> 0
-              |ORDER BY qscore DESC, cv.vec_id ASC
+      Some(s"""WITH $pqAdcCtesSql
+              |SELECT vec_id, qscore FROM pqscore
+              |ORDER BY qscore DESC, vec_id ASC
               |LIMIT 10""".stripMargin)),
+
+    // ADC-shortlist -> EXACT rerank: the deployment shape the recall
+    // curves justify (BASELINE round-11): PQ resolves only to code
+    // granularity (whole clusters tie on identical codes — recall@10
+    // floors near k/cluster-size), but its top-50 shortlist covers
+    // the true top-10 at ~1.0, so reranking the 50 candidates with
+    // exact cosine recovers full recall at 1/40th the float scoring.
+    // Oracle: p58's ADC chain (shared fragment) shortlisted at 50,
+    // reranked by the same cosineSql the brute-force gates pin.
+    QueryDef("p112_pq_rerank",
+      (s, dir) => Quantization.pqRerankTopK(
+        Tables.embeddings(s, dir), queryId = 0L, k = 10, shortlist = 50,
+        m = 8, ksub = 16),
+      Some(s"""WITH $pqAdcCtesSql,
+              |sl AS (SELECT vec_id FROM pqscore
+              |       ORDER BY qscore DESC, vec_id ASC LIMIT 50)
+              |SELECT e.vec_id, ${cosineSql("e.v", "q.qv")} AS cosine
+              |FROM e JOIN sl USING (vec_id) CROSS JOIN q
+              |ORDER BY cosine DESC, e.vec_id ASC
+              |LIMIT 10""".stripMargin)),
+
 
     // IVF + PQ composed (the FAISS IVFPQ shape): probe the 4 nearest
     // of 16 cells, PQ-ADC-score ONLY the candidates inside them —

@@ -2117,6 +2117,63 @@ object StreamingQueries {
              |FROM ingrk""".stripMargin))
   }
 
+  /** st29: the STREAMING hourly OHLC
+    * ([[StreamingSilver.streamingPriceHistory]]) under the g02 mart
+    * oracle VERBATIM — the reference's gold_price_history computed
+    * online with watermarked tumbling windows instead of the batch
+    * mart's groupBy. Replay: the g02 tick projection staged as two
+    * doc-ordered files plus one flush sentinel 2 h past the last real
+    * tick; watermark 0 s, so once the sentinel's batch lands every
+    * real window is closed and AvailableNow's no-data flush batch
+    * emits them (append mode emits once per window — the st13/st14
+    * discipline). The sentinel's own window never closes and is
+    * additionally filtered by item_id. Same min_by/max_by tie rules
+    * as the mart, so the hash oracle is exact.
+    */
+  private def streamingOhlc: QueryDef = QueryDef(
+    "st29_streaming_ohlc",
+    (s, dir) => {
+      val ticks = TestdataAdapter.ticksFromEvents(s, dir)
+      val schema = ticks.schema
+      val maxRow = ticks.agg(max(unix_micros(col("created_at")))).head()
+      if (maxRow.isNullAt(0)) {
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("item_id", StringType),
+            StructField("snapshot_hour", LongType),
+            StructField("open_price", DoubleType),
+            StructField("high_price", LongType),
+            StructField("low_price", LongType),
+            StructField("close_price", DoubleType),
+            StructField("avarage_price", DoubleType),
+            StructField("volume", LongType))))
+      } else {
+        val flushUs = maxRow.getLong(0) + 2 * OneHourUs
+        val flush = s.range(1).select(
+          lit(" flush").as("item_id"),
+          lit(null).cast("long").as("unit_price"),
+          lit(0L).as("quantity"),
+          timestamp_micros(lit(flushUs)).as("created_at"))
+        val dirP = scratch("st29")
+        val ckpt = dirP.resolve("ckpt").toString
+        val stage = dirP.resolve("input").toString
+        ticks.coalesce(1).write.parquet(stage)
+        flush.coalesce(1).write.mode("append").parquet(stage)
+
+        val qname = "st29_" + UUID.randomUUID().toString.replace("-", "")
+        val q = StreamingSilver.streamingPriceHistory(
+          s.readStream.schema(schema).parquet(stage),
+          watermarkDelay = "0 seconds")
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+        s.table(qname).where(col("item_id") =!= " flush")
+          .withColumn("snapshot_hour", unix_timestamp(col("snapshot_hour")))
+      }
+    },
+    Some(MartQueries.g2GateSql))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -2127,5 +2184,5 @@ object StreamingQueries {
       streamingIndexDedupEvicted, streamingQualityScore, streamingDrift,
       streamingRetrieval, streamingSequences, streamingAdmission,
       streamingPerplexity, streamingTokenBudget, streamingBatching,
-      streamingIngestE2e)
+      streamingIngestE2e, streamingOhlc)
 }

@@ -160,6 +160,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeImage jpg: exact dims, channel sums within the double-lossy tolerance") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the mm08 contract: JPEG in -> resample -> JPEG out -> decode.
+    // Geometry exact; per-pixel mean drift bounded (two lossy trips,
+    // so the bound is looser than the single-trip JPEG test's).
+    val seeds = Seq(1L, 2L, 3L, 9L, 42L)
+    val media = seeds.map(id =>
+      (id, Multimodal.syntheticJpeg(id, w = 8 + (id % 8).toInt, h = 8 + (id % 5).toInt)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeFeatures(
+      Multimodal.resizeImage(media, 12, 12, format = "jpg").toDF(),
+      Multimodal.ImageIoDecoder)
+      .collect().map(d => d.media_id -> d).toMap
+    seeds.foreach { id =>
+      val d = out(id)
+      assert(d.width === 12 && d.height === 12 && d.n_frames === 1,
+        s"resized-JPEG geometry drifted for seed $id")
+      // exact nearest-neighbor sums from the generator formulas
+      val (w, h) = (8 + (id % 8).toInt, 8 + (id % 5).toInt)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until 12; x <- 0 until 12) {
+        val sx = x * w / 12; val sy = y * h / 12
+        er += ((id * 7 + sx * 3 + sy * 5) % 256).toInt
+        eg += ((id * 11 + sx + sy * 2) % 256).toInt
+        eb += ((id * 13 + sx * 2 + sy) % 256).toInt
+      }
+      Seq((d.feature(0), er, "r"), (d.feature(1), eg, "g"),
+        (d.feature(2), eb, "b")).foreach { case (got, exact, c) =>
+        val drift = math.abs(got - exact) / 144.0
+        assert(drift <= 64.0,
+          s"resized-JPEG mean $c drift $drift for seed $id (got $got, exact $exact)")
+      }
+    }
+  }
+
   test("sampleFrames: explode covers the payload in byte-range steps") {
     val frames = Multimodal.sampleFrames(media.where("media_id = 3"), everyNBytes = 64)
     assert(frames.count() === 5) // ceil(300/64) = 5 frames (0..4)
