@@ -382,6 +382,32 @@ object Quantization {
       .limit(k)
   }
 
+  /** [[ivfPqTopK]] + exact rerank — the COMPLETE production ANN
+    * serving shape (FAISS `IVFPQ + refine`): IVF probing cuts the
+    * candidate set, PQ-ADC cuts per-candidate cost to m lookups, and
+    * the exact-cosine rerank of the top-`shortlist` ADC candidates
+    * restores full-precision ranking — the three-stage composition
+    * the round-11 recall curves justify stage by stage (shortlist
+    * coverage ~1.0 where recall@10 floors at code granularity).
+    * Tie-breaks match [[pqRerankTopK]] / the brute-force path.
+    */
+  def ivfPqRerankTopK(emb: DataFrame, queryId: Long, k: Int = 10,
+      shortlist: Int = 50, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      knownCount: Option[Long] = None): DataFrame = {
+    val sl = ivfPqTopK(emb, queryId, shortlist, nlist, nprobe, m, ksub,
+      idCol, vecCol, knownCount).select(col(idCol))
+    val q = emb.where(col(idCol) === queryId)
+      .select(col(vecCol).as("__q"))
+    emb.join(broadcast(sl), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        Similarity.rankCosine(col(vecCol), col("__q")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** L2-normalize an embedding column — the "normalize, then index"
     * step of a cosine-metric ANN deployment: after it, inner product
     * EQUALS cosine, so dot-approximating indexes (PQ-ADC) rank by the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Bpe, Chunking, Classifier, Clusters, Contamination, Curation, Dedup, Dsir, Fuzzy, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Reporting, Sampling, Similarity, Snapshots, Spans, TextAnalysis}
+import graft.pipeline.{Bpe, C4Clean, Chunking, Classifier, Clusters, Contamination, Curation, Dedup, Dsir, Fuzzy, Lines, Multimodal, Packing, Pii, Quantization, Repetition, Reporting, Sampling, Similarity, Snapshots, Spans, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * text analysis) gate-checked over the driver's `documents` /
@@ -238,6 +238,74 @@ object PipelineQueries {
        |  JOIN adc a6 ON a6.s = 6 AND a6.cid = cv.c6
        |  JOIN adc a7 ON a7.s = 7 AND a7.cid = cv.c7
        |  WHERE cv.vec_id <> 0)""".stripMargin
+
+  /** The p59 IVF-probe + PQ-ADC construction as a composable CTE
+    * fragment ending in `ivfpqscore(vec_id, qscore)` (and exposing
+    * `e`/`q` for rerank consumers) — shared verbatim by the p59 gate
+    * and the p114 shortlist-rerank gate, the same single-sourcing
+    * contract as [[pqAdcCtesSql]]. Probe CTEs are p13's; code/ADC
+    * CTEs are p58's restricted to the probed candidates.
+    */
+  private[queries] def ivfPqAdcCtesSql: String =
+    s"""stride AS (SELECT greatest(count(*) // 16, 1) AS bkt
+       |                FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+       |         FROM embeddings, stride
+       |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
+       |               % bkt = 0
+       |         ORDER BY vec_id LIMIT 16),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, v, cid,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC,
+       |                    cid DESC) AS rn
+       |  FROM e CROSS JOIN cent),
+       |celled AS (SELECT vec_id, v, cid AS cell FROM assigned WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cid,
+       |         row_number() OVER (ORDER BY
+       |           ${cosineSql("c", "q.qv")} DESC, cid DESC) AS pr
+       |  FROM cent, q),
+       |cand AS (SELECT d.vec_id, d.v FROM celled d
+       |         JOIN probes p ON d.cell = p.cid AND p.pr <= 4
+       |         WHERE d.vec_id <> 0),
+       |subs AS (SELECT CAST(unnest(range(8)) AS INT) AS s),
+       |cw AS (SELECT s, cid, c[s*8+1 : s*8+8] AS csub FROM cent, subs),
+       |asg0 AS (SELECT d.vec_id, w.s, w.cid,
+       |           2*list_dot_product(d.v[w.s*8+1 : w.s*8+8], w.csub)
+       |             - list_dot_product(w.csub, w.csub) AS score
+       |         FROM cand d CROSS JOIN cw w),
+       |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |                    ORDER BY score DESC, cid DESC) AS rn
+       |        FROM asg0),
+       |codes AS (SELECT vec_id,
+       |            max(CASE WHEN s=0 THEN cid END) AS c0,
+       |            max(CASE WHEN s=1 THEN cid END) AS c1,
+       |            max(CASE WHEN s=2 THEN cid END) AS c2,
+       |            max(CASE WHEN s=3 THEN cid END) AS c3,
+       |            max(CASE WHEN s=4 THEN cid END) AS c4,
+       |            max(CASE WHEN s=5 THEN cid END) AS c5,
+       |            max(CASE WHEN s=6 THEN cid END) AS c6,
+       |            max(CASE WHEN s=7 THEN cid END) AS c7
+       |          FROM asg WHERE rn = 1 GROUP BY vec_id),
+       |adc AS (SELECT w.s, w.cid,
+       |               list_dot_product(q.qv[w.s*8+1 : w.s*8+8], w.csub) AS t
+       |        FROM cw w, q),
+       |ivfpqscore AS (
+       |  SELECT cv.vec_id,
+       |         (((((((a0.t + a1.t) + a2.t) + a3.t) + a4.t) + a5.t) + a6.t) + a7.t)
+       |           AS qscore
+       |  FROM codes cv
+       |  JOIN adc a0 ON a0.s = 0 AND a0.cid = cv.c0
+       |  JOIN adc a1 ON a1.s = 1 AND a1.cid = cv.c1
+       |  JOIN adc a2 ON a2.s = 2 AND a2.cid = cv.c2
+       |  JOIN adc a3 ON a3.s = 3 AND a3.cid = cv.c3
+       |  JOIN adc a4 ON a4.s = 4 AND a4.cid = cv.c4
+       |  JOIN adc a5 ON a5.s = 5 AND a5.cid = cv.c5
+       |  JOIN adc a6 ON a6.s = 6 AND a6.cid = cv.c6
+       |  JOIN adc a7 ON a7.s = 7 AND a7.cid = cv.c7)""".stripMargin
 
   /** Artifact path for the p53 delta-dedup LSH index (same per-run
     * contract as [[bpeVocabPath]]).
@@ -845,22 +913,7 @@ object PipelineQueries {
           docs.where(col("doc_id") % 50 =!= 0),
           docs.where(col("doc_id") % 50 === 0), n = 4)
       },
-      Some("""WITH tk AS (SELECT doc_id,
-             |         list_filter(string_split_regex(trim(text), '\s+'),
-             |                     t -> t <> '') AS w
-             |       FROM documents),
-             |sh AS (SELECT DISTINCT doc_id, gram FROM (
-             |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
-             |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS gram
-             |  FROM tk)),
-             |c AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
-             |b AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0),
-             |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM c GROUP BY doc_id),
-             |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-             |         FROM c JOIN b USING(gram) GROUP BY doc_id)
-             |SELECT h.doc_id, pd.n_shingles, h.n_overlap,
-             |       CAST(h.n_overlap AS DOUBLE) / pd.n_shingles AS contamination
-             |FROM hits h JOIN pd USING(doc_id)""".stripMargin)),
+      Some(decontaminationOracleSql)),
 
     // Substring-level exact dedup: repeated 20-char windows (60-bit
     // md5-hashed — same family in the oracle) merged into maximal
@@ -2380,6 +2433,46 @@ object PipelineQueries {
               |ORDER BY cosine DESC, e.vec_id ASC
               |LIMIT 10""".stripMargin)),
 
+    // C4-family line-rule cleaning (Raffel et al. 2020 §2.2) — line
+    // SHAPE screens next to p23's repetition screens: keep lines
+    // passing {min-words, no banned token, terminal pattern}, drop
+    // pages on {banned phrase, too few sentences, nothing kept}.
+    // ENTIRELY row-local (one projection, no explode/exchange — the
+    // "filter at the scan" operator, PlanSpec-asserted). The fixture
+    // text is single-line, so the gate splits pseudo-lines on the
+    // literal token ' a ' (the p23 trick); terminal punct generalizes
+    // to "ends in a letter", sentences to 'row' hits — rule MACHINERY
+    // exercised with corpus-discriminating parameters (500 pages:
+    // 18 banned-phrase, 164 sentence-fail, 300 dropped total).
+    QueryDef("p113_c4_page_rules",
+      (s, dir) => C4Clean.pageVerdicts(Tables.documents(s, dir),
+        C4Clean.Config(lineSep = " a ", terminalPunct = Some("[a-z]$"),
+          minWordsPerLine = 3, banLineTokens = Seq("vector"),
+          banPagePhrases = Seq("table table"), minSentences = 1,
+          minKeptLines = 1, sentencePattern = "row")),
+      Some("""WITH pages AS (SELECT doc_id, text,
+             |                      string_split(text, ' a ') AS lines
+             |               FROM documents),
+             |v AS (SELECT doc_id, text, len(lines) AS n_lines,
+             |  list_filter(lines, l ->
+             |      len(list_filter(string_split_regex(trim(l), '\s+'),
+             |          t -> t <> '')) >= 3
+             |      AND strpos(lower(l), 'vector') = 0
+             |      AND regexp_matches(trim(l), '[a-z]$')) AS kept
+             |  FROM pages),
+             |-- array_to_string([]) is NULL in DuckDB; the engine's
+             |-- array_join is '' — coalesce to the engine contract
+             |w AS (SELECT *, coalesce(array_to_string(kept, chr(10)), '')
+             |                  AS clean_text FROM v)
+             |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+             |       CAST(len(kept) AS BIGINT) AS n_kept,
+             |       CAST(len(regexp_extract_all(clean_text, 'row')) AS BIGINT)
+             |         AS n_sentences,
+             |       (strpos(lower(text), 'table table') > 0
+             |        OR len(regexp_extract_all(clean_text, 'row')) < 1
+             |        OR len(kept) < 1) AS page_dropped,
+             |       clean_text
+             |FROM w""".stripMargin)),
 
     // IVF + PQ composed (the FAISS IVFPQ shape): probe the 4 nearest
     // of 16 cells, PQ-ADC-score ONLY the candidates inside them —
@@ -2392,65 +2485,28 @@ object PipelineQueries {
       (s, dir) => Quantization.ivfPqTopK(
         Tables.embeddings(s, dir), queryId = 0L, k = 10,
         nlist = 16, nprobe = 4, m = 8, ksub = 16),
-      Some(s"""WITH stride AS (SELECT greatest(count(*) // 16, 1) AS bkt
-              |                FROM embeddings),
-              |cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
-              |         FROM embeddings, stride
-              |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
-              |               % bkt = 0
-              |         ORDER BY vec_id LIMIT 16),
-              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              |assigned AS (
-              |  SELECT vec_id, v, cid,
-              |         row_number() OVER (PARTITION BY vec_id
-              |           ORDER BY list_dot_product(v, c) / sqrt(list_dot_product(c, c)) DESC,
-              |                    cid DESC) AS rn
-              |  FROM e CROSS JOIN cent),
-              |celled AS (SELECT vec_id, v, cid AS cell FROM assigned WHERE rn = 1),
-              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-              |probes AS (
-              |  SELECT cid,
-              |         row_number() OVER (ORDER BY
-              |           ${cosineSql("c", "q.qv")} DESC, cid DESC) AS pr
-              |  FROM cent, q),
-              |cand AS (SELECT d.vec_id, d.v FROM celled d
-              |         JOIN probes p ON d.cell = p.cid AND p.pr <= 4
-              |         WHERE d.vec_id <> 0),
-              |subs AS (SELECT CAST(unnest(range(8)) AS INT) AS s),
-              |cw AS (SELECT s, cid, c[s*8+1 : s*8+8] AS csub FROM cent, subs),
-              |asg0 AS (SELECT d.vec_id, w.s, w.cid,
-              |           2*list_dot_product(d.v[w.s*8+1 : w.s*8+8], w.csub)
-              |             - list_dot_product(w.csub, w.csub) AS score
-              |         FROM cand d CROSS JOIN cw w),
-              |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
-              |                    ORDER BY score DESC, cid DESC) AS rn
-              |        FROM asg0),
-              |codes AS (SELECT vec_id,
-              |            max(CASE WHEN s=0 THEN cid END) AS c0,
-              |            max(CASE WHEN s=1 THEN cid END) AS c1,
-              |            max(CASE WHEN s=2 THEN cid END) AS c2,
-              |            max(CASE WHEN s=3 THEN cid END) AS c3,
-              |            max(CASE WHEN s=4 THEN cid END) AS c4,
-              |            max(CASE WHEN s=5 THEN cid END) AS c5,
-              |            max(CASE WHEN s=6 THEN cid END) AS c6,
-              |            max(CASE WHEN s=7 THEN cid END) AS c7
-              |          FROM asg WHERE rn = 1 GROUP BY vec_id),
-              |adc AS (SELECT w.s, w.cid,
-              |               list_dot_product(q.qv[w.s*8+1 : w.s*8+8], w.csub) AS t
-              |        FROM cw w, q)
-              |SELECT cv.vec_id,
-              |       (((((((a0.t + a1.t) + a2.t) + a3.t) + a4.t) + a5.t) + a6.t) + a7.t)
-              |         AS qscore
-              |FROM codes cv
-              |JOIN adc a0 ON a0.s = 0 AND a0.cid = cv.c0
-              |JOIN adc a1 ON a1.s = 1 AND a1.cid = cv.c1
-              |JOIN adc a2 ON a2.s = 2 AND a2.cid = cv.c2
-              |JOIN adc a3 ON a3.s = 3 AND a3.cid = cv.c3
-              |JOIN adc a4 ON a4.s = 4 AND a4.cid = cv.c4
-              |JOIN adc a5 ON a5.s = 5 AND a5.cid = cv.c5
-              |JOIN adc a6 ON a6.s = 6 AND a6.cid = cv.c6
-              |JOIN adc a7 ON a7.s = 7 AND a7.cid = cv.c7
-              |ORDER BY qscore DESC, cv.vec_id ASC
+      Some(s"""WITH $ivfPqAdcCtesSql
+              |SELECT vec_id, qscore FROM ivfpqscore
+              |ORDER BY qscore DESC, vec_id ASC
+              |LIMIT 10""".stripMargin)),
+
+    // The COMPLETE production serving shape (FAISS IVFPQ + refine):
+    // probe 4/16 cells, ADC-score only their members, exact-rerank
+    // the top-50 shortlist — each stage justified by a recall curve
+    // (probing bounds candidates, ADC bounds per-candidate cost,
+    // rerank restores full precision where code granularity ties).
+    // Oracle: p59's probe+ADC chain (shared fragment) shortlisted at
+    // 50, reranked by the same cosineSql as the brute-force gates.
+    QueryDef("p114_ivfpq_rerank",
+      (s, dir) => Quantization.ivfPqRerankTopK(
+        Tables.embeddings(s, dir), queryId = 0L, k = 10, shortlist = 50,
+        nlist = 16, nprobe = 4, m = 8, ksub = 16),
+      Some(s"""WITH $ivfPqAdcCtesSql,
+              |sl AS (SELECT vec_id FROM ivfpqscore
+              |       ORDER BY qscore DESC, vec_id ASC LIMIT 50)
+              |SELECT e.vec_id, ${cosineSql("e.v", "q.qv")} AS cosine
+              |FROM e JOIN sl USING (vec_id) CROSS JOIN q
+              |ORDER BY cosine DESC, e.vec_id ASC
               |LIMIT 10""".stripMargin)),
 
     // IVF + scalar quantization composed — completing the
@@ -4456,6 +4512,30 @@ object PipelineQueries {
   private[queries] val bigramLogProbOracleSql: String =
     s"""WITH $bigramLmCtesSql
        |SELECT doc_id, n_tokens, avg_logprob FROM lm""".stripMargin
+
+  /** The p24 decontamination oracle (corpus = doc_id % 50 <> 0,
+    * benchmark = the % 50 == 0 slice, word 4-grams) — shared VERBATIM
+    * by the p24 batch gate and the st30 streaming gate (the streaming
+    * scorer's emission contract is the batch operator's, so one SQL
+    * definition gates both).
+    */
+  private[queries] val decontaminationOracleSql: String =
+    """WITH tk AS (SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'),
+      |                     t -> t <> '') AS w
+      |       FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, gram FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS gram
+      |  FROM tk)),
+      |c AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+      |b AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0),
+      |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM c GROUP BY doc_id),
+      |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      |         FROM c JOIN b USING(gram) GROUP BY doc_id)
+      |SELECT h.doc_id, pd.n_shingles, h.n_overlap,
+      |       CAST(h.n_overlap AS DOUBLE) / pd.n_shingles AS contamination
+      |FROM hits h JOIN pd USING(doc_id)""".stripMargin
 
   private[queries] val multiQueryBm25OracleSql: String =
     """WITH qt(query_id, term) AS (VALUES

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.Tables
-import graft.streaming.{StreamingAsof, StreamingFunnel, StreamingSessions, StreamingSilver}
+import graft.streaming.{StreamingAsof, StreamingContamination, StreamingFunnel, StreamingSessions, StreamingSilver}
 
 /** Driver-visible batch-parity gates for the streaming operators
   * (round-6 verdict item 8): replay the `events` table through the
@@ -2174,6 +2174,48 @@ object StreamingQueries {
     },
     Some(MartQueries.g2GateSql))
 
+  /** st30: ONLINE benchmark decontamination
+    * ([[graft.streaming.StreamingContamination]]) — the admission-time
+    * twin of p24: the eval suite's distinct 4-grams extracted once
+    * batch-side and broadcast frozen; each arriving corpus doc scores
+    * statelessly (no shuffle, no watermark — micro-batching cannot
+    * change a row). Corpus replayed as two doc-ordered files; the
+    * emission contract (one row per doc with >= 1 shared gram, exact
+    * integer-division contamination) is the batch operator's, so the
+    * oracle is p24's SQL verbatim.
+    */
+  private def streamingDecontamination: QueryDef = QueryDef(
+    "st30_streaming_decontamination",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+      val corpus = docs.where(col("doc_id") % 50 =!= 0)
+      val bench = StreamingContamination.frozenBenchmark(
+        docs.where(col("doc_id") % 50 === 0), n = 4)
+
+      val schema = corpus.schema
+      val dirP = scratch("st30")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      corpus.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(stage)
+      corpus.where(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val qname = "st30_" + UUID.randomUUID().toString.replace("-", "")
+      val q = StreamingContamination.scoreStream(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .as[StreamingContamination.ContDoc],
+        bench, n = 4)(s)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+      s.table(qname)
+    },
+    Some(PipelineQueries.decontaminationOracleSql))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -2184,5 +2226,5 @@ object StreamingQueries {
       streamingIndexDedupEvicted, streamingQualityScore, streamingDrift,
       streamingRetrieval, streamingSequences, streamingAdmission,
       streamingPerplexity, streamingTokenBudget, streamingBatching,
-      streamingIngestE2e, streamingOhlc)
+      streamingIngestE2e, streamingOhlc, streamingDecontamination)
 }

@@ -162,6 +162,32 @@ class QuantizationSpec extends SparkSpec {
     assert(emptyQ.count() === 0L)
   }
 
+  test("rerank paths: a corpus-wide shortlist recovers exact brute-force cosine top-k") {
+    // shortlist >= corpus (and for IVF: probe every cell) makes the
+    // ADC stage a pure pass-through — the rerank MUST then equal the
+    // exact-cosine ranking, tie-breaks included. This pins the rerank
+    // arithmetic/tie-breaks; the recall value of narrow shortlists is
+    // pinned separately by RecallGateSpec's coverage floors.
+    val exact = Similarity.bruteForceTopK(pqCorpus, queryId = 0L, k = 7)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    val pq = Quantization.pqRerankTopK(pqCorpus, queryId = 0L, k = 7,
+      shortlist = 64, m = 4, ksub = 8)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    assert(pq === exact)
+    val ivfpq = Quantization.ivfPqRerankTopK(pqCorpus, queryId = 0L, k = 7,
+      shortlist = 64, nlist = 8, nprobe = 8, m = 4, ksub = 8)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    assert(ivfpq === exact)
+    // narrow shortlist: results are a subset of the shortlist with
+    // exact cosines (never ADC approximations)
+    val narrow = Quantization.ivfPqRerankTopK(pqCorpus, queryId = 0L, k = 3,
+      shortlist = 8, nlist = 8, nprobe = 2, m = 4, ksub = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    val exactAll = Similarity.bruteForceTopK(pqCorpus, queryId = 0L, k = 31)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    narrow.foreach { case (id, c) => assert(c === exactAll(id), s"id $id") }
+  }
+
   test("dimRobustProfile: exact quartiles per dim; outliers cannot move them") {
     // dim0: values 1..5 -> p25=2, p50=3, p75=4, iqr=2; dim1 constant
     val df = emb(
