@@ -171,6 +171,120 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** The cross-format fixture sibling of [[syntheticPng]]: the SAME
+    * deterministic pixels through the JDK BMP writer (uncompressed
+    * 24-bit — lossless like PNG, byte-incompatible with it). A
+    * pattern encoded once as PNG and once as BMP has different
+    * payload bytes but IDENTICAL decoded pixels — exactly the
+    * situation content-level dedup must catch and byte-level dedup
+    * cannot.
+    */
+  def syntheticBmp(seed: Long, w: Int, h: Int): Array[Byte] =
+    encodeImage(syntheticImage(seed, w, h), "bmp")
+
+  /** Content-level signatures of decoded IMAGES:
+    *  - `pixel_md5` — md5 of the row-major RGB triples: equal iff the
+    *    decoded pixels are equal, regardless of container format or
+    *    encoder byte stream (the dedup key for lossless re-encodes,
+    *    PNG↔BMP transcodes, metadata-stripped copies).
+    *  - `dhash` — 64-bit difference hash (the standard perceptual
+    *    fingerprint): nearest-neighbor resample to a 9×8 luminance
+    *    grid (same resampler as [[resizeImage]]), one bit per
+    *    horizontally adjacent pair (left < right). Robust to mild
+    *    lossy re-encodes — near-dup candidates come from hash
+    *    equality or small Hamming distance, spec-pinned
+    *    (MultimodalSpec) rather than hash-gated (JPEG noise is
+    *    codec-version territory, not an engine contract).
+    *
+    * Undecodable payloads quarantine as (0, 0, "", 0) — same policy
+    * as [[decodeFeatures]]; consumers filter on `width > 0`.
+    * Same per-partition codec seam as the decoder; output is 4
+    * narrow columns per image — the shuffle-safe grain every
+    * downstream group-by uses (pixels never leave the scan task).
+    */
+  case class PixelSignature(media_id: Long, width: Int, height: Int,
+      pixel_md5: String, dhash: Long)
+
+  def pixelSignatures(media: DataFrame,
+      idCol: String = "media_id", payloadCol: String = "payload"): Dataset[PixelSignature] = {
+    val enc = Encoders.product[PixelSignature]
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val img =
+            try {
+              if (payload == null || payload.isEmpty) null
+              else javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))
+            } catch { case _: java.io.IOException | _: RuntimeException => null }
+          if (img == null) PixelSignature(id, 0, 0, "", 0L)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+            // pixel_md5 over row-major RGB triples
+            md.reset()
+            val buf = new Array[Byte](rgb.length * 3)
+            var i = 0
+            while (i < rgb.length) {
+              val p = rgb(i)
+              buf(i * 3) = ((p >> 16) & 0xFF).toByte
+              buf(i * 3 + 1) = ((p >> 8) & 0xFF).toByte
+              buf(i * 3 + 2) = (p & 0xFF).toByte
+              i += 1
+            }
+            val hex = md.digest(buf).map("%02x".format(_)).mkString
+            // dHash: 9x8 nearest-neighbor luminance grid, 8 bits/row
+            val lum = Array.ofDim[Int](8, 9)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 9) {
+                val sx = x * w / 9; val sy = y * h / 8
+                val p = rgb(sy * w + sx)
+                lum(y)(x) = (((p >> 16) & 0xFF) * 299 +
+                  ((p >> 8) & 0xFF) * 587 + (p & 0xFF) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            var dh = 0L
+            y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                dh = (dh << 1) | (if (lum(y)(x) < lum(y)(x + 1)) 1L else 0L)
+                x += 1
+              }
+              y += 1
+            }
+            PixelSignature(id, w, h, hex, dh)
+          }
+        }
+      }(enc)
+  }
+
+  /** Content-level exact dedup THROUGH the codec seam: groups =
+    * images with identical decoded pixels (pixel_md5), representative
+    * = the group's minimal media_id. Byte-level dedup misses every
+    * lossless transcode / re-encode; this catches them all at one
+    * narrow (md5, id) aggregation — pixels decode in the scan task
+    * and never shuffle. Undecodable payloads are excluded (no group).
+    */
+  def dedupByPixelHash(media: DataFrame,
+      idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    val sigs = pixelSignatures(media, idCol, payloadCol).toDF()
+      .where(col("width") > 0)
+      .select(col("media_id"), col("pixel_md5"))
+    val reps = sigs.groupBy(col("pixel_md5"))
+      .agg(min(col("media_id")).as("group_rep"))
+    sigs.join(reps, Seq("pixel_md5"))
+      .select(col("media_id"), col("group_rep"))
+  }
+
   /** Distributed decode: one decoder instance per partition (codecs
     * are expensive to init), rows streamed through it — the Scala
     * analog of `mapInPandas` batch processing. Narrow (no shuffle);

@@ -1662,6 +1662,21 @@ object PipelineQueries {
              |       CAST(1 AS INTEGER) AS n_frames
              |FROM documents""".stripMargin)),
 
+    // Content-level image dedup THROUGH the codec seam: 50 pattern
+    // classes, each encoded as a MIX of PNG and BMP (different bytes,
+    // identical decoded pixels) — byte-level md5 finds nothing; the
+    // engine must decode and hash PIXELS to recover the classes. The
+    // oracle knows the planted partition (class = doc_id % 50, rep =
+    // the class's minimal id = the class index itself for 0-based
+    // ids) without being able to decode — the right oracle shape for
+    // an opaque-payload operator.
+    QueryDef("mm09_pixel_dedup",
+      (s, dir) => Multimodal.dedupByPixelHash(
+        syntheticCrossFormatMedia(s, dir)),
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(doc_id % 50 AS BIGINT) AS group_rep
+             |FROM documents""".stripMargin)),
+
     // Frame sampling: byte-range explode — the frame COUNT and LENGTH
     // math is oracle-checkable even though payload slicing is opaque.
     QueryDef("mm03_frame_sampling",
@@ -4626,6 +4641,29 @@ object PipelineQueries {
       .mapPartitions { ids =>
         ids.map { id =>
           (id, Multimodal.syntheticJpeg(id, w = 8 + (id % 8).toInt, h = 8 + (id % 5).toInt))
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  /** Cross-format duplicate-class fixture for mm09: pattern seed =
+    * doc_id % 50 (so each class holds ~10 media at sf0.01), dims a
+    * function of the CLASS, and the format alternating PNG / BMP by
+    * parity — every class mixes both containers, so byte-level
+    * equality finds nothing and only pixel-level content recovers
+    * the classes.
+    */
+  private def syntheticCrossFormatMedia(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val cls = id % 50
+          val w = 8 + (cls % 8).toInt; val h = 8 + (cls % 5).toInt
+          val payload =
+            if (id % 2 == 0) Multimodal.syntheticPng(cls, w, h)
+            else Multimodal.syntheticBmp(cls, w, h)
+          (id, payload)
         }
       }.toDF("media_id", "payload")
   }

@@ -196,6 +196,72 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pixelSignatures: PNG/BMP transcodes share pixel_md5 and EXACT dhash; classes separate") {
+    val rows = Seq(
+      (1L, Multimodal.syntheticPng(7L, 16, 12)),
+      (2L, Multimodal.syntheticBmp(7L, 16, 12)), // same pixels, other bytes
+      (3L, Multimodal.syntheticPng(8L, 16, 12)), // different pattern
+      (4L, Array.empty[Byte]), // undecodable -> quarantine
+      (5L, "not an image".getBytes)).toDF("media_id", "payload")
+    val sig = Multimodal.pixelSignatures(rows).collect()
+      .map(s => s.media_id -> s).toMap
+    // transcode pair: different payload bytes, identical content
+    assert(!java.util.Arrays.equals(
+      Multimodal.syntheticPng(7L, 16, 12), Multimodal.syntheticBmp(7L, 16, 12)))
+    assert(sig(1L).pixel_md5 === sig(2L).pixel_md5)
+    assert(sig(1L).dhash === sig(2L).dhash)
+    // distinct pattern: different content hash (and overwhelmingly
+    // a different perceptual hash on these gradient fixtures)
+    assert(sig(3L).pixel_md5 !== sig(1L).pixel_md5)
+    // quarantine: width 0, empty md5, excluded from dedup
+    assert(sig(4L).width === 0 && sig(4L).pixel_md5 === "")
+    assert(sig(5L).width === 0)
+    val groups = Multimodal.dedupByPixelHash(rows).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("group_rep")).toMap
+    assert(groups === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("dhash is perceptually stable across a lossy JPEG trip (small Hamming drift)") {
+    // the near-dup promise: JPEG noise may flip sign bits only where
+    // adjacent luminances nearly tie. Block fixtures with STRUCTURE
+    // (4x4 blocks at 0/255, one block per dHash sample cell) pin both
+    // halves of the contract: same pattern re-encoded lossily stays
+    // within a few bits; a sign-inverted pattern lands ~64 bits away.
+    // (The gradient fixtures of the oracle gates are the DEGENERATE
+    // case here — monotone rows hash to all-ones for every seed — so
+    // perceptual separation needs structured fixtures, not seeds.)
+    def block(bits: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(36, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 36) {
+        val v = 255 * bits(x / 4, y / 4)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val checker: (Int, Int) => Int = (bx, by) => (bx + by) % 2
+    val inverse: (Int, Int) => Int = (bx, by) => 1 - (bx + by) % 2
+    val rows = Seq(
+      (1L, enc(block(checker), "png")),
+      (2L, enc(block(checker), "jpg")),
+      (3L, enc(block(inverse), "png")),
+      (4L, enc(block(inverse), "jpg"))).toDF("media_id", "payload")
+    val sig = Multimodal.pixelSignatures(rows).collect()
+      .map(s => s.media_id -> s.dhash).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(2L)) <= 6,
+      s"checker PNG vs JPEG drifted ${hamming(sig(1L), sig(2L))} bits")
+    assert(hamming(sig(3L), sig(4L)) <= 6,
+      s"inverse PNG vs JPEG drifted ${hamming(sig(3L), sig(4L))} bits")
+    assert(hamming(sig(1L), sig(3L)) >= 48,
+      s"inverted pattern too close: ${hamming(sig(1L), sig(3L))} bits")
+  }
+
   test("sampleFrames: explode covers the payload in byte-range steps") {
     val frames = Multimodal.sampleFrames(media.where("media_id = 3"), everyNBytes = 64)
     assert(frames.count() === 5) // ceil(300/64) = 5 frames (0..4)
