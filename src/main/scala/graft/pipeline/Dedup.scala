@@ -747,21 +747,37 @@ object Dedup {
   }
 
   def simHashNearDups(df: DataFrame, maxHamming: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    hammingNearDups(simHashSignatures(df, textCol, idCol), maxHamming,
+      sigCol = "simhash")
+
+  /** Chunk-banded hamming near-dup join over ANY 64-bit-signature
+    * frame — the SimHash candidate machinery factored out so other
+    * fingerprint modalities ride it unchanged (e.g. perceptual image
+    * dHash from [[Multimodal.pixelSignatures]]): pairs within
+    * hamming <= 3 must share one exact 16-bit chunk (pigeonhole over
+    * 4 chunks), so candidates come from chunk-equality joins — never
+    * C(n,2) over the corpus.
+    *
+    * Input: (idCol, sigCol) one row per item. Output:
+    * (id_a, id_b, hamming), id_a < id_b, hamming <= maxHamming.
+    */
+  def hammingNearDups(sigs: DataFrame, maxHamming: Int = 3,
+      sigCol: String = "signature", idCol: String = "doc_id"): DataFrame = {
     // 4 chunks guarantee a shared chunk only for hamming <= 3
     // (pigeonhole); a larger maxHamming would silently lose recall.
     require(maxHamming >= 0 && maxHamming < 4,
       s"maxHamming=$maxHamming outside [0,3]: 4-chunk banding is only complete for hamming <= 3")
-    val sigs = simHashSignatures(df, textCol, idCol)
+    val base = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("__sig"))
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("val")))
-    val keyed = sigs.select(col("doc_id"), col("simhash"),
+        shiftright(col("__sig"), c * 16).bitwiseAND(0xFFFFL).as("val")))
+    val keyed = base.select(col("doc_id"), col("__sig"),
       explode(array(chunks: _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.val"))
-    val l = keyed.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      .select(col("doc_id"), col("__sig"), col("ck.chunk"), col("ck.val"))
+    val l = keyed.select(col("doc_id").as("doc_a"), col("__sig").as("sig_a"),
       col("chunk"), col("val"))
-    val r = keyed.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+    val r = keyed.select(col("doc_id").as("doc_b"), col("__sig").as("sig_b"),
       col("chunk"), col("val"))
     // hamming filter BEFORE the distinct: hamming is a pure function of
     // the pair, so the result is identical, but far-pair chunk

@@ -182,6 +182,39 @@ object Multimodal {
   def syntheticBmp(seed: Long, w: Int, h: Int): Array[Byte] =
     encodeImage(syntheticImage(seed, w, h), "bmp")
 
+  /** Structured fixture for the PERCEPTUAL family: a 36×32 grayscale
+    * image of 4×4 blocks at 0/255, block (bx, by) set by an md5 bit
+    * of (seed, bx, by). Unlike [[syntheticImage]]'s monotone
+    * gradients (whose dHash degenerates to all-ones for EVERY seed —
+    * adjacent luminances rise monotonically), block patterns give
+    * each seed a distinctive sign structure: distinct seeds land
+    * ~24/64 bits apart in expectation, so hamming-band candidate
+    * generation has something real to separate. Dims align one block
+    * per dHash sample cell (36/9 = 32/8 = 4).
+    */
+  def syntheticBlockImage(seed: Long): java.awt.image.BufferedImage = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val img = new java.awt.image.BufferedImage(36, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bits = Array.ofDim[Int](8, 9)
+    for (by <- 0 until 8; bx <- 0 until 9) {
+      md.reset()
+      val d = md.digest(s"$seed/$bx/$by".getBytes("UTF-8"))
+      bits(by)(bx) = d(0) & 1
+    }
+    for (y <- 0 until 32; x <- 0 until 36) {
+      val v = 255 * bits(y / 4)(x / 4)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  def syntheticBlockPng(seed: Long): Array[Byte] =
+    encodeImage(syntheticBlockImage(seed), "png")
+
+  def syntheticBlockBmp(seed: Long): Array[Byte] =
+    encodeImage(syntheticBlockImage(seed), "bmp")
+
   /** Content-level signatures of decoded IMAGES:
     *  - `pixel_md5` — md5 of the row-major RGB triples: equal iff the
     *    decoded pixels are equal, regardless of container format or

@@ -1677,6 +1677,28 @@ object PipelineQueries {
              |       CAST(doc_id % 50 AS BIGINT) AS group_rep
              |FROM documents""".stripMargin)),
 
+    // Perceptual near-dup PAIRS: dHash signatures through the real
+    // codec, candidates from the 4x16-bit chunk banding (the p09
+    // SimHash machinery generalized to any 64-bit fingerprint —
+    // never C(n,2)). Fixture: 50 block-pattern classes (the
+    // structured fixture; gradient patterns degenerate to one dHash)
+    // mixing PNG/BMP containers — within-class pairs land at hamming
+    // 0, distinct md5-seeded classes ~24 bits apart, so the planted
+    // partition IS the expected pair set and the oracle knows it
+    // from doc_id alone.
+    QueryDef("mm10_perceptual_neardups",
+      (s, dir) => graft.pipeline.Dedup.hammingNearDups(
+        Multimodal.pixelSignatures(syntheticBlockMedia(s, dir)).toDF()
+          .where(col("width") > 0)
+          .select(col("media_id"), col("dhash")),
+        maxHamming = 3, sigCol = "dhash", idCol = "media_id")
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          col("hamming")),
+      Some("""SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+             |       CAST(0 AS INTEGER) AS hamming
+             |FROM documents a JOIN documents b
+             |  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id""".stripMargin)),
+
     // Frame sampling: byte-range explode — the frame COUNT and LENGTH
     // math is oracle-checkable even though payload slicing is opaque.
     QueryDef("mm03_frame_sampling",
@@ -4663,6 +4685,26 @@ object PipelineQueries {
           val payload =
             if (id % 2 == 0) Multimodal.syntheticPng(cls, w, h)
             else Multimodal.syntheticBmp(cls, w, h)
+          (id, payload)
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  /** Block-pattern duplicate-class fixture for mm10 (perceptual
+    * near-dup): class = doc_id % 50, pattern = the structured
+    * [[Multimodal.syntheticBlockImage]] (md5-seeded 0/255 blocks, one
+    * per dHash cell), container alternating PNG/BMP by parity.
+    */
+  private def syntheticBlockMedia(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val cls = id % 50
+          val payload =
+            if (id % 2 == 0) Multimodal.syntheticBlockPng(cls)
+            else Multimodal.syntheticBlockBmp(cls)
           (id, payload)
         }
       }.toDF("media_id", "payload")

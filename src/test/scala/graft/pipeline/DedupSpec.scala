@@ -171,4 +171,30 @@ class DedupSpec extends SparkSpec {
       .collect().head.getAs[Double]("cosine")
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("hammingNearDups generalizes the banding to arbitrary 64-bit signatures") {
+    // planted signatures; every pairwise distance hand-derivable:
+    //   s2 = base ^ bit0; s3 = base ^ bits{0,1,2};
+    //   s4 = base ^ bits{0,16,32,48} (one per chunk); s5 = base ^ bits{16,32}
+    // kept (<= 3): (1,2)=1 (1,3)=3 (1,5)=2 (2,3)=2 (2,4)=3 (2,5)=3 (4,5)=2
+    // excluded: (1,4)=4 (3,4)=5 (3,5)=5 — and for (1,4) NO chunk
+    // matches (one flipped bit in each), so banding itself drops it,
+    // agreeing with the hamming filter (the pigeonhole boundary case).
+    val base = 0x0123456789ABCDEFL
+    val sigs = Seq(
+      (1L, base),
+      (2L, base ^ 0x1L),
+      (3L, base ^ 0x7L),
+      (4L, base ^ 0x0001000100010001L),
+      (5L, base ^ 0x0000000100010000L))
+      .toDF("item_id", "sig")
+    val pairs = Dedup.hammingNearDups(sigs, maxHamming = 3,
+      sigCol = "sig", idCol = "item_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs === Map(
+      (1L, 2L) -> 1, (1L, 3L) -> 3, (1L, 5L) -> 2, (2L, 3L) -> 2,
+      (2L, 4L) -> 3, (2L, 5L) -> 3, (4L, 5L) -> 2))
+  }
 }
