@@ -4682,8 +4682,12 @@ object PipelineQueries {
         ids.map { id =>
           val cls = id % 50
           val w = 8 + (cls % 8).toInt; val h = 8 + (cls % 5).toInt
+          // (id / 50) alternates WITHIN a class (members are cls,
+          // cls+50, ... — all the same parity, so id % 2 would give
+          // every class a single container and reduce the gate to
+          // byte-level dedup)
           val payload =
-            if (id % 2 == 0) Multimodal.syntheticPng(cls, w, h)
+            if ((id / 50) % 2 == 0) Multimodal.syntheticPng(cls, w, h)
             else Multimodal.syntheticBmp(cls, w, h)
           (id, payload)
         }
@@ -4703,7 +4707,7 @@ object PipelineQueries {
         ids.map { id =>
           val cls = id % 50
           val payload =
-            if (id % 2 == 0) Multimodal.syntheticBlockPng(cls)
+            if ((id / 50) % 2 == 0) Multimodal.syntheticBlockPng(cls)
             else Multimodal.syntheticBlockBmp(cls)
           (id, payload)
         }
