@@ -4675,6 +4675,15 @@ object PipelineQueries {
     * the classes.
     */
   private def syntheticCrossFormatMedia(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    crossFormatMediaForStreaming(s, dir)
+
+  /** The mm09 fixture, package-visible for the st31 streaming twin
+    * (one definition — the batch gate and the streaming gate must
+    * judge the same planted classes).
+    */
+  private[queries] def crossFormatMediaForStreaming(
+      s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id")).as[Long]

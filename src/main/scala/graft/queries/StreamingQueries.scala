@@ -2216,6 +2216,52 @@ object StreamingQueries {
     },
     Some(PipelineQueries.decontaminationOracleSql))
 
+  /** st31: ONLINE content-level image dedup
+    * ([[graft.streaming.StreamingPixelDedup]]) — the streaming twin
+    * of mm09 over the same 50-class PNG/BMP cross-format fixture:
+    * first decoded-content arrival wins, later transcodes drop.
+    * Event time = base + media_id seconds, so the per-batch claimant
+    * rule (min event time, then id) elects each class's minimal id;
+    * the replay stages ids < 250 before the rest, putting every
+    * class winner in batch 1 and exercising the cross-batch state
+    * denial in batch 2. Oracle: keeper iff media_id < 50 (the class
+    * minimum), nothing quarantined — derivable from doc_id alone.
+    */
+  private def streamingPixelDedup: QueryDef = QueryDef(
+    "st31_streaming_pixel_dedup",
+    (s, dir) => {
+      val baseUs = 1767225600000000L
+      val media = PipelineQueries.crossFormatMediaForStreaming(s, dir)
+        .withColumn("ingested_at",
+          timestamp_micros(lit(baseUs) + col("media_id") * lit(1000000L)))
+      val schema = media.schema
+      val dirP = scratch("st31")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      media.where(col("media_id") < 250).coalesce(1).write.parquet(stage)
+      media.where(col("media_id") >= 250).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val qname = "st31_" + UUID.randomUUID().toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try graft.streaming.StreamingPixelDedup.keepers(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+      s.table(qname).select(col("media_id"), col("keeper"),
+        col("quarantined"))
+    },
+    Some("""SELECT doc_id AS media_id,
+           |       (doc_id < 50) AS keeper,
+           |       CAST(false AS BOOLEAN) AS quarantined
+           |FROM documents""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -2226,5 +2272,6 @@ object StreamingQueries {
       streamingIndexDedupEvicted, streamingQualityScore, streamingDrift,
       streamingRetrieval, streamingSequences, streamingAdmission,
       streamingPerplexity, streamingTokenBudget, streamingBatching,
-      streamingIngestE2e, streamingOhlc, streamingDecontamination)
+      streamingIngestE2e, streamingOhlc, streamingDecontamination,
+      streamingPixelDedup)
 }
