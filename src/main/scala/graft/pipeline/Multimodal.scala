@@ -215,6 +215,111 @@ object Multimodal {
   def syntheticBlockBmp(seed: Long): Array[Byte] =
     encodeImage(syntheticBlockImage(seed), "bmp")
 
+  /** Deterministic synthetic WAV (RIFF / PCM 16-bit mono @ 8 kHz):
+    * n = 400 + seed % 100 samples, sample i =
+    * floorMod(seed*31 + i*17, 65536) − 32768 — REAL audio bytes
+    * (canonical 44-byte header + little-endian PCM) whose decoded
+    * sample statistics a SQL oracle recomputes from (seed) alone.
+    * The audio sibling of [[syntheticPng]].
+    */
+  def syntheticWav(seed: Long): Array[Byte] = {
+    val n = (400 + java.lang.Math.floorMod(seed, 100L)).toInt
+    val sampleRate = 8000
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort(
+        (java.lang.Math.floorMod(seed * 31 + i.toLong * 17, 65536L) - 32768L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Decoded audio features — the second modality through the same
+    * opaque-binary contract as images: a minimal REAL RIFF/PCM
+    * parser (chunk walk, not fixed offsets: a WAV with an extra
+    * chunk between `fmt ` and `data` still parses) runs
+    * per-partition; each payload reduces to 5 integer statistics —
+    * exact, engine-reproducible, and tiny on the wire (the audio
+    * never shuffles). Malformed / non-PCM16-mono payloads quarantine
+    * as (0, 0, 0, 0, 0) rows, the images' decoder policy.
+    *
+    *  - n_samples, sample_rate, duration_ms = n*1000/rate (int div)
+    *  - peak_abs = max |sample| (32768 representable)
+    *  - sum_squares = Σ s² — the exact-integer energy (RMS = sqrt of
+    *    it over n, left to the consumer so the gate stays
+    *    float-free)
+    */
+  case class AudioFeatures(media_id: Long, n_samples: Long,
+      sample_rate: Int, duration_ms: Long, peak_abs: Long,
+      sum_squares: Long)
+
+  def decodeAudioFeatures(media: DataFrame,
+      idCol: String = "media_id", payloadCol: String = "payload"): Dataset[AudioFeatures] = {
+    val enc = Encoders.product[AudioFeatures]
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          parseWav(id, r.getAs[Array[Byte]](1))
+        }
+      }(enc)
+  }
+
+  private[pipeline] def parseWav(id: Long, b: Array[Byte]): AudioFeatures = {
+    val quarantine = AudioFeatures(id, 0L, 0, 0L, 0L, 0L)
+    if (b == null || b.length < 12 ||
+      new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(b, 8, 4, "US-ASCII") != "WAVE") return quarantine
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= b.length) {
+      val cid = new String(b, pos, 4, "US-ASCII")
+      val clen = bb.getInt(pos + 4)
+      if (clen < 0 || pos + 8 + clen > b.length) return quarantine
+      cid match {
+        case "fmt " =>
+          if (clen < 16) return quarantine
+          val fmt = bb.getShort(pos + 8).toInt
+          channels = bb.getShort(pos + 10).toInt
+          sampleRate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22).toInt
+          if (fmt != 1) return quarantine // PCM only
+        case "data" => dataOff = pos + 8; dataLen = clen
+        case _ => () // skip unknown chunks (LIST, fact, ...)
+      }
+      pos += 8 + clen + (clen & 1) // chunks are word-aligned
+    }
+    if (sampleRate <= 0 || channels != 1 || bits != 16 || dataOff < 0)
+      return quarantine
+    val n = dataLen / 2
+    var peak = 0L; var ssq = 0L
+    var i = 0
+    while (i < n) {
+      val s = bb.getShort(dataOff + i * 2).toLong
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      ssq += s * s
+      i += 1
+    }
+    AudioFeatures(id, n.toLong, sampleRate,
+      n.toLong * 1000L / sampleRate, peak, ssq)
+  }
+
   /** Content-level signatures of decoded IMAGES:
     *  - `pixel_md5` — md5 of the row-major RGB triples: equal iff the
     *    decoded pixels are equal, regardless of container format or

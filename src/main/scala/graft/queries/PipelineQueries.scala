@@ -1677,6 +1677,33 @@ object PipelineQueries {
              |       CAST(doc_id % 50 AS BIGINT) AS group_rep
              |FROM documents""".stripMargin)),
 
+    // AUDIO through the opaque-binary contract: REAL RIFF/PCM bytes
+    // parsed executor-side (chunk walk, not fixed offsets), each
+    // payload reduced to 5 exact-integer statistics — the oracle
+    // recomputes every sample from the generator formula and must
+    // agree to the last bit (audio's analog of the mm05 PNG sums).
+    QueryDef("mm11_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(ids => ids.map(id =>
+            (id, Multimodal.syntheticWav(id))))
+          .toDF("media_id", "payload")
+        Multimodal.decodeAudioFeatures(media).toDF()
+      },
+      Some("""WITH n AS (SELECT doc_id,
+             |              CAST(400 + doc_id % 100 AS BIGINT) AS ns
+             |           FROM documents),
+             |s AS (SELECT doc_id, ns,
+             |             ((doc_id*31 + i*17) % 65536) - 32768 AS v
+             |      FROM (SELECT doc_id, ns, unnest(range(ns)) AS i FROM n))
+             |SELECT doc_id AS media_id, ns AS n_samples,
+             |       CAST(8000 AS INTEGER) AS sample_rate,
+             |       CAST(ns * 1000 // 8000 AS BIGINT) AS duration_ms,
+             |       CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+             |       CAST(sum(v*v) AS BIGINT) AS sum_squares
+             |FROM s GROUP BY doc_id, ns""".stripMargin)),
+
     // Perceptual near-dup PAIRS: dHash signatures through the real
     // codec, candidates from the 4x16-bit chunk banding (the p09
     // SimHash machinery generalized to any 64-bit fingerprint —

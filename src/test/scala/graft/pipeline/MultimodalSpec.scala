@@ -262,6 +262,53 @@ class MultimodalSpec extends SparkSpec {
       s"inverted pattern too close: ${hamming(sig(1L), sig(3L))} bits")
   }
 
+  test("parseWav: synthetic WAV round-trips to formula-exact statistics") {
+    Seq(0L, 7L, 42L, 99L, 12345L).foreach { seed =>
+      val f = Multimodal.parseWav(seed, Multimodal.syntheticWav(seed))
+      val n = (400 + java.lang.Math.floorMod(seed, 100L)).toInt
+      var peak = 0L; var ssq = 0L
+      (0 until n).foreach { i =>
+        val s = java.lang.Math.floorMod(seed * 31 + i.toLong * 17, 65536L) - 32768L
+        peak = math.max(peak, math.abs(s)); ssq += s * s
+      }
+      assert(f === Multimodal.AudioFeatures(seed, n.toLong, 8000,
+        n.toLong * 1000 / 8000, peak, ssq), s"seed $seed")
+    }
+  }
+
+  test("parseWav: chunk walk survives extra chunks; malformed payloads quarantine") {
+    val base = Multimodal.syntheticWav(5L)
+    // splice a LIST chunk (9 bytes payload -> word-aligned to 10)
+    // between fmt and data: a fixed-offset parser would misread it
+    val listChunk = java.nio.ByteBuffer.allocate(8 + 10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(9)
+      .put(Array.fill[Byte](10)(0x55)).array()
+    val spliced = base.take(36) ++ listChunk ++ base.drop(36)
+    // fix the RIFF size field
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val f = Multimodal.parseWav(5L, spliced)
+    assert(f === Multimodal.parseWav(5L, base).copy(media_id = 5L),
+      "extra chunk must not change decoded statistics")
+
+    val q = Multimodal.AudioFeatures(9L, 0L, 0, 0L, 0L, 0L)
+    assert(Multimodal.parseWav(9L, null) === q)
+    assert(Multimodal.parseWav(9L, "RIFFxxxx".getBytes) === q)
+    assert(Multimodal.parseWav(9L, base.take(30)) === q, "truncated header")
+    // stereo is out of contract -> quarantine, not garbage stats
+    val stereo = base.clone()
+    java.nio.ByteBuffer.wrap(stereo)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(22, 2)
+    assert(Multimodal.parseWav(9L, stereo) === q)
+    // non-PCM format code
+    val alaw = base.clone()
+    java.nio.ByteBuffer.wrap(alaw)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(20, 6)
+    assert(Multimodal.parseWav(9L, alaw) === q)
+  }
+
   test("sampleFrames: explode covers the payload in byte-range steps") {
     val frames = Multimodal.sampleFrames(media.where("media_id = 3"), everyNBytes = 64)
     assert(frames.count() === 5) // ceil(300/64) = 5 frames (0..4)
