@@ -278,11 +278,15 @@ object Multimodal {
       }(enc)
   }
 
-  private[pipeline] def parseWav(id: Long, b: Array[Byte]): AudioFeatures = {
-    val quarantine = AudioFeatures(id, 0L, 0, 0L, 0L, 0L)
+  /** The chunk-walk parser itself: (sample_rate, PCM samples) for a
+    * well-formed PCM-16 mono RIFF/WAVE payload, None otherwise.
+    * Shared by [[decodeAudioFeatures]] and [[audioSegments]] so both
+    * operators judge "decodable" identically.
+    */
+  private[pipeline] def parseWavPcm(b: Array[Byte]): Option[(Int, Array[Short])] = {
     if (b == null || b.length < 12 ||
       new String(b, 0, 4, "US-ASCII") != "RIFF" ||
-      new String(b, 8, 4, "US-ASCII") != "WAVE") return quarantine
+      new String(b, 8, 4, "US-ASCII") != "WAVE") return None
     val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var pos = 12
     var sampleRate = 0; var channels = 0; var bits = 0
@@ -290,34 +294,135 @@ object Multimodal {
     while (pos + 8 <= b.length) {
       val cid = new String(b, pos, 4, "US-ASCII")
       val clen = bb.getInt(pos + 4)
-      if (clen < 0 || pos + 8 + clen > b.length) return quarantine
+      if (clen < 0 || pos + 8 + clen > b.length) return None
       cid match {
         case "fmt " =>
-          if (clen < 16) return quarantine
+          if (clen < 16) return None
           val fmt = bb.getShort(pos + 8).toInt
           channels = bb.getShort(pos + 10).toInt
           sampleRate = bb.getInt(pos + 12)
           bits = bb.getShort(pos + 22).toInt
-          if (fmt != 1) return quarantine // PCM only
+          if (fmt != 1) return None // PCM only
         case "data" => dataOff = pos + 8; dataLen = clen
         case _ => () // skip unknown chunks (LIST, fact, ...)
       }
       pos += 8 + clen + (clen & 1) // chunks are word-aligned
     }
     if (sampleRate <= 0 || channels != 1 || bits != 16 || dataOff < 0)
-      return quarantine
+      return None
     val n = dataLen / 2
-    var peak = 0L; var ssq = 0L
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) { samples(i) = bb.getShort(dataOff + i * 2); i += 1 }
+    Some((sampleRate, samples))
+  }
+
+  private[pipeline] def parseWav(id: Long, b: Array[Byte]): AudioFeatures =
+    parseWavPcm(b) match {
+      case None => AudioFeatures(id, 0L, 0, 0L, 0L, 0L)
+      case Some((rate, samples)) =>
+        var peak = 0L; var ssq = 0L
+        var i = 0
+        while (i < samples.length) {
+          val s = samples(i).toLong
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          ssq += s * s
+          i += 1
+        }
+        AudioFeatures(id, samples.length.toLong, rate,
+          samples.length.toLong * 1000L / rate, peak, ssq)
+    }
+
+  /** Speech-shaped WAV fixture: [[syntheticWav]]'s header and sample
+    * formula, but samples are ZERO inside "silence" regions — region
+    * r (120 samples) is silent iff (seed + r) % 3 == 0, and
+    * n = 960 + (seed % 7) * 120 (so n is NOT always a multiple of
+    * the 80-sample analysis window — the partial-window path is
+    * always exercised somewhere in the corpus).
+    */
+  def syntheticSpeechWav(seed: Long): Array[Byte] = {
+    val n = (960 + java.lang.Math.floorMod(seed, 7L) * 120).toInt
+    val sampleRate = 8000
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < n) {
-      val s = bb.getShort(dataOff + i * 2).toLong
-      val a = math.abs(s)
-      if (a > peak) peak = a
-      ssq += s * s
+      val silent = java.lang.Math.floorMod(seed + i / 120, 3L) == 0
+      bb.putShort(
+        if (silent) 0.toShort
+        else (java.lang.Math.floorMod(seed * 31 + i.toLong * 17, 65536L) - 32768L).toShort)
       i += 1
     }
-    AudioFeatures(id, n.toLong, sampleRate,
-      n.toLong * 1000L / sampleRate, peak, ssq)
+    bb.array()
+  }
+
+  /** Silence/energy SEGMENTATION — the VAD-style preprocessing a
+    * speech-data pipeline runs before transcription or filtering:
+    * fixed windows of `windowSamples`, window energy = Σ s² (exact
+    * BIGINT), silent iff energy < `silenceThreshold`, consecutive
+    * same-class windows merged into segments. One row per segment:
+    * (media_id, seg_idx, silent, start_ms, end_ms, n_windows,
+    * energy). The final partial window keeps its true end time.
+    *
+    * Scale shape: per-payload, entirely inside the scan task (the
+    * samples never leave it — segments are a handful of integer
+    * rows per media); the merge is a linear walk, no window
+    * functions, no shuffle. Undecodable payloads emit no segments
+    * (the features operator is the quarantine reporter; a segmenter
+    * emitting fake "silence" for broken payloads would feed a
+    * cutter garbage).
+    */
+  case class AudioSegment(media_id: Long, seg_idx: Int, silent: Boolean,
+      start_ms: Long, end_ms: Long, n_windows: Long, energy: Long)
+
+  def audioSegments(media: DataFrame, windowSamples: Int = 80,
+      silenceThreshold: Long = 1000L,
+      idCol: String = "media_id", payloadCol: String = "payload"): Dataset[AudioSegment] = {
+    require(windowSamples > 0, s"windowSamples=$windowSamples must be positive")
+    val enc = Encoders.product[AudioSegment]
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        parseWavPcm(r.getAs[Array[Byte]](1)) match {
+          case None => Iterator.empty
+          case Some((rate, samples)) =>
+            val n = samples.length
+            val nWin = (n + windowSamples - 1) / windowSamples
+            val segs = scala.collection.mutable.ArrayBuffer.empty[AudioSegment]
+            var w = 0
+            var segStart = 0; var segEnergy = 0L; var segSilent = false
+            var segWindows = 0L
+            def flush(endW: Int): Unit = if (segWindows > 0) {
+              val endSample = math.min(endW * windowSamples, n)
+              segs += AudioSegment(id, segs.length + 1, segSilent,
+                segStart.toLong * windowSamples * 1000L / rate,
+                endSample.toLong * 1000L / rate, segWindows, segEnergy)
+            }
+            while (w < nWin) {
+              var e = 0L
+              var i = w * windowSamples
+              val end = math.min(i + windowSamples, n)
+              while (i < end) { val s = samples(i).toLong; e += s * s; i += 1 }
+              val silent = e < silenceThreshold
+              if (segWindows == 0 || silent != segSilent) {
+                flush(w)
+                segStart = w; segSilent = silent; segEnergy = 0L; segWindows = 0L
+              }
+              segEnergy += e; segWindows += 1
+              w += 1
+            }
+            flush(nWin)
+            segs.iterator
+        }
+      }(enc)
   }
 
   /** Content-level signatures of decoded IMAGES:

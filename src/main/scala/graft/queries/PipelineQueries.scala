@@ -1704,6 +1704,54 @@ object PipelineQueries {
              |       CAST(sum(v*v) AS BIGINT) AS sum_squares
              |FROM s GROUP BY doc_id, ns""".stripMargin)),
 
+    // Silence/energy segmentation (the VAD preprocessing a speech
+    // pipeline runs): real WAV bytes with planted zero-sample
+    // regions, fixed 80-sample windows, exact BIGINT energies,
+    // consecutive same-class windows merged in the scan task. The
+    // oracle recomputes every sample from the generator formula and
+    // rebuilds the segments with a gaps-and-islands window — a
+    // structurally different merge that must agree row-for-row.
+    // Regions (120) deliberately misalign with windows (80), and
+    // n % 80 != 0 for most docs — boundary and partial-window paths
+    // live in the gate, not just the spec.
+    QueryDef("mm12_audio_segments",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(ids => ids.map(id =>
+            (id, Multimodal.syntheticSpeechWav(id))))
+          .toDF("media_id", "payload")
+        Multimodal.audioSegments(media).toDF()
+      },
+      Some("""WITH n AS (SELECT doc_id,
+             |              CAST(960 + (doc_id % 7) * 120 AS BIGINT) AS ns
+             |           FROM documents),
+             |smp AS (SELECT doc_id, ns, i,
+             |          CASE WHEN (doc_id + (i // 120)) % 3 = 0 THEN 0
+             |               ELSE ((doc_id*31 + i*17) % 65536) - 32768
+             |          END AS v
+             |        FROM (SELECT doc_id, ns, unnest(range(ns)) AS i FROM n)),
+             |win AS (SELECT doc_id, ns, i // 80 AS w, sum(v*v) AS energy
+             |        FROM smp GROUP BY doc_id, ns, i // 80),
+             |fl AS (SELECT doc_id, ns, w, energy,
+             |              (energy < 1000) AS silent FROM win),
+             |isl AS (SELECT *, w - row_number() OVER (
+             |                 PARTITION BY doc_id, silent ORDER BY w) AS g
+             |        FROM fl),
+             |seg AS (SELECT doc_id, ns, silent, min(w) AS w0, max(w) AS w1,
+             |               CAST(count(*) AS BIGINT) AS n_windows,
+             |               CAST(sum(energy) AS BIGINT) AS energy
+             |        FROM isl GROUP BY doc_id, ns, silent, g)
+             |SELECT doc_id AS media_id,
+             |       CAST(row_number() OVER (PARTITION BY doc_id
+             |              ORDER BY w0) AS INT) AS seg_idx,
+             |       silent,
+             |       CAST(w0 * 80 * 1000 // 8000 AS BIGINT) AS start_ms,
+             |       CAST(least((w1 + 1) * 80, ns) * 1000 // 8000 AS BIGINT)
+             |         AS end_ms,
+             |       n_windows, energy
+             |FROM seg""".stripMargin)),
+
     // Perceptual near-dup PAIRS: dHash signatures through the real
     // codec, candidates from the 4x16-bit chunk banding (the p09
     // SimHash machinery generalized to any 64-bit fingerprint —

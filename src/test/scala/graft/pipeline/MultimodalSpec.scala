@@ -309,6 +309,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWav(9L, alaw) === q)
   }
 
+  test("audioSegments: hand-derived merge incl. region/window misalignment and partial tail") {
+    // seed 0: n=960 (12 windows), regions 0/3/6 silent ->
+    // windows {0},{5},{9} fully silent, boundary windows voiced;
+    // segments alternate starting silent, 6 total, 10 ms per window
+    val m0 = Seq((0L, Multimodal.syntheticSpeechWav(0L)))
+      .toDF("media_id", "payload")
+    val segs0 = Multimodal.audioSegments(m0).collect().sortBy(_.seg_idx)
+    assert(segs0.map(s => (s.seg_idx, s.silent, s.start_ms, s.end_ms)).toSeq ===
+      Seq((1, true, 0L, 10L), (2, false, 10L, 50L), (3, true, 50L, 60L),
+        (4, false, 60L, 90L), (5, true, 90L, 100L), (6, false, 100L, 120L)))
+    assert(segs0.filter(_.silent).forall(_.energy === 0L))
+    assert(segs0.map(_.n_windows).sum === 12L)
+
+    // seed 1: n=1080 -> 14 windows, last only 40 samples; region 8
+    // ([960,1080)) is silent, so the tail segment is silent and its
+    // end time is the TRUE sample end (135 ms), not a window multiple
+    val m1 = Seq((1L, Multimodal.syntheticSpeechWav(1L)))
+      .toDF("media_id", "payload")
+    val segs1 = Multimodal.audioSegments(m1).collect().sortBy(_.seg_idx)
+    val last = segs1.last
+    assert(last.silent && last.end_ms === 135L && last.energy === 0L)
+    assert(segs1.map(_.n_windows).sum === 14L)
+
+    // undecodable payloads emit NO segments (features is the
+    // quarantine reporter)
+    val junk = Seq((9L, "not audio".getBytes)).toDF("media_id", "payload")
+    assert(Multimodal.audioSegments(junk).count() === 0L)
+  }
+
   test("sampleFrames: explode covers the payload in byte-range steps") {
     val frames = Multimodal.sampleFrames(media.where("media_id = 3"), everyNBytes = 64)
     assert(frames.count() === 5) // ceil(300/64) = 5 frames (0..4)
