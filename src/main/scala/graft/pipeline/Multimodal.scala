@@ -528,6 +528,122 @@ object Multimodal {
       .select(col("media_id"), col("group_rep"))
   }
 
+  /** Composed media curation — the multimodal face of the p93/p109
+    * composed pipelines: decode → content-level dedup → resize, with
+    * a per-stage yield report (the artifact a data owner reads):
+    * (stage_order, stage, n_media, n_pixels).
+    *
+    *  - raw: input count (n_pixels NULL — nothing decoded yet)
+    *  - decoded: payloads the codec accepts, with their true pixel
+    *    volume
+    *  - content_deduped: one representative per decoded CONTENT
+    *    (pixel_md5 group minimum — transcodes collapse)
+    *  - resized: the curated set through the real resampler at
+    *    (targetW, targetH); pixel volume is exact by construction
+    *
+    * Scale shape: ONE decode pass serves stages 2-3 (the narrow
+    * signature frame — 4 columns, no payloads — is persisted for its
+    * two consumers); the resize pass decodes only the SURVIVORS
+    * (dedup before expensive work — the whole point of the
+    * composition order). Payload bytes cross an exchange exactly
+    * once: the semi-join that selects surviving payloads for resize.
+    */
+  def mediaCurationReport(media: DataFrame, targetW: Int, targetH: Int,
+      idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    val sigs = pixelSignatures(media, idCol, payloadCol).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val decoded = sigs.where(col("width") > 0)
+      val reps = decoded.groupBy(col("pixel_md5"))
+        .agg(min(col("media_id")).as("media_id"),
+          max(col("width") * col("height")).as("__px"))
+      val kept = media.select(col(idCol).cast("long").as("media_id"),
+          col(payloadCol).as("payload"))
+        .join(broadcast(reps.select(col("media_id"))), Seq("media_id"),
+          "left_semi")
+      val resized = resizeImage(kept, targetW, targetH).toDF()
+      def stage(order: Int, name: String, d: DataFrame,
+          px: org.apache.spark.sql.Column): DataFrame =
+        d.agg(count(lit(1)).as("n_media"), px.as("n_pixels"))
+          .select(lit(order).as("stage_order"), lit(name).as("stage"),
+            col("n_media"), col("n_pixels"))
+      val report = stage(1, "raw",
+          media.select(col(idCol)), lit(null).cast("long"))
+        .unionAll(stage(2, "decoded", decoded,
+          sum(col("width").cast("long") * col("height")).cast("long")))
+        .unionAll(stage(3, "content_deduped", reps,
+          sum(col("__px").cast("long")).cast("long")))
+        .unionAll(stage(4, "resized", resized,
+          (count(lit(1)) * targetW * targetH).cast("long")))
+      // materialize before unpersisting the shared signature frame
+      val rows = report.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), report.schema)
+    } finally sigs.unpersist()
+  }
+
+  /** Frame-container extraction — MJPEG-shaped video plumbing: the
+    * payload is a sequence of [int32-LE length][JPEG frame] records
+    * (each frame REAL image bytes), exploded to one row per frame in
+    * the scan task. Malformed containers emit the frames that parsed
+    * cleanly before the corruption point (a torn tail must not void
+    * the leading frames); compose with [[decodeFeatures]] /
+    * [[resizeImage]] for per-frame work — the same operators images
+    * use, which is the point of the container seam.
+    */
+  case class MediaFrame(media_id: Long, frame_idx: Int,
+      frame_payload: Array[Byte])
+
+  def extractFrames(media: DataFrame,
+      idCol: String = "media_id", payloadCol: String = "payload"): Dataset[MediaFrame] = {
+    val enc = Encoders.product[MediaFrame]
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[MediaFrame]
+        if (b != null) {
+          val bb = java.nio.ByteBuffer.wrap(b)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var pos = 0
+          var idx = 0
+          var ok = true
+          while (ok && pos + 4 <= b.length) {
+            val len = bb.getInt(pos)
+            if (len <= 0 || pos + 4 + len > b.length) ok = false
+            else {
+              out += MediaFrame(id, idx,
+                java.util.Arrays.copyOfRange(b, pos + 4, pos + 4 + len))
+              idx += 1
+              pos += 4 + len
+            }
+          }
+        }
+        out.iterator
+      }(enc)
+  }
+
+  /** Deterministic frame-container fixture: k = 2 + seed % 3 JPEG
+    * frames, frame j a [[syntheticJpeg]] of seed*7+j with dims
+    * (8 + (seed+j) % 8, 8 + (seed+j) % 5) — geometry survives the
+    * lossy codec exactly, so a SQL oracle pins every frame's decoded
+    * dims from the seed alone.
+    */
+  def syntheticFrameContainer(seed: Long): Array[Byte] = {
+    val k = (2 + java.lang.Math.floorMod(seed, 3L)).toInt
+    val frames = (0 until k).map { j =>
+      syntheticJpeg(seed * 7 + j,
+        w = (8 + java.lang.Math.floorMod(seed + j, 8L)).toInt,
+        h = (8 + java.lang.Math.floorMod(seed + j, 5L)).toInt)
+    }
+    val total = frames.map(f => 4 + f.length).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
   /** Distributed decode: one decoder instance per partition (codecs
     * are expensive to init), rows streamed through it — the Scala
     * analog of `mapInPandas` batch processing. Narrow (no shuffle);

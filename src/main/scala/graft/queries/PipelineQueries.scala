@@ -1704,6 +1704,59 @@ object PipelineQueries {
              |       CAST(sum(v*v) AS BIGINT) AS sum_squares
              |FROM s GROUP BY doc_id, ns""".stripMargin)),
 
+    // Composed media curation (the multimodal p93): decode ->
+    // content dedup -> resize with a per-stage yield report. One
+    // decode pass serves stages 2-3; resize decodes only survivors
+    // (dedup BEFORE the expensive pass — the composition order is
+    // the operator). Oracle: every count and pixel volume closed-form
+    // in doc_id (50 planted classes, 144 px per resized survivor).
+    QueryDef("mm13_media_pipeline",
+      (s, dir) => Multimodal.mediaCurationReport(
+        crossFormatMediaForStreaming(s, dir), targetW = 12, targetH = 12),
+      Some("""WITH px AS (SELECT doc_id,
+             |              (8 + (doc_id % 50) % 8) * (8 + (doc_id % 50) % 5) AS p
+             |            FROM documents),
+             |cls AS (SELECT DISTINCT doc_id % 50 AS c,
+             |              (8 + (doc_id % 50) % 8) * (8 + (doc_id % 50) % 5) AS p
+             |        FROM documents)
+             |SELECT 1 AS stage_order, 'raw' AS stage,
+             |       CAST(count(*) AS BIGINT) AS n_media,
+             |       CAST(NULL AS BIGINT) AS n_pixels FROM documents
+             |UNION ALL SELECT 2, 'decoded', CAST(count(*) AS BIGINT),
+             |       CAST(sum(p) AS BIGINT) FROM px
+             |UNION ALL SELECT 3, 'content_deduped', CAST(count(*) AS BIGINT),
+             |       CAST(sum(p) AS BIGINT) FROM cls
+             |UNION ALL SELECT 4, 'resized', CAST(count(*) AS BIGINT),
+             |       CAST(count(*) * 144 AS BIGINT) FROM cls""".stripMargin)),
+
+    // MJPEG-shaped frame container: [int32-LE len][JPEG frame]*
+    // records exploded in-scan, every frame decoded through the real
+    // codec — video as "container seam + the image operators". JPEG
+    // preserves geometry exactly, so the oracle pins every frame's
+    // decoded dims from the seed; the composite id (media*4 + frame,
+    // k <= 4) threads frame identity through the single-id decoder.
+    QueryDef("mm14_frame_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(ids => ids.map(id =>
+            (id, Multimodal.syntheticFrameContainer(id))))
+          .toDF("media_id", "payload")
+        val frames = Multimodal.extractFrames(media).toDF()
+          .select((col("media_id") * 4 + col("frame_idx")).as("media_id"),
+            col("frame_payload").as("payload"))
+        Multimodal.decodeFeatures(frames, Multimodal.ImageIoDecoder).toDF()
+          .select(expr("media_id div 4").cast("long").as("media_id"),
+            (col("media_id") % 4).cast("int").as("frame_idx"),
+            col("width"), col("height"))
+      },
+      Some("""WITH f AS (SELECT doc_id, unnest(range(2 + doc_id % 3)) AS j
+             |           FROM documents)
+             |SELECT doc_id AS media_id, CAST(j AS INT) AS frame_idx,
+             |       CAST(8 + (doc_id + j) % 8 AS INTEGER) AS width,
+             |       CAST(8 + (doc_id + j) % 5 AS INTEGER) AS height
+             |FROM f""".stripMargin)),
+
     // Silence/energy segmentation (the VAD preprocessing a speech
     // pipeline runs): real WAV bytes with planted zero-sample
     // regions, fixed 80-sample windows, exact BIGINT energies,

@@ -338,6 +338,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioSegments(junk).count() === 0L)
   }
 
+  test("extractFrames: container walk, torn tail keeps leading frames, junk empty") {
+    val f0 = Multimodal.syntheticJpeg(1L, 8, 8)
+    val f1 = Multimodal.syntheticJpeg(2L, 9, 10)
+    def container(frames: Array[Byte]*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(frames.map(4 + _.length).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array()
+    }
+    val good = container(f0, f1)
+    // torn: second frame's declared length overruns the payload
+    val torn = good.take(4 + f0.length + 4 + f1.length / 2)
+    val rows = Seq((1L, good), (2L, torn), (3L, "junk".getBytes),
+      (4L, Array.empty[Byte]))
+      .toDF("media_id", "payload")
+    val got = Multimodal.extractFrames(rows).collect()
+      .groupBy(_.media_id).map { case (k, v) => k -> v.map(_.frame_idx).sorted.toSeq }
+    assert(got === Map(1L -> Seq(0, 1), 2L -> Seq(0)))
+    // extracted frames are the original bytes (decodable downstream)
+    val frame1 = Multimodal.extractFrames(rows).collect()
+      .find(f => f.media_id == 1L && f.frame_idx == 1).get
+    assert(java.util.Arrays.equals(frame1.frame_payload, f1))
+  }
+
+  test("mediaCurationReport: dedup before resize, exact stage yields") {
+    // 6 media, 2 content classes (PNG+BMP transcodes), 1 junk:
+    // raw 7, decoded 6, content_deduped 2, resized 2
+    val rows = Seq(
+      (1L, Multimodal.syntheticPng(7L, 10, 10)),
+      (2L, Multimodal.syntheticBmp(7L, 10, 10)),
+      (3L, Multimodal.syntheticPng(7L, 10, 10)),
+      (4L, Multimodal.syntheticPng(8L, 6, 4)),
+      (5L, Multimodal.syntheticBmp(8L, 6, 4)),
+      (6L, Multimodal.syntheticBmp(8L, 6, 4)),
+      (9L, "junk".getBytes)).toDF("media_id", "payload")
+    val rep = Multimodal.mediaCurationReport(rows, 3, 3).collect()
+      .map(r => r.getAs[Int]("stage_order") ->
+        (r.getAs[String]("stage"), r.getAs[Long]("n_media"),
+          Option(r.get(r.fieldIndex("n_pixels"))).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(rep(1) === (("raw", 7L, None)))
+    assert(rep(2) === (("decoded", 6L, Some(100L * 3 + 24L * 3))))
+    assert(rep(3) === (("content_deduped", 2L, Some(124L))))
+    assert(rep(4) === (("resized", 2L, Some(18L))))
+  }
+
   test("sampleFrames: explode covers the payload in byte-range steps") {
     val frames = Multimodal.sampleFrames(media.where("media_id = 3"), everyNBytes = 64)
     assert(frames.count() === 5) // ceil(300/64) = 5 frames (0..4)
