@@ -126,4 +126,63 @@ object Contamination {
       .select(col("doc_id"), col("n_fps"), col("n_fp_hits"),
         (col("n_fp_hits") / col("n_fps")).as("fp_contamination"))
   }
+
+  /** SURGICAL decontamination — mask, don't drop: excise exactly the
+    * tokens covered by a benchmark-overlapping n-gram and keep the
+    * rest of the document (the Llama-family alternative to
+    * [[decontaminate]]'s whole-doc drop — dropping a 50k-token page
+    * over one quoted benchmark sentence wastes the other 49k
+    * tokens). A token survives iff NO contaminated n-gram's window
+    * covers its position.
+    *
+    * Output: one row per input doc — (doc_id, n_tokens, n_removed,
+    * clean_text), clean_text the surviving tokens joined by a single
+    * space in original order ('' when everything was covered or the
+    * doc was empty). Whitespace is NOT preserved byte-for-byte — the
+    * operator is a token-grain cleaner, the same canonicalization
+    * contract as [[TextAnalysis.cleanText]].
+    *
+    * Scale shape: benchmark grams ride the usual DISTINCT broadcast;
+    * corpus work is (doc_id, pos, token-gram) grain with the covered
+    * set derived by exploding each HIT's n positions (hits × n rows,
+    * bounded by contamination volume, not corpus size); the one
+    * text-carrying exchange is the per-doc reassembly (the
+    * [[Lines]]/[[Spans]] reconstruction floor).
+    */
+  def exciseOverlaps(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = corpus.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchSh = Dedup.wordShingles(benchmark, n, textCol, idCol)
+      .select("shingle").distinct()
+    // gram starting at pos covers pos..pos+n-1; WordNGrams emits
+    // gram i from token position i, so posexplode of the gram array
+    // IS the start position
+    val gramStarts = corpus.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.NGramFunctions.wordNGrams(
+        TextAnalysis.tokens(col(textCol)), n)).as(Seq("pos", "shingle")))
+    val covered = gramStarts
+      .join(broadcast(benchSh), Seq("shingle"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    val counts = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val out = corpus.select(col(idCol).as("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    out
+  }
 }

@@ -37,6 +37,30 @@ class ContaminationSpec extends SparkSpec {
     assert(kept.toSeq === Seq(2L, 4L))
   }
 
+  test("exciseOverlaps removes exactly the covered token windows") {
+    val got = Contamination.exciseOverlaps(corpus, benchmark, n = 5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    // doc 1: grams "the quick brown fox jumps" (pos 0) and "quick
+    // brown fox jumps over" (pos 1) hit -> union covers pos 0..5
+    // ("the quick brown fox jumps over"); "the lazy dog today" stays
+    assert(got(1L) === ((10L, 6L, "the lazy dog today")))
+    // doc 3: gram at pos 0 covers 0..4; the tail survives
+    assert(got(3L) === ((10L, 5L, "and over again and again")))
+    // untouched and too-short docs pass through whole
+    assert(got(2L)._2 === 0L)
+    assert(got(2L)._3 === "completely novel words nothing shared here at all ok")
+    assert(got(4L) === ((2L, 0L, "short doc")))
+    // full coverage -> empty string, not a dropped row
+    val tiny = Seq((7L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val all = Contamination.exciseOverlaps(tiny, benchmark, n = 5)
+      .collect().head
+    assert(all.getAs[Long]("n_removed") === 5L)
+    assert(all.getAs[String]("clean_text") === "")
+  }
+
   test("overlap counts distinct shingles, not occurrences") {
     val c = Seq((1L, "a b c d e a b c d e a b c d e")).toDF("doc_id", "text")
     val b = Seq((9L, "x a b c d e y")).toDF("doc_id", "text")
