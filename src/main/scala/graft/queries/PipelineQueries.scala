@@ -920,38 +920,7 @@ object PipelineQueries {
           docs.where(col("doc_id") % 50 =!= 0),
           docs.where(col("doc_id") % 50 === 0), n = 4)
       },
-      Some("""WITH tk AS (SELECT doc_id,
-             |         list_filter(string_split_regex(trim(text), '\s+'),
-             |                     t -> t <> '') AS w
-             |       FROM documents),
-             |pos AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS tok
-             |        FROM (SELECT doc_id, w,
-             |                     unnest(range(1, len(w) + 1)) AS i FROM tk)),
-             |gr AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-             |              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
-             |       FROM (SELECT doc_id, w,
-             |                    unnest(range(1, len(w) - 2)) AS i FROM tk)),
-             |b AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 50 = 0),
-             |cov AS (SELECT DISTINCT g.doc_id, g.pos + ofs.o AS pos
-             |        FROM gr g JOIN b USING (gram)
-             |        CROSS JOIN (SELECT CAST(unnest(range(4)) AS INT) AS o) ofs
-             |        WHERE g.doc_id % 50 <> 0),
-             |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p
-             |         LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.pos = p.pos
-             |         WHERE p.doc_id % 50 <> 0 AND c.pos IS NULL),
-             |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-             |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
-             |        FROM kept GROUP BY doc_id),
-             |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
-             |       FROM pos WHERE doc_id % 50 <> 0 GROUP BY doc_id)
-             |SELECT d.doc_id,
-             |       coalesce(nt.n_tokens, 0) AS n_tokens,
-             |       coalesce(nt.n_tokens, 0) - coalesce(a.n_kept, 0)
-             |         AS n_removed,
-             |       coalesce(a.clean_text, '') AS clean_text
-             |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
-             |LEFT JOIN nt ON nt.doc_id = d.doc_id
-             |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin)),
+      Some(decontaminationExciseOracleSql)),
 
     QueryDef("p24_decontamination",
       (s, dir) => {
@@ -4731,6 +4700,44 @@ object PipelineQueries {
     * scorer's emission contract is the batch operator's, so one SQL
     * definition gates both).
     */
+  /** The p115 surgical-excision oracle — shared VERBATIM by the
+    * p115 batch gate and the st32 streaming gate (one definition for
+    * the coverage arithmetic, per the p24/st30 discipline).
+    */
+  private[queries] val decontaminationExciseOracleSql: String =
+    """WITH tk AS (SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'),
+      |                     t -> t <> '') AS w
+      |       FROM documents),
+      |pos AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS tok
+      |        FROM (SELECT doc_id, w,
+      |                     unnest(range(1, len(w) + 1)) AS i FROM tk)),
+      |gr AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+      |              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+      |       FROM (SELECT doc_id, w,
+      |                    unnest(range(1, len(w) - 2)) AS i FROM tk)),
+      |b AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 50 = 0),
+      |cov AS (SELECT DISTINCT g.doc_id, g.pos + ofs.o AS pos
+      |        FROM gr g JOIN b USING (gram)
+      |        CROSS JOIN (SELECT CAST(unnest(range(4)) AS INT) AS o) ofs
+      |        WHERE g.doc_id % 50 <> 0),
+      |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p
+      |         LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.pos = p.pos
+      |         WHERE p.doc_id % 50 <> 0 AND c.pos IS NULL),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |        FROM kept GROUP BY doc_id),
+      |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+      |       FROM pos WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(nt.n_tokens, 0) AS n_tokens,
+      |       coalesce(nt.n_tokens, 0) - coalesce(a.n_kept, 0)
+      |         AS n_removed,
+      |       coalesce(a.clean_text, '') AS clean_text
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+      |LEFT JOIN nt ON nt.doc_id = d.doc_id
+      |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+
   private[queries] val decontaminationOracleSql: String =
     """WITH tk AS (SELECT doc_id,
       |         list_filter(string_split_regex(trim(text), '\s+'),

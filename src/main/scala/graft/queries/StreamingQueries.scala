@@ -2262,6 +2262,45 @@ object StreamingQueries {
            |       CAST(false AS BOOLEAN) AS quarantined
            |FROM documents""".stripMargin))
 
+  /** st32: ONLINE surgical decontamination — the streaming twin of
+    * p115 on the st30 topology: the eval suite's 4-grams frozen and
+    * broadcast; each arriving doc masks exactly the covered token
+    * windows as a pure per-row function (no state, no shuffle). One
+    * row per doc (the cleaner's output IS the corpus), so the p115
+    * oracle gates it verbatim.
+    */
+  private def streamingExcise: QueryDef = QueryDef(
+    "st32_streaming_excise",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+      val corpus = docs.where(col("doc_id") % 50 =!= 0)
+      val bench = StreamingContamination.frozenBenchmark(
+        docs.where(col("doc_id") % 50 === 0), n = 4)
+
+      val schema = corpus.schema
+      val dirP = scratch("st32")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      corpus.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(stage)
+      corpus.where(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val qname = "st32_" + UUID.randomUUID().toString.replace("-", "")
+      val q = StreamingContamination.exciseStream(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .as[StreamingContamination.ContDoc],
+        bench, n = 4)(s)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
+      s.table(qname)
+    },
+    Some(PipelineQueries.decontaminationExciseOracleSql))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -2273,5 +2312,5 @@ object StreamingQueries {
       streamingRetrieval, streamingSequences, streamingAdmission,
       streamingPerplexity, streamingTokenBudget, streamingBatching,
       streamingIngestE2e, streamingOhlc, streamingDecontamination,
-      streamingPixelDedup)
+      streamingPixelDedup, streamingExcise)
 }

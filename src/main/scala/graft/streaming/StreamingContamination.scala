@@ -70,4 +70,46 @@ object StreamingContamination {
       }
     }(Encoders.product[ContScore])
   }
+
+  case class ExcisedDoc(doc_id: Long, n_tokens: Long, n_removed: Long,
+      clean_text: String)
+
+  /** Row-side mirror of
+    * [[graft.pipeline.Contamination.exciseOverlaps]]: excise exactly
+    * the tokens covered by a benchmark-shared n-gram window, keep
+    * the rest in order. Pure per-row function of (text, frozen
+    * benchmark) — the admission-time "mask, don't drop" cleaner. One
+    * row per document ALWAYS (unlike [[scoreStream]]'s hits-only
+    * contract: the cleaner's output IS the corpus), so the st32 gate
+    * replays the p115 oracle verbatim.
+    */
+  private[streaming] def exciseDoc(docId: Long, text: String, n: Int,
+      bench: Set[String]): ExcisedDoc = {
+    val toks = StreamingPerplexity.tokenize(text)
+    if (toks.length < n)
+      return ExcisedDoc(docId, toks.length.toLong, 0L, toks.mkString(" "))
+    val covered = new Array[Boolean](toks.length)
+    var i = 0
+    while (i + n <= toks.length) {
+      // allocation-light join of the window — same single-space
+      // convention as the batch shingles
+      val gram = toks.slice(i, i + n).mkString(" ")
+      if (bench.contains(gram)) {
+        var j = i
+        while (j < i + n) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    val kept = toks.indices.filterNot(covered)
+    ExcisedDoc(docId, toks.length.toLong,
+      (toks.length - kept.length).toLong,
+      kept.map(toks).mkString(" "))
+  }
+
+  def exciseStream(stream: Dataset[ContDoc], bench: Set[String], n: Int = 5)(
+      implicit spark: SparkSession): Dataset[ExcisedDoc] = {
+    val b = spark.sparkContext.broadcast(bench)
+    stream.map(d => exciseDoc(d.doc_id, d.text, n, b.value))(
+      Encoders.product[ExcisedDoc])
+  }
 }

@@ -73,6 +73,38 @@ class StreamingContaminationSpec extends SparkSpec {
     assert(shingles(null, 4) === Set.empty)
   }
 
+  test("exciseStream mirrors the batch excision row-for-row (one row per doc)") {
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val benchDf = bench.toDF("doc_id", "text")
+    val batch = graft.pipeline.Contamination
+      .exciseOverlaps(corpusDf, benchDf, n = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))
+      .sortBy(_._1)
+
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val frozen = frozenBenchmark(benchDf, n = 4)
+    val mem = MemoryStream[ContDoc]
+    val q = StreamingContamination.exciseStream(mem.toDS(), frozen, n = 4)
+      .writeStream.format("memory").queryName("exc_parity")
+      .outputMode("append").start()
+    mem.addData(corpus.take(3).map { case (id, t) => ContDoc(id, t) }: _*)
+    q.processAllAvailable()
+    mem.addData(corpus.drop(3).map { case (id, t) => ContDoc(id, t) }: _*)
+    q.processAllAvailable()
+    val got = spark.table("exc_parity").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))
+      .sortBy(_._1)
+    q.stop()
+
+    assert(got === batch)
+    // the cleaner emits EVERY doc — including clean, short and empty
+    assert(got.map(_._1).toSeq === corpus.map(_._1).sorted)
+  }
+
   test("frozen benchmark is the DISTINCT shingle set") {
     val frozen = frozenBenchmark(bench.toDF("doc_id", "text"), n = 4)
     val expected = bench.flatMap { case (_, t) => shingles(t, 4) }.toSet
