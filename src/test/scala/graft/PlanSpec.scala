@@ -711,4 +711,50 @@ class PlanSpec extends SparkSpec {
       assert(q.count() > 0)
     }
   }
+
+  test("pixel dedup: payload bytes never shuffle — only (md5, id) crosses an exchange") {
+    // the image-content dedup decision is made from 32-char hashes
+    // computed in the scan task; a plan that shuffles the payload
+    // column moves the entire image corpus over the wire
+    import spark.implicits._
+    val media = (0L until 64L).toDF("media_id")
+      .as[Long]
+      .mapPartitions(ids => ids.map(id =>
+        (id, pipeline.Multimodal.syntheticPng(id % 8, 8, 8))))
+      .toDF("media_id", "payload")
+    withNoAqe {
+      val q = pipeline.Multimodal.dedupByPixelHash(media)
+      val shuffled = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffled.nonEmpty, "expected at least one exchange")
+      shuffled.foreach { e =>
+        assert(!e.output.map(_.name).contains("payload"),
+          s"payload bytes flow through a shuffle:\n${e.treeString}")
+      }
+      assert(q.count() === 64L)
+    }
+  }
+
+  test("excision: coverage join shuffles (doc, pos) pairs; text moves at most once") {
+    val docs = Tables.documents(spark, dir)
+    withNoAqe {
+      val q = pipeline.Contamination.exciseOverlaps(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), n = 4)
+      val shuffled = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffled.nonEmpty, "expected at least one exchange")
+      // benchmark grams must ride a broadcast, not a shuffle join
+      assert(q.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"), "benchmark side not broadcast")
+      val textShuffles = shuffled.count { e =>
+        val n = e.output.map(_.name)
+        n.contains("text") || n.contains("clean_text")
+      }
+      assert(textShuffles <= 1, s"text shuffles $textShuffles times")
+      assert(q.count() > 0)
+    }
+  }
 }
