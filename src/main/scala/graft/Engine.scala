@@ -68,6 +68,14 @@ object Engine {
     // externally-built sessions (Verify/Bench) miss the withExtensions
     // hook — register graft's SQL functions in place
     graft.functions.GraftFunctions.register(spark)
+    // ... and the MV-navigation optimizer rule (extraOptimizations is
+    // the post-build injection point; idempotent across configure
+    // calls, dormant while MvCatalog is empty)
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.AggregateRewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          new graft.plans.AggregateRewriteRule
     spark
   }
 }

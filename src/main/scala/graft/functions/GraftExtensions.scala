@@ -17,6 +17,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // materialized-aggregate navigation (dormant while MvCatalog is
+    // empty — see graft.plans.MaterializedAggregate)
+    ext.injectOptimizerRule(_ => new graft.plans.AggregateRewriteRule)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       GraftFunctions.vecDotInfo,

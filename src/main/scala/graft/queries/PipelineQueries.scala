@@ -906,6 +906,66 @@ object PipelineQueries {
     // 4-gram with the held-out "benchmark" slice (doc_id % 50 == 0 —
     // a deterministic eval-set stand-in). The benchmark shingle set is
     // broadcast in the engine; corpus text never shuffles.
+    // Materialized-aggregate navigation: the engine's first
+    // OPTIMIZER rule — a (returnflag, linestatus) rollup of lineitem
+    // registered, then a subset-group query (filter on a grouping
+    // column, SUM/COUNT/MIN/MAX/AVG) that the rule must redirect to
+    // the rollup. The gate REFUSES to pass on a fact-table scan
+    // (plan checked before materialization), and the hash oracle
+    // computes from the BASE table — so the re-aggregation algebra
+    // must be exact (l_quantity is integral-valued: re-associated
+    // sums are bit-identical). Catalog scoped to the gate.
+    QueryDef("p116_mv_rewrite",
+      (s, dir) => {
+        val basePath = s"$dir/lineitem.parquet"
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_mv")
+        val mvPath = mvDir.resolve("mv.parquet").toString
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          mvPath, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+        try {
+          val q = s.read.parquet(basePath)
+            .where(col("l_linestatus") === "F")
+            .groupBy(col("l_returnflag"))
+            .agg(sum("l_quantity").as("sum_qty"),
+              count(lit(1)).as("n_rows"),
+              min("l_quantity").as("min_qty"),
+              max("l_quantity").as("max_qty"),
+              avg("l_quantity").as("avg_qty"))
+          val scanned = q.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("mv.parquet")),
+            s"MV rewrite did not fire; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned: $scanned")
+          // materialize while the catalog is registered
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""SELECT l_returnflag,
+             |       SUM(l_quantity) AS sum_qty,
+             |       COUNT(*) AS n_rows,
+             |       MIN(l_quantity) AS min_qty,
+             |       MAX(l_quantity) AS max_qty,
+             |       AVG(l_quantity) AS avg_qty
+             |FROM lineitem
+             |WHERE l_linestatus = 'F'
+             |GROUP BY l_returnflag""".stripMargin)),
+
     // SURGICAL decontamination — mask, don't drop: excise exactly
     // the tokens covered by a benchmark-shared 4-gram, keep the rest
     // of the page (dropping a long doc over one quoted benchmark
