@@ -79,6 +79,16 @@ object MaterializedAggregate {
   def buildAndRegister(spark: SparkSession, basePath: String, mvPath: String,
       groupCols: Seq[String], measureCols: Seq[String]): MvDef = {
     build(spark, basePath, mvPath, groupCols, measureCols)
+    registerExisting(spark, basePath, mvPath, groupCols, measureCols)
+  }
+
+  /** Register an ALREADY-MATERIALIZED rollup — e.g. one maintained
+    * incrementally by [[graft.streaming.StreamingMvMaintenance]]
+    * (its `batch=` partial layout is navigable as-is: the rule
+    * re-aggregates, so per-batch partial rows fold back exactly).
+    */
+  def registerExisting(spark: SparkSession, basePath: String, mvPath: String,
+      groupCols: Seq[String], measureCols: Seq[String]): MvDef = {
     val plan = spark.read.parquet(mvPath).queryExecution.analyzed
     val d = MvDef(normalize(basePath), mvPath, groupCols, measureCols, plan)
     MvCatalog.register(d)

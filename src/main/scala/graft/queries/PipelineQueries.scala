@@ -956,15 +956,7 @@ object PipelineQueries {
           } catch { case _: java.io.IOException => () }
         }
       },
-      Some("""SELECT l_returnflag,
-             |       SUM(l_quantity) AS sum_qty,
-             |       COUNT(*) AS n_rows,
-             |       MIN(l_quantity) AS min_qty,
-             |       MAX(l_quantity) AS max_qty,
-             |       AVG(l_quantity) AS avg_qty
-             |FROM lineitem
-             |WHERE l_linestatus = 'F'
-             |GROUP BY l_returnflag""".stripMargin)),
+      Some(mvRewriteOracleSql)),
 
     // SURGICAL decontamination — mask, don't drop: excise exactly
     // the tokens covered by a benchmark-shared 4-gram, keep the rest
@@ -4797,6 +4789,21 @@ object PipelineQueries {
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
       |LEFT JOIN nt ON nt.doc_id = d.doc_id
       |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+
+  /** The p116 MV-navigation oracle (base-table arithmetic) — shared
+    * verbatim by the p116 batch gate and the st33
+    * incremental-maintenance gate.
+    */
+  private[queries] val mvRewriteOracleSql: String =
+    """SELECT l_returnflag,
+      |       SUM(l_quantity) AS sum_qty,
+      |       COUNT(*) AS n_rows,
+      |       MIN(l_quantity) AS min_qty,
+      |       MAX(l_quantity) AS max_qty,
+      |       AVG(l_quantity) AS avg_qty
+      |FROM lineitem
+      |WHERE l_linestatus = 'F'
+      |GROUP BY l_returnflag""".stripMargin
 
   private[queries] val decontaminationOracleSql: String =
     """WITH tk AS (SELECT doc_id,

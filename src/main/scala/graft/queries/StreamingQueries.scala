@@ -2301,6 +2301,70 @@ object StreamingQueries {
     },
     Some(PipelineQueries.decontaminationExciseOracleSql))
 
+  /** st33: INCREMENTAL materialized-view maintenance + navigation —
+    * the lineitem fact replayed as two micro-batches, each reduced
+    * to per-group partials in its own `batch=` partition
+    * ([[graft.streaming.StreamingMvMaintenance]]); the maintained
+    * rollup is then REGISTERED and the p116 query runs through the
+    * optimizer rule (the gate requires the rewrite to fire and the
+    * fact scan to disappear). Oracle: p116's base-table SQL verbatim
+    * — the partial fold across batches must reproduce the one-shot
+    * arithmetic exactly.
+    */
+  private def streamingMvMaintenance: QueryDef = QueryDef(
+    "st33_streaming_mv",
+    (s, dir) => {
+      val basePath = s"$dir/lineitem.parquet"
+      val facts = s.read.parquet(basePath)
+      val schema = facts.schema
+      val dirP = scratch("st33")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      val mvPath = dirP.resolve("mv.parquet").toString
+      facts.where(col("l_orderkey") % 2 === 0).coalesce(1).write.parquet(stage)
+      facts.where(col("l_orderkey") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val q0 = graft.streaming.StreamingMvMaintenance.maintainer(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage),
+        mvPath, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+        .option("checkpointLocation", ckpt).start()
+      try q0.awaitTermination() finally q0.stop()
+
+      graft.plans.MaterializedAggregate.registerExisting(
+        s, basePath, mvPath, Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity"))
+      try {
+        val q = s.read.parquet(basePath)
+          .where(col("l_linestatus") === "F")
+          .groupBy(col("l_returnflag"))
+          .agg(sum("l_quantity").as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            min("l_quantity").as("min_qty"),
+            max("l_quantity").as("max_qty"),
+            avg("l_quantity").as("avg_qty"))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(scanned.exists(_.contains("mv.parquet")),
+          s"maintained MV not navigated; scans: $scanned")
+        require(!scanned.exists(_.contains("lineitem.parquet")),
+          s"fact table still scanned: $scanned")
+        val rows = q.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+      } finally {
+        graft.plans.MvCatalog.clear()
+        deleteRecursively(dirP)
+      }
+    },
+    Some(PipelineQueries.mvRewriteOracleSql))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -2312,5 +2376,5 @@ object StreamingQueries {
       streamingRetrieval, streamingSequences, streamingAdmission,
       streamingPerplexity, streamingTokenBudget, streamingBatching,
       streamingIngestE2e, streamingOhlc, streamingDecontamination,
-      streamingPixelDedup, streamingExcise)
+      streamingPixelDedup, streamingExcise, streamingMvMaintenance)
 }

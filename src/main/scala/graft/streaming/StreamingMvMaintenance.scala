@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** Incremental materialized-view maintenance — the streaming
+  * companion of [[graft.plans.MaterializedAggregate]]: each
+  * micro-batch reduces to ONE partial-aggregate row per grouping
+  * combination it touches and commits them to the rollup's
+  * `batch=<id>` partition. Append-only IVM for the derivable algebra
+  * (SUM/COUNT partials are additive; MIN/MAX are monotone under
+  * inserts — deletes/updates are out of contract, exactly the
+  * append-only crawl/tick workloads the engine streams elsewhere).
+  *
+  * The maintained layout IS navigable by [[graft.plans.AggregateRewriteRule]]
+  * with zero changes: the rule re-aggregates the rollup anyway
+  * (SUM over sum_x, MIN over min_x, ...), so multiple partial rows
+  * per group — one per batch that touched it — fold back to the
+  * exact one-shot rollup. Maintenance cost per batch is
+  * O(groups touched), not O(rollup); nothing ever rewrites history.
+  *
+  * Failure semantics: same replay-idempotent `batch=` discipline as
+  * [[StreamingIndexDedup]] — a replayed micro-batch overwrites its
+  * own partition with identical rows (partials are a pure function
+  * of the batch), never double-counts.
+  */
+object StreamingMvMaintenance {
+
+  /** One micro-batch, replay-idempotent. */
+  def processBatch(batch: DataFrame, batchId: Long, mvPath: String,
+      groupCols: Seq[String], measureCols: Seq[String]): Unit = {
+    val aggs =
+      measureCols.flatMap(c => Seq(
+        sum(col(c)).as(s"sum_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("cnt")
+    batch.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(s"$mvPath/batch=$batchId")
+  }
+
+  /** Writer maintaining `mvPath` from a stream of fact rows. Caller
+    * sets the checkpoint location and starts it.
+    */
+  def maintainer(facts: DataFrame, mvPath: String,
+      groupCols: Seq[String], measureCols: Seq[String]): DataStreamWriter[org.apache.spark.sql.Row] =
+    facts.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, mvPath, groupCols, measureCols)
+      }
+      .trigger(Trigger.AvailableNow())
+}

@@ -93,6 +93,42 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
+  test("incrementally maintained MV: partial fold == one-shot rollup; replay idempotent") { withNoAqe {
+    MvCatalog.clear()
+    val facts = spark.read.parquet(base)
+    val incPath = java.nio.file.Files
+      .createTempDirectory("mv_inc").resolve("mv.parquet").toString
+    // two "micro-batches" + a REPLAY of batch 1 (must overwrite, not
+    // double-count)
+    val b0 = facts.where(col("g1") === "A")
+    val b1 = facts.where(col("g1") === "B")
+    graft.streaming.StreamingMvMaintenance.processBatch(
+      b0, 0L, incPath, Seq("g1", "g2"), Seq("qty"))
+    graft.streaming.StreamingMvMaintenance.processBatch(
+      b1, 1L, incPath, Seq("g1", "g2"), Seq("qty"))
+    graft.streaming.StreamingMvMaintenance.processBatch(
+      b1, 1L, incPath, Seq("g1", "g2"), Seq("qty"))
+
+    MaterializedAggregate.registerExisting(spark, base, incPath,
+      Seq("g1", "g2"), Seq("qty"))
+    try {
+      val q = spark.read.parquet(base).groupBy(col("g1"), col("g2"))
+        .agg(sum("qty").as("s"), count(lit(1)).as("n"),
+          min("qty").as("mn"), max("qty").as("mx"))
+      assert(scannedPaths(q).exists(_.contains("mv_inc")),
+        "maintained layout not navigated")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+        .toMap
+      assert(got === Map(
+        ("A", "x") -> ((30.0, 2L, 10.0, 20.0)),
+        ("A", "y") -> ((5.0, 1L, 5.0, 5.0)),
+        ("B", "x") -> ((7.0, 1L, 7.0, 7.0)),
+        ("B", "y") -> ((20.0, 2L, 9.0, 11.0))))
+    } finally MvCatalog.clear()
+  } }
+
   test("dormant catalog: rule is a no-op when nothing is registered") { withNoAqe {
     MvCatalog.clear()
     val q = spark.read.parquet(base).groupBy(col("g1"))
