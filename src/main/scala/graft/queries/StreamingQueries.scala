@@ -2365,6 +2365,90 @@ object StreamingQueries {
     },
     Some(PipelineQueries.mvRewriteOracleSql))
 
+  /** st34: the COMPOSED online MEDIA ingest chain
+    * ([[graft.streaming.StreamingMediaIngest]]) — the multimodal
+    * twin of st28: per-source admission quota → in-scan decode →
+    * index-wins content dedup vs the persistent hash index →
+    * features on keepers, one foreachBatch chain with versioned
+    * per-batch state. Fixture: the mm09 cross-format classes with
+    * source = id % 4, staged as ids < 250 then the rest — batch 1
+    * fills every source's quota (50 of 62-63 candidates), so batch 2
+    * exercises carried-counter rejection AND carried-index denial at
+    * once. Every verdict column is closed-form in doc_id: admitted =
+    * per-source rank ≤ 50, keepers = each class's minimal admitted
+    * id (= the class index), sums from the generator formulas.
+    */
+  private def streamingMediaIngest: QueryDef = QueryDef(
+    "st34_streaming_media_ingest",
+    (s, dir) => {
+      import s.implicits._
+      val media = PipelineQueries.crossFormatMediaForStreaming(s, dir)
+        .select(col("media_id"),
+          concat(lit("s"), (col("media_id") % 4).cast("string")).as("source"),
+          col("payload"))
+      val schema = media.schema
+      val dirP = scratch("st34")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      val out = dirP.resolve("out").toString
+      media.where(col("media_id") < 250).coalesce(1).write.parquet(stage)
+      media.where(col("media_id") >= 250).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val cfg = graft.streaming.StreamingMediaIngest.Config(
+        quotaPerSource = 50L, outPath = out)
+      val q = graft.streaming.StreamingMediaIngest.pipeline(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .as[graft.streaming.StreamingMediaIngest.MediaIn],
+        cfg)
+        .option("checkpointLocation", ckpt).start()
+      try q.awaitTermination() finally q.stop()
+
+      val outDf = s.read.parquet(out).select(
+        col("media_id"), col("source"), col("admitted"), col("keeper"),
+        col("quarantined"), col("width"), col("height"), col("sum_rgb"))
+      val outSchema = outDf.schema
+      val rows = outDf.collect()
+      deleteRecursively(dirP)
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), outSchema)
+    },
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+           |             's' || CAST(doc_id % 4 AS VARCHAR) AS source,
+           |             doc_id % 50 AS cls
+           |           FROM documents),
+           |adm AS (SELECT media_id, source, cls,
+           |          (row_number() OVER (PARTITION BY source
+           |             ORDER BY media_id) <= 50) AS admitted
+           |        FROM m),
+           |k AS (SELECT media_id FROM (
+           |        SELECT media_id,
+           |               min(media_id) OVER (PARTITION BY cls) AS mn
+           |        FROM adm WHERE admitted)
+           |      WHERE media_id = mn),
+           |dims AS (SELECT DISTINCT doc_id % 50 AS cls,
+           |                8 + (doc_id % 50) % 8 AS w,
+           |                8 + (doc_id % 50) % 5 AS h
+           |         FROM documents),
+           |px AS (SELECT cls, w, h,
+           |         CAST(sum(((cls*7 + (i % w)*3 + (i // w)*5) % 256)
+           |            + ((cls*11 + (i % w) + (i // w)*2) % 256)
+           |            + ((cls*13 + (i % w)*2 + (i // w)) % 256)) AS BIGINT)
+           |           AS s
+           |       FROM (SELECT cls, w, h, unnest(range(w * h)) AS i
+           |             FROM dims)
+           |       GROUP BY cls, w, h)
+           |SELECT a.media_id, a.source, a.admitted,
+           |       (k.media_id IS NOT NULL) AS keeper,
+           |       CAST(false AS BOOLEAN) AS quarantined,
+           |       CAST(px.w AS INTEGER) AS width,
+           |       CAST(px.h AS INTEGER) AS height,
+           |       CASE WHEN k.media_id IS NOT NULL THEN px.s
+           |            ELSE CAST(0 AS BIGINT) END AS sum_rgb
+           |FROM adm a
+           |LEFT JOIN k ON k.media_id = a.media_id
+           |JOIN px ON px.cls = a.cls""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -2376,5 +2460,6 @@ object StreamingQueries {
       streamingRetrieval, streamingSequences, streamingAdmission,
       streamingPerplexity, streamingTokenBudget, streamingBatching,
       streamingIngestE2e, streamingOhlc, streamingDecontamination,
-      streamingPixelDedup, streamingExcise, streamingMvMaintenance)
+      streamingPixelDedup, streamingExcise, streamingMvMaintenance,
+      streamingMediaIngest)
 }
