@@ -349,6 +349,109 @@ case class HyperLogLog(
     copy(child = newLeft, pExpr = newRight)
 }
 
+/** `hll_merge_agg(regs, p)` — AGGREGATE fold of [[HyperLogLog]]
+  * register arrays: elementwise max over the group's rows. The
+  * column-level pairwise [[SketchFunctions.hllMerge]] combines two
+  * sketches side-by-side; this is its N-row aggregate form — the one
+  * a materialized rollup needs, where each stored row carries the
+  * registers of one (group × batch) partial and a query
+  * re-aggregating a coarser grain must fold ALL of them.
+  *
+  * Exactness: register max is associative and commutative, so the
+  * fold is BIT-IDENTICAL to the one-shot [[HyperLogLog]] over the
+  * union of the underlying rows — which is what lets
+  * [[graft.plans.AggregateRewriteRule]] substitute it for the
+  * original sketch aggregate without changing a single output bit
+  * (digests and estimates layered above are pure projections of the
+  * registers).
+  *
+  * `p` pins the register count so an EMPTY group (global aggregate
+  * over zero rows) evaluates to the same 2^p zero registers the
+  * one-shot sketch would emit. Null arrays are skipped;
+  * shorter-than-2^p input arrays are a contract violation and fail
+  * loudly.
+  */
+case class HllMergeAgg(
+    child: Expression,
+    pExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with BinaryLike[Expression] {
+
+  def this(child: Expression, pExpr: Expression) = this(child, pExpr, 0, 0)
+
+  override def left: Expression = child
+  override def right: Expression = pExpr
+
+  private lazy val pOpt: Option[Int] =
+    if (!pExpr.foldable) None
+    else Option(pExpr.eval()).collect { case n: Number => n.intValue() }
+  private lazy val m: Int = 1 << pOpt.get
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hll_merge_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if pOpt.isEmpty =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: p must be a foldable integer")
+    case ArrayType(LongType, _) if pOpt.get < 2 || pOpt.get > 16 =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: p must be in [2, 16], got ${pOpt.get}")
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> registers, got ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == m,
+        s"$prettyName: register array has ${arr.numElements()} entries, " +
+          s"expected 2^p = $m")
+      var i = 0
+      while (i < m) {
+        val r = arr.getLong(i)
+        if (r > buf(i)) buf(i) = r.toByte
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < buf.length) {
+      if (other(i) > buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val arr = new Array[Long](buf.length)
+    var i = 0
+    while (i < buf.length) { arr(i) = buf(i).toLong; i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HllMergeAgg =
+    copy(child = newLeft, pExpr = newRight)
+}
+
 /** `reservoir_keys(rank, key, k)` — the k keys with the SMALLEST
   * (rank, key) pairs of a group, emitted in that order: the bounded
   * deterministic reservoir behind fixed-size sampling.
@@ -735,6 +838,15 @@ object SketchFunctions {
     * property). Pure array ops: roll daily sketches into monthly
     * without re-scanning a byte of the corpus.
     */
+  /** Aggregate fold of register arrays (one per row) — elementwise
+    * max; bit-identical to the one-shot sketch over the union. `p`
+    * pins the register count for the empty-group case.
+    */
+  def hllMergeAgg(regs: Column, p: Int): Column =
+    ColumnBridge.column(HllMergeAgg(
+      ColumnBridge.expression(regs),
+      ColumnBridge.expression(lit(p))).toAggregateExpression())
+
   def hllMerge(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => greatest(x, y))
 

@@ -583,6 +583,61 @@ object Multimodal {
     } finally sigs.unpersist()
   }
 
+  /** Image–text PAIR curation — the LAION/CLIP-filter pipeline shape
+    * over (image payload, caption) pairs, the unit a multimodal
+    * training set is actually built from:
+    *
+    *  1. decode the image through the real codec (one
+    *     [[pixelSignatures]] pass; undecodable payloads fail
+    *     alignment by contract — width 0 matches no claim);
+    *  2. cross-modal consistency: the caption's claimed `WxH`
+    *     (first `\d+x\d+` token) must equal the DECODED dimensions —
+    *     the deterministic stand-in for the CLIP-score threshold (the
+    *     model-scoring seam; a real deployment swaps the comparison
+    *     for an embedding dot against the same verdict columns);
+    *  3. caption quality: at least `minCaptionTokens` whitespace
+    *     tokens (alt-text junk filter);
+    *  4. content-level dedup among survivors: keeper = minimal
+    *     pair id per decoded-pixel md5 group (transcoded copies of
+    *     one image collapse to one kept pair).
+    *
+    * Emits EVERY pair with its full verdict — (width, height,
+    * n_tokens, aligned, caption_ok, kept) — the audit-trail contract
+    * the drop side-outputs use elsewhere; training-set assembly
+    * filters `kept`.
+    *
+    * Scale shape: payloads decode in the scan task and never cross an
+    * exchange (the caption scan prunes to the caption column; the
+    * signature frame is 4 narrow columns); dedup is a (md5, id)
+    * aggregation, never pairwise.
+    */
+  def pairCuration(pairs: DataFrame, minCaptionTokens: Int = 3,
+      idCol: String = "pair_id", payloadCol: String = "payload",
+      captionCol: String = "caption"): DataFrame = {
+    require(minCaptionTokens >= 1,
+      s"minCaptionTokens=$minCaptionTokens must be >= 1")
+    val sigs = pixelSignatures(pairs, idCol, payloadCol).toDF()
+      .select(col("media_id").as("__pid"), col("width"), col("height"),
+        col("pixel_md5"))
+    val caps = pairs.select(col(idCol).cast("long").as("__pid"),
+      regexp_extract(col(captionCol), "(\\d+)x(\\d+)", 1).as("__cw"),
+      regexp_extract(col(captionCol), "(\\d+)x(\\d+)", 2).as("__ch"),
+      size(split(trim(col(captionCol)), "\\s+")).cast("long").as("n_tokens"))
+    val v = sigs.join(caps, "__pid")
+      .withColumn("aligned",
+        coalesce(col("width") > 0 &&
+          col("__cw").cast("int") === col("width") &&
+          col("__ch").cast("int") === col("height"), lit(false)))
+      .withColumn("caption_ok", col("n_tokens") >= minCaptionTokens)
+    val reps = v.where(col("aligned") && col("caption_ok"))
+      .groupBy(col("pixel_md5")).agg(min(col("__pid")).as("__rep"))
+    v.join(reps, Seq("pixel_md5"), "left")
+      .select(col("__pid").as(idCol), col("width"), col("height"),
+        col("n_tokens"), col("aligned"), col("caption_ok"),
+        coalesce(col("aligned") && col("caption_ok") &&
+          col("__pid") === col("__rep"), lit(false)).as("kept"))
+  }
+
   /** Frame-container extraction — MJPEG-shaped video plumbing: the
     * payload is a sequence of [int32-LE length][JPEG frame] records
     * (each frame REAL image bytes), exploded to one row per frame in

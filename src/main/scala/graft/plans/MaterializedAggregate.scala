@@ -21,13 +21,32 @@ import org.apache.spark.sql.types.DoubleType
   * Derivability (the standard re-aggregation algebra):
   *   SUM(x)   → SUM(mv.sum_x)
   *   COUNT(*) → SUM(mv.cnt)
+  *   COUNT(x) → SUM(mv.nnz_x)  (per-measure non-null count)
   *   MIN(x)   → MIN(mv.min_x),  MAX(x) → MAX(mv.max_x)
-  *   AVG(x)   → SUM(mv.sum_x) / SUM(mv.cnt)  (cast to double)
+  *   AVG(x)   → SUM(mv.sum_x) / SUM(mv.nnz_x)  (cast to double) —
+  *     NULLs make AVG's denominator the non-null count, NOT the row
+  *     count; on a rollup lacking nnz_x the rule divides by cnt only
+  *     when the measure attribute is provably non-nullable, else it
+  *     refuses (dividing by cnt under NULLs is the classic unsound
+  *     MV rewrite)
+  *   HLL(hash(d), p) → HLL-MERGE(mv.hll_d)  (elementwise register
+  *     max — BIT-identical to the one-shot sketch, so digests and
+  *     estimates projected above the aggregate are unchanged; fires
+  *     only when the query's hash expression tree matches the one
+  *     the rollup registered, name-normalized, and p matches)
   * plus filters that reference GROUPING columns only (they commute
   * with the rollup). Anything else — DISTINCT aggregates, filters on
   * measures, expressions over measures, a grouping column the MV
   * lacks — leaves the plan untouched; the rule must be sound, never
-  * clever.
+  * clever. Derivability is SCHEMA-DRIVEN: a rollup registered from
+  * an older layout without nnz_* columns still navigates every shape
+  * that doesn't need them.
+  *
+  * When several registered rollups can answer the same query, the
+  * rule navigates to the COARSEST one (fewest grouping columns —
+  * the standard smallest-covering-MV heuristic; group count is the
+  * rollup's row-count driver), tie-broken by path so plan choice is
+  * deterministic, never hash-map iteration order.
   *
   * Exactness contract: rewritten SUM/AVG re-associate the addition.
   * Over integers (and integral-valued doubles, e.g. TPC-H
@@ -51,25 +70,40 @@ object MaterializedAggregate {
       mvPath: String,
       groupCols: Seq[String],
       measureCols: Seq[String],
-      plan: LogicalPlan) {
+      plan: LogicalPlan,
+      distinctCols: Seq[String] = Nil,
+      hllP: Int = 12,
+      hashSql: Map[String, String] = Map.empty) {
     def sumCol(c: String): String = s"sum_$c"
     def minCol(c: String): String = s"min_$c"
     def maxCol(c: String): String = s"max_$c"
+    def nnzCol(c: String): String = s"nnz_$c"
+    def hllCol(c: String): String = s"hll_$c"
     val countCol: String = "cnt"
   }
 
   /** Compute and write the rollup parquet for `basePath`:
-    * one row per grouping combination with sum/min/max per measure
-    * plus the row count.
+    * one row per grouping combination with sum/min/max/non-null
+    * count per measure, the row count, and — per distinct column —
+    * the [[graft.functions.HyperLogLog]] register array of the
+    * engine's 60-bit canonical-string hash at precision `hllP`
+    * (2^hllP longs per group: the partial state that makes
+    * approximate COUNT DISTINCT navigable, the BigQuery/Druid MV
+    * trick).
     */
   def build(spark: SparkSession, basePath: String, mvPath: String,
-      groupCols: Seq[String], measureCols: Seq[String]): Unit = {
+      groupCols: Seq[String], measureCols: Seq[String],
+      distinctCols: Seq[String] = Nil, hllP: Int = 12): Unit = {
     val base = spark.read.parquet(basePath)
     val aggs =
       measureCols.flatMap(c => Seq(
         sum(col(c)).as(s"sum_$c"),
         min(col(c)).as(s"min_$c"),
-        max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("cnt")
+        max(col(c)).as(s"max_$c"),
+        count(col(c)).as(s"nnz_$c"))) ++
+      distinctCols.map(d => graft.functions.SketchFunctions.hyperLogLog(
+        graft.functions.Md5Hash.h60String(col(d)), hllP).as(s"hll_$d")) :+
+      count(lit(1)).as("cnt")
     base.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(mvPath)
@@ -77,26 +111,54 @@ object MaterializedAggregate {
 
   /** Build + register in one step (the normal flow). */
   def buildAndRegister(spark: SparkSession, basePath: String, mvPath: String,
-      groupCols: Seq[String], measureCols: Seq[String]): MvDef = {
-    build(spark, basePath, mvPath, groupCols, measureCols)
-    registerExisting(spark, basePath, mvPath, groupCols, measureCols)
+      groupCols: Seq[String], measureCols: Seq[String],
+      distinctCols: Seq[String] = Nil, hllP: Int = 12): MvDef = {
+    build(spark, basePath, mvPath, groupCols, measureCols, distinctCols, hllP)
+    registerExisting(spark, basePath, mvPath, groupCols, measureCols,
+      distinctCols, hllP)
   }
 
   /** Register an ALREADY-MATERIALIZED rollup — e.g. one maintained
     * incrementally by [[graft.streaming.StreamingMvMaintenance]]
     * (its `batch=` partial layout is navigable as-is: the rule
-    * re-aggregates, so per-batch partial rows fold back exactly).
+    * re-aggregates, so per-batch partial rows fold back exactly —
+    * including the register arrays, whose fold is an elementwise
+    * max).
     */
   def registerExisting(spark: SparkSession, basePath: String, mvPath: String,
-      groupCols: Seq[String], measureCols: Seq[String]): MvDef = {
+      groupCols: Seq[String], measureCols: Seq[String],
+      distinctCols: Seq[String] = Nil, hllP: Int = 12): MvDef = {
     val plan = spark.read.parquet(mvPath).queryExecution.analyzed
-    val d = MvDef(normalize(basePath), mvPath, groupCols, measureCols, plan)
+    // pin the EXACT hash-expression shape the rollup's registers were
+    // built from (name-normalized); a query sketching any other
+    // expression must not navigate
+    val hashSql = distinctCols.map { d =>
+      val analyzed = spark.read.parquet(basePath)
+        .select(graft.functions.Md5Hash.h60String(col(d)).as("__h"))
+        .queryExecution.analyzed
+      val e = analyzed.expressions.collectFirst {
+        case al: Alias if al.name == "__h" => al.child
+      }.getOrElse(sys.error(s"could not resolve hash expression for $d"))
+      d -> normalizeExpr(e)
+    }.toMap
+    val d = MvDef(normalize(basePath), mvPath, groupCols, measureCols, plan,
+      distinctCols, hllP, hashSql)
     MvCatalog.register(d)
     d
   }
 
   private[plans] def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Name-normalized SQL form for expression matching: attribute
+    * identity (exprIds, qualifiers) is plan-local, so compare trees
+    * with attributes reduced to bare names.
+    */
+  private[plans] def normalizeExpr(e: Expression): String =
+    e.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+    }.sql
 }
 
 /** Process-local registry of materialized rollups. */
@@ -121,7 +183,12 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
     if (MvCatalog.isEmpty) plan
     else plan.transformDown {
       case agg: Aggregate =>
-        MvCatalog.all.view.flatMap(mv => rewrite(agg, mv)).headOption
+        // all candidates, then the coarsest rollup (fewest grouping
+        // columns ≈ fewest rows); path tie-break for determinism
+        MvCatalog.all
+          .flatMap(mv => rewrite(agg, mv).map((mv.groupCols.size, mv.mvPath, _)))
+          .sortBy { case (n, p, _) => (n, p) }
+          .headOption.map(_._3)
           .getOrElse(agg)
     }
 
@@ -184,13 +251,56 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
             Some(cAgg(Max(mvAttrs(mv.maxCol(x.name)))))
           case Count(Seq(Literal(_, _))) =>
             Some(cAgg(Sum(mvAttrs(mv.countCol))))
+          case Count(Seq(x: AttributeReference))
+              if mv.measureCols.contains(x.name) &&
+                mvAttrs.contains(mv.nnzCol(x.name)) =>
+            Some(cAgg(Sum(mvAttrs(mv.nnzCol(x.name)))))
+          case h: graft.functions.HyperLogLog
+              if h.pExpr.foldable &&
+                Option(h.pExpr.eval())
+                  .collect { case n: Number => n.intValue() }
+                  .contains(mv.hllP) =>
+            // the sketch navigates iff the query hashes EXACTLY what
+            // the rollup's registers were built from (name-normalized
+            // tree match) — then the register fold is bit-identical
+            val norm = MaterializedAggregate.normalizeExpr(h.child)
+            mv.distinctCols
+              .find(d => mv.hashSql.get(d).contains(norm) &&
+                mvAttrs.contains(mv.hllCol(d)))
+              .map(d => cAgg(graft.functions.HllMergeAgg(
+                mvAttrs(mv.hllCol(d)), Literal(mv.hllP))))
           case Average(x: AttributeReference, _) if mv.measureCols.contains(x.name) =>
-            Some(Divide(
+            // AVG = sum / COUNT(x): use nnz_x; a legacy rollup without
+            // it may only divide by cnt when x can't be NULL
+            val denom =
+              if (mvAttrs.contains(mv.nnzCol(x.name)))
+                Some(mvAttrs(mv.nnzCol(x.name)))
+              else if (!x.nullable) Some(mvAttrs(mv.countCol))
+              else None
+            denom.map(d => Divide(
               Cast(cAgg(Sum(mvAttrs(mv.sumCol(x.name)))), DoubleType),
-              Cast(cAgg(Sum(mvAttrs(mv.countCol))), DoubleType)))
+              Cast(cAgg(Sum(d)), DoubleType)))
           case _ => None
         }
-      case _ => None
+      // an aggregate that fell through the derivable guard above
+      // (DISTINCT, FILTER, unknown function) must refuse HERE — the
+      // generic rebuild below would otherwise reconstruct it over
+      // rollup columns, silently unsound
+      case _: AggregateExpression => None
+      // scalar expression over derivable parts: rebuild the tree
+      // (CollapseProject folds projections INTO aggregateExpressions,
+      // so md5(array_join(transform(<sketch agg>, …))) is the normal
+      // shape by the time this rule runs, not an exception). Any
+      // non-derivable leaf — an attribute that is neither a grouping
+      // column nor inside a derivable aggregate — fails the whole
+      // expression and with it the rewrite.
+      case a: AttributeReference => None
+      case other =>
+        val kids = other.children.map(derive)
+        if (kids.nonEmpty && kids.forall(_.isDefined))
+          Some(other.withNewChildren(kids.map(_.get)))
+        else if (kids.isEmpty) Some(other) // literal / leaf function
+        else None
     }
 
     val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {

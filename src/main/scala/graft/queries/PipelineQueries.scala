@@ -958,6 +958,282 @@ object PipelineQueries {
       },
       Some(mvRewriteOracleSql)),
 
+    // MV navigation, round-11 second act: NULL-aware derivation +
+    // coarsest-covering-rollup selection. The fact side injects NULL
+    // quantities (l_orderkey % 7 — deterministic, oracle-restatable),
+    // TWO rollups register — fine (returnflag, linestatus) and coarse
+    // (returnflag) — and the gate REQUIRES the plan to land on the
+    // coarse one (fewest grouping columns ≈ fewest rows; hash-map
+    // iteration order would be nondeterministic plan choice).
+    // COUNT(qty) must derive from the rollup's per-measure non-null
+    // count and AVG(qty) must divide by it — dividing by the row
+    // count under NULLs is the classic unsound MV rewrite, and the
+    // base-table hash oracle fails on it (group sizes differ from
+    // non-null counts by construction).
+    QueryDef("p117_mv_nav_nulls",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mv2")
+        val basePath = tmp.resolve("fact.parquet").toString
+        val finePath = tmp.resolve("fine.parquet").toString
+        val coarsePath = tmp.resolve("coarse.parquet").toString
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            when(col("l_orderkey") % 7 === 0, lit(null))
+              .otherwise(col("l_quantity")).as("qty"))
+          .write.mode("overwrite").parquet(basePath)
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          finePath, Seq("l_returnflag", "l_linestatus"), Seq("qty"))
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          coarsePath, Seq("l_returnflag"), Seq("qty"))
+        try {
+          val q = s.read.parquet(basePath)
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("n_rows"),
+              count(col("qty")).as("n_qty"),
+              sum("qty").as("sum_qty"),
+              avg("qty").as("avg_qty"))
+          val scanned = q.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("coarse.parquet")),
+            s"coarsest rollup not navigated; scans: $scanned")
+          require(!scanned.exists(p =>
+            p.contains("fine.parquet") || p.contains("fact.parquet")),
+            s"finer-than-needed scan: $scanned")
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""SELECT l_returnflag,
+             |       COUNT(*) AS n_rows,
+             |       COUNT(qty) AS n_qty,
+             |       SUM(qty) AS sum_qty,
+             |       AVG(qty) AS avg_qty
+             |FROM (SELECT l_returnflag,
+             |             CASE WHEN l_orderkey % 7 = 0 THEN NULL
+             |                  ELSE l_quantity END AS qty
+             |      FROM lineitem)
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // Approximate-COUNT-DISTINCT navigable MV (the BigQuery/Druid
+    // sketch-rollup trick): the rollup stores per-group HLL register
+    // partials of the engine's 60-bit canonical-string hash, and the
+    // optimizer rule rewrites a matching hyper_log_log(hash, p)
+    // query aggregate to an elementwise-max register fold over the
+    // rollup — BIT-identical to the one-shot sketch (max is
+    // associative/commutative), so digest, zero-register count,
+    // harmonic sum and estimate all hash-match the base-table oracle
+    // while the plan never touches the fact table (gate-required).
+    // The navigation fires only on an exact hash-tree + precision
+    // match; count_distinct in the same aggregate would refuse it.
+    QueryDef("p119_mv_distinct_nav",
+      (s, dir) => {
+        import graft.functions.{SketchFunctions => SK, Md5Hash}
+        val basePath = s"$dir/lineitem.parquet"
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_mv3")
+        val mvPath = mvDir.resolve("mv.parquet").toString
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          mvPath, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"),
+          distinctCols = Seq("l_suppkey"), hllP = 4)
+        try {
+          val q = s.read.parquet(basePath)
+            .where(col("l_linestatus") === "F")
+            .groupBy(col("l_returnflag"))
+            .agg(sum("l_quantity").as("sum_qty"),
+              SK.hyperLogLog(Md5Hash.h60String(col("l_suppkey")), 4)
+                .as("__regs"))
+            .select(col("l_returnflag"), col("sum_qty"),
+              md5(array_join(transform(col("__regs"), _.cast("string")), ","))
+                .as("register_digest"),
+              SK.hllZeroRegisters(col("__regs")).as("n_zero_registers"),
+              SK.hllHarmonicScaled(col("__regs")).as("harmonic_scaled"),
+              SK.hllEstimate(col("__regs"), 4).as("est_distinct"))
+          val scanned = q.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("mv.parquet")),
+            s"sketch navigation did not fire; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned: $scanned")
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""WITH f AS (SELECT l_returnflag AS g, l_suppkey, l_quantity
+             |           FROM lineitem WHERE l_linestatus = 'F'),
+             |h AS (SELECT DISTINCT g,
+             |        ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT AS h
+             |      FROM f),
+             |rho AS (SELECT g, h % 16 AS bucket,
+             |               CASE WHEN h // 16 = 0 THEN 57
+             |                    ELSE 56 - length(bin(h // 16)) + 1 END AS rho
+             |        FROM h),
+             |base AS (SELECT DISTINCT g FROM f),
+             |regs AS (SELECT base.g, b.bucket, COALESCE(mx.mr, 0) AS reg
+             |         FROM base
+             |         CROSS JOIN (SELECT unnest(range(16)) AS bucket) b
+             |         LEFT JOIN (SELECT g, bucket, max(rho) AS mr
+             |                    FROM rho GROUP BY g, bucket) mx
+             |           ON mx.g = base.g AND mx.bucket = b.bucket),
+             |agg AS (SELECT g,
+             |          md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY bucket))
+             |            AS register_digest,
+             |          CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |            AS n_zero_registers,
+             |          CAST(sum(1::HUGEINT << (61 - CAST(reg AS INT))) AS DOUBLE)
+             |            AS harmonic_scaled
+             |        FROM regs GROUP BY g),
+             |q AS (SELECT g, SUM(l_quantity) AS sum_qty FROM f GROUP BY g)
+             |SELECT q.g AS l_returnflag, q.sum_qty, a.register_digest,
+             |       a.n_zero_registers, a.harmonic_scaled,
+             |       (0.7213 / (1 + 1.079 / 16.0)) * 256.0
+             |         * 2305843009213693952.0 / a.harmonic_scaled
+             |         AS est_distinct
+             |FROM q JOIN agg a ON a.g = q.g""".stripMargin)),
+
+    // Link-graph quality prior: integer-arithmetic PageRank
+    // (graft.pipeline.LinkGraph) over a deterministic synthetic link
+    // graph on the document ids: every doc links to (31d+7)%N, and
+    // docs with d % 3 != 0 also to (17d+3)%N. Both affine maps are
+    // bijections mod N, so WITHOUT the filter every in-degree is 2
+    // and PageRank degenerates to uniform — the filter varies
+    // out-degree {1,2} and in-degree {1,2} independently, giving a
+    // real rank spread (112 distinct values at sf0.01, ~0.32–2.2
+    // of scale). Integer units make the rank a BIGINT the hash
+    // oracle can pin: every contribution is a floor division and
+    // every Σ an integer sum — order- and engine-independent, unlike
+    // the textbook float formulation. Oracle = the three rounds
+    // unrolled as CTEs with DuckDB's `//` floor division.
+    QueryDef("p118_link_prior",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").cast("long").as("doc_id"))
+        // one bounded scalar to the driver (modulus for the synthetic
+        // edge maps), same discipline as the centroid collects
+        val n = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
+        val edges = docs
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * 31 + 7) % n).as("dst"))
+          .unionAll(docs.where(col("doc_id") % 3 =!= 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") * 17 + 3) % n).as("dst")))
+        graft.pipeline.LinkGraph.pageRankUnits(edges, "src", "dst",
+          iterations = 3)
+          .select(col("src").as("doc_id"), col("rank_units"))
+      },
+      Some {
+        def round(k: Int): String =
+          s"""c$k AS (SELECT e.dst AS id,
+             |  CAST(SUM((r.r * 85) // (100 * od.outd)) AS BIGINT) AS c
+             |  FROM e JOIN r${k - 1} r ON r.id = e.src
+             |         JOIN od ON od.id = e.src
+             |  GROUP BY e.dst),
+             |r$k AS (SELECT v.id,
+             |  CAST(150000 + COALESCE(c.c, 0) AS BIGINT) AS r
+             |  FROM v LEFT JOIN c$k c USING(id))"""
+        s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+           |e AS (SELECT doc_id AS src,
+           |             (doc_id * 31 + 7) % (SELECT n FROM nn) AS dst
+           |      FROM documents
+           |      UNION ALL
+           |      SELECT doc_id, (doc_id * 17 + 3) % (SELECT n FROM nn)
+           |      FROM documents WHERE doc_id % 3 <> 0),
+           |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |od AS (SELECT src AS id, count(*) AS outd FROM e GROUP BY src),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM v),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT id AS doc_id, r AS rank_units FROM r3""".stripMargin
+      }),
+
+    // Composed web-corpus release gate — the consumer a link prior
+    // exists FOR: crawl-side curation keeps pages that carry at
+    // least the uniform share of link mass (rank_units >= scale —
+    // the "not a sink/spam-farm leaf" test) AND pass the content
+    // quality score. Both signals reuse their fragment gates
+    // verbatim (p118's three unrolled rounds, p04's quality chain),
+    // so this gate can only drift if the composition does. Verdict
+    // grain — every doc with both signals and the release bit — is
+    // the audit contract; at 100 TB both sides are id-grain joins
+    // (the rank table is two longs per page).
+    QueryDef("p120_web_release",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ids = docs.select(col("doc_id").cast("long").as("doc_id"))
+        val n = ids.agg(max(col("doc_id"))).first().getLong(0) + 1L
+        val edges = ids
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * 31 + 7) % n).as("dst"))
+          .unionAll(ids.where(col("doc_id") % 3 =!= 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") * 17 + 3) % n).as("dst")))
+        val rank = graft.pipeline.LinkGraph.pageRankUnits(edges, "src", "dst",
+          iterations = 3)
+          .select(col("src").as("doc_id"), col("rank_units"))
+        val quality = TextAnalysis.qualityFeatures(docs)
+          .select(col("doc_id"), col("quality_score"))
+        rank.join(quality, "doc_id")
+          .select(col("doc_id"), col("rank_units"), col("quality_score"),
+            (col("rank_units") >= 1000000L && col("quality_score") >= 0.6)
+              .as("kept"))
+      },
+      Some {
+        def round(k: Int): String =
+          s"""c$k AS (SELECT e.dst AS id,
+             |  CAST(SUM((r.r * 85) // (100 * od.outd)) AS BIGINT) AS c
+             |  FROM e JOIN r${k - 1} r ON r.id = e.src
+             |         JOIN od ON od.id = e.src
+             |  GROUP BY e.dst),
+             |r$k AS (SELECT v.id,
+             |  CAST(150000 + COALESCE(c.c, 0) AS BIGINT) AS r
+             |  FROM v LEFT JOIN c$k c USING(id))"""
+        s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+           |e AS (SELECT doc_id AS src,
+           |             (doc_id * 31 + 7) % (SELECT n FROM nn) AS dst
+           |      FROM documents
+           |      UNION ALL
+           |      SELECT doc_id, (doc_id * 17 + 3) % (SELECT n FROM nn)
+           |      FROM documents WHERE doc_id % 3 <> 0),
+           |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |od AS (SELECT src AS id, count(*) AS outd FROM e GROUP BY src),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM v),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)},
+           |f AS (SELECT doc_id, $qualityColsSql FROM documents),
+           |q AS (SELECT doc_id, $qualityScoreSql AS quality_score FROM f)
+           |SELECT r3.id AS doc_id, r3.r AS rank_units, q.quality_score,
+           |       (r3.r >= 1000000 AND q.quality_score >= 0.6) AS kept
+           |FROM r3 JOIN q ON q.doc_id = r3.id""".stripMargin
+      }),
+
     // SURGICAL decontamination — mask, don't drop: excise exactly
     // the tokens covered by a benchmark-shared 4-gram, keep the rest
     // of the page (dropping a long doc over one quoted benchmark
@@ -1824,6 +2100,48 @@ object PipelineQueries {
              |       CAST(8 + (doc_id + j) % 8 AS INTEGER) AS width,
              |       CAST(8 + (doc_id + j) % 5 AS INTEGER) AS height
              |FROM f""".stripMargin)),
+
+    // Image–text PAIR curation (the LAION/CLIP-filter shape): real
+    // decoded dims vs the caption's claimed WxH (the deterministic
+    // stand-in for the CLIP-score threshold — the model seam),
+    // caption token-count quality, content dedup among survivors.
+    // Planted defects: ids % 5 claim one-off dims (misaligned), ids
+    // % 7 get a 1-token caption (junk alt-text); classes ≡ 0 mod 5
+    // lose EVERY member to alignment (all ids ≡ cls mod 50 share
+    // cls's divisibility by 5), so the no-survivor branch of the
+    // keeper join lives in the gate. Oracle: every verdict closed-
+    // form in doc_id.
+    QueryDef("mm15_pair_curation",
+      (s, dir) => {
+        val media = crossFormatMediaForStreaming(s, dir)
+        val cls = col("media_id") % 50
+        val w = (lit(8) + cls % 8).cast("int")
+        val h = (lit(8) + cls % 5).cast("int")
+        val claimW = when(col("media_id") % 5 === 0, w + 1).otherwise(w)
+        val dims = concat(claimW.cast("string"), lit("x"), h.cast("string"))
+        val pairs = media.select(col("media_id").as("pair_id"),
+          col("payload"),
+          when(col("media_id") % 7 === 0, dims)
+            .otherwise(concat(lit("a photo of class "),
+              cls.cast("string"), lit(" size "), dims)).as("caption"))
+        Multimodal.pairCuration(pairs, minCaptionTokens = 3)
+      },
+      Some("""WITH p AS (SELECT doc_id AS pair_id, doc_id % 50 AS cls,
+             |                  8 + (doc_id % 50) % 8 AS w,
+             |                  8 + (doc_id % 50) % 5 AS h,
+             |                  (doc_id % 5 <> 0) AS aligned,
+             |                  (doc_id % 7 <> 0) AS cap_ok
+             |           FROM documents),
+             |k AS (SELECT cls, min(pair_id) AS rep FROM p
+             |      WHERE aligned AND cap_ok GROUP BY cls)
+             |SELECT p.pair_id, CAST(p.w AS INTEGER) AS width,
+             |       CAST(p.h AS INTEGER) AS height,
+             |       CAST(CASE WHEN p.cap_ok THEN 7 ELSE 1 END AS BIGINT)
+             |         AS n_tokens,
+             |       p.aligned, p.cap_ok AS caption_ok,
+             |       COALESCE(p.aligned AND p.cap_ok AND p.pair_id = k.rep,
+             |                false) AS kept
+             |FROM p LEFT JOIN k ON k.cls = p.cls""".stripMargin)),
 
     // Silence/energy segmentation (the VAD preprocessing a speech
     // pipeline runs): real WAV bytes with planted zero-sample

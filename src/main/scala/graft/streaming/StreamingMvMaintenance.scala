@@ -27,14 +27,23 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   */
 object StreamingMvMaintenance {
 
-  /** One micro-batch, replay-idempotent. */
+  /** One micro-batch, replay-idempotent. `distinctCols` adds the
+    * per-batch HLL register partials (elementwise-max fold across
+    * batches — the register arrays are as additive under the
+    * navigation rule's re-aggregation as the sums are).
+    */
   def processBatch(batch: DataFrame, batchId: Long, mvPath: String,
-      groupCols: Seq[String], measureCols: Seq[String]): Unit = {
+      groupCols: Seq[String], measureCols: Seq[String],
+      distinctCols: Seq[String] = Nil, hllP: Int = 12): Unit = {
     val aggs =
       measureCols.flatMap(c => Seq(
         sum(col(c)).as(s"sum_$c"),
         min(col(c)).as(s"min_$c"),
-        max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("cnt")
+        max(col(c)).as(s"max_$c"),
+        count(col(c)).as(s"nnz_$c"))) ++
+      distinctCols.map(d => graft.functions.SketchFunctions.hyperLogLog(
+        graft.functions.Md5Hash.h60String(col(d)), hllP).as(s"hll_$d")) :+
+      count(lit(1)).as("cnt")
     batch.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(s"$mvPath/batch=$batchId")
@@ -44,10 +53,12 @@ object StreamingMvMaintenance {
     * sets the checkpoint location and starts it.
     */
   def maintainer(facts: DataFrame, mvPath: String,
-      groupCols: Seq[String], measureCols: Seq[String]): DataStreamWriter[org.apache.spark.sql.Row] =
+      groupCols: Seq[String], measureCols: Seq[String],
+      distinctCols: Seq[String] = Nil, hllP: Int = 12): DataStreamWriter[org.apache.spark.sql.Row] =
     facts.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, mvPath, groupCols, measureCols)
+        processBatch(batch, batchId, mvPath, groupCols, measureCols,
+          distinctCols, hllP)
       }
       .trigger(Trigger.AvailableNow())
 }

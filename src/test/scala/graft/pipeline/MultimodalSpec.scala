@@ -392,4 +392,44 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getInt(0)).sorted
     assert(lens.toSeq === Seq(44, 64, 64, 64, 64)) // last partial frame
   }
+
+  test("pairCuration: alignment, caption quality, dedup, quarantine verdicts") {
+    import spark.implicits._
+    // 1: clean keeper; 2: same pixels as 1 (PNG vs BMP transcode) →
+    // deduped away; 3: caption claims wrong dims; 4: junk caption;
+    // 5: undecodable payload; 6: different image, clean → second keeper
+    val rows = Seq(
+      (1L, Multimodal.syntheticPng(9L, 8, 9), "a photo of thing size 8x9"),
+      (2L, Multimodal.syntheticBmp(9L, 8, 9), "the same thing again 8x9 yes"),
+      (3L, Multimodal.syntheticPng(9L, 8, 9), "a photo of thing size 9x9"),
+      (4L, Multimodal.syntheticPng(9L, 8, 9), "8x9"),
+      (5L, Array[Byte](1, 2, 3), "a broken payload claiming 8x9 here"),
+      (6L, Multimodal.syntheticPng(7L, 10, 8), "another subject entirely 10x8 ok"))
+      .toDF("pair_id", "payload", "caption")
+    val got = Multimodal.pairCuration(rows, minCaptionTokens = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))))
+      .toMap
+    assert(got(1L) === ((8, 9, 6L, true, true, true)))
+    assert(got(2L) === ((8, 9, 6L, true, true, false))) // dup content loses
+    assert(got(3L) === ((8, 9, 6L, false, true, false))) // claim mismatch
+    assert(got(4L) === ((8, 9, 1L, true, false, false))) // junk caption
+    assert(got(5L) === ((0, 0, 6L, false, true, false))) // quarantined
+    assert(got(6L) === ((10, 8, 5L, true, true, true)))
+  }
+
+  test("pairCuration: no caption dims claim fails alignment; keeper is min id") {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, Multimodal.syntheticPng(3L, 9, 8), "no dimensions mentioned at all"),
+      (12L, Multimodal.syntheticPng(3L, 9, 8), "duplicate content pair 9x8 v2"),
+      (11L, Multimodal.syntheticPng(3L, 9, 8), "duplicate content pair 9x8 v1"))
+      .toDF("pair_id", "payload", "caption")
+    val got = Multimodal.pairCuration(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(4), r.getBoolean(6)))).toMap
+    assert(got(10L) === ((false, false))) // no \d+x\d+ token anywhere
+    assert(got(11L) === ((true, true))) // min SURVIVING id wins …
+    assert(got(12L) === ((true, false))) // … not the min raw id
+  }
 }

@@ -129,6 +129,176 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
+  test("NULL measures: COUNT(x) derives from nnz_x; AVG divides by nnz, not cnt") { withNoAqe {
+    MvCatalog.clear()
+    val nbase = java.nio.file.Files
+      .createTempDirectory("mv_null").resolve("fact.parquet").toString
+    val nmv = java.nio.file.Files
+      .createTempDirectory("mv_nullr").resolve("mv.parquet").toString
+    // group A: values (10, null, 20) → count*=3, count(v)=2, avg=15
+    // (an nnz-blind rewrite would claim avg = 30/3 = 10)
+    Seq(("A", Some(10.0)), ("A", None), ("A", Some(20.0)),
+      ("B", Some(8.0)), ("B", None))
+      .toDF("g", "v").write.mode("overwrite").parquet(nbase)
+    MaterializedAggregate.buildAndRegister(spark, nbase, nmv,
+      groupCols = Seq("g"), measureCols = Seq("v"))
+    try {
+      val q = spark.read.parquet(nbase).groupBy(col("g"))
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_v"),
+          sum("v").as("s"), avg("v").as("a"))
+      assert(scannedPaths(q).exists(_.contains("mv.parquet")),
+        s"rollup not read: ${scannedPaths(q)}")
+      val got = q.collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      assert(got === Map(
+        "A" -> ((3L, 2L, 30.0, 15.0)),
+        "B" -> ((2L, 1L, 8.0, 8.0))))
+    } finally MvCatalog.clear()
+  } }
+
+  test("legacy rollup without nnz_*: COUNT(x)/AVG(x) on a nullable measure refuse") { withNoAqe {
+    MvCatalog.clear()
+    val nbase = java.nio.file.Files
+      .createTempDirectory("mv_leg").resolve("fact.parquet").toString
+    val legacyMv = java.nio.file.Files
+      .createTempDirectory("mv_legr").resolve("mv.parquet").toString
+    Seq(("A", Some(10.0)), ("A", None), ("B", Some(8.0)))
+      .toDF("g", "v").write.mode("overwrite").parquet(nbase)
+    // hand-write the pre-nnz layout and register it as-is
+    spark.read.parquet(nbase).groupBy(col("g"))
+      .agg(sum("v").as("sum_v"), min("v").as("min_v"),
+        max("v").as("max_v"), count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(legacyMv)
+    MaterializedAggregate.registerExisting(spark, nbase, legacyMv,
+      Seq("g"), Seq("v"))
+    try {
+      // derivable-without-nnz shapes still navigate
+      val ok = spark.read.parquet(nbase).groupBy(col("g"))
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      assert(scannedPaths(ok).exists(_.contains("mv.parquet")))
+      // COUNT(v) and AVG(v) need nnz_v: must fall back to the fact scan
+      val cnt = spark.read.parquet(nbase).groupBy(col("g"))
+        .agg(count(col("v")).as("n_v"))
+      assert(scannedPaths(cnt).exists(_.contains("fact.parquet")),
+        "COUNT(x) navigated a rollup that can't answer it")
+      val av = spark.read.parquet(nbase).groupBy(col("g"))
+        .agg(avg(col("v")).as("a"))
+      assert(scannedPaths(av).exists(_.contains("fact.parquet")),
+        "AVG(x) navigated an nnz-less rollup over a nullable measure")
+      assert(av.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        === Map("A" -> 10.0, "B" -> 8.0))
+    } finally MvCatalog.clear()
+  } }
+
+  test("several covering rollups: the coarsest wins, deterministically") { withNoAqe {
+    MvCatalog.clear()
+    val fine = java.nio.file.Files
+      .createTempDirectory("mv_fine").resolve("fine.parquet").toString
+    val coarse = java.nio.file.Files
+      .createTempDirectory("mv_coarse").resolve("coarse.parquet").toString
+    MaterializedAggregate.buildAndRegister(spark, base, fine,
+      groupCols = Seq("g1", "g2"), measureCols = Seq("qty"))
+    MaterializedAggregate.buildAndRegister(spark, base, coarse,
+      groupCols = Seq("g1"), measureCols = Seq("qty"))
+    try {
+      // answerable by both → the 1-column rollup must be chosen
+      val q = spark.read.parquet(base).groupBy(col("g1"))
+        .agg(sum("qty").as("s"))
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains("coarse.parquet")),
+        s"coarsest rollup not chosen: $paths")
+      assert(!paths.exists(_.contains("fine.parquet")))
+      // answerable only by the fine one → it still navigates there
+      val q2 = spark.read.parquet(base).groupBy(col("g1"), col("g2"))
+        .agg(sum("qty").as("s"))
+      assert(scannedPaths(q2).exists(_.contains("fine.parquet")))
+      assert(q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        === Map("A" -> 35.0, "B" -> 27.0))
+    } finally MvCatalog.clear()
+  } }
+
+  test("approx-distinct navigation: register fold bit-identical; wrong p/hash/col refuse") { withNoAqe {
+    MvCatalog.clear()
+    import graft.functions.{SketchFunctions => SK, Md5Hash}
+    val dbase = java.nio.file.Files
+      .createTempDirectory("mv_hll").resolve("fact.parquet").toString
+    val dmv = java.nio.file.Files
+      .createTempDirectory("mv_hllr").resolve("mv.parquet").toString
+    Seq(("A", "x", 1.0, 7L), ("A", "y", 2.0, 8L), ("A", "x", 3.0, 7L),
+      ("B", "x", 4.0, 7L), ("B", "y", 5.0, 9L))
+      .toDF("g1", "g2", "v", "u").write.mode("overwrite").parquet(dbase)
+    MaterializedAggregate.buildAndRegister(spark, dbase, dmv,
+      groupCols = Seq("g1", "g2"), measureCols = Seq("v"),
+      distinctCols = Seq("u"), hllP = 4)
+    def digest(p: Int, hash: org.apache.spark.sql.Column) =
+      spark.read.parquet(dbase).groupBy(col("g1"))
+        .agg(SK.hyperLogLog(hash, p).as("__regs"), sum("v").as("s"))
+        .select(col("g1"),
+          md5(array_join(transform(col("__regs"), _.cast("string")), ","))
+            .as("d"),
+          col("s"))
+    try {
+      val q = digest(4, Md5Hash.h60String(col("u")))
+      assert(scannedPaths(q).exists(_.contains("mv.parquet")),
+        s"sketch navigation did not fire: ${scannedPaths(q)}")
+      val got = q.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      MvCatalog.clear()
+      // fresh plan: a cached QueryExecution would replay the rewrite
+      val q2 = digest(4, Md5Hash.h60String(col("u")))
+      val direct = q2.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(scannedPaths(q2).exists(_.contains("fact.parquet")))
+      assert(got === direct, "folded registers diverged from one-shot sketch")
+      // refusals: wrong precision, wrong hash tree, unregistered column
+      MaterializedAggregate.buildAndRegister(spark, dbase, dmv,
+        Seq("g1", "g2"), Seq("v"), Seq("u"), hllP = 4)
+      assert(scannedPaths(digest(5, Md5Hash.h60String(col("u"))))
+        .exists(_.contains("fact.parquet")), "p mismatch must refuse")
+      assert(scannedPaths(digest(4,
+        Md5Hash.h60(concat(col("u").cast("string"), lit("salt")))))
+        .exists(_.contains("fact.parquet")), "hash-tree mismatch must refuse")
+      assert(scannedPaths(digest(4, Md5Hash.h60String(col("g2"))))
+        .exists(_.contains("fact.parquet")), "unregistered column must refuse")
+    } finally MvCatalog.clear()
+  } }
+
+  test("incrementally maintained registers fold to the one-shot sketch across batches") { withNoAqe {
+    MvCatalog.clear()
+    import graft.functions.{SketchFunctions => SK, Md5Hash}
+    val dbase = java.nio.file.Files
+      .createTempDirectory("mv_hlli").resolve("fact.parquet").toString
+    val incPath = java.nio.file.Files
+      .createTempDirectory("mv_hllinc").resolve("mv.parquet").toString
+    Seq(("A", 1.0, 7L), ("A", 2.0, 8L), ("B", 4.0, 7L), ("B", 5.0, 9L),
+      ("A", 3.0, 7L))
+      .toDF("g", "v", "u").write.mode("overwrite").parquet(dbase)
+    val facts = spark.read.parquet(dbase)
+    graft.streaming.StreamingMvMaintenance.processBatch(
+      facts.where(col("u") < 9), 0L, incPath, Seq("g"), Seq("v"),
+      distinctCols = Seq("u"), hllP = 4)
+    graft.streaming.StreamingMvMaintenance.processBatch(
+      facts.where(col("u") >= 9), 1L, incPath, Seq("g"), Seq("v"),
+      distinctCols = Seq("u"), hllP = 4)
+    MaterializedAggregate.registerExisting(spark, dbase, incPath,
+      Seq("g"), Seq("v"), Seq("u"), hllP = 4)
+    try {
+      def q = spark.read.parquet(dbase).groupBy(col("g"))
+        .agg(SK.hyperLogLog(Md5Hash.h60String(col("u")), 4).as("__regs"))
+        .select(col("g"),
+          md5(array_join(transform(col("__regs"), _.cast("string")), ","))
+            .as("d"))
+      assert(scannedPaths(q).exists(_.contains("mv_hllinc")),
+        "maintained registers not navigated")
+      val got = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      MvCatalog.clear()
+      val direct = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === direct)
+    } finally MvCatalog.clear()
+  } }
+
   test("dormant catalog: rule is a no-op when nothing is registered") { withNoAqe {
     MvCatalog.clear()
     val q = spark.read.parquet(base).groupBy(col("g1"))
