@@ -42,6 +42,15 @@ import org.apache.spark.sql.types.DoubleType
   * an older layout without nnz_* columns still navigates every shape
   * that doesn't need them.
   *
+  * PARTIAL rollups (`baseFilter`): a rollup built over a filtered
+  * base ("only linestatus 'F'", "only this year's partition")
+  * navigates only queries that repeat every one of its build
+  * predicate's conjuncts — syntactic subsumption on the
+  * name-normalized conjunct set, never implication guessing (`x > 5`
+  * does not satisfy a rollup built with `x > 0`; exactness beats
+  * cleverness). Residual query conjuncts beyond the rollup's must
+  * reference grouping columns, as before.
+  *
   * When several registered rollups can answer the same query, the
   * rule navigates to the COARSEST one (fewest grouping columns —
   * the standard smallest-covering-MV heuristic; group count is the
@@ -73,7 +82,9 @@ object MaterializedAggregate {
       plan: LogicalPlan,
       distinctCols: Seq[String] = Nil,
       hllP: Int = 12,
-      hashSql: Map[String, String] = Map.empty) {
+      hashSql: Map[String, String] = Map.empty,
+      filterConjuncts: Seq[String] = Nil,
+      filterNotNullCols: Set[String] = Set.empty) {
     def sumCol(c: String): String = s"sum_$c"
     def minCol(c: String): String = s"min_$c"
     def maxCol(c: String): String = s"max_$c"
@@ -93,8 +104,10 @@ object MaterializedAggregate {
     */
   def build(spark: SparkSession, basePath: String, mvPath: String,
       groupCols: Seq[String], measureCols: Seq[String],
-      distinctCols: Seq[String] = Nil, hllP: Int = 12): Unit = {
-    val base = spark.read.parquet(basePath)
+      distinctCols: Seq[String] = Nil, hllP: Int = 12,
+      baseFilter: Option[String] = None): Unit = {
+    val base = baseFilter.foldLeft(spark.read.parquet(basePath))(
+      (df, f) => df.where(org.apache.spark.sql.functions.expr(f)))
     val aggs =
       measureCols.flatMap(c => Seq(
         sum(col(c)).as(s"sum_$c"),
@@ -112,10 +125,12 @@ object MaterializedAggregate {
   /** Build + register in one step (the normal flow). */
   def buildAndRegister(spark: SparkSession, basePath: String, mvPath: String,
       groupCols: Seq[String], measureCols: Seq[String],
-      distinctCols: Seq[String] = Nil, hllP: Int = 12): MvDef = {
-    build(spark, basePath, mvPath, groupCols, measureCols, distinctCols, hllP)
+      distinctCols: Seq[String] = Nil, hllP: Int = 12,
+      baseFilter: Option[String] = None): MvDef = {
+    build(spark, basePath, mvPath, groupCols, measureCols, distinctCols,
+      hllP, baseFilter)
     registerExisting(spark, basePath, mvPath, groupCols, measureCols,
-      distinctCols, hllP)
+      distinctCols, hllP, baseFilter)
   }
 
   /** Register an ALREADY-MATERIALIZED rollup — e.g. one maintained
@@ -127,7 +142,8 @@ object MaterializedAggregate {
     */
   def registerExisting(spark: SparkSession, basePath: String, mvPath: String,
       groupCols: Seq[String], measureCols: Seq[String],
-      distinctCols: Seq[String] = Nil, hllP: Int = 12): MvDef = {
+      distinctCols: Seq[String] = Nil, hllP: Int = 12,
+      baseFilter: Option[String] = None): MvDef = {
     val plan = spark.read.parquet(mvPath).queryExecution.analyzed
     // pin the EXACT hash-expression shape the rollup's registers were
     // built from (name-normalized); a query sketching any other
@@ -141,10 +157,37 @@ object MaterializedAggregate {
       }.getOrElse(sys.error(s"could not resolve hash expression for $d"))
       d -> normalizeExpr(e)
     }.toMap
+    // a PARTIAL rollup pins its build predicate as name-normalized
+    // conjuncts; navigation requires the query to repeat every one.
+    // Also record which columns that predicate null-rejects (the
+    // plan's own constraint set): the optimizer infers IsNotNull
+    // conjuncts from null-intolerant predicates, and when the rule
+    // runs after that inference the query side carries them — they
+    // are vacuously true of every row the rollup aggregated, so the
+    // rewrite may drop them.
+    val (filterConjuncts, filterNotNullCols) = baseFilter match {
+      case None => (Nil, Set.empty[String])
+      case Some(f) =>
+        val analyzed = spark.read.parquet(basePath)
+          .where(org.apache.spark.sql.functions.expr(f))
+          .queryExecution.analyzed
+        val cond = analyzed.collectFirst { case Filter(c, _) => c }
+          .getOrElse(sys.error(s"could not resolve baseFilter '$f'"))
+        val nn = analyzed.constraints.collect {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) => a.name
+        }
+        (splitConjuncts(cond).map(normalizeExpr), nn.toSet)
+    }
     val d = MvDef(normalize(basePath), mvPath, groupCols, measureCols, plan,
-      distinctCols, hllP, hashSql)
+      distinctCols, hllP, hashSql, filterConjuncts, filterNotNullCols)
     MvCatalog.register(d)
     d
+  }
+
+  private[plans] def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 
   private[plans] def normalize(p: String): String =
@@ -226,8 +269,28 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
       case a: AttributeReference if mv.groupCols.contains(a.name) => a.name
       case _ => return None
     }
-    // filters: grouping columns only (they commute with the rollup)
-    val newCond = condOpt.map { cond =>
+    // filters: a PARTIAL rollup's build predicate must be repeated by
+    // the query, conjunct for conjunct (syntactic subsumption on the
+    // name-normalized form — never implication guessing); whatever
+    // remains must reference grouping columns only (those commute
+    // with the rollup and apply over it)
+    val queryConj = condOpt
+      .map(MaterializedAggregate.splitConjuncts).getOrElse(Nil)
+      .map(c => (c, MaterializedAggregate.normalizeExpr(c)))
+    if (!mv.filterConjuncts.forall(fc => queryConj.exists(_._2 == fc)))
+      return None
+    val residual = queryConj
+      .filterNot(p => mv.filterConjuncts.contains(p._2)).map(_._1)
+      // IsNotNull on a column the rollup's build predicate already
+      // null-rejects is vacuously true over the rollup — the
+      // optimizer infers these from null-intolerant predicates when
+      // this rule runs late in the pipeline
+      .filterNot {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          a: AttributeReference) => mv.filterNotNullCols.contains(a.name)
+        case _ => false
+      }
+    val newCond = residual.reduceOption(And(_, _)).map { cond =>
       val ok = cond.references.forall(a => mv.groupCols.contains(a.name))
       if (!ok) return None
       cond.transform {

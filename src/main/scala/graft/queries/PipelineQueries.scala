@@ -1117,6 +1117,67 @@ object PipelineQueries {
              |         AS est_distinct
              |FROM q JOIN agg a ON a.g = q.g""".stripMargin)),
 
+    // PARTIAL-rollup navigation (the partition-MV shape every
+    // warehouse maintains: "this year's rollup", "shipped lines
+    // only"): the rollup is built over a FILTERED base and navigates
+    // only queries that repeat its build predicate conjunct-for-
+    // conjunct (name-normalized syntactic subsumption — never
+    // implication guessing); the residual returnflag conjunct
+    // applies over the rollup as a grouping-column filter. Gate
+    // requires the plan to land on the partial rollup with the fact
+    // scan gone; oracle recomputes from the base table under both
+    // predicates.
+    QueryDef("p121_mv_partial_nav",
+      (s, dir) => {
+        val basePath = s"$dir/lineitem.parquet"
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_mv4")
+        val mvPath = mvDir.resolve("pmv.parquet").toString
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          mvPath, Seq("l_returnflag"), Seq("l_quantity"),
+          baseFilter = Some("l_linestatus = 'F'"))
+        try {
+          val q = s.read.parquet(basePath)
+            .where(col("l_linestatus") === "F" && col("l_returnflag") =!= "N")
+            .groupBy(col("l_returnflag"))
+            .agg(sum("l_quantity").as("sum_qty"),
+              count(lit(1)).as("n_rows"),
+              min("l_quantity").as("min_qty"),
+              max("l_quantity").as("max_qty"),
+              avg("l_quantity").as("avg_qty"))
+          val scanned = q.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("pmv.parquet")),
+            s"partial rollup not navigated; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned: $scanned")
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""SELECT l_returnflag,
+             |       SUM(l_quantity) AS sum_qty,
+             |       COUNT(*) AS n_rows,
+             |       MIN(l_quantity) AS min_qty,
+             |       MAX(l_quantity) AS max_qty,
+             |       AVG(l_quantity) AS avg_qty
+             |FROM lineitem
+             |WHERE l_linestatus = 'F' AND l_returnflag <> 'N'
+             |GROUP BY l_returnflag""".stripMargin)),
+
     // Link-graph quality prior: integer-arithmetic PageRank
     // (graft.pipeline.LinkGraph) over a deterministic synthetic link
     // graph on the document ids: every doc links to (31d+7)%N, and

@@ -299,6 +299,45 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
+  test("partial rollup: navigates only queries that repeat its build predicate") { withNoAqe {
+    MvCatalog.clear()
+    val pmv = java.nio.file.Files
+      .createTempDirectory("mv_part").resolve("pmv.parquet").toString
+    MaterializedAggregate.buildAndRegister(spark, base, pmv,
+      groupCols = Seq("g1"), measureCols = Seq("qty"),
+      baseFilter = Some("g2 = 'x'"))
+    try {
+      // query repeats the predicate → navigates, answers exactly
+      def q = spark.read.parquet(base).where(col("g2") === "x")
+        .groupBy(col("g1")).agg(sum("qty").as("s"))
+      assert(scannedPaths(q).exists(_.contains("pmv.parquet")),
+        s"partial rollup not navigated: ${scannedPaths(q)}")
+      assert(q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        === Map("A" -> 30.0, "B" -> 7.0))
+      // repeats it AND adds a grouping-column conjunct → still
+      // navigates, the residual applies over the rollup
+      def q2 = spark.read.parquet(base)
+        .where(col("g2") === "x" && col("g1") === "A")
+        .groupBy(col("g1")).agg(sum("qty").as("s"))
+      assert(scannedPaths(q2).exists(_.contains("pmv.parquet")))
+      assert(q2.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        === Map("A" -> 30.0))
+      // no filter at all → must NOT navigate (the rollup is missing
+      // the g2 != 'x' rows)
+      def q3 = spark.read.parquet(base)
+        .groupBy(col("g1")).agg(sum("qty").as("s"))
+      assert(scannedPaths(q3).exists(_.contains("fact.parquet")),
+        "unfiltered query navigated a partial rollup")
+      // a DIFFERENT predicate on the same column → refuse
+      def q4 = spark.read.parquet(base).where(col("g2") === "y")
+        .groupBy(col("g1")).agg(sum("qty").as("s"))
+      assert(scannedPaths(q4).exists(_.contains("fact.parquet")),
+        "wrong predicate navigated a partial rollup")
+      assert(q4.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        === Map("A" -> 5.0, "B" -> 20.0))
+    } finally MvCatalog.clear()
+  } }
+
   test("dormant catalog: rule is a no-op when nothing is registered") { withNoAqe {
     MvCatalog.clear()
     val q = spark.read.parquet(base).groupBy(col("g1"))
