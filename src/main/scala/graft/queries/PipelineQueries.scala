@@ -1085,37 +1085,7 @@ object PipelineQueries {
           } catch { case _: java.io.IOException => () }
         }
       },
-      Some("""WITH f AS (SELECT l_returnflag AS g, l_suppkey, l_quantity
-             |           FROM lineitem WHERE l_linestatus = 'F'),
-             |h AS (SELECT DISTINCT g,
-             |        ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT AS h
-             |      FROM f),
-             |rho AS (SELECT g, h % 16 AS bucket,
-             |               CASE WHEN h // 16 = 0 THEN 57
-             |                    ELSE 56 - length(bin(h // 16)) + 1 END AS rho
-             |        FROM h),
-             |base AS (SELECT DISTINCT g FROM f),
-             |regs AS (SELECT base.g, b.bucket, COALESCE(mx.mr, 0) AS reg
-             |         FROM base
-             |         CROSS JOIN (SELECT unnest(range(16)) AS bucket) b
-             |         LEFT JOIN (SELECT g, bucket, max(rho) AS mr
-             |                    FROM rho GROUP BY g, bucket) mx
-             |           ON mx.g = base.g AND mx.bucket = b.bucket),
-             |agg AS (SELECT g,
-             |          md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY bucket))
-             |            AS register_digest,
-             |          CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
-             |            AS n_zero_registers,
-             |          CAST(sum(1::HUGEINT << (61 - CAST(reg AS INT))) AS DOUBLE)
-             |            AS harmonic_scaled
-             |        FROM regs GROUP BY g),
-             |q AS (SELECT g, SUM(l_quantity) AS sum_qty FROM f GROUP BY g)
-             |SELECT q.g AS l_returnflag, q.sum_qty, a.register_digest,
-             |       a.n_zero_registers, a.harmonic_scaled,
-             |       (0.7213 / (1 + 1.079 / 16.0)) * 256.0
-             |         * 2305843009213693952.0 / a.harmonic_scaled
-             |         AS est_distinct
-             |FROM q JOIN agg a ON a.g = q.g""".stripMargin)),
+      Some(mvDistinctNavOracleSql)),
 
     // PARTIAL-rollup navigation (the partition-MV shape every
     // warehouse maintains: "this year's rollup", "shipped lines
@@ -5183,6 +5153,43 @@ object PipelineQueries {
       |FROM lineitem
       |WHERE l_linestatus = 'F'
       |GROUP BY l_returnflag""".stripMargin
+
+  /** The p119 sketch-navigation oracle (base-table register
+    * arithmetic) — shared verbatim by the p119 batch gate and the
+    * st35 incremental-maintenance gate.
+    */
+  private[queries] val mvDistinctNavOracleSql: String =
+    """WITH f AS (SELECT l_returnflag AS g, l_suppkey, l_quantity
+             |           FROM lineitem WHERE l_linestatus = 'F'),
+             |h AS (SELECT DISTINCT g,
+             |        ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT AS h
+             |      FROM f),
+             |rho AS (SELECT g, h % 16 AS bucket,
+             |               CASE WHEN h // 16 = 0 THEN 57
+             |                    ELSE 56 - length(bin(h // 16)) + 1 END AS rho
+             |        FROM h),
+             |base AS (SELECT DISTINCT g FROM f),
+             |regs AS (SELECT base.g, b.bucket, COALESCE(mx.mr, 0) AS reg
+             |         FROM base
+             |         CROSS JOIN (SELECT unnest(range(16)) AS bucket) b
+             |         LEFT JOIN (SELECT g, bucket, max(rho) AS mr
+             |                    FROM rho GROUP BY g, bucket) mx
+             |           ON mx.g = base.g AND mx.bucket = b.bucket),
+             |agg AS (SELECT g,
+             |          md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY bucket))
+             |            AS register_digest,
+             |          CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |            AS n_zero_registers,
+             |          CAST(sum(1::HUGEINT << (61 - CAST(reg AS INT))) AS DOUBLE)
+             |            AS harmonic_scaled
+             |        FROM regs GROUP BY g),
+             |q AS (SELECT g, SUM(l_quantity) AS sum_qty FROM f GROUP BY g)
+             |SELECT q.g AS l_returnflag, q.sum_qty, a.register_digest,
+             |       a.n_zero_registers, a.harmonic_scaled,
+             |       (0.7213 / (1 + 1.079 / 16.0)) * 256.0
+             |         * 2305843009213693952.0 / a.harmonic_scaled
+             |         AS est_distinct
+             |FROM q JOIN agg a ON a.g = q.g""".stripMargin
 
   private[queries] val decontaminationOracleSql: String =
     """WITH tk AS (SELECT doc_id,

@@ -2365,6 +2365,75 @@ object StreamingQueries {
     },
     Some(PipelineQueries.mvRewriteOracleSql))
 
+  /** st35: sketch-bearing incremental MV maintenance — st33 with a
+    * distinct column: each micro-batch commits HLL register partials
+    * next to the sum/min/max/count partials, and the navigation rule
+    * folds them with the elementwise-max aggregate. A replayed batch
+    * overwrites its own partition (registers are a pure function of
+    * the batch), and the fold is bit-identical to the one-shot
+    * sketch, so the gate shares p119's base-table oracle verbatim —
+    * digest and estimate included.
+    */
+  private def streamingMvDistinct: QueryDef = QueryDef(
+    "st35_streaming_mv_distinct",
+    (s, dir) => {
+      import graft.functions.{SketchFunctions => SK, Md5Hash}
+      val basePath = s"$dir/lineitem.parquet"
+      val facts = s.read.parquet(basePath)
+      val schema = facts.schema
+      val dirP = scratch("st35")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      val mvPath = dirP.resolve("mv.parquet").toString
+      facts.where(col("l_orderkey") % 2 === 0).coalesce(1).write.parquet(stage)
+      facts.where(col("l_orderkey") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val q0 = graft.streaming.StreamingMvMaintenance.maintainer(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage),
+        mvPath, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"),
+        distinctCols = Seq("l_suppkey"), hllP = 4)
+        .option("checkpointLocation", ckpt).start()
+      try q0.awaitTermination() finally q0.stop()
+
+      graft.plans.MaterializedAggregate.registerExisting(
+        s, basePath, mvPath, Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity"), distinctCols = Seq("l_suppkey"), hllP = 4)
+      try {
+        val q = s.read.parquet(basePath)
+          .where(col("l_linestatus") === "F")
+          .groupBy(col("l_returnflag"))
+          .agg(sum("l_quantity").as("sum_qty"),
+            SK.hyperLogLog(Md5Hash.h60String(col("l_suppkey")), 4)
+              .as("__regs"))
+          .select(col("l_returnflag"), col("sum_qty"),
+            md5(array_join(transform(col("__regs"), _.cast("string")), ","))
+              .as("register_digest"),
+            SK.hllZeroRegisters(col("__regs")).as("n_zero_registers"),
+            SK.hllHarmonicScaled(col("__regs")).as("harmonic_scaled"),
+            SK.hllEstimate(col("__regs"), 4).as("est_distinct"))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(scanned.exists(_.contains("mv.parquet")),
+          s"maintained sketch MV not navigated; scans: $scanned")
+        require(!scanned.exists(_.contains("lineitem.parquet")),
+          s"fact table still scanned: $scanned")
+        val rows = q.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+      } finally {
+        graft.plans.MvCatalog.clear()
+        deleteRecursively(dirP)
+      }
+    },
+    Some(PipelineQueries.mvDistinctNavOracleSql))
+
   /** st34: the COMPOSED online MEDIA ingest chain
     * ([[graft.streaming.StreamingMediaIngest]]) — the multimodal
     * twin of st28: per-source admission quota → in-scan decode →
@@ -2461,5 +2530,5 @@ object StreamingQueries {
       streamingPerplexity, streamingTokenBudget, streamingBatching,
       streamingIngestE2e, streamingOhlc, streamingDecontamination,
       streamingPixelDedup, streamingExcise, streamingMvMaintenance,
-      streamingMediaIngest)
+      streamingMediaIngest, streamingMvDistinct)
 }
