@@ -64,10 +64,16 @@ object LinkGraph {
     *         `rank_units` BIGINT). Σ rank_units ≤ |V| * scale (mass
     *         only evaporates, via flooring and dangling vertices).
     */
+  /** @param checkpoint eagerly localCheckpoint each round's ranks
+    *        (the default — see the lineage note above). `false` keeps
+    *        the whole loop one lazy plan: right for tiny graphs and
+    *        for plan-shape audits (PlanSpec inspects the per-round
+    *        aggregation, which a checkpoint boundary would hide).
+    */
   def pageRankUnits(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", iterations: Int = 3,
       scale: Long = 1000000L, dampNum: Long = 85L,
-      dampDen: Long = 100L): DataFrame = {
+      dampDen: Long = 100L, checkpoint: Boolean = true): DataFrame = {
     require(iterations >= 0, s"iterations=$iterations must be >= 0")
     require(scale > 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need scale>0 and 0 <= dampNum <= dampDen (got $scale, $dampNum/$dampDen)")
@@ -78,8 +84,9 @@ object LinkGraph {
       .agg(count(lit(1)).as("__out"))
     val teleport = (scale * (dampDen - dampNum)) / dampDen
 
-    var ranks = vertices.withColumn("rank_units", lit(scale))
-      .localCheckpoint()
+    def bound(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+    var ranks = bound(vertices.withColumn("rank_units", lit(scale)))
     var i = 0
     while (i < iterations) {
       val contrib = edges
@@ -92,10 +99,9 @@ object LinkGraph {
             .as("__c"))
         .groupBy(col("id"))
         .agg(sum(col("__c")).as("__c"))
-      ranks = vertices.join(contrib, Seq("id"), "left")
+      ranks = bound(vertices.join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(teleport) + coalesce(col("__c"), lit(0L))).as("rank_units"))
-        .localCheckpoint()
+          (lit(teleport) + coalesce(col("__c"), lit(0L))).as("rank_units")))
       i += 1
     }
     ranks.select(col("id").as(srcCol), col("rank_units"))

@@ -736,6 +736,63 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("PageRank iteration: keyed integer sums only — no window, no global sort") {
+    // one round = join ranks onto edges + one map-side-combinable
+    // integer sum keyed by dst; a window or global sort in the loop
+    // body would serialize the whole vertex set per round at 100 TB
+    import spark.implicits._
+    val edges = (0L until 256L).map(i => (i, (i * 7 + 3) % 256)).toDF("src", "dst")
+    withNoAqe {
+      val q = pipeline.LinkGraph.pageRankUnits(edges, iterations = 2,
+        scale = 1000L, checkpoint = false)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"window in the rank loop:\n$plan")
+      // the only Sort allowed is inside SortMergeJoin; no global
+      // (single-partition) ordering anywhere
+      assert(!plan.contains("rangepartitioning"),
+        s"global sort in the rank loop:\n$plan")
+      val partials = q.queryExecution.executedPlan.collect {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+            if h.toString.contains("partial_sum") => h
+      }
+      assert(partials.nonEmpty, "contribution sum has no map-side partials")
+      assert(q.count() === 256L)
+    }
+  }
+
+  test("pair curation: payload bytes never shuffle; caption branch prunes payload at the scan") {
+    import spark.implicits._
+    val pairs = (0L until 48L).toDF("pair_id")
+      .as[Long]
+      .mapPartitions(ids => ids.map(id =>
+        (id, pipeline.Multimodal.syntheticPng(id % 6, 8, 8),
+          s"a synthetic caption claiming 8x8 id $id")))
+      .toDF("pair_id", "payload", "caption")
+    // write to parquet so column pruning is observable at a real scan
+    val pdir = java.nio.file.Files.createTempDirectory("plan_pairs")
+      .resolve("pairs.parquet").toString
+    pairs.write.mode("overwrite").parquet(pdir)
+    withNoAqe {
+      val q = pipeline.Multimodal.pairCuration(spark.read.parquet(pdir))
+      val shuffled = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffled.nonEmpty, "expected at least one exchange")
+      shuffled.foreach { e =>
+        assert(!e.output.map(_.name).contains("payload"),
+          s"payload bytes flow through a shuffle:\n${e.treeString}")
+      }
+      // the caption-side scan must not read the payload column
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.requiredSchema.fieldNames.toSeq
+      }
+      assert(scans.exists(!_.contains("payload")),
+        s"caption branch reads payloads: $scans")
+      assert(q.count() === 48L)
+    }
+  }
+
   test("excision: coverage join shuffles (doc, pos) pairs; text moves at most once") {
     val docs = Tables.documents(spark, dir)
     withNoAqe {

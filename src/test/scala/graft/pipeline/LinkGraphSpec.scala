@@ -71,6 +71,9 @@ class LinkGraphSpec extends SparkSpec {
         iterations = 3, scale = 1000L))
       assert(got === base, s"partitioning $p diverged")
     }
+    // the checkpoint boundary is an execution detail, never a result
+    assert(ranksOf(LinkGraph.pageRankUnits(edges, iterations = 3,
+      scale = 1000L, checkpoint = false)) === base)
   }
 
   test("tracks float PageRank within floor-loss tolerance on a ring") {
