@@ -84,7 +84,8 @@ object MaterializedAggregate {
       hllP: Int = 12,
       hashSql: Map[String, String] = Map.empty,
       filterConjuncts: Seq[String] = Nil,
-      filterNotNullCols: Set[String] = Set.empty) {
+      filterNotNullCols: Set[String] = Set.empty,
+      exprMeasureKeys: Map[String, String] = Map.empty) {
     def sumCol(c: String): String = s"sum_$c"
     def minCol(c: String): String = s"min_$c"
     def maxCol(c: String): String = s"max_$c"
@@ -105,7 +106,11 @@ object MaterializedAggregate {
   def build(spark: SparkSession, basePath: String, mvPath: String,
       groupCols: Seq[String], measureCols: Seq[String],
       distinctCols: Seq[String] = Nil, hllP: Int = 12,
-      baseFilter: Option[String] = None): Unit = {
+      baseFilter: Option[String] = None,
+      exprMeasures: Map[String, String] = Map.empty): Unit = {
+    require(exprMeasures.keySet.intersect(
+      (measureCols ++ groupCols ++ distinctCols).toSet).isEmpty,
+      "exprMeasures names collide with registered columns")
     val base = baseFilter.foldLeft(spark.read.parquet(basePath))(
       (df, f) => df.where(org.apache.spark.sql.functions.expr(f)))
     val aggs =
@@ -114,6 +119,11 @@ object MaterializedAggregate {
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"),
         count(col(c)).as(s"nnz_$c"))) ++
+      exprMeasures.toSeq.sortBy(_._1).flatMap { case (name, e) =>
+        val x = org.apache.spark.sql.functions.expr(e)
+        Seq(sum(x).as(s"sum_$name"), min(x).as(s"min_$name"),
+          max(x).as(s"max_$name"), count(x).as(s"nnz_$name"))
+      } ++
       distinctCols.map(d => graft.functions.SketchFunctions.hyperLogLog(
         graft.functions.Md5Hash.h60String(col(d)), hllP).as(s"hll_$d")) :+
       count(lit(1)).as("cnt")
@@ -126,11 +136,12 @@ object MaterializedAggregate {
   def buildAndRegister(spark: SparkSession, basePath: String, mvPath: String,
       groupCols: Seq[String], measureCols: Seq[String],
       distinctCols: Seq[String] = Nil, hllP: Int = 12,
-      baseFilter: Option[String] = None): MvDef = {
+      baseFilter: Option[String] = None,
+      exprMeasures: Map[String, String] = Map.empty): MvDef = {
     build(spark, basePath, mvPath, groupCols, measureCols, distinctCols,
-      hllP, baseFilter)
+      hllP, baseFilter, exprMeasures)
     registerExisting(spark, basePath, mvPath, groupCols, measureCols,
-      distinctCols, hllP, baseFilter)
+      distinctCols, hllP, baseFilter, exprMeasures)
   }
 
   /** Register an ALREADY-MATERIALIZED rollup — e.g. one maintained
@@ -143,7 +154,8 @@ object MaterializedAggregate {
   def registerExisting(spark: SparkSession, basePath: String, mvPath: String,
       groupCols: Seq[String], measureCols: Seq[String],
       distinctCols: Seq[String] = Nil, hllP: Int = 12,
-      baseFilter: Option[String] = None): MvDef = {
+      baseFilter: Option[String] = None,
+      exprMeasures: Map[String, String] = Map.empty): MvDef = {
     val plan = spark.read.parquet(mvPath).queryExecution.analyzed
     // pin the EXACT hash-expression shape the rollup's registers were
     // built from (name-normalized); a query sketching any other
@@ -179,8 +191,21 @@ object MaterializedAggregate {
         }
         (splitConjuncts(cond).map(normalizeExpr), nn.toSet)
     }
+    // EXPRESSION measures ("revenue" → price arithmetic) register by
+    // their name-normalized resolved tree: a query summing the exact
+    // same expression navigates to sum_<name> and friends
+    val exprMeasureKeys = exprMeasures.map { case (name, e) =>
+      val analyzed = spark.read.parquet(basePath)
+        .select(org.apache.spark.sql.functions.expr(e).as("__m"))
+        .queryExecution.analyzed
+      val resolved = analyzed.expressions.collectFirst {
+        case al: Alias if al.name == "__m" => al.child
+      }.getOrElse(sys.error(s"could not resolve exprMeasure '$name'"))
+      normalizeExpr(resolved) -> name
+    }
     val d = MvDef(normalize(basePath), mvPath, groupCols, measureCols, plan,
-      distinctCols, hllP, hashSql, filterConjuncts, filterNotNullCols)
+      distinctCols, hllP, hashSql, filterConjuncts, filterNotNullCols,
+      exprMeasureKeys)
     MvCatalog.register(d)
     d
   }
@@ -195,10 +220,17 @@ object MaterializedAggregate {
 
   /** Name-normalized SQL form for expression matching: attribute
     * identity (exprIds, qualifiers) is plan-local, so compare trees
-    * with attributes reduced to bare names.
+    * with attributes reduced to bare names. Foldable subtrees fold
+    * to literals FIRST — the optimizer constant-folds the query side
+    * (`CAST(10 AS DOUBLE)` → `10.0`) but registration sees the
+    * analyzed tree, and the match must not depend on which optimizer
+    * stage this rule happens to run at.
     */
   private[plans] def normalizeExpr(e: Expression): String =
     e.transform {
+      case x if x.foldable && !x.isInstanceOf[Literal] =>
+        Literal.create(x.eval(), x.dataType)
+    }.transform {
       case a: AttributeReference =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
     }.sql
@@ -305,19 +337,30 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
       case a: AttributeReference if groupNames.contains(a.name) =>
         Some(mvAttrs(a.name))
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        // a measure is a registered plain column OR a registered
+        // expression measure (matched by name-normalized tree —
+        // "revenue" can be price arithmetic, not just a column)
+        def measureKey(x: Expression): Option[String] = x match {
+          case a: AttributeReference =>
+            Some(a.name).filter(mv.measureCols.contains)
+          case e =>
+            mv.exprMeasureKeys.get(MaterializedAggregate.normalizeExpr(e))
+        }
         ae.aggregateFunction match {
-          case Sum(x: AttributeReference, _) if mv.measureCols.contains(x.name) =>
-            Some(cAgg(Sum(mvAttrs(mv.sumCol(x.name)))))
-          case Min(x: AttributeReference) if mv.measureCols.contains(x.name) =>
-            Some(cAgg(Min(mvAttrs(mv.minCol(x.name)))))
-          case Max(x: AttributeReference) if mv.measureCols.contains(x.name) =>
-            Some(cAgg(Max(mvAttrs(mv.maxCol(x.name)))))
+          case Sum(x, _) if measureKey(x).exists(k =>
+              mvAttrs.contains(mv.sumCol(k))) =>
+            Some(cAgg(Sum(mvAttrs(mv.sumCol(measureKey(x).get)))))
+          case Min(x) if measureKey(x).exists(k =>
+              mvAttrs.contains(mv.minCol(k))) =>
+            Some(cAgg(Min(mvAttrs(mv.minCol(measureKey(x).get)))))
+          case Max(x) if measureKey(x).exists(k =>
+              mvAttrs.contains(mv.maxCol(k))) =>
+            Some(cAgg(Max(mvAttrs(mv.maxCol(measureKey(x).get)))))
           case Count(Seq(Literal(_, _))) =>
             Some(cAgg(Sum(mvAttrs(mv.countCol))))
-          case Count(Seq(x: AttributeReference))
-              if mv.measureCols.contains(x.name) &&
-                mvAttrs.contains(mv.nnzCol(x.name)) =>
-            Some(cAgg(Sum(mvAttrs(mv.nnzCol(x.name)))))
+          case Count(Seq(x)) if measureKey(x).exists(k =>
+              mvAttrs.contains(mv.nnzCol(k))) =>
+            Some(cAgg(Sum(mvAttrs(mv.nnzCol(measureKey(x).get)))))
           case h: graft.functions.HyperLogLog
               if h.pExpr.foldable &&
                 Option(h.pExpr.eval())
@@ -332,16 +375,18 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
                 mvAttrs.contains(mv.hllCol(d)))
               .map(d => cAgg(graft.functions.HllMergeAgg(
                 mvAttrs(mv.hllCol(d)), Literal(mv.hllP))))
-          case Average(x: AttributeReference, _) if mv.measureCols.contains(x.name) =>
-            // AVG = sum / COUNT(x): use nnz_x; a legacy rollup without
+          case Average(x, _) if measureKey(x).exists(k =>
+              mvAttrs.contains(mv.sumCol(k))) =>
+            // AVG = sum / COUNT(x): use nnz; a legacy rollup without
             // it may only divide by cnt when x can't be NULL
+            val k = measureKey(x).get
             val denom =
-              if (mvAttrs.contains(mv.nnzCol(x.name)))
-                Some(mvAttrs(mv.nnzCol(x.name)))
+              if (mvAttrs.contains(mv.nnzCol(k)))
+                Some(mvAttrs(mv.nnzCol(k)))
               else if (!x.nullable) Some(mvAttrs(mv.countCol))
               else None
             denom.map(d => Divide(
-              Cast(cAgg(Sum(mvAttrs(mv.sumCol(x.name)))), DoubleType),
+              Cast(cAgg(Sum(mvAttrs(mv.sumCol(k)))), DoubleType),
               Cast(cAgg(Sum(d)), DoubleType)))
           case _ => None
         }

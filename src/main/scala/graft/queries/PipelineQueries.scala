@@ -1148,6 +1148,68 @@ object PipelineQueries {
              |WHERE l_linestatus = 'F' AND l_returnflag <> 'N'
              |GROUP BY l_returnflag""".stripMargin)),
 
+    // EXPRESSION-measure navigation — the TPC-H Q1 revenue shape:
+    // the rollup registers "revenue" as price arithmetic (not a
+    // column), and a query summing the EXACT same expression
+    // (matched on the name-normalized, constant-folded tree)
+    // navigates to sum_revenue/nnz_revenue. The measure is cast in
+    // integer CENTS × integer discount-complement so re-associated
+    // sums are bit-exact (prices/discounts are 2-decimal by
+    // construction; fractional-double measures are the documented
+    // MV-admission trade-off). AVG divides by the expression's
+    // non-null count.
+    QueryDef("p122_mv_expr_measure",
+      (s, dir) => {
+        val basePath = s"$dir/lineitem.parquet"
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_mv5")
+        val mvPath = mvDir.resolve("emv.parquet").toString
+        val revenue = "round(l_extendedprice * 100) * (100 - round(l_discount * 100))"
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          mvPath, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"),
+          exprMeasures = Map("revenue_c4" -> revenue))
+        try {
+          val q = s.read.parquet(basePath)
+            .where(col("l_linestatus") === "F")
+            .groupBy(col("l_returnflag"))
+            .agg(sum("l_quantity").as("sum_qty"),
+              sum(expr(revenue)).as("sum_revenue_c4"),
+              avg(expr(revenue)).as("avg_revenue_c4"),
+              count(lit(1)).as("n_rows"))
+          val scanned = q.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("emv.parquet")),
+            s"expression measure not navigated; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned: $scanned")
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""SELECT l_returnflag,
+             |       SUM(l_quantity) AS sum_qty,
+             |       SUM(round(l_extendedprice * 100)
+             |           * (100 - round(l_discount * 100))) AS sum_revenue_c4,
+             |       AVG(round(l_extendedprice * 100)
+             |           * (100 - round(l_discount * 100))) AS avg_revenue_c4,
+             |       COUNT(*) AS n_rows
+             |FROM lineitem
+             |WHERE l_linestatus = 'F'
+             |GROUP BY l_returnflag""".stripMargin)),
+
     // Link-graph quality prior: integer-arithmetic PageRank
     // (graft.pipeline.LinkGraph) over a deterministic synthetic link
     // graph on the document ids: every doc links to (31d+7)%N, and

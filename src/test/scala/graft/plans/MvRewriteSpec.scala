@@ -338,6 +338,44 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
+  test("expression measures: sum/min/max/count/avg over the registered tree navigate") { withNoAqe {
+    MvCatalog.clear()
+    val emv = java.nio.file.Files
+      .createTempDirectory("mv_expr").resolve("emv.parquet").toString
+    // "rev" = qty * (10 - price): integral-valued, so re-associated
+    // sums are bit-exact
+    MaterializedAggregate.buildAndRegister(spark, base, emv,
+      groupCols = Seq("g1"), measureCols = Nil,
+      exprMeasures = Map("rev" -> "qty * (10 - price)"))
+    try {
+      def q = spark.read.parquet(base).groupBy(col("g1"))
+        .agg(sum(expr("qty * (10 - price)")).as("s"),
+          min(expr("qty * (10 - price)")).as("mn"),
+          max(expr("qty * (10 - price)")).as("mx"),
+          avg(expr("qty * (10 - price)")).as("a"),
+          count(expr("qty * (10 - price)")).as("n"))
+      assert(scannedPaths(q).exists(_.contains("emv.parquet")),
+        s"expression measure not navigated: ${scannedPaths(q)}")
+      val got = q.collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+      MvCatalog.clear()
+      val direct = q.collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+      assert(got === direct)
+      // A: 10*8.5 + 20*7.5 + 5*9.5 = 282.5 — wait, integral? price
+      // values are *.5 so rev is *.0 or *.5; exactness still holds
+      // for sums of dyadic rationals (all are k/2) — spot-pin one
+      assert(got.exists { case (g, s, _, _, _, _) => g == "A" && s == 282.5 })
+      // a DIFFERENT expression refuses
+      MaterializedAggregate.buildAndRegister(spark, base, emv,
+        Seq("g1"), Nil, exprMeasures = Map("rev" -> "qty * (10 - price)"))
+      val other = spark.read.parquet(base).groupBy(col("g1"))
+        .agg(sum(expr("qty * (11 - price)")).as("s"))
+      assert(scannedPaths(other).exists(_.contains("fact.parquet")),
+        "different expression navigated")
+    } finally MvCatalog.clear()
+  } }
+
   test("dormant catalog: rule is a no-op when nothing is registered") { withNoAqe {
     MvCatalog.clear()
     val q = spark.read.parquet(base).groupBy(col("g1"))
