@@ -1266,6 +1266,71 @@ object PipelineQueries {
            |SELECT id AS doc_id, r AS rank_units FROM r3""".stripMargin
       }),
 
+    // Anchor-text aggregation — the OTHER web-graph curation signal
+    // next to the p118 rank prior: for every page, the top-2 anchor
+    // terms its in-links carry (what the web "calls" the page — a
+    // quality/topic signal search stacks have used since AltaVista,
+    // and document-expansion pipelines attach to pretraining pages).
+    // Anchor for edge src→dst = src's first token (deterministic,
+    // oracle-restatable). Scale shape: one (dst, anchor) map-side-
+    // combinable count, then the NATIVE top_k_by_score aggregate —
+    // O(pages × k) state on the wire, never a per-page sort of every
+    // distinct anchor (the window formulation the operator exists to
+    // avoid); the string rides a bounded (dst, hash)-grain join back.
+    // Keys are the anchors' 60-bit hashes, so the tie-break is
+    // (count DESC, hash ASC) — pinned in the oracle the same way.
+    QueryDef("p123_anchor_text",
+      (s, dir) => {
+        import graft.functions.{SketchFunctions => SK, Md5Hash}
+        val docs = Tables.documents(s, dir)
+        val ids = docs.select(col("doc_id").cast("long").as("doc_id"))
+        val n = ids.agg(max(col("doc_id"))).first().getLong(0) + 1L
+        val edges = ids
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * 31 + 7) % n).as("dst"))
+          .unionAll(ids.where(col("doc_id") % 3 =!= 0)
+            .select(col("doc_id").as("src"),
+              ((col("doc_id") * 17 + 3) % n).as("dst")))
+        val anchors = edges.join(
+          docs.select(col("doc_id").as("src"),
+            split(trim(col("text")), "\\s+").getItem(0).as("anchor")),
+          "src")
+          .where(col("anchor").isNotNull && col("anchor") =!= "")
+        val counts = anchors.groupBy(col("dst"), col("anchor"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("h", Md5Hash.h60(col("anchor")))
+        val top = counts.groupBy(col("dst"))
+          .agg(SK.topKByScore(col("cnt").cast("double"), col("h"), 2)
+            .as("keys"))
+        top.select(col("dst"), posexplode(col("keys")).as(Seq("pos", "h")))
+          .join(counts, Seq("dst", "h"))
+          .select(col("dst").as("doc_id"),
+            (col("pos") + 1).cast("int").as("rank"),
+            col("anchor"), col("cnt"))
+      },
+      Some("""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+             |e AS (SELECT doc_id AS src,
+             |             (doc_id * 31 + 7) % (SELECT n FROM nn) AS dst
+             |      FROM documents
+             |      UNION ALL
+             |      SELECT doc_id, (doc_id * 17 + 3) % (SELECT n FROM nn)
+             |      FROM documents WHERE doc_id % 3 <> 0),
+             |a AS (SELECT e.dst,
+             |             list_filter(string_split_regex(trim(d.text), '\s+'),
+             |                         t -> t <> '')[1] AS anchor
+             |      FROM e JOIN documents d ON d.doc_id = e.src),
+             |af AS (SELECT * FROM a
+             |       WHERE anchor IS NOT NULL AND anchor <> ''),
+             |c AS (SELECT dst, anchor, CAST(count(*) AS BIGINT) AS cnt,
+             |             ('0x' || substr(md5(anchor), 1, 15))::BIGINT AS h
+             |      FROM af GROUP BY dst, anchor),
+             |r AS (SELECT dst, anchor, cnt,
+             |             row_number() OVER (PARTITION BY dst
+             |               ORDER BY cnt DESC, h ASC) AS rnk
+             |      FROM c)
+             |SELECT dst AS doc_id, CAST(rnk AS INT) AS rank, anchor, cnt
+             |FROM r WHERE rnk <= 2""".stripMargin)),
+
     // Composed web-corpus release gate — the consumer a link prior
     // exists FOR: crawl-side curation keeps pages that carry at
     // least the uniform share of link mass (rank_units >= scale —
