@@ -622,7 +622,10 @@ object Multimodal {
     val caps = pairs.select(col(idCol).cast("long").as("__pid"),
       regexp_extract(col(captionCol), "(\\d+)x(\\d+)", 1).as("__cw"),
       regexp_extract(col(captionCol), "(\\d+)x(\\d+)", 2).as("__ch"),
-      size(split(trim(col(captionCol)), "\\s+")).cast("long").as("n_tokens"))
+      // NULL caption → 0 tokens (fails quality); size(NULL) is -1
+      // under ANSI-off legacy semantics, so clamp rather than coalesce
+      greatest(coalesce(size(split(trim(col(captionCol)), "\\s+")), lit(0)),
+        lit(0)).cast("long").as("n_tokens"))
     val v = sigs.join(caps, "__pid")
       .withColumn("aligned",
         coalesce(col("width") > 0 &&

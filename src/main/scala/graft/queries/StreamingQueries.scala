@@ -2365,6 +2365,83 @@ object StreamingQueries {
     },
     Some(PipelineQueries.mvRewriteOracleSql))
 
+  /** st36: the COMPOSED online image–TEXT pair ingest
+    * ([[graft.streaming.StreamingPairIngest]]) — st34 with the
+    * cross-modal stage in the chain: per-source quota → in-scan
+    * decode → caption-vs-decoded-dims alignment + caption quality →
+    * index-wins content dedup among SURVIVORS (a rejected pair never
+    * claims a hash). Fixture: the mm15 caption formulas over the
+    * cross-format media classes, source = id % 4, staged as ids
+    * < 250 then the rest. Every verdict closed-form in doc_id:
+    * admitted = per-source rank ≤ 50, aligned = id % 5 ≠ 0,
+    * caption_ok = id % 7 ≠ 0, keeper = each class's minimal
+    * ELIGIBLE id (classes ≡ 0 mod 5 have none — the empty-class
+    * branch rides in the gate).
+    */
+  private def streamingPairIngest: QueryDef = QueryDef(
+    "st36_streaming_pair_ingest",
+    (s, dir) => {
+      import s.implicits._
+      val media = PipelineQueries.crossFormatMediaForStreaming(s, dir)
+      val cls = col("media_id") % 50
+      val w = (lit(8) + cls % 8).cast("int")
+      val h = (lit(8) + cls % 5).cast("int")
+      val claimW = when(col("media_id") % 5 === 0, w + 1).otherwise(w)
+      val dims = concat(claimW.cast("string"), lit("x"), h.cast("string"))
+      val pairs = media.select(col("media_id").as("pair_id"),
+        concat(lit("s"), (col("media_id") % 4).cast("string")).as("source"),
+        col("payload"),
+        when(col("media_id") % 7 === 0, dims)
+          .otherwise(concat(lit("a photo of class "),
+            cls.cast("string"), lit(" size "), dims)).as("caption"))
+      val schema = pairs.schema
+      val dirP = scratch("st36")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      val out = dirP.resolve("out").toString
+      pairs.where(col("pair_id") < 250).coalesce(1).write.parquet(stage)
+      pairs.where(col("pair_id") >= 250).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val cfg = graft.streaming.StreamingPairIngest.Config(
+        quotaPerSource = 50L, minCaptionTokens = 3, outPath = out)
+      val q = graft.streaming.StreamingPairIngest.pipeline(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .as[graft.streaming.StreamingPairIngest.PairIn],
+        cfg)
+        .option("checkpointLocation", ckpt).start()
+      try q.awaitTermination() finally q.stop()
+
+      val outDf = s.read.parquet(out).select(
+        col("pair_id"), col("source"), col("admitted"), col("aligned"),
+        col("caption_ok"), col("keeper"), col("quarantined"),
+        col("width"), col("height"))
+      val outSchema = outDf.schema
+      val rows = outDf.collect()
+      deleteRecursively(dirP)
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), outSchema)
+    },
+    Some("""WITH m AS (SELECT doc_id AS pair_id,
+           |             's' || CAST(doc_id % 4 AS VARCHAR) AS source,
+           |             doc_id % 50 AS cls
+           |           FROM documents),
+           |adm AS (SELECT pair_id, source, cls,
+           |          (row_number() OVER (PARTITION BY source
+           |             ORDER BY pair_id) <= 50) AS admitted,
+           |          (pair_id % 5 <> 0) AS aligned,
+           |          (pair_id % 7 <> 0) AS caption_ok
+           |        FROM m),
+           |k AS (SELECT cls, min(pair_id) AS rep FROM adm
+           |      WHERE admitted AND aligned AND caption_ok GROUP BY cls)
+           |SELECT a.pair_id, a.source, a.admitted, a.aligned, a.caption_ok,
+           |       COALESCE(a.admitted AND a.aligned AND a.caption_ok
+           |                AND a.pair_id = k.rep, false) AS keeper,
+           |       CAST(false AS BOOLEAN) AS quarantined,
+           |       CAST(8 + a.cls % 8 AS INTEGER) AS width,
+           |       CAST(8 + a.cls % 5 AS INTEGER) AS height
+           |FROM adm a LEFT JOIN k ON k.cls = a.cls""".stripMargin))
+
   /** st35: sketch-bearing incremental MV maintenance — st33 with a
     * distinct column: each micro-batch commits HLL register partials
     * next to the sum/min/max/count partials, and the navigation rule
@@ -2530,5 +2607,5 @@ object StreamingQueries {
       streamingPerplexity, streamingTokenBudget, streamingBatching,
       streamingIngestE2e, streamingOhlc, streamingDecontamination,
       streamingPixelDedup, streamingExcise, streamingMvMaintenance,
-      streamingMediaIngest, streamingMvDistinct)
+      streamingMediaIngest, streamingMvDistinct, streamingPairIngest)
 }

@@ -432,4 +432,18 @@ class MultimodalSpec extends SparkSpec {
     assert(got(11L) === ((true, true))) // min SURVIVING id wins …
     assert(got(12L) === ((true, false))) // … not the min raw id
   }
+
+  test("pairCuration: NULL caption fails quality with a non-null verdict") {
+    import spark.implicits._
+    val rows = Seq(
+      (20L, Multimodal.syntheticPng(5L, 8, 8), Option("fine caption here 8x8")),
+      (21L, Multimodal.syntheticPng(6L, 8, 8), Option.empty[String]))
+      .toDF("pair_id", "payload", "caption")
+    val got = Multimodal.pairCuration(rows).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))))
+      .toMap
+    assert(got(21L) === ((0L, false, false, false)))
+    assert(got(20L) === ((4L, true, true, true)))
+  }
 }
