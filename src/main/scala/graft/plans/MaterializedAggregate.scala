@@ -85,7 +85,12 @@ object MaterializedAggregate {
       hashSql: Map[String, String] = Map.empty,
       filterConjuncts: Seq[String] = Nil,
       filterNotNullCols: Set[String] = Set.empty,
-      exprMeasureKeys: Map[String, String] = Map.empty) {
+      exprMeasureKeys: Map[String, String] = Map.empty,
+      // registration INPUTS, retained so the catalog can persist and
+      // re-register in a fresh session (the derived fields above are
+      // recomputed from these at load)
+      baseFilter: Option[String] = None,
+      exprMeasures: Map[String, String] = Map.empty) {
     def sumCol(c: String): String = s"sum_$c"
     def minCol(c: String): String = s"min_$c"
     def maxCol(c: String): String = s"max_$c"
@@ -205,9 +210,77 @@ object MaterializedAggregate {
     }
     val d = MvDef(normalize(basePath), mvPath, groupCols, measureCols, plan,
       distinctCols, hllP, hashSql, filterConjuncts, filterNotNullCols,
-      exprMeasureKeys)
+      exprMeasureKeys, baseFilter, exprMeasures)
     MvCatalog.register(d)
     d
+  }
+
+  /** Persist every registered rollup's REGISTRATION INPUTS as one
+    * JSON file under `path` — the durable half of the process-local
+    * catalog: a fresh session (a new driver, the next day's job)
+    * calls [[loadCatalog]] and navigates the same rollups without
+    * rebuilding anything. Derived match state (normalized hash/
+    * filter/measure trees) is recomputed at load, so a Spark upgrade
+    * that changes expression printing re-normalizes both sides
+    * consistently instead of matching against stale strings.
+    */
+  def saveCatalog(spark: SparkSession, path: String): Unit = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def arr(xs: Seq[String]): String = xs.map(q).mkString("[", ",", "]")
+    def obj(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+    val lines = MvCatalog.all.sortBy(d => (d.basePath, d.mvPath)).map { d =>
+      s"""{"basePath": ${q(d.basePath)}, "mvPath": ${q(d.mvPath)},
+         | "groupCols": ${arr(d.groupCols)},
+         | "measureCols": ${arr(d.measureCols)},
+         | "distinctCols": ${arr(d.distinctCols)},
+         | "hllP": ${d.hllP},
+         | "baseFilter": ${d.baseFilter.map(q).getOrElse("null")},
+         | "exprMeasures": ${obj(d.exprMeasures)}}""".stripMargin
+        .replace("\n", "")
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write((lines.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Re-register every rollup saved by [[saveCatalog]]. Returns the
+    * defs in file order. Fails loudly on an unreadable entry — a
+    * silently skipped rollup would be a silent performance cliff.
+    */
+  def loadCatalog(spark: SparkSession, path: String): Seq[MvDef] = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("basePath", StringType), StructField("mvPath", StringType),
+      StructField("groupCols", ArrayType(StringType)),
+      StructField("measureCols", ArrayType(StringType)),
+      StructField("distinctCols", ArrayType(StringType)),
+      StructField("hllP", IntegerType),
+      StructField("baseFilter", StringType),
+      StructField("exprMeasures", MapType(StringType, StringType)),
+      StructField("_corrupt", StringType)))
+    val rows = spark.read.schema(schema)
+      .option("columnNameOfCorruptRecord", "_corrupt").json(path).collect()
+    rows.toSeq.map { r =>
+      require(r.isNullAt(r.fieldIndex("_corrupt")),
+        s"corrupt catalog entry in $path: ${r.getString(r.fieldIndex("_corrupt"))}")
+      registerExisting(spark,
+        r.getString(0), r.getString(1),
+        r.getSeq[String](2), r.getSeq[String](3), r.getSeq[String](4),
+        r.getInt(5), Option(r.getString(6)),
+        Option(r.getMap[String, String](7)).map(_.toMap)
+          .getOrElse(Map.empty))
+    }
   }
 
   private[plans] def splitConjuncts(e: Expression): Seq[Expression] = e match {

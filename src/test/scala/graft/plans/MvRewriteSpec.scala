@@ -376,6 +376,43 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
+  test("catalog save/load: a fresh registration from disk navigates identically") { withNoAqe {
+    MvCatalog.clear()
+    import graft.functions.{SketchFunctions => SK, Md5Hash}
+    val dir = java.nio.file.Files.createTempDirectory("mv_cat")
+    val nbase = dir.resolve("fact.parquet").toString
+    val plainMv = dir.resolve("plain.parquet").toString
+    val partialMv = dir.resolve("partial.parquet").toString
+    val catPath = dir.resolve("catalog.json").toString
+    Seq(("A", "x", 10.0, 7L), ("A", "y", 20.0, 8L), ("B", "x", 7.0, 7L))
+      .toDF("g1", "g2", "v", "u").write.mode("overwrite").parquet(nbase)
+    MaterializedAggregate.buildAndRegister(spark, nbase, plainMv,
+      Seq("g1"), Seq("v"), distinctCols = Seq("u"), hllP = 4,
+      exprMeasures = Map("dv" -> "v * 2"))
+    MaterializedAggregate.buildAndRegister(spark, nbase, partialMv,
+      Seq("g1"), Seq("v"), baseFilter = Some("g2 = 'x'"))
+    MaterializedAggregate.saveCatalog(spark, catPath)
+    MvCatalog.clear()
+    val loaded = MaterializedAggregate.loadCatalog(spark, catPath)
+    try {
+      assert(loaded.size === 2)
+      // every navigation family works off the reloaded registration
+      val q1 = spark.read.parquet(nbase).groupBy(col("g1"))
+        .agg(sum("v").as("s"), sum(expr("v * 2")).as("s2"),
+          md5(array_join(transform(
+            SK.hyperLogLog(Md5Hash.h60String(col("u")), 4),
+            _.cast("string")), ",")).as("d"))
+      assert(scannedPaths(q1).exists(_.contains("plain.parquet")),
+        s"reloaded plain rollup not navigated: ${scannedPaths(q1)}")
+      val q2 = spark.read.parquet(nbase).where(col("g2") === "x")
+        .groupBy(col("g1")).agg(sum("v").as("s"))
+      assert(scannedPaths(q2).exists(_.contains("partial.parquet")),
+        s"reloaded partial rollup not navigated: ${scannedPaths(q2)}")
+      assert(q2.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        === Map("A" -> 10.0, "B" -> 7.0))
+    } finally MvCatalog.clear()
+  } }
+
   test("dormant catalog: rule is a no-op when nothing is registered") { withNoAqe {
     MvCatalog.clear()
     val q = spark.read.parquet(base).groupBy(col("g1"))
