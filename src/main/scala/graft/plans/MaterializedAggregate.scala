@@ -332,9 +332,12 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
     else plan.transformDown {
       case agg: Aggregate =>
         // all candidates, then the coarsest rollup (fewest grouping
-        // columns ≈ fewest rows); path tie-break for determinism
+        // columns ≈ fewest rows); path tie-break for determinism. A
+        // throwing candidate refuses instead of failing the query —
+        // an optimization must never be the reason a plan errors.
         MvCatalog.all
-          .flatMap(mv => rewrite(agg, mv).map((mv.groupCols.size, mv.mvPath, _)))
+          .flatMap(mv => scala.util.Try(rewrite(agg, mv)).toOption.flatten
+            .map((mv.groupCols.size, mv.mvPath, _)))
           .sortBy { case (n, p, _) => (n, p) }
           .headOption.map(_._3)
           .getOrElse(agg)
@@ -366,8 +369,15 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
     }
     if (!relationPaths(rel).contains(mv.basePath)) return None
 
+    // fresh relation instance per rewrite: two navigations in one
+    // query plan (a union of two rollup-bound aggregates, a self
+    // join) must not share output exprIds — the analyzer's relation
+    // dedup has already run by the time this rule fires
+    val freshPlan = mv.plan.transformUp {
+      case lr: LogicalRelation => lr.newInstance()
+    }
     val mvAttrs: Map[String, Attribute] =
-      mv.plan.output.map(a => a.name -> a).toMap
+      freshPlan.output.map(a => a.name -> a).toMap
 
     // grouping: plain columns the MV groups by
     val groupNames = agg.groupingExpressions.map {
@@ -476,6 +486,10 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
       // column nor inside a derivable aggregate — fails the whole
       // expression and with it the rewrite.
       case a: AttributeReference => None
+      // non-deterministic expressions (rand() over the group output)
+      // would re-draw under the rewrite — refuse, same as every rule
+      // Spark ships
+      case nd if !nd.deterministic => None
       case other =>
         val kids = other.children.map(derive)
         if (kids.nonEmpty && kids.forall(_.isDefined))
@@ -499,7 +513,7 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
     }
 
     val newGroupings: Seq[Expression] = groupNames.map(mvAttrs(_))
-    val filtered = newCond.map(Filter(_, mv.plan)).getOrElse(mv.plan)
+    val filtered = newCond.map(Filter(_, freshPlan)).getOrElse(freshPlan)
     val rewritten = Aggregate(newGroupings, newAggExprs, filtered)
 
     // soundness gate: identical schema (names, types, nullability-

@@ -413,6 +413,36 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
+  test("two navigations in one plan: fresh relation instances, no shared exprIds") { withNoAqe {
+    MvCatalog.clear()
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1", "g2"), measureCols = Seq("qty"))
+    try {
+      def half(g2: String) = spark.read.parquet(base)
+        .where(col("g2") === g2).groupBy(col("g1"))
+        .agg(sum("qty").as("s"))
+      val q = half("x").unionAll(half("y"))
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+      assert(scans.count(_.contains("mv.parquet")) === 2,
+        s"both branches must navigate: $scans")
+      // duplicate output exprIds across the two rollup reads would
+      // misbind — the two branches must carry DISTINCT relation ids
+      val relIds = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.output.map(_.exprId)
+      }
+      assert(relIds.size === 2 && relIds(0).intersect(relIds(1)).isEmpty,
+        s"shared exprIds across navigations: $relIds")
+      val got = q.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got === Map(("A", 30.0) -> 1, ("B", 7.0) -> 1,
+        ("A", 5.0) -> 1, ("B", 20.0) -> 1))
+    } finally MvCatalog.clear()
+  } }
+
   test("dormant catalog: rule is a no-op when nothing is registered") { withNoAqe {
     MvCatalog.clear()
     val q = spark.read.parquet(base).groupBy(col("g1"))
