@@ -1266,6 +1266,83 @@ object PipelineQueries {
            |SELECT id AS doc_id, r AS rank_units FROM r3""".stripMargin
       }),
 
+    // HYBRID retrieval fusion — reciprocal-rank fusion (RRF,
+    // Cormack et al.) of the engine's two retrieval modalities:
+    // lexical BM25 (p79's terms) and embedding cosine (p10's query),
+    // the standard two-signal shape every modern retrieval stack
+    // ships. Each list is top-20 FIRST (TakeOrdered — the corpus
+    // never feeds a global window; the rank windows run over the
+    // bounded 20-row lists), fused as Σ 1/(60 + rank) with doc-id
+    // tie-break. The fusion arithmetic is two correctly-rounded
+    // divisions and one fixed-order addition — engine-exact, so the
+    // oracle recomputes BOTH lists (the p79 BM25 chain + the p10
+    // cosine) and the fused ranking end-to-end.
+    QueryDef("p124_hybrid_rrf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lex = TextAnalysis.bm25Scores(
+          Tables.documents(s, dir), Seq("spark", "dup", "vector"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+        val lexRank = lex.select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .as("r_lex"))
+        val sem = Similarity.bruteForceTopK(
+          Tables.embeddings(s, dir), queryId = 0L, k = 20)
+        val semRank = sem.select(col("vec_id").as("doc_id"), row_number()
+          .over(Window.orderBy(col("cosine").desc, col("vec_id")))
+          .as("r_sem"))
+        lexRank.join(semRank, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("r_lex"), col("r_sem"),
+            (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)))
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      },
+      Some("""WITH arr AS (
+             |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+             |                             t -> t <> '') AS w
+             |  FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM arr),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |                 CAST(sum(dl) AS BIGINT) AS tot
+             |          FROM dl),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM (SELECT doc_id, unnest(w) AS term FROM arr)
+             |       WHERE term IN ('spark', 'dup', 'vector')
+             |       GROUP BY 1, 2),
+             |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |        FROM tf GROUP BY 1),
+             |bm AS (SELECT t.doc_id,
+             |         sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             |             * (t.tf * 2.2) /
+             |             (t.tf + 1.2 * (0.25 + 0.75 *
+             |                (l.dl / (s.tot::DOUBLE / s.n))))) AS score
+             |       FROM tf t JOIN dft d USING (term)
+             |            JOIN dl l ON l.doc_id = t.doc_id
+             |            CROSS JOIN stats s
+             |       GROUP BY t.doc_id),
+             |lexr AS (SELECT doc_id, CAST(rn AS INTEGER) AS r_lex FROM (
+             |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+             |    AS rn FROM bm) WHERE rn <= 20),
+             |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+             |      FROM embeddings WHERE vec_id = 0),
+             |cosv AS (SELECT e.vec_id AS doc_id,
+             |           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+             |           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+             |                                    CAST(e.embedding AS DOUBLE[])))
+             |              * sqrt(list_dot_product(q.qe, q.qe))) AS cosine
+             |         FROM embeddings e, q WHERE e.vec_id <> 0),
+             |semr AS (SELECT doc_id, CAST(rn AS INTEGER) AS r_sem FROM (
+             |  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id)
+             |    AS rn FROM cosv) WHERE rn <= 20),
+             |fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             |            l.r_lex, s.r_sem,
+             |            COALESCE(1.0 / (60 + l.r_lex), 0.0)
+             |              + COALESCE(1.0 / (60 + s.r_sem), 0.0) AS rrf
+             |          FROM lexr l FULL JOIN semr s ON s.doc_id = l.doc_id)
+             |SELECT doc_id, r_lex, r_sem, rrf FROM fused
+             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
     // Anchor-text aggregation — the OTHER web-graph curation signal
     // next to the p118 rank prior: for every page, the top-2 anchor
     // terms its in-links carry (what the web "calls" the page — a
