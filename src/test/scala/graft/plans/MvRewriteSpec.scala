@@ -443,6 +443,52 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
+  test("all features in ONE rollup: partial + sketch + expression measure navigate together") { withNoAqe {
+    MvCatalog.clear()
+    import graft.functions.{SketchFunctions => SK, Md5Hash}
+    val dir2 = java.nio.file.Files.createTempDirectory("mv_all")
+    val nbase = dir2.resolve("fact.parquet").toString
+    val amv = dir2.resolve("amv.parquet").toString
+    Seq(("A", "x", 10.0, 7L), ("A", "x", 20.0, 8L), ("A", "y", 30.0, 8L),
+      ("B", "x", 7.0, 7L), ("B", "y", 9.0, 9L))
+      .toDF("g1", "g2", "v", "u").write.mode("overwrite").parquet(nbase)
+    MaterializedAggregate.buildAndRegister(spark, nbase, amv,
+      groupCols = Seq("g1"), measureCols = Seq("v"),
+      distinctCols = Seq("u"), hllP = 4,
+      baseFilter = Some("g2 = 'x'"),
+      exprMeasures = Map("dv" -> "v * 3"))
+    try {
+      def q = spark.read.parquet(nbase).where(col("g2") === "x")
+        .groupBy(col("g1"))
+        .agg(sum("v").as("s"), sum(expr("v * 3")).as("s3"),
+          avg(expr("v * 3")).as("a3"),
+          md5(array_join(transform(
+            SK.hyperLogLog(Md5Hash.h60String(col("u")), 4),
+            _.cast("string")), ",")).as("d"))
+      assert(scannedPaths(q).exists(_.contains("amv.parquet")),
+        s"combined rollup not navigated: ${scannedPaths(q)}")
+      val got = q.collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getString(4))).toSet
+      MvCatalog.clear()
+      val q2 = spark.read.parquet(nbase).where(col("g2") === "x")
+        .groupBy(col("g1"))
+        .agg(sum("v").as("s"), sum(expr("v * 3")).as("s3"),
+          avg(expr("v * 3")).as("a3"),
+          md5(array_join(transform(
+            SK.hyperLogLog(Md5Hash.h60String(col("u")), 4),
+            _.cast("string")), ",")).as("d"))
+      val direct = q2.collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getString(4))).toSet
+      assert(got === direct)
+      // the sketch over the PARTIAL rollup sees only g2='x' rows: A's
+      // distinct-u set under the filter is {7, 8} but {7, 8} overall
+      // too — B's differs: {7} filtered vs {7, 9} overall. Pin that
+      // the filtered sketch really was used (digest equality above
+      // already proves it; this documents the partial+sketch law).
+      assert(got.map(_._1) === Set("A", "B"))
+    } finally MvCatalog.clear()
+  } }
+
   test("dormant catalog: rule is a no-op when nothing is registered") { withNoAqe {
     MvCatalog.clear()
     val q = spark.read.parquet(base).groupBy(col("g1"))
