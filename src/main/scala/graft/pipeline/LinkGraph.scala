@@ -79,13 +79,16 @@ object LinkGraph {
       s"need scale>0 and 0 <= dampNum <= dampDen (got $scale, $dampNum/$dampDen)")
     val src = col(srcCol).cast("long").as("id")
     val dst = col(dstCol).cast("long").as("id")
-    val vertices = edges.select(src).union(edges.select(dst)).distinct()
-    val outdeg = edges.groupBy(col(srcCol).cast("long").as("id"))
-      .agg(count(lit(1)).as("__out"))
-    val teleport = (scale * (dampDen - dampNum)) / dampDen
-
     def bound(df: DataFrame): DataFrame =
       if (checkpoint) df.localCheckpoint() else df
+    // vertices and out-degrees feed EVERY round's plan — materialize
+    // them once (a distinct and a groupBy per iteration otherwise)
+    val vertices = bound(
+      edges.select(src).union(edges.select(dst)).distinct())
+    val outdeg = bound(edges.groupBy(col(srcCol).cast("long").as("id"))
+      .agg(count(lit(1)).as("__out")))
+    val teleport = (scale * (dampDen - dampNum)) / dampDen
+
     var ranks = bound(vertices.withColumn("rank_units", lit(scale)))
     var i = 0
     while (i < iterations) {
