@@ -2442,6 +2442,60 @@ object StreamingQueries {
            |       CAST(8 + a.cls % 5 AS INTEGER) AS height
            |FROM adm a LEFT JOIN k ON k.cls = a.cls""".stripMargin))
 
+  /** st37: ONLINE SEARCH serving ([[graft.streaming.StreamingSearch]])
+    * — arriving QUERIES against a frozen corpus index, the reverse
+    * direction of st22: the corpus materializes once as a real
+    * inverted index (postings / term dfs / stats), each query
+    * micro-batch broadcasts onto the postings scan, and a
+    * query-partitioned window cuts top-10. Per-epoch scores are
+    * bit-equal to the batch multiQueryBm25, so the oracle is p98's
+    * SQL with a rank cut. Fixture: the p98 query set staged as
+    * query 0 then queries 1–2 (two micro-batches; query 2's
+    * 'nosuchterm' exercises the absent-posting path).
+    */
+  private def streamingSearch: QueryDef = QueryDef(
+    "st37_streaming_search",
+    (s, dir) => {
+      import s.implicits._
+      val dirP = scratch("st37")
+      val index = dirP.resolve("index").toString
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      val out = dirP.resolve("out").toString
+      graft.streaming.StreamingSearch.buildIndex(
+        Tables.documents(s, dir), index)
+      val qdf = PipelineQueries.RetrievalQueries
+        .map(q => (q.queryId, q.terms)).toDF("query_id", "terms")
+      val schema = qdf.schema
+      qdf.where(col("query_id") === 0).coalesce(1).write.parquet(stage)
+      qdf.where(col("query_id") > 0).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val cfg = graft.streaming.StreamingSearch.Config(
+        indexPath = index, outPath = out, k = 10)
+      val q = graft.streaming.StreamingSearch.pipeline(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .as[graft.streaming.StreamingSearch.QueryIn],
+        cfg)
+        .option("checkpointLocation", ckpt).start()
+      try q.awaitTermination() finally q.stop()
+
+      val outDf = s.read.parquet(out).select(
+        col("query_id"), col("doc_id"), col("n_hit_terms"),
+        col("score"), col("rank"))
+      val outSchema = outDf.schema
+      val rows = outDf.collect()
+      deleteRecursively(dirP)
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), outSchema)
+    },
+    Some(s"""SELECT query_id, doc_id, n_hit_terms, score,
+           |       CAST(rn AS BIGINT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score DESC, doc_id) AS rn
+           |      FROM (${PipelineQueries.multiQueryBm25OracleSql}) base)
+           |WHERE rn <= 10""".stripMargin))
+
   /** st35: sketch-bearing incremental MV maintenance — st33 with a
     * distinct column: each micro-batch commits HLL register partials
     * next to the sum/min/max/count partials, and the navigation rule
@@ -2607,5 +2661,6 @@ object StreamingQueries {
       streamingPerplexity, streamingTokenBudget, streamingBatching,
       streamingIngestE2e, streamingOhlc, streamingDecontamination,
       streamingPixelDedup, streamingExcise, streamingMvMaintenance,
-      streamingMediaIngest, streamingMvDistinct, streamingPairIngest)
+      streamingMediaIngest, streamingMvDistinct, streamingPairIngest,
+      streamingSearch)
 }
