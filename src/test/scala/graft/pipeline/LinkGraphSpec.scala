@@ -76,6 +76,21 @@ class LinkGraphSpec extends SparkSpec {
       scale = 1000L, checkpoint = false)) === base)
   }
 
+  test("self-loops are real edges: a vertex feeds its own next round") {
+    import spark.implicits._
+    // 1→1 (self-loop) and 1→2: outdeg(1)=2, vertex 1 receives half
+    // its own damped mass back each round
+    val g = Seq((1L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r1 = ranksOf(LinkGraph.pageRankUnits(g, iterations = 1,
+      scale = 1000L))
+    // contribution per edge: (1000·85) div 200 = 425
+    assert(r1 === Map(1L -> 575L, 2L -> 575L))
+    val r2 = ranksOf(LinkGraph.pageRankUnits(g, iterations = 2,
+      scale = 1000L))
+    // round 2: (575·85) div 200 = 244 each
+    assert(r2 === Map(1L -> 394L, 2L -> 394L))
+  }
+
   test("tracks float PageRank within floor-loss tolerance on a ring") {
     // 0→1→…→9→0: symmetric, so exact float PageRank is uniform and
     // stationary at `scale`. A prime scale makes every floor lossy
