@@ -72,6 +72,32 @@ class Round11PropertiesSpec extends SparkSpec {
     }
   } }
 
+  test("partial-MV soundness: navigated == direct under the repeated predicate (5 samples)") { withNoAqe {
+    for (rows <- samples(factsGen, 5)) {
+      val (base, mv) = writeFacts(rows)
+      MvCatalog.clear()
+      MaterializedAggregate.buildAndRegister(spark, base, mv,
+        groupCols = Seq("g1"), measureCols = Seq("v"),
+        baseFilter = Some("g2 = 'x'"))
+      def q = spark.read.parquet(base).where(col("g2") === "x")
+        .groupBy(col("g1"))
+        .agg(sum("v").as("s"), count(lit(1)).as("n"),
+          min("v").as("mn"), max("v").as("mx"))
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (0 until r.length).map(i =>
+          if (r.isNullAt(i)) null else r.get(i)).toList).toSet
+      val nav = q
+      val scans = nav.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+      assert(scans.exists(_.contains("mv.parquet")), s"no navigation: $scans")
+      val got = rowsOf(nav)
+      MvCatalog.clear()
+      assert(got === rowsOf(q), s"partial navigation diverged on $rows")
+    }
+  } }
+
   test("integer PageRank equals an in-memory reference on random multigraphs (8 samples)") {
     val edgesGen: Gen[List[(Long, Long)]] =
       Gen.listOfN(24, Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
