@@ -75,7 +75,7 @@ object Engine {
         .exists(_.isInstanceOf[graft.plans.AggregateRewriteRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
-          new graft.plans.AggregateRewriteRule
+          new graft.plans.AggregateRewriteRule(spark)
     spark
   }
 }

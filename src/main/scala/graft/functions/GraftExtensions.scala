@@ -19,7 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // materialized-aggregate navigation (dormant while MvCatalog is
     // empty — see graft.plans.MaterializedAggregate)
-    ext.injectOptimizerRule(_ => new graft.plans.AggregateRewriteRule)
+    ext.injectOptimizerRule(session => new graft.plans.AggregateRewriteRule(session))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       GraftFunctions.vecDotInfo,

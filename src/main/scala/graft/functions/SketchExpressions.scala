@@ -414,9 +414,17 @@ case class HllMergeAgg(
       require(arr.numElements() == m,
         s"$prettyName: register array has ${arr.numElements()} entries, " +
           s"expected 2^p = $m")
+      // a register is a leading-zero rank: 0 <= r <= 64 - p + 1. A
+      // value outside that range is corrupt (or foreign) MV data —
+      // the .toByte below would silently wrap it, so fail loudly,
+      // mirroring the length check (the Scaladoc's contract).
+      val maxRank = 64 - pOpt.get + 1
       var i = 0
       while (i < m) {
         val r = arr.getLong(i)
+        require(r >= 0 && r <= maxRank,
+          s"$prettyName: register $i holds $r, outside [0, $maxRank] " +
+            s"for p=${pOpt.get} — corrupt register data")
         if (r > buf(i)) buf(i) = r.toByte
         i += 1
       }

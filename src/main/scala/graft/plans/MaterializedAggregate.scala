@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Divide, EqualTo, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions._
@@ -21,7 +22,9 @@ import org.apache.spark.sql.types.DoubleType
   * Derivability (the standard re-aggregation algebra):
   *   SUM(x)   → SUM(mv.sum_x)
   *   COUNT(*) → SUM(mv.cnt)
-  *   COUNT(x) → SUM(mv.nnz_x)  (per-measure non-null count)
+  *   COUNT(x) → SUM(mv.nnz_x)  (per-measure non-null count;
+  *     COUNT(NULL) — answer 0 — is NOT the COUNT(*) shape and
+  *     refuses)
   *   MIN(x)   → MIN(mv.min_x),  MAX(x) → MAX(mv.max_x)
   *   AVG(x)   → SUM(mv.sum_x) / SUM(mv.nnz_x)  (cast to double) —
   *     NULLs make AVG's denominator the non-null count, NOT the row
@@ -42,6 +45,30 @@ import org.apache.spark.sql.types.DoubleType
   * an older layout without nnz_* columns still navigates every shape
   * that doesn't need them.
   *
+  * STAR-SCHEMA navigation (the reference's own mart shape — fact ⋈
+  * `dim_items` then aggregate, reference
+  * `backend_api/app/models.py:36-37` / SURVEY §2.4's denormalization
+  * note): a query of shape Aggregate(Join(fact, dim)) navigates when
+  *   - the join is INNER (fact on either side) or LEFT OUTER with the
+  *     fact on the left,
+  *   - the condition is a conjunction of attribute equalities, each
+  *     pairing a fact column that IS a rollup grouping column with a
+  *     dim-side attribute,
+  *   - every aggregated measure references fact columns only (a dim
+  *     attribute under an aggregate function would change multiplicity
+  *     under the rewrite — refuse), and
+  *   - dim-side attributes appear only as grouping expressions.
+  * The rewrite is Join(rollup, dim) with the aggregate re-applied on
+  * top. Soundness: a rollup row stands for the set of fact rows
+  * sharing its grouping key, and the join key is part of that key —
+  * so each rollup row matches exactly the dim rows each of its fact
+  * rows matched, and the re-aggregation folds pairs the same way the
+  * original folded fact⋈dim rows (dim-key duplicates included:
+  * COUNT(*) = Σ cnt over pairs either way). NULL join keys drop under
+  * INNER and survive under LEFT OUTER identically on both sides of
+  * the rewrite. The dim subtree is reused verbatim (it must not scan
+  * the registered base path).
+  *
   * PARTIAL rollups (`baseFilter`): a rollup built over a filtered
   * base ("only linestatus 'F'", "only this year's partition")
   * navigates only queries that repeat every one of its build
@@ -50,6 +77,17 @@ import org.apache.spark.sql.types.DoubleType
   * does not satisfy a rollup built with `x > 0`; exactness beats
   * cleverness). Residual query conjuncts beyond the rollup's must
   * reference grouping columns, as before.
+  *
+  * FRESHNESS: a rollup is an assertion about a base table's state,
+  * so registration fingerprints the base's file listing (relative
+  * paths + sizes + modification times, digested) and the rule
+  * re-checks it before navigating — a file appended to the base
+  * parquet directory makes every candidate REFUSE (with a
+  * logWarning) instead of silently serving pre-append answers.
+  * Re-registering after a rebuild re-arms navigation. Rollups
+  * registered `maintained = true` (the
+  * [[graft.streaming.StreamingMvMaintenance]] path) are exempt:
+  * their per-batch partials ARE the freshness mechanism.
   *
   * When several registered rollups can answer the same query, the
   * rule navigates to the COARSEST one (fewest grouping columns —
@@ -68,9 +106,14 @@ import org.apache.spark.sql.types.DoubleType
   * ORIGINAL output exprIds (via aliases), so operators above the
   * aggregate — sorts, projections, joins — resolve unchanged.
   *
-  * Registration is process-local ([[MvCatalog]]); the rule is
-  * injected by [[graft.functions.GraftExtensions]] and dormant while
-  * the catalog is empty.
+  * Registration is SESSION-scoped ([[MvCatalog]] keys defs by the
+  * owning SparkSession): two sessions in one JVM see only their own
+  * rollups, so a registration cannot leak navigation into a tenant
+  * that never asserted the MV. The rule is injected per-session by
+  * [[graft.functions.GraftExtensions]] and dormant while the
+  * session's catalog is empty. A scan qualifies only when it reads
+  * EXACTLY the registered base path — a multi-root scan that merely
+  * includes it must keep its other roots' rows and refuses.
   */
 object MaterializedAggregate {
 
@@ -90,7 +133,13 @@ object MaterializedAggregate {
       // re-register in a fresh session (the derived fields above are
       // recomputed from these at load)
       baseFilter: Option[String] = None,
-      exprMeasures: Map[String, String] = Map.empty) {
+      exprMeasures: Map[String, String] = Map.empty,
+      // freshness contract: digest of the base's file listing at
+      // registration (None ⇒ no guard, only for maintained rollups);
+      // maintained rollups are exempt — their incremental partials
+      // are the freshness mechanism
+      baseFingerprint: Option[String] = None,
+      maintained: Boolean = false) {
     def sumCol(c: String): String = s"sum_$c"
     def minCol(c: String): String = s"min_$c"
     def maxCol(c: String): String = s"max_$c"
@@ -154,13 +203,27 @@ object MaterializedAggregate {
     * (its `batch=` partial layout is navigable as-is: the rule
     * re-aggregates, so per-batch partial rows fold back exactly —
     * including the register arrays, whose fold is an elementwise
-    * max).
+    * max). Pass `maintained = true` for that path: it skips the
+    * base-listing freshness fingerprint, because the maintenance
+    * pipeline — not a static snapshot — is what keeps the rollup
+    * consistent with the (append-only) base.
     */
   def registerExisting(spark: SparkSession, basePath: String, mvPath: String,
       groupCols: Seq[String], measureCols: Seq[String],
       distinctCols: Seq[String] = Nil, hllP: Int = 12,
       baseFilter: Option[String] = None,
-      exprMeasures: Map[String, String] = Map.empty): MvDef = {
+      exprMeasures: Map[String, String] = Map.empty,
+      maintained: Boolean = false): MvDef =
+    registerWithFingerprint(spark, basePath, mvPath, groupCols, measureCols,
+      distinctCols, hllP, baseFilter, exprMeasures, maintained,
+      if (maintained) None else Some(fingerprint(spark, basePath)))
+
+  private[plans] def registerWithFingerprint(
+      spark: SparkSession, basePath: String, mvPath: String,
+      groupCols: Seq[String], measureCols: Seq[String],
+      distinctCols: Seq[String], hllP: Int,
+      baseFilter: Option[String], exprMeasures: Map[String, String],
+      maintained: Boolean, baseFingerprint: Option[String]): MvDef = {
     val plan = spark.read.parquet(mvPath).queryExecution.analyzed
     // pin the EXACT hash-expression shape the rollup's registers were
     // built from (name-normalized); a query sketching any other
@@ -210,19 +273,48 @@ object MaterializedAggregate {
     }
     val d = MvDef(normalize(basePath), mvPath, groupCols, measureCols, plan,
       distinctCols, hllP, hashSql, filterConjuncts, filterNotNullCols,
-      exprMeasureKeys, baseFilter, exprMeasures)
-    MvCatalog.register(d)
+      exprMeasureKeys, baseFilter, exprMeasures, baseFingerprint, maintained)
+    MvCatalog.register(spark, d)
     d
   }
 
+  /** Digest of the base table's file listing — relative path, length
+    * and modification time of every data file under `basePath`,
+    * walked via the Hadoop FileSystem API (works on any supported
+    * filesystem, not just local disk). This is driver-side metadata
+    * only — the same listing the scan's FileIndex performs — and the
+    * rule computes it LAST, only for a candidate that structurally
+    * matched, so non-navigating queries never pay it.
+    */
+  private[plans] def fingerprint(spark: SparkSession, basePath: String): String = {
+    val root = new org.apache.hadoop.fs.Path(basePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) ()
+        else if (st.isDirectory) walk(st.getPath)
+        else entries +=
+          s"${st.getPath.toUri.getPath}|${st.getLen}|${st.getModificationTime}"
+      }
+    walk(root)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(entries.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Persist every registered rollup's REGISTRATION INPUTS as one
-    * JSON file under `path` — the durable half of the process-local
+    * JSON file under `path` — the durable half of the session-scoped
     * catalog: a fresh session (a new driver, the next day's job)
     * calls [[loadCatalog]] and navigates the same rollups without
     * rebuilding anything. Derived match state (normalized hash/
     * filter/measure trees) is recomputed at load, so a Spark upgrade
     * that changes expression printing re-normalizes both sides
-    * consistently instead of matching against stale strings.
+    * consistently instead of matching against stale strings. The
+    * freshness fingerprint is persisted AS REGISTERED (recomputing
+    * at load would silently bless any base drift since the save).
     */
   def saveCatalog(spark: SparkSession, path: String): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
@@ -236,15 +328,17 @@ object MaterializedAggregate {
     def obj(m: Map[String, String]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}")
-    val lines = MvCatalog.all.sortBy(d => (d.basePath, d.mvPath)).map { d =>
+    val lines = MvCatalog.all(spark).sortBy(d => (d.basePath, d.mvPath)).map { d =>
       s"""{"basePath": ${q(d.basePath)}, "mvPath": ${q(d.mvPath)},
          | "groupCols": ${arr(d.groupCols)},
          | "measureCols": ${arr(d.measureCols)},
          | "distinctCols": ${arr(d.distinctCols)},
          | "hllP": ${d.hllP},
          | "baseFilter": ${d.baseFilter.map(q).getOrElse("null")},
-         | "exprMeasures": ${obj(d.exprMeasures)}}""".stripMargin
-        .replace("\n", "")
+         | "exprMeasures": ${obj(d.exprMeasures)},
+         | "maintained": ${d.maintained},
+         | "baseFingerprint": ${d.baseFingerprint.map(q).getOrElse("null")}}"""
+        .stripMargin.replace("\n", "")
     }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -268,18 +362,28 @@ object MaterializedAggregate {
       StructField("hllP", IntegerType),
       StructField("baseFilter", StringType),
       StructField("exprMeasures", MapType(StringType, StringType)),
+      StructField("maintained", BooleanType),
+      StructField("baseFingerprint", StringType),
       StructField("_corrupt", StringType)))
     val rows = spark.read.schema(schema)
       .option("columnNameOfCorruptRecord", "_corrupt").json(path).collect()
     rows.toSeq.map { r =>
       require(r.isNullAt(r.fieldIndex("_corrupt")),
         s"corrupt catalog entry in $path: ${r.getString(r.fieldIndex("_corrupt"))}")
-      registerExisting(spark,
+      val maintained = !r.isNullAt(8) && r.getBoolean(8)
+      // a pre-round-12 catalog entry (no fingerprint field) loads with
+      // a freshly computed fingerprint — the best assertion available
+      val fp =
+        if (maintained) None
+        else Option(r.getString(9))
+          .orElse(Some(fingerprint(spark, r.getString(0))))
+      registerWithFingerprint(spark,
         r.getString(0), r.getString(1),
         r.getSeq[String](2), r.getSeq[String](3), r.getSeq[String](4),
         r.getInt(5), Option(r.getString(6)),
         Option(r.getMap[String, String](7)).map(_.toMap)
-          .getOrElse(Map.empty))
+          .getOrElse(Map.empty),
+        maintained, fp)
     }
   }
 
@@ -309,38 +413,134 @@ object MaterializedAggregate {
     }.sql
 }
 
-/** Process-local registry of materialized rollups. */
+/** Session-scoped registry of materialized rollups: each SparkSession
+  * sees only its own registrations (two tenants in one JVM must not
+  * leak navigation decisions into each other). Sessions are weak
+  * keys — a dropped session's registrations are collectable.
+  */
 object MvCatalog {
   import MaterializedAggregate.MvDef
-  private val defs =
-    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+  private val bySession = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, MvDef]]()
 
-  def register(d: MvDef): Unit = defs.put(d.basePath + "->" + d.mvPath, d)
-  def clear(): Unit = defs.clear()
-  def isEmpty: Boolean = defs.isEmpty
-  def all: Seq[MvDef] = {
+  private def defsFor(spark: SparkSession) = bySession.synchronized {
+    var m = bySession.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+      bySession.put(spark, m)
+    }
+    m
+  }
+
+  def register(spark: SparkSession, d: MvDef): Unit =
+    defsFor(spark).put(d.basePath + "->" + d.mvPath, d)
+
+  /** Clear EVERY session's registrations (test/gate hygiene). */
+  def clear(): Unit = bySession.synchronized {
     import scala.jdk.CollectionConverters._
-    defs.values.asScala.toSeq
+    bySession.values.asScala.foreach(_.clear())
+  }
+
+  /** Clear one session's registrations. */
+  def clear(spark: SparkSession): Unit = defsFor(spark).clear()
+
+  def isEmpty(spark: SparkSession): Boolean = bySession.synchronized {
+    val m = bySession.get(spark)
+    m == null || m.isEmpty
+  }
+
+  def all(spark: SparkSession): Seq[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    defsFor(spark).values.asScala.toSeq
   }
 }
 
-class AggregateRewriteRule extends Rule[LogicalPlan] {
+class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   import MaterializedAggregate.MvDef
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (MvCatalog.isEmpty) plan
+    if (MvCatalog.isEmpty(session)) plan
     else plan.transformDown {
       case agg: Aggregate =>
         // all candidates, then the coarsest rollup (fewest grouping
         // columns ≈ fewest rows); path tie-break for determinism. A
         // throwing candidate refuses instead of failing the query —
-        // an optimization must never be the reason a plan errors.
-        MvCatalog.all
-          .flatMap(mv => scala.util.Try(rewrite(agg, mv)).toOption.flatten
-            .map((mv.groupCols.size, mv.mvPath, _)))
+        // an optimization must never be the reason a plan errors —
+        // but it refuses LOUDLY: a misregistered rollup that never
+        // navigates and never reports is a silent performance cliff.
+        MvCatalog.all(session)
+          .flatMap { mv =>
+            (try rewrite(agg, mv)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                logWarning(s"MV candidate ${mv.mvPath} failed to " +
+                  s"rewrite; refusing it. ${e.getClass.getName}: ${e.getMessage}")
+                None
+            }).map((mv.groupCols.size, mv.mvPath, _))
+          }
           .sortBy { case (n, p, _) => (n, p) }
           .headOption.map(_._3)
           .getOrElse(agg)
+    }
+
+  /** A star-schema join under the aggregate: the dim subtree (kept
+    * verbatim), whether the fact is the join's left child, the
+    * (factAttr, dimAttr) equi pairs, and the hint to preserve.
+    */
+  private case class StarJoin(dim: LogicalPlan, joinType: JoinType,
+      factLeft: Boolean, pairs: Seq[(Attribute, Attribute)], hint: JoinHint)
+
+  /** (combined fact-side filter, fact relation, optional star join)
+    * under attrs-only projections. The fact relation must read
+    * EXACTLY the registered base path (a multi-root scan that merely
+    * includes it has other roots' rows to answer for — refuse).
+    */
+  private def unwrapShape(p: LogicalPlan, mv: MvDef)
+      : Option[(Option[Expression], LogicalRelation, Option[StarJoin])] =
+    p match {
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrapShape(child, mv)
+      case j: Join if j.condition.isDefined =>
+        def scansBase(pl: LogicalPlan): Boolean = pl.collectFirst {
+          case lr: LogicalRelation
+              if relationPaths(lr).contains(mv.basePath) => ()
+        }.isDefined
+        val factLeftOpt = (j.joinType, scansBase(j.left), scansBase(j.right)) match {
+          case (Inner, true, false) => Some(true)
+          case (Inner, false, true) => Some(false)
+          case (LeftOuter, true, false) => Some(true)
+          case _ => None
+        }
+        factLeftOpt.flatMap { factLeft =>
+          val (factP, dimP) = if (factLeft) (j.left, j.right) else (j.right, j.left)
+          unwrap(factP).flatMap { case (cond, rel) =>
+            if (relationPaths(rel) != Seq(mv.basePath)) None
+            else {
+              val factOut = factP.outputSet
+              val dimOut = dimP.outputSet
+              // conjunction of fact-groupCol = dim-attr equalities
+              val pairs = MaterializedAggregate.splitConjuncts(j.condition.get)
+                .foldLeft(Option(Vector.empty[(Attribute, Attribute)])) {
+                  case (Some(acc), EqualTo(a: AttributeReference, b: AttributeReference))
+                      if factOut.contains(a) && dimOut.contains(b) =>
+                    Some(acc :+ ((a: Attribute, b: Attribute)))
+                  case (Some(acc), EqualTo(a: AttributeReference, b: AttributeReference))
+                      if factOut.contains(b) && dimOut.contains(a) =>
+                    Some(acc :+ ((b: Attribute, a: Attribute)))
+                  case _ => None
+                }
+              pairs
+                .filter(_.forall(p => mv.groupCols.contains(p._1.name)))
+                .map(ps => (cond, rel,
+                  Some(StarJoin(dimP, j.joinType, factLeft, ps, j.hint))))
+            }
+          }
+        }
+      case other =>
+        unwrap(other).flatMap { case (c, rel) =>
+          if (relationPaths(rel) == Seq(mv.basePath)) Some((c, rel, None))
+          else None
+        }
     }
 
   /** (combined filter, relation) under attrs-only projections. */
@@ -363,11 +563,20 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
   }
 
   private def rewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
-    val (condOpt, rel) = unwrap(agg.child) match {
+    val (condOpt, rel, starOpt) = unwrapShape(agg.child, mv) match {
       case Some(x) => x
       case None => return None
     }
-    if (!relationPaths(rel).contains(mv.basePath)) return None
+    // the dim subtree must be independent of the fact — any scan of
+    // the base path inside it (self-join shapes) refuses
+    if (starOpt.exists(_.dim.collectFirst {
+        case lr: LogicalRelation
+            if relationPaths(lr).contains(mv.basePath) => ()
+      }.isDefined)) return None
+
+    val factSet: AttributeSet = rel.outputSet
+    val dimSet: AttributeSet =
+      starOpt.map(_.dim.outputSet).getOrElse(AttributeSet.empty)
 
     // fresh relation instance per rewrite: two navigations in one
     // query plan (a union of two rollup-bound aggregates, a self
@@ -379,11 +588,17 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
     val mvAttrs: Map[String, Attribute] =
       freshPlan.output.map(a => a.name -> a).toMap
 
-    // grouping: plain columns the MV groups by
-    val groupNames = agg.groupingExpressions.map {
-      case a: AttributeReference if mv.groupCols.contains(a.name) => a.name
+    // grouping: fact columns the MV groups by, or dim-side attributes
+    // (which ride the re-applied join unchanged)
+    val newGroupings: Seq[Expression] = agg.groupingExpressions.map {
+      case a: AttributeReference if factSet.contains(a) &&
+          mv.groupCols.contains(a.name) => mvAttrs(a.name)
+      case a: AttributeReference if dimSet.contains(a) => a
       case _ => return None
     }
+    val factGroupNames: Set[String] = agg.groupingExpressions.collect {
+      case a: AttributeReference if factSet.contains(a) => a.name
+    }.toSet
     // filters: a PARTIAL rollup's build predicate must be repeated by
     // the query, conjunct for conjunct (syntactic subsumption on the
     // name-normalized form — never implication guessing); whatever
@@ -417,17 +632,28 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
       AggregateExpression(fn, Complete, isDistinct = false)
 
     def derive(e: Expression): Option[Expression] = e match {
-      case a: AttributeReference if groupNames.contains(a.name) =>
+      case a: AttributeReference if factSet.contains(a) &&
+          factGroupNames.contains(a.name) =>
         Some(mvAttrs(a.name))
+      // dim attributes outside aggregate functions are grouping
+      // expressions (analysis guarantees it) — they survive as-is on
+      // the re-applied join's dim side
+      case a: AttributeReference if dimSet.contains(a) &&
+          agg.groupingExpressions.exists(_.semanticEquals(a)) =>
+        Some(a)
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
-        // a measure is a registered plain column OR a registered
-        // expression measure (matched by name-normalized tree —
-        // "revenue" can be price arithmetic, not just a column)
+        // a measure is a registered plain FACT column OR a registered
+        // expression measure over fact columns (matched by
+        // name-normalized tree — "revenue" can be price arithmetic,
+        // not just a column). A dim-side attribute under an aggregate
+        // function changes multiplicity under the rewrite — the
+        // factSet guards refuse it.
         def measureKey(x: Expression): Option[String] = x match {
-          case a: AttributeReference =>
+          case a: AttributeReference if factSet.contains(a) =>
             Some(a.name).filter(mv.measureCols.contains)
-          case e =>
+          case e if e.references.forall(factSet.contains) =>
             mv.exprMeasureKeys.get(MaterializedAggregate.normalizeExpr(e))
+          case _ => None
         }
         ae.aggregateFunction match {
           case Sum(x, _) if measureKey(x).exists(k =>
@@ -439,13 +665,16 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
           case Max(x) if measureKey(x).exists(k =>
               mvAttrs.contains(mv.maxCol(k))) =>
             Some(cAgg(Max(mvAttrs(mv.maxCol(measureKey(x).get)))))
-          case Count(Seq(Literal(_, _))) =>
+          // COUNT(lit) is COUNT(*) ONLY for a non-null literal —
+          // COUNT(NULL) is 0 per group, not the row count: refuse
+          case Count(Seq(Literal(v, _))) if v != null =>
             Some(cAgg(Sum(mvAttrs(mv.countCol))))
           case Count(Seq(x)) if measureKey(x).exists(k =>
               mvAttrs.contains(mv.nnzCol(k))) =>
             Some(cAgg(Sum(mvAttrs(mv.nnzCol(measureKey(x).get)))))
           case h: graft.functions.HyperLogLog
-              if h.pExpr.foldable &&
+              if h.child.references.forall(factSet.contains) &&
+                h.pExpr.foldable &&
                 Option(h.pExpr.eval())
                   .collect { case n: Number => n.intValue() }
                   .contains(mv.hllP) =>
@@ -512,9 +741,17 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
       case _ => return None
     }
 
-    val newGroupings: Seq[Expression] = groupNames.map(mvAttrs(_))
-    val filtered = newCond.map(Filter(_, freshPlan)).getOrElse(freshPlan)
-    val rewritten = Aggregate(newGroupings, newAggExprs, filtered)
+    val filteredFact = newCond.map(Filter(_, freshPlan)).getOrElse(freshPlan)
+    val newChild = starOpt match {
+      case None => filteredFact
+      case Some(sj) =>
+        val jc = sj.pairs
+          .map { case (f, d) => EqualTo(mvAttrs(f.name), d): Expression }
+          .reduce(And(_, _))
+        if (sj.factLeft) Join(filteredFact, sj.dim, sj.joinType, Some(jc), sj.hint)
+        else Join(sj.dim, filteredFact, sj.joinType, Some(jc), sj.hint)
+    }
+    val rewritten = Aggregate(newGroupings, newAggExprs, newChild)
 
     // soundness gate: identical schema (names, types, nullability-
     // compatible) and identical output ids — else refuse
@@ -522,6 +759,19 @@ class AggregateRewriteRule extends Rule[LogicalPlan] {
       rewritten.output.zip(agg.output).forall { case (n, o) =>
         n.name == o.name && n.dataType == o.dataType && n.exprId == o.exprId
       }
-    if (same) Some(rewritten) else None
+    if (!same) return None
+    // freshness LAST (driver-side listing — only candidates that
+    // structurally matched pay it): a base that drifted from its
+    // registration fingerprint refuses loudly rather than serving
+    // pre-drift answers. Maintained rollups are exempt — their
+    // incremental partials are the freshness mechanism.
+    if (!mv.maintained && mv.baseFingerprint.exists(fp =>
+        fp != MaterializedAggregate.fingerprint(session, mv.basePath))) {
+      logWarning(s"MV at ${mv.mvPath} refused: base ${mv.basePath} " +
+        "changed since registration (stale rollup); re-register after " +
+        "rebuilding to re-arm navigation")
+      return None
+    }
+    Some(rewritten)
   }
 }

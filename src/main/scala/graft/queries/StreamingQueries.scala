@@ -2334,7 +2334,7 @@ object StreamingQueries {
 
       graft.plans.MaterializedAggregate.registerExisting(
         s, basePath, mvPath, Seq("l_returnflag", "l_linestatus"),
-        Seq("l_quantity"))
+        Seq("l_quantity"), maintained = true)
       try {
         val q = s.read.parquet(basePath)
           .where(col("l_linestatus") === "F")
@@ -2530,7 +2530,8 @@ object StreamingQueries {
 
       graft.plans.MaterializedAggregate.registerExisting(
         s, basePath, mvPath, Seq("l_returnflag", "l_linestatus"),
-        Seq("l_quantity"), distinctCols = Seq("l_suppkey"), hllP = 4)
+        Seq("l_quantity"), distinctCols = Seq("l_suppkey"), hllP = 4,
+        maintained = true)
       try {
         val q = s.read.parquet(basePath)
           .where(col("l_linestatus") === "F")

@@ -110,7 +110,7 @@ class MvRewriteSpec extends SparkSpec {
       b1, 1L, incPath, Seq("g1", "g2"), Seq("qty"))
 
     MaterializedAggregate.registerExisting(spark, base, incPath,
-      Seq("g1", "g2"), Seq("qty"))
+      Seq("g1", "g2"), Seq("qty"), maintained = true)
     try {
       val q = spark.read.parquet(base).groupBy(col("g1"), col("g2"))
         .agg(sum("qty").as("s"), count(lit(1)).as("n"),
@@ -283,7 +283,7 @@ class MvRewriteSpec extends SparkSpec {
       facts.where(col("u") >= 9), 1L, incPath, Seq("g"), Seq("v"),
       distinctCols = Seq("u"), hllP = 4)
     MaterializedAggregate.registerExisting(spark, dbase, incPath,
-      Seq("g"), Seq("v"), Seq("u"), hllP = 4)
+      Seq("g"), Seq("v"), Seq("u"), hllP = 4, maintained = true)
     try {
       def q = spark.read.parquet(dbase).groupBy(col("g"))
         .agg(SK.hyperLogLog(Md5Hash.h60String(col("u")), 4).as("__regs"))
@@ -496,4 +496,354 @@ class MvRewriteSpec extends SparkSpec {
     assert(scannedPaths(q).exists(_.contains("fact.parquet")))
     assert(q.collect().length === 2)
   } }
+
+  // ---- round 12: star-schema navigation through joins ----
+
+  test("star join: Aggregate(Join(fact, dim)) navigates, grouping by a dim attribute") { withNoAqe {
+    MvCatalog.clear()
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("mv_dim").resolve("dim.parquet").toString
+    // duplicate dim key on purpose: multiplicity must fold identically
+    Seq(("A", "a1"), ("A", "a2"), ("B", "b1"))
+      .toDF("k", "label").write.mode("overwrite").parquet(dimPath)
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1"), measureCols = Seq("qty"))
+    try {
+      val fact = spark.read.parquet(base)
+      val dim = spark.read.parquet(dimPath)
+      def q = fact.join(dim, fact("g1") === dim("k"))
+        .groupBy(col("label"))
+        .agg(sum("qty").as("s"), count(lit(1)).as("n"),
+          min("qty").as("mn"), max("qty").as("mx"), avg("qty").as("a"))
+        .orderBy(col("label"))
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains("mv.parquet")),
+        s"star join did not navigate: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")),
+        s"fact table still scanned: $paths")
+      assert(paths.exists(_.contains("dim.parquet")),
+        s"dim side must survive the rewrite: $paths")
+      val got = q.collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      MvCatalog.clear()
+      val direct = q.collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      assert(scannedPaths(q).exists(_.contains("fact.parquet")))
+      assert(got === direct)
+      // A rows: qty 10+20+5=35, n=3 — once per duplicate dim row
+      assert(got === Seq(("a1", 35.0, 3L, 5.0, 20.0, 35.0 / 3),
+        ("a2", 35.0, 3L, 5.0, 20.0, 35.0 / 3),
+        ("b1", 27.0, 3L, 7.0, 11.0, 9.0)))
+    } finally MvCatalog.clear()
+  } }
+
+  test("star join LEFT OUTER: unmatched fact keys keep their null-dim group") { withNoAqe {
+    MvCatalog.clear()
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("mv_dim2").resolve("dim.parquet").toString
+    Seq(("A", "alpha")).toDF("k", "label")
+      .write.mode("overwrite").parquet(dimPath)
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1"), measureCols = Seq("qty"))
+    try {
+      val fact = spark.read.parquet(base)
+      val dim = spark.read.parquet(dimPath)
+      def q = fact.join(dim, fact("g1") === dim("k"), "left")
+        .groupBy(col("label"))
+        .agg(sum("qty").as("s"), count(lit(1)).as("n"))
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains("mv.parquet")),
+        s"left-outer star join did not navigate: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")))
+      val got = q.collect()
+        .map(r => (Option(r.getString(0)), r.getDouble(1), r.getLong(2)))
+        .toSet
+      MvCatalog.clear()
+      val direct = q.collect()
+        .map(r => (Option(r.getString(0)), r.getDouble(1), r.getLong(2)))
+        .toSet
+      assert(got === direct)
+      assert(got === Set((Some("alpha"), 35.0, 3L), (None, 27.0, 3L)))
+    } finally MvCatalog.clear()
+  } }
+
+  test("star join: filter + dim grouping + fact grouping compose") { withNoAqe {
+    MvCatalog.clear()
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("mv_dim3").resolve("dim.parquet").toString
+    Seq(("A", "alpha"), ("B", "beta")).toDF("k", "label")
+      .write.mode("overwrite").parquet(dimPath)
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1", "g2"), measureCols = Seq("qty"))
+    try {
+      val fact = spark.read.parquet(base)
+      val dim = spark.read.parquet(dimPath)
+      // fact-side filter on a grouping column + mixed grouping
+      def q = fact.where(col("g2") === "x")
+        .join(dim, fact("g1") === dim("k"))
+        .groupBy(col("label"), col("g2"))
+        .agg(sum("qty").as("s"))
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains("mv.parquet")),
+        s"filtered star join did not navigate: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")))
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got === Set(("alpha", "x", 30.0), ("beta", "x", 7.0)))
+    } finally MvCatalog.clear()
+  } }
+
+  test("star join refusals: measure key, aggregated dim attr, non-equi, self-join, outer dim") { withNoAqe {
+    MvCatalog.clear()
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("mv_dim4").resolve("dim.parquet").toString
+    Seq(("A", "alpha", 10.0), ("B", "beta", 7.0)).toDF("k", "label", "x")
+      .write.mode("overwrite").parquet(dimPath)
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1"), measureCols = Seq("qty"))
+    try {
+      val fact = spark.read.parquet(base)
+      val dim = spark.read.parquet(dimPath)
+      // join on a MEASURE column — the rollup grain can't answer it
+      val m = fact.join(dim, fact("qty") === dim("x"))
+        .groupBy(col("label")).agg(sum("qty").as("s"))
+      assert(scannedPaths(m).exists(_.contains("fact.parquet")),
+        "join on a measure navigated")
+      // dim attribute under an aggregate function — multiplicity
+      // changes under the rewrite
+      val da = fact.join(dim, fact("g1") === dim("k"))
+        .groupBy(col("g1")).agg(sum(col("x")).as("s"))
+      assert(scannedPaths(da).exists(_.contains("fact.parquet")),
+        "aggregated dim attribute navigated")
+      // non-equi condition (null-safe equality is not EqualTo)
+      val ne = fact.join(dim, fact("g1") <=> dim("k"))
+        .groupBy(col("label")).agg(sum("qty").as("s"))
+      assert(scannedPaths(ne).exists(_.contains("fact.parquet")),
+        "non-EqualTo join navigated")
+      // RIGHT OUTER with fact on the left would fabricate dim-only
+      // rows the rollup can't stand for
+      val ro = fact.join(dim, fact("g1") === dim("k"), "right")
+        .groupBy(col("label")).agg(sum("qty").as("s"))
+      assert(scannedPaths(ro).exists(_.contains("fact.parquet")),
+        "right-outer join navigated")
+      // self-join: the "dim" side scans the base itself
+      val sj = fact.join(fact.select(col("g1").as("k"), col("price")),
+          fact("g1") === col("k"))
+        .groupBy(col("g1")).agg(sum("qty").as("s"))
+      assert(scannedPaths(sj).exists(_.contains("fact.parquet")),
+        "self-join navigated")
+      // join key not in the rollup's grouping columns
+      MvCatalog.clear()
+      MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+        groupCols = Seq("g2"), measureCols = Seq("qty"))
+      val nk = fact.join(dim, fact("g1") === dim("k"))
+        .groupBy(col("g2")).agg(sum("qty").as("s"))
+      assert(scannedPaths(nk).exists(_.contains("fact.parquet")),
+        "join on a non-grouping fact column navigated")
+      // and the refused shapes still answer correctly
+      assert(da.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        === Map("A" -> 30.0, "B" -> 21.0))
+    } finally MvCatalog.clear()
+  } }
+
+  // ---- round 12: soundness + deployment hardening ----
+
+  test("COUNT(NULL) refuses: it is 0 per group, not the row count") { withNoAqe {
+    MvCatalog.clear()
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1", "g2"), measureCols = Seq("qty"))
+    // In the default pipeline Spark's own NullPropagation folds
+    // COUNT(NULL) to literal 0 before this rule ever sees it (and a
+    // literal-0 aggregate over the rollup's groups is sound). The
+    // guard exists for pipelines/orderings where the raw
+    // Count(Literal(null)) DOES reach the rule — pin it by excluding
+    // NullPropagation.
+    val exKey = "spark.sql.optimizer.excludedRules"
+    val prior = spark.conf.getOption(exKey)
+    spark.conf.set(exKey,
+      "org.apache.spark.sql.catalyst.optimizer.NullPropagation")
+    try {
+      val q = spark.read.parquet(base).groupBy(col("g1"))
+        .agg(count(lit(null)).as("n"))
+      assert(scannedPaths(q).exists(_.contains("fact.parquet")),
+        "COUNT(NULL) navigated (would return the row count instead of 0)")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        === Map("A" -> 0L, "B" -> 0L))
+      // the non-null literal COUNT(*) shape still navigates next to it
+      val ok = spark.read.parquet(base).groupBy(col("g1"))
+        .agg(count(lit(1)).as("n"))
+      assert(scannedPaths(ok).exists(_.contains("mv.parquet")))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(exKey, v)
+        case None => spark.conf.unset(exKey)
+      }
+      MvCatalog.clear()
+    }
+  } }
+
+  test("multi-root scan refuses: the scan must read EXACTLY the registered base") { withNoAqe {
+    MvCatalog.clear()
+    val otherPath = java.nio.file.Files
+      .createTempDirectory("mv_other").resolve("other.parquet").toString
+    Seq(("C", "x", 100.0, 1.0)).toDF("g1", "g2", "qty", "price")
+      .write.mode("overwrite").parquet(otherPath)
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1"), measureCols = Seq("qty"))
+    try {
+      val q = spark.read.parquet(base, otherPath).groupBy(col("g1"))
+        .agg(sum("qty").as("s"))
+      assert(!scannedPaths(q).exists(_.contains("mv.parquet")),
+        "multi-root scan navigated — the other root's rows were dropped")
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        === Map("A" -> 35.0, "B" -> 27.0, "C" -> 100.0))
+    } finally MvCatalog.clear()
+  } }
+
+  test("freshness guard: base drift refuses navigation until re-registration") { withNoAqe {
+    MvCatalog.clear()
+    val fdir = java.nio.file.Files.createTempDirectory("mv_fresh")
+    val fbase = fdir.resolve("fact.parquet").toString
+    val fmv = fdir.resolve("mv.parquet").toString
+    Seq(("A", 10.0), ("B", 7.0)).toDF("g", "v")
+      .write.mode("overwrite").parquet(fbase)
+    MaterializedAggregate.buildAndRegister(spark, fbase, fmv,
+      groupCols = Seq("g"), measureCols = Seq("v"))
+    try {
+      def q = spark.read.parquet(fbase).groupBy(col("g"))
+        .agg(sum("v").as("s"))
+      assert(scannedPaths(q).exists(_.contains("mv.parquet")),
+        "fresh registration must navigate")
+      // drift: append a file to the base directory
+      Seq(("A", 5.0)).toDF("g", "v").write.mode("append").parquet(fbase)
+      assert(scannedPaths(q).exists(_.contains("fact.parquet")),
+        "stale rollup navigated after base drift")
+      // the refused query serves POST-drift answers
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        === Map("A" -> 15.0, "B" -> 7.0))
+      // rebuild + re-register re-arms navigation with the new truth
+      MaterializedAggregate.buildAndRegister(spark, fbase, fmv,
+        groupCols = Seq("g"), measureCols = Seq("v"))
+      assert(scannedPaths(q).exists(_.contains("mv.parquet")),
+        "re-registration must re-arm navigation")
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        === Map("A" -> 15.0, "B" -> 7.0))
+    } finally MvCatalog.clear()
+  } }
+
+  test("freshness survives the catalog round-trip; maintained rollups stay exempt") { withNoAqe {
+    MvCatalog.clear()
+    val fdir = java.nio.file.Files.createTempDirectory("mv_freshcat")
+    val fbase = fdir.resolve("fact.parquet").toString
+    val fmv = fdir.resolve("mv.parquet").toString
+    val cat = fdir.resolve("catalog.json").toString
+    Seq(("A", 10.0), ("B", 7.0)).toDF("g", "v")
+      .write.mode("overwrite").parquet(fbase)
+    MaterializedAggregate.buildAndRegister(spark, fbase, fmv,
+      groupCols = Seq("g"), measureCols = Seq("v"))
+    MaterializedAggregate.saveCatalog(spark, cat)
+    // drift AFTER the save: the reloaded registration must carry the
+    // SAVED fingerprint and refuse (recomputing at load would bless
+    // the drift)
+    Seq(("A", 5.0)).toDF("g", "v").write.mode("append").parquet(fbase)
+    MvCatalog.clear()
+    MaterializedAggregate.loadCatalog(spark, cat)
+    try {
+      def q = spark.read.parquet(fbase).groupBy(col("g"))
+        .agg(sum("v").as("s"))
+      assert(scannedPaths(q).exists(_.contains("fact.parquet")),
+        "reloaded stale rollup navigated")
+      // maintained registration of the same layout: exempt by contract
+      MvCatalog.clear()
+      MaterializedAggregate.registerExisting(spark, fbase, fmv,
+        Seq("g"), Seq("v"), maintained = true)
+      // (the maintained rollup here is REALLY stale — the point is
+      // only that the static-fingerprint guard does not apply; the
+      // maintenance pipeline owns consistency on that path)
+      assert(scannedPaths(q).exists(_.contains("mv.parquet")),
+        "maintained rollup must not be freshness-gated")
+    } finally MvCatalog.clear()
+  } }
+
+  test("a misregistered rollup refuses without failing the query") { withNoAqe {
+    MvCatalog.clear()
+    val bdir = java.nio.file.Files.createTempDirectory("mv_broken")
+    val brokenMv = bdir.resolve("mv.parquet").toString
+    // layout missing sum_qty/cnt — structurally unusable
+    Seq(("A", 1.0)).toDF("g1", "unrelated")
+      .write.mode("overwrite").parquet(brokenMv)
+    MaterializedAggregate.registerExisting(spark, base, brokenMv,
+      Seq("g1"), Seq("qty"))
+    try {
+      val q = spark.read.parquet(base).groupBy(col("g1"))
+        .agg(sum("qty").as("s"))
+      assert(scannedPaths(q).exists(_.contains("fact.parquet")),
+        "broken rollup navigated")
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        === Map("A" -> 35.0, "B" -> 27.0))
+    } finally MvCatalog.clear()
+  } }
+
+  test("registrations are session-scoped: a sibling session does not navigate") { withNoAqe {
+    MvCatalog.clear()
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1", "g2"), measureCols = Seq("qty"))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def q(s: org.apache.spark.sql.SparkSession) =
+        s.read.parquet(base).groupBy(col("g1")).agg(sum("qty").as("s"))
+      assert(scannedPaths(q(spark)).exists(_.contains("mv.parquet")),
+        "registering session must navigate")
+      val sibling = q(s2).queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+      assert(sibling.exists(_.contains("fact.parquet")),
+        s"sibling session navigated another session's rollup: $sibling")
+      assert(q(s2).collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        === Map("A" -> 35.0, "B" -> 27.0))
+      // per-session clear leaves the sibling's (empty) state intact
+      // and disarms only the registering session
+      MvCatalog.clear(spark)
+      assert(scannedPaths(q(spark)).exists(_.contains("fact.parquet")))
+    } finally MvCatalog.clear()
+  } }
+
+  test("navigation holds under AQE (the deployment default)") {
+    // NO withNoAqe: this is the production config. The logical
+    // rewrite happens before AQE, so the adaptive physical plan must
+    // show the rollup scan.
+    MvCatalog.clear()
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1", "g2"), measureCols = Seq("qty"))
+    try {
+      val q = spark.read.parquet(base).where(col("g2") === "x")
+        .groupBy(col("g1"))
+        .agg(sum("qty").as("s"), count(lit(1)).as("n"))
+      val rows = q.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+        val here = p match {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.rootPaths.map(_.toUri.getPath)
+          case _ => Seq.empty[String]
+        }
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(qs.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(walk)
+      }
+      val paths = walk(q.queryExecution.executedPlan)
+      assert(paths.exists(_.contains("mv.parquet")),
+        s"AQE physical plan lost the rollup scan: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")),
+        s"AQE physical plan still scans the fact table: $paths")
+      assert(rows.map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .toSet === Set(("A", 30.0, 2L), ("B", 7.0, 1L)))
+    } finally MvCatalog.clear()
+  }
 }
