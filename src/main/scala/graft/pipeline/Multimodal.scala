@@ -7,13 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode/feature plumbing.
   *
-  * The Spark-side design is real and tested — schema, partition
-  * shape, per-partition batch processing; the codec itself is STUBBED
-  * (no image/audio libraries in this container): [[StubDecoder]] is a
+  * Evidence level, per format: PNG/JPEG decode, resize and re-encode
+  * are REAL (`javax.imageio`, in the JDK — see [[decodeImages]] /
+  * [[resizeImages]] and the mm05–mm10 gates over genuine pixel
+  * content), as are RIFF/WAV PCM parsing (mm11–mm12) and the frame
+  * container walk (mm14). Only codecs the JDK lacks (video decode
+  * proper, compressed audio) go through [[StubDecoder]] — a
   * deterministic fake that a real implementation (JavaCPP/FFmpeg, or
-  * `mapInPandas`+PIL on a PySpark edge) would replace 1:1 — the
-  * `mapPartitions` batch shape is exactly what a vectorized decoder
-  * wants.
+  * `mapInPandas`+PIL on a PySpark edge) would replace 1:1. Either
+  * way the `mapPartitions` batch shape is exactly what a vectorized
+  * decoder wants, and binary payloads never shuffle: pixels reduce
+  * to hashes/features inside the scan task.
   */
 object Multimodal {
 

@@ -1279,24 +1279,18 @@ object PipelineQueries {
     // cosine) and the fused ranking end-to-end.
     QueryDef("p124_hybrid_rrf",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val lex = TextAnalysis.bm25Scores(
-          Tables.documents(s, dir), Seq("spark", "dup", "vector"))
-          .orderBy(col("score").desc, col("doc_id")).limit(20)
-        val lexRank = lex.select(col("doc_id"), row_number()
-          .over(Window.orderBy(col("score").desc, col("doc_id")))
-          .as("r_lex"))
-        val sem = Similarity.bruteForceTopK(
-          Tables.embeddings(s, dir), queryId = 0L, k = 20)
-        val semRank = sem.select(col("vec_id").as("doc_id"), row_number()
-          .over(Window.orderBy(col("cosine").desc, col("vec_id")))
-          .as("r_sem"))
-        lexRank.join(semRank, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"), col("r_lex"), col("r_sem"),
-            (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)))
-              .as("rrf"))
-          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        import graft.pipeline.Retrieval
+        val lexRank = Retrieval.topKRanks(
+          TextAnalysis.bm25Scores(
+            Tables.documents(s, dir), Seq("spark", "dup", "vector")),
+          "doc_id", "score", 20)
+        val semRank = Retrieval.topKRanks(
+          Similarity.bruteForceTopK(
+            Tables.embeddings(s, dir), queryId = 0L, k = 20)
+            .select(col("vec_id").as("doc_id"), col("cosine")),
+          "doc_id", "cosine", 20)
+        Retrieval.rrfFuse(Seq("lex" -> lexRank, "sem" -> semRank),
+          "doc_id", k = 60, topK = 10)
       },
       Some("""WITH arr AS (
              |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
@@ -1358,7 +1352,6 @@ object PipelineQueries {
     // (count DESC, hash ASC) — pinned in the oracle the same way.
     QueryDef("p123_anchor_text",
       (s, dir) => {
-        import graft.functions.{SketchFunctions => SK, Md5Hash}
         val docs = Tables.documents(s, dir)
         val ids = docs.select(col("doc_id").cast("long").as("doc_id"))
         val n = ids.agg(max(col("doc_id"))).first().getLong(0) + 1L
@@ -1368,22 +1361,9 @@ object PipelineQueries {
           .unionAll(ids.where(col("doc_id") % 3 =!= 0)
             .select(col("doc_id").as("src"),
               ((col("doc_id") * 17 + 3) % n).as("dst")))
-        val anchors = edges.join(
-          docs.select(col("doc_id").as("src"),
-            split(trim(col("text")), "\\s+").getItem(0).as("anchor")),
-          "src")
-          .where(col("anchor").isNotNull && col("anchor") =!= "")
-        val counts = anchors.groupBy(col("dst"), col("anchor"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("h", Md5Hash.h60(col("anchor")))
-        val top = counts.groupBy(col("dst"))
-          .agg(SK.topKByScore(col("cnt").cast("double"), col("h"), 2)
-            .as("keys"))
-        top.select(col("dst"), posexplode(col("keys")).as(Seq("pos", "h")))
-          .join(counts, Seq("dst", "h"))
-          .select(col("dst").as("doc_id"),
-            (col("pos") + 1).cast("int").as("rank"),
-            col("anchor"), col("cnt"))
+        val anchors = docs.select(col("doc_id").as("src"),
+          split(trim(col("text")), "\\s+").getItem(0).as("anchor"))
+        graft.pipeline.Retrieval.anchorTopK(edges, anchors, k = 2)
       },
       Some("""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
              |e AS (SELECT doc_id AS src,

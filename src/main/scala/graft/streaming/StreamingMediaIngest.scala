@@ -83,11 +83,7 @@ object StreamingMediaIngest {
   private def latestCounters(spark: org.apache.spark.sql.SparkSession,
       cfg: Config, beforeBatch: Long): DataFrame = {
     import spark.implicits._
-    val dir = new java.io.File(cfg.statePath)
-    val ids = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("batch="))
-      .map(_.getName.stripPrefix("batch=").toLong)
-      .filter(_ < beforeBatch)
+    val ids = BatchPartitions.priorIds(spark, cfg.statePath, beforeBatch)
     if (ids.isEmpty)
       Seq.empty[(String, Long)].toDF("source", "n_admitted")
     else
@@ -97,13 +93,10 @@ object StreamingMediaIngest {
   private def indexedHashes(spark: org.apache.spark.sql.SparkSession,
       cfg: Config, beforeBatch: Long): DataFrame = {
     import spark.implicits._
-    val dir = new java.io.File(cfg.indexPath)
-    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("batch=") &&
-        f.getName.stripPrefix("batch=").toLong < beforeBatch)
-      .map(_.getPath)
+    val parts = BatchPartitions.priorIds(spark, cfg.indexPath, beforeBatch)
+      .map(id => s"${cfg.indexPath}/batch=$id")
     if (parts.isEmpty) Seq.empty[String].toDF("pixel_md5")
-    else spark.read.parquet(parts.toIndexedSeq: _*).select("pixel_md5")
+    else spark.read.parquet(parts: _*).select("pixel_md5")
   }
 
   /** One micro-batch, replay-idempotent. */

@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * scores as a PURE PER-ROW FUNCTION of (text, model) — no state, no
   * shuffle, no watermark; micro-batching cannot change a single row.
   *
-  * Model size is the vocabulary grain (unigram + observed-bigram
-  * counts), NOT the corpus grain — the standard LM-artifact trade; a
-  * 100 TB corpus's token-level work happened once, batch-side, in
-  * [[frozenLm]]'s single map-side-combinable aggregation.
+  * Model size is the TYPE grain (unigram + observed-bigram counts),
+  * NOT the corpus grain — the standard LM-artifact trade; a 100 TB
+  * corpus's token-level work happened once, batch-side, in
+  * [[frozenLm]]'s single map-side-combinable aggregation. Bigram
+  * types still grow with the corpus, so [[frozenLm]] takes
+  * `minBigramCount` / `maxVocab` caps, filtered below the collect —
+  * see its training-pull contract.
   *
   * OOV contract (the frozen model WILL meet unseen tokens online,
   * unlike the self-trained batch op): an unseen unigram scores with
@@ -61,31 +64,61 @@ object StreamingPerplexity {
   /** Train the frozen model: ONE corpus pass — (prev, term) pairs come
     * narrow from each row's own token array (the batch operator's
     * plan) and reduce through a single (prev, term)-grain count that
-    * keeps the null-prev (first-token) rows, from which BOTH tables
-    * derive driver-side: bigram counts are the non-null-prev rows,
-    * unigram counts the per-term sums over ALL rows (every token
-    * occurs exactly once as `term`). The driver pull is
-    * vocabulary-sized by construction.
+    * keeps the null-prev (first-token) rows; the pair-grain table is
+    * persisted (memory-and-disk) so the three derived jobs — token
+    * total, unigram table, bigram table — re-read IT, not the corpus.
+    *
+    * TRAINING-PULL CONTRACT: the driver pull is NOT "vocabulary-sized
+    * by construction" — unigram TYPES are, but bigram types grow
+    * near-linearly with corpus size, which at 100 TB is a driver OOM.
+    * The bounds are the two cap parameters, both pushed BELOW the
+    * collect (the executors filter; the driver only ever sees the
+    * capped tables):
+    *   - `minBigramCount`: only bigrams seen >= this many times ship.
+    *     At most totalTokens/minBigramCount types can clear a count
+    *     threshold, so the pull is bounded by construction; in
+    *     practice head bigrams carry the LM mass (Zipf).
+    *   - `maxVocab`: top-k unigrams by frequency (distributed top-k;
+    *     count-desc, term-asc tie-break).
+    * Capped-model SEMANTICS stay inside the scorer's existing OOV
+    * contract — nothing new to reason about: a dropped bigram scores
+    * as unseen-bigram (cb = 0, the pure interpolation term), a
+    * dropped unigram as OOV (Laplace floor, unseen-context rule), and
+    * `n` remains the TRUE corpus token total either way, so every
+    * surviving probability is bit-identical to the uncapped model's.
+    * The defaults (1, MaxValue) cap nothing and reproduce the
+    * uncapped model exactly. At 100 TB, set minBigramCount to the
+    * corpus scale (KenLM-style pruning does the same) or pre-sample
+    * the training corpus — the model is an artifact, not the corpus.
     */
-  def frozenLm(docs: DataFrame, lambda: Double = 0.75): LmModel = {
-    val pairRows = docs
+  def frozenLm(docs: DataFrame, lambda: Double = 0.75,
+      minBigramCount: Long = 1L, maxVocab: Int = Int.MaxValue): LmModel = {
+    val pairGrain = docs
       .select(graft.pipeline.TextAnalysis.tokens(col("text")).as("__w"))
       .select(col("__w"), posexplode(col("__w")).as(Seq("pos", "term")))
       .select(col("term"),
         when(col("pos") > 0, element_at(col("__w"), col("pos"))).as("prev"))
       .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("c"))
-      .collect()
-    val uni = new scala.collection.mutable.HashMap[String, Long]()
-    val bi = Map.newBuilder[String, Long]
-    var n = 0L
-    pairRows.foreach { r =>
-      val term = r.getString(1)
-      val c = r.getLong(2)
-      uni.updateWith(term)(prev => Some(prev.getOrElse(0L) + c))
-      n += c
-      if (!r.isNullAt(0)) bi += (r.getString(0) + " " + term) -> c
-    }
-    LmModel(lambda, n, uni.toMap, bi.result())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val termGrain = pairGrain.groupBy(col("term"))
+        .agg(sum(col("c")).as("tc"))
+      // n = TRUE token total (pre-cap) — the mixture denominator must
+      // not drift when the vocab is capped
+      val nRow = termGrain.agg(sum(col("tc"))).collect()(0)
+      val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+      val uniRows =
+        if (maxVocab == Int.MaxValue) termGrain.collect()
+        else termGrain.orderBy(col("tc").desc, col("term"))
+          .limit(maxVocab).collect()
+      val biRows = pairGrain
+        .where(col("prev").isNotNull && col("c") >= minBigramCount)
+        .collect()
+      LmModel(lambda, n,
+        uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+        biRows.map(r => (r.getString(0) + " " + r.getString(1)) ->
+          r.getLong(2)).toMap)
+    } finally { pairGrain.unpersist(); () }
   }
 
   /** Score one document under the frozen model — the pinned mixture

@@ -85,4 +85,74 @@ class RetrievalSpec extends SparkSpec {
     assert(many === two, s"scan count grew with |queries|: $two -> $many")
     assert(two <= 5, s"expected <= 5 local scans, got $two")
   }
+
+  // ---- round 12: Retrieval library (topKRanks / rrfFuse / anchorTopK) ----
+
+  test("topKRanks: dense 1-based ranks, score desc with id tie-break, cut at k") {
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.5), (4L, 0.1))
+      .toDF("doc_id", "score")
+    val got = Retrieval.topKRanks(scores, "doc_id", "score", 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // 0.9 first; the 0.5 tie breaks on id asc; 0.1 cut by k=3
+    assert(got === Seq((2L, 1), (1L, 2), (3L, 3)))
+  }
+
+  test("rrfFuse: fused score is sum of 1/(k+rank); ties break on id") {
+    val lex = Seq((10L, 1), (11L, 2)).toDF("doc_id", "rank")
+    val sem = Seq((11L, 1), (12L, 2)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem),
+      "doc_id", k = 60, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val e11 = 1.0 / 62 + 1.0 / 61
+    val e10 = 1.0 / 61
+    val e12 = 1.0 / 62
+    assert(got === Seq((11L, e11), (10L, e10), (12L, e12)))
+  }
+
+  test("rrfFuse: a missing side contributes 0.0 (COALESCE), never null") {
+    val lex = Seq((10L, 1)).toDF("doc_id", "rank")
+    val sem = Seq((12L, 1)).toDF("doc_id", "rank")
+    val rows = Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem),
+      "doc_id", k = 60, topK = 10).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(!r.isNullAt(3), "rrf must never be null")
+      assert(r.getDouble(3) === 1.0 / 61)
+      // exactly one rank column is null — the single-list shape
+      assert(r.isNullAt(1) ^ r.isNullAt(2))
+    }
+  }
+
+  test("rrfFuse: the k parameter reweights depth — small k favors rank-1 hits") {
+    // a: rank 1 in one list; b: rank 3 in both lists
+    val lex = Seq((1L, 1), (2L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((3L, 1), (2L, 3)).toDF("doc_id", "rank")
+    def topId(k: Int): Long =
+      Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "doc_id",
+        k = k, topK = 1).collect()(0).getLong(0)
+    // k=60: 2/(60+3) = 0.0317 > 1/(60+1) = 0.0164 — consensus wins
+    assert(topId(60) === 2L)
+    // k=0: 1/1 = 1.0 > 2/3 = 0.67 — a single rank-1 hit wins
+    assert(topId(0) === 1L)
+  }
+
+  test("anchorTopK: counts per (dst, anchor); rank by count desc, h60 asc; null/empty drop") {
+    val edges = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L),
+      (5L, 200L), (6L, 200L), (7L, 300L)).toDF("src", "dst")
+    val anchors = Seq((1L, "apple"), (2L, "apple"), (3L, "banana"),
+      (4L, "cherry"), (5L, ""), (6L, null.asInstanceOf[String]),
+      (7L, "delta")).toDF("src", "anchor")
+    val got = Retrieval.anchorTopK(edges, anchors, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // dst 100: apple cnt=2 is rank 1; banana/cherry tie at cnt=1 —
+    // the winner is the LOWER 60-bit md5 hash (compute, don't guess)
+    val h = Seq("banana", "cherry").toDF("a")
+      .select(col("a"), graft.functions.Md5Hash.h60(col("a")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val second = if (h("banana") < h("cherry")) "banana" else "cherry"
+    // dst 200: both anchors null/empty -> no rows at all
+    assert(got === Set((100L, 1, "apple", 2L), (100L, 2, second, 1L),
+      (300L, 1, "delta", 1L)))
+  }
 }

@@ -104,4 +104,52 @@ class StreamingPerplexitySpec extends SparkSpec {
       assert(got(id) === scoreDoc(id, t, model).avg_logprob, s"doc $id")
     }
   }
+
+  // ---- round 12: bounded training pulls (minBigramCount / maxVocab) ----
+
+  test("default caps reproduce the uncapped model exactly") {
+    val df = corpus.toDF("doc_id", "text")
+    val a = frozenLm(df)
+    val b = frozenLm(df, minBigramCount = 1L, maxVocab = Int.MaxValue)
+    assert(a.n === b.n)
+    assert(a.uni === b.uni)
+    assert(a.bi === b.bi)
+  }
+
+  test("minBigramCount filters below the collect; n and uni stay exact") {
+    val df = corpus.toDF("doc_id", "text")
+    val full = frozenLm(df)
+    val capped = frozenLm(df, minBigramCount = 2L)
+    // the capped model IS the full model with rare bigram types absent
+    assert(capped.n === full.n)
+    assert(capped.uni === full.uni)
+    assert(capped.bi === full.bi.filter(_._2 >= 2L))
+    assert(capped.bi.size < full.bi.size, "fixture must have rare bigrams")
+    // a doc whose bigrams all survive the cap scores bit-identically
+    // ("the cat" appears twice in the corpus -> count 2)
+    assert(scoreDoc(1L, "the cat", capped).avg_logprob ===
+      scoreDoc(1L, "the cat", full).avg_logprob)
+    // a dropped bigram ("cat sat": count 1) scores as unseen-bigram —
+    // the pure interpolation term, with the TRUE n and unigram counts
+    val s = scoreDoc(2L, "cat sat", capped)
+    val pCat = full.uni("cat").toDouble / full.n
+    val pSat = (1.0 - full.lambda) * full.uni("sat").toDouble / full.n
+    assert(math.abs(s.avg_logprob -
+      (math.log(pCat) + math.log(pSat)) / 2.0) < 1e-12)
+  }
+
+  test("maxVocab keeps top-k terms (count desc, term asc); dropped terms hit the Laplace floor") {
+    val df = corpus.toDF("doc_id", "text")
+    val full = frozenLm(df)
+    val k = 3
+    val capped = frozenLm(df, maxVocab = k)
+    val expectVocab = full.uni.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(k).toMap
+    assert(capped.uni === expectVocab)
+    assert(capped.n === full.n, "n is the TRUE token total, pre-cap")
+    // a dropped unigram scores like any OOV token: the Laplace floor
+    val dropped = (full.uni.keySet -- capped.uni.keySet).head
+    val s = scoreDoc(3L, dropped, capped)
+    assert(math.abs(s.avg_logprob - math.log(1.0 / full.n)) < 1e-12)
+  }
 }
