@@ -1210,6 +1210,73 @@ object PipelineQueries {
              |WHERE l_linestatus = 'F'
              |GROUP BY l_returnflag""".stripMargin)),
 
+    // MV navigation THROUGH A JOIN — the star-schema shape the
+    // reference's own marts take (fact ⋈ dim_items then aggregate,
+    // reference backend_api/app/models.py:36-37): a (l_suppkey)
+    // rollup of lineitem registered, then a query that filters the
+    // fact on the grouping column, joins supplier on it, and groups
+    // by the DIM attribute s_name. The rule must rewrite to
+    // Join(rollup, supplier) — the gate REFUSES to pass if the fact
+    // scan survives, and REQUIRES the dim scan to remain (its rows
+    // are real inputs, not navigable state). Soundness pinned by the
+    // base-table hash oracle: each rollup row stands for the fact
+    // rows sharing its l_suppkey, the join key IS that key, so
+    // re-aggregated pairs fold exactly like the original fact⋈dim
+    // rows (l_quantity integral => bit-identical sums).
+    QueryDef("p125_mv_join_nav",
+      (s, dir) => {
+        val basePath = s"$dir/lineitem.parquet"
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_mv6")
+        val mvPath = mvDir.resolve("jmv.parquet").toString
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          mvPath, Seq("l_suppkey"), Seq("l_quantity"))
+        try {
+          val fact = s.read.parquet(basePath)
+          val dim = s.read.parquet(s"$dir/supplier.parquet")
+          val q = fact.where(col("l_suppkey") <= 50)
+            .join(dim, fact("l_suppkey") === dim("s_suppkey"))
+            .groupBy(col("s_name"))
+            .agg(sum("l_quantity").as("sum_qty"),
+              count(lit(1)).as("n_rows"),
+              min("l_quantity").as("min_qty"),
+              max("l_quantity").as("max_qty"),
+              avg("l_quantity").as("avg_qty"))
+          val scanned = q.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("jmv.parquet")),
+            s"star-join navigation did not fire; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned: $scanned")
+          require(scanned.exists(_.contains("supplier.parquet")),
+            s"dim side must survive the rewrite: $scanned")
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""SELECT s_name,
+             |       SUM(l_quantity) AS sum_qty,
+             |       COUNT(*) AS n_rows,
+             |       MIN(l_quantity) AS min_qty,
+             |       MAX(l_quantity) AS max_qty,
+             |       AVG(l_quantity) AS avg_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE l_suppkey <= 50
+             |GROUP BY s_name""".stripMargin)),
+
     // Link-graph quality prior: integer-arithmetic PageRank
     // (graft.pipeline.LinkGraph) over a deterministic synthetic link
     // graph on the document ids: every doc links to (31d+7)%N, and

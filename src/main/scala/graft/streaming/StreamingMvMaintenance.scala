@@ -34,13 +34,19 @@ object StreamingMvMaintenance {
     */
   def processBatch(batch: DataFrame, batchId: Long, mvPath: String,
       groupCols: Seq[String], measureCols: Seq[String],
-      distinctCols: Seq[String] = Nil, hllP: Int = 12): Unit = {
+      distinctCols: Seq[String] = Nil, hllP: Int = 12,
+      exprMeasures: Map[String, String] = Map.empty): Unit = {
     val aggs =
       measureCols.flatMap(c => Seq(
         sum(col(c)).as(s"sum_$c"),
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"),
         count(col(c)).as(s"nnz_$c"))) ++
+      exprMeasures.toSeq.sortBy(_._1).flatMap { case (name, e) =>
+        val x = expr(e)
+        Seq(sum(x).as(s"sum_$name"), min(x).as(s"min_$name"),
+          max(x).as(s"max_$name"), count(x).as(s"nnz_$name"))
+      } ++
       distinctCols.map(d => graft.functions.SketchFunctions.hyperLogLog(
         graft.functions.Md5Hash.h60String(col(d)), hllP).as(s"hll_$d")) :+
       count(lit(1)).as("cnt")
@@ -54,11 +60,12 @@ object StreamingMvMaintenance {
     */
   def maintainer(facts: DataFrame, mvPath: String,
       groupCols: Seq[String], measureCols: Seq[String],
-      distinctCols: Seq[String] = Nil, hllP: Int = 12): DataStreamWriter[org.apache.spark.sql.Row] =
+      distinctCols: Seq[String] = Nil, hllP: Int = 12,
+      exprMeasures: Map[String, String] = Map.empty): DataStreamWriter[org.apache.spark.sql.Row] =
     facts.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, mvPath, groupCols, measureCols,
-          distinctCols, hllP)
+          distinctCols, hllP, exprMeasures)
       }
       .trigger(Trigger.AvailableNow())
 }
