@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Micro-bench isolating WHAT MV navigation buys at a given fact
+  * scale: the p116-shape query timed (a) navigated — answered from a
+  * freshly-built (returnflag, linestatus) rollup — and (b) direct —
+  * catalog cleared, same query against the fact scan. The per-round
+  * Bench gates time build+query together (the honest gate shape);
+  * this main splits them so BASELINE.md can show the query-side cost
+  * staying rollup-sized while the direct scan grows with the data —
+  * the number a 100 TB deployment actually cares about.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.MvNavBench"
+  * Prints one JSON line: build / navigated (min of 3) / direct
+  * (min of 3) seconds plus the fact row count.
+  */
+object MvNavBench {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.session(s"local[$cpus]", cpus.toInt, "graft-navbench")
+    val basePath = s"$dir/lineitem.parquet"
+    val mvPath = java.nio.file.Files.createTempDirectory("graft_navbench")
+      .resolve("mv.parquet").toString
+    def time[T](f: => T): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def q = spark.read.parquet(basePath)
+      .where(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+        avg("l_quantity").as("avg_qty"))
+
+    val nRows = spark.read.parquet(basePath).count()
+    val tBuild = time(graft.plans.MaterializedAggregate.buildAndRegister(
+      spark, basePath, mvPath,
+      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity")))
+    val nav = (1 to 3).map(_ => time(q.collect())).min
+    graft.plans.MvCatalog.clear()
+    val direct = (1 to 3).map(_ => time(q.collect())).min
+    println(s"""{"metric":"mv_nav","fact_rows":$nRows,"build_sec":${
+      f"$tBuild%.3f"},"navigated_sec":${f"$nav%.3f"},"direct_sec":${
+      f"$direct%.3f"},"sf":"$dir"}""")
+    spark.stop()
+  }
+}

@@ -30,7 +30,18 @@ import org.apache.spark.sql.functions._
   * Run: sbt "runMain graft.ScaleData"
   *   env: SPARK_GRAFT_SRC (default /root/testdata/sf0.1),
   *        SPARK_GRAFT_DST (default /tmp/graft-sf1),
-  *        SPARK_GRAFT_SCALE (default 10)
+  *        SPARK_GRAFT_SCALE (default 10),
+  *        SPARK_GRAFT_SCALE_MODE (default "docs")
+  *
+  * SPARK_GRAFT_SCALE_MODE=facts flips WHICH family scales: lineitem
+  * and orders replicate (copy k shifts the order key — the fact
+  * grain — and leaves every dim FK untouched: facts grow, dims
+  * don't, the star-schema decade shape), while documents/embeddings
+  * pass through unchanged. This is the corpus for the MV/warehouse
+  * family's scaling rows — the default ("docs") corpus passes
+  * lineitem through UNCHANGED, so a lineitem-reading gate measured
+  * on it sees constant fact size (the round-11 MV rows' caveat,
+  * corrected in BASELINE.md round 12).
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
@@ -50,6 +61,33 @@ object ScaleData {
 
     new java.io.File(dst).mkdirs()
     val copy = explode(sequence(lit(0), lit(factor - 1))).as("__k")
+    val factsMode =
+      sys.env.get("SPARK_GRAFT_SCALE_MODE").exists(_.trim == "facts")
+
+    if (factsMode) {
+      spark.read.parquet(s"$src/orders.parquet")
+        .select(col("*"), copy)
+        .withColumn("o_orderkey", $"o_orderkey" * factor + $"__k")
+        .drop("__k").repartition(8)
+        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      spark.read.parquet(s"$src/lineitem.parquet")
+        .select(col("*"), copy)
+        .withColumn("l_orderkey", $"l_orderkey" * factor + $"__k")
+        .drop("__k").repartition(16)
+        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+      val pass = Seq("region", "nation", "customer", "supplier", "part",
+        "events", "documents", "embeddings")
+      pass.foreach { t =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$src/$t.parquet"),
+          java.nio.file.Paths.get(s"$dst/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      println(s"""{"scaled":"$dst","factor":$factor,"mode":"facts","lineitem":${
+        spark.read.parquet(s"$dst/lineitem.parquet").count()}}""")
+      spark.stop()
+      return
+    }
 
     Tables.documents(spark, src)
       .select(col("*"), copy)
