@@ -69,6 +69,14 @@ import org.apache.spark.sql.types.DoubleType
   * the rewrite. The dim subtree is reused verbatim (it must not scan
   * the registered base path).
   *
+  * The shape extends inductively to a CHAIN of such joins — multiple
+  * dims (fact ⋈ dim1 ⋈ dim2) and snowflake arms (dim2 keyed on
+  * dim1's attribute rather than the fact's): each level must satisfy
+  * the same join-type/equi-pair rules, where a conjunct pairing the
+  * dim with an inner dim's attribute carries no grouping restriction
+  * (the inner dim rides the re-applied chain verbatim; only
+  * BASE-relation attributes must be rollup grouping columns).
+  *
   * PARTIAL rollups (`baseFilter`): a rollup built over a filtered
   * base ("only linestatus 'F'", "only this year's partition")
   * navigates only queries that repeat every one of its build
@@ -488,15 +496,24 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     * (factAttr, dimAttr) equi pairs, and the hint to preserve.
     */
   private case class StarJoin(dim: LogicalPlan, joinType: JoinType,
-      factLeft: Boolean, pairs: Seq[(Attribute, Attribute)], hint: JoinHint)
+      factLeft: Boolean, cond: Expression, hint: JoinHint)
 
-  /** (combined fact-side filter, fact relation, optional star join)
-    * under attrs-only projections. The fact relation must read
-    * EXACTLY the registered base path (a multi-root scan that merely
-    * includes it has other roots' rows to answer for — refuse).
+  /** (combined fact-side filter, fact relation, star-join chain —
+    * innermost join first) under attrs-only projections. The fact
+    * relation must read EXACTLY the registered base path (a
+    * multi-root scan that merely includes it has other roots' rows
+    * to answer for — refuse).
+    *
+    * The chain generalizes the single star join to multiple dims and
+    * snowflake arms: Join(Join(fact, dim1), dim2) unwraps to
+    * [dim1, dim2], where each level's equi-conjuncts may pair the
+    * dim with a FACT grouping column (star) or with an INNER dim's
+    * attribute (snowflake — dim2 keyed on dim1's column rides the
+    * re-applied dim1 verbatim, so no rollup column is involved and
+    * no grouping restriction applies to it).
     */
   private def unwrapShape(p: LogicalPlan, mv: MvDef)
-      : Option[(Option[Expression], LogicalRelation, Option[StarJoin])] =
+      : Option[(Option[Expression], LogicalRelation, Seq[StarJoin])] =
     p match {
       case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
         unwrapShape(child, mv)
@@ -513,32 +530,34 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         }
         factLeftOpt.flatMap { factLeft =>
           val (factP, dimP) = if (factLeft) (j.left, j.right) else (j.right, j.left)
-          unwrap(factP).flatMap { case (cond, rel) =>
-            if (relationPaths(rel) != Seq(mv.basePath)) None
-            else {
-              val factOut = factP.outputSet
-              val dimOut = dimP.outputSet
-              // conjunction of fact-groupCol = dim-attr equalities
-              val pairs = MaterializedAggregate.splitConjuncts(j.condition.get)
-                .foldLeft(Option(Vector.empty[(Attribute, Attribute)])) {
-                  case (Some(acc), EqualTo(a: AttributeReference, b: AttributeReference))
-                      if factOut.contains(a) && dimOut.contains(b) =>
-                    Some(acc :+ ((a: Attribute, b: Attribute)))
-                  case (Some(acc), EqualTo(a: AttributeReference, b: AttributeReference))
-                      if factOut.contains(b) && dimOut.contains(a) =>
-                    Some(acc :+ ((b: Attribute, a: Attribute)))
-                  case _ => None
-                }
-              pairs
-                .filter(_.forall(p => mv.groupCols.contains(p._1.name)))
-                .map(ps => (cond, rel,
-                  Some(StarJoin(dimP, j.joinType, factLeft, ps, j.hint))))
-            }
+          unwrapShape(factP, mv).flatMap { case (cond, rel, inner) =>
+            val factRelSet = rel.outputSet
+            val chainOut = factP.outputSet // base relation + inner dims
+            val dimOut = dimP.outputSet
+            // every conjunct pairs a dim attribute with a chain
+            // attribute; a chain attribute FROM THE BASE RELATION
+            // must be a rollup grouping column (it becomes the
+            // rollup's column under the rewrite), while an inner-dim
+            // attribute rides the re-applied inner join verbatim
+            val ok = MaterializedAggregate.splitConjuncts(j.condition.get)
+              .forall {
+                case EqualTo(a: AttributeReference, b: AttributeReference) =>
+                  val chainSide =
+                    if (chainOut.contains(a) && dimOut.contains(b)) Some(a)
+                    else if (chainOut.contains(b) && dimOut.contains(a)) Some(b)
+                    else None
+                  chainSide.exists(f =>
+                    !factRelSet.contains(f) || mv.groupCols.contains(f.name))
+                case _ => false
+              }
+            if (!ok) None
+            else Some((cond, rel,
+              inner :+ StarJoin(dimP, j.joinType, factLeft, j.condition.get, j.hint)))
           }
         }
       case other =>
         unwrap(other).flatMap { case (c, rel) =>
-          if (relationPaths(rel) == Seq(mv.basePath)) Some((c, rel, None))
+          if (relationPaths(rel) == Seq(mv.basePath)) Some((c, rel, Nil))
           else None
         }
     }
@@ -563,20 +582,20 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
-    val (condOpt, rel, starOpt) = unwrapShape(agg.child, mv) match {
+    val (condOpt, rel, stars) = unwrapShape(agg.child, mv) match {
       case Some(x) => x
       case None => return None
     }
-    // the dim subtree must be independent of the fact — any scan of
-    // the base path inside it (self-join shapes) refuses
-    if (starOpt.exists(_.dim.collectFirst {
+    // every dim subtree must be independent of the fact — any scan of
+    // the base path inside one (self-join shapes) refuses
+    if (stars.exists(_.dim.collectFirst {
         case lr: LogicalRelation
             if relationPaths(lr).contains(mv.basePath) => ()
       }.isDefined)) return None
 
     val factSet: AttributeSet = rel.outputSet
     val dimSet: AttributeSet =
-      starOpt.map(_.dim.outputSet).getOrElse(AttributeSet.empty)
+      stars.foldLeft(AttributeSet.empty)(_ ++ _.dim.outputSet)
 
     // fresh relation instance per rewrite: two navigations in one
     // query plan (a union of two rollup-bound aggregates, a self
@@ -742,14 +761,16 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
 
     val filteredFact = newCond.map(Filter(_, freshPlan)).getOrElse(freshPlan)
-    val newChild = starOpt match {
-      case None => filteredFact
-      case Some(sj) =>
-        val jc = sj.pairs
-          .map { case (f, d) => EqualTo(mvAttrs(f.name), d): Expression }
-          .reduce(And(_, _))
-        if (sj.factLeft) Join(filteredFact, sj.dim, sj.joinType, Some(jc), sj.hint)
-        else Join(sj.dim, filteredFact, sj.joinType, Some(jc), sj.hint)
+    // re-apply the join chain innermost-first, substituting the
+    // rollup's column for every BASE-relation attribute in each join
+    // condition (validated grouping columns); inner-dim attributes
+    // ride verbatim (snowflake arms)
+    val newChild = stars.foldLeft(filteredFact: LogicalPlan) { (acc, sj) =>
+      val jc = sj.cond.transform {
+        case a: AttributeReference if factSet.contains(a) => mvAttrs(a.name)
+      }
+      if (sj.factLeft) Join(acc, sj.dim, sj.joinType, Some(jc), sj.hint)
+      else Join(sj.dim, acc, sj.joinType, Some(jc), sj.hint)
     }
     val rewritten = Aggregate(newGroupings, newAggExprs, newChild)
 

@@ -1277,6 +1277,67 @@ object PipelineQueries {
              |WHERE l_suppkey <= 50
              |GROUP BY s_name""".stripMargin)),
 
+    // MV navigation through a SNOWFLAKE chain — the TPC-H shape:
+    // lineitem ⋈ supplier (on the rollup's grouping column) ⋈ nation
+    // (on supplier's s_nationkey — NO fact column at the outer
+    // level, so the inner dim rides the re-applied chain verbatim
+    // and no grouping restriction applies to it). Group by the
+    // outermost dim attribute n_name. Gate requires the fact scan
+    // gone and BOTH dim scans kept; base-table hash oracle.
+    QueryDef("p126_mv_snowflake_nav",
+      (s, dir) => {
+        val basePath = s"$dir/lineitem.parquet"
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_mv7")
+        val mvPath = mvDir.resolve("smv.parquet").toString
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          mvPath, Seq("l_suppkey"), Seq("l_quantity"))
+        try {
+          val fact = s.read.parquet(basePath)
+          val supp = s.read.parquet(s"$dir/supplier.parquet")
+          val nat = s.read.parquet(s"$dir/nation.parquet")
+          val q = fact
+            .join(supp, fact("l_suppkey") === supp("s_suppkey"))
+            .join(nat, supp("s_nationkey") === nat("n_nationkey"))
+            .groupBy(col("n_name"))
+            .agg(sum("l_quantity").as("sum_qty"),
+              count(lit(1)).as("n_rows"),
+              avg("l_quantity").as("avg_qty"))
+          val scanned = q.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("smv.parquet")),
+            s"snowflake navigation did not fire; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned: $scanned")
+          require(scanned.exists(_.contains("supplier.parquet")) &&
+            scanned.exists(_.contains("nation.parquet")),
+            s"both dim scans must survive the rewrite: $scanned")
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""SELECT n_name,
+             |       SUM(l_quantity) AS sum_qty,
+             |       COUNT(*) AS n_rows,
+             |       AVG(l_quantity) AS avg_qty
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
     // Link-graph quality prior: integer-arithmetic PageRank
     // (graft.pipeline.LinkGraph) over a deterministic synthetic link
     // graph on the document ids: every doc links to (31d+7)%N, and

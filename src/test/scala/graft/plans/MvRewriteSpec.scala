@@ -846,4 +846,122 @@ class MvRewriteSpec extends SparkSpec {
         .toSet === Set(("A", 30.0, 2L), ("B", 7.0, 1L)))
     } finally MvCatalog.clear()
   }
+
+  // ---- round 12, second act: multi-dim and snowflake chains ----
+
+  test("two-dim star: fact joins two dims on two grouping columns, both ride") { withNoAqe {
+    MvCatalog.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("mv_star2")
+    val dimAPath = tmp.resolve("dimA.parquet").toString
+    val dimBPath = tmp.resolve("dimB.parquet").toString
+    Seq(("A", "a"), ("B", "b")).toDF("ka", "labelA")
+      .write.mode("overwrite").parquet(dimAPath)
+    Seq(("x", "ex"), ("y", "why")).toDF("kb", "labelB")
+      .write.mode("overwrite").parquet(dimBPath)
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1", "g2"), measureCols = Seq("qty"))
+    try {
+      val fact = spark.read.parquet(base)
+      val dimA = spark.read.parquet(dimAPath)
+      val dimB = spark.read.parquet(dimBPath)
+      def q = fact.join(dimA, fact("g1") === dimA("ka"))
+        .join(dimB, fact("g2") === dimB("kb"))
+        .groupBy(col("labelA"), col("labelB"))
+        .agg(sum("qty").as("s"), count(lit(1)).as("n"))
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains("mv.parquet")),
+        s"two-dim star did not navigate: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")),
+        s"fact table still scanned: $paths")
+      assert(paths.exists(_.contains("dimA.parquet")) &&
+        paths.exists(_.contains("dimB.parquet")),
+        s"both dims must survive the rewrite: $paths")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      MvCatalog.clear()
+      val direct = q.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(got === direct)
+      assert(got === Set(("a", "ex", 30.0, 2L), ("a", "why", 5.0, 1L),
+        ("b", "ex", 7.0, 1L), ("b", "why", 20.0, 2L)))
+    } finally MvCatalog.clear()
+  } }
+
+  test("snowflake: outer dim keyed on the inner dim's attribute navigates") { withNoAqe {
+    MvCatalog.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("mv_snow")
+    val dim1Path = tmp.resolve("dim1.parquet").toString
+    val dim2Path = tmp.resolve("dim2.parquet").toString
+    Seq(("A", 1L), ("B", 2L)).toDF("k", "region_id")
+      .write.mode("overwrite").parquet(dim1Path)
+    Seq((1L, "north"), (2L, "south")).toDF("rid", "region_name")
+      .write.mode("overwrite").parquet(dim2Path)
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1"), measureCols = Seq("qty"))
+    try {
+      val fact = spark.read.parquet(base)
+      val dim1 = spark.read.parquet(dim1Path)
+      val dim2 = spark.read.parquet(dim2Path)
+      // dim2 joins on dim1.region_id — NO fact column involved at the
+      // outer level: the inner dim rides verbatim, so no grouping
+      // restriction applies to its attributes
+      def q = fact.join(dim1, fact("g1") === dim1("k"))
+        .join(dim2, dim1("region_id") === dim2("rid"))
+        .groupBy(col("region_name"))
+        .agg(sum("qty").as("s"), count(lit(1)).as("n"))
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains("mv.parquet")),
+        s"snowflake chain did not navigate: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")),
+        s"fact table still scanned: $paths")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      MvCatalog.clear()
+      val direct = q.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got === direct)
+      assert(got === Set(("north", 35.0, 3L), ("south", 27.0, 3L)))
+    } finally MvCatalog.clear()
+  } }
+
+  test("chain refusals: outer join on a fact measure / non-grouping fact column") { withNoAqe {
+    MvCatalog.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("mv_chainref")
+    val dimAPath = tmp.resolve("dimA.parquet").toString
+    val dimBPath = tmp.resolve("dimB.parquet").toString
+    Seq(("A", "a"), ("B", "b")).toDF("ka", "labelA")
+      .write.mode("overwrite").parquet(dimAPath)
+    Seq((10.0, "ten"), (7.0, "seven")).toDF("x", "labelB")
+      .write.mode("overwrite").parquet(dimBPath)
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1"), measureCols = Seq("qty"))
+    try {
+      val fact = spark.read.parquet(base)
+      val dimA = spark.read.parquet(dimAPath)
+      val dimB = spark.read.parquet(dimBPath)
+      // second join keyed on the fact MEASURE — the rollup grain
+      // cannot stand for it, even though the first join is valid
+      val m = fact.join(dimA, fact("g1") === dimA("ka"))
+        .join(dimB, fact("qty") === dimB("x"))
+        .groupBy(col("labelA")).agg(count(lit(1)).as("n"))
+      assert(scannedPaths(m).exists(_.contains("fact.parquet")),
+        "chain with a measure-keyed join navigated")
+      // second join keyed on a fact column OUTSIDE the rollup's
+      // grouping set (g2 is not registered here)
+      val dimCPath = tmp.resolve("dimC.parquet").toString
+      Seq(("x", "ex")).toDF("kc", "labelC")
+        .write.mode("overwrite").parquet(dimCPath)
+      val dimC = spark.read.parquet(dimCPath)
+      val ng = fact.join(dimA, fact("g1") === dimA("ka"))
+        .join(dimC, fact("g2") === dimC("kc"))
+        .groupBy(col("labelA")).agg(sum("qty").as("s"))
+      assert(scannedPaths(ng).exists(_.contains("fact.parquet")),
+        "chain with a non-grouping fact key navigated")
+      // the refused shapes still answer correctly
+      assert(m.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        === Map("a" -> 1L, "b" -> 1L))
+    } finally MvCatalog.clear()
+  } }
 }
