@@ -38,7 +38,12 @@ import org.apache.spark.sql.types.DoubleType
   *     only when the query's hash expression tree matches the one
   *     the rollup registered, name-normalized, and p matches)
   * plus filters that reference GROUPING columns only (they commute
-  * with the rollup). Anything else — DISTINCT aggregates, filters on
+  * with the rollup). Grouping expressions may be any deterministic
+  * FUNCTION of grouping columns — date_trunc('month', day) navigates
+  * a daily rollup (the coarser-time-grain derivation): each rollup
+  * row holds a single day, so re-grouping rollup rows under the
+  * function folds exactly the fact rows the original grouped.
+  * Anything else — DISTINCT aggregates, filters on
   * measures, expressions over measures, a grouping column the MV
   * lacks — leaves the plan untouched; the rule must be sound, never
   * clever. Derivability is SCHEMA-DRIVEN: a rollup registered from
@@ -581,7 +586,37 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => Seq.empty
   }
 
-  private def rewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
+  /** Inline alias-bearing projections directly under the aggregate
+    * into its own expressions — Spark's PullOutGroupingExpressions
+    * (which runs BEFORE this rule) rewrites Aggregate(f(g), ...) to
+    * Aggregate(_groupingexpression#N, ..., Project(f(g) AS
+    * _groupingexpression#N, child)), and the matcher wants the
+    * original f(g) form. Deterministic aliases only; output names
+    * and exprIds are preserved.
+    */
+  private def inlineProjects(agg: Aggregate): Aggregate = agg.child match {
+    case Project(pl, child) if pl.exists(_.isInstanceOf[Alias]) && pl.forall {
+        case _: AttributeReference => true
+        case al: Alias => al.child.deterministic
+        case _ => false
+      } =>
+      val subst = pl.collect { case al: Alias => al.exprId -> al.child }.toMap
+      def inline(e: Expression): Expression = e.transformDown {
+        case a: AttributeReference if subst.contains(a.exprId) =>
+          subst(a.exprId)
+      }
+      val g2 = agg.groupingExpressions.map(inline)
+      val o2 = agg.aggregateExpressions.map {
+        case a: AttributeReference if subst.contains(a.exprId) =>
+          Alias(subst(a.exprId), a.name)(exprId = a.exprId)
+        case ne => inline(ne).asInstanceOf[NamedExpression]
+      }
+      inlineProjects(Aggregate(g2, o2, child))
+    case _ => agg
+  }
+
+  private def rewrite(agg0: Aggregate, mv: MvDef): Option[LogicalPlan] = {
+    val agg = inlineProjects(agg0)
     val (condOpt, rel, stars) = unwrapShape(agg.child, mv) match {
       case Some(x) => x
       case None => return None
@@ -607,17 +642,25 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val mvAttrs: Map[String, Attribute] =
       freshPlan.output.map(a => a.name -> a).toMap
 
-    // grouping: fact columns the MV groups by, or dim-side attributes
-    // (which ride the re-applied join unchanged)
+    // grouping: fact columns the MV groups by, dim-side attributes
+    // (which ride the re-applied join unchanged), or any DETERMINISTIC
+    // expression over those — grouping by f(g) where the rollup
+    // groups by g is the classic coarser-grain derivation
+    // (date_trunc('month', day) over a daily rollup): re-aggregating
+    // rollup rows under f(g) folds exactly the fact rows the original
+    // grouped, because each rollup row holds a single g value
     val newGroupings: Seq[Expression] = agg.groupingExpressions.map {
       case a: AttributeReference if factSet.contains(a) &&
           mv.groupCols.contains(a.name) => mvAttrs(a.name)
       case a: AttributeReference if dimSet.contains(a) => a
+      case e if e.deterministic && e.references.forall(a =>
+          (factSet.contains(a) && mv.groupCols.contains(a.name)) ||
+            dimSet.contains(a)) =>
+        e.transform {
+          case a: AttributeReference if factSet.contains(a) => mvAttrs(a.name)
+        }
       case _ => return None
     }
-    val factGroupNames: Set[String] = agg.groupingExpressions.collect {
-      case a: AttributeReference if factSet.contains(a) => a.name
-    }.toSet
     // filters: a PARTIAL rollup's build predicate must be repeated by
     // the query, conjunct for conjunct (syntactic subsumption on the
     // name-normalized form — never implication guessing); whatever
@@ -651,14 +694,17 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       AggregateExpression(fn, Complete, isDistinct = false)
 
     def derive(e: Expression): Option[Expression] = e match {
+      // a bare attribute OUTSIDE an aggregate function can only occur
+      // under (a tree equal to) a grouping expression — the analyzer
+      // guarantees it, and the AggregateExpression case below handles
+      // or refuses every attribute UNDER an aggregate before
+      // recursion reaches here. So a fact grouping column maps to its
+      // rollup column and a dim attribute rides verbatim — including
+      // as leaves of expression groupings (date_trunc(day), etc.)
       case a: AttributeReference if factSet.contains(a) &&
-          factGroupNames.contains(a.name) =>
+          mv.groupCols.contains(a.name) =>
         Some(mvAttrs(a.name))
-      // dim attributes outside aggregate functions are grouping
-      // expressions (analysis guarantees it) — they survive as-is on
-      // the re-applied join's dim side
-      case a: AttributeReference if dimSet.contains(a) &&
-          agg.groupingExpressions.exists(_.semanticEquals(a)) =>
+      case a: AttributeReference if dimSet.contains(a) =>
         Some(a)
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         // a measure is a registered plain FACT column OR a registered
@@ -772,7 +818,26 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       if (sj.factLeft) Join(acc, sj.dim, sj.joinType, Some(jc), sj.hint)
       else Join(sj.dim, acc, sj.joinType, Some(jc), sj.hint)
     }
-    val rewritten = Aggregate(newGroupings, newAggExprs, newChild)
+    // mirror PullOutGroupingExpressions on the REWRITTEN side: the
+    // planner expects complex grouping expressions pre-aliased in a
+    // projection below the aggregate (this rule runs after Spark's
+    // own pull-out pass, so nothing re-normalizes for us)
+    val complexG = newGroupings.filter(!_.isInstanceOf[Attribute])
+      .foldLeft(Vector.empty[Expression])((acc, e) =>
+        if (acc.exists(_.semanticEquals(e))) acc else acc :+ e)
+    val rewritten =
+      if (complexG.isEmpty) Aggregate(newGroupings, newAggExprs, newChild)
+      else {
+        val pulled = complexG.map(e => Alias(e, "_groupingexpression")())
+        def sub(x: Expression): Expression = x.transformDown {
+          case e if complexG.exists(_.semanticEquals(e)) =>
+            pulled(complexG.indexWhere(_.semanticEquals(e))).toAttribute
+        }
+        Aggregate(
+          newGroupings.map(sub),
+          newAggExprs.map(ne => sub(ne).asInstanceOf[NamedExpression]),
+          Project(newChild.output ++ pulled, newChild))
+      }
 
     // soundness gate: identical schema (names, types, nullability-
     // compatible) and identical output ids — else refuse

@@ -1338,6 +1338,66 @@ object PipelineQueries {
              |JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY n_name""".stripMargin)),
 
+    // Coarser-TIME-GRAIN navigation — the dashboard shape MV systems
+    // exist for: a DAILY (day) rollup registered, the query groups by
+    // trunc(day, 'month') and filters a year — both EXPRESSIONS of
+    // the grouping column, which re-aggregate exactly because each
+    // rollup row holds a single day. The year filter must commute to
+    // the rollup (residual remap over an expression, not just a bare
+    // column). Gate requires the fact scan gone; base-table hash
+    // oracle restates the month/year arithmetic in DuckDB.
+    QueryDef("p127_mv_time_grain",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mv8")
+        val basePath = tmp.resolve("dayfact.parquet").toString
+        val mvPath = tmp.resolve("tmv.parquet").toString
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_shipdate").cast("date").as("day"),
+            col("l_quantity").as("qty"))
+          .write.mode("overwrite").parquet(basePath)
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          mvPath, Seq("day"), Seq("qty"))
+        try {
+          val q = s.read.parquet(basePath)
+            .where(year(col("day")) === 1996)
+            .groupBy(trunc(col("day"), "month").as("month"))
+            .agg(sum("qty").as("sum_qty"),
+              count(lit(1)).as("n_rows"),
+              avg("qty").as("avg_qty"))
+          val scanned = q.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("tmv.parquet")),
+            s"time-grain navigation did not fire; scans: $scanned")
+          require(!scanned.exists(_.contains("dayfact.parquet")),
+            s"fact table still scanned: $scanned")
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""WITH f AS (SELECT CAST(l_shipdate AS DATE) AS day,
+             |                  l_quantity AS qty
+             |           FROM lineitem)
+             |SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+             |       SUM(qty) AS sum_qty,
+             |       COUNT(*) AS n_rows,
+             |       AVG(qty) AS avg_qty
+             |FROM f WHERE year(day) = 1996
+             |GROUP BY 1""".stripMargin)),
+
     // Link-graph quality prior: integer-arithmetic PageRank
     // (graft.pipeline.LinkGraph) over a deterministic synthetic link
     // graph on the document ids: every doc links to (31d+7)%N, and

@@ -964,4 +964,64 @@ class MvRewriteSpec extends SparkSpec {
         === Map("a" -> 1L, "b" -> 1L))
     } finally MvCatalog.clear()
   } }
+
+  test("coarser time grain: month query navigates a daily rollup") { withNoAqe {
+    MvCatalog.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("mv_time")
+    val dbase = tmp.resolve("daily_fact.parquet").toString
+    val dmv = tmp.resolve("dmv.parquet").toString
+    Seq(("2024-01-03", 10.0), ("2024-01-03", 20.0), ("2024-01-17", 5.0),
+      ("2024-02-01", 7.0), ("2024-02-09", 9.0), ("2024-03-30", 11.0))
+      .toDF("d", "qty").select(col("d").cast("date").as("day"), col("qty"))
+      .write.mode("overwrite").parquet(dbase)
+    MaterializedAggregate.buildAndRegister(spark, dbase, dmv,
+      groupCols = Seq("day"), measureCols = Seq("qty"))
+    try {
+      def q = spark.read.parquet(dbase)
+        .groupBy(trunc(col("day"), "month").as("month"))
+        .agg(sum("qty").as("s"), count(lit(1)).as("n"),
+          min("qty").as("mn"), avg("qty").as("a"))
+        .orderBy(col("month"))
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains("dmv.parquet")),
+        s"month-grain query did not navigate the daily rollup: $paths")
+      assert(!paths.exists(_.contains("daily_fact.parquet")),
+        s"fact table still scanned: $paths")
+      val got = q.collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+      MvCatalog.clear()
+      val direct = q.collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+      assert(scannedPaths(q).exists(_.contains("daily_fact.parquet")))
+      assert(got === direct)
+      assert(got === Seq(("2024-01-01", 35.0, 3L, 5.0, 35.0 / 3),
+        ("2024-02-01", 16.0, 2L, 7.0, 8.0),
+        ("2024-03-01", 11.0, 1L, 11.0, 11.0)))
+    } finally MvCatalog.clear()
+  } }
+
+  test("expression groupings: f(grouping col) navigates; f(non-grouping col) refuses") { withNoAqe {
+    MvCatalog.clear()
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1"), measureCols = Seq("qty"))
+    try {
+      // grouping by an expression OF the grouping column
+      def ok = spark.read.parquet(base)
+        .groupBy(concat(col("g1"), lit("!")).as("gx"))
+        .agg(sum("qty").as("s"))
+      val paths = scannedPaths(ok)
+      assert(paths.exists(_.contains("mv.parquet")),
+        s"expression grouping did not navigate: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")))
+      assert(ok.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        === Map("A!" -> 35.0, "B!" -> 27.0))
+      // grouping by an expression of a column the rollup does NOT
+      // group by — g2 collapses inside each rollup row, unsound
+      val bad = spark.read.parquet(base)
+        .groupBy(concat(col("g2"), lit("!")).as("gx"))
+        .agg(sum("qty").as("s"))
+      assert(scannedPaths(bad).exists(_.contains("fact.parquet")),
+        "expression over a non-grouping column navigated")
+    } finally MvCatalog.clear()
+  } }
 }
