@@ -12,9 +12,14 @@ import org.apache.spark.sql.SparkSession
   * and each cell's rows are spread over up to N small files, the
   * listing + small-file tax that dominates scan planning on an
   * object store. Compaction folds them back to ONE batch with
-  * unchanged row content: it changes file layout, never answers.
+  * unchanged row content by default: it changes file layout, never
+  * answers. The `fold` hook lets a caller whose readers RE-AGGREGATE
+  * the table anyway (the MV partial layout —
+  * [[graft.streaming.StreamingMvMaintenance.compact]]) pre-fold rows
+  * during the rewrite; the hook owns the answer-preservation
+  * argument.
   */
-private[pipeline] object IndexCompaction {
+private[graft] object IndexCompaction {
 
   /** Rewrite all `batch=` subdirs of `tablePath` as a single
     * `batch=<intoBatchId>`, preserving `partitionCols`
@@ -43,7 +48,9 @@ private[pipeline] object IndexCompaction {
     */
   def compact(spark: SparkSession, tablePath: String, intoBatchId: String,
       partitionCols: Seq[String],
-      exclude: Option[(String, org.apache.spark.sql.DataFrame)] = None): Int = {
+      exclude: Option[(String, org.apache.spark.sql.DataFrame)] = None,
+      fold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(tablePath)
     val fs = live.getFileSystem(hconf)
@@ -60,7 +67,7 @@ private[pipeline] object IndexCompaction {
       raw.join(ids.select(org.apache.spark.sql.functions.col(idCol)).distinct(),
         Seq(idCol), "left_anti")
     }
-    val writer = df.write.mode("overwrite")
+    val writer = fold(df).write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(s"$tmp/batch=$intoBatchId")
     // the write above fully materialized the merged batch — the lazy

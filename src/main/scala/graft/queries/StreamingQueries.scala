@@ -2365,6 +2365,83 @@ object StreamingQueries {
     },
     Some(PipelineQueries.mvRewriteOracleSql))
 
+  /** st38: rollup COMPACTION closes the IVM lifecycle — the fact
+    * replayed as THREE micro-batches of per-group partials, then
+    * [[graft.streaming.StreamingMvMaintenance.compact]] folds the
+    * three `batch=` partial sets into ONE (schema-driven
+    * re-aggregation behind [[graft.pipeline.IndexCompaction]]'s
+    * write-aside + directory-swap discipline), the compacted rollup
+    * re-registers, and the p116 query must still navigate — gate
+    * requires exactly one batch directory to remain, the rewrite to
+    * fire, and the fact scan to disappear. Oracle: p116's base-table
+    * SQL verbatim — the fold across batches must reproduce the
+    * one-shot arithmetic exactly.
+    */
+  private def streamingMvCompact: QueryDef = QueryDef(
+    "st38_streaming_mv_compact",
+    (s, dir) => {
+      val basePath = s"$dir/lineitem.parquet"
+      val facts = s.read.parquet(basePath)
+      val schema = facts.schema
+      val dirP = scratch("st38")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      val mvPath = dirP.resolve("mv.parquet").toString
+      facts.where(col("l_orderkey") % 3 === 0).coalesce(1).write.parquet(stage)
+      facts.where(col("l_orderkey") % 3 === 1).coalesce(1)
+        .write.mode("append").parquet(stage)
+      facts.where(col("l_orderkey") % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val q0 = graft.streaming.StreamingMvMaintenance.maintainer(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage),
+        mvPath, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+        .option("checkpointLocation", ckpt).start()
+      try q0.awaitTermination() finally q0.stop()
+
+      val folded = graft.streaming.StreamingMvMaintenance.compact(s, mvPath)
+      require(folded == 3, s"expected to fold 3 maintained batches, got $folded")
+      val remaining = new org.apache.hadoop.fs.Path(mvPath)
+      val fs = remaining.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val dirs = fs.listStatus(remaining).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      require(dirs.size == 1,
+        s"compaction left ${dirs.size} batch dirs: ${dirs.map(_.getPath.getName)}")
+
+      graft.plans.MaterializedAggregate.registerExisting(
+        s, basePath, mvPath, Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity"), maintained = true)
+      try {
+        val q = s.read.parquet(basePath)
+          .where(col("l_linestatus") === "F")
+          .groupBy(col("l_returnflag"))
+          .agg(sum("l_quantity").as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            min("l_quantity").as("min_qty"),
+            max("l_quantity").as("max_qty"),
+            avg("l_quantity").as("avg_qty"))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(scanned.exists(_.contains("mv.parquet")),
+          s"compacted MV not navigated; scans: $scanned")
+        require(!scanned.exists(_.contains("lineitem.parquet")),
+          s"fact table still scanned: $scanned")
+        val rows = q.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+      } finally {
+        graft.plans.MvCatalog.clear()
+        deleteRecursively(dirP)
+      }
+    },
+    Some(PipelineQueries.mvRewriteOracleSql))
+
   /** st36: the COMPOSED online image–TEXT pair ingest
     * ([[graft.streaming.StreamingPairIngest]]) — st34 with the
     * cross-modal stage in the chain: per-source quota → in-scan
@@ -2663,5 +2740,5 @@ object StreamingQueries {
       streamingIngestE2e, streamingOhlc, streamingDecontamination,
       streamingPixelDedup, streamingExcise, streamingMvMaintenance,
       streamingMediaIngest, streamingMvDistinct, streamingPairIngest,
-      streamingSearch)
+      streamingSearch, streamingMvCompact)
 }

@@ -55,6 +55,51 @@ object StreamingMvMaintenance {
       .write.mode("overwrite").parquet(s"$mvPath/batch=$batchId")
   }
 
+  /** Fold the accumulated `batch=` partials into ONE batch —
+    * periodic maintenance after many incremental days, closing the
+    * IVM lifecycle: each maintained batch adds a partial-row set and
+    * a directory, so an old rollup pays a listing + small-file tax
+    * on every navigated read. Compaction re-aggregates the partials
+    * (schema-driven: sum over the sum_, nnz_ and cnt columns, min
+    * over min_, max over max_, elementwise-max register fold over
+    * hll_) and
+    * rewrites via [[graft.pipeline.IndexCompaction]]'s write-aside +
+    * directory-swap discipline (crash before the swap leaves the
+    * live rollup untouched; between the renames, readers fail loudly
+    * rather than serve half a rollup). Navigation answers
+    * IDENTICALLY before and after — the rule re-aggregates partials
+    * anyway, and every fold here is the same associative fold the
+    * rule applies. Idempotent: re-running folds one batch to itself.
+    *
+    * `hllP` must match the registers' precision (the fold validates
+    * array length and fails loudly on a mismatch). Registered
+    * [[graft.plans.MaterializedAggregate.MvDef]]s captured BEFORE a
+    * compaction hold the old file listing — re-register after
+    * compacting (cheap: one schema read), same as after a rebuild.
+    *
+    * Returns the number of batch directories folded.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, mvPath: String,
+      hllP: Int = 12, intoBatchId: String = "compacted"): Int =
+    graft.pipeline.IndexCompaction.compact(spark, mvPath, intoBatchId,
+      Nil, None, foldPartials(_, hllP))
+
+  private[streaming] def foldPartials(df: DataFrame, hllP: Int): DataFrame = {
+    val names = df.schema.fieldNames.toSeq
+    def isAggCol(n: String): Boolean = n == "cnt" ||
+      Seq("sum_", "min_", "max_", "nnz_", "hll_").exists(n.startsWith)
+    val groupCols = names.filterNot(isAggCol)
+    val aggs = names.filter(isAggCol).map {
+      case n if n == "cnt" || n.startsWith("sum_") || n.startsWith("nnz_") =>
+        sum(col(n)).as(n)
+      case n if n.startsWith("min_") => min(col(n)).as(n)
+      case n if n.startsWith("max_") => max(col(n)).as(n)
+      case n => graft.functions.SketchFunctions.hllMergeAgg(col(n), hllP).as(n)
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(names.map(col): _*)
+  }
+
   /** Writer maintaining `mvPath` from a stream of fact rows. Caller
     * sets the checkpoint location and starts it.
     */

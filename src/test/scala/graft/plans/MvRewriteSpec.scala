@@ -1024,4 +1024,63 @@ class MvRewriteSpec extends SparkSpec {
         "expression over a non-grouping column navigated")
     } finally MvCatalog.clear()
   } }
+
+  test("compaction: partials fold to ONE batch, answers identical, registers exact, idempotent") { withNoAqe {
+    import graft.functions.{SketchFunctions => SK, Md5Hash}
+    MvCatalog.clear()
+    val facts = spark.read.parquet(base)
+    val tmp = java.nio.file.Files.createTempDirectory("mv_compact")
+    val incPath = tmp.resolve("cmv.parquet").toString
+    // three maintained batches with a sketch column
+    Seq("A", "B").zipWithIndex.foreach { case (g, i) =>
+      graft.streaming.StreamingMvMaintenance.processBatch(
+        facts.where(col("g1") === g), i.toLong, incPath,
+        Seq("g1", "g2"), Seq("qty"), distinctCols = Seq("price"), hllP = 4)
+    }
+    graft.streaming.StreamingMvMaintenance.processBatch(
+      facts.where(col("g1") === "A" && col("g2") === "x"), 2L, incPath,
+      Seq("g1", "g2"), Seq("qty"), distinctCols = Seq("price"), hllP = 4)
+    def batchDirs = new java.io.File(incPath).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(batchDirs.size === 3)
+
+    def answers(): (Map[(String, String), (Double, Long, Double, Double)],
+        Map[String, Seq[Long]]) = {
+      MvCatalog.clear()
+      MaterializedAggregate.registerExisting(spark, base, incPath,
+        Seq("g1", "g2"), Seq("qty"), distinctCols = Seq("price"), hllP = 4,
+        maintained = true)
+      val q = spark.read.parquet(base).groupBy(col("g1"), col("g2"))
+        .agg(sum("qty").as("s"), count(lit(1)).as("n"),
+          min("qty").as("mn"), max("qty").as("mx"))
+      assert(scannedPaths(q).exists(_.contains("cmv.parquet")),
+        "maintained layout not navigated")
+      val sk = spark.read.parquet(base).groupBy(col("g1"))
+        .agg(SK.hyperLogLog(Md5Hash.h60String(col("price")), 4).as("regs"))
+      assert(scannedPaths(sk).exists(_.contains("cmv.parquet")),
+        "sketch navigation lost")
+      val a = q.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+      val b = sk.collect().map(r =>
+        r.getString(0) -> r.getSeq[Long](1)).toMap
+      MvCatalog.clear()
+      (a, b)
+    }
+
+    val before = answers()
+    // note: the double-count of the (A, x) slice in batch 2 is ON
+    // PURPOSE here — compaction must fold whatever partials exist,
+    // and answers before/after must agree on the same partial set
+    val folded = graft.streaming.StreamingMvMaintenance.compact(
+      spark, incPath, hllP = 4)
+    assert(folded === 3)
+    assert(batchDirs === Set("batch=compacted"))
+    val after = answers()
+    assert(after === before,
+      "compaction changed navigated answers")
+    // idempotent: one batch folds to itself
+    assert(graft.streaming.StreamingMvMaintenance.compact(
+      spark, incPath, hllP = 4) === 1)
+    assert(answers() === before)
+  } }
 }
