@@ -1398,6 +1398,70 @@ object PipelineQueries {
              |FROM f WHERE year(day) = 1996
              |GROUP BY 1""".stripMargin)),
 
+    // Workload-driven rollup ADVISOR — the recommender loop closed
+    // end-to-end: three lineitem aggregates go in, the advisor
+    // extracts one merged candidate (keys = groupings ∪ filter
+    // columns so the filters commute; measures unioned), the
+    // compression gate measures base rows / approx-distinct grain
+    // (~60k/6 — an easy clear), the recommendation BUILDS and
+    // REGISTERS, and the gate then requires the original p116-shape
+    // query to navigate to the recommended rollup (fact scan gone).
+    // Oracle: p116's base-table SQL verbatim — recommendation must
+    // change the plan, never the answer.
+    QueryDef("p128_mv_advisor",
+      (s, dir) => {
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_adv")
+        def q1 = s.read.parquet(s"$dir/lineitem.parquet")
+          .where(col("l_linestatus") === "F")
+          .groupBy(col("l_returnflag"))
+          .agg(sum("l_quantity").as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            min("l_quantity").as("min_qty"),
+            max("l_quantity").as("max_qty"),
+            avg("l_quantity").as("avg_qty"))
+        val workload = Seq(
+          q1,
+          s.read.parquet(s"$dir/lineitem.parquet")
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum("l_quantity").as("sum_qty")),
+          s.read.parquet(s"$dir/lineitem.parquet")
+            .groupBy(col("l_linestatus"))
+            .agg(count(lit(1)).as("n")))
+        val recs = graft.plans.MvAdvisor.recommend(s, workload)
+        require(recs.length == 1, s"expected one merged candidate, got $recs")
+        require(recs.head.groupCols.toSet ==
+          Set("l_returnflag", "l_linestatus"),
+          s"wrong recommended grain: ${recs.head.groupCols}")
+        require(recs.head.measureCols.contains("l_quantity"),
+          s"missing measure: ${recs.head.measureCols}")
+        graft.plans.MvAdvisor.buildRecommended(s, recs, mvDir.toString)
+        try {
+          val scanned = q1.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("/mv_")),
+            s"recommended rollup not navigated; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned: $scanned")
+          val rows = q1.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q1.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some(mvRewriteOracleSql)),
+
     // Link-graph quality prior: integer-arithmetic PageRank
     // (graft.pipeline.LinkGraph) over a deterministic synthetic link
     // graph on the document ids: every doc links to (31d+7)%N, and

@@ -1,0 +1,116 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[MvAdvisor]] — workload-driven rollup recommendation: shape
+  * extraction (keys = groupings ∪ filter columns), per-base merging,
+  * compression gating, refusal parity with the rule, and the
+  * build-then-navigate loop.
+  */
+class MvAdvisorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base = java.nio.file.Files
+    .createTempDirectory("adv_base").resolve("fact.parquet").toString
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // 600 rows, 2x3 grouping combinations: compression 100x
+    (0 until 600).map(i =>
+      (if (i % 2 == 0) "A" else "B", s"s${i % 3}", (i % 7).toDouble, i.toDouble))
+      .toDF("g1", "g2", "qty", "price")
+      .write.mode("overwrite").parquet(base)
+  }
+
+  private def fact = spark.read.parquet(base)
+
+  test("shapes merge per base: keys = groupings ∪ filter columns, measures union") {
+    val workload = Seq(
+      fact.where(col("g2") === "s1").groupBy(col("g1")).agg(sum("qty").as("s")),
+      fact.groupBy(col("g1"), col("g2")).agg(max("price").as("m")),
+      fact.groupBy(col("g2")).agg(count(lit(1)).as("n")))
+    val cands = MvAdvisor.candidates(spark, workload)
+    assert(cands.length === 1)
+    val c = cands.head
+    assert(c.basePath === base)
+    assert(c.groupCols.toSet === Set("g1", "g2"))
+    assert(c.measureCols.toSet === Set("qty", "price"))
+    assert(c.queriesCovered === 3)
+    assert(c.baseRows === 600L)
+    // approx-distinct of 6 true combinations: tight at this size
+    assert(c.groupRowsApprox >= 5L && c.groupRowsApprox <= 7L)
+    assert(c.compression > 50.0)
+  }
+
+  test("expression groupings contribute their referenced columns") {
+    val workload = Seq(
+      fact.groupBy(concat(col("g1"), lit("!")).as("gx"))
+        .agg(sum("qty").as("s")))
+    val cands = MvAdvisor.candidates(spark, workload)
+    assert(cands.length === 1)
+    assert(cands.head.groupCols.toSet === Set("g1"))
+  }
+
+  test("rule-refused shapes extract nothing: distinct agg, joins, non-column measures") {
+    val dim = Seq(("A", "a")).toDF("k", "label")
+    val f = fact
+    val workload = Seq(
+      fact.groupBy(col("g1")).agg(countDistinct(col("g2")).as("d")),
+      f.join(dim, f("g1") === dim("k"))
+        .groupBy(col("label")).agg(sum("qty").as("s")),
+      fact.groupBy(col("g1")).agg(sum(col("qty") * 2).as("s")))
+    assert(MvAdvisor.candidates(spark, workload).isEmpty)
+  }
+
+  test("compression gate refuses a fact-grain rollup") {
+    // price is unique per row: keying on it makes the rollup the fact
+    val workload = Seq(
+      fact.groupBy(col("price")).agg(sum("qty").as("s")))
+    val cands = MvAdvisor.candidates(spark, workload)
+    assert(cands.length === 1)
+    assert(cands.head.compression < 2.0)
+    assert(MvAdvisor.recommend(spark, workload).isEmpty)
+  }
+
+  test("recommend -> build -> every workload query navigates") { withNoAqe {
+    MvCatalog.clear()
+    val mvDir = java.nio.file.Files.createTempDirectory("adv_mv").toString
+    val workload = Seq(
+      fact.where(col("g2") === "s1").groupBy(col("g1")).agg(sum("qty").as("s")),
+      fact.groupBy(col("g1"), col("g2"))
+        .agg(max("price").as("m"), avg("qty").as("a")),
+      fact.groupBy(col("g2")).agg(count(lit(1)).as("n")))
+    val recs = MvAdvisor.recommend(spark, workload)
+    assert(recs.length === 1)
+    val defs = MvAdvisor.buildRecommended(spark, recs, mvDir)
+    assert(defs.length === 1)
+    try {
+      def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.rootPaths.map(_.toUri.getPath)
+        }.flatten
+      // re-issue the SAME workload: every query must now navigate
+      val again = Seq(
+        fact.where(col("g2") === "s1").groupBy(col("g1")).agg(sum("qty").as("s")),
+        fact.groupBy(col("g1"), col("g2"))
+          .agg(max("price").as("m"), avg("qty").as("a")),
+        fact.groupBy(col("g2")).agg(count(lit(1)).as("n")))
+      again.foreach { q =>
+        val paths = scanned(q)
+        assert(paths.exists(_.contains("mv_")),
+          s"workload query did not navigate: $paths")
+        assert(!paths.exists(_.contains("fact.parquet")),
+          s"fact still scanned: $paths")
+      }
+      // and answers match the direct plans
+      val navigated = again.map(_.collect().map(_.toSeq).toSet)
+      MvCatalog.clear()
+      val direct = again.map(_.collect().map(_.toSeq).toSet)
+      assert(navigated === direct)
+    } finally MvCatalog.clear()
+  } }
+}
