@@ -30,13 +30,15 @@ import org.apache.spark.sql.functions._
   * cardinality would navigate correctly but buy nothing; the
   * recommender's job is to refuse it.
   *
-  * V1 scope, stated plainly: fact-only shapes (the star/snowflake
-  * navigation the rule supports still APPLIES to a recommended
-  * rollup — a fact-side candidate extracted from Aggregate(Join(...))
-  * is future work); grouping expressions contribute their referenced
-  * columns (a trunc(day,'month') query yields a `day`-keyed daily
-  * candidate — exactly the grain the rule's coarser-time derivation
-  * wants).
+  * Star-join workloads extract too — the reference's own mart shape:
+  * for Aggregate(fact ⋈ dims), the candidate's keys are the FACT
+  * side's grouping + filter columns PLUS its join-key columns (the
+  * rule rewrites to Join(rollup, dim), so the join keys must be
+  * rollup columns), measures the fact columns under aggregates; dim
+  * attributes ride the re-applied join and constrain nothing.
+  * Grouping expressions contribute their referenced columns (a
+  * trunc(day,'month') query yields a `day`-keyed daily candidate —
+  * exactly the grain the rule's coarser-time derivation wants).
   */
 object MvAdvisor {
 
@@ -64,40 +66,126 @@ object MvAdvisor {
     val out = scala.collection.mutable.ArrayBuffer.empty[Shape]
     df.queryExecution.analyzed.foreach {
       case agg: Aggregate =>
-        unwrapScan(agg.child).foreach { case (filterCols, path) =>
-          val keyCols = scala.collection.mutable.LinkedHashSet.empty[String]
-          keyCols ++= filterCols
-          var ok = true
-          agg.groupingExpressions.foreach { g =>
-            if (!g.deterministic) ok = false
-            else g.references.foreach(a => keyCols += a.name)
-          }
-          val measures = scala.collection.mutable.LinkedHashSet.empty[String]
-          agg.aggregateExpressions.foreach(_.foreach {
-            case ae: AggregateExpression
-                if ae.isDistinct || ae.filter.isDefined => ok = false
-            case ae: AggregateExpression =>
-              ae.aggregateFunction match {
-                case Sum(a: AttributeReference, _) => measures += a.name
-                case Min(a: AttributeReference) => measures += a.name
-                case Max(a: AttributeReference) => measures += a.name
-                case Average(a: AttributeReference, _) => measures += a.name
-                case Count(Seq(a: AttributeReference)) => measures += a.name
-                case Count(seq) if seq.forall(_.foldable) => () // COUNT(*)
-                case _ => ok = false // not derivable — recommend nothing
+        unwrapStar(agg.child).foreach {
+          case (filterCols, path, factSet, dimSet) =>
+            val keyCols = scala.collection.mutable.LinkedHashSet.empty[String]
+            keyCols ++= filterCols
+            var ok = true
+            agg.groupingExpressions.foreach { g =>
+              if (!g.deterministic) ok = false
+              else g.references.foreach { a =>
+                // fact columns become rollup keys; dim attributes
+                // ride the re-applied join and constrain nothing
+                if (factSet.contains(a)) keyCols += a.name
+                else if (!dimSet.contains(a)) ok = false
               }
-            case _ => ()
-          })
-          // a grouping column under an aggregate is fine; a measure
-          // used as a key would force the rollup to fact grain —
-          // leave it: compression gating will refuse it honestly
-          if (ok && keyCols.nonEmpty)
-            out += Shape(path, keyCols.toSet, measures.toSet -- keyCols)
+            }
+            val measures = scala.collection.mutable.LinkedHashSet.empty[String]
+            agg.aggregateExpressions.foreach(_.foreach {
+              case ae: AggregateExpression
+                  if ae.isDistinct || ae.filter.isDefined => ok = false
+              case ae: AggregateExpression =>
+                def factAttr(x: Expression): Option[String] = x match {
+                  case a: AttributeReference if factSet.contains(a) =>
+                    Some(a.name)
+                  case _ => None
+                }
+                ae.aggregateFunction match {
+                  case Sum(x, _) if factAttr(x).isDefined =>
+                    measures += factAttr(x).get
+                  case Min(x) if factAttr(x).isDefined =>
+                    measures += factAttr(x).get
+                  case Max(x) if factAttr(x).isDefined =>
+                    measures += factAttr(x).get
+                  case Average(x, _) if factAttr(x).isDefined =>
+                    measures += factAttr(x).get
+                  case Count(Seq(x)) if factAttr(x).isDefined =>
+                    measures += factAttr(x).get
+                  case Count(seq) if seq.forall(_.foldable) => () // COUNT(*)
+                  case _ => ok = false // not derivable — recommend nothing
+                }
+              case _ => ()
+            })
+            // a grouping column under an aggregate is fine; a measure
+            // used as a key would force the rollup to fact grain —
+            // leave it: compression gating will refuse it honestly
+            if (ok && keyCols.nonEmpty)
+              out += Shape(path, keyCols.toSet, measures.toSet -- keyCols)
         }
       case _ => ()
     }
     out.toSeq
   }
+
+  /** Generalizes [[unwrapScan]] through a star-join chain, mirroring
+    * the rule's unwrapShape in advisory (name-level) form:
+    * (fact filter+join-key columns, fact path, fact-side attrs,
+    * dim-side attrs). Each join must be INNER or LEFT OUTER with the
+    * fact side reachable, conditions pure attr-equality conjunctions;
+    * the fact side's join keys join the candidate's key set (the
+    * rewrite makes them rollup columns). A shape the rule would
+    * refuse returns None.
+    */
+  private def unwrapStar(p: LogicalPlan): Option[(Set[String], String,
+      org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      org.apache.spark.sql.catalyst.expressions.AttributeSet)] =
+    p match {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isDefined =>
+        def scansPath(pl: LogicalPlan, path: String): Boolean =
+          pl.collectFirst {
+            case lr: LogicalRelation if (lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toUri.getPath == path)
+              case _ => false
+            }) => ()
+          }.isDefined
+        // the fact side is wherever a deeper star/scan unwraps; try
+        // left first, then right (for an INNER join the roles are
+        // symmetric — a useless small-side candidate dies at the
+        // compression gate, never at soundness)
+        val leftFact = unwrapStar(j.left).map(r => (r, j.right, true))
+        val tryRight =
+          if (leftFact.isDefined) leftFact
+          else unwrapStar(j.right).map(r => (r, j.left, false))
+        tryRight.flatMap { case ((cols, path, factSet, dimSet), dimP, factLeft) =>
+          val okType = j.joinType match {
+            case org.apache.spark.sql.catalyst.plans.Inner => true
+            case org.apache.spark.sql.catalyst.plans.LeftOuter => factLeft
+            case _ => false
+          }
+          // a dim side reading the fact path is a self-join — the
+          // rule refuses those, so the advisor must too
+          if (!okType || scansPath(dimP, path)) None
+          else {
+            val chainOut = factSet ++ dimSet
+            val dimOut = dimP.outputSet
+            val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+            val ok = graft.plans.MaterializedAggregate
+              .splitConjuncts(j.condition.get).forall {
+                case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                    a: AttributeReference, b: AttributeReference) =>
+                  val chainSide =
+                    if (chainOut.contains(a) && dimOut.contains(b)) Some(a)
+                    else if (chainOut.contains(b) && dimOut.contains(a)) Some(b)
+                    else None
+                  chainSide.exists { f =>
+                    if (factSet.contains(f)) { keys += f.name; true }
+                    else dimSet.contains(f) // snowflake arm: no key needed
+                  }
+                case _ => false
+              }
+            if (!ok) None
+            else Some((cols ++ keys, path, factSet, dimSet ++ dimOut))
+          }
+        }
+      case other =>
+        unwrapScan(other).map { case (cols, path) =>
+          // factSet = the scan subtree's output
+          (cols, path, other.outputSet,
+            org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)
+        }
+    }
 
   /** (columns referenced by filters along the chain, parquet path)
     * for a bare Filter/Project chain over ONE single-root parquet

@@ -1462,6 +1462,75 @@ object PipelineQueries {
       },
       Some(mvRewriteOracleSql)),
 
+    // Advisor over a STAR workload — the reference's real mart shape
+    // recommended end-to-end: the p125 query (fact filtered on
+    // l_suppkey, joined to supplier on it, grouped by the dim
+    // attribute) goes in; the advisor must extract keys = {fact
+    // filter col ∪ fact join key} = {l_suppkey} with measure
+    // l_quantity (the dim grouping rides the re-applied join and
+    // constrains nothing), clear the compression gate, build, and
+    // the SAME star query must then navigate to the recommendation
+    // (fact scan gone, supplier scan kept). Oracle: p125's
+    // base-table SQL verbatim.
+    QueryDef("p129_mv_advisor_star",
+      (s, dir) => {
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_adv2")
+        def q1 = {
+          val fact = s.read.parquet(s"$dir/lineitem.parquet")
+          val dim = s.read.parquet(s"$dir/supplier.parquet")
+          fact.where(col("l_suppkey") <= 50)
+            .join(dim, fact("l_suppkey") === dim("s_suppkey"))
+            .groupBy(col("s_name"))
+            .agg(sum("l_quantity").as("sum_qty"),
+              count(lit(1)).as("n_rows"),
+              min("l_quantity").as("min_qty"),
+              max("l_quantity").as("max_qty"),
+              avg("l_quantity").as("avg_qty"))
+        }
+        val recs = graft.plans.MvAdvisor.recommend(s, Seq(q1))
+        require(recs.length == 1, s"expected one star candidate, got $recs")
+        require(recs.head.groupCols.toSet == Set("l_suppkey"),
+          s"wrong recommended grain: ${recs.head.groupCols}")
+        require(recs.head.measureCols.contains("l_quantity"),
+          s"missing measure: ${recs.head.measureCols}")
+        graft.plans.MvAdvisor.buildRecommended(s, recs, mvDir.toString)
+        try {
+          val scanned = q1.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("/mv_")),
+            s"recommended rollup not navigated; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned: $scanned")
+          require(scanned.exists(_.contains("supplier.parquet")),
+            s"dim scan must survive: $scanned")
+          val rows = q1.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q1.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""SELECT s_name,
+             |       SUM(l_quantity) AS sum_qty,
+             |       COUNT(*) AS n_rows,
+             |       MIN(l_quantity) AS min_qty,
+             |       MAX(l_quantity) AS max_qty,
+             |       AVG(l_quantity) AS avg_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE l_suppkey <= 50
+             |GROUP BY s_name""".stripMargin)),
+
     // Link-graph quality prior: integer-arithmetic PageRank
     // (graft.pipeline.LinkGraph) over a deterministic synthetic link
     // graph on the document ids: every doc links to (31d+7)%N, and

@@ -54,12 +54,37 @@ class MvAdvisorSpec extends SparkSpec {
     assert(cands.head.groupCols.toSet === Set("g1"))
   }
 
-  test("rule-refused shapes extract nothing: distinct agg, joins, non-column measures") {
-    val dim = Seq(("A", "a")).toDF("k", "label")
+  test("star workloads extract: join keys become rollup keys, dim attrs constrain nothing") {
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("adv_dim").resolve("dim.parquet").toString
+    Seq(("A", "a"), ("B", "b")).toDF("k", "label")
+      .write.mode("overwrite").parquet(dimPath)
     val f = fact
+    val dim = spark.read.parquet(dimPath)
+    val workload = Seq(
+      f.where(col("g2") === "s0").join(dim, f("g1") === dim("k"))
+        .groupBy(col("label")).agg(sum("qty").as("s")))
+    val cands = MvAdvisor.candidates(spark, workload)
+    assert(cands.length === 1)
+    assert(cands.head.basePath === base)
+    // keys = fact filter col + fact join key; the dim grouping rides
+    assert(cands.head.groupCols.toSet === Set("g1", "g2"))
+    assert(cands.head.measureCols.toSet === Set("qty"))
+  }
+
+  test("rule-refused shapes extract nothing: distinct agg, self-join, right-outer, non-column measures") {
+    val f = fact
+    val f2 = fact
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("adv_dim2").resolve("dim.parquet").toString
+    Seq(("A", "a")).toDF("k", "label").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
     val workload = Seq(
       fact.groupBy(col("g1")).agg(countDistinct(col("g2")).as("d")),
-      f.join(dim, f("g1") === dim("k"))
+      f.join(f2.select(col("g1").as("k"), col("price").as("p")),
+          f("g1") === col("k"))
+        .groupBy(col("g1")).agg(sum("qty").as("s")),
+      f.join(dim, f("g1") === dim("k"), "right")
         .groupBy(col("label")).agg(sum("qty").as("s")),
       fact.groupBy(col("g1")).agg(sum(col("qty") * 2).as("s")))
     assert(MvAdvisor.candidates(spark, workload).isEmpty)
