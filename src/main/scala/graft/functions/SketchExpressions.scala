@@ -414,11 +414,13 @@ case class HllMergeAgg(
       require(arr.numElements() == m,
         s"$prettyName: register array has ${arr.numElements()} entries, " +
           s"expected 2^p = $m")
-      // a register is a leading-zero rank: 0 <= r <= 64 - p + 1. A
-      // value outside that range is corrupt (or foreign) MV data —
-      // the .toByte below would silently wrap it, so fail loudly,
-      // mirroring the length check (the Scaladoc's contract).
-      val maxRank = 64 - pOpt.get + 1
+      // a register is a leading-zero rank over the engine's 60-BIT
+      // hash domain (HyperLogLog.update: w = 60 - p suffix bits, so
+      // rank <= w + 1): 0 <= r <= 60 - p + 1. A value outside that
+      // range is corrupt (or foreign) MV data — the .toByte below
+      // would silently wrap it, so fail loudly, mirroring the length
+      // check (the Scaladoc's contract).
+      val maxRank = 60 - pOpt.get + 1
       var i = 0
       while (i < m) {
         val r = arr.getLong(i)

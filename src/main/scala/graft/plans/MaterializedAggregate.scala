@@ -152,7 +152,16 @@ object MaterializedAggregate {
       // maintained rollups are exempt — their incremental partials
       // are the freshness mechanism
       baseFingerprint: Option[String] = None,
-      maintained: Boolean = false) {
+      maintained: Boolean = false,
+      // the base path AS REGISTERED (scheme/authority intact):
+      // `basePath` is normalized for scan MATCHING (both sides
+      // scheme-stripped), but the freshness re-listing DEREFERENCES
+      // the path — on a non-default filesystem (s3a://, hdfs://) the
+      // stripped form would resolve against the wrong FS and refuse
+      // every navigation. Empty = pre-round-12 entry, fall back.
+      basePathRaw: String = "") {
+    def fingerprintPath: String =
+      if (basePathRaw.nonEmpty) basePathRaw else basePath
     def sumCol(c: String): String = s"sum_$c"
     def minCol(c: String): String = s"min_$c"
     def maxCol(c: String): String = s"max_$c"
@@ -286,9 +295,38 @@ object MaterializedAggregate {
     }
     val d = MvDef(normalize(basePath), mvPath, groupCols, measureCols, plan,
       distinctCols, hllP, hashSql, filterConjuncts, filterNotNullCols,
-      exprMeasureKeys, baseFilter, exprMeasures, baseFingerprint, maintained)
+      exprMeasureKeys, baseFilter, exprMeasures, baseFingerprint, maintained,
+      basePathRaw = basePath)
+    // a (re-)registration asserts the base's CURRENT state — drop any
+    // cached fingerprint so navigation re-arms immediately
+    fpCache.remove(basePath)
     MvCatalog.register(spark, d)
     d
+  }
+
+  // freshness-listing cache (finding: the re-listing runs per
+  // navigated query on the hot serving path). Keyed by raw base
+  // path; TTL from `spark.graft.mv.freshnessTtlMs`, default 0 =
+  // re-list on EVERY navigated query (correctness-first: drift
+  // refuses immediately). Deployments with hot dashboards over big
+  // bases set a TTL to amortize the driver-side LIST round-trips —
+  // the staleness window is then bounded by the TTL, explicitly.
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private[plans] def fingerprintCached(spark: SparkSession, path: String): String = {
+    val ttl = spark.conf.get("spark.graft.mv.freshnessTtlMs", "0").toLong
+    if (ttl <= 0L) fingerprint(spark, path)
+    else {
+      val now = System.nanoTime() / 1000000L
+      val hit = fpCache.get(path)
+      if (hit != null && now - hit._2 < ttl) hit._1
+      else {
+        val fp = fingerprint(spark, path)
+        fpCache.put(path, (fp, now))
+        fp
+      }
+    }
   }
 
   /** Digest of the base table's file listing — relative path, length
@@ -350,7 +388,8 @@ object MaterializedAggregate {
          | "baseFilter": ${d.baseFilter.map(q).getOrElse("null")},
          | "exprMeasures": ${obj(d.exprMeasures)},
          | "maintained": ${d.maintained},
-         | "baseFingerprint": ${d.baseFingerprint.map(q).getOrElse("null")}}"""
+         | "baseFingerprint": ${d.baseFingerprint.map(q).getOrElse("null")},
+         | "basePathRaw": ${q(d.fingerprintPath)}}"""
         .stripMargin.replace("\n", "")
     }
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -377,6 +416,7 @@ object MaterializedAggregate {
       StructField("exprMeasures", MapType(StringType, StringType)),
       StructField("maintained", BooleanType),
       StructField("baseFingerprint", StringType),
+      StructField("basePathRaw", StringType),
       StructField("_corrupt", StringType)))
     val rows = spark.read.schema(schema)
       .option("columnNameOfCorruptRecord", "_corrupt").json(path).collect()
@@ -384,14 +424,19 @@ object MaterializedAggregate {
       require(r.isNullAt(r.fieldIndex("_corrupt")),
         s"corrupt catalog entry in $path: ${r.getString(r.fieldIndex("_corrupt"))}")
       val maintained = !r.isNullAt(8) && r.getBoolean(8)
+      // re-register with the RAW (scheme-intact) base path when the
+      // catalog carries one — normalize() re-derives the matching
+      // form, and the freshness re-listing keeps a dereferenceable
+      // path on non-default filesystems
+      val rawBase = Option(r.getString(10)).getOrElse(r.getString(0))
       // a pre-round-12 catalog entry (no fingerprint field) loads with
       // a freshly computed fingerprint — the best assertion available
       val fp =
         if (maintained) None
         else Option(r.getString(9))
-          .orElse(Some(fingerprint(spark, r.getString(0))))
+          .orElse(Some(fingerprint(spark, rawBase)))
       registerWithFingerprint(spark,
-        r.getString(0), r.getString(1),
+        rawBase, r.getString(1),
         r.getSeq[String](2), r.getSeq[String](3), r.getSeq[String](4),
         r.getInt(5), Option(r.getString(6)),
         Option(r.getMap[String, String](7)).map(_.toMap)
@@ -429,7 +474,12 @@ object MaterializedAggregate {
 /** Session-scoped registry of materialized rollups: each SparkSession
   * sees only its own registrations (two tenants in one JVM must not
   * leak navigation decisions into each other). Sessions are weak
-  * keys — a dropped session's registrations are collectable.
+  * keys, but an MvDef's captured relation plan strongly reaches its
+  * owning session (HadoopFsRelation holds it), so a registered
+  * session is NOT collectable while its entry lives — tenant
+  * teardown must call [[clear(spark)]] explicitly (the same
+  * lifecycle contract as the writer lock). The weak keying still
+  * collects sessions that were only ever READ (looked up empty).
   */
 object MvCatalog {
   import MaterializedAggregate.MvDef
@@ -852,7 +902,8 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // pre-drift answers. Maintained rollups are exempt — their
     // incremental partials are the freshness mechanism.
     if (!mv.maintained && mv.baseFingerprint.exists(fp =>
-        fp != MaterializedAggregate.fingerprint(session, mv.basePath))) {
+        fp != MaterializedAggregate.fingerprintCached(
+          session, mv.fingerprintPath))) {
       logWarning(s"MV at ${mv.mvPath} refused: base ${mv.basePath} " +
         "changed since registration (stale rollup); re-register after " +
         "rebuilding to re-arm navigation")

@@ -66,6 +66,10 @@ object MvAdvisor {
     val out = scala.collection.mutable.ArrayBuffer.empty[Shape]
     df.queryExecution.analyzed.foreach {
       case agg: Aggregate =>
+        // an INNER star join unwraps from either side (the roles are
+        // symmetric); keep every interpretation that yields a
+        // derivable shape — a useless small-side candidate dies at
+        // the compression gate, never at soundness
         unwrapStar(agg.child).foreach {
           case (filterCols, path, factSet, dimSet) =>
             val keyCols = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -106,11 +110,14 @@ object MvAdvisor {
                 }
               case _ => ()
             })
-            // a grouping column under an aggregate is fine; a measure
-            // used as a key would force the rollup to fact grain —
-            // leave it: compression gating will refuse it honestly
+            // a column that is BOTH key and measure stays in both:
+            // the rollup groups by it AND materializes its partials
+            // (sum_x over a single-valued group is x*cnt — sound),
+            // so a query that filters on the column it aggregates
+            // still navigates; dropping it from measures would
+            // recommend a rollup the rule then refuses
             if (ok && keyCols.nonEmpty)
-              out += Shape(path, keyCols.toSet, measures.toSet -- keyCols)
+              out += Shape(path, keyCols.toSet, measures.toSet)
         }
       case _ => ()
     }
@@ -126,7 +133,7 @@ object MvAdvisor {
     * rewrite makes them rollup columns). A shape the rule would
     * refuse returns None.
     */
-  private def unwrapStar(p: LogicalPlan): Option[(Set[String], String,
+  private def unwrapStar(p: LogicalPlan): Seq[(Set[String], String,
       org.apache.spark.sql.catalyst.expressions.AttributeSet,
       org.apache.spark.sql.catalyst.expressions.AttributeSet)] =
     p match {
@@ -136,51 +143,52 @@ object MvAdvisor {
           pl.collectFirst {
             case lr: LogicalRelation if (lr.relation match {
               case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                fs.location.rootPaths.exists(_.toUri.getPath == path)
+                fs.location.rootPaths.exists(_.toString == path)
               case _ => false
             }) => ()
           }.isDefined
-        // the fact side is wherever a deeper star/scan unwraps; try
-        // left first, then right (for an INNER join the roles are
-        // symmetric — a useless small-side candidate dies at the
-        // compression gate, never at soundness)
-        val leftFact = unwrapStar(j.left).map(r => (r, j.right, true))
-        val tryRight =
-          if (leftFact.isDefined) leftFact
-          else unwrapStar(j.right).map(r => (r, j.left, false))
-        tryRight.flatMap { case ((cols, path, factSet, dimSet), dimP, factLeft) =>
-          val okType = j.joinType match {
-            case org.apache.spark.sql.catalyst.plans.Inner => true
-            case org.apache.spark.sql.catalyst.plans.LeftOuter => factLeft
-            case _ => false
-          }
-          // a dim side reading the fact path is a self-join — the
-          // rule refuses those, so the advisor must too
-          if (!okType || scansPath(dimP, path)) None
-          else {
-            val chainOut = factSet ++ dimSet
-            val dimOut = dimP.outputSet
-            val keys = scala.collection.mutable.LinkedHashSet.empty[String]
-            val ok = graft.plans.MaterializedAggregate
-              .splitConjuncts(j.condition.get).forall {
-                case org.apache.spark.sql.catalyst.expressions.EqualTo(
-                    a: AttributeReference, b: AttributeReference) =>
-                  val chainSide =
-                    if (chainOut.contains(a) && dimOut.contains(b)) Some(a)
-                    else if (chainOut.contains(b) && dimOut.contains(a)) Some(b)
-                    else None
-                  chainSide.exists { f =>
-                    if (factSet.contains(f)) { keys += f.name; true }
-                    else dimSet.contains(f) // snowflake arm: no key needed
-                  }
-                case _ => false
-              }
-            if (!ok) None
-            else Some((cols ++ keys, path, factSet, dimSet ++ dimOut))
-          }
+        // EITHER side can be the fact (for INNER the roles are fully
+        // symmetric; dim.join(fact, ...) is as common as the other
+        // spelling) — emit every interpretation that validates; a
+        // useless small-side candidate dies at the compression gate,
+        // never at soundness
+        val interpretations =
+          unwrapStar(j.left).map(r => (r, j.right, true)) ++
+            unwrapStar(j.right).map(r => (r, j.left, false))
+        interpretations.flatMap {
+          case ((cols, path, factSet, dimSet), dimP, factLeft) =>
+            val okType = j.joinType match {
+              case org.apache.spark.sql.catalyst.plans.Inner => true
+              case org.apache.spark.sql.catalyst.plans.LeftOuter => factLeft
+              case _ => false
+            }
+            // a dim side reading the fact path is a self-join — the
+            // rule refuses those, so the advisor must too
+            if (!okType || scansPath(dimP, path)) Nil
+            else {
+              val chainOut = factSet ++ dimSet
+              val dimOut = dimP.outputSet
+              val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+              val ok = graft.plans.MaterializedAggregate
+                .splitConjuncts(j.condition.get).forall {
+                  case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                      a: AttributeReference, b: AttributeReference) =>
+                    val chainSide =
+                      if (chainOut.contains(a) && dimOut.contains(b)) Some(a)
+                      else if (chainOut.contains(b) && dimOut.contains(a)) Some(b)
+                      else None
+                    chainSide.exists { f =>
+                      if (factSet.contains(f)) { keys += f.name; true }
+                      else dimSet.contains(f) // snowflake arm: no key needed
+                    }
+                  case _ => false
+                }
+              if (!ok) Nil
+              else Seq((cols ++ keys, path, factSet, dimSet ++ dimOut))
+            }
         }
       case other =>
-        unwrapScan(other).map { case (cols, path) =>
+        unwrapScan(other).toSeq.map { case (cols, path) =>
           // factSet = the scan subtree's output
           (cols, path, other.outputSet,
             org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)
@@ -189,14 +197,18 @@ object MvAdvisor {
 
   /** (columns referenced by filters along the chain, parquet path)
     * for a bare Filter/Project chain over ONE single-root parquet
-    * scan; None disqualifies (join, union, non-parquet).
+    * scan; None disqualifies (join, union, non-parquet). The path
+    * keeps its scheme/authority — unlike the rule's comparison-only
+    * normalize, the advisor DEREFERENCES it (stats scan + rollup
+    * build), and a stripped 's3a://...' would resolve against the
+    * wrong filesystem.
     */
   private def unwrapScan(p: LogicalPlan): Option[(Set[String], String)] =
     p match {
       case r: LogicalRelation => r.relation match {
         case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
             if fs.location.rootPaths.length == 1 =>
-          Some((Set.empty, fs.location.rootPaths.head.toUri.getPath))
+          Some((Set.empty, fs.location.rootPaths.head.toString))
         case _ => None
       }
       case Project(pl, child) if pl.forall {
@@ -221,7 +233,9 @@ object MvAdvisor {
     val byBase = workload.flatMap(shapes).groupBy(_.basePath)
     byBase.toSeq.sortBy(_._1).map { case (path, ss) =>
       val keys = ss.flatMap(_.keys).distinct
-      val measures = ss.flatMap(_.measures).distinct.filterNot(keys.contains)
+      // keep key∩measure overlaps: a column one query filters on and
+      // another aggregates must be a rollup key AND carry partials
+      val measures = ss.flatMap(_.measures).distinct
       val base = spark.read.parquet(path)
       val stats = base.agg(
         count(lit(1)).as("n"),

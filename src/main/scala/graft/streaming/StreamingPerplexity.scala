@@ -111,13 +111,27 @@ object StreamingPerplexity {
         if (maxVocab == Int.MaxValue) termGrain.collect()
         else termGrain.orderBy(col("tc").desc, col("term"))
           .limit(maxVocab).collect()
+      val uni = uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap
       val biRows = pairGrain
         .where(col("prev").isNotNull && col("c") >= minBigramCount)
         .collect()
-      LmModel(lambda, n,
-        uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap,
-        biRows.map(r => (r.getString(0) + " " + r.getString(1)) ->
-          r.getLong(2)).toMap)
+      // a bigram whose PREV or TERM fell out of the capped vocabulary
+      // must drop with it: a retained "the zebra" count with a
+      // floored unigram "zebra" would score a hybrid probability that
+      // is neither the uncapped value nor the documented OOV rule
+      // (prev-dropped entries are merely dead weight — the scorer's
+      // unseen-context branch never consults them — but they'd hold
+      // driver memory for nothing)
+      val biAll = biRows.map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+      val bi =
+        if (maxVocab == Int.MaxValue)
+          biAll.map { case (p0, t, c) => (p0 + " " + t) -> c }.toMap
+        else biAll.collect {
+          case (p0, t, c) if uni.contains(p0) && uni.contains(t) =>
+            (p0 + " " + t) -> c
+        }.toMap
+      LmModel(lambda, n, uni, bi)
     } finally { pairGrain.unpersist(); () }
   }
 

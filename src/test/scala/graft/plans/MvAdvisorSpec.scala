@@ -35,7 +35,8 @@ class MvAdvisorSpec extends SparkSpec {
     val cands = MvAdvisor.candidates(spark, workload)
     assert(cands.length === 1)
     val c = cands.head
-    assert(c.basePath === base)
+    // the candidate path keeps its scheme (it gets DEREFERENCED)
+    assert(c.basePath.endsWith(base) && c.basePath.contains(":"))
     assert(c.groupCols.toSet === Set("g1", "g2"))
     assert(c.measureCols.toSet === Set("qty", "price"))
     assert(c.queriesCovered === 3)
@@ -66,11 +67,54 @@ class MvAdvisorSpec extends SparkSpec {
         .groupBy(col("label")).agg(sum("qty").as("s")))
     val cands = MvAdvisor.candidates(spark, workload)
     assert(cands.length === 1)
-    assert(cands.head.basePath === base)
+    assert(cands.head.basePath.endsWith(base))
     // keys = fact filter col + fact join key; the dim grouping rides
     assert(cands.head.groupCols.toSet === Set("g1", "g2"))
     assert(cands.head.measureCols.toSet === Set("qty"))
   }
+
+  test("star extraction is spelling-independent: dim.join(fact) finds the fact side") {
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("adv_dim3").resolve("dim.parquet").toString
+    Seq(("A", "a"), ("B", "b")).toDF("k", "label")
+      .write.mode("overwrite").parquet(dimPath)
+    val f = fact
+    val dim = spark.read.parquet(dimPath)
+    // dim on the LEFT — the dim-as-fact interpretation dies on the
+    // measures (qty lives on the other side); the fact-as-fact one
+    // must survive
+    val workload = Seq(
+      dim.join(f, dim("k") === f("g1"))
+        .groupBy(col("label")).agg(sum("qty").as("s")))
+    val cands = MvAdvisor.candidates(spark, workload)
+    assert(cands.length === 1)
+    assert(cands.head.basePath.endsWith(base))
+    assert(cands.head.groupCols.toSet === Set("g1"))
+    assert(cands.head.measureCols.toSet === Set("qty"))
+  }
+
+  test("a column that is both filter key and measure stays in both; query still navigates") { withNoAqe {
+    MvCatalog.clear()
+    val mvDir = java.nio.file.Files.createTempDirectory("adv_mv2").toString
+    def q = fact.where(col("qty") > 3).groupBy(col("g1"))
+      .agg(sum("qty").as("s"))
+    val cands = MvAdvisor.candidates(spark, Seq(q))
+    assert(cands.head.groupCols.toSet === Set("g1", "qty"))
+    assert(cands.head.measureCols.toSet === Set("qty"))
+    MvAdvisor.buildRecommended(spark, cands, mvDir)
+    try {
+      val paths = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+      assert(paths.exists(_.contains("mv_")),
+        s"key∩measure query did not navigate: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")))
+      val got = q.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      MvCatalog.clear()
+      assert(got === q.collect().map(r => (r.getString(0), r.getDouble(1))).toMap)
+    } finally MvCatalog.clear()
+  } }
 
   test("rule-refused shapes extract nothing: distinct agg, self-join, right-outer, non-column measures") {
     val f = fact

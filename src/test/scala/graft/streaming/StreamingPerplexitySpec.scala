@@ -151,5 +151,12 @@ class StreamingPerplexitySpec extends SparkSpec {
     val dropped = (full.uni.keySet -- capped.uni.keySet).head
     val s = scoreDoc(3L, dropped, capped)
     assert(math.abs(s.avg_logprob - math.log(1.0 / full.n)) < 1e-12)
+    // bigrams whose endpoints fell out of the capped vocabulary drop
+    // WITH it — a retained count against a floored unigram would be a
+    // hybrid probability that is neither capped nor uncapped
+    assert(capped.bi.keySet.forall(_.split(' ').forall(capped.uni.contains)),
+      s"out-of-vocab bigram survived the cap: ${capped.bi.keySet}")
+    assert(capped.bi === full.bi.filter(
+      _._1.split(' ').forall(capped.uni.contains)))
   }
 }
