@@ -182,4 +182,39 @@ class MvAdvisorSpec extends SparkSpec {
       assert(navigated === direct)
     } finally MvCatalog.clear()
   } }
+
+  test("recommendations persist: save catalog, fresh registration navigates with freshness intact") { withNoAqe {
+    MvCatalog.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("adv_cat")
+    val mvDir = tmp.resolve("mvs").toString
+    val catPath = tmp.resolve("catalog.json").toString
+    def q = fact.groupBy(col("g1"), col("g2")).agg(sum("qty").as("s"))
+    val recs = MvAdvisor.recommend(spark, Seq(q))
+    MvAdvisor.buildRecommended(spark, recs, mvDir)
+    MaterializedAggregate.saveCatalog(spark, catPath)
+    MvCatalog.clear()
+    // a fresh registration from disk (a new driver's startup path)
+    MaterializedAggregate.loadCatalog(spark, catPath)
+    try {
+      def scanned(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.rootPaths.map(_.toUri.getPath)
+        }.flatten
+      assert(scanned(q).exists(_.contains("mv_")),
+        "loaded recommendation did not navigate")
+      // freshness survives the round-trip: drift the base, navigation
+      // must refuse and fall back to the fact
+      fact.limit(1).write.mode("append").parquet(base)
+      assert(scanned(q).exists(_.contains("fact.parquet")),
+        "stale recommendation still navigated after base drift")
+    } finally {
+      MvCatalog.clear()
+      // restore the fixture for any later test in this suite
+      (0 until 600).map(i =>
+        (if (i % 2 == 0) "A" else "B", s"s${i % 3}", (i % 7).toDouble, i.toDouble))
+        .toDF("g1", "g2", "qty", "price")
+        .write.mode("overwrite").parquet(base)
+    }
+  } }
 }

@@ -141,4 +141,44 @@ class Round12PropertiesSpec extends SparkSpec {
         s"sample $i: compacted-navigated != direct on $rows")
     }
   } }
+
+  test("advisor/rule parity: every recommendation navigates its own workload, answers exact (5 samples)") { withNoAqe {
+    // random workload shapes over random facts: whatever the advisor
+    // recommends, the rule must then USE for the very queries it was
+    // extracted from — the advisor's core invariant
+    for ((rows, i) <- samples(factsGen, 5).zipWithIndex) {
+      val (base, _, dir) = writeFacts(rows)
+      MvCatalog.clear()
+      def fact = spark.read.parquet(base)
+      val workload: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+        () => fact.groupBy(col("g1")).agg(sum("v").as("s")),
+        () => fact.where(col("g2") === "x").groupBy(col("g1"))
+          .agg(count(lit(1)).as("n"), avg("v").as("a")),
+        () => fact.groupBy(col("g1"), col("g2"))
+          .agg(min("v").as("mn"), max("v").as("mx")),
+        () => fact.groupBy(concat_ws("|", col("g1"), col("g2")).as("gx"))
+          .agg(count(col("v")).as("nv"))).take(2 + i % 3)
+      val recs = MvAdvisor.recommend(spark, workload.map(_()),
+        minCompression = 1.0) // parity law, not sizing: accept all
+      assert(recs.nonEmpty, s"sample $i: nothing recommended")
+      MvAdvisor.buildRecommended(spark, recs,
+        dir.resolve("advised").toString)
+      workload.zipWithIndex.foreach { case (mk, qi) =>
+        val q = mk()
+        val scans = scansOf(q)
+        assert(scans.exists(_.contains("advised")),
+          s"sample $i query $qi: recommendation not navigated: $scans")
+        assert(!scans.exists(_.contains("fact.parquet")),
+          s"sample $i query $qi: fact still scanned")
+        val got = rowsOf(q)
+        MvCatalog.clear()
+        assert(got === rowsOf(mk()),
+          s"sample $i query $qi: navigated != direct on $rows")
+        // re-register for the next workload member
+        MvAdvisor.buildRecommended(spark, recs,
+          dir.resolve("advised").toString)
+      }
+      MvCatalog.clear()
+    }
+  } }
 }
