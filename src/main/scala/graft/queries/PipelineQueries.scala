@@ -1531,6 +1531,102 @@ object PipelineQueries {
              |WHERE l_suppkey <= 50
              |GROUP BY s_name""".stripMargin)),
 
+    // Sketch rollup navigated THROUGH the star chain — p119's
+    // register fold composed with p125/p126's join navigation:
+    // approximate distinct ORDERS per NATION answered from an
+    // (l_suppkey)-grain rollup's HLL registers, folded across the
+    // suppkeys of each nation AND across duplicate dim matches (the
+    // elementwise max is idempotent, so join multiplicity cannot
+    // perturb a register — the property the composition leans on).
+    // Digest/zero-count/harmonic/estimate are all hash-pinned by the
+    // base-table oracle; fact scan must be gone, both dim scans kept.
+    QueryDef("p130_mv_hll_star",
+      (s, dir) => {
+        import graft.functions.{SketchFunctions => SK, Md5Hash}
+        val basePath = s"$dir/lineitem.parquet"
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_mv9")
+        val mvPath = mvDir.resolve("hmv.parquet").toString
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          mvPath, Seq("l_suppkey"), Seq("l_quantity"),
+          distinctCols = Seq("l_orderkey"), hllP = 4)
+        try {
+          val fact = s.read.parquet(basePath)
+          val supp = s.read.parquet(s"$dir/supplier.parquet")
+          val nat = s.read.parquet(s"$dir/nation.parquet")
+          val q = fact
+            .join(supp, fact("l_suppkey") === supp("s_suppkey"))
+            .join(nat, supp("s_nationkey") === nat("n_nationkey"))
+            .groupBy(col("n_name"))
+            .agg(sum("l_quantity").as("sum_qty"),
+              SK.hyperLogLog(Md5Hash.h60String(col("l_orderkey")), 4)
+                .as("__regs"))
+            .select(col("n_name"), col("sum_qty"),
+              md5(array_join(transform(col("__regs"), _.cast("string")), ","))
+                .as("register_digest"),
+              SK.hllZeroRegisters(col("__regs")).as("n_zero_registers"),
+              SK.hllHarmonicScaled(col("__regs")).as("harmonic_scaled"),
+              SK.hllEstimate(col("__regs"), 4).as("est_distinct"))
+          val scanned = q.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("hmv.parquet")),
+            s"sketch star navigation did not fire; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned: $scanned")
+          require(scanned.exists(_.contains("supplier.parquet")) &&
+            scanned.exists(_.contains("nation.parquet")),
+            s"dim scans must survive: $scanned")
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""WITH f AS (SELECT n.n_name AS g, l.l_orderkey, l.l_quantity
+             |           FROM lineitem l
+             |           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |           JOIN nation n ON s.s_nationkey = n.n_nationkey),
+             |h AS (SELECT DISTINCT g,
+             |        ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+             |      FROM f),
+             |rho AS (SELECT g, h % 16 AS bucket,
+             |               CASE WHEN h // 16 = 0 THEN 57
+             |                    ELSE 56 - length(bin(h // 16)) + 1 END AS rho
+             |        FROM h),
+             |base AS (SELECT DISTINCT g FROM f),
+             |regs AS (SELECT base.g, b.bucket, COALESCE(mx.mr, 0) AS reg
+             |         FROM base
+             |         CROSS JOIN (SELECT unnest(range(16)) AS bucket) b
+             |         LEFT JOIN (SELECT g, bucket, max(rho) AS mr
+             |                    FROM rho GROUP BY g, bucket) mx
+             |           ON mx.g = base.g AND mx.bucket = b.bucket),
+             |agg AS (SELECT g,
+             |          md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY bucket))
+             |            AS register_digest,
+             |          CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |            AS n_zero_registers,
+             |          CAST(sum(1::HUGEINT << (61 - CAST(reg AS INT))) AS DOUBLE)
+             |            AS harmonic_scaled
+             |        FROM regs GROUP BY g),
+             |q AS (SELECT g, SUM(l_quantity) AS sum_qty FROM f GROUP BY g)
+             |SELECT q.g AS n_name, q.sum_qty, a.register_digest,
+             |       a.n_zero_registers, a.harmonic_scaled,
+             |       (0.7213 / (1 + 1.079 / 16.0)) * 256.0
+             |         * 2305843009213693952.0 / a.harmonic_scaled
+             |         AS est_distinct
+             |FROM q JOIN agg a ON a.g = q.g""".stripMargin)),
+
     // Link-graph quality prior: integer-arithmetic PageRank
     // (graft.pipeline.LinkGraph) over a deterministic synthetic link
     // graph on the document ids: every doc links to (31d+7)%N, and

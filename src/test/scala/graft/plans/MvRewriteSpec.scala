@@ -965,6 +965,44 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
+  test("sketch navigation composes with the star join: registers fold through dim matches") { withNoAqe {
+    import graft.functions.{SketchFunctions => SK, Md5Hash}
+    MvCatalog.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("mv_hllstar")
+    val dimPath = tmp.resolve("dim.parquet").toString
+    // duplicate dim key on purpose: a rollup row's register array
+    // joins into TWO output rows — the elementwise-max fold is
+    // idempotent, so the duplicate must not perturb the estimate
+    Seq(("A", "a1"), ("A", "a2"), ("B", "b1")).toDF("k", "label")
+      .write.mode("overwrite").parquet(dimPath)
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1"), measureCols = Seq("qty"),
+      distinctCols = Seq("price"), hllP = 4)
+    try {
+      val fact = spark.read.parquet(base)
+      val dim = spark.read.parquet(dimPath)
+      def q = fact.join(dim, fact("g1") === dim("k"))
+        .groupBy(col("label"))
+        .agg(sum("qty").as("s"),
+          md5(array_join(transform(
+            SK.hyperLogLog(Md5Hash.h60String(col("price")), 4),
+            _.cast("string")), ",")).as("digest"))
+        .orderBy(col("label"))
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains("mv.parquet")),
+        s"sketch star join did not navigate: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")))
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSeq
+      MvCatalog.clear()
+      val direct = q.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSeq
+      assert(got === direct, "register fold through the join drifted")
+      // the duplicate-key rows a1/a2 carry the SAME digest
+      assert(got(0)._3 === got(1)._3)
+    } finally MvCatalog.clear()
+  } }
+
   test("coarser time grain: month query navigates a daily rollup") { withNoAqe {
     MvCatalog.clear()
     val tmp = java.nio.file.Files.createTempDirectory("mv_time")
