@@ -203,9 +203,15 @@ object MaterializedAggregate {
       distinctCols.map(d => graft.functions.SketchFunctions.hyperLogLog(
         graft.functions.Md5Hash.h60String(col(d)), hllP).as(s"hll_$d")) :+
       count(lit(1)).as("cnt")
-    base.groupBy(groupCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(mvPath)
+    // suspension: a REBUILD's aggregate is exactly the shape its own
+    // registration navigates — without the guard it would read the
+    // stale rollup (circular), and overwrite the directory it is
+    // reading (FAILED_READ_FILE)
+    MvCatalog.withSuspended {
+      base.groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(mvPath)
+    }
   }
 
   /** Build + register in one step (the normal flow). */
@@ -246,6 +252,13 @@ object MaterializedAggregate {
       distinctCols: Seq[String], hllP: Int,
       baseFilter: Option[String], exprMeasures: Map[String, String],
       maintained: Boolean, baseFingerprint: Option[String]): MvDef = {
+    // a registration typically follows a (re)build or compaction of
+    // mvPath — and asserts the base's CURRENT state — so drop any
+    // cached file listings first: Spark's FileStatusCache otherwise
+    // serves the pre-rebuild listing and a navigated read hits
+    // deleted part files (FAILED_READ_FILE)
+    spark.catalog.refreshByPath(mvPath)
+    spark.catalog.refreshByPath(basePath)
     val plan = spark.read.parquet(mvPath).queryExecution.analyzed
     // pin the EXACT hash-expression shape the rollup's registers were
     // built from (name-normalized); a query sketching any other
@@ -498,6 +511,23 @@ object MvCatalog {
   def register(spark: SparkSession, d: MvDef): Unit =
     defsFor(spark).put(d.basePath + "->" + d.mvPath, d)
 
+  // ENGINE-INTERNAL computations that aggregate a registered base —
+  // above all a rollup (RE)BUILD, whose aggregate is by construction
+  // the exact shape its own registration navigates — must NOT be
+  // rewritten: the build would read the STALE rollup instead of the
+  // base (circular; and an overwrite into the directory being read
+  // fails with FAILED_READ_FILE). Thread-local because optimization
+  // runs on the thread that triggers the action.
+  private val suspended = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+  def isSuspended: Boolean = suspended.get
+  def withSuspended[T](body: => T): T = {
+    val prior = suspended.get
+    suspended.set(true)
+    try body finally suspended.set(prior)
+  }
+
   /** Clear EVERY session's registrations (test/gate hygiene). */
   def clear(): Unit = bySession.synchronized {
     import scala.jdk.CollectionConverters._
@@ -522,7 +552,7 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   import MaterializedAggregate.MvDef
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (MvCatalog.isEmpty(session)) plan
+    if (MvCatalog.isEmpty(session) || MvCatalog.isSuspended) plan
     else plan.transformDown {
       case agg: Aggregate =>
         // all candidates, then the coarsest rollup (fewest grouping

@@ -50,9 +50,15 @@ object StreamingMvMaintenance {
       distinctCols.map(d => graft.functions.SketchFunctions.hyperLogLog(
         graft.functions.Md5Hash.h60String(col(d)), hllP).as(s"hll_$d")) :+
       count(lit(1)).as("cnt")
-    batch.groupBy(groupCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(s"$mvPath/batch=$batchId")
+    // the partial aggregate must never itself be NAVIGATED (a batch
+    // whose lineage reaches a registered base would read the stale
+    // rollup it is maintaining — circular); same guard as
+    // MaterializedAggregate.build
+    graft.plans.MvCatalog.withSuspended {
+      batch.groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(s"$mvPath/batch=$batchId")
+    }
   }
 
   /** Fold the accumulated `batch=` partials into ONE batch —
@@ -81,8 +87,13 @@ object StreamingMvMaintenance {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, mvPath: String,
       hllP: Int = 12, intoBatchId: String = "compacted"): Int =
-    graft.pipeline.IndexCompaction.compact(spark, mvPath, intoBatchId,
-      Nil, None, foldPartials(_, hllP))
+    // suspended for the same reason as processBatch: the fold is an
+    // aggregate over the rollup, which may itself be a registered
+    // base in layered setups
+    graft.plans.MvCatalog.withSuspended {
+      graft.pipeline.IndexCompaction.compact(spark, mvPath, intoBatchId,
+        Nil, None, foldPartials(_, hllP))
+    }
 
   private[streaming] def foldPartials(df: DataFrame, hllP: Int): DataFrame = {
     val names = df.schema.fieldNames.toSeq

@@ -1063,6 +1063,87 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
+  test("a rollup REBUILD is never navigated: build against its own registration reads the base") { withNoAqe {
+    // without the suspension guard, the rebuild's aggregate is the
+    // exact shape its own registration navigates — it would read the
+    // STALE rollup (circular) while overwriting the directory it is
+    // reading (FAILED_READ_FILE). The base is UNCHANGED here, so the
+    // freshness guard alone cannot catch it.
+    MvCatalog.clear()
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1"), measureCols = Seq("qty"))
+    val first = spark.read.parquet(mvPath).collect()
+      .map(_.toSeq).toSet
+    // immediate unconditional rebuild (the nightly-job shape)
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1"), measureCols = Seq("qty"))
+    try {
+      assert(spark.read.parquet(mvPath).collect().map(_.toSeq).toSet
+        === first, "rebuild drifted from the first build")
+      val q = spark.read.parquet(base).groupBy(col("g1"))
+        .agg(sum("qty").as("s"))
+      assert(scannedPaths(q).exists(_.contains("mv.parquet")))
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        === Map("A" -> 35.0, "B" -> 27.0))
+    } finally MvCatalog.clear()
+  } }
+
+  test("SQL-interface queries navigate too: spark.sql over the parquet path") { withNoAqe {
+    MvCatalog.clear()
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1", "g2"), measureCols = Seq("qty"))
+    try {
+      def q = spark.sql(
+        s"""SELECT g1, SUM(qty) AS s, COUNT(*) AS n
+           |FROM parquet.`$base` WHERE g2 = 'x' GROUP BY g1""".stripMargin)
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains("mv.parquet")),
+        s"SQL-path query did not navigate: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")))
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getLong(2))).toSet === Set(("A", 30.0, 2L), ("B", 7.0, 1L)))
+    } finally MvCatalog.clear()
+  } }
+
+  test("freshness TTL knob: a positive TTL serves the cached listing until re-registration") { withNoAqe {
+    MvCatalog.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("mv_ttl")
+    val dbase = tmp.resolve("fact.parquet").toString
+    val dmv = tmp.resolve("mv.parquet").toString
+    Seq(("A", 1.0), ("B", 2.0)).toDF("g", "v")
+      .write.mode("overwrite").parquet(dbase)
+    val key = "spark.graft.mv.freshnessTtlMs"
+    MaterializedAggregate.buildAndRegister(spark, dbase, dmv,
+      groupCols = Seq("g"), measureCols = Seq("v"))
+    def q = spark.read.parquet(dbase).groupBy(col("g"))
+      .agg(sum("v").as("s"))
+    try {
+      spark.conf.set(key, "3600000") // 1 h: amortized deployments
+      assert(scannedPaths(q).exists(_.contains("mv.parquet")))
+      // drift the base: with the TTL the cached fingerprint still
+      // matches, so navigation KEEPS firing — the documented,
+      // explicitly-bounded staleness window
+      Seq(("C", 9.0)).toDF("g", "v").write.mode("append").parquet(dbase)
+      assert(scannedPaths(q).exists(_.contains("mv.parquet")),
+        "TTL window did not amortize the listing")
+      // TTL 0 (the default): the drift is observed immediately
+      spark.conf.set(key, "0")
+      assert(scannedPaths(q).exists(_.contains("fact.parquet")),
+        "drift not observed with TTL disabled")
+      // re-registration re-arms navigation even under a live TTL —
+      // registerWithFingerprint drops the cache entry
+      spark.conf.set(key, "3600000")
+      MaterializedAggregate.buildAndRegister(spark, dbase, dmv,
+        groupCols = Seq("g"), measureCols = Seq("v"))
+      assert(scannedPaths(q).exists(_.contains("mv.parquet")))
+      assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        === Map("A" -> 1.0, "B" -> 2.0, "C" -> 9.0))
+    } finally {
+      spark.conf.set(key, "0")
+      MvCatalog.clear()
+    }
+  } }
+
   test("compaction: partials fold to ONE batch, answers identical, registers exact, idempotent") { withNoAqe {
     import graft.functions.{SketchFunctions => SK, Md5Hash}
     MvCatalog.clear()
