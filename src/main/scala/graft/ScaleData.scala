@@ -77,11 +77,24 @@ object ScaleData {
         .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
       val pass = Seq("region", "nation", "customer", "supplier", "part",
         "events", "documents", "embeddings")
+      // Hadoop recursive copy, not java.nio Files.copy: a pass-through
+      // table may be a DIRECTORY-layout parquet (the normal Spark write
+      // output), which Files.copy would "copy" as an empty directory
+      // (silent data loss) and which re-runs into a non-empty
+      // destination would abort with DirectoryNotEmptyException.
+      // FileUtil.copy handles file-or-directory on any supported
+      // filesystem and byte-copies (no decode/re-encode — preserves
+      // the testdata's exact physical types, e.g. the events table's
+      // INT64 TIMESTAMP(NANOS)).
+      val hconf = spark.sparkContext.hadoopConfiguration
       pass.foreach { t =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$src/$t.parquet"),
-          java.nio.file.Paths.get(s"$dst/$t.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val from = new org.apache.hadoop.fs.Path(s"$src/$t.parquet")
+        val to = new org.apache.hadoop.fs.Path(s"$dst/$t.parquet")
+        val ffs = from.getFileSystem(hconf)
+        val tfs = to.getFileSystem(hconf)
+        if (tfs.exists(to)) tfs.delete(to, true)
+        org.apache.hadoop.fs.FileUtil.copy(ffs, from, tfs, to,
+          false /* deleteSource */, true /* overwrite */, hconf)
       }
       println(s"""{"scaled":"$dst","factor":$factor,"mode":"facts","lineitem":${
         spark.read.parquet(s"$dst/lineitem.parquet").count()}}""")
@@ -115,13 +128,18 @@ object ScaleData {
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
     // pass-through tables so any query surface resolves at the new dir
+    // (recursive byte-copy — see the facts-mode note above)
     val pass = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events")
+    val hconf = spark.sparkContext.hadoopConfiguration
     pass.foreach { t =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$src/$t.parquet"),
-        java.nio.file.Paths.get(s"$dst/$t.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val from = new org.apache.hadoop.fs.Path(s"$src/$t.parquet")
+      val to = new org.apache.hadoop.fs.Path(s"$dst/$t.parquet")
+      val ffs = from.getFileSystem(hconf)
+      val tfs = to.getFileSystem(hconf)
+      if (tfs.exists(to)) tfs.delete(to, true)
+      org.apache.hadoop.fs.FileUtil.copy(ffs, from, tfs, to,
+        false /* deleteSource */, true /* overwrite */, hconf)
     }
     println(s"""{"scaled":"$dst","factor":$factor,"docs":${
       spark.read.parquet(s"$dst/documents.parquet").count()},"vecs":${

@@ -15,20 +15,50 @@ import org.apache.spark.sql.functions._
   * [[candidates]] walks each workload query's ANALYZED plan for
   * aggregates over a single parquet scan and extracts the rollup that
   * would navigate it: grouping key = the query's grouping columns ∪
-  * every column its filters reference (a filter must commute with the
-  * rollup, so its columns must be grouping keys), measures = the
-  * plain columns under derivable aggregate functions. Queries over
-  * the same base table MERGE into one candidate (union of keys and
-  * measures — one rollup serving N queries beats N rollups: the rule
-  * re-aggregates, so a coarser query still navigates the merged
-  * grain).
+  * every column its non-shared filters reference (a filter must
+  * commute with the rollup, so its columns must be grouping keys),
+  * measures = the plain columns under derivable aggregate functions.
+  * Queries over the same base table MERGE into one candidate (union
+  * of keys and measures — one rollup serving N queries beats N
+  * rollups: the rule re-aggregates, so a coarser query still
+  * navigates the merged grain).
+  *
+  * Round-13 parity with the rule's FULL navigation surface:
+  *  - EXPRESSION measures (the TPC-H Q1 revenue shape): an aggregate
+  *    over a deterministic expression of fact columns becomes an
+  *    `exprMeasures` entry, keyed by the same name-normalized tree
+  *    the rule matches on; the recommended name is a digest of that
+  *    tree so identical expressions across queries merge. Candidates
+  *    whose normalized form does not survive a print→parse→normalize
+  *    round-trip are dropped (the built rollup could never match).
+  *  - APPROX-DISTINCT sketch columns: a `hyper_log_log(hash, p)`
+  *    aggregate whose hash tree is EXACTLY the engine's canonical
+  *    60-bit string hash of one fact column becomes a `distinctCols`
+  *    entry at that precision (any other hash tree could never
+  *    navigate — the rule pins the registered tree — so the shape
+  *    drops instead of recommending a dead register array). A rollup
+  *    carries ONE precision; under mixed-`p` workloads the majority
+  *    precision wins and minority shapes drop, loudly.
+  *  - PARTIAL (filtered) rollups: a filter conjunct repeated by EVERY
+  *    query of a base (two or more — a single query is no evidence
+  *    the predicate is workload-invariant, and folding its columns
+  *    into the keys serves it just as well) becomes the candidate's
+  *    `baseFilter` instead of forcing its columns into the grouping
+  *    key — the dashboard-slice shape ("always this year", "always
+  *    shipped lines"), where keying on a high-cardinality filter
+  *    column would destroy compression.
   *
   * [[recommend]] keeps candidates whose measured compression —
-  * base rows / approx-distinct grouping combinations (one
+  * (filtered) base rows / approx-distinct grouping combinations (one
   * HLL-sketch scan per candidate, never a shuffle-heavy exact
   * distinct) — clears `minCompression`. A rollup near the fact's own
   * cardinality would navigate correctly but buy nothing; the
   * recommender's job is to refuse it.
+  *
+  * [[advise]] closes the loop — recommend, build, register, persist
+  * nothing the caller didn't ask for — so a serving layer can hand
+  * its workload over and have every subsequent query navigate with
+  * zero manual registration.
   *
   * Star-join workloads extract too — the reference's own mart shape:
   * for Aggregate(fact ⋈ dims), the candidate's keys are the FACT
@@ -40,27 +70,40 @@ import org.apache.spark.sql.functions._
   * trunc(day,'month') query yields a `day`-keyed daily candidate —
   * exactly the grain the rule's coarser-time derivation wants).
   */
-object MvAdvisor {
+object MvAdvisor extends org.apache.spark.internal.Logging {
 
   /** One recommended rollup: where, its grain, what it can answer,
     * and the measured size evidence.
     */
   case class Candidate(basePath: String, groupCols: Seq[String],
       measureCols: Seq[String], queriesCovered: Int,
-      baseRows: Long, groupRowsApprox: Long) {
+      baseRows: Long, groupRowsApprox: Long,
+      exprMeasures: Map[String, String] = Map.empty,
+      distinctCols: Seq[String] = Nil, hllP: Int = 12,
+      baseFilter: Option[String] = None) {
     def compression: Double =
       if (groupRowsApprox == 0L) Double.PositiveInfinity
       else baseRows.toDouble / groupRowsApprox
   }
 
+  /** One filter conjunct in normalized-SQL form plus the column names
+    * it references (normalized SQL doubles as the re-parseable form —
+    * registration re-resolves it against the base scan).
+    */
+  private case class Conjunct(sql: String, refs: Set[String])
+
   private case class Shape(basePath: String, keys: Set[String],
-      measures: Set[String])
+      measures: Set[String],
+      exprMeasures: Map[String, Set[String]], // normalized sql -> refs
+      sketches: Seq[(String, Int, String)], // (col, p, normalized hash tree)
+      conjuncts: Seq[Conjunct])
 
   /** Extract the aggregate shapes a rollup could serve, one per
     * navigable Aggregate node found in the workload's analyzed plans.
     * Shapes the RULE would refuse (distinct/filtered aggregates,
-    * non-column measures, non-parquet scans, joins) extract nothing —
-    * the advisor must never recommend a rollup the rule cannot use.
+    * non-fact measures, non-parquet scans, non-star joins) extract
+    * nothing — the advisor must never recommend a rollup the rule
+    * cannot use.
     */
   private def shapes(df: DataFrame): Seq[Shape] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Shape]
@@ -71,9 +114,9 @@ object MvAdvisor {
         // derivable shape — a useless small-side candidate dies at
         // the compression gate, never at soundness
         unwrapStar(agg.child).foreach {
-          case (filterCols, path, factSet, dimSet) =>
+          case (conjuncts, joinKeys, path, factSet, dimSet) =>
             val keyCols = scala.collection.mutable.LinkedHashSet.empty[String]
-            keyCols ++= filterCols
+            keyCols ++= joinKeys
             var ok = true
             agg.groupingExpressions.foreach { g =>
               if (!g.deterministic) ok = false
@@ -85,27 +128,47 @@ object MvAdvisor {
               }
             }
             val measures = scala.collection.mutable.LinkedHashSet.empty[String]
+            val exprMs = scala.collection.mutable.LinkedHashMap
+              .empty[String, Set[String]]
+            val sketches = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Int, String)]
+            // a measure is a plain FACT column or a deterministic
+            // expression over fact columns (the rule's p122 surface);
+            // anything else refuses the whole shape
+            def addMeasure(x: Expression): Unit = x match {
+              case a: AttributeReference if factSet.contains(a) =>
+                measures += a.name
+              case e if e.deterministic && e.references.nonEmpty &&
+                  e.references.forall(factSet.contains) =>
+                exprMs(MaterializedAggregate.normalizeExpr(e)) =
+                  e.references.map(_.name).toSet
+              case _ => ok = false
+            }
             agg.aggregateExpressions.foreach(_.foreach {
               case ae: AggregateExpression
                   if ae.isDistinct || ae.filter.isDefined => ok = false
               case ae: AggregateExpression =>
-                def factAttr(x: Expression): Option[String] = x match {
-                  case a: AttributeReference if factSet.contains(a) =>
-                    Some(a.name)
-                  case _ => None
-                }
                 ae.aggregateFunction match {
-                  case Sum(x, _) if factAttr(x).isDefined =>
-                    measures += factAttr(x).get
-                  case Min(x) if factAttr(x).isDefined =>
-                    measures += factAttr(x).get
-                  case Max(x) if factAttr(x).isDefined =>
-                    measures += factAttr(x).get
-                  case Average(x, _) if factAttr(x).isDefined =>
-                    measures += factAttr(x).get
-                  case Count(Seq(x)) if factAttr(x).isDefined =>
-                    measures += factAttr(x).get
+                  case h: graft.functions.HyperLogLog =>
+                    // only the engine's canonical hash of ONE fact
+                    // column can ever navigate (validated against the
+                    // base scan in candidates()); record the tree
+                    val refs = h.child.references.toSeq
+                    val p = if (h.pExpr.foldable)
+                      Option(h.pExpr.eval())
+                        .collect { case n: Number => n.intValue() }
+                    else None
+                    if (refs.length == 1 && factSet.contains(refs.head) &&
+                        h.child.deterministic && p.isDefined)
+                      sketches += ((refs.head.name, p.get,
+                        MaterializedAggregate.normalizeExpr(h.child)))
+                    else ok = false
                   case Count(seq) if seq.forall(_.foldable) => () // COUNT(*)
+                  case Sum(x, _) => addMeasure(x)
+                  case Min(x) => addMeasure(x)
+                  case Max(x) => addMeasure(x)
+                  case Average(x, _) => addMeasure(x)
+                  case Count(Seq(x)) => addMeasure(x)
                   case _ => ok = false // not derivable — recommend nothing
                 }
               case _ => ()
@@ -116,8 +179,9 @@ object MvAdvisor {
             // so a query that filters on the column it aggregates
             // still navigates; dropping it from measures would
             // recommend a rollup the rule then refuses
-            if (ok && keyCols.nonEmpty)
-              out += Shape(path, keyCols.toSet, measures.toSet)
+            if (ok && (keyCols.nonEmpty || conjuncts.nonEmpty))
+              out += Shape(path, keyCols.toSet, measures.toSet,
+                exprMs.toMap, sketches.toSeq, conjuncts)
         }
       case _ => ()
     }
@@ -126,14 +190,15 @@ object MvAdvisor {
 
   /** Generalizes [[unwrapScan]] through a star-join chain, mirroring
     * the rule's unwrapShape in advisory (name-level) form:
-    * (fact filter+join-key columns, fact path, fact-side attrs,
-    * dim-side attrs). Each join must be INNER or LEFT OUTER with the
-    * fact side reachable, conditions pure attr-equality conjunctions;
-    * the fact side's join keys join the candidate's key set (the
-    * rewrite makes them rollup columns). A shape the rule would
-    * refuse returns None.
+    * (fact filter conjuncts, fact join-key columns, fact path,
+    * fact-side attrs, dim-side attrs). Each join must be INNER or
+    * LEFT OUTER with the fact side reachable, conditions pure
+    * attr-equality conjunctions; the fact side's join keys join the
+    * candidate's key set (the rewrite makes them rollup columns). A
+    * shape the rule would refuse returns None.
     */
-  private def unwrapStar(p: LogicalPlan): Seq[(Set[String], String,
+  private def unwrapStar(p: LogicalPlan): Seq[(Seq[Conjunct], Set[String],
+      String,
       org.apache.spark.sql.catalyst.expressions.AttributeSet,
       org.apache.spark.sql.catalyst.expressions.AttributeSet)] =
     p match {
@@ -156,7 +221,7 @@ object MvAdvisor {
           unwrapStar(j.left).map(r => (r, j.right, true)) ++
             unwrapStar(j.right).map(r => (r, j.left, false))
         interpretations.flatMap {
-          case ((cols, path, factSet, dimSet), dimP, factLeft) =>
+          case ((conjuncts, jks, path, factSet, dimSet), dimP, factLeft) =>
             val okType = j.joinType match {
               case org.apache.spark.sql.catalyst.plans.Inner => true
               case org.apache.spark.sql.catalyst.plans.LeftOuter => factLeft
@@ -184,31 +249,30 @@ object MvAdvisor {
                   case _ => false
                 }
               if (!ok) Nil
-              else Seq((cols ++ keys, path, factSet, dimSet ++ dimOut))
+              else Seq((conjuncts, jks ++ keys, path, factSet, dimSet ++ dimOut))
             }
         }
       case other =>
-        unwrapScan(other).toSeq.map { case (cols, path) =>
+        unwrapScan(other).toSeq.map { case (conjuncts, path) =>
           // factSet = the scan subtree's output
-          (cols, path, other.outputSet,
+          (conjuncts, Set.empty[String], path, other.outputSet,
             org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)
         }
     }
 
-  /** (columns referenced by filters along the chain, parquet path)
-    * for a bare Filter/Project chain over ONE single-root parquet
-    * scan; None disqualifies (join, union, non-parquet). The path
-    * keeps its scheme/authority — unlike the rule's comparison-only
-    * normalize, the advisor DEREFERENCES it (stats scan + rollup
-    * build), and a stripped 's3a://...' would resolve against the
-    * wrong filesystem.
+  /** (filter conjuncts along the chain, parquet path) for a bare
+    * Filter/Project chain over ONE single-root parquet scan; None
+    * disqualifies (join, union, non-parquet). The path keeps its
+    * scheme/authority — unlike the rule's comparison-only normalize,
+    * the advisor DEREFERENCES it (stats scan + rollup build), and a
+    * stripped 's3a://...' would resolve against the wrong filesystem.
     */
-  private def unwrapScan(p: LogicalPlan): Option[(Set[String], String)] =
+  private def unwrapScan(p: LogicalPlan): Option[(Seq[Conjunct], String)] =
     p match {
       case r: LogicalRelation => r.relation match {
         case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
             if fs.location.rootPaths.length == 1 =>
-          Some((Set.empty, fs.location.rootPaths.head.toString))
+          Some((Nil, fs.location.rootPaths.head.toString))
         case _ => None
       }
       case Project(pl, child) if pl.forall {
@@ -217,31 +281,173 @@ object MvAdvisor {
           case _ => false
         } => unwrapScan(child)
       case Filter(cond: Expression, child) =>
-        unwrapScan(child).map { case (cols, path) =>
-          (cols ++ cond.references.map(_.name), path)
+        unwrapScan(child).map { case (cs, path) =>
+          val more = MaterializedAggregate.splitConjuncts(cond).map(c =>
+            Conjunct(MaterializedAggregate.normalizeExpr(c),
+              c.references.map(_.name).toSet))
+          (cs ++ more, path)
         }
       case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
         unwrapScan(s.child)
       case _ => None
     }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** The engine's canonical hash tree for `d` on this base, in the
+    * same normalized form [[MaterializedAggregate.registerExisting]]
+    * pins — a workload sketch navigates iff it hashed exactly this.
+    */
+  private def canonicalHashSql(spark: SparkSession, path: String,
+      d: String): Option[String] =
+    scala.util.Try {
+      val analyzed = spark.read.parquet(path)
+        .select(graft.functions.Md5Hash.h60String(col(d)).as("__h"))
+        .queryExecution.analyzed
+      val e = analyzed.expressions.collectFirst {
+        case al: Alias if al.name == "__h" => al.child
+      }.get
+      MaterializedAggregate.normalizeExpr(e)
+    }.toOption
+
+  /** Does the normalized-SQL form survive print → parse → resolve →
+    * normalize against this base unchanged? Registration re-resolves
+    * from the SQL string while the rule matches the query's tree —
+    * only round-trip-stable forms can ever navigate.
+    */
+  private def exprRoundTrips(spark: SparkSession, path: String,
+      sql: String): Boolean =
+    scala.util.Try {
+      val analyzed = spark.read.parquet(path).select(expr(sql).as("__m"))
+        .queryExecution.analyzed
+      val e = analyzed.expressions.collectFirst {
+        case al: Alias if al.name == "__m" => al.child
+      }.get
+      MaterializedAggregate.normalizeExpr(e) == sql
+    }.getOrElse(false)
+
+  private def filterRoundTrips(spark: SparkSession, path: String,
+      sql: String, expected: Set[String]): Boolean =
+    scala.util.Try {
+      val analyzed = spark.read.parquet(path)
+        .where(expr(sql)).queryExecution.analyzed
+      val cond = analyzed.collectFirst {
+        case f: Filter => f.condition
+      }.get
+      MaterializedAggregate.splitConjuncts(cond)
+        .map(MaterializedAggregate.normalizeExpr).toSet == expected
+    }.getOrElse(false)
+
   /** Merge the workload's shapes per base table and measure each
     * candidate's compression (one count + one approx-distinct scan
-    * per table).
+    * per table, over the FILTERED base when a shared conjunct became
+    * the candidate's baseFilter — that is what the rollup would hold).
+    *
+    * Per-shape schema guard: [[unwrapScan]] walks through
+    * alias-bearing Projects, so a query filtering or aggregating a
+    * COMPUTED column records the alias name against the raw base path
+    * — a name the base scan cannot resolve. Such shapes are DROPPED
+    * (with a logWarning), not resolved: recommending a rollup keyed
+    * on a derived column the rule's own unwrap would then refuse
+    * (the rule requires attrs-only projections under the aggregate)
+    * buys nothing, and one such query must never poison the
+    * recommendation for the rest of the workload (round-12 advisory
+    * finding: `col(name)` on the base threw AnalysisException out of
+    * the whole `recommend()` call).
     */
   def candidates(spark: SparkSession, workload: Seq[DataFrame]): Seq[Candidate] = {
     val byBase = workload.flatMap(shapes).groupBy(_.basePath)
-    byBase.toSeq.sortBy(_._1).map { case (path, ss) =>
-      val keys = ss.flatMap(_.keys).distinct
-      // keep key∩measure overlaps: a column one query filters on and
-      // another aggregates must be a rollup key AND carry partials
-      val measures = ss.flatMap(_.measures).distinct
-      val base = spark.read.parquet(path)
-      val stats = base.agg(
-        count(lit(1)).as("n"),
-        approx_count_distinct(struct(keys.map(col): _*)).as("g")).head()
-      Candidate(path, keys, measures, ss.size,
-        stats.getLong(0), stats.getLong(1))
+    byBase.toSeq.sortBy(_._1).flatMap { case (path, ss0) =>
+      val baseCols = spark.read.parquet(path).schema.fieldNames.toSet
+      val ss1 = ss0.filter { sh =>
+        val names = sh.keys ++ sh.measures ++ sh.conjuncts.flatMap(_.refs) ++
+          sh.exprMeasures.values.flatten ++ sh.sketches.map(_._1)
+        val missing = names.filterNot(baseCols)
+        if (missing.nonEmpty)
+          logWarning(s"MV advisor: dropping a workload shape over $path " +
+            s"— name(s) ${missing.mkString(", ")} are alias-defined " +
+            "(not base columns); the navigation rule could not serve it")
+        missing.isEmpty
+      }
+      // sketch validation: the rule pins the registered hash tree, so
+      // a sketch over any OTHER tree could never navigate — drop the
+      // shape rather than recommend a dead register array
+      val ss2 = ss1.filter { sh =>
+        val bad = sh.sketches.filterNot { case (d, _, norm) =>
+          canonicalHashSql(spark, path, d).contains(norm)
+        }
+        if (bad.nonEmpty)
+          logWarning(s"MV advisor: dropping a workload shape over $path " +
+            s"— sketch over ${bad.map(_._1).mkString(", ")} does not use " +
+            "the engine's canonical column hash; it could never navigate")
+        bad.isEmpty
+      }
+      // one precision per rollup: majority p wins (ties -> larger),
+      // minority-precision shapes drop loudly
+      val ps = ss2.flatMap(_.sketches.map(_._2))
+      val hllP =
+        if (ps.isEmpty) 12
+        else ps.groupBy(identity).toSeq
+          .map { case (p, g) => (g.size, p) }
+          .sortBy { case (n, p) => (-n, -p) }.head._2
+      val ss3 = ss2.filter { sh =>
+        val off = sh.sketches.filter(_._2 != hllP)
+        if (off.nonEmpty)
+          logWarning(s"MV advisor: dropping a workload shape over $path " +
+            s"— sketch precision ${off.map(_._2).distinct.mkString(",")} " +
+            s"conflicts with the candidate's p=$hllP (one precision per " +
+            "rollup); re-issue at the majority precision to cover it")
+        off.isEmpty
+      }
+      // expression measures must survive the print/parse round-trip
+      val ss4 = ss3.filter { sh =>
+        val bad = sh.exprMeasures.keys.filterNot(exprRoundTrips(spark, path, _))
+        if (bad.nonEmpty)
+          logWarning(s"MV advisor: dropping a workload shape over $path " +
+            "— an expression measure does not round-trip through SQL; " +
+            "the built rollup could never match the query's tree")
+        bad.isEmpty
+      }
+      if (ss4.isEmpty) None
+      else {
+        // a conjunct repeated by EVERY shape (>= 2 of them) becomes
+        // the candidate's baseFilter — the workload-invariant slice;
+        // everything else contributes its columns to the keys
+        val conjSets = ss4.map(_.conjuncts.map(_.sql).toSet)
+        val common0: Set[String] =
+          if (ss4.length >= 2 && conjSets.forall(_.nonEmpty))
+            conjSets.reduce(_ intersect _)
+          else Set.empty[String]
+        val common =
+          if (common0.nonEmpty &&
+              filterRoundTrips(spark, path,
+                common0.toSeq.sorted.mkString(" AND "), common0))
+            common0
+          else Set.empty[String] // degrade: its columns key instead
+        val baseFilter =
+          if (common.isEmpty) None
+          else Some(common.toSeq.sorted.mkString(" AND "))
+        val keys = (ss4.flatMap(_.keys) ++
+          ss4.flatMap(_.conjuncts.filterNot(c => common(c.sql))
+            .flatMap(_.refs))).distinct
+        val measures = ss4.flatMap(_.measures).distinct
+        val exprMeasures = ss4.flatMap(_.exprMeasures.keys).distinct
+          .map(sql => s"em_${md5hex(sql).take(10)}" -> sql).toMap
+        val distinctCols = ss4.flatMap(_.sketches.map(_._1)).distinct
+        val base = baseFilter.foldLeft(spark.read.parquet(path))(
+          (df, f) => df.where(expr(f)))
+        val stats =
+          if (keys.isEmpty) base.agg(count(lit(1)).as("n")).head()
+          else base.agg(
+            count(lit(1)).as("n"),
+            approx_count_distinct(struct(keys.map(col): _*)).as("g")).head()
+        Some(Candidate(path, keys, measures, ss4.size,
+          stats.getLong(0), if (keys.isEmpty) 1L else stats.getLong(1),
+          exprMeasures, distinctCols, hllP, baseFilter))
+      }
     }
   }
 
@@ -261,10 +467,21 @@ object MvAdvisor {
   def buildRecommended(spark: SparkSession, recs: Seq[Candidate],
       mvDir: String): Seq[MaterializedAggregate.MvDef] =
     recs.map { c =>
-      val name = java.security.MessageDigest.getInstance("MD5")
-        .digest(c.basePath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString.take(12)
+      val name = md5hex(c.basePath).take(12)
       MaterializedAggregate.buildAndRegister(spark, c.basePath,
-        s"$mvDir/mv_$name.parquet", c.groupCols, c.measureCols)
+        s"$mvDir/mv_$name.parquet", c.groupCols, c.measureCols,
+        c.distinctCols, c.hllP, c.baseFilter, c.exprMeasures)
     }
+
+  /** The closed advisor loop (round-12 verdict ask #4): analyze the
+    * workload, keep what clears the compression gate, build and
+    * register under `mvDir` — after this returns, re-issuing any
+    * covered workload query navigates with zero manual registration.
+    * Persist across drivers with
+    * [[MaterializedAggregate.saveCatalog]] if wanted — this method
+    * deliberately writes no catalog file of its own.
+    */
+  def advise(spark: SparkSession, workload: Seq[DataFrame], mvDir: String,
+      minCompression: Double = 10.0): Seq[MaterializedAggregate.MvDef] =
+    buildRecommended(spark, recommend(spark, workload, minCompression), mvDir)
 }

@@ -10,8 +10,11 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   * combination it touches and commits them to the rollup's
   * `batch=<id>` partition. Append-only IVM for the derivable algebra
   * (SUM/COUNT partials are additive; MIN/MAX are monotone under
-  * inserts — deletes/updates are out of contract, exactly the
-  * append-only crawl/tick workloads the engine streams elsewhere).
+  * inserts — exactly the append-only crawl/tick workloads the engine
+  * streams elsewhere). Updates stay out of contract; DELETES are
+  * handled at the retention grain by [[retract]] (group-commuting
+  * predicate → drop the matching partial rows), closing the
+  * retention × maintained-MV composition.
   *
   * The maintained layout IS navigable by [[graft.plans.AggregateRewriteRule]]
   * with zero changes: the rule re-aggregates the rollup anyway
@@ -36,6 +39,11 @@ object StreamingMvMaintenance {
       groupCols: Seq[String], measureCols: Seq[String],
       distinctCols: Seq[String] = Nil, hllP: Int = 12,
       exprMeasures: Map[String, String] = Map.empty): Unit = {
+    // same reserved-namespace guard as build/registration: a grouping
+    // column named 'cnt' or sum_*/... would maintain fine and then be
+    // silently sum-folded by compact()'s schema-driven classification
+    graft.plans.MaterializedAggregate.validateReservedNames(
+      groupCols, distinctCols)
     val aggs =
       measureCols.flatMap(c => Seq(
         sum(col(c)).as(s"sum_$c"),
@@ -94,6 +102,68 @@ object StreamingMvMaintenance {
       graft.pipeline.IndexCompaction.compact(spark, mvPath, intoBatchId,
         Nil, None, foldPartials(_, hllP))
     }
+
+  /** RETRACTION — the delete half of the IVM lifecycle (round-12
+    * verdict finding #1): after the base loses rows to a retention
+    * delete ([[graft.Pipeline.runRetention]]'s partition drop), the
+    * maintained rollup still aggregates them; this removes exactly
+    * those partials so a subsequent re-registration re-arms
+    * navigation with post-delete answers.
+    *
+    * Soundness rests on the same commutation the navigation rule
+    * uses for filters: `predicateSql` may reference GROUPING columns
+    * only. Every partial row of a group carries that group's single
+    * tuple of grouping values, so "base rows deleted by P" maps
+    * one-to-one onto "rollup groups where P holds" — dropping those
+    * partial rows is EXACT for every registered aggregate (min/max
+    * and the HLL registers included, because whole groups vanish —
+    * the reason retraction is row-filtering rather than the negative
+    * partials that couldn't retract min/max/sketches). A predicate
+    * on a measure or on an aggregate column cannot commute and
+    * REFUSES loudly.
+    *
+    * Retention deletes are partition-grained and rollup grouping
+    * keys almost always include the partition column (snapshot_date
+    * in the medallion) — the case where this applies directly. A
+    * delete whose predicate is NOT expressible over the rollup's
+    * grouping columns needs a full rebuild instead; the refusal
+    * makes that explicit rather than approximate.
+    *
+    * Executed as a write-aside + directory-swap rewrite (the
+    * [[graft.pipeline.IndexCompaction]] discipline — crash-safe,
+    * idempotent) that also compacts the surviving partials into one
+    * `batch=<intoBatchId>`. Returns the number of batch dirs folded.
+    * Re-register the MvDef afterwards, same as after a compaction.
+    */
+  def retract(spark: org.apache.spark.sql.SparkSession, mvPath: String,
+      predicateSql: String, hllP: Int = 12,
+      intoBatchId: String = "compacted"): Int = {
+    val df = spark.read.parquet(mvPath)
+    val analyzed = df.where(expr(predicateSql)).queryExecution.analyzed
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(sys.error(s"could not resolve retraction predicate '$predicateSql'"))
+    val names = df.schema.fieldNames.toSet
+    def isAggCol(n: String): Boolean = n == "cnt" ||
+      Seq("sum_", "min_", "max_", "nnz_", "hll_").exists(n.startsWith)
+    val refs = cond.references.map(_.name).toSeq.distinct
+    val bad = refs.filter(n => isAggCol(n) || n == "batch" || !names.contains(n))
+    require(refs.nonEmpty && bad.isEmpty,
+      s"retraction predicate '$predicateSql' must reference the rollup's " +
+        s"GROUPING columns only (offending: ${bad.mkString(", ")}); a " +
+        "predicate on measures or partials cannot commute with the " +
+        "rollup — rebuild instead")
+    graft.plans.MvCatalog.withSuspended {
+      // keep rows where P is NOT TRUE — three-valued logic matters: a
+      // NULL grouping value makes P NULL, and the base-side delete
+      // ("remove rows WHERE P") keeps such rows, so the rollup must
+      // keep their group too (bare `!P` would drop it)
+      graft.pipeline.IndexCompaction.compact(spark, mvPath, intoBatchId,
+        Nil, None,
+        d => foldPartials(
+          d.where(!coalesce(expr(predicateSql), lit(false))), hllP))
+    }
+  }
 
   private[streaming] def foldPartials(df: DataFrame, hllP: Int): DataFrame = {
     val names = df.schema.fieldNames.toSeq

@@ -55,6 +55,24 @@ class MvAdvisorSpec extends SparkSpec {
     assert(cands.head.groupCols.toSet === Set("g1"))
   }
 
+  test("alias-defined names never poison the workload: that shape drops, the rest recommend") {
+    // unwrapScan walks through alias-bearing Projects, so a query
+    // filtering a COMPUTED column records the alias name against the
+    // raw base path; col(name) on the base scan would throw
+    // AnalysisException — the round-12 finding was that one such
+    // query killed recommend() for the whole workload
+    val poisoned = fact
+      .withColumn("qty2", col("qty") * 2)
+      .where(col("qty2") > 1.0)
+      .groupBy(col("g1")).agg(sum("qty").as("s"))
+    val good = fact.groupBy(col("g1"), col("g2")).agg(sum("qty").as("s"))
+    val cands = MvAdvisor.candidates(spark, Seq(poisoned, good))
+    assert(cands.length === 1, s"expected the good shape to survive: $cands")
+    assert(cands.head.groupCols.toSet === Set("g1", "g2"))
+    assert(cands.head.queriesCovered === 1,
+      "the alias-poisoned shape must be dropped, not half-extracted")
+  }
+
   test("star workloads extract: join keys become rollup keys, dim attrs constrain nothing") {
     val dimPath = java.nio.file.Files
       .createTempDirectory("adv_dim").resolve("dim.parquet").toString
@@ -185,6 +203,9 @@ class MvAdvisorSpec extends SparkSpec {
 
   test("recommendations persist: save catalog, fresh registration navigates with freshness intact") { withNoAqe {
     MvCatalog.clear()
+    // drift happens BETWEEN navigations here — observe it immediately
+    // rather than through the production 30 s amortization window
+    spark.conf.set("spark.graft.mv.freshnessTtlMs", "0")
     val tmp = java.nio.file.Files.createTempDirectory("adv_cat")
     val mvDir = tmp.resolve("mvs").toString
     val catPath = tmp.resolve("catalog.json").toString
@@ -209,6 +230,7 @@ class MvAdvisorSpec extends SparkSpec {
       assert(scanned(q).exists(_.contains("fact.parquet")),
         "stale recommendation still navigated after base drift")
     } finally {
+      spark.conf.unset("spark.graft.mv.freshnessTtlMs")
       MvCatalog.clear()
       // restore the fixture for any later test in this suite
       (0 until 600).map(i =>

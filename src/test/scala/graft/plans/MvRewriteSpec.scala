@@ -702,6 +702,9 @@ class MvRewriteSpec extends SparkSpec {
 
   test("freshness guard: base drift refuses navigation until re-registration") { withNoAqe {
     MvCatalog.clear()
+    // TTL 0 = observe drift immediately (the production default is a
+    // 30 s amortization window; this test drifts BETWEEN navigations)
+    spark.conf.set("spark.graft.mv.freshnessTtlMs", "0")
     val fdir = java.nio.file.Files.createTempDirectory("mv_fresh")
     val fbase = fdir.resolve("fact.parquet").toString
     val fmv = fdir.resolve("mv.parquet").toString
@@ -728,7 +731,10 @@ class MvRewriteSpec extends SparkSpec {
         "re-registration must re-arm navigation")
       assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
         === Map("A" -> 15.0, "B" -> 7.0))
-    } finally MvCatalog.clear()
+    } finally {
+      spark.conf.unset("spark.graft.mv.freshnessTtlMs")
+      MvCatalog.clear()
+    }
   } }
 
   test("freshness survives the catalog round-trip; maintained rollups stay exempt") { withNoAqe {
@@ -1118,15 +1124,24 @@ class MvRewriteSpec extends SparkSpec {
     def q = spark.read.parquet(dbase).groupBy(col("g"))
       .agg(sum("v").as("s"))
     try {
-      spark.conf.set(key, "3600000") // 1 h: amortized deployments
+      // conf UNSET = the production default (30 s): the first
+      // navigation caches the listing, so a drift inside the window
+      // is the documented, explicitly-bounded staleness trade-off
+      spark.conf.unset(key)
+      assert(MaterializedAggregate.DefaultFreshnessTtlMs === 30000L,
+        "production default must be a documented non-zero TTL")
       assert(scannedPaths(q).exists(_.contains("mv.parquet")))
       // drift the base: with the TTL the cached fingerprint still
-      // matches, so navigation KEEPS firing — the documented,
-      // explicitly-bounded staleness window
+      // matches, so navigation KEEPS firing within the window
       Seq(("C", 9.0)).toDF("g", "v").write.mode("append").parquet(dbase)
       assert(scannedPaths(q).exists(_.contains("mv.parquet")),
         "TTL window did not amortize the listing")
-      // TTL 0 (the default): the drift is observed immediately
+      // so does an explicit long TTL (amortized dashboards)
+      spark.conf.set(key, "3600000")
+      assert(scannedPaths(q).exists(_.contains("mv.parquet")),
+        "explicit TTL did not amortize the listing")
+      // TTL 0 (the always-re-list escape hatch): the drift is
+      // observed immediately
       spark.conf.set(key, "0")
       assert(scannedPaths(q).exists(_.contains("fact.parquet")),
         "drift not observed with TTL disabled")
@@ -1139,7 +1154,7 @@ class MvRewriteSpec extends SparkSpec {
       assert(q.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
         === Map("A" -> 1.0, "B" -> 2.0, "C" -> 9.0))
     } finally {
-      spark.conf.set(key, "0")
+      spark.conf.unset(key)
       MvCatalog.clear()
     }
   } }
@@ -1202,4 +1217,153 @@ class MvRewriteSpec extends SparkSpec {
       spark, incPath, hllP = 4) === 1)
     assert(answers() === before)
   } }
+
+  test("retention × maintained MV: base delete refuses navigation; retract + re-register re-arms with post-delete answers") { withNoAqe {
+    MvCatalog.clear()
+    // deletes between navigations: observe immediately (the default
+    // 30 s TTL would serve the cached pre-delete listing — the same
+    // documented window as the fingerprint)
+    spark.conf.set("spark.graft.mv.freshnessTtlMs", "0")
+    val tmp = java.nio.file.Files.createTempDirectory("mv_retr")
+    val rbase = tmp.resolve("fact_part").toString
+    val rmv = tmp.resolve("mv.parquet").toString
+    Seq(("d1", "A", 1.0), ("d1", "B", 2.0), ("d2", "A", 3.0),
+      ("d2", "B", 4.0), ("d3", "A", 5.0)).toDF("day", "g", "v")
+      .write.partitionBy("day").parquet(rbase)
+    val f = spark.read.parquet(rbase)
+    graft.streaming.StreamingMvMaintenance.processBatch(
+      f.where(col("g") === "A"), 0L, rmv, Seq("day", "g"), Seq("v"))
+    graft.streaming.StreamingMvMaintenance.processBatch(
+      f.where(col("g") === "B"), 1L, rmv, Seq("day", "g"), Seq("v"))
+    MaterializedAggregate.registerExisting(spark, rbase, rmv,
+      Seq("day", "g"), Seq("v"), maintained = true)
+    def q = spark.read.parquet(rbase).groupBy(col("day"))
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+    def answers(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    try {
+      assert(scannedPaths(q).exists(_.contains("mv.parquet")),
+        "maintained rollup must navigate before the delete")
+      // the engine's own retention discipline: partition-dir drop
+      val dropped = new java.io.File(rbase, "day=d1")
+      def rm(fl: java.io.File): Unit = {
+        Option(fl.listFiles()).foreach(_.foreach(rm)); fl.delete(); ()
+      }
+      rm(dropped)
+      spark.catalog.refreshByPath(rbase)
+      // un-retracted: navigation must REFUSE and fall back to the
+      // post-delete base (correct answers, never the stale rollup)
+      assert(scannedPaths(q).exists(_.contains("fact_part")),
+        "stale maintained rollup navigated after a base delete")
+      assert(answers(q) === Map("d2" -> ((7.0, 2L)), "d3" -> ((5.0, 1L))))
+      // retract with the delete's predicate + re-register: re-armed,
+      // and navigated answers equal the base's post-delete answers
+      assert(graft.streaming.StreamingMvMaintenance.retract(
+        spark, rmv, "day = 'd1'") === 2)
+      MaterializedAggregate.registerExisting(spark, rbase, rmv,
+        Seq("day", "g"), Seq("v"), maintained = true)
+      assert(scannedPaths(q).exists(_.contains("mv.parquet")),
+        "retraction + re-registration must re-arm navigation")
+      assert(!scannedPaths(q).exists(_.contains("fact_part")))
+      assert(answers(q) === Map("d2" -> ((7.0, 2L)), "d3" -> ((5.0, 1L))))
+    } finally {
+      spark.conf.unset("spark.graft.mv.freshnessTtlMs")
+      MvCatalog.clear()
+    }
+  } }
+
+  test("maintained delete guard survives the catalog round-trip; retract refuses non-grouping predicates") { withNoAqe {
+    MvCatalog.clear()
+    spark.conf.set("spark.graft.mv.freshnessTtlMs", "0")
+    val tmp = java.nio.file.Files.createTempDirectory("mv_retr2")
+    val rbase = tmp.resolve("fact_part").toString
+    val rmv = tmp.resolve("mv.parquet").toString
+    val cat = tmp.resolve("catalog.json").toString
+    Seq(("d1", 1.0), ("d2", 2.0)).toDF("day", "v")
+      .write.partitionBy("day").parquet(rbase)
+    graft.streaming.StreamingMvMaintenance.processBatch(
+      spark.read.parquet(rbase), 0L, rmv, Seq("day"), Seq("v"))
+    MaterializedAggregate.registerExisting(spark, rbase, rmv,
+      Seq("day"), Seq("v"), maintained = true)
+    MaterializedAggregate.saveCatalog(spark, cat)
+    // delete AFTER the save: the reloaded registration must carry the
+    // SAVED entry list and refuse (recomputing at load would bless it)
+    def rm(fl: java.io.File): Unit = {
+      Option(fl.listFiles()).foreach(_.foreach(rm)); fl.delete(); ()
+    }
+    rm(new java.io.File(rbase, "day=d1"))
+    spark.catalog.refreshByPath(rbase)
+    MvCatalog.clear()
+    MaterializedAggregate.loadCatalog(spark, cat)
+    try {
+      def q = spark.read.parquet(rbase).groupBy(col("day"))
+        .agg(sum("v").as("s"))
+      assert(scannedPaths(q).exists(_.contains("fact_part")),
+        "reloaded maintained rollup navigated past a post-save delete")
+      // predicate validation: measures, partial columns and unknown
+      // names cannot commute with the rollup — refuse loudly
+      intercept[IllegalArgumentException] {
+        graft.streaming.StreamingMvMaintenance.retract(spark, rmv, "sum_v > 3")
+      }
+      intercept[IllegalArgumentException] {
+        graft.streaming.StreamingMvMaintenance.retract(spark, rmv, "cnt > 0")
+      }
+      intercept[IllegalArgumentException] {
+        graft.streaming.StreamingMvMaintenance.retract(spark, rmv,
+          "day = 'd1' AND cnt > 0")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.mv.freshnessTtlMs")
+      MvCatalog.clear()
+    }
+  } }
+
+  test("retraction keeps NULL-valued groups: NOT-TRUE semantics match the base delete's") {
+    // DELETE ... WHERE g = 'A' keeps rows whose g is NULL (predicate
+    // evaluates NULL, not TRUE) — the rollup retraction must keep the
+    // NULL group too; a bare !P would drop it
+    val tmp = java.nio.file.Files.createTempDirectory("mv_retr3")
+    val rmv = tmp.resolve("mv.parquet").toString
+    val df = Seq(Some("A") -> 1.0, Some("B") -> 2.0, None -> 3.0)
+      .toDF("g", "v")
+    graft.streaming.StreamingMvMaintenance.processBatch(
+      df, 0L, rmv, Seq("g"), Seq("v"))
+    graft.streaming.StreamingMvMaintenance.retract(spark, rmv, "g = 'A'")
+    val left = spark.read.parquet(rmv).select(col("g"), col("sum_v"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(left === Map(Some("B") -> 2.0, (None: Option[String]) -> 3.0))
+  }
+
+  test("reserved aggregate-column names refuse at build, register and per-batch maintenance") {
+    // compact()'s fold is schema-driven: a grouping column named
+    // 'sum_region' would build/maintain/navigate fine and then be
+    // silently SUM-FOLDED by compaction, collapsing the rollup grain
+    // — so every entry point refuses the name up front
+    MvCatalog.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("mv_resv")
+    val rbase = tmp.resolve("fact.parquet").toString
+    val rmv = tmp.resolve("mv.parquet").toString
+    Seq(("A", 10.0, 1.0), ("B", 20.0, 2.0))
+      .toDF("g", "sum_region", "v")
+      .write.mode("overwrite").parquet(rbase)
+    intercept[IllegalArgumentException] {
+      MaterializedAggregate.build(spark, rbase, rmv,
+        Seq("g", "sum_region"), Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      MaterializedAggregate.registerExisting(spark, rbase, rmv,
+        Seq("cnt"), Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingMvMaintenance.processBatch(
+        spark.read.parquet(rbase), 0L, rmv,
+        Seq("g"), Seq("v"), distinctCols = Seq("hll_x"))
+    }
+    // a MEASURE with a reserved-looking name is fine by construction:
+    // sum_sum_region/min_sum_region/... each fold under exactly the
+    // aggregate their own prefix declares
+    MaterializedAggregate.buildAndRegister(spark, rbase, rmv,
+      Seq("g"), Seq("sum_region"))
+    MvCatalog.clear()
+  }
 }
