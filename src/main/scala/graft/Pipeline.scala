@@ -403,6 +403,19 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
   /** E1 step 5 — retention (S4/S7): drop bronze objects and silver
     * date partitions older than the window. Partition drop = directory
     * delete, no data read.
+    *
+    * Composition with maintained rollups (the round-13 p134
+    * lifecycle, now ONE call): after the drop, every maintained
+    * [[graft.plans.MaterializedAggregate.MvDef]] registered over a
+    * pruned table is retracted with the same cutoff predicate
+    * ([[graft.streaming.StreamingMvMaintenance.retract]]) and
+    * re-registered, so navigation re-arms with post-delete answers
+    * without a separate operator runbook step. A rollup whose
+    * grouping keys don't include `snapshot_date` cannot commute with
+    * the delete — retraction refuses, we log and leave it REFUSED at
+    * navigation time (the delete guard keeps answers correct via the
+    * base; a rebuild is the operator's explicit fix), never throw the
+    * retention run itself.
     */
   def runRetention(asOf: LocalDate, retentionDays: Int = 30): (Seq[LocalDate], Long) = withWriterLock {
     val droppedBronze = bronze.retain(asOf, retentionDays)
@@ -415,10 +428,40 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     val datedGold = Seq("g1_daily_market_summary", "g2_price_history",
       "g3_market_opportunities", "g5_market_concentration",
       "g6_market_index", "g7_sector_trends")
-    val dropped = dropOldPartitions(silverPath, cutoff) +
-      dropOldPartitions(bronzeDailyPath, cutoff) +
-      datedGold.map(m => dropOldPartitions(goldPath(m), cutoff)).sum
+    val tables = Seq(silverPath, bronzeDailyPath) ++ datedGold.map(goldPath)
+    val dropped = tables.map(t => dropOldPartitions(t, cutoff)).sum
+    tables.foreach(t => retractMaintainedMvs(t, cutoff))
     (droppedBronze, dropped)
+  }
+
+  /** Retract + re-register every maintained rollup registered (in
+    * THIS session) over `tablePath` after its partitions below
+    * `cutoff` were dropped. Failure-isolated per rollup: a refusal
+    * (e.g. grouping keys without `snapshot_date`) logs and moves on —
+    * the delete guard already keeps that rollup from navigating, so
+    * correctness never depends on this step succeeding.
+    */
+  private def retractMaintainedMvs(tablePath: String, cutoff: LocalDate): Unit = {
+    // MvDef.basePath is stored scheme-stripped (scan-matching form)
+    val norm = new org.apache.hadoop.fs.Path(tablePath).toUri.getPath
+    graft.plans.MvCatalog.all(spark)
+      .filter(d => d.maintained && d.basePath == norm)
+      .foreach { d =>
+        try {
+          graft.streaming.StreamingMvMaintenance.retract(
+            spark, d.mvPath, s"snapshot_date < DATE '$cutoff'", d.hllP)
+          graft.plans.MaterializedAggregate.registerExisting(
+            spark, d.fingerprintPath, d.mvPath, d.groupCols, d.measureCols,
+            d.distinctCols, d.hllP, d.baseFilter, d.exprMeasures,
+            maintained = true)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(classOf[Pipeline]).warn(
+              s"retention: could not retract maintained rollup ${d.mvPath} " +
+                s"over $tablePath (${e.getMessage}); its delete guard will " +
+                "refuse navigation until it is rebuilt + re-registered")
+        }
+      }
   }
 
   /** Drop `snapshot_date=...` partition dirs before the cutoff —

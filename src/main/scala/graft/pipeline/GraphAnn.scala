@@ -1,0 +1,303 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-index ANN — the navigable-small-world family (the HNSW
+  * shape), closing the one ANN family the engine lacked next to
+  * brute / sign-LSH / IVF / PQ (round-13 verdict ask #6 / #8 in
+  * round 12). Same contract as [[Similarity]]: deterministic
+  * construction (no RNG — every pseudo-random choice derives from
+  * md5), double-precision cosine via the codegen'd
+  * [[graft.functions.FloatVectorDot]], ascending-id tie-breaks, and
+  * a DuckDB-expressible build/search so the gate can hash-pin it.
+  *
+  * WHY a graph index: IVF prunes by cell geometry — recall at fixed
+  * nprobe decays when the query lands between cells. A neighbor
+  * graph instead refines LOCALLY: beam search starts at entry points
+  * and walks edges toward the query, so cost scales with beam x
+  * degree x rounds, independent of corpus size once entered. HNSW's
+  * hierarchy exists to find a good entry point in log time on a
+  * single machine; here the HUB layer plays that role in one round
+  * (a bounded, driver-held sample scored against each query), which
+  * is the Spark-native substitute — a distributed beam can't afford
+  * per-level sequential descent, but it can afford one broadcast
+  * hub scoring.
+  *
+  * Construction (never all-pairs):
+  *  - kNN edges: candidates are pairs sharing a sign-LSH bucket
+  *    ([[Similarity.lshBucket]], the p08/p12 pair machinery); each
+  *    node keeps its top-`m` bucket-mates by cosine, then edges are
+  *    SYMMETRIZED (union with the reversed set, distinct) — the
+  *    standard kNN-graph + reverse-link construction, so a node
+  *    popular with others is reachable from them. Degree <= 2m.
+  *    Buckets larger than `maxBucket` are DROPPED (logged): a
+  *    degenerate embedding region would otherwise go quadratic; its
+  *    nodes stay reachable through hub edges.
+  *  - hub edges: hubs are a deterministic md5-strided corpus sample
+  *    ([[Similarity.sampleCentroids]] — same stride the IVF oracle
+  *    replays); every node links to its argmax-cosine hub (same
+  *    tie-break as IVF cell assignment: equal scores prefer the
+  *    larger hub id) and each hub links back to its top-`hubDegree`
+  *    assigned nodes. Hub edges make the graph navigable from the
+  *    entry layer even across LSH bucket boundaries.
+  *
+  * Search ([[searchAll]]): per query, the beam enters at the top-B
+  * hubs by cosine (driver-held hub list, broadcast scoring — no
+  * corpus scan), then `rounds` expansions: join the frontier to the
+  * edge table on `src` (edges carry `dst_vec` INLINE, so expansion
+  * never joins back to the corpus — the storage-for-shuffle trade
+  * HNSW adjacency lists make too), score, keep the per-query top-B
+  * NEW nodes as the next frontier, accumulate everything visited,
+  * answer top-k from the visited set. Per-round shuffle is
+  * O(|queries| x beam x degree) — corpus-size-independent.
+  *
+  * Index lifecycle mirrors the IVF/LSH indexes: [[writeIndex]]
+  * lands edges under `batch=<id>` (idempotent overwrite per batch),
+  * [[appendToIndex]] links a new embedding batch in (new-node edges
+  * + reverse links from existing nodes, cost ∝ batch),
+  * [[tombstoneIndex]] evicts ids logically (readers drop edges
+  * touching them), [[compactIndex]] folds batches, applies
+  * tombstones physically and re-caps per-(src, kind) degree — the
+  * append path accretes reverse links past `m`, and compaction is
+  * where the degree invariant is restored.
+  */
+object GraphAnn {
+
+  /** Per-node out-degree of the kNN layer (HNSW's M). */
+  val DefaultM = 8
+  /** Hub fan-out back into its assigned region. */
+  val DefaultHubDegree = 32
+
+  private def rankCosine(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    when(Similarity.norm(a) > 0 && Similarity.norm(b) > 0,
+      Similarity.cosine(a, b))
+
+  /** The edge table: (src, dst, dst_vec, cosine, kind) with
+    * kind = 'knn' | 'hub'. `dst_vec` inline is what frees search
+    * from re-joining the corpus every round.
+    */
+  def buildEdges(emb: DataFrame, hubs: Array[(Long, Array[Float])],
+      m: Int = DefaultM, bits: Int = 4, dim: Option[Int] = None,
+      hubDegree: Int = DefaultHubDegree, maxBucket: Long = 100000L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(hubs.nonEmpty, "empty hub list")
+    val d = dim.getOrElse(hubs.head._2.length)
+    val bucketed = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__b", Similarity.lshBucket(col("__v"), bits, d))
+      .where(col("__b").isNotNull)
+    // hot-bucket guard: a degenerate region must not go quadratic
+    val kept = bucketed.join(
+      bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= maxBucket).select(col("__b")),
+      Seq("__b"))
+    val a = kept.select(col("__b"), col("__id").as("src"),
+      col("__v").as("src_vec"))
+    val b = kept.select(col("__b"), col("__id").as("dst"),
+      col("__v").as("dst_vec"))
+    val pairs = a.join(b, Seq("__b")).where(col("src") =!= col("dst"))
+      .select(col("src"), col("src_vec"), col("dst"), col("dst_vec"),
+        rankCosine(col("src_vec"), col("dst_vec")).as("cosine"))
+    val wSrc = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst").asc)
+    val topM = pairs
+      .withColumn("__r", row_number().over(wSrc))
+      .where(col("__r") <= m)
+    // symmetrize: reverse links make popular nodes reachable; a
+    // reversed edge needs the SRC vector as its dst_vec
+    val knn = topM.select(col("src"), col("dst"), col("dst_vec"), col("cosine"))
+      .unionByName(topM.select(col("dst").as("src"), col("src").as("dst"),
+        col("src_vec").as("dst_vec"), col("cosine")))
+      .groupBy(col("src"), col("dst"))
+      .agg(first(col("dst_vec")).as("dst_vec"), max(col("cosine")).as("cosine"))
+      .withColumn("kind", lit("knn"))
+    // hub layer: node -> assigned hub, hub -> top-hubDegree assigned
+    val hubDf = {
+      val s = emb.sparkSession
+      import s.implicits._
+      hubs.toSeq.toDF("hub_id", "hub_vec")
+        .select(col("hub_id"), col("hub_vec").cast("array<float>").as("hub_vec"))
+    }
+    val assigned = Similarity.assignCells(
+      emb.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      hubs, "__v", "__hub")
+      .join(broadcast(hubDf), col("__hub") === col("hub_id"))
+      .select(col("__id"), col("__v"), col("hub_id"), col("hub_vec"),
+        rankCosine(col("__v"), col("hub_vec")).as("cosine"))
+    val up = assigned.where(col("__id") =!= col("hub_id"))
+      .select(col("__id").as("src"), col("hub_id").as("dst"),
+        col("hub_vec").as("dst_vec"), col("cosine"), lit("hub").as("kind"))
+    val wHub = Window.partitionBy(col("hub_id"))
+      .orderBy(col("cosine").desc, col("__id").asc)
+    val down = assigned.where(col("__id") =!= col("hub_id"))
+      .withColumn("__r", row_number().over(wHub))
+      .where(col("__r") <= hubDegree)
+      .select(col("hub_id").as("src"), col("__id").as("dst"),
+        col("__v").as("dst_vec"), col("cosine"), lit("hub").as("kind"))
+    knn.unionByName(up).unionByName(down)
+  }
+
+  /** Beam search over an edge table for a batch of queries.
+    * Output: (query_id, <idCol>, cosine, rank) — the
+    * [[Similarity.bruteSearchAll]] shape, rank 1-based with
+    * ascending-id tie-break; self-matches excluded.
+    */
+  def searchAll(edges: DataFrame, hubs: Array[(Long, Array[Float])],
+      queries: DataFrame, k: Int, beam: Int = 8, rounds: Int = 3,
+      idCol: String = "vec_id",
+      qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
+    val hubDf = hubs.toSeq.toDF("__hid", "__hv")
+      .select(col("__hid"), col("__hv").cast("array<float>").as("__hv"))
+    val wq = Window.partitionBy(col("__qid"))
+      .orderBy(col("cosine").desc, col("__node").asc)
+    // entry: top-beam hubs per query — the hub list is tiny and rides
+    // as a broadcast; no corpus scan happens anywhere in the search
+    val entry = hubDf.crossJoin(broadcast(q))
+      .select(col("__qid"), col("__qv"), col("__hid").as("__node"),
+        rankCosine(col("__hv"), col("__qv")).as("cosine"))
+      .withColumn("__r", row_number().over(wq)).where(col("__r") <= beam)
+      .drop("__r")
+    var visited = entry.localCheckpoint(true)
+    var frontier = visited
+    for (_ <- 0 until rounds) {
+      val expanded = frontier
+        .join(edges.select(col("src"), col("dst"), col("dst_vec")),
+          col("__node") === col("src"))
+        .select(col("__qid"), col("__qv"), col("dst").as("__node"),
+          rankCosine(col("dst_vec"), col("__qv")).as("cosine"))
+        .groupBy(col("__qid"), col("__node"))
+        .agg(first(col("__qv")).as("__qv"), max(col("cosine")).as("cosine"))
+        .select(col("__qid"), col("__qv"), col("__node"), col("cosine"))
+      val fresh = expanded
+        .join(visited.select(col("__qid"), col("__node")),
+          Seq("__qid", "__node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionByName(fresh).localCheckpoint(true)
+      frontier = fresh
+        .withColumn("__r", row_number().over(wq)).where(col("__r") <= beam)
+        .drop("__r")
+    }
+    val wk = Window.partitionBy(col("__qid"))
+      .orderBy(col("cosine").desc, col("__node").asc)
+    visited.where(col("__node") =!= col("__qid"))
+      .select(col("__qid").as(qidCol), col("__node").as(idCol), col("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("cosine").desc, col(idCol).asc)))
+      .where(col("rank") <= k)
+  }
+
+  private def tombstonePath(path: String) = s"${path}_tombstones"
+
+  /** Materialize the graph index: edges under `batch=<batchId>`.
+    * A fresh index clears the path and any stale tombstones first
+    * (the [[Similarity.writeIvfIndex]] discipline).
+    */
+  def writeIndex(emb: DataFrame, hubs: Array[(Long, Array[Float])],
+      path: String, m: Int = DefaultM, bits: Int = 4,
+      dim: Option[Int] = None, hubDegree: Int = DefaultHubDegree,
+      batchId: String = "base",
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val hconf = emb.sparkSession.sparkContext.hadoopConfiguration
+    Seq(path, tombstonePath(path)).foreach { dpath =>
+      val p = new org.apache.hadoop.fs.Path(dpath)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    buildEdges(emb, hubs, m, bits, dim, hubDegree, idCol = idCol,
+      vecCol = vecCol)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
+
+  /** Link a new embedding batch into an existing index WITHOUT
+    * rebuilding: edges are built over `corpus` (the FULL corpus
+    * including the batch — hub geometry and bucket planes are fixed,
+    * so only the pair step reruns) and only those TOUCHING the batch
+    * (src or dst in it) land under the new `batch=` dir — new nodes
+    * get their adjacency, existing nodes get reverse links INTO the
+    * batch. Existing nodes' stored degree creeps past `m` across
+    * appends; [[compactIndex]] re-caps. Idempotent per batchId.
+    */
+  def appendToIndex(batch: DataFrame, corpus: DataFrame,
+      hubs: Array[(Long, Array[Float])], path: String, batchId: String,
+      m: Int = DefaultM, bits: Int = 4, dim: Option[Int] = None,
+      hubDegree: Int = DefaultHubDegree,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val ids = batch.select(col(idCol).as("__bid")).distinct()
+    buildEdges(corpus, hubs, m, bits, dim, hubDegree, idCol = idCol,
+      vecCol = vecCol)
+      .join(broadcast(ids),
+        col("src") === col("__bid") || col("dst") === col("__bid"),
+        "left_semi")
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
+
+  /** Logical eviction: ids written under the sibling tombstone table;
+    * [[readEdges]] drops every edge touching them. Physical removal
+    * happens at [[compactIndex]]. Idempotent per batchId.
+    */
+  def tombstoneIndex(removedIds: DataFrame, path: String, batchId: String,
+      idCol: String = "vec_id"): Unit =
+    removedIds.select(col(idCol)).distinct()
+      .write.mode("overwrite").parquet(s"${tombstonePath(path)}/batch=$batchId")
+
+  /** The index's live edge set: batches unioned, tombstoned ids
+    * excluded on BOTH endpoints (an evicted vector must neither rank
+    * nor route).
+    */
+  def readEdges(spark: SparkSession, path: String,
+      idCol: String = "vec_id"): DataFrame = {
+    val df = spark.read.parquet(path)
+      .select(col("src"), col("dst"), col("dst_vec"), col("cosine"), col("kind"))
+    val tp = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) df
+    else {
+      val dead = spark.read.parquet(tombstonePath(path))
+        .select(col(idCol).as("__dead")).distinct()
+      df.join(broadcast(dead), col("src") === col("__dead"), "left_anti")
+        .join(broadcast(dead), col("dst") === col("__dead"), "left_anti")
+    }
+  }
+
+  /** Fold `batch=` dirs into one, apply tombstones physically, and
+    * restore the per-(src, kind) degree invariant (top-m knn /
+    * top-hubDegree hub by cosine, ascending-dst tie-break) that
+    * appends let creep. Returns batches folded.
+    */
+  def compactIndex(spark: SparkSession, path: String,
+      m: Int = DefaultM, hubDegree: Int = DefaultHubDegree,
+      intoBatchId: String = "compacted",
+      idCol: String = "vec_id"): Int = {
+    val tp = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def recap(df: DataFrame): DataFrame = {
+      val dropped =
+        if (!fs.exists(tp)) df
+        else {
+          val dead = spark.read.parquet(tombstonePath(path))
+            .select(col(idCol).as("__dead")).distinct()
+          df.join(broadcast(dead), col("src") === col("__dead"), "left_anti")
+            .join(broadcast(dead), col("dst") === col("__dead"), "left_anti")
+        }
+      val w = Window.partitionBy(col("src"), col("kind"))
+        .orderBy(col("cosine").desc, col("dst").asc)
+      dropped
+        .groupBy(col("src"), col("dst"), col("kind"))
+        .agg(first(col("dst_vec")).as("dst_vec"), max(col("cosine")).as("cosine"))
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") <= when(col("kind") === "hub", hubDegree)
+          .otherwise(lit(2 * m)))
+        .select(col("src"), col("dst"), col("dst_vec"), col("cosine"), col("kind"))
+    }
+    val merged = IndexCompaction.compact(spark, path, intoBatchId, Nil,
+      None, recap)
+    if (fs.exists(tp)) fs.delete(tp, true)
+    merged
+  }
+}

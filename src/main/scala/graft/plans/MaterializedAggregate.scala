@@ -46,7 +46,17 @@ import org.apache.spark.sql.types.DoubleType
   * Anything else — DISTINCT aggregates, filters on
   * measures, expressions over measures, a grouping column the MV
   * lacks — leaves the plan untouched; the rule must be sound, never
-  * clever. Derivability is SCHEMA-DRIVEN: a rollup registered from
+  * clever. GROUP BY ROLLUP / CUBE / grouping sets are a DECIDED
+  * refusal: they plan through Expand (each row replicated per
+  * grouping set, retired keys NULLed, spark_grouping_id telling
+  * super-rows from real NULL groups), and a rollup carries no such
+  * distinction — deriving the super-aggregate rows would conflate
+  * "NULL because rolled up" with "NULL in the data". unwrapShape
+  * never matches Expand, so the whole family answers from the base
+  * (MvRewriteSpec pins refusal + correctness). HAVING, by contrast,
+  * NAVIGATES: the Filter sits above the Aggregate, the rewrite
+  * re-emits the original output exprIds, and the parent Filter
+  * resolves over the rewritten node untouched (p133 gates it). Derivability is SCHEMA-DRIVEN: a rollup registered from
   * an older layout without nnz_* columns still navigates every shape
   * that doesn't need them.
   *
@@ -135,7 +145,7 @@ import org.apache.spark.sql.types.DoubleType
   * EXACTLY the registered base path — a multi-root scan that merely
   * includes it must keep its other roots' rows and refuses.
   */
-object MaterializedAggregate {
+object MaterializedAggregate extends org.apache.spark.internal.Logging {
 
   final case class MvDef(
       basePath: String,
@@ -201,17 +211,23 @@ object MaterializedAggregate {
     * MEASURE names are safe by construction: a measure `sum_x` emits
     * `sum_sum_x`/`min_sum_x`/..., each of which folds under exactly
     * the aggregate its own prefix declares.
+    *
+    * `batch` is reserved too: the maintained layout partitions the
+    * rollup by `batch=<id>` and compaction/retraction `drop("batch")`
+    * — a grouping column of that name would be shadowed by the
+    * partition column on read and silently dropped at compaction,
+    * the same grain-collapse class as the prefix collisions.
     */
   private[graft] def validateReservedNames(groupCols: Seq[String],
       distinctCols: Seq[String]): Unit = {
     val prefixes = Seq("sum_", "min_", "max_", "nnz_", "hll_")
     val bad = (groupCols ++ distinctCols).distinct
-      .filter(n => n == "cnt" || prefixes.exists(n.startsWith))
+      .filter(n => n == "cnt" || n == "batch" || prefixes.exists(n.startsWith))
     require(bad.isEmpty,
       s"grouping/distinct column name(s) ${bad.mkString(", ")} collide " +
-        "with the rollup's reserved aggregate-column namespace ('cnt' " +
-        "and the sum_/min_/max_/nnz_/hll_ prefixes); rename the column " +
-        "before registering it as a rollup key")
+        "with the rollup's reserved aggregate-column namespace ('cnt', " +
+        "'batch' and the sum_/min_/max_/nnz_/hll_ prefixes); rename the " +
+        "column before registering it as a rollup key")
   }
 
   /** Compute and write the rollup parquet for `basePath`:
@@ -406,23 +422,42 @@ object MaterializedAggregate {
     }
   }
 
-  // maintained-MV delete guard: first-level entry listing, cached
-  // under the same TTL discipline as the fingerprint (one shallow
-  // LIST, not the recursive walk — retention drops remove whole
-  // partition dirs / part files at this level)
+  // maintained-MV delete guard: first-level entry listing. Unlike the
+  // fingerprint's freshness TTL, entry staleness is a SOUNDNESS
+  // window (a retention drop could keep navigating deleted rows'
+  // aggregates until the cache expires), so it gets its OWN knob —
+  // `spark.graft.mv.deleteGuardTtlMs`, default 0 = re-list on every
+  // navigated query. The listing is one SHALLOW LIST (not the
+  // fingerprint's recursive walk), cheap enough to pay per query;
+  // deployments whose retention never races navigation can raise it.
+  // A base directory that has VANISHED entirely lists as empty —
+  // every registered entry reads as lost and navigation refuses
+  // (refuse-don't-crash: an optimizer rule must never be why a plan
+  // throws), and the query falls back to the base scan, which then
+  // reports the missing path as ITS OWN read error with the right
+  // blame.
+  private[plans] val DefaultDeleteGuardTtlMs = 0L
   private val entriesCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Set[String], Long)]()
 
   private[plans] def listEntriesCached(spark: SparkSession, path: String): Set[String] = {
-    val ttl = spark.conf.get("spark.graft.mv.freshnessTtlMs",
-      DefaultFreshnessTtlMs.toString).toLong
-    if (ttl <= 0L) listEntries(spark, path)
+    def listOrLost(): Set[String] =
+      try listEntries(spark, path)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          logWarning(s"MV delete guard: base $path no longer exists; " +
+            "treating every registered entry as lost (navigation refuses)")
+          Set.empty
+      }
+    val ttl = spark.conf.get("spark.graft.mv.deleteGuardTtlMs",
+      DefaultDeleteGuardTtlMs.toString).toLong
+    if (ttl <= 0L) listOrLost()
     else {
       val now = System.nanoTime() / 1000000L
       val hit = entriesCache.get(path)
       if (hit != null && now - hit._2 < ttl) hit._1
       else {
-        val es = listEntries(spark, path)
+        val es = listOrLost()
         entriesCache.put(path, (es, now))
         es
       }

@@ -300,6 +300,77 @@ object MartQueries {
               |  FROM silver GROUP BY item_id, snapshot_date)
               |SELECT * FROM agg
               |ORDER BY snapshot_date DESC, item_id ASC LIMIT 100""".stripMargin)),
+    // The advisor CLOSING the serving loop (round-13 verdict ask #3):
+    // same reference read path as serve_daily_summary_mv, but with
+    // ZERO manual registration — the serving layer hands its workload
+    // (the aggregatable G1 slice) to `MvAdvisor.advise`, which
+    // extracts the shape (keys, plain measures, the market_cap
+    // expression measure), builds the rollup and registers it in one
+    // call; the serving query must then navigate. minCompression=0:
+    // at the sf-scaled fixture (item_id, snapshot_date) is ~1 row per
+    // group — production auction density is what buys compression
+    // there, and the >=10x admission policy is gated by p128; THIS
+    // gate pins the zero-touch loop. The gate refuses if the silver
+    // fact scan survives; the hash oracle recomputes from silver in
+    // DuckDB.
+    QueryDef("serve_daily_summary_advised",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_serve_adv")
+        val stage = tmp.resolve("silver_fact").toString
+        val mvDir = tmp.resolve("mvs").toString
+        silverFromLineitem(s, dir).coalesce(2).write.parquet(stage)
+        def g1Lite = s.read.parquet(stage)
+          .groupBy(col("item_id"), col("snapshot_date"))
+          .agg(min(col("unit_price")).as("min_buyout"),
+            max(col("unit_price")).as("max_buyout"),
+            sum(col("quantity")).as("quantity_available"),
+            sum(col("unit_price") * col("quantity")).as("market_cap"),
+            count(lit(1)).as("auction_count"))
+        val defs = graft.plans.MvAdvisor.advise(
+          s, Seq(g1Lite), mvDir, minCompression = 0.0)
+        require(defs.length == 1, s"expected one advised def, got $defs")
+        require(defs.head.groupCols.toSet == Set("item_id", "snapshot_date"),
+          s"wrong advised grain: ${defs.head.groupCols}")
+        require(defs.head.exprMeasures.size == 1,
+          s"market_cap expression measure missing: ${defs.head.exprMeasures}")
+        try {
+          val q = ServingLayer.dailySummary(g1Lite, itemId = None, limit = 100)
+          val scanned = q.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("/mv_")),
+            s"advised serving query did not navigate; scans: $scanned")
+          require(!scanned.exists(_.contains("silver_fact")),
+            s"silver fact still scanned: $scanned")
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some(s"""WITH $silverSql,
+              |agg AS (
+              |  SELECT item_id, snapshot_date,
+              |         min(unit_price) AS min_buyout,
+              |         max(unit_price) AS max_buyout,
+              |         CAST(sum(quantity) AS BIGINT) AS quantity_available,
+              |         CAST(sum(unit_price * quantity) AS BIGINT) AS market_cap,
+              |         count(*) AS auction_count
+              |  FROM silver GROUP BY item_id, snapshot_date)
+              |SELECT * FROM agg
+              |ORDER BY snapshot_date DESC, item_id ASC LIMIT 100""".stripMargin)),
     QueryDef("serve_price_history",
       (s, dir) => {
         import org.apache.spark.sql.functions.col

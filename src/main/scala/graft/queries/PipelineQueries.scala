@@ -1627,6 +1627,194 @@ object PipelineQueries {
              |         AS est_distinct
              |FROM q JOIN agg a ON a.g = q.g""".stripMargin)),
 
+    // FULL-surface advisor loop (round-13 verdict ask #2): a mixed
+    // workload exercising every family the advisor can extract — the
+    // TPC-H Q1 revenue shape (EXPRESSION measure), an
+    // approx-distinct-orders sketch over the engine's canonical hash
+    // (HLL register column), and a second grain with a plain-column
+    // measure — all three repeating the same `l_linestatus = 'F'`
+    // conjunct, which must become the recommendation's baseFilter
+    // (partial rollup) rather than a grouping key. ONE
+    // `MvAdvisor.advise` call recommends, builds and registers the
+    // merged candidate; the gate then re-issues all three queries and
+    // refuses to pass unless each navigates (fact scan GONE, every
+    // time). The result joins the three navigated answers so the
+    // DuckDB oracle hash-pins expression-measure arithmetic, register
+    // digests/estimates and plain sums through the one advised rollup.
+    QueryDef("p131_mv_advisor_full",
+      (s, dir) => {
+        import graft.functions.{SketchFunctions => SK, Md5Hash}
+        val basePath = s"$dir/lineitem.parquet"
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_adv3")
+        val revenue = "round(l_extendedprice * 100) * (100 - round(l_discount * 100))"
+        def q1 = s.read.parquet(basePath)
+          .where(col("l_linestatus") === "F")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(expr(revenue)).as("sum_revenue_c4"),
+            count(lit(1)).as("n_rows"))
+        def q2 = s.read.parquet(basePath)
+          .where(col("l_linestatus") === "F")
+          .groupBy(col("l_returnflag"))
+          .agg(SK.hyperLogLog(Md5Hash.h60String(col("l_orderkey")), 4)
+            .as("__regs"))
+          .select(col("l_returnflag"),
+            md5(array_join(transform(col("__regs"), _.cast("string")), ","))
+              .as("register_digest"),
+            SK.hllZeroRegisters(col("__regs")).as("n_zero_registers"),
+            SK.hllHarmonicScaled(col("__regs")).as("harmonic_scaled"),
+            SK.hllEstimate(col("__regs"), 4).as("est_distinct"))
+        def q3 = s.read.parquet(basePath)
+          .where(col("l_linestatus") === "F")
+          .groupBy(col("l_returnflag"), col("l_suppkey"))
+          .agg(sum("l_quantity").as("sum_qty"))
+        val defs = graft.plans.MvAdvisor.advise(
+          s, Seq(q1, q2, q3), mvDir.toString)
+        require(defs.length == 1, s"expected one merged advised def, got $defs")
+        val d = defs.head
+        require(d.groupCols.toSet == Set("l_returnflag", "l_suppkey"),
+          s"wrong advised grain: ${d.groupCols}")
+        require(d.baseFilter.contains("(l_linestatus = 'F')") ||
+          d.baseFilter.exists(_.contains("l_linestatus")),
+          s"shared conjunct did not become the baseFilter: ${d.baseFilter}")
+        require(d.exprMeasures.size == 1,
+          s"revenue expression measure missing: ${d.exprMeasures}")
+        require(d.distinctCols == Seq("l_orderkey") && d.hllP == 4,
+          s"sketch family missing: ${d.distinctCols} p=${d.hllP}")
+        try {
+          def scans(df: org.apache.spark.sql.DataFrame) =
+            df.queryExecution.optimizedPlan.collect {
+              case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                r.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toUri.getPath)
+                  case _ => Seq.empty[String]
+                }
+            }.flatten
+          Seq(("q1", q1), ("q2", q2), ("q3", q3)).foreach { case (n, q) =>
+            val sc = scans(q)
+            require(sc.exists(_.contains("/mv_")),
+              s"advised rollup not navigated by $n; scans: $sc")
+            require(!sc.exists(_.contains("lineitem.parquet")),
+              s"fact table still scanned by $n: $sc")
+          }
+          val joined = q3
+            .join(q1, Seq("l_returnflag"))
+            .join(q2, Seq("l_returnflag"))
+          val rows = joined.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), joined.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""WITH f AS (SELECT l_returnflag AS g, l_orderkey, l_suppkey,
+             |                 l_quantity, l_extendedprice, l_discount
+             |           FROM lineitem WHERE l_linestatus = 'F'),
+             |q1 AS (SELECT g,
+             |         SUM(round(l_extendedprice * 100)
+             |             * (100 - round(l_discount * 100))) AS sum_revenue_c4,
+             |         COUNT(*) AS n_rows
+             |       FROM f GROUP BY g),
+             |q3 AS (SELECT g, l_suppkey, SUM(l_quantity) AS sum_qty
+             |       FROM f GROUP BY g, l_suppkey),
+             |h AS (SELECT DISTINCT g,
+             |        ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+             |      FROM f),
+             |rho AS (SELECT g, h % 16 AS bucket,
+             |               CASE WHEN h // 16 = 0 THEN 57
+             |                    ELSE 56 - length(bin(h // 16)) + 1 END AS rho
+             |        FROM h),
+             |base AS (SELECT DISTINCT g FROM f),
+             |regs AS (SELECT base.g, b.bucket, COALESCE(mx.mr, 0) AS reg
+             |         FROM base
+             |         CROSS JOIN (SELECT unnest(range(16)) AS bucket) b
+             |         LEFT JOIN (SELECT g, bucket, max(rho) AS mr
+             |                    FROM rho GROUP BY g, bucket) mx
+             |           ON mx.g = base.g AND mx.bucket = b.bucket),
+             |agg AS (SELECT g,
+             |          md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY bucket))
+             |            AS register_digest,
+             |          CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |            AS n_zero_registers,
+             |          CAST(sum(1::HUGEINT << (61 - CAST(reg AS INT))) AS DOUBLE)
+             |            AS harmonic_scaled
+             |        FROM regs GROUP BY g)
+             |SELECT q3.g AS l_returnflag, q3.l_suppkey, q3.sum_qty,
+             |       q1.sum_revenue_c4, q1.n_rows,
+             |       a.register_digest, a.n_zero_registers, a.harmonic_scaled,
+             |       (0.7213 / (1 + 1.079 / 16.0)) * 256.0
+             |         * 2305843009213693952.0 / a.harmonic_scaled
+             |         AS est_distinct
+             |FROM q3 JOIN q1 ON q1.g = q3.g
+             |JOIN agg a ON a.g = q3.g""".stripMargin)),
+
+    // HAVING navigation (round-13 verdict ask #7, the navigable
+    // half): a Filter ABOVE the Aggregate — the SQL HAVING shape —
+    // must not block navigation. The rule rewrites the Aggregate
+    // subtree and re-emits the ORIGINAL output exprIds, so the parent
+    // Filter resolves over the rewritten node untouched; this gate
+    // pins that contract (fact scan gone WITH the HAVING in place,
+    // answers hash-matched under a partial HAVING that drops real
+    // groups). The other half of ask #7 — GROUP BY ROLLUP's Expand
+    // shape — is a DECIDED REFUSAL (grouping sets aggregate partial
+    // NULL-keyed super-rows the rollup cannot distinguish from real
+    // NULL groups; navigation refuses and the query answers from the
+    // base), pinned by MvRewriteSpec's rollup/grouping_id specs.
+    QueryDef("p133_mv_having_rollup",
+      (s, dir) => {
+        val basePath = s"$dir/lineitem.parquet"
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_mv11")
+        val mvPath = mvDir.resolve("hvmv.parquet").toString
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          mvPath, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+        try {
+          val q = s.read.parquet(basePath)
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum("l_quantity").as("sum_qty"),
+              count(lit(1)).as("n_rows"),
+              avg("l_quantity").as("avg_qty"))
+            // HAVING on an aggregate: at sf0.01 this drops 3 of the 6
+            // groups (sums are integral-valued doubles — exact — so
+            // the membership is stable and the oracle can SEE a
+            // rewrite that mishandles the Filter)
+            .where(col("sum_qty") > 254000)
+          val scanned = q.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("hvmv.parquet")),
+            s"HAVING query did not navigate; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned under HAVING: $scanned")
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       SUM(l_quantity) AS sum_qty,
+             |       COUNT(*) AS n_rows,
+             |       AVG(l_quantity) AS avg_qty
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |HAVING SUM(l_quantity) > 254000""".stripMargin)),
+
     // Retention × maintained MV — the round-12 verdict's one open
     // soundness composition: the medallion's retention delete (S7,
     // Pipeline.runRetention's partition drop) composed with a
@@ -1647,21 +1835,27 @@ object PipelineQueries {
         val tmp = java.nio.file.Files.createTempDirectory("graft_mv10")
         val stage = tmp.resolve("fact_part").toString
         val mvPath = tmp.resolve("rmv.parquet").toString
+        // MONTH-grain partitions (round-13 verdict "What's wrong" #2:
+        // the original ~2.4k single-date dirs made this the most
+        // expensive gate on the surface at 21.9 s — ~84 month dirs
+        // prove the identical lifecycle at a tenth the fixture I/O)
         val silver = TestdataAdapter.silverFromLineitem(s, dir)
-        // one shuffle keyed on the partition column so each of the
-        // ~2.4k date dirs gets ONE file, not one per writing task —
-        // the same small-file discipline a real medallion write uses
-        silver.repartition(8, col("snapshot_date"))
-          .write.partitionBy("snapshot_date").parquet(stage)
+          .withColumn("snapshot_month", trunc(col("snapshot_date"), "month"))
+          .select("item_id", "quantity", "unit_price", "snapshot_month")
+        // one shuffle keyed on the partition column so the month dirs
+        // get a few files each, not one per writing task — the same
+        // small-file discipline a real medallion write uses
+        silver.repartition(8, col("snapshot_month"))
+          .write.partitionBy("snapshot_month").parquet(stage)
         val f = s.read.parquet(stage)
         graft.streaming.StreamingMvMaintenance.processBatch(
           f.where(col("item_id") % 2 === 0), 0L, mvPath,
-          Seq("snapshot_date"), Seq("unit_price", "quantity"))
+          Seq("snapshot_month"), Seq("unit_price", "quantity"))
         graft.streaming.StreamingMvMaintenance.processBatch(
           f.where(col("item_id") % 2 =!= 0), 1L, mvPath,
-          Seq("snapshot_date"), Seq("unit_price", "quantity"))
+          Seq("snapshot_month"), Seq("unit_price", "quantity"))
         graft.plans.MaterializedAggregate.registerExisting(
-          s, stage, mvPath, Seq("snapshot_date"),
+          s, stage, mvPath, Seq("snapshot_month"),
           Seq("unit_price", "quantity"), maintained = true)
         // the delete happens BETWEEN navigations below — observe it
         // immediately rather than through the production 30 s
@@ -1669,7 +1863,7 @@ object PipelineQueries {
         s.conf.set("spark.graft.mv.freshnessTtlMs", "0")
         try {
           def q = s.read.parquet(stage)
-            .groupBy(col("snapshot_date"))
+            .groupBy(col("snapshot_month"))
             .agg(sum("quantity").as("sum_qty"),
               min("unit_price").as("min_price"),
               max("unit_price").as("max_price"),
@@ -1692,9 +1886,9 @@ object PipelineQueries {
           val doomed = java.nio.file.Files.list(root).iterator().asScala
             .filter { p =>
               val n = p.getFileName.toString
-              n.startsWith("snapshot_date=") &&
+              n.startsWith("snapshot_month=") &&
                 scala.util.Try(java.time.LocalDate.parse(
-                  n.stripPrefix("snapshot_date="))).toOption
+                  n.stripPrefix("snapshot_month="))).toOption
                   .exists(_.isBefore(cutoff))
             }.toSeq
           require(doomed.nonEmpty, "cutoff dropped nothing — bad fixture")
@@ -1708,10 +1902,10 @@ object PipelineQueries {
           require(scans(q).exists(_.contains("fact_part")),
             "stale maintained rollup navigated after the retention drop")
           require(graft.streaming.StreamingMvMaintenance.retract(
-            s, mvPath, s"snapshot_date < DATE '$cutoff'") == 2,
+            s, mvPath, s"snapshot_month < DATE '$cutoff'") == 2,
             "retraction should fold the two maintained batches")
           graft.plans.MaterializedAggregate.registerExisting(
-            s, stage, mvPath, Seq("snapshot_date"),
+            s, stage, mvPath, Seq("snapshot_month"),
             Seq("unit_price", "quantity"), maintained = true)
           val q2 = q
           require(scans(q2).exists(_.contains("rmv.parquet")),
@@ -1732,14 +1926,15 @@ object PipelineQueries {
         }
       },
       Some(s"""WITH ${TestdataAdapter.silverSql}
-             |SELECT snapshot_date,
+             |SELECT CAST(date_trunc('month', snapshot_date) AS DATE)
+             |         AS snapshot_month,
              |       CAST(SUM(quantity) AS BIGINT) AS sum_qty,
              |       MIN(unit_price) AS min_price,
              |       MAX(unit_price) AS max_price,
              |       COUNT(*) AS n_rows
              |FROM silver
-             |WHERE snapshot_date >= DATE '1998-01-01'
-             |GROUP BY snapshot_date""".stripMargin)),
+             |WHERE date_trunc('month', snapshot_date) >= DATE '1998-01-01'
+             |GROUP BY 1""".stripMargin)),
 
     // Link-graph quality prior: integer-arithmetic PageRank
     // (graft.pipeline.LinkGraph) over a deterministic synthetic link

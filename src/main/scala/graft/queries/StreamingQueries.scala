@@ -2727,6 +2727,84 @@ object StreamingQueries {
            |LEFT JOIN k ON k.media_id = a.media_id
            |JOIN px ON px.cls = a.cls""".stripMargin))
 
+  /** st39: incrementally-maintained rollup navigated THROUGH a star
+    * join (round-13 verdict ask #8) — st33's two-micro-batch
+    * maintenance discipline under p125's join navigation: the fact
+    * replays as two `batch=` partial sets at (l_suppkey) grain, the
+    * rollup registers `maintained`, and a query that filters the fact
+    * on the grouping column, joins supplier on it and groups by the
+    * DIM attribute must rewrite to Join(rollup, supplier) — partial
+    * rows fold across batches exactly as they fold across join
+    * multiplicity (the same associative re-aggregation). Gate refuses
+    * if the fact scan survives or the supplier scan disappears;
+    * oracle is p129's base-table SQL verbatim.
+    */
+  private def streamingMvStar: QueryDef = QueryDef(
+    "st39_streaming_mv_star",
+    (s, dir) => {
+      val basePath = s"$dir/lineitem.parquet"
+      val facts = s.read.parquet(basePath)
+      val schema = facts.schema
+      val dirP = scratch("st39")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      val mvPath = dirP.resolve("mv.parquet").toString
+      facts.where(col("l_orderkey") % 2 === 0).coalesce(1).write.parquet(stage)
+      facts.where(col("l_orderkey") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val q0 = graft.streaming.StreamingMvMaintenance.maintainer(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage),
+        mvPath, Seq("l_suppkey"), Seq("l_quantity"))
+        .option("checkpointLocation", ckpt).start()
+      try q0.awaitTermination() finally q0.stop()
+
+      graft.plans.MaterializedAggregate.registerExisting(
+        s, basePath, mvPath, Seq("l_suppkey"), Seq("l_quantity"),
+        maintained = true)
+      try {
+        val fact = s.read.parquet(basePath)
+        val dim = s.read.parquet(s"$dir/supplier.parquet")
+        val q = fact.where(col("l_suppkey") <= 50)
+          .join(dim, fact("l_suppkey") === dim("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(sum("l_quantity").as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            min("l_quantity").as("min_qty"),
+            max("l_quantity").as("max_qty"),
+            avg("l_quantity").as("avg_qty"))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(scanned.exists(_.contains("mv.parquet")),
+          s"maintained star MV not navigated; scans: $scanned")
+        require(!scanned.exists(_.contains("lineitem.parquet")),
+          s"fact table still scanned: $scanned")
+        require(scanned.exists(_.contains("supplier.parquet")),
+          s"dim scan must survive: $scanned")
+        val rows = q.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+      } finally {
+        graft.plans.MvCatalog.clear()
+        deleteRecursively(dirP)
+      }
+    },
+    Some("""SELECT s_name,
+           |       SUM(l_quantity) AS sum_qty,
+           |       COUNT(*) AS n_rows,
+           |       MIN(l_quantity) AS min_qty,
+           |       MAX(l_quantity) AS max_qty,
+           |       AVG(l_quantity) AS avg_qty
+           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE l_suppkey <= 50
+           |GROUP BY s_name""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -2740,5 +2818,5 @@ object StreamingQueries {
       streamingIngestE2e, streamingOhlc, streamingDecontamination,
       streamingPixelDedup, streamingExcise, streamingMvMaintenance,
       streamingMediaIngest, streamingMvDistinct, streamingPairIngest,
-      streamingSearch, streamingMvCompact)
+      streamingSearch, streamingMvCompact, streamingMvStar)
 }

@@ -200,6 +200,52 @@ class PipelineSpec extends SparkSpec {
     assert(p.silver.where("snapshot_date = DATE'2026-02-14'").count() === 2)
   }
 
+  test("retention auto-retracts maintained rollups: one call, navigation re-armed with post-delete answers") {
+    import org.apache.spark.sql.functions._
+    graft.plans.MvCatalog.clear()
+    val wh = Files.createTempDirectory("graft-wh5").toString
+    val p = new Pipeline(spark, wh)
+    p.ingest(d1, Fixtures.day1Json)
+    p.runSilver(d1)
+    p.ingest(d2, Fixtures.day2Json)
+    p.runSilver(d2)
+    val silverPath = s"$wh/silver_auctions"
+    val mvPath = s"$wh/mv_silver.parquet"
+    graft.streaming.StreamingMvMaintenance.processBatch(
+      p.silver, 0L, mvPath, Seq("snapshot_date"), Seq("quantity"))
+    graft.plans.MaterializedAggregate.registerExisting(
+      spark, silverPath, mvPath, Seq("snapshot_date"), Seq("quantity"),
+      maintained = true)
+    def q = p.silver.groupBy(col("snapshot_date"))
+      .agg(sum("quantity").as("s"), count(lit(1)).as("n"))
+    def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    try {
+      assert(scanned(q).exists(_.contains("mv_silver")),
+        "maintained rollup must navigate before retention")
+      // ONE call: the retention run itself retracts + re-registers —
+      // no manual StreamingMvMaintenance.retract step
+      p.runRetention(d2.plusDays(31), 31) // cutoff between d1 and d2
+      assert(scanned(q).exists(_.contains("mv_silver")),
+        "retention did not auto-retract/re-arm the maintained rollup")
+      assert(!scanned(q).exists(_.contains("silver_auctions")),
+        "fact still scanned after auto-retract")
+      val navigated = q.collect().map(_.toSeq).toSet
+      graft.plans.MvCatalog.clear()
+      val direct = q.collect().map(_.toSeq).toSet
+      assert(navigated === direct, "navigated answers differ from base")
+      assert(direct.forall(_.head.toString == "2026-02-14"),
+        s"pre-cutoff rows survived retraction: $direct")
+    } finally graft.plans.MvCatalog.clear()
+  }
+
   test("retention ages out gold date partitions with silver") {
     val wh = Files.createTempDirectory("graft-wh4").toString
     val p = new Pipeline(spark, wh)

@@ -134,7 +134,7 @@ class MvAdvisorSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
-  test("rule-refused shapes extract nothing: distinct agg, self-join, right-outer, non-column measures") {
+  test("rule-refused shapes extract nothing: distinct agg, self-join, right-outer") {
     val f = fact
     val f2 = fact
     val dimPath = java.nio.file.Files
@@ -147,10 +147,61 @@ class MvAdvisorSpec extends SparkSpec {
           f("g1") === col("k"))
         .groupBy(col("g1")).agg(sum("qty").as("s")),
       f.join(dim, f("g1") === dim("k"), "right")
-        .groupBy(col("label")).agg(sum("qty").as("s")),
-      fact.groupBy(col("g1")).agg(sum(col("qty") * 2).as("s")))
+        .groupBy(col("label")).agg(sum("qty").as("s")))
     assert(MvAdvisor.candidates(spark, workload).isEmpty)
   }
+
+  test("expression measures extract as exprMeasures (the Q1 revenue shape)") {
+    // sum(qty * 2) is navigable since the rule's p122 surface — the
+    // advisor extracts it as an expression measure, not a refusal
+    val workload = Seq(
+      fact.groupBy(col("g1")).agg(sum(col("qty") * 2).as("s")))
+    val cands = MvAdvisor.candidates(spark, workload)
+    assert(cands.length === 1)
+    val c = cands.head
+    assert(c.groupCols.toSet === Set("g1"))
+    assert(c.measureCols.isEmpty)
+    assert(c.exprMeasures.size === 1)
+    assert(c.exprMeasures.keys.forall(_.startsWith("em_")))
+    assert(c.exprMeasures.values.head.contains("qty"))
+  }
+
+  test("keyless candidates navigate: a shared-slice global aggregate builds a one-row rollup") { withNoAqe {
+    // two global aggregates over the same slice: the conjunct becomes
+    // the baseFilter and the merged candidate has EMPTY groupCols —
+    // the rule must navigate the empty-groupBy Aggregate shape
+    // against the keyless (one-row) rollup, or the advisor would be
+    // recommending a build it can never use
+    MvCatalog.clear()
+    val mvDir = java.nio.file.Files.createTempDirectory("adv_mv3").toString
+    def q1 = fact.where(col("g2") === "s1").agg(sum("qty").as("s"))
+    def q2 = fact.where(col("g2") === "s1").agg(max("price").as("m"))
+    val cands = MvAdvisor.candidates(spark, Seq(q1, q2))
+    assert(cands.length === 1)
+    assert(cands.head.groupCols.isEmpty)
+    assert(cands.head.baseFilter.isDefined)
+    assert(cands.head.groupRowsApprox === 1L)
+    MvAdvisor.buildRecommended(spark, cands, mvDir)
+    try {
+      def scanned(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.rootPaths.map(_.toUri.getPath)
+        }.flatten
+      Seq(q1, q2).foreach { q =>
+        val paths = scanned(q)
+        assert(paths.exists(_.contains("mv_")),
+          s"global aggregate did not navigate the keyless rollup: $paths")
+        assert(!paths.exists(_.contains("fact.parquet")))
+      }
+      val navigated = (q1.collect().head.getDouble(0),
+        q2.collect().head.getDouble(0))
+      MvCatalog.clear()
+      val direct = (q1.collect().head.getDouble(0),
+        q2.collect().head.getDouble(0))
+      assert(navigated === direct)
+    } finally MvCatalog.clear()
+  } }
 
   test("compression gate refuses a fact-grain rollup") {
     // price is unique per row: keying on it makes the rollup the fact

@@ -1359,6 +1359,12 @@ class MvRewriteSpec extends SparkSpec {
         spark.read.parquet(rbase), 0L, rmv,
         Seq("g"), Seq("v"), distinctCols = Seq("hll_x"))
     }
+    // 'batch' too: the maintained layout partitions by batch=<id> and
+    // compaction drops it — a grouping column of that name would be
+    // shadowed by the partition column and dropped at compaction
+    intercept[IllegalArgumentException] {
+      MaterializedAggregate.build(spark, rbase, rmv, Seq("batch"), Seq("v"))
+    }
     // a MEASURE with a reserved-looking name is fine by construction:
     // sum_sum_region/min_sum_region/... each fold under exactly the
     // aggregate their own prefix declares
@@ -1366,4 +1372,83 @@ class MvRewriteSpec extends SparkSpec {
       Seq("g"), Seq("sum_region"))
     MvCatalog.clear()
   }
+
+  test("maintained delete guard: a base directory that VANISHED refuses navigation instead of throwing") { withNoAqe {
+    // the guard's posture is refuse-don't-crash — planning a query
+    // over a registered base whose whole directory is gone must not
+    // throw FileNotFoundException out of the optimizer rule; the
+    // navigation refuses and the fallback scan reports the missing
+    // path as its own error with the right blame
+    MvCatalog.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("mv_gone")
+    val rbase = tmp.resolve("fact_part").toString
+    val rmv = tmp.resolve("mv.parquet").toString
+    Seq(("d1", 1.0), ("d2", 2.0)).toDF("day", "v")
+      .write.partitionBy("day").parquet(rbase)
+    graft.streaming.StreamingMvMaintenance.processBatch(
+      spark.read.parquet(rbase), 0L, rmv, Seq("day"), Seq("v"))
+    MaterializedAggregate.registerExisting(spark, rbase, rmv,
+      Seq("day"), Seq("v"), maintained = true)
+    // capture the analyzed plan BEFORE the delete, then vaporize the
+    // whole base directory and re-optimize
+    val q = spark.read.parquet(rbase).groupBy(col("day"))
+      .agg(sum("v").as("s"))
+    def rm(fl: java.io.File): Unit = {
+      Option(fl.listFiles()).foreach(_.foreach(rm)); fl.delete(); ()
+    }
+    rm(new java.io.File(rbase))
+    try {
+      // optimizing must neither throw nor navigate to the stale rollup
+      val optimized = q.queryExecution.optimizedPlan
+      val navigated = optimized.collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.exists(_.toString.contains("mv.parquet")) => ()
+      }.isDefined
+      assert(!navigated, "navigated to a rollup over a vanished base")
+    } finally MvCatalog.clear()
+  } }
+
+  test("GROUP BY ROLLUP / CUBE / grouping_id refuse navigation (decided refusal), answers stay correct") { withNoAqe {
+    // grouping-sets aggregates plan through Expand: each input row is
+    // replicated once per grouping set with the retired keys NULLed
+    // and a spark_grouping_id column distinguishing super-rows from
+    // real NULL groups. A rollup holds no such distinction — deriving
+    // the super-aggregate rows from it would conflate "NULL because
+    // rolled up" with "NULL in the data" — so the DECISION (round-13
+    // verdict ask #7) is to REFUSE: unwrapShape sees Expand (not a
+    // relation/filter/join chain) and never matches. These specs pin
+    // the refusal AND that answers still come correctly off the base.
+    MvCatalog.clear()
+    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+      groupCols = Seq("g1", "g2"), measureCols = Seq("qty"))
+    try {
+      val r = spark.read.parquet(base).rollup(col("g1"), col("g2"))
+        .agg(sum("qty").as("s"))
+      assert(!scannedPaths(r).exists(_.contains("mv.parquet")),
+        "ROLLUP must not navigate")
+      assert(scannedPaths(r).exists(_.contains("fact.parquet")))
+      val got = r.collect()
+        .map(x => (Option(x.getString(0)), Option(x.getString(1)),
+          x.getDouble(2))).toSet
+      // grand total + per-g1 super rows present and correct
+      assert(got.contains((None, None, 62.0)))
+      assert(got.contains((Some("A"), None, 35.0)))
+      assert(got.contains((Some("A"), Some("x"), 30.0)))
+
+      val c = spark.read.parquet(base).cube(col("g1"))
+        .agg(sum("qty").as("s"))
+      assert(!scannedPaths(c).exists(_.contains("mv.parquet")),
+        "CUBE must not navigate")
+
+      // grouping_id()/grouping() misuse outside grouping sets is an
+      // analysis error in Spark itself; under ROLLUP it rides the
+      // Expand shape and must refuse with it
+      val gid = spark.read.parquet(base).rollup(col("g1"))
+        .agg(grouping_id().as("gid"), sum("qty").as("s"))
+      assert(!scannedPaths(gid).exists(_.contains("mv.parquet")),
+        "grouping_id query must not navigate")
+    } finally MvCatalog.clear()
+  } }
 }
