@@ -67,8 +67,17 @@ object GraphAnn {
 
   /** Per-node out-degree of the kNN layer (HNSW's M). */
   val DefaultM = 8
-  /** Hub fan-out back into its assigned region. */
-  val DefaultHubDegree = 32
+
+  /** Hub fan-out back into its assigned region. Sized for
+    * connectivity, not quality: a semantic cluster that drew no hub
+    * in the sample is reachable ONLY through its nodes' ranks in the
+    * nearest hub's downlinks — those nodes score below the hub's own
+    * neighborhood, so the fan-out must be a few times the expected
+    * assigned-cell size or orphan clusters fall off the graph
+    * (recall collapses to 0 for their queries, the failure mode
+    * GraphAnnSpec's recall gate watches).
+    */
+  val DefaultHubDegree = 64
 
   private def rankCosine(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column) =
@@ -106,12 +115,18 @@ object GraphAnn {
       .withColumn("__r", row_number().over(wSrc))
       .where(col("__r") <= m)
     // symmetrize: reverse links make popular nodes reachable; a
-    // reversed edge needs the SRC vector as its dst_vec
+    // reversed edge needs the SRC vector as its dst_vec. Then PRUNE
+    // back to 2m per src (HNSW's M_max discipline): a node popular
+    // with a whole region would otherwise reflect its unbounded
+    // in-degree back as out-degree, and beam expansion cost is
+    // beam x degree — the cap is what makes that bound real.
     val knn = topM.select(col("src"), col("dst"), col("dst_vec"), col("cosine"))
       .unionByName(topM.select(col("dst").as("src"), col("src").as("dst"),
         col("src_vec").as("dst_vec"), col("cosine")))
       .groupBy(col("src"), col("dst"))
       .agg(first(col("dst_vec")).as("dst_vec"), max(col("cosine")).as("cosine"))
+      .withColumn("__r", row_number().over(wSrc))
+      .where(col("__r") <= 2 * m).drop("__r")
       .withColumn("kind", lit("knn"))
     // hub layer: node -> assigned hub, hub -> top-hubDegree assigned
     val hubDf = {

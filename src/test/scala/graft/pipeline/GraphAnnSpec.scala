@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[GraphAnn]] — the navigable-small-world graph index: build
+  * invariants (degree caps, symmetry, hub connectivity), beam-search
+  * recall against brute force at production defaults, and the
+  * batch=/tombstone/compaction lifecycle.
+  */
+class GraphAnnSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dim = 64
+
+  // deterministic clustered corpus (no RNG): 20 tight clusters of 12
+  // — the RecallGateSpec geometry, same md5-folded generator
+  private def member(c: Int, m: Int): Array[Float] =
+    EmbeddingFixture.member("ga", dim, 0.02f)(c, m)
+
+  private def corpus = (for {
+    c <- 0 until 20; m <- 0 until 12
+  } yield (c * 12L + m, member(c, m)))
+    .toDF("vec_id", "embedding")
+    .withColumn("embedding", col("embedding").cast("array<float>"))
+
+  private def hubsOf(df: org.apache.spark.sql.DataFrame, n: Int) =
+    Similarity.sampleCentroids(df, n)
+
+  private def meanRecall(truth: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame): Double =
+    truth
+      .join(approx.select(col("query_id"), col("vec_id"),
+        lit(1L).as("__hit")), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("__hit"), lit(0L))) / count(lit(1))).as("r"))
+      .agg(avg(col("r"))).head().getDouble(0)
+
+  test("edge table invariants: per-src knn degree <= 2m, hub degree <= hubDegree, no self-edges") {
+    val emb = corpus
+    val edges = GraphAnn.buildEdges(emb, hubsOf(emb, 8), m = 4,
+      bits = 4, dim = Some(dim), hubDegree = 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(edges.where(col("src") === col("dst")).count() === 0L)
+    val knnDeg = edges.where(col("kind") === "knn")
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    assert(knnDeg <= 8L, s"knn degree $knnDeg exceeds 2m") // M_max prune
+    val downDeg = edges.where(col("kind") === "hub")
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    assert(downDeg <= 17L, s"hub degree $downDeg exceeds hubDegree+1")
+    // the prune keeps the BEST 2m per src, so each src's own top-m
+    // picks always survive (reverse links are what get sacrificed —
+    // the HNSW M_max discipline); every node with a bucket-mate must
+    // still have at least one knn edge
+    val connected = edges.where(col("kind") === "knn")
+      .select(col("src")).distinct().count()
+    assert(connected === corpus.count(),
+      s"only $connected of ${corpus.count()} nodes kept knn edges")
+    edges.unpersist()
+  }
+
+  test("beam search recall@10 >= 0.9 vs brute force at production defaults") {
+    val emb = corpus
+    val queries = emb.where(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val truth = Similarity.bruteSearchAll(emb, queries, 10)
+      .select(col("query_id"), col("vec_id"))
+    val hubs = hubsOf(emb, 16)
+    val edges = GraphAnn.buildEdges(emb, hubs, dim = Some(dim))
+    val got = GraphAnn.searchAll(edges, hubs, queries, k = 10)
+    val r = meanRecall(truth, got)
+    assert(r >= 0.9, s"graph-ANN recall collapsed: $r")
+  }
+
+  test("production defaults hold on the clustered reference corpus (recall@10 >= 0.9)") {
+    // the RecallGateSpec geometry the other ANN families are gated
+    // on: 2000 vectors, 40 clusters — includes clusters that drew no
+    // hub, exercising the hub-downlink connectivity path
+    val emb = graft.RecallCurve.clusteredCorpus(spark, n = 2000, dim = 64,
+      clusters = 40)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = emb.where(col("vec_id") % 311 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val truth = Similarity.bruteSearchAll(emb, queries, 10)
+      .select(col("query_id"), col("vec_id"))
+    val hubs = Similarity.sampleCentroids(emb, 64, knownCount = Some(2000L))
+    val edges = GraphAnn.buildEdges(emb, hubs, dim = Some(64))
+    val got = GraphAnn.searchAll(edges, hubs, queries, k = 10)
+    val r = meanRecall(truth, got)
+    assert(r >= 0.9, s"graph-ANN recall at production defaults collapsed: $r")
+    emb.unpersist()
+  }
+
+  test("index lifecycle: write == direct build; append links new nodes; tombstone evicts; compact folds + re-caps") {
+    val emb = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-nsw").toString + "/idx"
+    val hubs = hubsOf(emb, 16)
+    val queries = emb.where(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+    // write: the indexed read answers exactly like the direct build
+    GraphAnn.writeIndex(emb, hubs, path, dim = Some(dim))
+    val direct = GraphAnn.searchAll(
+      GraphAnn.buildEdges(emb, hubs, dim = Some(dim)), hubs, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val indexed = GraphAnn.searchAll(
+      GraphAnn.readEdges(spark, path), hubs, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(indexed === direct)
+
+    // append: rebuild the index from the even half, link the odd half
+    // in; odd nodes must be findable afterwards
+    val even = emb.where(col("vec_id") % 2 === 0)
+    val odd = emb.where(col("vec_id") % 2 === 1)
+    GraphAnn.writeIndex(even, hubs, path, dim = Some(dim))
+    GraphAnn.appendToIndex(odd, emb, hubs, path, batchId = "b1",
+      dim = Some(dim))
+    val afterAppend = GraphAnn.searchAll(
+      GraphAnn.readEdges(spark, path), hubs, queries, k = 10)
+    assert(afterAppend.where(col("vec_id") % 2 === 1).count() > 0,
+      "appended nodes never surface in search")
+
+    // tombstone: evicted ids must neither rank nor route
+    val dead = Seq(1L, 3L).toDF("vec_id")
+    GraphAnn.tombstoneIndex(dead, path, batchId = "t1")
+    val afterEvict = GraphAnn.searchAll(
+      GraphAnn.readEdges(spark, path), hubs, queries, k = 10)
+    assert(afterEvict.where(col("vec_id").isin(1L, 3L)).count() === 0L,
+      "tombstoned ids still rank")
+
+    // compact: batches fold to one dir, tombstones applied physically
+    // and cleared, per-(src, kind) degree re-capped, answers identical
+    val before = afterEvict.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val folded = GraphAnn.compactIndex(spark, path)
+    assert(folded === 2, s"expected 2 batches folded, got $folded")
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).toSeq
+    assert(dirs.size === 1, s"compaction left ${dirs.map(_.getName)}")
+    assert(!new java.io.File(path + "_tombstones").exists(),
+      "tombstones not cleared after physical application")
+    val compacted = spark.read.parquet(path)
+    assert(compacted.where(col("src").isin(1L, 3L) ||
+      col("dst").isin(1L, 3L)).count() === 0L,
+      "tombstoned rows survived compaction")
+    val after = GraphAnn.searchAll(
+      GraphAnn.readEdges(spark, path), hubs, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(after === before, "compaction changed answers")
+    emb.unpersist()
+  }
+}
