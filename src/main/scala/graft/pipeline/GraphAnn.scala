@@ -180,7 +180,11 @@ object GraphAnn {
     var visited = entry.localCheckpoint(true)
     var frontier = visited
     for (_ <- 0 until rounds) {
-      val expanded = frontier
+      // the frontier is |queries| x beam rows by construction — pin it
+      // as the BROADCAST side so the edge table streams in place
+      // (a checkpointed frontier has no stats, and a planner-chosen
+      // sort-merge join would shuffle the whole edge table per round)
+      val expanded = broadcast(frontier)
         .join(edges.select(col("src"), col("dst"), col("dst_vec")),
           col("__node") === col("src"))
         .select(col("__qid"), col("__qv"), col("dst").as("__node"),
@@ -197,8 +201,6 @@ object GraphAnn {
         .withColumn("__r", row_number().over(wq)).where(col("__r") <= beam)
         .drop("__r")
     }
-    val wk = Window.partitionBy(col("__qid"))
-      .orderBy(col("cosine").desc, col("__node").asc)
     visited.where(col("__node") =!= col("__qid"))
       .select(col("__qid").as(qidCol), col("__node").as(idCol), col("cosine"))
       .withColumn("rank", row_number().over(

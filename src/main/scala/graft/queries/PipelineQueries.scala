@@ -1779,93 +1779,7 @@ object PipelineQueries {
         GraphAnn.searchAll(GraphAnn.readEdges(s, nswIndexPath), hubs,
           queries, k = 10)
       },
-      Some {
-        def round(i: Int): String = {
-          val pf = s"f${i - 1}"
-          val pv = s"v${i - 1}"
-          s"""c$i AS (SELECT DISTINCT f.qid, ed.dst AS node
-             |        FROM $pf f JOIN edges ed ON ed.src = f.node),
-             |n$i AS (SELECT c.qid, c.node,
-             |          ${cosineSql("e2.v", "q.qv")} AS cos
-             |        FROM c$i c
-             |        JOIN e e2 ON e2.vec_id = c.node
-             |        JOIN q ON q.qid = c.qid
-             |        WHERE NOT EXISTS (SELECT 1 FROM $pv v
-             |                          WHERE v.qid = c.qid AND v.node = c.node)),
-             |v$i AS (SELECT * FROM $pv UNION ALL SELECT * FROM n$i),
-             |f$i AS (SELECT qid, node, cos FROM (
-             |          SELECT *, row_number() OVER (PARTITION BY qid
-             |            ORDER BY cos DESC, node ASC) AS rn FROM n$i)
-             |        WHERE rn <= 8)"""
-        }
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           |           FROM embeddings),
-           |b AS (SELECT vec_id, v, ${bucketSql("v", 4)} AS bucket FROM e),
-           |pr AS (SELECT a.vec_id AS src, c.vec_id AS dst,
-           |              ${cosineSql("a.v", "c.v")} AS cos
-           |       FROM b a JOIN b c ON a.bucket = c.bucket
-           |                        AND a.vec_id <> c.vec_id),
-           |topm AS (SELECT src, dst, cos FROM (
-           |           SELECT *, row_number() OVER (PARTITION BY src
-           |             ORDER BY cos DESC, dst ASC) AS rn FROM pr)
-           |         WHERE rn <= 8),
-           |sym AS (SELECT src, dst, max(cos) AS cos FROM (
-           |          SELECT src, dst, cos FROM topm
-           |          UNION ALL
-           |          SELECT dst AS src, src AS dst, cos FROM topm)
-           |        GROUP BY src, dst),
-           |knn AS (SELECT src, dst FROM (
-           |          SELECT *, row_number() OVER (PARTITION BY src
-           |            ORDER BY cos DESC, dst ASC) AS rn FROM sym)
-           |        WHERE rn <= 16),
-           |stride AS (SELECT greatest(count(*) // 16, 1) AS bkt
-           |           FROM embeddings),
-           |cent AS (SELECT vec_id AS hid, v AS hv
-           |         FROM e, stride
-           |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
-           |               % bkt = 0
-           |         ORDER BY vec_id LIMIT 16),
-           |asg AS (SELECT vec_id, v, hid, hv FROM (
-           |          SELECT e.vec_id, e.v, c.hid, c.hv,
-           |                 row_number() OVER (PARTITION BY e.vec_id
-           |                   ORDER BY list_dot_product(e.v, c.hv)
-           |                            / sqrt(list_dot_product(c.hv, c.hv)) DESC,
-           |                            c.hid DESC) AS rn
-           |          FROM e CROSS JOIN cent c)
-           |        WHERE rn = 1),
-           |up AS (SELECT vec_id AS src, hid AS dst FROM asg
-           |       WHERE vec_id <> hid),
-           |dwn AS (SELECT hid AS src, vec_id AS dst FROM (
-           |          SELECT hid, vec_id,
-           |                 row_number() OVER (PARTITION BY hid
-           |                   ORDER BY ${cosineSql("v", "hv")} DESC,
-           |                            vec_id ASC) AS rn
-           |          FROM asg WHERE vec_id <> hid)
-           |        WHERE rn <= 64),
-           |edges AS (SELECT src, dst FROM knn
-           |          UNION SELECT src, dst FROM up
-           |          UNION SELECT src, dst FROM dwn),
-           |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 31 = 0),
-           |f0 AS (SELECT qid, node, cos FROM (
-           |         SELECT q.qid, c.hid AS node,
-           |                ${cosineSql("c.hv", "q.qv")} AS cos,
-           |                row_number() OVER (PARTITION BY q.qid
-           |                  ORDER BY ${cosineSql("c.hv", "q.qv")} DESC,
-           |                           c.hid ASC) AS rn
-           |         FROM cent c CROSS JOIN q)
-           |       WHERE rn <= 8),
-           |v0 AS (SELECT qid, node, cos FROM f0),
-           |${round(1)},
-           |${round(2)},
-           |${round(3)}
-           |SELECT qid AS query_id, node AS vec_id, cos AS cosine,
-           |       CAST(rank AS INT) AS rank
-           |FROM (SELECT qid, node, cos,
-           |             row_number() OVER (PARTITION BY qid
-           |               ORDER BY cos DESC, node ASC) AS rank
-           |      FROM v3 WHERE node <> qid)
-           |WHERE rank <= 10""".stripMargin
-      }),
+      Some(nswTopkOracleSql)),
 
     // HAVING navigation (round-13 verdict ask #7, the navigable
     // half): a Filter ABOVE the Aggregate — the SQL HAVING shape —
@@ -6214,6 +6128,103 @@ object PipelineQueries {
              |         * 2305843009213693952.0 / a.harmonic_scaled
              |         AS est_distinct
              |FROM q JOIN agg a ON a.g = q.g""".stripMargin
+
+  /** The p132 graph-ANN oracle — the FULL NSW construction (buckets,
+    * per-node top-m, symmetrize + 2m prune, md5-strided hubs, argmax
+    * assignment with the IVF tie-break, up/down hub edges) plus all
+    * three beam rounds (expand via edges, visited-set anti-join,
+    * score, per-query top-8 frontier) and the final top-10, in SQL.
+    * Shared verbatim by the p132 batch gate and the st40 streaming
+    * serving twin: the index is static and per-query beam results
+    * are batch-independent, so the replay must hash-equal the batch.
+    */
+  private[queries] def nswTopkOracleSql: String = {
+    def round(i: Int): String = {
+      val pf = s"f${i - 1}"
+      val pv = s"v${i - 1}"
+      s"""c$i AS (SELECT DISTINCT f.qid, ed.dst AS node
+         |        FROM $pf f JOIN edges ed ON ed.src = f.node),
+         |n$i AS (SELECT c.qid, c.node,
+         |          ${cosineSql("e2.v", "q.qv")} AS cos
+         |        FROM c$i c
+         |        JOIN e e2 ON e2.vec_id = c.node
+         |        JOIN q ON q.qid = c.qid
+         |        WHERE NOT EXISTS (SELECT 1 FROM $pv v
+         |                          WHERE v.qid = c.qid AND v.node = c.node)),
+         |v$i AS (SELECT * FROM $pv UNION ALL SELECT * FROM n$i),
+         |f$i AS (SELECT qid, node, cos FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY qid
+         |            ORDER BY cos DESC, node ASC) AS rn FROM n$i)
+         |        WHERE rn <= 8)"""
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketSql("v", 4)} AS bucket FROM e),
+       |pr AS (SELECT a.vec_id AS src, c.vec_id AS dst,
+       |              ${cosineSql("a.v", "c.v")} AS cos
+       |       FROM b a JOIN b c ON a.bucket = c.bucket
+       |                        AND a.vec_id <> c.vec_id),
+       |topm AS (SELECT src, dst, cos FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY src
+       |             ORDER BY cos DESC, dst ASC) AS rn FROM pr)
+       |         WHERE rn <= 8),
+       |sym AS (SELECT src, dst, max(cos) AS cos FROM (
+       |          SELECT src, dst, cos FROM topm
+       |          UNION ALL
+       |          SELECT dst AS src, src AS dst, cos FROM topm)
+       |        GROUP BY src, dst),
+       |knn AS (SELECT src, dst FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY src
+       |            ORDER BY cos DESC, dst ASC) AS rn FROM sym)
+       |        WHERE rn <= 16),
+       |stride AS (SELECT greatest(count(*) // 16, 1) AS bkt
+       |           FROM embeddings),
+       |cent AS (SELECT vec_id AS hid, v AS hv
+       |         FROM e, stride
+       |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
+       |               % bkt = 0
+       |         ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT vec_id, v, hid, hv FROM (
+       |          SELECT e.vec_id, e.v, c.hid, c.hv,
+       |                 row_number() OVER (PARTITION BY e.vec_id
+       |                   ORDER BY list_dot_product(e.v, c.hv)
+       |                            / sqrt(list_dot_product(c.hv, c.hv)) DESC,
+       |                            c.hid DESC) AS rn
+       |          FROM e CROSS JOIN cent c)
+       |        WHERE rn = 1),
+       |up AS (SELECT vec_id AS src, hid AS dst FROM asg
+       |       WHERE vec_id <> hid),
+       |dwn AS (SELECT hid AS src, vec_id AS dst FROM (
+       |          SELECT hid, vec_id,
+       |                 row_number() OVER (PARTITION BY hid
+       |                   ORDER BY ${cosineSql("v", "hv")} DESC,
+       |                            vec_id ASC) AS rn
+       |          FROM asg WHERE vec_id <> hid)
+       |        WHERE rn <= 64),
+       |edges AS (SELECT src, dst FROM knn
+       |          UNION SELECT src, dst FROM up
+       |          UNION SELECT src, dst FROM dwn),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 31 = 0),
+       |f0 AS (SELECT qid, node, cos FROM (
+       |         SELECT q.qid, c.hid AS node,
+       |                ${cosineSql("c.hv", "q.qv")} AS cos,
+       |                row_number() OVER (PARTITION BY q.qid
+       |                  ORDER BY ${cosineSql("c.hv", "q.qv")} DESC,
+       |                           c.hid ASC) AS rn
+       |         FROM cent c CROSS JOIN q)
+       |       WHERE rn <= 8),
+       |v0 AS (SELECT qid, node, cos FROM f0),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT qid AS query_id, node AS vec_id, cos AS cosine,
+       |       CAST(rank AS INT) AS rank
+       |FROM (SELECT qid, node, cos,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY cos DESC, node ASC) AS rank
+       |      FROM v3 WHERE node <> qid)
+       |WHERE rank <= 10""".stripMargin
+  }
 
   private[queries] val decontaminationOracleSql: String =
     """WITH tk AS (SELECT doc_id,

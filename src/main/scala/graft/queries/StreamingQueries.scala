@@ -2805,6 +2805,57 @@ object StreamingQueries {
            |WHERE l_suppkey <= 50
            |GROUP BY s_name""".stripMargin))
 
+  /** st40: streaming ANN serving over the GRAPH index — arriving
+    * query vectors against a frozen [[graft.pipeline.GraphAnn]] NSW
+    * index, the graph-family twin of st37's inverted-index serving.
+    * The index materializes once; each query micro-batch beam-searches
+    * it (entry at the driver-held hubs, expansion over edges carrying
+    * dst vectors inline — no corpus scan per batch) and lands its
+    * top-10 under its own `batch=` dir (replay-idempotent). Per-query
+    * results are batch-independent, so the two-batch replay must
+    * hash-equal the batch gate — the oracle is p132's SQL verbatim.
+    */
+  private def streamingAnnServe: QueryDef = QueryDef(
+    "st40_streaming_ann_serve",
+    (s, dir) => {
+      val dirP = scratch("st40")
+      val index = dirP.resolve("index").toString
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      val out = dirP.resolve("out").toString
+      val emb = Tables.embeddings(s, dir)
+      val hubs = graft.pipeline.Similarity.sampleCentroids(emb, nlist = 16)
+      graft.pipeline.GraphAnn.writeIndex(emb, hubs, index, dim = Some(64))
+      val queries = emb.where(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val schema = queries.schema
+      queries.where(col("query_id") % 2 === 0).coalesce(1).write.parquet(stage)
+      queries.where(col("query_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(stage)
+
+      val q0 = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.pipeline.GraphAnn.searchAll(
+            graft.pipeline.GraphAnn.readEdges(batch.sparkSession, index),
+            hubs, batch, k = 10)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      try q0.awaitTermination() finally q0.stop()
+
+      val outDf = s.read.parquet(out).select(
+        col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      val outSchema = outDf.schema
+      val rows = outDf.collect()
+      deleteRecursively(dirP)
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), outSchema)
+    },
+    Some(PipelineQueries.nswTopkOracleSql))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -2818,5 +2869,6 @@ object StreamingQueries {
       streamingIngestE2e, streamingOhlc, streamingDecontamination,
       streamingPixelDedup, streamingExcise, streamingMvMaintenance,
       streamingMediaIngest, streamingMvDistinct, streamingPairIngest,
-      streamingSearch, streamingMvCompact, streamingMvStar)
+      streamingSearch, streamingMvCompact, streamingMvStar,
+      streamingAnnServe)
 }
