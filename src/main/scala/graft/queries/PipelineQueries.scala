@@ -317,6 +317,7 @@ object PipelineQueries {
     */
   private def ivfIndexPath = s"$artifactRoot/ivf_index_p20"
   private def nswIndexPath = s"$artifactRoot/nsw_index_p132"
+  private def nswLifePath = s"$artifactRoot/nsw_index_p135"
 
   /** Artifact path for the p91 eviction-gate LSH index. */
   private def evictLshIndexPath = s"$artifactRoot/lsh_index_p91"
@@ -1780,6 +1781,47 @@ object PipelineQueries {
           queries, k = 10)
       },
       Some(nswTopkOracleSql)),
+
+    // Graph-index LIFECYCLE (the p19/p91/p92 discipline for the NSW
+    // family): base batch from the EVEN half, the odd half LINKED IN
+    // as a maintenance batch (edges over the full corpus restricted
+    // to those touching the batch — new nodes get adjacency, old
+    // nodes get reverse links), a tombstone eviction, then compaction
+    // folding both batches, applying the tombstones physically and
+    // re-capping per-(src, kind) degree. The searched answers over
+    // the compacted index hash-match an oracle that recomputes BOTH
+    // constructions, the union, the eviction and the re-cap in SQL —
+    // evicted ids must neither rank nor route.
+    QueryDef("p135_nsw_lifecycle",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val hubs = Similarity.sampleCentroids(emb, nlist = 16)
+        val even = emb.where(col("vec_id") % 2 === 0)
+        val odd = emb.where(col("vec_id") % 2 =!= 0)
+        GraphAnn.writeIndex(even, hubs, nswLifePath, dim = Some(EmbeddingDim))
+        GraphAnn.appendToIndex(odd, emb, hubs, nswLifePath,
+          batchId = "b1", dim = Some(EmbeddingDim))
+        GraphAnn.tombstoneIndex(
+          emb.where(col("vec_id") % 50 === 7).select("vec_id"),
+          nswLifePath, batchId = "t1")
+        val folded = GraphAnn.compactIndex(s, nswLifePath)
+        require(folded == 2, s"expected 2 batches folded, got $folded")
+        val root = new org.apache.hadoop.fs.Path(nswLifePath)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val dirs = fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        require(dirs.size == 1,
+          s"compaction left ${dirs.map(_.getPath.getName)}")
+        require(!fs.exists(new org.apache.hadoop.fs.Path(
+          nswLifePath + "_tombstones")),
+          "tombstones not cleared after physical application")
+        val queries = emb.where(col("vec_id") % 31 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"))
+        GraphAnn.searchAll(GraphAnn.readEdges(s, nswLifePath), hubs,
+          queries, k = 10)
+      },
+      Some(nswLifecycleOracleSql)),
 
     // HAVING navigation (round-13 verdict ask #7, the navigable
     // half): a Filter ABOVE the Aggregate — the SQL HAVING shape —
@@ -6129,16 +6171,74 @@ object PipelineQueries {
              |         AS est_distinct
              |FROM q JOIN agg a ON a.g = q.g""".stripMargin
 
-  /** The p132 graph-ANN oracle — the FULL NSW construction (buckets,
-    * per-node top-m, symmetrize + 2m prune, md5-strided hubs, argmax
-    * assignment with the IVF tie-break, up/down hub edges) plus all
-    * three beam rounds (expand via edges, visited-set anti-join,
-    * score, per-query top-8 frontier) and the final top-10, in SQL.
-    * Shared verbatim by the p132 batch gate and the st40 streaming
-    * serving twin: the index is static and per-query beam results
-    * are batch-independent, so the replay must hash-equal the batch.
+  /** One NSW construction chain over the subset of `e` where
+    * `where` holds, CTE names prefixed `p` — mirrors
+    * [[graft.pipeline.GraphAnn.buildEdges]] with the shared `cent`
+    * hub CTE (hub geometry is FIXED across base and append batches,
+    * like IVF centroids): buckets, within-bucket pairs, per-src
+    * top-m, symmetrize + the 2m M_max prune (`${p}knnc`), hub argmax
+    * assignment with the IVF tie-break, up-links (`${p}upc`) and
+    * capped downlinks (`${p}dwnc`). All three emit (src, dst, cos)
+    * so lifecycle oracles can re-cap after unioning batches.
     */
-  private[queries] def nswTopkOracleSql: String = {
+  private def nswChainCtes(p: String, where: String): String =
+    s"""${p}b AS (SELECT vec_id, v, ${bucketSql("v", 4)} AS bucket
+       |          FROM e WHERE $where),
+       |${p}pr AS (SELECT a.vec_id AS src, c.vec_id AS dst,
+       |              ${cosineSql("a.v", "c.v")} AS cos
+       |       FROM ${p}b a JOIN ${p}b c ON a.bucket = c.bucket
+       |                        AND a.vec_id <> c.vec_id),
+       |${p}topm AS (SELECT src, dst, cos FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY src
+       |             ORDER BY cos DESC, dst ASC) AS rn FROM ${p}pr)
+       |         WHERE rn <= 8),
+       |${p}sym AS (SELECT src, dst, max(cos) AS cos FROM (
+       |          SELECT src, dst, cos FROM ${p}topm
+       |          UNION ALL
+       |          SELECT dst AS src, src AS dst, cos FROM ${p}topm)
+       |        GROUP BY src, dst),
+       |${p}knnc AS (SELECT src, dst, cos FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY src
+       |            ORDER BY cos DESC, dst ASC) AS rn FROM ${p}sym)
+       |        WHERE rn <= 16),
+       |${p}asg AS (SELECT vec_id, v, hid, hv FROM (
+       |          SELECT e.vec_id, e.v, c.hid, c.hv,
+       |                 row_number() OVER (PARTITION BY e.vec_id
+       |                   ORDER BY list_dot_product(e.v, c.hv)
+       |                            / sqrt(list_dot_product(c.hv, c.hv)) DESC,
+       |                            c.hid DESC) AS rn
+       |          FROM e CROSS JOIN cent c WHERE $where)
+       |        WHERE rn = 1),
+       |${p}upc AS (SELECT vec_id AS src, hid AS dst,
+       |              ${cosineSql("v", "hv")} AS cos
+       |            FROM ${p}asg WHERE vec_id <> hid),
+       |${p}dwnc AS (SELECT hid AS src, vec_id AS dst, cos FROM (
+       |          SELECT hid, vec_id, ${cosineSql("v", "hv")} AS cos,
+       |                 row_number() OVER (PARTITION BY hid
+       |                   ORDER BY ${cosineSql("v", "hv")} DESC,
+       |                            vec_id ASC) AS rn
+       |          FROM ${p}asg WHERE vec_id <> hid)
+       |        WHERE rn <= 64)""".stripMargin
+
+  /** The md5-strided hub CTEs (`stride`, `cent`) — exactly
+    * [[graft.pipeline.Similarity.sampleCentroids]] over the FULL
+    * embeddings table, the p20/p22 oracle form.
+    */
+  private def nswHubCtes: String =
+    """stride AS (SELECT greatest(count(*) // 16, 1) AS bkt
+      |           FROM embeddings),
+      |cent AS (SELECT vec_id AS hid, v AS hv
+      |         FROM e, stride
+      |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
+      |               % bkt = 0
+      |         ORDER BY vec_id LIMIT 16)""".stripMargin
+
+  /** The beam-search tail over a prepared `edges(src, dst)` CTE —
+    * entry at the top-8 hubs, three expand/score/prune rounds with
+    * visited-set anti-joins, final per-query top-10. Mirrors
+    * [[graft.pipeline.GraphAnn.searchAll]] at the gate defaults.
+    */
+  private def nswBeamTailSql: String = {
     def round(i: Int): String = {
       val pf = s"f${i - 1}"
       val pv = s"v${i - 1}"
@@ -6157,54 +6257,7 @@ object PipelineQueries {
          |            ORDER BY cos DESC, node ASC) AS rn FROM n$i)
          |        WHERE rn <= 8)"""
     }
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |           FROM embeddings),
-       |b AS (SELECT vec_id, v, ${bucketSql("v", 4)} AS bucket FROM e),
-       |pr AS (SELECT a.vec_id AS src, c.vec_id AS dst,
-       |              ${cosineSql("a.v", "c.v")} AS cos
-       |       FROM b a JOIN b c ON a.bucket = c.bucket
-       |                        AND a.vec_id <> c.vec_id),
-       |topm AS (SELECT src, dst, cos FROM (
-       |           SELECT *, row_number() OVER (PARTITION BY src
-       |             ORDER BY cos DESC, dst ASC) AS rn FROM pr)
-       |         WHERE rn <= 8),
-       |sym AS (SELECT src, dst, max(cos) AS cos FROM (
-       |          SELECT src, dst, cos FROM topm
-       |          UNION ALL
-       |          SELECT dst AS src, src AS dst, cos FROM topm)
-       |        GROUP BY src, dst),
-       |knn AS (SELECT src, dst FROM (
-       |          SELECT *, row_number() OVER (PARTITION BY src
-       |            ORDER BY cos DESC, dst ASC) AS rn FROM sym)
-       |        WHERE rn <= 16),
-       |stride AS (SELECT greatest(count(*) // 16, 1) AS bkt
-       |           FROM embeddings),
-       |cent AS (SELECT vec_id AS hid, v AS hv
-       |         FROM e, stride
-       |         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '/ivf'), 1, 8))::BIGINT
-       |               % bkt = 0
-       |         ORDER BY vec_id LIMIT 16),
-       |asg AS (SELECT vec_id, v, hid, hv FROM (
-       |          SELECT e.vec_id, e.v, c.hid, c.hv,
-       |                 row_number() OVER (PARTITION BY e.vec_id
-       |                   ORDER BY list_dot_product(e.v, c.hv)
-       |                            / sqrt(list_dot_product(c.hv, c.hv)) DESC,
-       |                            c.hid DESC) AS rn
-       |          FROM e CROSS JOIN cent c)
-       |        WHERE rn = 1),
-       |up AS (SELECT vec_id AS src, hid AS dst FROM asg
-       |       WHERE vec_id <> hid),
-       |dwn AS (SELECT hid AS src, vec_id AS dst FROM (
-       |          SELECT hid, vec_id,
-       |                 row_number() OVER (PARTITION BY hid
-       |                   ORDER BY ${cosineSql("v", "hv")} DESC,
-       |                            vec_id ASC) AS rn
-       |          FROM asg WHERE vec_id <> hid)
-       |        WHERE rn <= 64),
-       |edges AS (SELECT src, dst FROM knn
-       |          UNION SELECT src, dst FROM up
-       |          UNION SELECT src, dst FROM dwn),
-       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 31 = 0),
+    s"""q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 31 = 0),
        |f0 AS (SELECT qid, node, cos FROM (
        |         SELECT q.qid, c.hid AS node,
        |                ${cosineSql("c.hv", "q.qv")} AS cos,
@@ -6224,6 +6277,62 @@ object PipelineQueries {
        |               ORDER BY cos DESC, node ASC) AS rank
        |      FROM v3 WHERE node <> qid)
        |WHERE rank <= 10""".stripMargin
+  }
+
+  /** The p132 graph-ANN oracle — the FULL NSW construction plus all
+    * three beam rounds and the final top-10, in SQL. Shared verbatim
+    * by the p132 batch gate and the st40 streaming serving twin: the
+    * index is static and per-query beam results are
+    * batch-independent, so the replay must hash-equal the batch.
+    */
+  private[queries] def nswTopkOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |$nswHubCtes,
+       |${nswChainCtes("", "TRUE")},
+       |edges AS (SELECT src, dst FROM knnc
+       |          UNION SELECT src, dst FROM upc
+       |          UNION SELECT src, dst FROM dwnc),
+       |$nswBeamTailSql""".stripMargin
+
+  /** The p135 lifecycle oracle: base batch built over the EVEN half,
+    * append batch built over the FULL corpus restricted to edges
+    * touching the odd half (exactly [[graft.pipeline.GraphAnn.appendToIndex]]),
+    * tombstoned ids dropped from BOTH endpoints, then compaction's
+    * per-(src, kind) degree re-cap — and the same beam tail over the
+    * surviving edge set.
+    */
+  private[queries] def nswLifecycleOracleSql: String = {
+    val odd = "(src % 2 = 1 OR dst % 2 = 1)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |$nswHubCtes,
+       |${nswChainCtes("ev", "vec_id % 2 = 0")},
+       |${nswChainCtes("ap", "TRUE")},
+       |dead AS (SELECT vec_id AS id FROM e WHERE vec_id % 50 = 7),
+       |uni AS (SELECT src, dst, cos, 'knn' AS kind FROM evknnc
+       |        UNION ALL
+       |        SELECT src, dst, cos, 'knn' FROM apknnc WHERE $odd
+       |        UNION ALL
+       |        SELECT src, dst, cos, 'hub' FROM evupc
+       |        UNION ALL
+       |        SELECT src, dst, cos, 'hub' FROM apupc WHERE $odd
+       |        UNION ALL
+       |        SELECT src, dst, cos, 'hub' FROM evdwnc
+       |        UNION ALL
+       |        SELECT src, dst, cos, 'hub' FROM apdwnc WHERE $odd),
+       |ded AS (SELECT src, dst, kind, max(cos) AS cos FROM uni
+       |        GROUP BY src, dst, kind),
+       |alive AS (SELECT * FROM ded
+       |          WHERE src NOT IN (SELECT id FROM dead)
+       |            AND dst NOT IN (SELECT id FROM dead)),
+       |recap AS (SELECT src, dst, kind FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY src, kind
+       |              ORDER BY cos DESC, dst ASC) AS rn FROM alive)
+       |          WHERE (kind = 'knn' AND rn <= 16)
+       |             OR (kind = 'hub' AND rn <= 64)),
+       |edges AS (SELECT DISTINCT src, dst FROM recap),
+       |$nswBeamTailSql""".stripMargin
   }
 
   private[queries] val decontaminationOracleSql: String =
