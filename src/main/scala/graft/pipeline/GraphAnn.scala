@@ -177,7 +177,19 @@ object GraphAnn {
         rankCosine(col("__hv"), col("__qv")).as("cosine"))
       .withColumn("__r", row_number().over(wq)).where(col("__r") <= beam)
       .drop("__r")
+    // hubs are ROUTING points first: an entry hub may RANK only if
+    // the live edge table confirms it (any out-edge — every live node
+    // has its up-link or knn edges; a TOMBSTONED hub has none, because
+    // eviction strips every edge touching it). The caller's hub list
+    // is driver-held geometry, like IVF centroids — it cannot know
+    // about deletions, so the index itself must arbitrate. Without
+    // this, a deleted corpus row that happened to be a hub would keep
+    // ranking forever (GraphAnnPropertiesSpec pins the law).
+    val entryRanked = entry.join(
+      edges.select(col("src")).distinct(),
+      col("__node") === col("src"), "left_semi")
     var visited = entry.localCheckpoint(true)
+    var ranked = entryRanked.localCheckpoint(true)
     var frontier = visited
     for (_ <- 0 until rounds) {
       // the frontier is |queries| x beam rows by construction — pin it
@@ -197,11 +209,12 @@ object GraphAnn {
           Seq("__qid", "__node"), "left_anti")
         .localCheckpoint(true)
       visited = visited.unionByName(fresh).localCheckpoint(true)
+      ranked = ranked.unionByName(fresh).localCheckpoint(true)
       frontier = fresh
         .withColumn("__r", row_number().over(wq)).where(col("__r") <= beam)
         .drop("__r")
     }
-    visited.where(col("__node") =!= col("__qid"))
+    ranked.where(col("__node") =!= col("__qid"))
       .select(col("__qid").as(qidCol), col("__node").as(idCol), col("cosine"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(qidCol))

@@ -6266,6 +6266,8 @@ object PipelineQueries {
        |                           c.hid ASC) AS rn
        |         FROM cent c CROSS JOIN q)
        |       WHERE rn <= 8),
+       |f0r AS (SELECT f0.* FROM f0
+       |        WHERE EXISTS (SELECT 1 FROM edges ed WHERE ed.src = f0.node)),
        |v0 AS (SELECT qid, node, cos FROM f0),
        |${round(1)},
        |${round(2)},
@@ -6275,7 +6277,9 @@ object PipelineQueries {
        |FROM (SELECT qid, node, cos,
        |             row_number() OVER (PARTITION BY qid
        |               ORDER BY cos DESC, node ASC) AS rank
-       |      FROM v3 WHERE node <> qid)
+       |      FROM (SELECT * FROM f0r UNION ALL SELECT * FROM n1
+       |            UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3)
+       |      WHERE node <> qid)
        |WHERE rank <= 10""".stripMargin
   }
 
