@@ -120,11 +120,28 @@ object RecallCurve {
       Console.out.flush()
     }
 
+    val n = Some(emb.count())
+
+    // Graph ANN (NSW): hub layer ~ sqrt N, sweep beam x rounds — the
+    // navigability evidence behind GraphAnn's defaults (one edge
+    // build, reused across the sweep, like a deployment would).
+    import graft.pipeline.GraphAnn
+    val hubs = Similarity.sampleCentroids(emb, 64, knownCount = n)
+    val edges = GraphAnn.buildEdges(emb, hubs, dim = Some(dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    for (beam <- Seq(4, 8, 16); rounds <- Seq(2, 3)) {
+      val r = meanRecall(GraphAnn.searchAll(edges, hubs, queries, k,
+        beam = beam, rounds = rounds), truth)
+      println(s"""{"family":"nsw","hubs":64,"beam":$beam,"rounds":$rounds,"mean_recall":$r,"q":$nQ}""")
+      Console.out.flush()
+    }
+    edges.unpersist()
+
     // Quantized paths at production defaults — the honesty artifact
     // behind the compression knobs: how much recall each code budget
     // actually costs on this geometry.
     import graft.pipeline.Quantization
-    val n = Some(emb.count())
     // int8 scalar quantization: full-precision geometry at 1/4 the
     // bytes — the near-free baseline
     val rInt8 = meanRecall(
