@@ -122,18 +122,21 @@ object RecallCurve {
 
     val n = Some(emb.count())
 
-    // Graph ANN (NSW): hub layer ~ sqrt N, sweep beam x rounds — the
-    // navigability evidence behind GraphAnn's defaults (one edge
-    // build, reused across the sweep, like a deployment would).
+    // Graph ANN (NSW): hub layer ~ sqrt N (SPARK_GRAFT_NSW_HUBS
+    // overrides), sweep beam x rounds — the navigability evidence
+    // behind GraphAnn's defaults (one edge build, reused across the
+    // sweep, like a deployment would).
     import graft.pipeline.GraphAnn
-    val hubs = Similarity.sampleCentroids(emb, 64, knownCount = n)
+    val nHubs = sys.env.get("SPARK_GRAFT_NSW_HUBS").map(_.toInt)
+      .getOrElse(math.max(16, math.sqrt(n.get.toDouble).toInt))
+    val hubs = Similarity.sampleCentroids(emb, nHubs, knownCount = n)
     val edges = GraphAnn.buildEdges(emb, hubs, dim = Some(dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count()
     for (beam <- Seq(4, 8, 16); rounds <- Seq(2, 3)) {
       val r = meanRecall(GraphAnn.searchAll(edges, hubs, queries, k,
         beam = beam, rounds = rounds), truth)
-      println(s"""{"family":"nsw","hubs":64,"beam":$beam,"rounds":$rounds,"mean_recall":$r,"q":$nQ}""")
+      println(s"""{"family":"nsw","hubs":$nHubs,"beam":$beam,"rounds":$rounds,"mean_recall":$r,"q":$nQ}""")
       Console.out.flush()
     }
     edges.unpersist()

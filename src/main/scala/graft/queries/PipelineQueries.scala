@@ -6213,11 +6213,17 @@ object PipelineQueries {
        |              ${cosineSql("v", "hv")} AS cos
        |            FROM ${p}asg WHERE vec_id <> hid),
        |${p}dwnc AS (SELECT hid AS src, vec_id AS dst, cos FROM (
-       |          SELECT hid, vec_id, ${cosineSql("v", "hv")} AS cos,
+       |          SELECT hid, vec_id, cos,
        |                 row_number() OVER (PARTITION BY hid
-       |                   ORDER BY ${cosineSql("v", "hv")} DESC,
-       |                            vec_id ASC) AS rn
-       |          FROM ${p}asg WHERE vec_id <> hid)
+       |                   ORDER BY cos DESC, vec_id ASC) AS rn
+       |          FROM (SELECT a.hid, a.vec_id,
+       |                       ${cosineSql("a.v", "a.hv")} AS cos,
+       |                       row_number() OVER (PARTITION BY a.hid, bb.bucket
+       |                         ORDER BY ${cosineSql("a.v", "a.hv")} DESC,
+       |                                  a.vec_id ASC) AS rq
+       |                FROM ${p}asg a JOIN ${p}b bb ON bb.vec_id = a.vec_id
+       |                WHERE a.vec_id <> a.hid)
+       |          WHERE rq <= 4)
        |        WHERE rn <= 64)""".stripMargin
 
   /** The md5-strided hub CTEs (`stride`, `cent`) — exactly
