@@ -259,25 +259,84 @@ object GraphAnn {
   }
 
   /** Link a new embedding batch into an existing index WITHOUT
-    * rebuilding: edges are built over `corpus` (the FULL corpus
-    * including the batch — hub geometry and bucket planes are fixed,
-    * so only the pair step reruns) and only those TOUCHING the batch
-    * (src or dst in it) land under the new `batch=` dir — new nodes
-    * get their adjacency, existing nodes get reverse links INTO the
-    * batch. Existing nodes' stored degree creeps past `m` across
+    * rebuilding — the HNSW insertion shape, batch-proportional:
+    * candidates are (batch node) x (bucket-mate anywhere in
+    * `corpus`), so the shuffled pair volume is |batch| x bucket
+    * density, never corpus x corpus (the one full-corpus cost is the
+    * bucketing scan itself — one pass, no shuffle). Each batch node
+    * keeps its top-`m` candidates; the REVERSED set gives existing
+    * nodes their links INTO the batch (bidirectional insertion);
+    * batch nodes also get their hub up-link and compete for
+    * per-(hub, bucket) downlink quota AMONG THE BATCH. Hub geometry
+    * and bucket planes are fixed (the IVF-centroid discipline).
+    * Existing nodes' stored degree creeps past the caps across
     * appends; [[compactIndex]] re-caps. Idempotent per batchId.
     */
   def appendToIndex(batch: DataFrame, corpus: DataFrame,
       hubs: Array[(Long, Array[Float])], path: String, batchId: String,
       m: Int = DefaultM, bits: Int = 4, dim: Option[Int] = None,
-      hubDegree: Int = DefaultHubDegree,
+      hubDegree: Int = DefaultHubDegree, maxBucket: Long = 100000L,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val ids = batch.select(col(idCol).as("__bid")).distinct()
-    buildEdges(corpus, hubs, m, bits, dim, hubDegree, idCol = idCol,
-      vecCol = vecCol)
-      .join(broadcast(ids),
-        col("src") === col("__bid") || col("dst") === col("__bid"),
-        "left_semi")
+    require(hubs.nonEmpty, "empty hub list")
+    val d = dim.getOrElse(hubs.head._2.length)
+    def bucketed(df: DataFrame) =
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+        .withColumn("__b", Similarity.lshBucket(col("__v"), bits, d))
+        .where(col("__b").isNotNull)
+    val all = bucketed(corpus)
+    val kept = all.join(
+      all.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= maxBucket).select(col("__b")),
+      Seq("__b"))
+    val aNew = bucketed(batch).select(col("__b"), col("__id").as("src"),
+      col("__v").as("src_vec"))
+    val bAll = kept.select(col("__b"), col("__id").as("dst"),
+      col("__v").as("dst_vec"))
+    val wSrc = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst").asc)
+    val topM = aNew.join(bAll, Seq("__b")).where(col("src") =!= col("dst"))
+      .select(col("src"), col("src_vec"), col("dst"), col("dst_vec"),
+        rankCosine(col("src_vec"), col("dst_vec")).as("cosine"))
+      .withColumn("__r", row_number().over(wSrc))
+      .where(col("__r") <= m)
+    val knn = topM.select(col("src"), col("dst"), col("dst_vec"), col("cosine"))
+      .unionByName(topM.select(col("dst").as("src"), col("src").as("dst"),
+        col("src_vec").as("dst_vec"), col("cosine")))
+      .groupBy(col("src"), col("dst"))
+      .agg(first(col("dst_vec")).as("dst_vec"), max(col("cosine")).as("cosine"))
+      .withColumn("kind", lit("knn"))
+    // hub edges for the batch only: up-link + per-(hub, bucket)
+    // quota downlinks among the batch (old downlinks stay in their
+    // own batch dirs; compaction merges and re-caps)
+    val hubDf = {
+      val s = batch.sparkSession
+      import s.implicits._
+      hubs.toSeq.toDF("hub_id", "hub_vec")
+        .select(col("hub_id"), col("hub_vec").cast("array<float>").as("hub_vec"))
+    }
+    val assigned = Similarity.assignCells(
+      batch.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      hubs, "__v", "__hub")
+      .join(broadcast(hubDf), col("__hub") === col("hub_id"))
+      .select(col("__id"), col("__v"), col("hub_id"), col("hub_vec"),
+        Similarity.lshBucket(col("__v"), bits, d).as("__b"),
+        rankCosine(col("__v"), col("hub_vec")).as("cosine"))
+    val up = assigned.where(col("__id") =!= col("hub_id"))
+      .select(col("__id").as("src"), col("hub_id").as("dst"),
+        col("hub_vec").as("dst_vec"), col("cosine"), lit("hub").as("kind"))
+    val quota = math.max(1, hubDegree >> bits)
+    val wHubBucket = Window.partitionBy(col("hub_id"), col("__b"))
+      .orderBy(col("cosine").desc, col("__id").asc)
+    val wHub = Window.partitionBy(col("hub_id"))
+      .orderBy(col("cosine").desc, col("__id").asc)
+    val down = assigned.where(col("__id") =!= col("hub_id"))
+      .withColumn("__rq", row_number().over(wHubBucket))
+      .where(col("__rq") <= quota)
+      .withColumn("__r", row_number().over(wHub))
+      .where(col("__r") <= hubDegree)
+      .select(col("hub_id").as("src"), col("__id").as("dst"),
+        col("__v").as("dst_vec"), col("cosine"), lit("hub").as("kind"))
+    knn.unionByName(up).unionByName(down)
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
   }
 

@@ -6305,32 +6305,73 @@ object PipelineQueries {
        |          UNION SELECT src, dst FROM dwnc),
        |$nswBeamTailSql""".stripMargin
 
-  /** The p135 lifecycle oracle: base batch built over the EVEN half,
-    * append batch built over the FULL corpus restricted to edges
-    * touching the odd half (exactly [[graft.pipeline.GraphAnn.appendToIndex]]),
+  /** The p135 lifecycle oracle: base batch built over the EVEN half
+    * ([[graft.pipeline.GraphAnn.writeIndex]]'s full construction on
+    * that subset), the odd half LINKED IN batch-proportionally
+    * (exactly [[graft.pipeline.GraphAnn.appendToIndex]]: odd-src ×
+    * full-corpus bucket-mate candidates → per-src top-m → reversed
+    * set for the old side, NO 2m prune at append; odd-only hub
+    * up-links and per-(hub, bucket) quota downlinks among the odd),
     * tombstoned ids dropped from BOTH endpoints, then compaction's
     * per-(src, kind) degree re-cap — and the same beam tail over the
     * surviving edge set.
     */
-  private[queries] def nswLifecycleOracleSql: String = {
-    val odd = "(src % 2 = 1 OR dst % 2 = 1)"
+  private[queries] def nswLifecycleOracleSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
        |$nswHubCtes,
        |${nswChainCtes("ev", "vec_id % 2 = 0")},
-       |${nswChainCtes("ap", "TRUE")},
+       |fb AS (SELECT vec_id, v, ${bucketSql("v", 4)} AS bucket FROM e),
+       |appr AS (SELECT a.vec_id AS src, c.vec_id AS dst,
+       |                ${cosineSql("a.v", "c.v")} AS cos
+       |         FROM fb a JOIN fb c ON a.bucket = c.bucket
+       |                            AND a.vec_id <> c.vec_id
+       |         WHERE a.vec_id % 2 = 1),
+       |aptopm AS (SELECT src, dst, cos FROM (
+       |             SELECT *, row_number() OVER (PARTITION BY src
+       |               ORDER BY cos DESC, dst ASC) AS rn FROM appr)
+       |           WHERE rn <= 8),
+       |apknnc AS (SELECT src, dst, max(cos) AS cos FROM (
+       |             SELECT src, dst, cos FROM aptopm
+       |             UNION ALL
+       |             SELECT dst AS src, src AS dst, cos FROM aptopm)
+       |           GROUP BY src, dst),
+       |apasg AS (SELECT vec_id, v, hid, hv FROM (
+       |            SELECT e.vec_id, e.v, c.hid, c.hv,
+       |                   row_number() OVER (PARTITION BY e.vec_id
+       |                     ORDER BY list_dot_product(e.v, c.hv)
+       |                              / sqrt(list_dot_product(c.hv, c.hv)) DESC,
+       |                              c.hid DESC) AS rn
+       |            FROM e CROSS JOIN cent c WHERE e.vec_id % 2 = 1)
+       |          WHERE rn = 1),
+       |apupc AS (SELECT vec_id AS src, hid AS dst,
+       |            ${cosineSql("v", "hv")} AS cos
+       |          FROM apasg WHERE vec_id <> hid),
+       |apdwnc AS (SELECT hid AS src, vec_id AS dst, cos FROM (
+       |          SELECT hid, vec_id, cos,
+       |                 row_number() OVER (PARTITION BY hid
+       |                   ORDER BY cos DESC, vec_id ASC) AS rn
+       |          FROM (SELECT a.hid, a.vec_id,
+       |                       ${cosineSql("a.v", "a.hv")} AS cos,
+       |                       row_number() OVER (PARTITION BY a.hid, bb.bucket
+       |                         ORDER BY ${cosineSql("a.v", "a.hv")} DESC,
+       |                                  a.vec_id ASC) AS rq
+       |                FROM apasg a JOIN fb bb ON bb.vec_id = a.vec_id
+       |                WHERE a.vec_id <> a.hid)
+       |          WHERE rq <= 4)
+       |        WHERE rn <= 64),
        |dead AS (SELECT vec_id AS id FROM e WHERE vec_id % 50 = 7),
        |uni AS (SELECT src, dst, cos, 'knn' AS kind FROM evknnc
        |        UNION ALL
-       |        SELECT src, dst, cos, 'knn' FROM apknnc WHERE $odd
+       |        SELECT src, dst, cos, 'knn' FROM apknnc
        |        UNION ALL
        |        SELECT src, dst, cos, 'hub' FROM evupc
        |        UNION ALL
-       |        SELECT src, dst, cos, 'hub' FROM apupc WHERE $odd
+       |        SELECT src, dst, cos, 'hub' FROM apupc
        |        UNION ALL
        |        SELECT src, dst, cos, 'hub' FROM evdwnc
        |        UNION ALL
-       |        SELECT src, dst, cos, 'hub' FROM apdwnc WHERE $odd),
+       |        SELECT src, dst, cos, 'hub' FROM apdwnc),
        |ded AS (SELECT src, dst, kind, max(cos) AS cos FROM uni
        |        GROUP BY src, dst, kind),
        |alive AS (SELECT * FROM ded
@@ -6343,7 +6384,6 @@ object PipelineQueries {
        |             OR (kind = 'hub' AND rn <= 64)),
        |edges AS (SELECT DISTINCT src, dst FROM recap),
        |$nswBeamTailSql""".stripMargin
-  }
 
   private[queries] val decontaminationOracleSql: String =
     """WITH tk AS (SELECT doc_id,
