@@ -198,21 +198,28 @@ object GraphAnn {
     // is driver-held geometry, like IVF centroids — it cannot know
     // about deletions, so the index itself must arbitrate. Without
     // this, a deleted corpus row that happened to be a hub would keep
-    // ranking forever (GraphAnnPropertiesSpec pins the law).
-    val entryRanked = entry.join(
-      edges.select(col("src")).distinct(),
-      col("__node") === col("src"), "left_semi")
+    // ranking forever (GraphAnnPropertiesSpec pins the law). The
+    // confirmation rides the FIRST expansion join (every entry node
+    // is in the round-1 frontier, so a live hub necessarily surfaces
+    // there as a src) — never a corpus-scale `edges.src.distinct()`.
     var visited = entry.localCheckpoint(true)
-    var ranked = entryRanked.localCheckpoint(true)
+    var ranked: DataFrame = null
     var frontier = visited
-    for (_ <- 0 until rounds) {
+    for (r <- 0 until rounds) {
       // the frontier is |queries| x beam rows by construction — pin it
       // as the BROADCAST side so the edge table streams in place
       // (a checkpointed frontier has no stats, and a planner-chosen
       // sort-merge join would shuffle the whole edge table per round)
-      val expanded = broadcast(frontier)
+      val joined = broadcast(frontier)
         .join(edges.select(col("src"), col("dst"), col("dst_vec")),
           col("__node") === col("src"))
+      if (r == 0) {
+        val liveSrc = joined.select(col("src")).distinct()
+        ranked = entry.join(broadcast(liveSrc),
+          col("__node") === col("src"), "left_semi")
+          .localCheckpoint(true)
+      }
+      val expanded = joined
         .select(col("__qid"), col("__qv"), col("dst").as("__node"),
           rankCosine(col("dst_vec"), col("__qv")).as("cosine"))
         .groupBy(col("__qid"), col("__node"))
@@ -228,6 +235,10 @@ object GraphAnn {
         .withColumn("__r", row_number().over(wq)).where(col("__r") <= beam)
         .drop("__r")
     }
+    // rounds == 0 (degenerate): fall back to the direct confirmation
+    if (ranked == null)
+      ranked = entry.join(edges.select(col("src")).distinct(),
+        col("__node") === col("src"), "left_semi")
     ranked.where(col("__node") =!= col("__qid"))
       .select(col("__qid").as(qidCol), col("__node").as(idCol), col("cosine"))
       .withColumn("rank", row_number().over(
