@@ -32,9 +32,11 @@ import org.apache.spark.sql.functions._
   *    SYMMETRIZED (union with the reversed set, distinct) — the
   *    standard kNN-graph + reverse-link construction, so a node
   *    popular with others is reachable from them. Degree <= 2m.
-  *    Buckets larger than `maxBucket` are DROPPED (logged): a
-  *    degenerate embedding region would otherwise go quadratic; its
-  *    nodes stay reachable through hub edges.
+  *    Buckets larger than `maxBucket` are DROPPED from the pair
+  *    step: a degenerate embedding region would otherwise go
+  *    quadratic; its nodes stay reachable through hub edges (audit
+  *    the drop set with a bucket-count query over `lshBucket` — the
+  *    build adds no counting job of its own).
   *  - hub edges: hubs are a deterministic md5-strided corpus sample
   *    ([[Similarity.sampleCentroids]] — same stride the IVF oracle
   *    replays); every node links to its argmax-cosine hub (same
@@ -171,7 +173,10 @@ object GraphAnn {
   /** Beam search over an edge table for a batch of queries.
     * Output: (query_id, <idCol>, cosine, rank) — the
     * [[Similarity.bruteSearchAll]] shape, rank 1-based with
-    * ascending-id tie-break; self-matches excluded.
+    * ascending-id tie-break; self-matches excluded. The QUERY BATCH
+    * rides as a broadcast (the batched-trio contract: queries are
+    * small, the index is the big side) — a corpus-scale self-kNN
+    * join wants [[Similarity]]'s bucketed pair machinery instead.
     */
   def searchAll(edges: DataFrame, hubs: Array[(Long, Array[Float])],
       queries: DataFrame, k: Int, beam: Int = 8, rounds: Int = 3,
