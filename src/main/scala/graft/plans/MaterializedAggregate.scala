@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Divide, EqualTo, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions._
@@ -46,14 +46,24 @@ import org.apache.spark.sql.types.DoubleType
   * Anything else — DISTINCT aggregates, filters on
   * measures, expressions over measures, a grouping column the MV
   * lacks — leaves the plan untouched; the rule must be sound, never
-  * clever. GROUP BY ROLLUP / CUBE / grouping sets are a DECIDED
-  * refusal: they plan through Expand (each row replicated per
-  * grouping set, retired keys NULLed, spark_grouping_id telling
-  * super-rows from real NULL groups), and a rollup carries no such
-  * distinction — deriving the super-aggregate rows would conflate
-  * "NULL because rolled up" with "NULL in the data". unwrapShape
-  * never matches Expand, so the whole family answers from the base
-  * (MvRewriteSpec pins refusal + correctness). HAVING, by contrast,
+  * clever. GROUP BY ROLLUP / CUBE / grouping sets NAVIGATE (round 14
+  * — this was a round-13 decided refusal): they plan through Expand
+  * (each row replicated per grouping set, retired keys NULLed,
+  * spark_grouping_id telling super-rows from real NULL groups), and
+  * while a rollup alone cannot distinguish "NULL because rolled up"
+  * from "NULL in the data", REPLAYING the Expand OVER the rollup
+  * preserves the distinction exactly: each rollup row stands for the
+  * fact rows sharing its grouping values, so replicating it per
+  * grouping set and re-folding the partials groups exactly the fact
+  * rows the original grouped — real NULL groups stay data-NULLs
+  * (the rollup's grouping columns keep them) and super-rows stay
+  * super (gid is still a per-projection literal). The fact-side
+  * Expand (|fact| × sets rows) becomes a rollup-side Expand
+  * (|groups| × sets rows) — at 100 TB that is the difference between
+  * tripling the fact scan and tripling a few thousand rollup rows.
+  * Shapes the replay can't carry — a grouping-set column the MV
+  * lacks, an aggregate over a nulled copy — refuse as before
+  * (MvRewriteSpec pins navigation + the residual refusals). HAVING
   * NAVIGATES: the Filter sits above the Aggregate, the rewrite
   * re-emits the original output exprIds, and the parent Filter
   * resolves over the rewritten node untouched (p133 gates it). Derivability is SCHEMA-DRIVEN: a rollup registered from
@@ -847,6 +857,10 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(agg0: Aggregate, mv: MvDef): Option[LogicalPlan] = {
     val agg = inlineProjects(agg0)
+    expandChild(agg.child) match {
+      case Some(e) => return rewriteExpand(agg, e, mv)
+      case None =>
+    }
     val (condOpt, rel, stars) = unwrapShape(agg.child, mv) match {
       case Some(x) => x
       case None => return None
@@ -1088,13 +1102,22 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // falls back to the post-delete base — correct, just slower)
     // until `StreamingMvMaintenance.retract` + re-registration
     // re-arm navigation.
+    if (!freshnessOk(mv)) return None
+    Some(rewritten)
+  }
+
+  /** Freshness LAST (driver-side listing — only candidates that
+    * structurally matched pay it); shared by the flat/star path and
+    * the grouping-sets (Expand) path.
+    */
+  private def freshnessOk(mv: MvDef): Boolean = {
     if (!mv.maintained && mv.baseFingerprint.exists(fp =>
         fp != MaterializedAggregate.fingerprintCached(
           session, mv.fingerprintPath))) {
       logWarning(s"MV at ${mv.mvPath} refused: base ${mv.basePath} " +
         "changed since registration (stale rollup); re-register after " +
         "rebuilding to re-arm navigation")
-      return None
+      return false
     }
     if (mv.maintained && mv.baseEntries.nonEmpty) {
       val current = MaterializedAggregate.listEntriesCached(
@@ -1107,9 +1130,275 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           "the append-only maintenance contract; run " +
           "StreamingMvMaintenance.retract with the delete's predicate " +
           "and re-register to re-arm navigation")
-        return None
+        return false
       }
     }
+    true
+  }
+
+  /** The Expand directly under the aggregate (attrs-only projections
+    * skipped) — the GROUP BY ROLLUP / CUBE / GROUPING SETS plan shape.
+    */
+  private def expandChild(p: LogicalPlan): Option[Expand] = p match {
+    case e: Expand => Some(e)
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      expandChild(c)
+    case _ => None
+  }
+
+  /** Grouping-sets navigation: replay the Expand OVER the rollup.
+    *
+    * The analyzer plans ROLLUP/CUBE/GROUPING SETS as
+    * Aggregate(groupByAttrs :+ gid, resultExprs, Expand(projections,
+    * output, child)): each input row is replicated once per grouping
+    * set, a projection NULLs the set's retired keys, and
+    * spark_grouping_id is a per-projection literal. Every Expand
+    * output slot therefore falls into one of three classes:
+    *
+    *  - LITERAL slot (gid, constant groupings): every projection
+    *    element folds — rides the rollup-side Expand verbatim.
+    *  - GROUPING slot: the same deterministic expression over fact
+    *    columns in every projection that keeps it, Literal(null)
+    *    where retired. Navigable iff its references are all rollup
+    *    grouping columns — substitute them and KEEP the original
+    *    output attribute (same exprId/name/type, so the Aggregate
+    *    above needs no grouping change at all).
+    *  - PASSTHROUGH slot: the same expression in EVERY projection,
+    *    never NULLed — the measure feed. Consumed only through
+    *    aggregate derivation (sum→sum_, count→cnt/nnz_, avg→sum/nnz,
+    *    min/max, HLL merge), which swaps the slot for APPENDED slots
+    *    carrying the rollup's partial columns.
+    *
+    * Soundness: a rollup row stands for the set of fact rows sharing
+    * its grouping values, so replicating it per grouping set and
+    * re-folding the partials (all of them associative — including
+    * maintained `batch=` partial layouts, where a group spans several
+    * rollup rows) groups exactly the fact rows the original grouped.
+    * Real NULL groups ride as data-NULLs in the rollup's grouping
+    * columns; super-rows keep their projection-literal gid — the
+    * distinction the round-13 refusal worried about never leaves the
+    * Expand. Cost: the fact-side Expand replicated |fact| × sets
+    * rows; the rollup-side Expand replicates |groups| × sets.
+    */
+  private def rewriteExpand(agg: Aggregate, expand: Expand,
+      mv: MvDef): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.ExprId
+    val (condOpt, rel) = unwrap(expand.child) match {
+      case Some((c, r)) if relationPaths(r) == Seq(mv.basePath) => (c, r)
+      case _ => return None
+    }
+    val factSet: AttributeSet = rel.outputSet
+    val n = expand.output.length
+    if (expand.projections.isEmpty ||
+      expand.projections.exists(_.length != n)) return None
+
+    // classify each Expand output slot by its projection column:
+    // None = all-literal (gid); Some(e) = the shared non-null
+    // expression. nulled(i) = some projection retires the slot.
+    val nulled = new Array[Boolean](n)
+    val slotOf: Array[Option[Expression]] = Array.tabulate(n) { i =>
+      val elems = expand.projections.map(_(i))
+      if (elems.forall(_.foldable)) None
+      else {
+        val nonNull = elems.filter {
+          case Literal(null, _) => false
+          case _ => true
+        }
+        nulled(i) = nonNull.length != elems.length
+        val head = nonNull.head // nonNull nonEmpty: not all foldable
+        val uniform = elems.forall {
+          case Literal(null, _) => true
+          case e => e.semanticEquals(head)
+        }
+        if (uniform && head.deterministic && head.references.nonEmpty &&
+          head.references.forall(factSet.contains)) Some(head)
+        else return None
+      }
+    }
+    // a slot may feed GROUPING uses (kept, references substituted for
+    // rollup columns) only when every reference is a rollup grouping
+    // column; literal slots always qualify
+    val groupable: Array[Boolean] = slotOf.map {
+      case Some(e) => e.references.forall(a => mv.groupCols.contains(a.name))
+      case None => true
+    }
+    val outIdx: Map[ExprId, Int] =
+      expand.output.map(_.exprId).zipWithIndex.toMap
+
+    // every grouping expression must be an Expand output attr whose
+    // slot is groupable (the analyzer emits exactly that shape)
+    val okGroupings = agg.groupingExpressions.forall {
+      case a: AttributeReference =>
+        outIdx.get(a.exprId).exists(groupable)
+      case _ => false
+    }
+    if (!okGroupings) return None
+
+    // filters under the Expand: identical discipline to the flat path
+    // (partial-rollup conjunct subsumption; residual over grouping
+    // columns only, applied over the rollup BEFORE its Expand)
+    val queryConj = condOpt
+      .map(MaterializedAggregate.splitConjuncts).getOrElse(Nil)
+      .map(c => (c, MaterializedAggregate.normalizeExpr(c)))
+    if (!mv.filterConjuncts.forall(fc => queryConj.exists(_._2 == fc)))
+      return None
+    val residual = queryConj
+      .filterNot(p => mv.filterConjuncts.contains(p._2)).map(_._1)
+      .filterNot {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          a: AttributeReference) => mv.filterNotNullCols.contains(a.name)
+        case _ => false
+      }
+
+    val freshPlan = mv.plan.transformUp {
+      case lr: LogicalRelation => lr.newInstance()
+    }
+    val mvAttrs: Map[String, Attribute] =
+      freshPlan.output.map(a => a.name -> a).toMap
+
+    val newCond = residual.reduceOption(And(_, _)).map { cond =>
+      if (!cond.references.forall(a => mv.groupCols.contains(a.name)))
+        return None
+      cond.transform {
+        case a: AttributeReference => mvAttrs(a.name)
+      }
+    }
+
+    // appended slots: rollup partial columns the derived aggregates
+    // consume, passed through UNCHANGED by every projection
+    val extra =
+      scala.collection.mutable.LinkedHashMap.empty[String, AttributeReference]
+    def slotFor(mvCol: String): Option[Attribute] =
+      mvAttrs.get(mvCol).map { src =>
+        extra.getOrElseUpdate(mvCol,
+          AttributeReference(mvCol, src.dataType, nullable = true)())
+      }
+
+    // an aggregate child references PASSTHROUGH slots — map the
+    // Expand output attrs back to their shared fact-side expression
+    // (never-NULLed slots only: an aggregate over a retired copy
+    // sees projection NULLs no rollup column carries)
+    def substToFact(x: Expression): Option[Expression] = {
+      var ok = true
+      val r = x.transform {
+        case a: AttributeReference if outIdx.contains(a.exprId) =>
+          val i = outIdx(a.exprId)
+          slotOf(i) match {
+            case Some(e) if !nulled(i) => e
+            case _ => ok = false; a
+          }
+      }
+      if (ok && r.references.forall(factSet.contains)) Some(r) else None
+    }
+    def measureKey(x: Expression): Option[String] = substToFact(x).flatMap {
+      case a: AttributeReference =>
+        Some(a.name).filter(mv.measureCols.contains)
+      case e =>
+        mv.exprMeasureKeys.get(MaterializedAggregate.normalizeExpr(e))
+    }
+
+    def cAgg(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
+      AggregateExpression(fn, Complete, isDistinct = false)
+
+    def derive(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference if outIdx.contains(a.exprId) =>
+        // grouping outputs ride verbatim — the slot keeps its attr
+        if (groupable(outIdx(a.exprId))) Some(a) else None
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Sum(x, _) => measureKey(x)
+            .flatMap(k => slotFor(mv.sumCol(k)))
+            .map(s => cAgg(Sum(s)))
+          case Min(x) => measureKey(x)
+            .flatMap(k => slotFor(mv.minCol(k)))
+            .map(s => cAgg(Min(s)))
+          case Max(x) => measureKey(x)
+            .flatMap(k => slotFor(mv.maxCol(k)))
+            .map(s => cAgg(Max(s)))
+          case Count(Seq(Literal(v, _))) if v != null =>
+            slotFor(mv.countCol).map(s => cAgg(Sum(s)))
+          case Count(Seq(x)) => measureKey(x)
+            .flatMap(k => slotFor(mv.nnzCol(k)))
+            .map(s => cAgg(Sum(s)))
+          case h: graft.functions.HyperLogLog
+              if h.pExpr.foldable &&
+                Option(h.pExpr.eval())
+                  .collect { case num: Number => num.intValue() }
+                  .contains(mv.hllP) =>
+            substToFact(h.child).flatMap { hc =>
+              val norm = MaterializedAggregate.normalizeExpr(hc)
+              mv.distinctCols
+                .find(d => mv.hashSql.get(d).contains(norm))
+                .flatMap(d => slotFor(mv.hllCol(d)))
+                .map(s => cAgg(graft.functions.HllMergeAgg(
+                  s, Literal(mv.hllP))))
+            }
+          case Average(x, _) => measureKey(x).flatMap { k =>
+            val denom =
+              if (mvAttrs.contains(mv.nnzCol(k))) slotFor(mv.nnzCol(k))
+              else substToFact(x) match {
+                case Some(xx) if !xx.nullable => slotFor(mv.countCol)
+                case _ => None
+              }
+            for (s <- slotFor(mv.sumCol(k)); d <- denom)
+              yield Divide(
+                Cast(cAgg(Sum(s)), DoubleType),
+                Cast(cAgg(Sum(d)), DoubleType))
+          }
+          case _ => None
+        }
+      case _: AggregateExpression => None
+      case _: AttributeReference => None
+      case nd if !nd.deterministic => None
+      case other =>
+        val kids = other.children.map(derive)
+        if (kids.nonEmpty && kids.forall(_.isDefined))
+          Some(other.withNewChildren(kids.map(_.get)))
+        else if (kids.isEmpty) Some(other)
+        else None
+    }
+
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference
+          if outIdx.get(a.exprId).exists(groupable) => a
+      case al @ Alias(child, name) =>
+        derive(child) match {
+          case Some(e) => Alias(e, name)(exprId = al.exprId)
+          case None => return None
+        }
+      case _ => return None
+    }
+
+    // rebuild the Expand over the (filtered) rollup: literal and
+    // grouping slots keep their ORIGINAL output attrs (grouping
+    // references substituted for rollup columns inside the
+    // projections); passthrough slots are dropped and the consumed
+    // partial columns appended, identical in every projection
+    val keepIdx = (0 until n).filter(groupable)
+    val newProjs = expand.projections.map { p =>
+      keepIdx.map { i =>
+        p(i) match {
+          case l: Literal => l
+          case e => e.transform {
+            case a: AttributeReference if factSet.contains(a) =>
+              mvAttrs(a.name)
+          }
+        }
+      } ++ extra.keys.toSeq.map(mvAttrs(_))
+    }
+    val newOutput: Seq[Attribute] =
+      keepIdx.map(expand.output) ++ extra.values.toSeq
+    val filteredMv = newCond.map(Filter(_, freshPlan)).getOrElse(freshPlan)
+    val rewritten = Aggregate(agg.groupingExpressions, newAggExprs,
+      Expand(newProjs, newOutput, filteredMv))
+
+    // soundness gate + freshness: identical to the flat path
+    val same = rewritten.output.length == agg.output.length &&
+      rewritten.output.zip(agg.output).forall { case (nw, o) =>
+        nw.name == o.name && nw.dataType == o.dataType && nw.exprId == o.exprId
+      }
+    if (!same) return None
+    if (!freshnessOk(mv)) return None
     Some(rewritten)
   }
 }

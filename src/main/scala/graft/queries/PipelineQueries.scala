@@ -1831,10 +1831,9 @@ object PipelineQueries {
     // pins that contract (fact scan gone WITH the HAVING in place,
     // answers hash-matched under a partial HAVING that drops real
     // groups). The other half of ask #7 — GROUP BY ROLLUP's Expand
-    // shape — is a DECIDED REFUSAL (grouping sets aggregate partial
-    // NULL-keyed super-rows the rollup cannot distinguish from real
-    // NULL groups; navigation refuses and the query answers from the
-    // base), pinned by MvRewriteSpec's rollup/grouping_id specs.
+    // shape — NAVIGATES as of round 14 by replaying the Expand over
+    // the rollup (p136 gates it; MvRewriteSpec pins the mechanism
+    // and the residual refusals).
     QueryDef("p133_mv_having_rollup",
       (s, dir) => {
         val basePath = s"$dir/lineitem.parquet"
@@ -1884,6 +1883,75 @@ object PipelineQueries {
              |FROM lineitem
              |GROUP BY l_returnflag, l_linestatus
              |HAVING SUM(l_quantity) > 254000""".stripMargin)),
+
+    // GROUP BY ROLLUP navigation (round 14 — upgrades round-13's
+    // decided refusal): grouping-sets aggregates plan through Expand
+    // (each row replicated per grouping set, retired keys NULLed,
+    // spark_grouping_id a per-projection literal), and the rule now
+    // REPLAYS that Expand over the registered rollup — literal and
+    // grouping slots keep their output attrs (grouping references
+    // substituted for rollup columns), measure passthroughs become
+    // appended partial columns folded by the derived aggregates.
+    // Super-rows stay super (gid rides), real NULL groups stay data
+    // NULLs, and the |fact| × sets replication becomes |groups| ×
+    // sets. The gate pins: fact scan GONE, the replayed Expand
+    // PRESENT in the optimized plan, and every grouping level's
+    // sum/count/min/max/avg hash-matched against DuckDB's own
+    // GROUP BY ROLLUP.
+    QueryDef("p136_mv_rollup_nav",
+      (s, dir) => {
+        val basePath = s"$dir/lineitem.parquet"
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_mv12")
+        val mvPath = mvDir.resolve("gsmv.parquet").toString
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          mvPath, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+        try {
+          val q = s.read.parquet(basePath)
+            .rollup(col("l_returnflag"), col("l_linestatus"))
+            .agg(grouping_id().cast("long").as("grouping_level"),
+              sum("l_quantity").as("sum_qty"),
+              count(lit(1)).as("n_rows"),
+              min("l_quantity").as("min_qty"),
+              max("l_quantity").as("max_qty"),
+              avg("l_quantity").as("avg_qty"))
+          val opt = q.queryExecution.optimizedPlan
+          val scanned = opt.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("gsmv.parquet")),
+            s"ROLLUP query did not navigate; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned under ROLLUP: $scanned")
+          require(opt.collectFirst {
+            case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+          }.nonEmpty, "replayed Expand missing from the navigated plan")
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+             |         AS grouping_level,
+             |       SUM(l_quantity) AS sum_qty,
+             |       COUNT(*) AS n_rows,
+             |       MIN(l_quantity) AS min_qty,
+             |       MAX(l_quantity) AS max_qty,
+             |       AVG(l_quantity) AS avg_qty
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
     // Retention × maintained MV — the round-12 verdict's one open
     // soundness composition: the medallion's retention delete (S7,

@@ -1410,45 +1410,105 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
-  test("GROUP BY ROLLUP / CUBE / grouping_id refuse navigation (decided refusal), answers stay correct") { withNoAqe {
+  test("GROUP BY ROLLUP / CUBE / grouping_id NAVIGATE: the Expand replays over the rollup") { withNoAqe {
     // grouping-sets aggregates plan through Expand: each input row is
     // replicated once per grouping set with the retired keys NULLed
     // and a spark_grouping_id column distinguishing super-rows from
-    // real NULL groups. A rollup holds no such distinction — deriving
-    // the super-aggregate rows from it would conflate "NULL because
-    // rolled up" with "NULL in the data" — so the DECISION (round-13
-    // verdict ask #7) is to REFUSE: unwrapShape sees Expand (not a
-    // relation/filter/join chain) and never matches. These specs pin
-    // the refusal AND that answers still come correctly off the base.
+    // real NULL groups. Round 13 refused this shape on the theory
+    // that a rollup loses that distinction; round 14 navigates it by
+    // replaying the Expand OVER the rollup — each rollup row stands
+    // for the fact rows sharing its grouping values, so replicating
+    // it per grouping set and re-folding the partials groups exactly
+    // what the original grouped. Real NULL groups stay data-NULLs
+    // (the fixture has one, next to the super-rows that NULL the
+    // same column), super-rows keep their projection-literal gid.
     MvCatalog.clear()
-    MaterializedAggregate.buildAndRegister(spark, base, mvPath,
+    val ndir = java.nio.file.Files.createTempDirectory("mv_rollnav")
+    val nbase = ndir.resolve("factn.parquet").toString
+    val nmv = ndir.resolve("mvn.parquet").toString
+    Seq(
+      (Option("A"), Option("x"), 10.0), (Option("A"), Option("x"), 20.0),
+      (Option("A"), Option("y"), 5.0), (Option("B"), Option("x"), 7.0),
+      (Option("B"), Option("y"), 9.0), (Option("B"), Option("y"), 11.0),
+      (Option.empty[String], Option("x"), 100.0)) // a REAL NULL g1 group
+      .toDF("g1", "g2", "qty").write.mode("overwrite").parquet(nbase)
+    MaterializedAggregate.buildAndRegister(spark, nbase, nmv,
       groupCols = Seq("g1", "g2"), measureCols = Seq("qty"))
     try {
-      val r = spark.read.parquet(base).rollup(col("g1"), col("g2"))
-        .agg(sum("qty").as("s"))
-      assert(!scannedPaths(r).exists(_.contains("mv.parquet")),
-        "ROLLUP must not navigate")
-      assert(scannedPaths(r).exists(_.contains("fact.parquet")))
-      val got = r.collect()
-        .map(x => (Option(x.getString(0)), Option(x.getString(1)),
-          x.getDouble(2))).toSet
-      // grand total + per-g1 super rows present and correct
-      assert(got.contains((None, None, 62.0)))
-      assert(got.contains((Some("A"), None, 35.0)))
-      assert(got.contains((Some("A"), Some("x"), 30.0)))
+      def r = spark.read.parquet(nbase).rollup(col("g1"), col("g2"))
+        .agg(grouping_id().as("gid"), sum("qty").as("s"),
+          count(lit(1)).as("n"), min("qty").as("mn"), avg("qty").as("a"))
+      val paths = scannedPaths(r)
+      assert(paths.exists(_.contains("mvn.parquet")),
+        s"ROLLUP did not navigate: $paths")
+      assert(!paths.exists(_.contains("factn.parquet")),
+        s"fact still scanned under ROLLUP: $paths")
+      val got = r.collect().map(_.toSeq).toSet
+      MvCatalog.clear()
+      val direct = r.collect().map(_.toSeq).toSet
+      assert(scannedPaths(r).exists(_.contains("factn.parquet")))
+      assert(got === direct)
+      // the real-NULL group (gid 0) and the g1=NULL super-row
+      // (gid != 0) must both exist, distinguished by gid
+      val nullG1 = got.filter(s => s(0) == null && s(1) == "x")
+      assert(nullG1.exists(s => s(2) == 0L && s(3) == 100.0),
+        s"real NULL group lost: $got")
+      assert(got.exists(s => s(0) == null && s(1) == null &&
+        s(2) != 0L && s(3) == 162.0), s"grand total wrong: $got")
 
-      val c = spark.read.parquet(base).cube(col("g1"))
+      // CUBE navigates through the same replay
+      MaterializedAggregate.registerExisting(spark, nbase, nmv,
+        groupCols = Seq("g1", "g2"), measureCols = Seq("qty"))
+      val c = spark.read.parquet(nbase).cube(col("g1"))
         .agg(sum("qty").as("s"))
-      assert(!scannedPaths(c).exists(_.contains("mv.parquet")),
-        "CUBE must not navigate")
+      assert(scannedPaths(c).exists(_.contains("mvn.parquet")),
+        s"CUBE did not navigate: ${scannedPaths(c)}")
 
-      // grouping_id()/grouping() misuse outside grouping sets is an
-      // analysis error in Spark itself; under ROLLUP it rides the
-      // Expand shape and must refuse with it
-      val gid = spark.read.parquet(base).rollup(col("g1"))
-        .agg(grouping_id().as("gid"), sum("qty").as("s"))
-      assert(!scannedPaths(gid).exists(_.contains("mv.parquet")),
-        "grouping_id query must not navigate")
+      // residual refusals: a grouping-set column the MV lacks, and
+      // an aggregate over a grouping passthrough (qty is a measure,
+      // g2 is not — COUNT(g2) has no nnz_ partial)
+      val badCol = spark.read.parquet(nbase).rollup(col("qty"))
+        .agg(count(lit(1)).as("n"))
+      assert(!scannedPaths(badCol).exists(_.contains("mvn.parquet")),
+        "rollup over a non-grouping column must refuse")
+      val badAgg = spark.read.parquet(nbase).rollup(col("g1"))
+        .agg(count(col("g2")).as("n"))
+      assert(!scannedPaths(badAgg).exists(_.contains("mvn.parquet")),
+        "COUNT over a grouping passthrough must refuse")
+    } finally MvCatalog.clear()
+  } }
+
+  test("ROLLUP navigation over a PARTIAL rollup and with HAVING above") { withNoAqe {
+    MvCatalog.clear()
+    val pdir = java.nio.file.Files.createTempDirectory("mv_rollpart")
+    val pmv = pdir.resolve("mvp.parquet").toString
+    MaterializedAggregate.buildAndRegister(spark, base, pmv,
+      groupCols = Seq("g1", "g2"), measureCols = Seq("qty"),
+      baseFilter = Some("qty > 6"))
+    try {
+      // repeats the build predicate → navigates; the Expand replay
+      // composes with the partial-rollup conjunct subsumption
+      def q = spark.read.parquet(base).where(col("qty") > 6)
+        .rollup(col("g1"), col("g2"))
+        .agg(sum("qty").as("s"))
+        .where(col("s") > 15) // HAVING above the grouping-sets agg
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains("mvp.parquet")),
+        s"partial ROLLUP did not navigate: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")),
+        s"fact still scanned: $paths")
+      val got = q.collect().map(_.toSeq).toSet
+      MvCatalog.clear()
+      val direct = q.collect().map(_.toSeq).toSet
+      assert(got === direct)
+      // no predicate → the partial rollup is missing rows: refuse
+      MaterializedAggregate.registerExisting(spark, base, pmv,
+        groupCols = Seq("g1", "g2"), measureCols = Seq("qty"),
+        baseFilter = Some("qty > 6"))
+      val bare = spark.read.parquet(base).rollup(col("g1"))
+        .agg(sum("qty").as("s"))
+      assert(!scannedPaths(bare).exists(_.contains("mvp.parquet")),
+        "unfiltered ROLLUP navigated a partial rollup")
     } finally MvCatalog.clear()
   } }
 }
