@@ -2856,6 +2856,73 @@ object StreamingQueries {
     },
     Some(PipelineQueries.nswTopkOracleSql))
 
+  /** st41: streaming graph-index MAINTENANCE — the lifecycle twin of
+    * st40's frozen-index serving: embedding micro-batches arrive on a
+    * stream and the NSW index is built and extended per batch via
+    * `foreachBatch` (batch 0 seeds with [[graft.pipeline.GraphAnn
+    * .writeIndex]], later batches link in with `appendToIndex` — the
+    * HNSW insertion shape, cost ∝ batch, never a rebuild). After the
+    * stream drains, the batch-side lifecycle tail runs unchanged:
+    * tombstone eviction, physical compaction (degree re-cap), beam
+    * search. The index this stream accretes is EDGE-IDENTICAL to
+    * p135's two-phase batch build (same even/odd split, same hub
+    * geometry, same bucket planes), so the oracle is p135's SQL
+    * verbatim — streaming maintenance must change nothing but the
+    * arrival mechanism. foreachBatch is replay-idempotent: writeIndex
+    * clears its path, appendToIndex overwrites its own `batch=` dir.
+    */
+  private def streamingAnnMaintain: QueryDef = QueryDef(
+    "st41_streaming_ann_maintain",
+    (s, dir) => {
+      val dirP = scratch("st41")
+      val index = dirP.resolve("index").toString
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      val emb = Tables.embeddings(s, dir)
+      val hubs = graft.pipeline.Similarity.sampleCentroids(emb, nlist = 16)
+      val schema = emb.select(col("vec_id"), col("embedding")).schema
+      // stage p135's exact split as two files, arrival-ordered:
+      // batch 0 = even ids (the seed), batch 1 = odd ids (the append)
+      emb.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding"))
+        .coalesce(1).write.parquet(stage)
+      emb.where(col("vec_id") % 2 =!= 0).select(col("vec_id"), col("embedding"))
+        .coalesce(1).write.mode("append").parquet(stage)
+
+      val dim = Some(PipelineQueries.EmbeddingDim)
+      val q0 = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId == 0L)
+            graft.pipeline.GraphAnn.writeIndex(batch, hubs, index, dim = dim)
+          else
+            // corpus = everything arrived so far (seed + this batch):
+            // candidates are batch × bucket-mate, batch-proportional
+            graft.pipeline.GraphAnn.appendToIndex(
+              batch, Tables.embeddings(batch.sparkSession, dir), hubs,
+              index, batchId = s"b$batchId", dim = dim)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      try q0.awaitTermination() finally q0.stop()
+
+      graft.pipeline.GraphAnn.tombstoneIndex(
+        emb.where(col("vec_id") % 50 === 7).select("vec_id"),
+        index, batchId = "t1")
+      val folded = graft.pipeline.GraphAnn.compactIndex(s, index)
+      require(folded == 2, s"expected 2 batches folded, got $folded")
+      val queries = emb.where(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val res = graft.pipeline.GraphAnn.searchAll(
+        graft.pipeline.GraphAnn.readEdges(s, index), hubs, queries, k = 10)
+      val outSchema = res.schema
+      val rows = res.collect()
+      deleteRecursively(dirP)
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), outSchema)
+    },
+    Some(PipelineQueries.nswLifecycleOracleSql))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -2870,5 +2937,5 @@ object StreamingQueries {
       streamingPixelDedup, streamingExcise, streamingMvMaintenance,
       streamingMediaIngest, streamingMvDistinct, streamingPairIngest,
       streamingSearch, streamingMvCompact, streamingMvStar,
-      streamingAnnServe)
+      streamingAnnServe, streamingAnnMaintain)
 }
