@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,11 @@ import org.apache.spark.sql.functions._
   * Grouping expressions contribute their referenced columns (a
   * trunc(day,'month') query yields a `day`-keyed daily candidate —
   * exactly the grain the rule's coarser-time derivation wants).
+  *
+  * Grouping-sets workloads (ROLLUP / CUBE / GROUPING SETS) extract
+  * too (round 14, with the rule's Expand-replay navigation): the
+  * candidate is the finest grain the grouping sets touch — see
+  * [[groupingSetShape]].
   */
 object MvAdvisor extends org.apache.spark.internal.Logging {
 
@@ -108,6 +113,12 @@ object MvAdvisor extends org.apache.spark.internal.Logging {
   private def shapes(df: DataFrame): Seq[Shape] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Shape]
     df.queryExecution.analyzed.foreach {
+      case agg: Aggregate if agg.child.isInstanceOf[Expand] =>
+        // ROLLUP/CUBE/GROUPING SETS: the rule navigates this shape by
+        // replaying the Expand over the rollup, so the candidate is
+        // the FINEST grain the grouping sets touch
+        groupingSetShape(agg, agg.child.asInstanceOf[Expand])
+          .foreach(out += _)
       case agg: Aggregate =>
         // an INNER star join unwraps from either side (the roles are
         // symmetric); keep every interpretation that yields a
@@ -186,6 +197,132 @@ object MvAdvisor extends org.apache.spark.internal.Logging {
       case _ => ()
     }
     out.toSeq
+  }
+
+  /** Grouping-sets workloads (ROLLUP / CUBE / GROUPING SETS) extract
+    * a candidate too: the analyzed plan is Aggregate over Expand, and
+    * since [[AggregateRewriteRule]] navigates that shape by replaying
+    * the Expand over the rollup, the right recommendation is simply
+    * the FINEST grain — every grouping-set slot's base columns as
+    * keys, the measure passthroughs as measures. gid and grouping()/
+    * grouping_id() expressions ride the replay and constrain nothing.
+    * Anything the rule's replay would refuse (distinct aggregates,
+    * non-fact measures, aggregates over a nulled grouping copy)
+    * extracts nothing, same contract as the flat/star extractor.
+    */
+  private def groupingSetShape(agg: Aggregate, ex: Expand): Option[Shape] = {
+    val (conjuncts, path) = unwrapScan(ex.child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val factSet = ex.child.collectFirst {
+      case lr: LogicalRelation => lr.outputSet
+    }.getOrElse(return None)
+    // the analyzer parks grouping expressions as aliases in a Project
+    // directly under the Expand; resolve projection elements back to
+    // base expressions before reading names off them
+    val subst = (ex.child match {
+      case Project(pl, _) =>
+        pl.collect { case al: Alias => al.exprId -> al.child }
+      case _ => Nil
+    }).toMap
+    def resolve(e: Expression): Expression = e.transformDown {
+      case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+    }
+    val n = ex.output.length
+    if (ex.projections.isEmpty || ex.projections.exists(_.length != n))
+      return None
+    var ok = true
+    val keyCols = scala.collection.mutable.LinkedHashSet.empty[String]
+    // never-NULLed shared expr per slot (the measure feed); None for
+    // literal slots (gid) and for grouping-set slots
+    val slotExpr = new Array[Option[Expression]](n)
+    (0 until n).foreach { i =>
+      val elems = ex.projections.map(_(i))
+      if (elems.forall(_.foldable)) slotExpr(i) = None // gid rides
+      else {
+        val nonNull = elems.filter {
+          case Literal(null, _) => false
+          case _ => true
+        }
+        val head = nonNull.head
+        val uniform = elems.forall {
+          case Literal(null, _) => true
+          case e => e.semanticEquals(head)
+        }
+        val res = resolve(head)
+        if (!uniform || !res.deterministic ||
+          !res.references.forall(factSet.contains)) { ok = false; slotExpr(i) = None }
+        else if (nonNull.length != elems.length) {
+          // retired in some set → a grouping-set slot: key its columns
+          slotExpr(i) = None
+          res.references.foreach(a => keyCols += a.name)
+        } else slotExpr(i) = Some(res)
+      }
+    }
+    if (!ok) return None
+    val outIdx = ex.output.map(_.exprId).zipWithIndex.toMap
+    // groupings reference Expand outputs: grouping-set slots already
+    // keyed; a never-NULLed slot grouped on (a set keeping it in
+    // every projection) keys its columns too
+    agg.groupingExpressions.foreach {
+      case a: AttributeReference if outIdx.contains(a.exprId) =>
+        slotExpr(outIdx(a.exprId))
+          .foreach(_.references.foreach(r => keyCols += r.name))
+      case _ => ok = false
+    }
+    // aggregate children reference measure passthroughs — map them
+    // back to fact expressions (a nulled copy under an aggregate is
+    // a shape the rule's replay refuses: extract nothing)
+    def substAgg(x: Expression): Expression = x.transform {
+      case a: AttributeReference if outIdx.contains(a.exprId) =>
+        slotExpr(outIdx(a.exprId)) match {
+          case Some(e) => e
+          case None => ok = false; a
+        }
+    }
+    val measures = scala.collection.mutable.LinkedHashSet.empty[String]
+    val exprMs = scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
+    val sketches = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
+    def addMeasure(x0: Expression): Unit = substAgg(x0) match {
+      case a: AttributeReference if factSet.contains(a) => measures += a.name
+      case e if e.deterministic && e.references.nonEmpty &&
+          e.references.forall(factSet.contains) =>
+        exprMs(MaterializedAggregate.normalizeExpr(e)) =
+          e.references.map(_.name).toSet
+      case _ => ok = false
+    }
+    agg.aggregateExpressions.foreach(_.foreach {
+      case ae: AggregateExpression
+          if ae.isDistinct || ae.filter.isDefined => ok = false
+      case ae: AggregateExpression =>
+        ae.aggregateFunction match {
+          case h: graft.functions.HyperLogLog =>
+            val hc = substAgg(h.child)
+            val refs = hc.references.toSeq
+            val p = if (h.pExpr.foldable)
+              Option(h.pExpr.eval())
+                .collect { case num: Number => num.intValue() }
+            else None
+            if (refs.length == 1 && factSet.contains(refs.head) &&
+                hc.deterministic && p.isDefined)
+              sketches += ((refs.head.name, p.get,
+                MaterializedAggregate.normalizeExpr(hc)))
+            else ok = false
+          case Count(seq) if seq.forall(_.foldable) => () // COUNT(*)
+          case Sum(x, _) => addMeasure(x)
+          case Min(x) => addMeasure(x)
+          case Max(x) => addMeasure(x)
+          case Average(x, _) => addMeasure(x)
+          case Count(Seq(x)) => addMeasure(x)
+          case _ => ok = false
+        }
+      case _ => ()
+    })
+    if (ok && (keyCols.nonEmpty || conjuncts.nonEmpty))
+      Some(Shape(path, keyCols.toSet, measures.toSet,
+        exprMs.toMap, sketches.toSeq, conjuncts))
+    else None
   }
 
   /** Generalizes [[unwrapScan]] through a star-join chain, mirroring

@@ -1953,6 +1953,65 @@ object PipelineQueries {
              |FROM lineitem
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // Advisor × grouping sets (round 14): a workload CONTAINING a
+    // GROUP BY ROLLUP query advises the finest grain the grouping
+    // sets touch (merged with the flat queries over the same base),
+    // and the Expand-replay navigation then serves the ROLLUP query
+    // itself — the closed advise() loop with zero manual
+    // registration, extended to the grouping-sets family. The gate
+    // pins the advised grain, the fact scan gone under ROLLUP, and
+    // the DuckDB ROLLUP hash.
+    QueryDef("p137_mv_advisor_rollup",
+      (s, dir) => {
+        val basePath = s"$dir/lineitem.parquet"
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_adv4")
+        def r = s.read.parquet(basePath)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().cast("long").as("grouping_level"),
+            sum("l_quantity").as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+        def flat = s.read.parquet(basePath)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(max("l_quantity").as("max_qty"))
+        val defs = graft.plans.MvAdvisor.advise(
+          s, Seq(r, flat), mvDir.toString)
+        require(defs.length == 1, s"expected one advised def, got $defs")
+        require(defs.head.groupCols.toSet ==
+          Set("l_returnflag", "l_linestatus"),
+          s"wrong advised grain: ${defs.head.groupCols}")
+        try {
+          val scanned = r.queryExecution.optimizedPlan.collect {
+            case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              rel.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("/mv_")),
+            s"advised rollup not navigated by ROLLUP query; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned under ROLLUP: $scanned")
+          val rows = r.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), r.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+             |         AS grouping_level,
+             |       SUM(l_quantity) AS sum_qty,
+             |       COUNT(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
     // Retention × maintained MV — the round-12 verdict's one open
     // soundness composition: the medallion's retention delete (S7,
     // Pipeline.runRetention's partition drop) composed with a

@@ -252,6 +252,54 @@ class MvAdvisorSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
+  test("grouping-sets workloads extract the finest grain; advise -> ROLLUP navigates") { withNoAqe {
+    MvCatalog.clear()
+    val mvDir = java.nio.file.Files.createTempDirectory("adv_gs").toString
+    // a ROLLUP query and a flat query over the same base must merge
+    // into ONE candidate at the union grain
+    val workload = Seq(
+      fact.rollup(col("g1"), col("g2"))
+        .agg(grouping_id().as("gid"), sum("qty").as("s"),
+          count(lit(1)).as("n")),
+      fact.groupBy(col("g1")).agg(max("price").as("m")))
+    val cands = MvAdvisor.candidates(spark, workload)
+    assert(cands.length === 1, s"expected one merged candidate: $cands")
+    assert(cands.head.groupCols.toSet === Set("g1", "g2"))
+    assert(cands.head.measureCols.toSet === Set("qty", "price"))
+    assert(cands.head.queriesCovered === 2)
+    val defs = MvAdvisor.advise(spark, workload, mvDir)
+    assert(defs.length === 1)
+    try {
+      def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.rootPaths.map(_.toUri.getPath)
+        }.flatten
+      def r = fact.rollup(col("g1"), col("g2"))
+        .agg(grouping_id().as("gid"), sum("qty").as("s"),
+          count(lit(1)).as("n"))
+      val paths = scanned(r)
+      assert(paths.exists(_.contains("mv_")),
+        s"advised ROLLUP did not navigate: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")),
+        s"fact still scanned: $paths")
+      val navigated = r.collect().map(_.toSeq).toSet
+      MvCatalog.clear()
+      val direct = r.collect().map(_.toSeq).toSet
+      assert(navigated === direct)
+    } finally MvCatalog.clear()
+
+    // refusal parity: a DISTINCT aggregate under ROLLUP extracts
+    // nothing (same contract as the flat extractor) — the flat query
+    // alone shapes the candidate
+    val mixed = Seq(
+      fact.rollup(col("g1")).agg(countDistinct(col("g2")).as("d")),
+      fact.groupBy(col("g1")).agg(sum("qty").as("s")))
+    val c2 = MvAdvisor.candidates(spark, mixed)
+    assert(c2.length === 1 && c2.head.queriesCovered === 1,
+      s"rollup-side refusal expected: $c2")
+  } }
+
   test("recommendations persist: save catalog, fresh registration navigates with freshness intact") { withNoAqe {
     MvCatalog.clear()
     // drift happens BETWEEN navigations here — observe it immediately
