@@ -1179,15 +1179,31 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     * distinction the round-13 refusal worried about never leaves the
     * Expand. Cost: the fact-side Expand replicated |fact| × sets
     * rows; the rollup-side Expand replicates |groups| × sets.
+    *
+    * Composes with STAR JOINS (the mart shape — g08 is fact ⋈ dims
+    * then ROLLUP over dim attributes): the star chain re-applies
+    * under the replayed Expand exactly as under the flat rewrite,
+    * dim references in grouping slots ride verbatim, and fact join
+    * keys must be rollup grouping columns as always.
     */
   private def rewriteExpand(agg: Aggregate, expand: Expand,
       mv: MvDef): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.ExprId
-    val (condOpt, rel) = unwrap(expand.child) match {
-      case Some((c, r)) if relationPaths(r) == Seq(mv.basePath) => (c, r)
-      case _ => return None
+    // the Expand may sit above the bare fact chain OR above a star
+    // join (the mart shape: fact ⋈ dims then ROLLUP over dim attrs);
+    // the rejoin-under-the-replay composes exactly like the flat
+    // star path — dim attributes ride the re-applied join verbatim
+    val (condOpt, rel, stars) = unwrapShape(expand.child, mv) match {
+      case Some(x) => x
+      case None => return None
     }
+    if (stars.exists(_.dim.collectFirst {
+        case lr: LogicalRelation
+            if relationPaths(lr).contains(mv.basePath) => ()
+      }.isDefined)) return None
     val factSet: AttributeSet = rel.outputSet
+    val dimSet: AttributeSet =
+      stars.foldLeft(AttributeSet.empty)(_ ++ _.dim.outputSet)
     val n = expand.output.length
     if (expand.projections.isEmpty ||
       expand.projections.exists(_.length != n)) return None
@@ -1211,15 +1227,19 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           case e => e.semanticEquals(head)
         }
         if (uniform && head.deterministic && head.references.nonEmpty &&
-          head.references.forall(factSet.contains)) Some(head)
+          head.references.forall(a =>
+            factSet.contains(a) || dimSet.contains(a))) Some(head)
         else return None
       }
     }
     // a slot may feed GROUPING uses (kept, references substituted for
-    // rollup columns) only when every reference is a rollup grouping
-    // column; literal slots always qualify
+    // rollup columns) only when every FACT reference is a rollup
+    // grouping column; dim references ride the re-applied join and
+    // literal slots always qualify
     val groupable: Array[Boolean] = slotOf.map {
-      case Some(e) => e.references.forall(a => mv.groupCols.contains(a.name))
+      case Some(e) => e.references.forall(a =>
+        (factSet.contains(a) && mv.groupCols.contains(a.name)) ||
+          dimSet.contains(a))
       case None => true
     }
     val outIdx: Map[ExprId, Int] =
@@ -1389,8 +1409,20 @@ class AggregateRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val newOutput: Seq[Attribute] =
       keepIdx.map(expand.output) ++ extra.values.toSeq
     val filteredMv = newCond.map(Filter(_, freshPlan)).getOrElse(freshPlan)
+    // re-apply the star chain UNDER the replayed Expand, innermost
+    // first, substituting the rollup's column for every base-relation
+    // attribute in each join condition (validated grouping columns) —
+    // the Expand's projections then reach the rollup partials and the
+    // dim attributes through the join's output
+    val newChild = stars.foldLeft(filteredMv: LogicalPlan) { (acc, sj) =>
+      val jc = sj.cond.transform {
+        case a: AttributeReference if factSet.contains(a) => mvAttrs(a.name)
+      }
+      if (sj.factLeft) Join(acc, sj.dim, sj.joinType, Some(jc), sj.hint)
+      else Join(sj.dim, acc, sj.joinType, Some(jc), sj.hint)
+    }
     val rewritten = Aggregate(agg.groupingExpressions, newAggExprs,
-      Expand(newProjs, newOutput, filteredMv))
+      Expand(newProjs, newOutput, newChild))
 
     // soundness gate + freshness: identical to the flat path
     val same = rewritten.output.length == agg.output.length &&

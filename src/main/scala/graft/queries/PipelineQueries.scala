@@ -1953,6 +1953,71 @@ object PipelineQueries {
              |FROM lineitem
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // ROLLUP × star join (round 14): the g08 mart shape — fact ⋈ dim
+    // then GROUP BY ROLLUP over the DIM attribute — navigates by
+    // replaying the Expand ABOVE the re-applied join:
+    // Aggregate(Expand(Join(rollup, dim))). Dim references in the
+    // grouping slots ride verbatim, the fact join key must be a
+    // rollup grouping column, and the measure partials pass through
+    // the join to the appended Expand slots. Gate pins: fact scan
+    // gone, dim scan kept, Expand present, DuckDB ROLLUP hash over
+    // the join.
+    QueryDef("p138_mv_rollup_star",
+      (s, dir) => {
+        val basePath = s"$dir/lineitem.parquet"
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_mv13")
+        val mvPath = mvDir.resolve("rsmv.parquet").toString
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          mvPath, Seq("l_suppkey"), Seq("l_quantity"))
+        try {
+          val fact = s.read.parquet(basePath)
+          val dim = s.read.parquet(s"$dir/supplier.parquet")
+          val q = fact.where(col("l_suppkey") <= 50)
+            .join(dim, fact("l_suppkey") === dim("s_suppkey"))
+            .rollup(col("s_name"))
+            .agg(grouping_id().cast("long").as("grouping_level"),
+              sum("l_quantity").as("sum_qty"),
+              count(lit(1)).as("n_rows"),
+              min("l_quantity").as("min_qty"))
+          val opt = q.queryExecution.optimizedPlan
+          val scanned = opt.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("rsmv.parquet")),
+            s"star ROLLUP did not navigate; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned: $scanned")
+          require(scanned.exists(_.contains("supplier.parquet")),
+            s"dim scan must survive: $scanned")
+          require(opt.collectFirst {
+            case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+          }.nonEmpty, "replayed Expand missing from the navigated plan")
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""SELECT s_name,
+             |       CAST(GROUPING(s_name) AS BIGINT) AS grouping_level,
+             |       SUM(l_quantity) AS sum_qty,
+             |       COUNT(*) AS n_rows,
+             |       MIN(l_quantity) AS min_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE l_suppkey <= 50
+             |GROUP BY ROLLUP (s_name)""".stripMargin)),
+
     // Advisor × grouping sets (round 14): a workload CONTAINING a
     // GROUP BY ROLLUP query advises the finest grain the grouping
     // sets touch (merged with the flat queries over the same base),

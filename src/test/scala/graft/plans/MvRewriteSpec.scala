@@ -1478,6 +1478,49 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
+  test("ROLLUP over a star join navigates: Expand replays above the re-applied dim join") { withNoAqe {
+    // the g08 mart shape — fact ⋈ dim then ROLLUP over DIM attrs:
+    // the rewrite must produce Expand(Join(rollup, dim)) with dim
+    // references riding verbatim and the fact join key validated as
+    // a rollup grouping column
+    MvCatalog.clear()
+    val sdir = java.nio.file.Files.createTempDirectory("mv_rollstar")
+    val dimPath = sdir.resolve("dim.parquet").toString
+    val smv = sdir.resolve("mvs.parquet").toString
+    Seq(("A", "alpha"), ("B", "beta"))
+      .toDF("dk", "dname").write.mode("overwrite").parquet(dimPath)
+    MaterializedAggregate.buildAndRegister(spark, base, smv,
+      groupCols = Seq("g1", "g2"), measureCols = Seq("qty"))
+    try {
+      val f = spark.read.parquet(base)
+      val d = spark.read.parquet(dimPath)
+      def q = f.join(d, f("g1") === d("dk"))
+        .rollup(col("dname"), col("g2"))
+        .agg(grouping_id().as("gid"), sum("qty").as("s"),
+          count(lit(1)).as("n"))
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains("mvs.parquet")),
+        s"star ROLLUP did not navigate: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")),
+        s"fact still scanned: $paths")
+      assert(paths.exists(_.contains("dim.parquet")),
+        s"dim scan must survive: $paths")
+      val got = q.collect().map(_.toSeq).toSet
+      MvCatalog.clear()
+      val direct = q.collect().map(_.toSeq).toSet
+      assert(scannedPaths(q).exists(_.contains("fact.parquet")))
+      assert(got === direct)
+      // a dim ATTRIBUTE under an aggregate changes multiplicity —
+      // must refuse, exactly like the flat star path
+      MaterializedAggregate.registerExisting(spark, base, smv,
+        groupCols = Seq("g1", "g2"), measureCols = Seq("qty"))
+      val badDim = f.join(d, f("g1") === d("dk"))
+        .rollup(col("g2")).agg(min(col("dname")).as("mn"))
+      assert(!scannedPaths(badDim).exists(_.contains("mvs.parquet")),
+        "aggregate over a dim attribute must refuse")
+    } finally MvCatalog.clear()
+  } }
+
   test("ROLLUP navigation over a PARTIAL rollup and with HAVING above") { withNoAqe {
     MvCatalog.clear()
     val pdir = java.nio.file.Files.createTempDirectory("mv_rollpart")
