@@ -17,6 +17,9 @@ import graft.SparkSpec
   *  - HAVING NAVIGATION: a Filter above the Aggregate never changes
   *    answers under navigation — navigated == direct for random facts
   *    and thresholds, with the rewrite REQUIRED to fire.
+  *  - ROLLUP/CUBE NAVIGATION: the Expand replay answers exactly like
+  *    the base across random NULL-bearing facts (real NULL groups vs
+  *    super-rows), with the rewrite REQUIRED to fire.
   *
   * Raw ScalaCheck Gen with fixed seeds, as in Round11/12PropertiesSpec.
   */
@@ -74,6 +77,47 @@ class Round14PropertiesSpec extends SparkSpec {
         s"draw $i cutoff $cutoff: retraction diverged from the base delete")
     }
   }
+
+  test("law: ROLLUP/CUBE navigation == direct, across random NULL-bearing facts") { withNoAqe {
+    // the Expand-replay soundness law across draws: for random facts
+    // (NULL grouping keys included — the exact conflation the
+    // round-13 refusal worried about), navigated grouping-sets
+    // answers equal the base's, with the rewrite REQUIRED to fire.
+    // Draws alternate rollup and cube to cover both projection sets.
+    samples(factsGen, 4).zipWithIndex.foreach { case (rows, i) =>
+      MvCatalog.clear()
+      val tmp = java.nio.file.Files.createTempDirectory(s"r14r_$i")
+      val base = tmp.resolve("fact.parquet").toString
+      val mv = tmp.resolve("mv.parquet").toString
+      rows.toDF("d", "g", "v").write.mode("overwrite").parquet(base)
+      MaterializedAggregate.buildAndRegister(spark, base, mv,
+        Seq("d", "g"), Seq("v"))
+      def q = {
+        val grouped =
+          if (i % 2 == 0)
+            spark.read.parquet(base).rollup(col("d"), col("g"))
+          else
+            spark.read.parquet(base).cube(col("d"), col("g"))
+        grouped.agg(grouping_id().as("gid"), sum("v").as("s"),
+          count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"),
+          avg("v").as("a"))
+      }
+      try {
+        val paths = q.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.rootPaths.map(_.toUri.getPath)
+        }.flatten
+        assert(paths.exists(_.contains("mv.parquet")),
+          s"draw $i: grouping-sets query did not navigate: $paths")
+        assert(!paths.exists(_.contains("fact.parquet")),
+          s"draw $i: fact still scanned: $paths")
+        val navigated = q.collect().map(_.toSeq).toSet
+        MvCatalog.clear()
+        val direct = q.collect().map(_.toSeq).toSet
+        assert(navigated === direct, s"draw $i: grouping-sets diverged")
+      } finally MvCatalog.clear()
+    }
+  } }
 
   test("law: HAVING above a navigated aggregate — navigated == direct, rewrite required") { withNoAqe {
     samples(factsGen, 3).zipWithIndex.foreach { case (rows, i) =>
