@@ -632,12 +632,21 @@ object MaterializedAggregate extends org.apache.spark.internal.Logging {
     * to literals FIRST — the optimizer constant-folds the query side
     * (`CAST(10 AS DOUBLE)` → `10.0`) but registration sees the
     * analyzed tree, and the match must not depend on which optimizer
-    * stage this rule happens to run at.
+    * stage this rule happens to run at. REDUNDANT CASTS are stripped
+    * for the same reason: SimplifyCasts removes `CAST(x AS <x's own
+    * type>)` from the query side mid-optimization (the engine's
+    * canonical string hash wraps its column in CAST(... AS STRING),
+    * a no-op exactly when the column IS a string), and a registration
+    * pinning the un-simplified analyzed tree would refuse every
+    * navigation over such a column.
     */
   private[plans] def normalizeExpr(e: Expression): String =
     e.transform {
       case x if x.foldable && !x.isInstanceOf[Literal] =>
         Literal.create(x.eval(), x.dataType)
+    }.transformUp { // up: a strip may expose the cast above as redundant
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.child.dataType == c.dataType => c.child
     }.transform {
       case a: AttributeReference =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))

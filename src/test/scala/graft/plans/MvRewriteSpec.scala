@@ -1478,6 +1478,79 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
+  test("sketch over a STRING column navigates: redundant-cast canonicalization") { withNoAqe {
+    // the engine's canonical hash wraps its column in CAST(x AS
+    // STRING) — a no-op exactly when x IS a string, which the
+    // optimizer's SimplifyCasts strips from the query side while the
+    // registration pinned the analyzed (un-stripped) tree. Before
+    // round 14's normalizeExpr cast canonicalization, sketch
+    // navigation silently never fired for string distinct columns
+    // (the numeric-column gates p119/st35 couldn't see it).
+    MvCatalog.clear()
+    val sdir = java.nio.file.Files.createTempDirectory("mv_strsketch")
+    val smv = sdir.resolve("mvss.parquet").toString
+    MaterializedAggregate.buildAndRegister(spark, base, smv,
+      groupCols = Seq("g1"), measureCols = Seq("qty"),
+      distinctCols = Seq("g2"), hllP = 4) // g2 is a STRING column
+    try {
+      import graft.functions.{SketchFunctions => SK, Md5Hash}
+      def q = spark.read.parquet(base).groupBy(col("g1"))
+        .agg(SK.hllEstimate(
+          SK.hyperLogLog(Md5Hash.h60String(col("g2")), 4), 4)
+          .as("approx_g2"))
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains("mvss.parquet")),
+        s"string-column sketch did not navigate: $paths")
+      val navigated = q.collect().map(_.toSeq).toSet
+      MvCatalog.clear()
+      val direct = q.collect().map(_.toSeq).toSet
+      assert(navigated === direct, "string sketch navigation diverged")
+    } finally MvCatalog.clear()
+  } }
+
+  test("ROLLUP navigates maintained batch= layouts and folds HLL sketches") { withNoAqe {
+    // two claims the replay's Scaladoc makes, pinned: (1) a group
+    // spanning several MAINTAINED partial rows re-folds exactly under
+    // the replayed Expand (the aggregates are associative, so the
+    // grouping sets fold partials as well as finals); (2) an
+    // approx-distinct SKETCH under ROLLUP navigates — register merge
+    // is an elementwise max, which commutes with the replication.
+    MvCatalog.clear()
+    val mdir = java.nio.file.Files.createTempDirectory("mv_rollmaint")
+    val mbase = mdir.resolve("factm.parquet").toString
+    val mmv = mdir.resolve("mvm.parquet").toString
+    spark.read.parquet(base).write.mode("overwrite").parquet(mbase)
+    val f = spark.read.parquet(mbase)
+    graft.streaming.StreamingMvMaintenance.processBatch(
+      f.where(col("qty") <= 9), 0L, mmv, Seq("g1", "g2"), Seq("qty"),
+      distinctCols = Seq("g2"), hllP = 4)
+    graft.streaming.StreamingMvMaintenance.processBatch(
+      f.where(col("qty") > 9), 1L, mmv, Seq("g1", "g2"), Seq("qty"),
+      distinctCols = Seq("g2"), hllP = 4)
+    MaterializedAggregate.registerExisting(spark, mbase, mmv,
+      Seq("g1", "g2"), Seq("qty"), distinctCols = Seq("g2"), hllP = 4,
+      maintained = true)
+    try {
+      import graft.functions.{SketchFunctions => SK, Md5Hash}
+      def q = spark.read.parquet(mbase).rollup(col("g1"))
+        .agg(grouping_id().as("gid"), sum("qty").as("s"),
+          count(lit(1)).as("n"),
+          SK.hllEstimate(
+            SK.hyperLogLog(Md5Hash.h60String(col("g2")), 4), 4)
+            .as("approx_g2"))
+      val paths = scannedPaths(q)
+      assert(paths.exists(_.contains("mvm.parquet")),
+        s"maintained ROLLUP did not navigate: $paths")
+      assert(!paths.exists(_.contains("factm.parquet")),
+        s"fact still scanned: $paths")
+      val navigated = q.collect().map(_.toSeq).toSet
+      MvCatalog.clear()
+      val direct = q.collect().map(_.toSeq).toSet
+      assert(navigated === direct,
+        "maintained/sketch ROLLUP navigation diverged")
+    } finally MvCatalog.clear()
+  } }
+
   test("ROLLUP over a star join navigates: Expand replays above the re-applied dim join") { withNoAqe {
     // the g08 mart shape — fact ⋈ dim then ROLLUP over DIM attrs:
     // the rewrite must produce Expand(Join(rollup, dim)) with dim
