@@ -506,6 +506,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("navigated ROLLUP: Expand replays over the rollup scan — one exchange, fact gone") {
+    withNoAqe {
+      // the MV rule's grouping-sets rewrite keeps the canonical
+      // grouping-sets physical shape (Scan -> Expand -> partial agg
+      // -> ONE exchange -> final agg), just over the rollup instead
+      // of the fact: replication cost moves from |fact| x sets to
+      // |groups| x sets
+      graft.plans.MvCatalog.clear()
+      val tmp = java.nio.file.Files.createTempDirectory("plan_rollnav")
+      val mvPath = tmp.resolve("mv.parquet").toString
+      val base = s"$dir/lineitem.parquet"
+      graft.plans.MaterializedAggregate.buildAndRegister(spark, base,
+        mvPath, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      try {
+        val q = spark.read.parquet(base)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("mv.parquet") && !plan.contains("lineitem.parquet"),
+          s"rollup not navigated:\n$plan")
+        assert(plan.linesIterator.count(_.contains("Expand [")) === 1,
+          s"expected the replayed Expand:\n$plan")
+        assert(plan.linesIterator
+          .count(_.contains("Exchange hashpartitioning")) === 1,
+          s"expected one hash exchange:\n$plan")
+        assert(plan.contains("partial_sum"),
+          s"no map-side partials over the rollup:\n$plan")
+      } finally graft.plans.MvCatalog.clear()
+    }
+  }
+
   test("shard-export manifest: read-back scan prunes to the aggregated columns") {
     val path = java.nio.file.Files.createTempDirectory("graft-plan-shards")
       .toString + "/export"
