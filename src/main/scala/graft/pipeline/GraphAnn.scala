@@ -177,11 +177,23 @@ object GraphAnn {
     * rides as a broadcast (the batched-trio contract: queries are
     * small, the index is the big side) — a corpus-scale self-kNN
     * join wants [[Similarity]]'s bucketed pair machinery instead.
+    *
+    * FILTERED search (`allowed`): the standard filtered-HNSW
+    * semantics — the beam ROUTES through every node (restricting the
+    * walk to the filtered subgraph would disconnect it and collapse
+    * recall at selective predicates), but only ids present in
+    * `allowed` may RANK. The filter applies to the accumulated
+    * visited set BEFORE the final top-k, so matches are never
+    * truncated away by non-matching neighbors; raise `beam`/`rounds`
+    * with predicate selectivity to hold recall. `allowed` may be
+    * corpus-scale: the visited set (|queries| × beam × degree ×
+    * rounds) is the broadcast side and `allowed` streams in place.
     */
   def searchAll(edges: DataFrame, hubs: Array[(Long, Array[Float])],
       queries: DataFrame, k: Int, beam: Int = 8, rounds: Int = 3,
       idCol: String = "vec_id",
-      qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+      qidCol: String = "query_id", qvecCol: String = "query_vec",
+      allowed: Option[DataFrame] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
@@ -244,6 +256,16 @@ object GraphAnn {
     if (ranked == null)
       ranked = entry.join(edges.select(col("src")).distinct(),
         col("__node") === col("src"), "left_semi")
+    // rank-time filter: visited stays unrestricted (routing), the
+    // rankable set intersects `allowed`. The visited accumulation is
+    // the SMALL side — broadcast it and stream the allowed table.
+    ranked = allowed match {
+      case Some(a) =>
+        a.select(col(idCol).as("__ok")).distinct()
+          .join(broadcast(ranked), col("__ok") === col("__node"))
+          .drop("__ok")
+      case None => ranked
+    }
     ranked.where(col("__node") =!= col("__qid"))
       .select(col("__qid").as(qidCol), col("__node").as(idCol), col("cosine"))
       .withColumn("rank", row_number().over(

@@ -318,6 +318,7 @@ object PipelineQueries {
   private def ivfIndexPath = s"$artifactRoot/ivf_index_p20"
   private def nswIndexPath = s"$artifactRoot/nsw_index_p132"
   private def nswLifePath = s"$artifactRoot/nsw_index_p135"
+  private def nswFilteredPath = s"$artifactRoot/nsw_index_p139"
 
   /** Artifact path for the p91 eviction-gate LSH index. */
   private def evictLshIndexPath = s"$artifactRoot/lsh_index_p91"
@@ -1781,6 +1782,34 @@ object PipelineQueries {
           queries, k = 10)
       },
       Some(nswTopkOracleSql)),
+
+    // FILTERED graph ANN (round 14): vector search under a metadata
+    // predicate — the production shape ("nearest among source=web",
+    // "among the last 30 days") that IVF/graph indexes must answer
+    // without a second index per predicate. Standard filtered-HNSW
+    // semantics: the beam ROUTES through every node (restricting the
+    // walk to the filtered subgraph disconnects it at selective
+    // predicates), only ids passing the predicate RANK, applied to
+    // the accumulated visited set BEFORE the final top-k so matches
+    // are never truncated by non-matching neighbors. The allowed set
+    // may be corpus-scale — the small visited accumulation is the
+    // broadcast side and `allowed` streams in place. The oracle is
+    // the full p132 construction + beam with the rank-time predicate
+    // in SQL.
+    QueryDef("p139_filtered_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val hubs = Similarity.sampleCentroids(emb, nlist = 16)
+        GraphAnn.writeIndex(emb, hubs, nswFilteredPath, dim = Some(EmbeddingDim))
+        val queries = emb.where(col("vec_id") % 31 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"))
+        GraphAnn.searchAll(GraphAnn.readEdges(s, nswFilteredPath), hubs,
+          queries, k = 10,
+          allowed = Some(emb.where(col("vec_id") % 3 === 0)
+            .select(col("vec_id"))))
+      },
+      Some(nswFilteredOracleSql)),
 
     // Graph-index LIFECYCLE (the p19/p91/p92 discipline for the NSW
     // family): base batch from the EVEN half, the odd half LINKED IN
@@ -6435,8 +6464,10 @@ object PipelineQueries {
     * entry at the top-8 hubs, three expand/score/prune rounds with
     * visited-set anti-joins, final per-query top-10. Mirrors
     * [[graft.pipeline.GraphAnn.searchAll]] at the gate defaults.
+    * `rankWhere` (over `node`) mirrors the `allowed` rank-time
+    * filter: routing unrestricted, only matching nodes may rank.
     */
-  private def nswBeamTailSql: String = {
+  private def nswBeamTailSql(rankWhere: String = "TRUE"): String = {
     def round(i: Int): String = {
       val pf = s"f${i - 1}"
       val pv = s"v${i - 1}"
@@ -6477,7 +6508,7 @@ object PipelineQueries {
        |               ORDER BY cos DESC, node ASC) AS rank
        |      FROM (SELECT * FROM f0r UNION ALL SELECT * FROM n1
        |            UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3)
-       |      WHERE node <> qid)
+       |      WHERE node <> qid AND ($rankWhere))
        |WHERE rank <= 10""".stripMargin
   }
 
@@ -6495,7 +6526,21 @@ object PipelineQueries {
        |edges AS (SELECT src, dst FROM knnc
        |          UNION SELECT src, dst FROM upc
        |          UNION SELECT src, dst FROM dwnc),
-       |$nswBeamTailSql""".stripMargin
+       |${nswBeamTailSql()}""".stripMargin
+
+  /** The p139 filtered-search oracle: identical construction and
+    * beam, with the rank-time predicate on `node` — routing
+    * unrestricted, only matching ids rank.
+    */
+  private[queries] def nswFilteredOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |$nswHubCtes,
+       |${nswChainCtes("", "TRUE")},
+       |edges AS (SELECT src, dst FROM knnc
+       |          UNION SELECT src, dst FROM upc
+       |          UNION SELECT src, dst FROM dwnc),
+       |${nswBeamTailSql("node % 3 = 0")}""".stripMargin
 
   /** The p135 lifecycle oracle: base batch built over the EVEN half
     * ([[graft.pipeline.GraphAnn.writeIndex]]'s full construction on
@@ -6575,7 +6620,7 @@ object PipelineQueries {
        |          WHERE (kind = 'knn' AND rn <= 16)
        |             OR (kind = 'hub' AND rn <= 64)),
        |edges AS (SELECT DISTINCT src, dst FROM recap),
-       |$nswBeamTailSql""".stripMargin
+       |${nswBeamTailSql()}""".stripMargin
 
   private[queries] val decontaminationOracleSql: String =
     """WITH tk AS (SELECT doc_id,

@@ -76,6 +76,29 @@ class GraphAnnSpec extends SparkSpec {
     assert(r >= 0.9, s"graph-ANN recall collapsed: $r")
   }
 
+  test("filtered search: only allowed ids rank, routing intact, recall vs filtered brute force") {
+    val emb = corpus
+    val queries = emb.where(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val allowed = emb.where(col("vec_id") % 2 === 0).select(col("vec_id"))
+    // truth = brute force over the FILTERED corpus (what a second,
+    // predicate-specific index would answer)
+    val truth = Similarity.bruteSearchAll(
+      emb.where(col("vec_id") % 2 === 0), queries, 5)
+      .select(col("query_id"), col("vec_id"))
+    val hubs = hubsOf(emb, 16)
+    val edges = GraphAnn.buildEdges(emb, hubs, dim = Some(dim))
+    val got = GraphAnn.searchAll(edges, hubs, queries, k = 5, beam = 16,
+      allowed = Some(allowed))
+    assert(got.where(col("vec_id") % 2 =!= 0).count() === 0L,
+      "a non-matching id ranked")
+    // ranks are dense 1..k over the filtered set
+    assert(got.groupBy(col("query_id")).agg(max(col("rank")).as("mx"))
+      .where(col("mx") > 5).count() === 0L)
+    val r = meanRecall(truth, got)
+    assert(r >= 0.9, s"filtered graph-ANN recall collapsed: $r")
+  }
+
   test("production defaults hold on the clustered reference corpus (recall@10 >= 0.9)") {
     // the RecallGateSpec geometry the other ANN families are gated
     // on: 2000 vectors, 40 clusters — includes clusters that drew no
