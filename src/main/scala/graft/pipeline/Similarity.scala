@@ -656,14 +656,24 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: Array[(Long, Array[Float])], queryVec: Array[Float],
       k: Int, nprobe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      // FILTERED search: metadata predicate over the index rows,
+      // applied to the probe scan itself — IVF's shortlist is exact
+      // within probed cells, so pre-filtering candidates keeps that
+      // exactness AND the predicate reaches the parquet scan as a
+      // pushed filter (the graph family instead filters at rank time,
+      // because its candidates come from a walk, not a scan). Raise
+      // `nprobe` with predicate selectivity to hold recall.
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val probeCells = probeCellsFor(centroids, queryVec, nprobe)
     val qCol = array(queryVec.toSeq.map(lit(_)): _*).cast("array<float>")
     // subtract evicted ids AFTER the partition-pruned probe scan (the
     // anti-join sees only nprobe/nlist of the index) and BEFORE the
     // top-k, so a tombstoned vector can neither rank nor displace
+    val probed = spark.read.parquet(path)
+      .where(col("__cell").isin(probeCells: _*))
     withoutIvfTombstones(
-      spark.read.parquet(path).where(col("__cell").isin(probeCells: _*)),
+      filter.foldLeft(probed)((df, f) => df.where(f)),
       path, idCol)
       .select(col(idCol), rankCosine(col(vecCol), qCol).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)

@@ -316,6 +316,7 @@ object PipelineQueries {
     * per-run contract as [[bpeVocabPath]]).
     */
   private def ivfIndexPath = s"$artifactRoot/ivf_index_p20"
+  private def filteredIvfPath = s"$artifactRoot/ivf_index_p140"
   private def nswIndexPath = s"$artifactRoot/nsw_index_p132"
   private def nswLifePath = s"$artifactRoot/nsw_index_p135"
   private def nswFilteredPath = s"$artifactRoot/nsw_index_p139"
@@ -736,6 +737,30 @@ object PipelineQueries {
           k = 10, nprobe = 4)
       },
       Some(ivfIndexedTopkOracleSql("TRUE"))),
+
+    // FILTERED IVF search (round 14, the graph family's p139 twin):
+    // the metadata predicate applies to the probe scan ITSELF —
+    // IVF's shortlist is exact within probed cells, so pre-filtering
+    // keeps that exactness and the predicate reaches the parquet
+    // index scan as a pushed filter (PlanSpec pins the pushdown).
+    // Same index fixture as p20; the oracle is p20's probe/score SQL
+    // with the predicate on the candidate set.
+    QueryDef("p140_filtered_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.where(col("vec_id") % 2 === 0)
+        val batch = emb.where(col("vec_id") % 2 === 1)
+        val centroids = Similarity.sampleCentroids(base, nlist = 16)
+        Similarity.writeIvfIndex(base, centroids, filteredIvfPath)
+        Similarity.appendToIvfIndex(batch, centroids, filteredIvfPath,
+          batchId = "b1")
+        val qVec = emb.where(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0).toArray
+        Similarity.ivfTopKIndexed(s, filteredIvfPath, centroids, qVec,
+          k = 10, nprobe = 4,
+          filter = Some(col("vec_id") % 3 === 0))
+      },
+      Some(ivfIndexedTopkOracleSql("d.vec_id % 3 = 0"))),
 
     // IVF with k-means-REFINED centroids: the full Lloyd training
     // loop (2 iterations) recomputed in the oracle as unrolled SQL —

@@ -537,6 +537,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("filtered IVF: the metadata predicate reaches the index scan as a pushed filter") {
+    // p140's mechanism — pre-filtering the probe scan keeps IVF's
+    // within-cell exactness AND lets a pushable predicate prune at
+    // the parquet reader, so a selective filtered search reads a
+    // fraction of even the probed cells
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = pipeline.Similarity.sampleCentroids(emb, nlist = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft-plan-fivf")
+      .toString + "/ivf"
+    pipeline.Similarity.writeIvfIndex(emb, centroids, path)
+    val qVec = emb.where(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val q = pipeline.Similarity.ivfTopKIndexed(spark, path, centroids,
+      qVec, k = 10, nprobe = 4, filter = Some(col("vec_id") >= 100L))
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty)
+    val pushed = scan.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(vec_id,100)"),
+      s"predicate not pushed to the index scan: $pushed")
+    assert(q.count() > 0)
+  }
+
   test("shard-export manifest: read-back scan prunes to the aggregated columns") {
     val path = java.nio.file.Files.createTempDirectory("graft-plan-shards")
       .toString + "/export"
