@@ -33,16 +33,27 @@ object MvNavBench {
         min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
         avg("l_quantity").as("avg_qty"))
 
+    // round 14: the grouping-sets twin — GROUP BY ROLLUP replays the
+    // Expand over the rollup, so the navigated side replicates
+    // |groups| × sets rows where the direct side replicates the fact
+    def qr = spark.read.parquet(basePath)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+
     val nRows = spark.read.parquet(basePath).count()
     val tBuild = time(graft.plans.MaterializedAggregate.buildAndRegister(
       spark, basePath, mvPath,
       Seq("l_returnflag", "l_linestatus"), Seq("l_quantity")))
     val nav = (1 to 3).map(_ => time(q.collect())).min
+    val navRollup = (1 to 3).map(_ => time(qr.collect())).min
     graft.plans.MvCatalog.clear()
     val direct = (1 to 3).map(_ => time(q.collect())).min
+    val directRollup = (1 to 3).map(_ => time(qr.collect())).min
     println(s"""{"metric":"mv_nav","fact_rows":$nRows,"build_sec":${
       f"$tBuild%.3f"},"navigated_sec":${f"$nav%.3f"},"direct_sec":${
-      f"$direct%.3f"},"sf":"$dir"}""")
+      f"$direct%.3f"},"rollup_navigated_sec":${f"$navRollup%.3f"
+      },"rollup_direct_sec":${f"$directRollup%.3f"},"sf":"$dir"}""")
     spark.stop()
   }
 }
