@@ -210,30 +210,53 @@ object MvAdvisor extends org.apache.spark.internal.Logging {
     * non-fact measures, aggregates over a nulled grouping copy)
     * extracts nothing, same contract as the flat/star extractor.
     */
-  private def groupingSetShape(agg: Aggregate, ex: Expand): Option[Shape] = {
-    val (conjuncts, path) = unwrapScan(ex.child) match {
-      case Some(x) => x
-      case None => return None
-    }
-    val factSet = ex.child.collectFirst {
-      case lr: LogicalRelation => lr.outputSet
-    }.getOrElse(return None)
+  private def groupingSetShape(agg: Aggregate, ex: Expand): Seq[Shape] = {
     // the analyzer parks grouping expressions as aliases in a Project
-    // directly under the Expand; resolve projection elements back to
-    // base expressions before reading names off them
-    val subst = (ex.child match {
-      case Project(pl, _) =>
-        pl.collect { case al: Alias => al.exprId -> al.child }
-      case _ => Nil
-    }).toMap
+    // directly under the Expand (above the join in star shapes);
+    // peel that layer — collecting substitutions — before unwrapping
+    // the scan-or-star chain below it
+    val subst =
+      scala.collection.mutable.Map.empty[
+        org.apache.spark.sql.catalyst.expressions.ExprId, Expression]
+    var core: LogicalPlan = ex.child
+    var peeling = true
+    while (peeling) core match {
+      case Project(pl, c) if pl.forall {
+          case _: AttributeReference => true
+          case al: Alias => al.child.deterministic
+          case _ => false
+        } =>
+        pl.foreach {
+          case al: Alias => subst(al.exprId) = al.child
+          case _ => ()
+        }
+        core = c
+      case _ => peeling = false
+    }
     def resolve(e: Expression): Expression = e.transformDown {
       case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
     }
+    // rollup over a star join extracts like the flat star path: fact
+    // join keys become rollup keys, dim references constrain nothing
+    unwrapStar(core).flatMap {
+      case (conjuncts, joinKeys, path, factSet, dimSet) =>
+        groupingSetShapeFor(agg, ex, resolve, conjuncts, joinKeys, path,
+          factSet, dimSet)
+    }
+  }
+
+  private def groupingSetShapeFor(agg: Aggregate, ex: Expand,
+      resolve: Expression => Expression, conjuncts: Seq[Conjunct],
+      joinKeys: Set[String], path: String,
+      factSet: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      dimSet: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Option[Shape] = {
     val n = ex.output.length
     if (ex.projections.isEmpty || ex.projections.exists(_.length != n))
       return None
     var ok = true
     val keyCols = scala.collection.mutable.LinkedHashSet.empty[String]
+    keyCols ++= joinKeys
     // never-NULLed shared expr per slot (the measure feed); None for
     // literal slots (gid) and for grouping-set slots
     val slotExpr = new Array[Option[Expression]](n)
@@ -252,11 +275,15 @@ object MvAdvisor extends org.apache.spark.internal.Logging {
         }
         val res = resolve(head)
         if (!uniform || !res.deterministic ||
-          !res.references.forall(factSet.contains)) { ok = false; slotExpr(i) = None }
-        else if (nonNull.length != elems.length) {
-          // retired in some set → a grouping-set slot: key its columns
+          !res.references.forall(a =>
+            factSet.contains(a) || dimSet.contains(a))) {
+          ok = false; slotExpr(i) = None
+        } else if (nonNull.length != elems.length) {
+          // retired in some set → a grouping-set slot: its FACT
+          // columns key the rollup; dim references ride the join
           slotExpr(i) = None
-          res.references.foreach(a => keyCols += a.name)
+          res.references.foreach(a =>
+            if (factSet.contains(a)) keyCols += a.name)
         } else slotExpr(i) = Some(res)
       }
     }
@@ -264,11 +291,11 @@ object MvAdvisor extends org.apache.spark.internal.Logging {
     val outIdx = ex.output.map(_.exprId).zipWithIndex.toMap
     // groupings reference Expand outputs: grouping-set slots already
     // keyed; a never-NULLed slot grouped on (a set keeping it in
-    // every projection) keys its columns too
+    // every projection) keys its fact columns too
     agg.groupingExpressions.foreach {
       case a: AttributeReference if outIdx.contains(a.exprId) =>
-        slotExpr(outIdx(a.exprId))
-          .foreach(_.references.foreach(r => keyCols += r.name))
+        slotExpr(outIdx(a.exprId)).foreach(_.references.foreach(r =>
+          if (factSet.contains(r)) keyCols += r.name))
       case _ => ok = false
     }
     // aggregate children reference measure passthroughs — map them

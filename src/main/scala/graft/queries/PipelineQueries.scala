@@ -2072,6 +2072,66 @@ object PipelineQueries {
              |WHERE l_suppkey <= 50
              |GROUP BY ROLLUP (s_name)""".stripMargin)),
 
+    // Explicit GROUPING SETS navigation (round 14): the third
+    // grouping-sets spelling — arbitrary set lists, not the
+    // rollup/cube prefixes — through the SQL surface. The set list
+    // here mixes widths AND repeats a column across sets, so a slot
+    // can be never-NULLed yet still be a grouping slot (the
+    // classifier's uniform-passthrough vs grouping distinction is
+    // what this gate pins). Same Expand replay, same oracle family.
+    QueryDef("p141_mv_grouping_sets",
+      (s, dir) => {
+        val basePath = s"$dir/lineitem.parquet"
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_mv14")
+        val mvPath = mvDir.resolve("gsetmv.parquet").toString
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          mvPath, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+        try {
+          s.read.parquet(basePath).createOrReplaceTempView("li_p141")
+          val q = s.sql(
+            """SELECT l_returnflag, l_linestatus,
+              |       CAST(grouping_id() AS BIGINT) AS grouping_level,
+              |       SUM(l_quantity) AS sum_qty,
+              |       COUNT(*) AS n_rows
+              |FROM li_p141
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |                        (l_returnflag), (l_linestatus))
+              |""".stripMargin)
+          val opt = q.queryExecution.optimizedPlan
+          val scanned = opt.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("gsetmv.parquet")),
+            s"GROUPING SETS did not navigate; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned under GROUPING SETS: $scanned")
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          s.catalog.dropTempView("li_p141")
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+             |         AS grouping_level,
+             |       SUM(l_quantity) AS sum_qty,
+             |       COUNT(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |                        (l_returnflag), (l_linestatus))""".stripMargin)),
+
     // Advisor × grouping sets (round 14): a workload CONTAINING a
     // GROUP BY ROLLUP query advises the finest grain the grouping
     // sets touch (merged with the flat queries over the same base),

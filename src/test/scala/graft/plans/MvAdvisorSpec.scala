@@ -111,6 +111,49 @@ class MvAdvisorSpec extends SparkSpec {
     assert(cands.head.measureCols.toSet === Set("qty"))
   }
 
+  test("ROLLUP over a star join extracts and, advised, navigates (advisor/rule symmetry)") { withNoAqe {
+    // the rule's Expand replay composes with star joins (p138); the
+    // advisor must extract the same shape — fact join keys become
+    // rollup keys, dim grouping references ride, measures are fact
+    MvCatalog.clear()
+    val sdir = java.nio.file.Files.createTempDirectory("adv_gsstar")
+    val dimPath = sdir.resolve("dim.parquet").toString
+    Seq(("A", "a"), ("B", "b")).toDF("k", "label")
+      .write.mode("overwrite").parquet(dimPath)
+    val f = fact
+    val dim = spark.read.parquet(dimPath)
+    def r = f.join(dim, f("g1") === dim("k"))
+      .rollup(col("label"), col("g2"))
+      .agg(grouping_id().as("gid"), sum("qty").as("s"))
+    val cands = MvAdvisor.candidates(spark, Seq(r))
+    assert(cands.length === 1, s"expected one candidate: $cands")
+    assert(cands.head.basePath.endsWith(base))
+    // keys = fact join key + the fact grouping-set column; the dim
+    // grouping (label) rides the re-applied join
+    assert(cands.head.groupCols.toSet === Set("g1", "g2"))
+    assert(cands.head.measureCols.toSet === Set("qty"))
+    val defs = MvAdvisor.advise(spark, Seq(r), sdir.resolve("mv").toString)
+    assert(defs.length === 1)
+    try {
+      def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.rootPaths.map(_.toUri.getPath)
+        }.flatten
+      val paths = scanned(r)
+      assert(paths.exists(_.contains("mv_")),
+        s"advised star ROLLUP did not navigate: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")),
+        s"fact still scanned: $paths")
+      assert(paths.exists(_.contains("dim.parquet")),
+        s"dim scan must survive: $paths")
+      val navigated = r.collect().map(_.toSeq).toSet
+      MvCatalog.clear()
+      val direct = r.collect().map(_.toSeq).toSet
+      assert(navigated === direct)
+    } finally MvCatalog.clear()
+  } }
+
   test("a column that is both filter key and measure stays in both; query still navigates") { withNoAqe {
     MvCatalog.clear()
     val mvDir = java.nio.file.Files.createTempDirectory("adv_mv2").toString

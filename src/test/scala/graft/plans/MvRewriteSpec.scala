@@ -1508,6 +1508,42 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   } }
 
+  test("sketch navigation fires for every distinct-column type: string, long, double, date") { withNoAqe {
+    // the string-column regression generalized: the canonical hash's
+    // CAST(x AS STRING) interacts differently with the optimizer per
+    // input type (redundant for strings, kept for the rest) — pin
+    // that navigation fires across the type matrix so a future
+    // canonicalization change can't silently kill one column type
+    MvCatalog.clear()
+    val tdir = java.nio.file.Files.createTempDirectory("mv_typesketch")
+    val tbase = tdir.resolve("fact.parquet").toString
+    spark.range(0, 200)
+      .selectExpr("CAST(id % 4 AS STRING) AS g",
+        "CAST(id % 17 AS STRING) AS s_str",
+        "CAST(id % 17 AS BIGINT) AS s_long",
+        "CAST(id % 17 AS DOUBLE) AS s_dbl",
+        "date_add(DATE'2026-01-01', CAST(id % 17 AS INT)) AS s_date",
+        "CAST(id AS DOUBLE) AS v")
+      .write.mode("overwrite").parquet(tbase)
+    import graft.functions.{SketchFunctions => SK, Md5Hash}
+    Seq("s_str", "s_long", "s_dbl", "s_date").foreach { d =>
+      MvCatalog.clear()
+      val mvp = tdir.resolve(s"mv_$d.parquet").toString
+      MaterializedAggregate.buildAndRegister(spark, tbase, mvp,
+        groupCols = Seq("g"), measureCols = Seq("v"),
+        distinctCols = Seq(d), hllP = 4)
+      def q = spark.read.parquet(tbase).groupBy(col("g"))
+        .agg(SK.hllEstimate(
+          SK.hyperLogLog(Md5Hash.h60String(col(d)), 4), 4).as("est"))
+      assert(scannedPaths(q).exists(_.contains(s"mv_$d.parquet")),
+        s"sketch over $d did not navigate: ${scannedPaths(q)}")
+      val navigated = q.collect().map(_.toSeq).toSet
+      MvCatalog.clear()
+      assert(navigated === q.collect().map(_.toSeq).toSet,
+        s"sketch navigation over $d diverged")
+    }
+  } }
+
   test("ROLLUP navigates maintained batch= layouts and folds HLL sketches") { withNoAqe {
     // two claims the replay's Scaladoc makes, pinned: (1) a group
     // spanning several MAINTAINED partial rows re-folds exactly under
