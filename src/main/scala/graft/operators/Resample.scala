@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series gap-fill — the warehouse `gapfill + locf` operator
+  * (TimescaleDB's `time_bucket_gapfill`/`locf`, the Postgres
+  * generate_series + LATERAL pattern): a sparse per-key daily series
+  * resampled onto its dense daily grid, missing days carrying the
+  * last observed value forward. The medallion's marts tolerate gaps
+  * (G4 models disappearance explicitly); this operator serves the
+  * consumers that can't — position/valuation snapshots, ML feature
+  * frames joined on (key, day), window features over regular grids.
+  *
+  * Scale shape: ONE data shuffle. The observed rows and the
+  * generated grid rows interleave through a single per-key window —
+  * at equal dates the observed row sorts FIRST, so `last(value,
+  * ignoreNulls)` running over the interleave fills each grid row
+  * from the newest observation at-or-before it, riding the exact
+  * sort the window needs anyway. No (key, date) equi-join of two
+  * corpus-scale sides, no second shuffle. The span aggregation that
+  * builds the grid is a keyed partial-agg (map-side combined); the
+  * grid itself is |keys| × span rows — the OUTPUT size, nothing
+  * bigger is ever materialized.
+  */
+object Resample {
+
+  /** Resample `df` (ONE row per (keys, date) — pre-aggregate first)
+    * onto each key's dense [min(date), max(date)] daily grid;
+    * `valueCols` forward-fill across the generated days. Output:
+    * keyCols ++ (dateCol) ++ valueCols, one row per key × grid day;
+    * days before a key's first observation never exist (the grid
+    * starts at the key's own min), so every output value is defined.
+    */
+  def gapFillDaily(df: DataFrame, keyCols: Seq[String], dateCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty, "keys and values required")
+    val k = keyCols.map(col)
+    val valueTypes = valueCols.map(c => c -> df.schema(c).dataType).toMap
+    // per-key observed span -> dense daily grid (sequence over dates
+    // steps one day); grid rows carry NULL values and __obs = 0
+    val grid = df.groupBy(k: _*)
+      .agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+      .select(k :+ explode(sequence(col("__lo"), col("__hi"))).as(dateCol): _*)
+      .select((k :+ col(dateCol) :+ lit(0).as("__obs")) ++
+        valueCols.map(c => lit(null).cast(valueTypes(c)).as(c)): _*)
+    val data = df.select(
+      (k :+ col(dateCol) :+ lit(1).as("__obs")) ++ valueCols.map(col): _*)
+    // observed-before-grid at equal dates: date asc, __obs desc
+    val w = Window.partitionBy(k: _*)
+      .orderBy(col(dateCol).asc, col("__obs").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    data.unionByName(grid)
+      .select((k :+ col(dateCol) :+ col("__obs")) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .where(col("__obs") === 0).drop("__obs")
+  }
+}

@@ -2072,6 +2072,49 @@ object PipelineQueries {
              |WHERE l_suppkey <= 50
              |GROUP BY ROLLUP (s_name)""".stripMargin)),
 
+    // Time-series gap-fill with forward fill (round 14) — the
+    // warehouse gapfill/locf operator: a sparse per-key daily price
+    // series resampled onto its dense [min, max] daily grid, missing
+    // days carrying the last observation forward. ONE data shuffle:
+    // observed rows and grid rows interleave through a single
+    // per-key window (observed sorts first at equal dates), so locf
+    // rides the sort the window needs anyway — no (key, date)
+    // equi-join of two corpus-scale sides. Oracle: generate_series
+    // grid + LEFT JOIN + last_value IGNORE NULLS in DuckDB (the two
+    // formulations agree exactly on 1-row-per-(key, date) input).
+    QueryDef("p142_gapfill_locf",
+      (s, dir) => {
+        val sparse = s.read.parquet(s"$dir/lineitem.parquet")
+          .where(col("l_partkey") <= 20)
+          .select(col("l_partkey").as("item_id"),
+            to_date(col("l_shipdate")).as("snapshot_date"),
+            col("l_extendedprice"))
+          .groupBy(col("item_id"), col("snapshot_date"))
+          .agg(avg("l_extendedprice").as("price"))
+        graft.operators.Resample.gapFillDaily(
+          sparse, Seq("item_id"), "snapshot_date", Seq("price"))
+      },
+      Some("""WITH s AS (SELECT l_partkey AS item_id,
+             |                 CAST(l_shipdate AS DATE) AS d,
+             |                 AVG(l_extendedprice) AS price
+             |          FROM lineitem WHERE l_partkey <= 20
+             |          GROUP BY 1, 2),
+             |span AS (SELECT item_id, min(d) AS lo, max(d) AS hi
+             |         FROM s GROUP BY 1),
+             |grid AS (SELECT item_id,
+             |                CAST(unnest(generate_series(lo, hi,
+             |                  INTERVAL 1 DAY)) AS DATE) AS d
+             |         FROM span),
+             |j AS (SELECT g.item_id, g.d, s.price
+             |      FROM grid g LEFT JOIN s
+             |        ON s.item_id = g.item_id AND s.d = g.d)
+             |SELECT item_id, d AS snapshot_date,
+             |       last_value(price IGNORE NULLS) OVER (
+             |         PARTITION BY item_id ORDER BY d
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |         AS price
+             |FROM j""".stripMargin)),
+
     // Explicit GROUPING SETS navigation (round 14): the third
     // grouping-sets spelling — arbitrary set lists, not the
     // rollup/cube prefixes — through the SQL surface. The set list
