@@ -56,4 +56,49 @@ object Resample {
         valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
       .where(col("__obs") === 0).drop("__obs")
   }
+
+  /** [[gapFillDaily]]'s linear sibling: gap days interpolate between
+    * the surrounding observations (value = prev + (next − prev) ×
+    * elapsed/gap, day-grain); days at-or-after the last observation
+    * HOLD it (locf tail — interpolation has nothing to aim at).
+    * Output values are DOUBLE. Same one-data-shuffle interleave: the
+    * backward (`last` ignoreNulls) and forward (`first` ignoreNulls)
+    * anchor scans ride the same per-key sort; at an observed date
+    * the grid row's elapsed is 0, so the formula degenerates to the
+    * observation exactly (no branch needed for bit-equality with the
+    * LEFT-JOIN oracle formulation).
+    */
+  def gapFillInterpolate(df: DataFrame, keyCols: Seq[String], dateCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty, "keys and values required")
+    val k = keyCols.map(col)
+    val grid = df.groupBy(k: _*)
+      .agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+      .select(k :+ explode(sequence(col("__lo"), col("__hi"))).as(dateCol): _*)
+      .select((k :+ col(dateCol) :+ lit(0).as("__obs")) ++
+        valueCols.map(c => lit(null).cast("double").as(c)): _*)
+    val data = df.select(
+      (k :+ col(dateCol) :+ lit(1).as("__obs")) ++
+        valueCols.map(c => col(c).cast("double").as(c)): _*)
+    val ord = Window.partitionBy(k: _*)
+      .orderBy(col(dateCol).asc, col("__obs").desc)
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def fill(c: String) = {
+      val prevV = last(col(c), ignoreNulls = true).over(wPrev)
+      val prevD = last(when(col(c).isNotNull, col(dateCol)),
+        ignoreNulls = true).over(wPrev)
+      val nextV = first(col(c), ignoreNulls = true).over(wNext)
+      val nextD = first(when(col(c).isNotNull, col(dateCol)),
+        ignoreNulls = true).over(wNext)
+      when(nextD.isNull || nextD === prevD, prevV)
+        .otherwise(prevV + (nextV - prevV) *
+          (datediff(col(dateCol), prevD).cast("double") /
+            datediff(nextD, prevD).cast("double")))
+        .as(c)
+    }
+    data.unionByName(grid)
+      .select((k :+ col(dateCol) :+ col("__obs")) ++ valueCols.map(fill): _*)
+      .where(col("__obs") === 0).drop("__obs")
+  }
 }

@@ -2115,6 +2115,67 @@ object PipelineQueries {
              |         AS price
              |FROM j""".stripMargin)),
 
+    // Linear-interpolation sibling of p142 (pandas interpolate /
+    // timescale interpolate): gap days take prev + (next − prev) ×
+    // elapsed/gap; the tail after the last observation holds (locf).
+    // Same one-shuffle interleave; the oracle states the identical
+    // arithmetic over the LEFT-JOIN grid formulation, exact because
+    // an observed date's elapsed is 0 and double division of integer
+    // day counts is deterministic in both engines.
+    QueryDef("p143_gapfill_interp",
+      (s, dir) => {
+        val sparse = s.read.parquet(s"$dir/lineitem.parquet")
+          .where(col("l_partkey") <= 20)
+          .select(col("l_partkey").as("item_id"),
+            to_date(col("l_shipdate")).as("snapshot_date"),
+            col("l_extendedprice"))
+          .groupBy(col("item_id"), col("snapshot_date"))
+          .agg(avg("l_extendedprice").as("price"))
+        graft.operators.Resample.gapFillInterpolate(
+          sparse, Seq("item_id"), "snapshot_date", Seq("price"))
+      },
+      Some("""WITH s AS (SELECT l_partkey AS item_id,
+             |                 CAST(l_shipdate AS DATE) AS d,
+             |                 AVG(l_extendedprice) AS price
+             |          FROM lineitem WHERE l_partkey <= 20
+             |          GROUP BY 1, 2),
+             |span AS (SELECT item_id, min(d) AS lo, max(d) AS hi
+             |         FROM s GROUP BY 1),
+             |grid AS (SELECT item_id,
+             |                CAST(unnest(generate_series(lo, hi,
+             |                  INTERVAL 1 DAY)) AS DATE) AS d
+             |         FROM span),
+             |j AS (SELECT g.item_id, g.d, s.price
+             |      FROM grid g LEFT JOIN s
+             |        ON s.item_id = g.item_id AND s.d = g.d),
+             |a AS (SELECT item_id, d, price,
+             |        last_value(price IGNORE NULLS) OVER (
+             |          PARTITION BY item_id ORDER BY d
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS prev_v,
+             |        last_value(CASE WHEN price IS NOT NULL THEN d END
+             |          IGNORE NULLS) OVER (
+             |          PARTITION BY item_id ORDER BY d
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS prev_d,
+             |        first_value(price IGNORE NULLS) OVER (
+             |          PARTITION BY item_id ORDER BY d
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |          AS next_v,
+             |        first_value(CASE WHEN price IS NOT NULL THEN d END
+             |          IGNORE NULLS) OVER (
+             |          PARTITION BY item_id ORDER BY d
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |          AS next_d
+             |      FROM j)
+             |SELECT item_id, d AS snapshot_date,
+             |       CASE WHEN next_d IS NULL OR next_d = prev_d THEN prev_v
+             |            ELSE prev_v + (next_v - prev_v) *
+             |                 (CAST(d - prev_d AS DOUBLE) /
+             |                  CAST(next_d - prev_d AS DOUBLE))
+             |       END AS price
+             |FROM a""".stripMargin)),
+
     // Explicit GROUPING SETS navigation (round 14): the third
     // grouping-sets spelling — arbitrary set lists, not the
     // rollup/cube prefixes — through the SQL surface. The set list

@@ -52,6 +52,20 @@ class ResampleSpec extends SparkSpec {
       ("2026-01-04", Some(4.0), Some(30L))))
   }
 
+  test("linear interpolation: gaps slope between anchors, the tail holds, observed days exact") {
+    val out = Resample.gapFillInterpolate(
+      Seq(("A", "2026-01-01", 10.0), ("A", "2026-01-04", 40.0),
+        ("A", "2026-01-06", 40.0))
+        .toDF("k", "d", "v")
+        .select(col("k"), to_date(col("d")).as("d"), col("v")),
+      Seq("k"), "d", Seq("v"))
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getDouble(2))).toSet
+    assert(out === Set(
+      ("2026-01-01", 10.0), ("2026-01-02", 20.0), ("2026-01-03", 30.0),
+      ("2026-01-04", 40.0), ("2026-01-05", 40.0), ("2026-01-06", 40.0)))
+  }
+
   test("plan: the fill is one data shuffle — no (key, date) join, grid via partial-agg span") {
     val q = Resample.gapFillDaily(sparse, Seq("k"), "d", Seq("v"))
     val plan = q.queryExecution.executedPlan.toString
