@@ -317,6 +317,32 @@ object PipelineQueries {
     */
   private def ivfIndexPath = s"$artifactRoot/ivf_index_p20"
   private def filteredIvfPath = s"$artifactRoot/ivf_index_p140"
+  /** The p142 gapfill/locf oracle — shared verbatim by the st42
+    * streaming twin (the accumulated stateful emissions equal the
+    * batch grid exactly).
+    */
+  private[queries] def gapfillLocfOracleSql: String =
+    """WITH s AS (SELECT l_partkey AS item_id,
+      |                 CAST(l_shipdate AS DATE) AS d,
+      |                 AVG(l_extendedprice) AS price
+      |          FROM lineitem WHERE l_partkey <= 20
+      |          GROUP BY 1, 2),
+      |span AS (SELECT item_id, min(d) AS lo, max(d) AS hi
+      |         FROM s GROUP BY 1),
+      |grid AS (SELECT item_id,
+      |                CAST(unnest(generate_series(lo, hi,
+      |                  INTERVAL 1 DAY)) AS DATE) AS d
+      |         FROM span),
+      |j AS (SELECT g.item_id, g.d, s.price
+      |      FROM grid g LEFT JOIN s
+      |        ON s.item_id = g.item_id AND s.d = g.d)
+      |SELECT item_id, d AS snapshot_date,
+      |       last_value(price IGNORE NULLS) OVER (
+      |         PARTITION BY item_id ORDER BY d
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS price
+      |FROM j""".stripMargin
+
   private def nswIndexPath = s"$artifactRoot/nsw_index_p132"
   private def nswLifePath = s"$artifactRoot/nsw_index_p135"
   private def nswFilteredPath = s"$artifactRoot/nsw_index_p139"
@@ -2094,26 +2120,7 @@ object PipelineQueries {
         graft.operators.Resample.gapFillDaily(
           sparse, Seq("item_id"), "snapshot_date", Seq("price"))
       },
-      Some("""WITH s AS (SELECT l_partkey AS item_id,
-             |                 CAST(l_shipdate AS DATE) AS d,
-             |                 AVG(l_extendedprice) AS price
-             |          FROM lineitem WHERE l_partkey <= 20
-             |          GROUP BY 1, 2),
-             |span AS (SELECT item_id, min(d) AS lo, max(d) AS hi
-             |         FROM s GROUP BY 1),
-             |grid AS (SELECT item_id,
-             |                CAST(unnest(generate_series(lo, hi,
-             |                  INTERVAL 1 DAY)) AS DATE) AS d
-             |         FROM span),
-             |j AS (SELECT g.item_id, g.d, s.price
-             |      FROM grid g LEFT JOIN s
-             |        ON s.item_id = g.item_id AND s.d = g.d)
-             |SELECT item_id, d AS snapshot_date,
-             |       last_value(price IGNORE NULLS) OVER (
-             |         PARTITION BY item_id ORDER BY d
-             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |         AS price
-             |FROM j""".stripMargin)),
+      Some(gapfillLocfOracleSql)),
 
     // Linear-interpolation sibling of p142 (pandas interpolate /
     // timescale interpolate): gap days take prev + (next − prev) ×

@@ -2923,6 +2923,60 @@ object StreamingQueries {
     },
     Some(PipelineQueries.nswLifecycleOracleSql))
 
+  /** st42: streaming gap-fill — the stateful locf twin of the batch
+    * p142 operator. Sparse per-key daily observations arrive in two
+    * date-ordered micro-batches; `flatMapGroupsWithState` keeps one
+    * (date, value) pair per key and, at each observation, emits the
+    * gap days since the previous one carried forward plus the
+    * observation day. The accumulated emissions equal the batch
+    * operator's dense grid exactly, so the oracle is p142's SQL
+    * verbatim. State is O(live keys); emissions are retroactive at
+    * the next observation — deterministic, no processing-time
+    * dependence, replay-idempotent through the checkpoint.
+    */
+  private def streamingGapFill: QueryDef = QueryDef(
+    "st42_streaming_gapfill",
+    (s, dir) => {
+      import s.implicits._
+      val dirP = scratch("st42")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      val out = dirP.resolve("out").toString
+      val sparse = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_partkey") <= 20)
+        .select(col("l_partkey").as("key"),
+          to_date(col("l_shipdate")).as("day"),
+          col("l_extendedprice"))
+        .groupBy(col("key"), col("day"))
+        .agg(avg("l_extendedprice").as("value"))
+      val schema = sparse.schema
+      // two date-ordered batches: the per-key ordering contract holds
+      // under any global date split
+      sparse.where(col("day") < lit("1995-01-01").cast("date"))
+        .coalesce(1).write.parquet(stage)
+      sparse.where(col("day") >= lit("1995-01-01").cast("date"))
+        .coalesce(1).write.mode("append").parquet(stage)
+
+      val q0 = graft.streaming.StreamingGapFill.locfFilled(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .as[graft.streaming.StreamingGapFill.SeriesObs])
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      try q0.awaitTermination() finally q0.stop()
+
+      val outDf = s.read.parquet(out)
+        .select(col("key").as("item_id"), col("day").as("snapshot_date"),
+          col("value").as("price"))
+      val outSchema = outDf.schema
+      val rows = outDf.collect()
+      deleteRecursively(dirP)
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), outSchema)
+    },
+    Some(PipelineQueries.gapfillLocfOracleSql))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -2937,5 +2991,5 @@ object StreamingQueries {
       streamingPixelDedup, streamingExcise, streamingMvMaintenance,
       streamingMediaIngest, streamingMvDistinct, streamingPairIngest,
       streamingSearch, streamingMvCompact, streamingMvStar,
-      streamingAnnServe, streamingAnnMaintain)
+      streamingAnnServe, streamingAnnMaintain, streamingGapFill)
 }

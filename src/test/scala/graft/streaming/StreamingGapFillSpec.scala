@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.sql.Date
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import StreamingGapFill.SeriesObs
+
+/** Streaming gap-fill: accumulated emissions == the batch
+  * [[graft.operators.Resample.gapFillDaily]] grid; state carries
+  * across micro-batches; late duplicates drop.
+  */
+class StreamingGapFillSpec extends SparkSpec {
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("cross-batch fill: gaps close retroactively at the next observation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SeriesObs]
+    val q = StreamingGapFill.locfFilled(mem.toDS())
+      .writeStream.format("memory").queryName("gf1")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      // batch 1: A@1=10, A@3=30 (in-batch gap), B@2=2
+      mem.addData(SeriesObs(1L, d("2026-01-03"), 30.0), // out of order in batch
+        SeriesObs(1L, d("2026-01-01"), 10.0),
+        SeriesObs(2L, d("2026-01-02"), 2.0))
+      q.processAllAvailable()
+      // batch 2: A@6=60 (cross-batch gap from state), plus a LATE
+      // duplicate A@2 that must drop (at-or-before lastDay=3? no —
+      // before day 6 arrives the state is day 3; 2 < 3 drops)
+      mem.addData(SeriesObs(1L, d("2026-01-02"), 999.0),
+        SeriesObs(1L, d("2026-01-06"), 60.0))
+      q.processAllAvailable()
+      val got = spark.table("gf1").collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+        .toSet
+      assert(got === Set(
+        (1L, "2026-01-01", 10.0), (1L, "2026-01-02", 10.0),
+        (1L, "2026-01-03", 30.0), (1L, "2026-01-04", 30.0),
+        (1L, "2026-01-05", 30.0), (1L, "2026-01-06", 60.0),
+        (2L, "2026-01-02", 2.0)),
+        s"late duplicate leaked or a gap day is missing: $got")
+    } finally q.stop()
+  }
+}
