@@ -164,10 +164,19 @@ object Asof {
 
     val wBase = Window.partitionBy(on.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+    // the forward carry runs over the EXACT REVERSE of wBase's order
+    // (desc with nulls last mirrors asc-nulls-first) as a RUNNING
+    // frame: Spark's unboundedFollowing frame re-scans current→end
+    // per row — O(partition²) on a hot key — while the reversed
+    // running `last` is the same row for every input, linearly
+    // (same finding as Resample.gapFillInterpolate, 12× there)
+    val wBaseRev = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t").desc_nulls_last, col("__side").desc,
+        col("__tie").desc_nulls_last)
     val carried =
       if (forward)
-        first(col("__r"), ignoreNulls = true).over(
-          wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        last(col("__r"), ignoreNulls = true).over(
+          wBaseRev.rowsBetween(Window.unboundedPreceding, Window.currentRow))
       else
         last(col("__r"), ignoreNulls = true).over(
           wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow))
