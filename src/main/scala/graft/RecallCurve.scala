@@ -145,15 +145,22 @@ object RecallCurve {
     // The beam routes through every node but only 1/m of the corpus
     // may rank, so at fixed beam the visited set holds fewer MATCHES
     // as m grows; truth is brute force over the filtered corpus.
-    for (m <- Seq(2L, 4L, 8L); beam <- Seq(8, 16, 32)) {
+    for (m <- Seq(2L, 4L, 8L)) {
+      // the filtered ground truth depends only on the selectivity —
+      // hoist it out of the beam loop (one brute-force job per m)
       val allowed = emb.where(col("vec_id") % m === 0).select(col("vec_id"))
       val ftruth = Similarity.bruteSearchAll(
         emb.where(col("vec_id") % m === 0), queries, k)
         .select(col("query_id"), col("vec_id"))
-      val r = meanRecall(GraphAnn.searchAll(edges, hubs, queries, k,
-        beam = beam, rounds = 3, allowed = Some(allowed)), ftruth)
-      println(s"""{"family":"nsw_filtered","selectivity":"1/$m","beam":$beam,"rounds":3,"mean_recall":$r,"q":$nQ}""")
-      Console.out.flush()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ftruth.count()
+      for (beam <- Seq(8, 16, 32)) {
+        val r = meanRecall(GraphAnn.searchAll(edges, hubs, queries, k,
+          beam = beam, rounds = 3, allowed = Some(allowed)), ftruth)
+        println(s"""{"family":"nsw_filtered","selectivity":"1/$m","beam":$beam,"rounds":3,"mean_recall":$r,"q":$nQ}""")
+        Console.out.flush()
+      }
+      ftruth.unpersist()
     }
     edges.unpersist()
 

@@ -33,25 +33,36 @@ object Resample {
     * days before a key's first observation never exist (the grid
     * starts at the key's own min), so every output value is defined.
     */
-  def gapFillDaily(df: DataFrame, keyCols: Seq[String], dateCol: String,
-      valueCols: Seq[String]): DataFrame = {
+  /** Shared scaffolding: the per-key dense daily grid (NULL-valued,
+    * `__obs = 0`) unioned with the observed rows (`__obs = 1`), ready
+    * for the per-key interleave window (observed sorts before its
+    * grid twin at equal dates via `__obs desc`). `valueCast` decides
+    * the grid columns' type — the observed side casts to match.
+    */
+  private def dailyGridUnion(df: DataFrame, keyCols: Seq[String],
+      dateCol: String, valueCols: Seq[String],
+      valueCast: String => org.apache.spark.sql.types.DataType): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "keys and values required")
     val k = keyCols.map(col)
-    val valueTypes = valueCols.map(c => c -> df.schema(c).dataType).toMap
-    // per-key observed span -> dense daily grid (sequence over dates
-    // steps one day); grid rows carry NULL values and __obs = 0
     val grid = df.groupBy(k: _*)
       .agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
       .select(k :+ explode(sequence(col("__lo"), col("__hi"))).as(dateCol): _*)
       .select((k :+ col(dateCol) :+ lit(0).as("__obs")) ++
-        valueCols.map(c => lit(null).cast(valueTypes(c)).as(c)): _*)
+        valueCols.map(c => lit(null).cast(valueCast(c)).as(c)): _*)
     val data = df.select(
-      (k :+ col(dateCol) :+ lit(1).as("__obs")) ++ valueCols.map(col): _*)
-    // observed-before-grid at equal dates: date asc, __obs desc
+      (k :+ col(dateCol) :+ lit(1).as("__obs")) ++
+        valueCols.map(c => col(c).cast(valueCast(c)).as(c)): _*)
+    data.unionByName(grid)
+  }
+
+  def gapFillDaily(df: DataFrame, keyCols: Seq[String], dateCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val k = keyCols.map(col)
+    val valueTypes = valueCols.map(c => c -> df.schema(c).dataType).toMap
     val w = Window.partitionBy(k: _*)
       .orderBy(col(dateCol).asc, col("__obs").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    data.unionByName(grid)
+    dailyGridUnion(df, keyCols, dateCol, valueCols, valueTypes)
       .select((k :+ col(dateCol) :+ col("__obs")) ++
         valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
       .where(col("__obs") === 0).drop("__obs")
@@ -70,16 +81,7 @@ object Resample {
     */
   def gapFillInterpolate(df: DataFrame, keyCols: Seq[String], dateCol: String,
       valueCols: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty && valueCols.nonEmpty, "keys and values required")
     val k = keyCols.map(col)
-    val grid = df.groupBy(k: _*)
-      .agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
-      .select(k :+ explode(sequence(col("__lo"), col("__hi"))).as(dateCol): _*)
-      .select((k :+ col(dateCol) :+ lit(0).as("__obs")) ++
-        valueCols.map(c => lit(null).cast("double").as(c)): _*)
-    val data = df.select(
-      (k :+ col(dateCol) :+ lit(1).as("__obs")) ++
-        valueCols.map(c => col(c).cast("double").as(c)): _*)
     // BOTH anchor scans are running (unboundedPreceding → current)
     // frames: the forward anchor uses a REVERSED sort instead of an
     // unboundedFollowing frame, because Spark's following-frame
@@ -105,7 +107,8 @@ object Resample {
             datediff(nextD, prevD).cast("double")))
         .as(c)
     }
-    data.unionByName(grid)
+    dailyGridUnion(df, keyCols, dateCol, valueCols,
+      _ => org.apache.spark.sql.types.DoubleType)
       .select((k :+ col(dateCol) :+ col("__obs")) ++ valueCols.map(fill): _*)
       .where(col("__obs") === 0).drop("__obs")
   }

@@ -258,11 +258,15 @@ object GraphAnn {
         col("__node") === col("src"), "left_semi")
     // rank-time filter: visited stays unrestricted (routing), the
     // rankable set intersects `allowed`. The visited accumulation is
-    // the SMALL side — broadcast it and stream the allowed table.
+    // the SMALL side — broadcast it and stream the allowed table;
+    // project the query vector away first (the final ranking needs
+    // only id/node/cosine, and __qv is dim floats per visited row).
     ranked = allowed match {
       case Some(a) =>
         a.select(col(idCol).as("__ok")).distinct()
-          .join(broadcast(ranked), col("__ok") === col("__node"))
+          .join(broadcast(ranked
+            .select(col("__qid"), col("__node"), col("cosine"))),
+            col("__ok") === col("__node"))
           .drop("__ok")
       case None => ranked
     }

@@ -174,7 +174,11 @@ object MvAdvisor extends org.apache.spark.internal.Logging {
                       sketches += ((refs.head.name, p.get,
                         MaterializedAggregate.normalizeExpr(h.child)))
                     else ok = false
-                  case Count(seq) if seq.forall(_.foldable) => () // COUNT(*)
+                  case Count(seq) if seq.forall(_.foldable) =>
+                    // COUNT(*) / COUNT(lit) derive via cnt — but only
+                    // for a NON-NULL literal (COUNT(NULL) is 0 per
+                    // group; the rule refuses it, so must the advisor)
+                    if (seq.exists(_.eval() == null)) ok = false
                   case Sum(x, _) => addMeasure(x)
                   case Min(x) => addMeasure(x)
                   case Max(x) => addMeasure(x)
@@ -336,7 +340,9 @@ object MvAdvisor extends org.apache.spark.internal.Logging {
               sketches += ((refs.head.name, p.get,
                 MaterializedAggregate.normalizeExpr(hc)))
             else ok = false
-          case Count(seq) if seq.forall(_.foldable) => () // COUNT(*)
+          case Count(seq) if seq.forall(_.foldable) =>
+            // non-null literals only — rule parity (see the flat path)
+            if (seq.exists(_.eval() == null)) ok = false
           case Sum(x, _) => addMeasure(x)
           case Min(x) => addMeasure(x)
           case Max(x) => addMeasure(x)

@@ -63,6 +63,37 @@ object StreamingQueries {
         .forEach(f => { Files.deleteIfExists(f); () })
     } catch { case _: Throwable => () } // best-effort scratch cleanup
 
+  /** Names of the data part files currently under `stage`. */
+  private def partNames(s: SparkSession, stage: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(stage)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+  }
+
+  /** Pin the staged files' modification times so FileStreamSource's
+    * timestamp ordering matches WRITE order even on coarse-mtime
+    * filesystems (two back-to-back writes can land in the same mtime
+    * tick, leaving arrival order listing-dependent). Most streaming
+    * gates commute across batch assignment (MV partials fold, ANN
+    * serving is per-query); this matters exactly where the per-batch
+    * operation does NOT commute — st41's seed-then-append index
+    * build and st42's stateful forward fill.
+    */
+  private def pinArrivalOrder(s: SparkSession, stage: String,
+      firstBatch: Set[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stage)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    fs.listStatus(p).foreach { st0 =>
+      val name = st0.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val t = if (firstBatch(name)) now - 120000L else now
+        fs.setTimes(st0.getPath, t, -1)
+      }
+    }
+  }
+
   /** events projected to the streaming twins' input shape. */
   private def eventStream(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
@@ -2885,8 +2916,12 @@ object StreamingQueries {
       // batch 0 = even ids (the seed), batch 1 = odd ids (the append)
       emb.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding"))
         .coalesce(1).write.parquet(stage)
+      val seedFiles = partNames(s, stage)
       emb.where(col("vec_id") % 2 =!= 0).select(col("vec_id"), col("embedding"))
         .coalesce(1).write.mode("append").parquet(stage)
+      // seed-then-append does NOT commute: pin mtimes so batch 0 is
+      // the seed even when both writes land in one mtime tick
+      pinArrivalOrder(s, stage, seedFiles)
 
       val dim = Some(PipelineQueries.EmbeddingDim)
       val q0 = s.readStream.schema(schema)
@@ -2954,8 +2989,13 @@ object StreamingQueries {
       // under any global date split
       sparse.where(col("day") < lit("1995-01-01").cast("date"))
         .coalesce(1).write.parquet(stage)
+      val earlyFiles = partNames(s, stage)
       sparse.where(col("day") >= lit("1995-01-01").cast("date"))
         .coalesce(1).write.mode("append").parquet(stage)
+      // the stateful fill does NOT commute across batch order: pin
+      // mtimes so the early half is batch 0 even on a coarse-mtime
+      // filesystem where both writes share a tick
+      pinArrivalOrder(s, stage, earlyFiles)
 
       val q0 = graft.streaming.StreamingGapFill.locfFilled(
         s.readStream.schema(schema)

@@ -27,7 +27,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * before the key's last observed day is a late duplicate and drops
   * (the batch twin's pre-aggregated-input contract).
   */
-object StreamingGapFill {
+object StreamingGapFill extends org.apache.spark.internal.Logging {
 
   case class SeriesObs(key: Long, day: Date, value: Double)
   case class FillState(lastDay: Date, lastValue: Double)
@@ -42,6 +42,7 @@ object StreamingGapFill {
           val sorted = it.toSeq.sortBy(_.day.toLocalDate.toEpochDay)
           val out = Seq.newBuilder[FilledDay]
           var st = state.getOption
+          var dropped = 0
           sorted.foreach { e =>
             st match {
               case None =>
@@ -60,9 +61,18 @@ object StreamingGapFill {
                   }
                   out += FilledDay(key, e.day, e.value)
                   st = Some(FillState(e.day, e.value))
-                } // else: late duplicate at-or-before lastDay — drop
+                } else dropped += 1 // at-or-before lastDay
             }
           }
+          // a violated ordering contract must be DETECTABLE, not
+          // silent data loss: already-emitted days cannot be
+          // retracted in append mode, so drop — but say so
+          if (dropped > 0) logWarning(
+            s"StreamingGapFill: dropped $dropped observation(s) for " +
+              s"key $key at-or-before its last filled day " +
+              s"${st.map(_.lastDay).orNull} — per-key arrival must be " +
+              "date-ordered across micro-batches (in-batch reorder is " +
+              "handled); an equal-day row is a duplicate")
           st.foreach(state.update)
           out.result().iterator
         })(Encoders.product[FillState], Encoders.product[FilledDay])
