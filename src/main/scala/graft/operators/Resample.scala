@@ -68,6 +68,28 @@ object Resample {
       .where(col("__obs") === 0).drop("__obs")
   }
 
+  /** [[gapFillDaily]]'s mirror — BACKWARD fill (pandas `bfill`): each
+    * grid day takes the NEXT observation at-or-after it. The grid
+    * ends at each key's last observation, so every output value is
+    * defined (no head/tail asymmetry to document away). Same linear
+    * reversed-running-frame discipline as the interpolation anchors —
+    * never an unboundedFollowing frame; the tie order flips so an
+    * observed day sees its own value (data scans before its grid twin
+    * from the reverse side too).
+    */
+  def gapFillDailyBackward(df: DataFrame, keyCols: Seq[String],
+      dateCol: String, valueCols: Seq[String]): DataFrame = {
+    val k = keyCols.map(col)
+    val valueTypes = valueCols.map(c => c -> df.schema(c).dataType).toMap
+    val w = Window.partitionBy(k: _*)
+      .orderBy(col(dateCol).desc, col("__obs").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyGridUnion(df, keyCols, dateCol, valueCols, valueTypes)
+      .select((k :+ col(dateCol) :+ col("__obs")) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .where(col("__obs") === 0).drop("__obs")
+  }
+
   /** [[gapFillDaily]]'s linear sibling: gap days interpolate between
     * the surrounding observations (value = prev + (next − prev) ×
     * elapsed/gap, day-grain); days at-or-after the last observation

@@ -2122,6 +2122,44 @@ object PipelineQueries {
       },
       Some(gapfillLocfOracleSql)),
 
+    // Backward-fill mirror of p142 (pandas bfill): each grid day
+    // takes the NEXT observation at-or-after it — the fill direction
+    // feature-engineering uses for "known by" semantics. Same
+    // one-shuffle interleave, reversed; oracle = first_value IGNORE
+    // NULLS over the following frame on the LEFT-JOIN grid.
+    QueryDef("p144_gapfill_bfill",
+      (s, dir) => {
+        val sparse = s.read.parquet(s"$dir/lineitem.parquet")
+          .where(col("l_partkey") <= 20)
+          .select(col("l_partkey").as("item_id"),
+            to_date(col("l_shipdate")).as("snapshot_date"),
+            col("l_extendedprice"))
+          .groupBy(col("item_id"), col("snapshot_date"))
+          .agg(avg("l_extendedprice").as("price"))
+        graft.operators.Resample.gapFillDailyBackward(
+          sparse, Seq("item_id"), "snapshot_date", Seq("price"))
+      },
+      Some("""WITH s AS (SELECT l_partkey AS item_id,
+             |                 CAST(l_shipdate AS DATE) AS d,
+             |                 AVG(l_extendedprice) AS price
+             |          FROM lineitem WHERE l_partkey <= 20
+             |          GROUP BY 1, 2),
+             |span AS (SELECT item_id, min(d) AS lo, max(d) AS hi
+             |         FROM s GROUP BY 1),
+             |grid AS (SELECT item_id,
+             |                CAST(unnest(generate_series(lo, hi,
+             |                  INTERVAL 1 DAY)) AS DATE) AS d
+             |         FROM span),
+             |j AS (SELECT g.item_id, g.d, s.price
+             |      FROM grid g LEFT JOIN s
+             |        ON s.item_id = g.item_id AND s.d = g.d)
+             |SELECT item_id, d AS snapshot_date,
+             |       first_value(price IGNORE NULLS) OVER (
+             |         PARTITION BY item_id ORDER BY d
+             |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |         AS price
+             |FROM j""".stripMargin)),
+
     // Linear-interpolation sibling of p142 (pandas interpolate /
     // timescale interpolate): gap days take prev + (next − prev) ×
     // elapsed/gap; the tail after the last observation holds (locf).

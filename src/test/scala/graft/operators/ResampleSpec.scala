@@ -52,6 +52,18 @@ class ResampleSpec extends SparkSpec {
       ("2026-01-04", Some(4.0), Some(30L))))
   }
 
+  test("backward fill: gaps take the next observation; observed days keep their own") {
+    val out = Resample.gapFillDailyBackward(sparse, Seq("k"), "d", Seq("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+      .toSet
+    assert(out === Set(
+      ("A", "2026-01-01", 10.0), ("A", "2026-01-02", 30.0),
+      ("A", "2026-01-03", 30.0), ("A", "2026-01-04", 60.0),
+      ("A", "2026-01-05", 60.0), ("A", "2026-01-06", 60.0),
+      ("B", "2026-01-02", 2.0)))
+  }
+
   test("linear interpolation: gaps slope between anchors, the tail holds, observed days exact") {
     val out = Resample.gapFillInterpolate(
       Seq(("A", "2026-01-01", 10.0), ("A", "2026-01-04", 40.0),
