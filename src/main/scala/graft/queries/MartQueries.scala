@@ -382,6 +382,48 @@ object MartQueries {
       Some(s"""WITH g2 AS ($g2Sql)
               |SELECT $g2GateCols FROM g2 WHERE item_id = 'purchase'
               |ORDER BY snapshot_hour DESC LIMIT 48""".stripMargin)),
+    // DENSE price-history bars (round 15, verdict ask #2's serving
+    // half): the dashboard plots 48 contiguous hourly bars
+    // (`main.py:45-49`), but 'purchase' has 47 no-trade hours in its
+    // sf0.01 span — the sparse route compresses the time axis. The
+    // dense route gap-fills the item's hourly grid BEFORE the
+    // latest-first limit: a no-trade hour is a flat bar at the
+    // carried close with volume 0. Oracle restates the grid +
+    // carried-close composition over g2Sql.
+    QueryDef("serve_price_history_dense",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, unix_timestamp}
+        ServingLayer.priceHistoryDense(g2(s, dir), "purchase", limit = 48)
+          .withColumn("snapshot_hour", unix_timestamp(col("snapshot_hour")))
+      },
+      Some(s"""WITH g2 AS ($g2Sql),
+              |bars AS (SELECT * FROM g2 WHERE item_id = 'purchase'),
+              |span AS (SELECT item_id, min(snapshot_hour) AS lo,
+              |                max(snapshot_hour) AS hi
+              |         FROM bars GROUP BY 1),
+              |grid AS (SELECT item_id,
+              |                unnest(generate_series(lo, hi,
+              |                  INTERVAL 1 HOUR)) AS h
+              |         FROM span),
+              |j AS (SELECT g.item_id, g.h, b.open_price, b.high_price,
+              |             b.low_price, b.close_price, b.avarage_price,
+              |             b.volume
+              |      FROM grid g LEFT JOIN bars b
+              |        ON b.item_id = g.item_id AND b.snapshot_hour = g.h),
+              |f AS (SELECT *,
+              |        last_value(close_price IGNORE NULLS) OVER (
+              |          PARTITION BY item_id ORDER BY h
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |          AS carried
+              |      FROM j)
+              |SELECT item_id, CAST(epoch(h) AS BIGINT) AS snapshot_hour,
+              |       CAST(coalesce(open_price, carried) AS DOUBLE) AS open_price,
+              |       CAST(coalesce(high_price, carried) AS DOUBLE) AS high_price,
+              |       CAST(coalesce(low_price, carried) AS DOUBLE) AS low_price,
+              |       CAST(coalesce(close_price, carried) AS DOUBLE) AS close_price,
+              |       CAST(coalesce(avarage_price, carried) AS DOUBLE) AS avarage_price,
+              |       coalesce(volume, 0) AS volume
+              |FROM f ORDER BY h DESC LIMIT 48""".stripMargin)),
     // Route fidelity gate (round-6 verdict item 2): the reference
     // opportunities endpoint has NO LIMIT and keeps NULL-z rows
     // (sorted last). The HOLD filter makes both visible: every NULL-z

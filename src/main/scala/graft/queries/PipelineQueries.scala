@@ -343,6 +343,79 @@ object PipelineQueries {
       |         AS price
       |FROM j""".stripMargin
 
+  /** The p144 bfill oracle — shared verbatim by the st44 streaming
+    * twin (same retroactive-emission equality as locf/st42).
+    */
+  private[queries] def gapfillBfillOracleSql: String =
+    """WITH s AS (SELECT l_partkey AS item_id,
+      |                 CAST(l_shipdate AS DATE) AS d,
+      |                 AVG(l_extendedprice) AS price
+      |          FROM lineitem WHERE l_partkey <= 20
+      |          GROUP BY 1, 2),
+      |span AS (SELECT item_id, min(d) AS lo, max(d) AS hi
+      |         FROM s GROUP BY 1),
+      |grid AS (SELECT item_id,
+      |                CAST(unnest(generate_series(lo, hi,
+      |                  INTERVAL 1 DAY)) AS DATE) AS d
+      |         FROM span),
+      |j AS (SELECT g.item_id, g.d, s.price
+      |      FROM grid g LEFT JOIN s
+      |        ON s.item_id = g.item_id AND s.d = g.d)
+      |SELECT item_id, d AS snapshot_date,
+      |       first_value(price IGNORE NULLS) OVER (
+      |         PARTITION BY item_id ORDER BY d
+      |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |         AS price
+      |FROM j""".stripMargin
+
+  /** The p143 interpolation oracle — shared verbatim by the st43
+    * streaming twin: the arriving observation IS the forward anchor,
+    * so retroactive emission reproduces the batch formula exactly
+    * (identical double arithmetic: ratio first, then multiply-add).
+    */
+  private[queries] def gapfillInterpOracleSql: String =
+    """WITH s AS (SELECT l_partkey AS item_id,
+      |                 CAST(l_shipdate AS DATE) AS d,
+      |                 AVG(l_extendedprice) AS price
+      |          FROM lineitem WHERE l_partkey <= 20
+      |          GROUP BY 1, 2),
+      |span AS (SELECT item_id, min(d) AS lo, max(d) AS hi
+      |         FROM s GROUP BY 1),
+      |grid AS (SELECT item_id,
+      |                CAST(unnest(generate_series(lo, hi,
+      |                  INTERVAL 1 DAY)) AS DATE) AS d
+      |         FROM span),
+      |j AS (SELECT g.item_id, g.d, s.price
+      |      FROM grid g LEFT JOIN s
+      |        ON s.item_id = g.item_id AND s.d = g.d),
+      |a AS (SELECT item_id, d, price,
+      |        last_value(price IGNORE NULLS) OVER (
+      |          PARTITION BY item_id ORDER BY d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS prev_v,
+      |        last_value(CASE WHEN price IS NOT NULL THEN d END
+      |          IGNORE NULLS) OVER (
+      |          PARTITION BY item_id ORDER BY d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS prev_d,
+      |        first_value(price IGNORE NULLS) OVER (
+      |          PARTITION BY item_id ORDER BY d
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |          AS next_v,
+      |        first_value(CASE WHEN price IS NOT NULL THEN d END
+      |          IGNORE NULLS) OVER (
+      |          PARTITION BY item_id ORDER BY d
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |          AS next_d
+      |      FROM j)
+      |SELECT item_id, d AS snapshot_date,
+      |       CASE WHEN next_d IS NULL OR next_d = prev_d THEN prev_v
+      |            ELSE prev_v + (next_v - prev_v) *
+      |                 (CAST(d - prev_d AS DOUBLE) /
+      |                  CAST(next_d - prev_d AS DOUBLE))
+      |       END AS price
+      |FROM a""".stripMargin
+
   private def nswIndexPath = s"$artifactRoot/nsw_index_p132"
   private def nswLifePath = s"$artifactRoot/nsw_index_p135"
   private def nswFilteredPath = s"$artifactRoot/nsw_index_p139"
@@ -2139,26 +2212,7 @@ object PipelineQueries {
         graft.operators.Resample.gapFillDailyBackward(
           sparse, Seq("item_id"), "snapshot_date", Seq("price"))
       },
-      Some("""WITH s AS (SELECT l_partkey AS item_id,
-             |                 CAST(l_shipdate AS DATE) AS d,
-             |                 AVG(l_extendedprice) AS price
-             |          FROM lineitem WHERE l_partkey <= 20
-             |          GROUP BY 1, 2),
-             |span AS (SELECT item_id, min(d) AS lo, max(d) AS hi
-             |         FROM s GROUP BY 1),
-             |grid AS (SELECT item_id,
-             |                CAST(unnest(generate_series(lo, hi,
-             |                  INTERVAL 1 DAY)) AS DATE) AS d
-             |         FROM span),
-             |j AS (SELECT g.item_id, g.d, s.price
-             |      FROM grid g LEFT JOIN s
-             |        ON s.item_id = g.item_id AND s.d = g.d)
-             |SELECT item_id, d AS snapshot_date,
-             |       first_value(price IGNORE NULLS) OVER (
-             |         PARTITION BY item_id ORDER BY d
-             |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-             |         AS price
-             |FROM j""".stripMargin)),
+      Some(gapfillBfillOracleSql)),
 
     // Linear-interpolation sibling of p142 (pandas interpolate /
     // timescale interpolate): gap days take prev + (next − prev) ×
@@ -2179,46 +2233,83 @@ object PipelineQueries {
         graft.operators.Resample.gapFillInterpolate(
           sparse, Seq("item_id"), "snapshot_date", Seq("price"))
       },
-      Some("""WITH s AS (SELECT l_partkey AS item_id,
-             |                 CAST(l_shipdate AS DATE) AS d,
-             |                 AVG(l_extendedprice) AS price
-             |          FROM lineitem WHERE l_partkey <= 20
-             |          GROUP BY 1, 2),
-             |span AS (SELECT item_id, min(d) AS lo, max(d) AS hi
+      Some(gapfillInterpOracleSql)),
+
+    // Grain-parameterized gap-fill (round 15, verdict ask #2): the
+    // TimescaleDB `time_bucket_gapfill` surface at HOUR grain — the
+    // reference's own price-history mart is hourly
+    // (`backend_api/app/models.py:50`) and the dashboard assumes 48
+    // dense bars (`main.py:45-49`), so the daily-only trio left the
+    // reference's actual cadence uncovered. One gate pins all three
+    // fill modes on the same hourly grid (sparse per-user hourly
+    // event values over `events`): locf / bfill / interp as three
+    // value columns joined on the identical (user, hour) grid. The
+    // interp elapsed/gap ratio is measured in SECONDS
+    // (unix_timestamp) at timestamp grains — linear in real time, so
+    // the DuckDB restatement via date_diff('second', …) is exact.
+    // snapshot_hour emits as epoch seconds (the g02 canonicalization
+    // — Spark's tz-aware instant vs DuckDB's naive TIMESTAMP).
+    QueryDef("p145_gapfill_hourly",
+      (s, dir) => {
+        import graft.operators.Resample
+        val sparse = s.read.parquet(s"$dir/events.parquet")
+          .where(col("user_id") <= 50)
+          .select(col("user_id"),
+            Resample.timeBucket("hour", col("ts")).as("h"),
+            col("value"))
+          .groupBy(col("user_id"), col("h"))
+          .agg(avg("value").as("v"))
+        def one(mode: String, out: String) =
+          Resample.gapFill(sparse, Seq("user_id"), "h", Seq("v"),
+            mode, "hour").withColumnRenamed("v", out)
+        one("locf", "v_locf")
+          .join(one("bfill", "v_bfill"), Seq("user_id", "h"))
+          .join(one("interp", "v_interp"), Seq("user_id", "h"))
+          .select(col("user_id"),
+            unix_timestamp(col("h")).as("snapshot_hour"),
+            col("v_locf"), col("v_bfill"), col("v_interp"))
+      },
+      Some("""WITH s AS (SELECT user_id, date_trunc('hour', ts) AS h,
+             |                  AVG(value) AS v
+             |           FROM events WHERE user_id <= 50
+             |           GROUP BY 1, 2),
+             |span AS (SELECT user_id, min(h) AS lo, max(h) AS hi
              |         FROM s GROUP BY 1),
-             |grid AS (SELECT item_id,
-             |                CAST(unnest(generate_series(lo, hi,
-             |                  INTERVAL 1 DAY)) AS DATE) AS d
+             |grid AS (SELECT user_id,
+             |                unnest(generate_series(lo, hi,
+             |                  INTERVAL 1 HOUR)) AS h
              |         FROM span),
-             |j AS (SELECT g.item_id, g.d, s.price
+             |j AS (SELECT g.user_id, g.h, s.v
              |      FROM grid g LEFT JOIN s
-             |        ON s.item_id = g.item_id AND s.d = g.d),
-             |a AS (SELECT item_id, d, price,
-             |        last_value(price IGNORE NULLS) OVER (
-             |          PARTITION BY item_id ORDER BY d
+             |        ON s.user_id = g.user_id AND s.h = g.h),
+             |a AS (SELECT user_id, h, v,
+             |        last_value(v IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY h
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |          AS prev_v,
-             |        last_value(CASE WHEN price IS NOT NULL THEN d END
+             |        last_value(CASE WHEN v IS NOT NULL THEN h END
              |          IGNORE NULLS) OVER (
-             |          PARTITION BY item_id ORDER BY d
+             |          PARTITION BY user_id ORDER BY h
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |          AS prev_d,
-             |        first_value(price IGNORE NULLS) OVER (
-             |          PARTITION BY item_id ORDER BY d
+             |        first_value(v IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY h
              |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
              |          AS next_v,
-             |        first_value(CASE WHEN price IS NOT NULL THEN d END
+             |        first_value(CASE WHEN v IS NOT NULL THEN h END
              |          IGNORE NULLS) OVER (
-             |          PARTITION BY item_id ORDER BY d
+             |          PARTITION BY user_id ORDER BY h
              |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
              |          AS next_d
              |      FROM j)
-             |SELECT item_id, d AS snapshot_date,
+             |SELECT user_id, CAST(epoch(h) AS BIGINT) AS snapshot_hour,
+             |       prev_v AS v_locf,
+             |       coalesce(next_v, prev_v) AS v_bfill,
              |       CASE WHEN next_d IS NULL OR next_d = prev_d THEN prev_v
              |            ELSE prev_v + (next_v - prev_v) *
-             |                 (CAST(d - prev_d AS DOUBLE) /
-             |                  CAST(next_d - prev_d AS DOUBLE))
-             |       END AS price
+             |                 (CAST(date_diff('second', prev_d, h) AS DOUBLE) /
+             |                  CAST(date_diff('second', prev_d, next_d) AS DOUBLE))
+             |       END AS v_interp
              |FROM a""".stripMargin)),
 
     // Explicit GROUPING SETS navigation (round 14): the third
@@ -2301,13 +2392,16 @@ object PipelineQueries {
         def flat = s.read.parquet(basePath)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(max("l_quantity").as("max_qty"))
-        val defs = graft.plans.MvAdvisor.advise(
-          s, Seq(r, flat), mvDir.toString)
-        require(defs.length == 1, s"expected one advised def, got $defs")
-        require(defs.head.groupCols.toSet ==
-          Set("l_returnflag", "l_linestatus"),
-          s"wrong advised grain: ${defs.head.groupCols}")
+        // everything after advise() sits inside the try: a failed
+        // require must still clear MvCatalog and the temp dir, or the
+        // leaked registration contaminates later gates in the session
         try {
+          val defs = graft.plans.MvAdvisor.advise(
+            s, Seq(r, flat), mvDir.toString)
+          require(defs.length == 1, s"expected one advised def, got $defs")
+          require(defs.head.groupCols.toSet ==
+            Set("l_returnflag", "l_linestatus"),
+            s"wrong advised grain: ${defs.head.groupCols}")
           val scanned = r.queryExecution.optimizedPlan.collect {
             case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
               rel.relation match {

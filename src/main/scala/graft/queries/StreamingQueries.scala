@@ -2181,7 +2181,7 @@ object StreamingQueries {
       } else {
         val flushUs = maxRow.getLong(0) + 2 * OneHourUs
         val flush = s.range(1).select(
-          lit(" flush").as("item_id"),
+          lit("\u0000flush").as("item_id"),
           lit(null).cast("long").as("unit_price"),
           lit(0L).as("quantity"),
           timestamp_micros(lit(flushUs)).as("created_at"))
@@ -2199,7 +2199,7 @@ object StreamingQueries {
           .outputMode("append").option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
-        s.table(qname).where(col("item_id") =!= " flush")
+        s.table(qname).where(col("item_id") =!= "\u0000flush")
           .withColumn("snapshot_hour", unix_timestamp(col("snapshot_hour")))
       }
     },
@@ -2969,11 +2969,30 @@ object StreamingQueries {
     * the next observation — deterministic, no processing-time
     * dependence, replay-idempotent through the checkpoint.
     */
-  private def streamingGapFill: QueryDef = QueryDef(
-    "st42_streaming_gapfill",
+  private def streamingGapFill: QueryDef =
+    gapFillTwin("st42_streaming_gapfill", "st42",
+      graft.streaming.StreamingGapFill.locfFilled(_),
+      PipelineQueries.gapfillLocfOracleSql)
+
+  /** st43/st44 (round 15, verdict ask #3): the interpolation and
+    * backward-fill twins of st42 — same two-batch date-ordered
+    * replay, same `flatMapGroupsWithState` discipline, one
+    * (date, value) pair of state per key. Both modes are emittable
+    * retroactively at the next observation: interpolation's forward
+    * anchor IS the arriving row (the batch window has to SEARCH for
+    * it; the stream gets it for free), and bfill is the same event
+    * with the arriving value instead of the slope. The accumulated
+    * emissions equal the batch grids exactly, so the oracles are
+    * p143/p144's SQL verbatim.
+    */
+  private def gapFillTwin(name: String, scratchKey: String,
+      fill: org.apache.spark.sql.Dataset[graft.streaming.StreamingGapFill.SeriesObs] =>
+        org.apache.spark.sql.Dataset[graft.streaming.StreamingGapFill.FilledDay],
+      oracle: String): QueryDef = QueryDef(
+    name,
     (s, dir) => {
       import s.implicits._
-      val dirP = scratch("st42")
+      val dirP = scratch(scratchKey)
       val stage = dirP.resolve("input").toString
       val ckpt = dirP.resolve("ckpt").toString
       val out = dirP.resolve("out").toString
@@ -2985,19 +3004,14 @@ object StreamingQueries {
         .groupBy(col("key"), col("day"))
         .agg(avg("l_extendedprice").as("value"))
       val schema = sparse.schema
-      // two date-ordered batches: the per-key ordering contract holds
-      // under any global date split
       sparse.where(col("day") < lit("1995-01-01").cast("date"))
         .coalesce(1).write.parquet(stage)
       val earlyFiles = partNames(s, stage)
       sparse.where(col("day") >= lit("1995-01-01").cast("date"))
         .coalesce(1).write.mode("append").parquet(stage)
-      // the stateful fill does NOT commute across batch order: pin
-      // mtimes so the early half is batch 0 even on a coarse-mtime
-      // filesystem where both writes share a tick
       pinArrivalOrder(s, stage, earlyFiles)
 
-      val q0 = graft.streaming.StreamingGapFill.locfFilled(
+      val q0 = fill(
         s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(stage)
           .as[graft.streaming.StreamingGapFill.SeriesObs])
@@ -3015,7 +3029,17 @@ object StreamingQueries {
       deleteRecursively(dirP)
       s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), outSchema)
     },
-    Some(PipelineQueries.gapfillLocfOracleSql))
+    Some(oracle))
+
+  private def streamingGapFillInterp: QueryDef =
+    gapFillTwin("st43_streaming_gapfill_interp", "st43",
+      graft.streaming.StreamingGapFill.interpFilled(_),
+      PipelineQueries.gapfillInterpOracleSql)
+
+  private def streamingGapFillBfill: QueryDef =
+    gapFillTwin("st44_streaming_gapfill_bfill", "st44",
+      graft.streaming.StreamingGapFill.bfillFilled(_),
+      PipelineQueries.gapfillBfillOracleSql)
 
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
@@ -3031,5 +3055,6 @@ object StreamingQueries {
       streamingPixelDedup, streamingExcise, streamingMvMaintenance,
       streamingMediaIngest, streamingMvDistinct, streamingPairIngest,
       streamingSearch, streamingMvCompact, streamingMvStar,
-      streamingAnnServe, streamingAnnMaintain, streamingGapFill)
+      streamingAnnServe, streamingAnnMaintain, streamingGapFill,
+      streamingGapFillInterp, streamingGapFillBfill)
 }

@@ -35,6 +35,41 @@ object ServingLayer {
       .orderBy(col("snapshot_hour").desc)
       .limit(limit)
 
+  /** [[priceHistory]]'s DENSE variant — the bars the dashboard
+    * actually assumes: `main.py:45-49` serves 48 hourly bars and the
+    * Streamlit chart plots them as a contiguous series, so a missing
+    * hour (no trades) silently compresses the time axis. This
+    * composition gap-fills the item's hourly grid
+    * ([[graft.operators.Resample.gapFill]] at hour grain) before the
+    * latest-first limit: a no-trade hour becomes a FLAT bar at the
+    * carried-forward close (open = high = low = close = avarage =
+    * previous close) with volume 0 — the standard candlestick
+    * convention for empty buckets.
+    *
+    * Scale shape: the item filter pushes to the mart scan first, so
+    * the fill and the (item, hour) re-join run over ONE item's bars
+    * (≤ span hours), not the mart; the join is broadcast-sized by
+    * construction.
+    */
+  def priceHistoryDense(g2: DataFrame, itemId: Any, limit: Int = 48): DataFrame = {
+    val bars = g2.where(col("item_id") === lit(itemId))
+    val carried = graft.operators.Resample.gapFill(
+      bars.select(col("item_id"), col("snapshot_hour"), col("close_price")),
+      Seq("item_id"), "snapshot_hour", Seq("close_price"),
+      mode = "locf", grain = "hour")
+      .withColumnRenamed("close_price", "__carried")
+    carried.join(bars, Seq("item_id", "snapshot_hour"), "left")
+      .select(col("item_id"), col("snapshot_hour"),
+        coalesce(col("open_price"), col("__carried")).cast("double").as("open_price"),
+        coalesce(col("high_price"), col("__carried")).cast("double").as("high_price"),
+        coalesce(col("low_price"), col("__carried")).cast("double").as("low_price"),
+        coalesce(col("close_price"), col("__carried")).cast("double").as("close_price"),
+        coalesce(col("avarage_price"), col("__carried")).cast("double").as("avarage_price"),
+        coalesce(col("volume"), lit(0L)).as("volume"))
+      .orderBy(col("snapshot_hour").desc)
+      .limit(limit)
+  }
+
   /** GET /analytics/opportunities?recommendation (`main.py:51-57`):
     * optional upper-cased equality filter (T14), z ascending (best
     * discounts first).

@@ -4,16 +4,33 @@ import java.sql.Date
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.util.LongAccumulator
 
-/** Streaming gap-fill — the stateful edition of
-  * [[graft.operators.Resample.gapFillDaily]]: per-key daily
-  * observations arrive on a stream, and each arrival EMITS the gap
-  * days since the key's previous observation (carried forward, locf)
-  * plus the observation day itself. The accumulated emissions equal
-  * the batch operator's output exactly — the batch grid spans
-  * [min, max] per key, which is precisely the union of the
-  * (prev, next] intervals this operator closes as observations land —
-  * so the replay gate reuses the batch gate's oracle verbatim.
+/** Streaming gap-fill — the stateful edition of the batch
+  * [[graft.operators.Resample]] trio: per-key daily observations
+  * arrive on a stream, and each arrival EMITS the gap days since the
+  * key's previous observation plus the observation day itself, under
+  * one of three fill modes:
+  *
+  *  - `locf` — gap days carry the PREVIOUS value forward
+  *    ([[Resample.gapFillDaily]]'s twin; st42);
+  *  - `interp` — gap days interpolate linearly between the previous
+  *    and the arriving observation ([[gapFillInterpolate]]'s twin;
+  *    st43). Interpolation is exactly what retroactive emission
+  *    buys: the forward anchor a batch window must SEARCH for is the
+  *    arriving row itself, so the streaming form needs no extra
+  *    state. The arithmetic mirrors the batch column expression
+  *    (prev + (next − prev) × (elapsed / gap), division first) so
+  *    replays are bit-equal to the batch gate's oracle.
+  *  - `bfill` — gap days take the ARRIVING value ([[
+  *    gapFillDailyBackward]]'s twin; st44): same event, opposite
+  *    anchor.
+  *
+  * The accumulated emissions equal the batch operator's output
+  * exactly — the batch grid spans [min, max] per key, which is
+  * precisely the union of the (prev, next] intervals this operator
+  * closes as observations land — so the replay gates reuse the batch
+  * gates' oracles verbatim.
   *
   * State is ONE (date, value) pair per key — O(live keys), never the
   * stream length; a feature-store forward-fill can run forever.
@@ -24,8 +41,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Ordering contract: per-key arrival must be date-ordered ACROSS
   * micro-batches (the natural shape for daily feeds); within a batch
   * the handler sorts, so backfilled batches are safe. A row at or
-  * before the key's last observed day is a late duplicate and drops
-  * (the batch twin's pre-aggregated-input contract).
+  * before the key's last observed day is a late duplicate and drops.
+  * Because already-emitted days cannot be retracted in append mode,
+  * a contract violation is unrecoverable data loss — so it must be
+  * DURABLY visible, not an executor log line: pass `dropCounter` (a
+  * driver-registered [[LongAccumulator]] — accumulators flow from
+  * executors back to the driver per batch, so an operator dashboard
+  * or the foreachBatch hook can alert on it), or set `strict = true`
+  * to fail the micro-batch instead of dropping (the replay then
+  * surfaces the violation as a query error the orchestrator retries
+  * or pages on).
   */
 object StreamingGapFill extends org.apache.spark.internal.Logging {
 
@@ -33,7 +58,39 @@ object StreamingGapFill extends org.apache.spark.internal.Logging {
   case class FillState(lastDay: Date, lastValue: Double)
   case class FilledDay(key: Long, day: Date, value: Double)
 
-  def locfFilled(obs: Dataset[SeriesObs]): Dataset[FilledDay] =
+  /** Forward fill (locf): gap days carry the previous value. */
+  def locfFilled(obs: Dataset[SeriesObs],
+      dropCounter: Option[LongAccumulator] = None,
+      strict: Boolean = false): Dataset[FilledDay] =
+    filled(obs, dropCounter, strict)((prev, _, _, _) => prev.lastValue)
+
+  /** Linear interpolation: gap day d in (d0, d1) gets
+    * v0 + (v1 − v0) × ((d − d0) / (d1 − d0)) — the batch
+    * [[graft.operators.Resample.gapFillInterpolate]] formula with the
+    * identical operation order (ratio first), for bit-equal replays.
+    */
+  def interpFilled(obs: Dataset[SeriesObs],
+      dropCounter: Option[LongAccumulator] = None,
+      strict: Boolean = false): Dataset[FilledDay] =
+    filled(obs, dropCounter, strict) { (prev, next, day, prevDay) =>
+      prev.lastValue + (next.value - prev.lastValue) *
+        ((day - prevDay).toDouble /
+          (next.day.toLocalDate.toEpochDay - prevDay).toDouble)
+    }
+
+  /** Backward fill: gap days take the arriving observation's value. */
+  def bfillFilled(obs: Dataset[SeriesObs],
+      dropCounter: Option[LongAccumulator] = None,
+      strict: Boolean = false): Dataset[FilledDay] =
+    filled(obs, dropCounter, strict)((_, next, _, _) => next.value)
+
+  /** Shared skeleton: sort the batch, close each (prev, next) gap
+    * with `gapValue(prevState, arriving, gapEpochDay, prevEpochDay)`,
+    * emit the arriving day with its own value, advance the state.
+    */
+  private def filled(obs: Dataset[SeriesObs],
+      dropCounter: Option[LongAccumulator], strict: Boolean)(
+      gapValue: (FillState, SeriesObs, Long, Long) => Double): Dataset[FilledDay] =
     obs.groupByKey(_.key)(Encoders.scalaLong)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -56,7 +113,7 @@ object StreamingGapFill extends org.apache.spark.internal.Logging {
                   while (d < d1) {
                     out += FilledDay(key,
                       Date.valueOf(java.time.LocalDate.ofEpochDay(d)),
-                      s.lastValue)
+                      gapValue(s, e, d, d0))
                     d += 1
                   }
                   out += FilledDay(key, e.day, e.value)
@@ -66,13 +123,18 @@ object StreamingGapFill extends org.apache.spark.internal.Logging {
           }
           // a violated ordering contract must be DETECTABLE, not
           // silent data loss: already-emitted days cannot be
-          // retracted in append mode, so drop — but say so
-          if (dropped > 0) logWarning(
-            s"StreamingGapFill: dropped $dropped observation(s) for " +
-              s"key $key at-or-before its last filled day " +
-              s"${st.map(_.lastDay).orNull} — per-key arrival must be " +
-              "date-ordered across micro-batches (in-batch reorder is " +
-              "handled); an equal-day row is a duplicate")
+          // retracted in append mode
+          if (dropped > 0) {
+            val msg =
+              s"StreamingGapFill: dropped $dropped observation(s) for " +
+                s"key $key at-or-before its last filled day " +
+                s"${st.map(_.lastDay).orNull} — per-key arrival must be " +
+                "date-ordered across micro-batches (in-batch reorder is " +
+                "handled); an equal-day row is a duplicate"
+            if (strict) throw new IllegalStateException(msg)
+            dropCounter.foreach(_.add(dropped.toLong))
+            logWarning(msg)
+          }
           st.foreach(state.update)
           out.result().iterator
         })(Encoders.product[FillState], Encoders.product[FilledDay])

@@ -78,6 +78,70 @@ class ResampleSpec extends SparkSpec {
       ("2026-01-04", 40.0), ("2026-01-05", 40.0), ("2026-01-06", 40.0)))
   }
 
+  private def hourly = Seq(
+    ("A", "2026-01-01 00:00:00", 10.0), ("A", "2026-01-01 03:00:00", 40.0),
+    ("B", "2026-01-01 05:00:00", 5.0))
+    .toDF("k", "t", "v")
+    .select(col("k"), col("t").cast("timestamp").as("t"), col("v"))
+
+  test("hour grain: dense hourly grid, all three modes") {
+    def run(mode: String) =
+      Resample.gapFill(hourly, Seq("k"), "t", Seq("v"), mode, "hour")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(2)))
+        .toSet
+    assert(run("locf") === Set(
+      ("A", "2026-01-01 00:00:00.0", 10.0), ("A", "2026-01-01 01:00:00.0", 10.0),
+      ("A", "2026-01-01 02:00:00.0", 10.0), ("A", "2026-01-01 03:00:00.0", 40.0),
+      ("B", "2026-01-01 05:00:00.0", 5.0)))
+    assert(run("bfill") === Set(
+      ("A", "2026-01-01 00:00:00.0", 10.0), ("A", "2026-01-01 01:00:00.0", 40.0),
+      ("A", "2026-01-01 02:00:00.0", 40.0), ("A", "2026-01-01 03:00:00.0", 40.0),
+      ("B", "2026-01-01 05:00:00.0", 5.0)))
+    assert(run("interp") === Set(
+      ("A", "2026-01-01 00:00:00.0", 10.0), ("A", "2026-01-01 01:00:00.0", 20.0),
+      ("A", "2026-01-01 02:00:00.0", 30.0), ("A", "2026-01-01 03:00:00.0", 40.0),
+      ("B", "2026-01-01 05:00:00.0", 5.0)))
+  }
+
+  test("week and month grains step the grid by calendar interval") {
+    val weekly = Seq(("A", "2026-01-05 00:00:00", 1.0),
+      ("A", "2026-01-26 00:00:00", 4.0))
+      .toDF("k", "t", "v")
+      .select(col("k"), col("t").cast("timestamp").as("t"), col("v"))
+    val w = Resample.gapFill(weekly, Seq("k"), "t", Seq("v"), "locf", "week")
+      .collect().map(r => r.getTimestamp(1).toString -> r.getDouble(2)).toMap
+    assert(w === Map(
+      "2026-01-05 00:00:00.0" -> 1.0, "2026-01-12 00:00:00.0" -> 1.0,
+      "2026-01-19 00:00:00.0" -> 1.0, "2026-01-26 00:00:00.0" -> 4.0))
+    val monthly = Seq(("A", "2026-01-01 00:00:00", 1.0),
+      ("A", "2026-04-01 00:00:00", 4.0))
+      .toDF("k", "t", "v")
+      .select(col("k"), col("t").cast("timestamp").as("t"), col("v"))
+    // unequal month lengths: interpolation is linear in REAL time
+    // (seconds), so Feb/Mar buckets are not at thirds
+    val m = Resample.gapFill(monthly, Seq("k"), "t", Seq("v"), "interp", "month")
+      .collect().map(r => r.getTimestamp(1).toString -> r.getDouble(2)).toMap
+    assert(m.keySet === Set("2026-01-01 00:00:00.0", "2026-02-01 00:00:00.0",
+      "2026-03-01 00:00:00.0", "2026-04-01 00:00:00.0"))
+    assert(m("2026-01-01 00:00:00.0") === 1.0 && m("2026-04-01 00:00:00.0") === 4.0)
+    val total = 90.0 // days Jan 1 → Apr 1
+    assert(math.abs(m("2026-02-01 00:00:00.0") - (1.0 + 3.0 * 31 / total)) < 1e-9)
+    assert(math.abs(m("2026-03-01 00:00:00.0") - (1.0 + 3.0 * 59 / total)) < 1e-9)
+  }
+
+  test("hour grain refuses a DateType column; unknown grain/mode refuse") {
+    intercept[IllegalArgumentException] {
+      Resample.gapFill(sparse, Seq("k"), "d", Seq("v"), "locf", "hour").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Resample.gapFill(sparse, Seq("k"), "d", Seq("v"), "locf", "minute")
+    }
+    intercept[IllegalArgumentException] {
+      Resample.gapFill(sparse, Seq("k"), "d", Seq("v"), "nearest")
+    }
+  }
+
   test("plan: the fill is one data shuffle — no (key, date) join, grid via partial-agg span") {
     val q = Resample.gapFillDaily(sparse, Seq("k"), "d", Seq("v"))
     val plan = q.queryExecution.executedPlan.toString

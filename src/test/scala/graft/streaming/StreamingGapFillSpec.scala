@@ -46,4 +46,83 @@ class StreamingGapFillSpec extends SparkSpec {
         s"late duplicate leaked or a gap day is missing: $got")
     } finally q.stop()
   }
+
+  test("interp mode: gap days slope toward the arriving observation, cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SeriesObs]
+    val q = StreamingGapFill.interpFilled(mem.toDS())
+      .writeStream.format("memory").queryName("gf2")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      mem.addData(SeriesObs(1L, d("2026-01-01"), 10.0))
+      q.processAllAvailable()
+      // arrival at day 4 retroactively interpolates days 2 and 3 —
+      // the forward anchor IS the arriving row, so no extra state
+      mem.addData(SeriesObs(1L, d("2026-01-04"), 40.0))
+      q.processAllAvailable()
+      val got = spark.table("gf2").collect()
+        .map(r => (r.getDate(1).toString, r.getDouble(2))).toSet
+      assert(got === Set(
+        ("2026-01-01", 10.0), ("2026-01-02", 20.0),
+        ("2026-01-03", 30.0), ("2026-01-04", 40.0)))
+    } finally q.stop()
+  }
+
+  test("bfill mode: gap days take the arriving value, cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SeriesObs]
+    val q = StreamingGapFill.bfillFilled(mem.toDS())
+      .writeStream.format("memory").queryName("gf3")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      mem.addData(SeriesObs(1L, d("2026-01-01"), 10.0))
+      q.processAllAvailable()
+      mem.addData(SeriesObs(1L, d("2026-01-04"), 40.0))
+      q.processAllAvailable()
+      val got = spark.table("gf3").collect()
+        .map(r => (r.getDate(1).toString, r.getDouble(2))).toSet
+      assert(got === Set(
+        ("2026-01-01", 10.0), ("2026-01-02", 40.0),
+        ("2026-01-03", 40.0), ("2026-01-04", 40.0)))
+    } finally q.stop()
+  }
+
+  test("ordering-contract drops are durably counted; strict mode fails the batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("gapfillDrops")
+    val mem = MemoryStream[SeriesObs]
+    val q = StreamingGapFill.locfFilled(mem.toDS(), dropCounter = Some(acc))
+      .writeStream.format("memory").queryName("gf4")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      mem.addData(SeriesObs(1L, d("2026-01-05"), 50.0))
+      q.processAllAvailable()
+      // two contract violations: a day strictly before and a duplicate
+      mem.addData(SeriesObs(1L, d("2026-01-03"), 30.0),
+        SeriesObs(1L, d("2026-01-05"), 99.0))
+      q.processAllAvailable()
+      assert(acc.value === 2L,
+        s"drops must surface through the accumulator, got ${acc.value}")
+      assert(spark.table("gf4").count() === 1L)
+    } finally q.stop()
+
+    val mem2 = MemoryStream[SeriesObs]
+    val q2 = StreamingGapFill.locfFilled(mem2.toDS(), strict = true)
+      .writeStream.format("memory").queryName("gf5")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      mem2.addData(SeriesObs(1L, d("2026-01-05"), 50.0))
+      q2.processAllAvailable()
+      mem2.addData(SeriesObs(1L, d("2026-01-03"), 30.0))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("date-ordered") ||
+        Option(ex.getCause).exists(_.getMessage.contains("date-ordered")),
+        s"strict mode must fail the batch with the contract message: $ex")
+    } finally q2.stop()
+  }
 }
