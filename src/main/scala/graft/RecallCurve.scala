@@ -61,6 +61,12 @@ object RecallCurve {
     spark.sparkContext.setLogLevel("WARN")
     import graft.pipeline.Similarity
 
+    // scope to a family subset for iteration (the recorded artifact
+    // is a full run): SPARK_GRAFT_RECALL_FAMILIES=nsw_filtered,...
+    val fams = sys.env.get("SPARK_GRAFT_RECALL_FAMILIES")
+      .map(_.split(",").map(_.trim).toSet)
+    def fam(name: String): Boolean = fams.forall(_.contains(name))
+
     // corpus: the driver tables (isotropic) by default; set
     // SPARK_GRAFT_RECALL_CORPUS=clustered:<n>:<dim>:<clusters> for the
     // clustered reference geometry at any scale
@@ -93,6 +99,7 @@ object RecallCurve {
     // IVF: production-shaped nlist (~sqrt N, k-means-refined), sweep
     // nprobe. ivfSearchAll is the batched deployment path.
     val nlist = 64
+    if (fam("ivf")) {
     val centroids = Similarity.kmeansCentroids(emb, nlist = nlist, iters = 2)
     Seq(1, 2, 4, 8, 16).foreach { nprobe =>
       val r = meanRecall(
@@ -100,11 +107,13 @@ object RecallCurve {
       println(s"""{"family":"ivf","nlist":$nlist,"nprobe":$nprobe,"mean_recall":$r,"q":$nQ}""")
       Console.out.flush()
     }
+    }
 
     // sign-LSH: sweep bits at single probe, then probes at the
     // chosen bits (multi-probe is the recall lever that does NOT
     // shrink buckets).
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    if (fam("lsh")) {
     for (bits <- Seq(2, 4, 6, 8)) {
       val r = meanRecall(
         Similarity.lshSearchAll(emb, queries, k, bits = bits,
@@ -118,6 +127,7 @@ object RecallCurve {
           dim = Some(dim)), truth)
       println(s"""{"family":"lsh","bits":4,"probes":$probes,"mean_recall":$r,"q":$nQ}""")
       Console.out.flush()
+    }
     }
 
     val n = Some(emb.count())
@@ -133,7 +143,7 @@ object RecallCurve {
     val edges = GraphAnn.buildEdges(emb, hubs, dim = Some(dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count()
-    for (beam <- Seq(4, 8, 16); rounds <- Seq(2, 3)) {
+    if (fam("nsw")) for (beam <- Seq(4, 8, 16); rounds <- Seq(2, 3)) {
       val r = meanRecall(GraphAnn.searchAll(edges, hubs, queries, k,
         beam = beam, rounds = rounds), truth)
       println(s"""{"family":"nsw","hubs":$nHubs,"beam":$beam,"rounds":$rounds,"mean_recall":$r,"q":$nQ}""")
@@ -145,7 +155,7 @@ object RecallCurve {
     // The beam routes through every node but only 1/m of the corpus
     // may rank, so at fixed beam the visited set holds fewer MATCHES
     // as m grows; truth is brute force over the filtered corpus.
-    for (m <- Seq(2L, 4L, 8L)) {
+    if (fam("nsw_filtered")) for (m <- Seq(2L, 4L, 8L)) {
       // the filtered ground truth depends only on the selectivity —
       // hoist it out of the beam loop (one brute-force job per m)
       val allowed = emb.where(col("vec_id") % m === 0).select(col("vec_id"))
@@ -160,6 +170,15 @@ object RecallCurve {
         println(s"""{"family":"nsw_filtered","selectivity":"1/$m","beam":$beam,"rounds":3,"mean_recall":$r,"q":$nQ}""")
         Console.out.flush()
       }
+      // ACORN predicate-aware walk (round 15): same index, same
+      // truth — the two-hop rule + passing-hub entry must hold
+      // recall at bounded beam where route-all collapses
+      for ((beam, rounds) <- Seq((8, 3), (16, 3), (16, 4), (32, 3))) {
+        val r = meanRecall(GraphAnn.searchAllAcorn(edges, hubs, queries,
+          allowed, k, beam = beam, rounds = rounds), ftruth)
+        println(s"""{"family":"nsw_filtered_acorn","selectivity":"1/$m","beam":$beam,"rounds":$rounds,"mean_recall":$r,"q":$nQ}""")
+        Console.out.flush()
+      }
       ftruth.unpersist()
     }
     edges.unpersist()
@@ -170,6 +189,7 @@ object RecallCurve {
     import graft.pipeline.Quantization
     // int8 scalar quantization: full-precision geometry at 1/4 the
     // bytes — the near-free baseline
+    if (fam("quant")) {
     val rInt8 = meanRecall(
       Quantization.quantizedSearchAll(emb, queries, k), truth)
     println(s"""{"family":"int8","mean_recall":$rInt8,"q":$nQ}""")
@@ -195,6 +215,7 @@ object RecallCurve {
           knownCount = n), truth)
       println(s"""{"family":"pq","m":$m,"ksub":16,"mean_recall":$rPq,"shortlist50_coverage":$rSl,"q":$nQ}""")
       Console.out.flush()
+    }
     }
     spark.stop()
   }

@@ -278,6 +278,148 @@ object GraphAnn {
       .where(col("rank") <= k)
   }
 
+  /** ACORN-style FILTERED beam search — predicate-aware expansion
+    * (ACORN-1's two-hop rule; Patel et al. 2024, "ACORN: Performant
+    * and Predicate-Agnostic Search Over Vector Embeddings and
+    * Structured Data"). [[searchAll]]'s route-all/rank-allowed
+    * filtering wastes beam slots on non-matching nodes: at
+    * selectivity 1/8 the recorded recall curve collapses to
+    * 0.26–0.41 (BASELINE.md round-14 sweep). Here the traversal
+    * stays on the FILTERED subgraph — every candidate and frontier
+    * node passes the predicate, so every beam slot holds a rankable
+    * match — and connectivity is restored by the two-hop rule: a
+    * one-hop neighbor that FAILS the filter does not rank or join
+    * the frontier, but its own neighbors that PASS become candidates
+    * too. Effective filtered degree ≈ d·s + d²·(1−s)·s (s =
+    * selectivity, d = capped degree), so the walk stays navigable
+    * down to s ≈ 1/d while beam stays small.
+    *
+    * Cost bound per round: the one-hop join is |queries| × beam ×
+    * degree rows and the two-hop join ≤ |queries| × beam × degree²
+    * — degree is capped (2m knn / hubDegree hubs), so the bound is
+    * corpus-size-independent like the unfiltered beam. The frontier
+    * and candidate accumulations are always the BROADCAST side; the
+    * edge table and the (possibly corpus-scale) `allowed` id set
+    * stream in place. `allowed` is scanned twice per round (the
+    * pass-split of one-hop and two-hop candidates) — the price of
+    * predicate-aware traversal; keep it a slim id column (it prunes
+    * to an id-only columnar scan).
+    *
+    * Entry stays the unfiltered hub layer (hubs are routing
+    * geometry); an entry hub may RANK only if live — confirmed by
+    * the round-1 expansion, the [[searchAll]] discipline — AND
+    * passing. Output shape and tie-breaks are [[searchAll]]'s.
+    */
+  def searchAllAcorn(edges: DataFrame, hubs: Array[(Long, Array[Float])],
+      queries: DataFrame, allowed: DataFrame, k: Int, beam: Int = 8,
+      rounds: Int = 3, idCol: String = "vec_id",
+      qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
+    val ok = allowed.select(col(idCol).as("__node")).distinct()
+    val hubDf = hubs.toSeq.toDF("__hid", "__hv")
+      .select(col("__hid"), col("__hv").cast("array<float>").as("__hv"))
+    val wq = Window.partitionBy(col("__qid"))
+      .orderBy(col("cosine").desc, col("__node").asc)
+    val entryAll = hubDf.crossJoin(broadcast(q))
+      .select(col("__qid"), col("__hid").as("__node"),
+        rankCosine(col("__hv"), col("__qv")).as("cosine"))
+    // TWO entry beams: the top hubs overall (routing geometry — the
+    // unfiltered [[searchAll]] entry) UNION the top PASSING hubs.
+    // The second beam is what makes predicate-CORRELATED filters
+    // navigable: when the predicate selects whole semantic regions
+    // (e.g. "source = web" and sources cluster), the query's own
+    // region may contain no match at all — the nearest hubs route
+    // inward, and a filtered traversal confined to the allowed
+    // subgraph can never leave. Seeding the beam with the nearest
+    // allowed-region hubs enters the right clusters directly
+    // (ACORN's predicate-subgraph entry, hub-layer edition).
+    val entry = entryAll
+      .withColumn("__r", row_number().over(wq)).where(col("__r") <= beam)
+      .drop("__r")
+      .unionByName(
+        ok.join(broadcast(entryAll), Seq("__node"))
+          .select(col("__qid"), col("__node"), col("cosine"))
+          .withColumn("__r", row_number().over(wq)).where(col("__r") <= beam)
+          .drop("__r"))
+      .groupBy(col("__qid"), col("__node"))
+      .agg(first(col("cosine")).as("cosine"))
+      .localCheckpoint(true)
+    // visited tracks (query, node) pairs only — scoring re-derives
+    // cosine from dst_vec, so the accumulation stays 2 columns wide
+    var visited = entry.select(col("__qid"), col("__node"))
+      .localCheckpoint(true)
+    var ranked: DataFrame = null
+    var frontier = entry.select(col("__qid"), col("__node"))
+    // dedup (query, candidate) and keep ONE dst_vec before the
+    // pass-split — a node reachable over several edges must not
+    // multiply the allowed-scan or the scoring
+    def dedup(cand: DataFrame): DataFrame = cand
+      .select(col("__qid"), col("dst").as("__node"), col("dst_vec"))
+      .groupBy(col("__qid"), col("__node"))
+      .agg(first(col("dst_vec")).as("__vec"))
+    def passing(cand: DataFrame): DataFrame =
+      ok.join(broadcast(cand), Seq("__node"))
+        .select(col("__qid"), col("__node"), col("__vec"))
+    for (r <- 0 until rounds) {
+      val oneHop = broadcast(frontier)
+        .join(edges.select(col("src"), col("dst"), col("dst_vec")),
+          col("__node") === col("src"))
+      if (r == 0) {
+        // live + passing entry hubs may rank (tombstoned hubs have no
+        // out-edges, so the first expansion's src set arbitrates)
+        val liveSrc = oneHop.select(col("src")).distinct()
+        val entryLive = entry.join(broadcast(liveSrc),
+          col("__node") === col("src"), "left_semi")
+        ranked = ok.join(broadcast(entryLive), Seq("__node"))
+          .select(col("__qid"), col("__node"), col("cosine"))
+          .localCheckpoint(true)
+      }
+      val cand1 = dedup(oneHop)
+      val pass1 = passing(cand1)
+      // the failing one-hop set bridges: ITS neighbors that pass are
+      // candidates too (fail = cand1 minus pass1 — computed against
+      // the small pass set, never an anti-join streaming `allowed`)
+      val bridge = cand1
+        .join(pass1.select(col("__qid"), col("__node")),
+          Seq("__qid", "__node"), "left_anti")
+        .select(col("__qid"), col("__node"))
+      val twoHop = broadcast(bridge)
+        .join(edges.select(col("src"), col("dst"), col("dst_vec")),
+          col("__node") === col("src"))
+      val pass2 = passing(dedup(twoHop))
+      val scored = pass1.unionByName(pass2)
+        .groupBy(col("__qid"), col("__node"))
+        .agg(first(col("__vec")).as("__vec"))
+        .join(broadcast(q), Seq("__qid"))
+        .select(col("__qid"), col("__node"),
+          rankCosine(col("__vec"), col("__qv")).as("cosine"))
+      val fresh = scored
+        .join(visited, Seq("__qid", "__node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited
+        .unionByName(fresh.select(col("__qid"), col("__node")))
+        .localCheckpoint(true)
+      ranked = ranked.unionByName(fresh).localCheckpoint(true)
+      frontier = fresh
+        .withColumn("__r", row_number().over(wq)).where(col("__r") <= beam)
+        .select(col("__qid"), col("__node"))
+    }
+    // rounds == 0 (degenerate): direct live + pass confirmation
+    if (ranked == null)
+      ranked = ok.join(broadcast(
+        entry.join(edges.select(col("src")).distinct(),
+          col("__node") === col("src"), "left_semi")), Seq("__node"))
+        .select(col("__qid"), col("__node"), col("cosine"))
+    ranked.where(col("__node") =!= col("__qid"))
+      .select(col("__qid").as(qidCol), col("__node").as(idCol), col("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("cosine").desc, col(idCol).asc)))
+      .where(col("rank") <= k)
+  }
+
   private def tombstonePath(path: String) = s"${path}_tombstones"
 
   /** Materialize the graph index: edges under `batch=<batchId>`.

@@ -64,6 +64,101 @@ object Spans {
         count(lit(1)).as("n_windows"))
   }
 
+  /** MAXIMAL duplicated substrings (round 15 — the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * exact-substring operator, variable-length edition). Where
+    * [[duplicatedWindowSpans]] marks positions whose k-window is
+    * duplicated SOMEWHERE — adjacent positions may match *different*
+    * partners, so a merged island is not certified to repeat
+    * verbatim as a whole — this finds the maximal substrings that
+    * appear at >= 2 distinct (doc, offset) locations, certified by
+    * WINDOW-CHAIN EXTENSION: occurrences of the same window hash
+    * pair up into aligned matches, and runs of consecutive window
+    * positions on the same alignment DIAGONAL (pos_a − pos_b
+    * constant, the MUMmer/minimap exact-chain trick) merge into one
+    * match of length run + k − 1 + 1 = run_windows + k − 1 chars.
+    *
+    * Maximality is structural, not checked per char: if the char
+    * left of a merged match also matched, the window at (pos_a − 1,
+    * pos_b − 1) would share its hash and belong to the same
+    * diagonal run — so a run that STOPS is a match that cannot
+    * extend (modulo 60-bit collisions, shared with every hash family
+    * oracle here), and document boundaries are maximal by
+    * definition. Output: one row per aligned maximal match pair with
+    * `match_len >= minLen`, canonicalized (doc_a, pos_a) <
+    * (doc_b, pos_b) lexicographically, plus both span coordinates —
+    * the removable-span projection is `(doc, pos, match_len)` from
+    * either side.
+    *
+    * Scale shape: the ONE pair step is per-hash occurrence pairing —
+    * quadratic in a hash's occurrence count, NEVER corpus². Hashes
+    * with more than `maxOcc` occurrences are EXCLUDED from pairing
+    * (the df-cap discipline of the LSH inverted index): a
+    * boilerplate window shared by a million docs would otherwise
+    * cost 10^12 pairs. Audit the drop set with
+    * [[overloadedWindowHashes]] — capped hashes sit inside
+    * mega-duplicated regions that doc-level dedup (p01/p08) should
+    * have removed first; this operator's job is the long tail.
+    * Everything after the pair step is one (doc_a, doc_b, diag)
+    * window sort — linear in surviving pairs.
+    */
+  def maximalDuplicateSubstrings(df: DataFrame, k: Int = 20,
+      minLen: Int = 40, maxOcc: Long = 1000,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val win = df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.NGramFunctions.charNGrams(col(textCol), k))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.Md5Hash.h60(col("gram")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df-cap BEFORE pairing (count >= 2 keeps only duplicated hashes)
+    val paired = win.join(
+      win.groupBy("h").agg(count(lit(1)).as("nocc"))
+        .where(col("nocc") >= 2 && col("nocc") <= maxOcc).select("h"),
+      Seq("h"), "left_semi")
+    val a = paired.select(col("h"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"))
+    val b = paired.select(col("h"), col("doc_id").as("doc_b"),
+      col("pos").as("pos_b"))
+    // canonical occurrence pairs: (doc_a, pos_a) < (doc_b, pos_b) —
+    // each unordered pair once, self-pairs (internal repetition)
+    // kept when offsets differ
+    val pairs = a.join(b, Seq("h"))
+      .where(col("doc_a") < col("doc_b") ||
+        (col("doc_a") === col("doc_b") && col("pos_a") < col("pos_b")))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    pairs
+      .withColumn("prev", lag("pos_a", 1).over(w))
+      .withColumn("new_run",
+        when(col("prev").isNull || col("pos_a") - col("prev") > 1, 1)
+          .otherwise(0))
+      .withColumn("run_id", sum("new_run").over(w))
+      .groupBy("doc_a", "doc_b", "diag", "run_id")
+      .agg(min("pos_a").as("pos_a"),
+        (max("pos_a") - min("pos_a") + k).as("match_len"))
+      .withColumn("pos_b", col("pos_a") - col("diag"))
+      .where(col("match_len") >= minLen)
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        col("match_len"))
+  }
+
+  /** The audit side-output for [[maximalDuplicateSubstrings]]'s
+    * df-cap: window hashes excluded from pairing because they occur
+    * more than `maxOcc` times, with their counts — the
+    * overflowBuckets discipline (a silent cap reads as "covered
+    * everything" when it didn't).
+    */
+  def overloadedWindowHashes(df: DataFrame, k: Int = 20,
+      maxOcc: Long = 1000,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(
+        posexplode(graft.functions.NGramFunctions.charNGrams(col(textCol), k))
+          .as(Seq("pos", "gram")))
+      .select(graft.functions.Md5Hash.h60(col("gram")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("nocc"))
+      .where(col("nocc") > maxOcc)
+
   /** The corpus with every duplicated span excised (first occurrence
     * NOT preserved — the symmetric "remove all copies" policy; span
     * coordinates come from [[duplicatedWindowSpans]], so callers

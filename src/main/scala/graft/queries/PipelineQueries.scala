@@ -419,6 +419,7 @@ object PipelineQueries {
   private def nswIndexPath = s"$artifactRoot/nsw_index_p132"
   private def nswLifePath = s"$artifactRoot/nsw_index_p135"
   private def nswFilteredPath = s"$artifactRoot/nsw_index_p139"
+  private def nswAcornPath = s"$artifactRoot/nsw_index_p148"
 
   /** Artifact path for the p91 eviction-gate LSH index. */
   private def evictLshIndexPath = s"$artifactRoot/lsh_index_p91"
@@ -1935,6 +1936,38 @@ object PipelineQueries {
       },
       Some(nswFilteredOracleSql)),
 
+    // ACORN filtered graph ANN (round 15, verdict ask #1): the
+    // predicate-AWARE walk for selective filters, where p139's
+    // route-all/rank-allowed semantics waste beam slots on
+    // non-matching nodes (recorded recall 0.26-0.41 at selectivity
+    // 1/8). Traversal stays on the filtered subgraph; connectivity
+    // is restored by ACORN-1's two-hop rule (a failing one-hop
+    // neighbor contributes its passing neighbors) and the entry beam
+    // is doubled with the top PASSING hubs (predicate-subgraph
+    // entry) so predicate-correlated filters — whole semantic
+    // regions allowed or not — stay navigable. Measured on the
+    // clustered reference corpus (BASELINE.md round-15 sweep):
+    // recall@10 at selectivity 1/8 is 0.95 at beam 32 and 0.90 at
+    // beam 16/rounds 4, vs route-all's 0.41/0.26 — and recall is
+    // nearly flat in selectivity where route-all decayed with 1/m.
+    // The oracle replays the construction,
+    // both entry beams, and all three two-hop rounds in SQL at
+    // selectivity 1/8.
+    QueryDef("p148_filtered_topk_acorn",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val hubs = Similarity.sampleCentroids(emb, nlist = 16)
+        GraphAnn.writeIndex(emb, hubs, nswAcornPath, dim = Some(EmbeddingDim))
+        val queries = emb.where(col("vec_id") % 31 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"))
+        GraphAnn.searchAllAcorn(GraphAnn.readEdges(s, nswAcornPath), hubs,
+          queries,
+          allowed = emb.where(col("vec_id") % 8 === 0).select(col("vec_id")),
+          k = 10)
+      },
+      Some(nswAcornOracleSql)),
+
     // Graph-index LIFECYCLE (the p19/p91/p92 discipline for the NSW
     // family): base batch from the EVEN half, the odd half LINKED IN
     // as a maintenance batch (edges over the full corpus restricted
@@ -2847,6 +2880,54 @@ object PipelineQueries {
              |       max(pos) - min(pos) + 20 AS span_len,
              |       CAST(count(*) AS BIGINT) AS n_windows
              |FROM sp GROUP BY doc_id, span_id""".stripMargin)),
+
+    // MAXIMAL duplicated substrings (round 15, verdict ask #4 — the
+    // Lee et al. 2022 exact-substring operator, variable-length):
+    // where p27 marks positions whose window is duplicated SOMEWHERE
+    // (adjacent positions may match different partners), this emits
+    // aligned match PAIRS certified maximal by window-chain
+    // extension — same-hash occurrences pair up, runs of consecutive
+    // positions on one alignment diagonal (pos_a − pos_b) merge, and
+    // a run that stops is a match that cannot extend by one char
+    // (the neighbor window would share its hash and join the run).
+    // The one pair step is per-hash occurrence pairing under a
+    // df-cap (maxOcc 1000; audit via Spans.overloadedWindowHashes) —
+    // never corpus². Oracle restates windows, the cap, canonical
+    // pairing, diagonal runs and the merge in SQL.
+    QueryDef("p146_maximal_substrings",
+      (s, dir) => Spans.maximalDuplicateSubstrings(
+        Tables.documents(s, dir), k = 20, minLen = 40),
+      Some("""WITH win AS (
+             |  SELECT doc_id, CAST(i AS INT) AS pos,
+             |         ('0x' || substr(md5(substr(text, CAST(i AS INT)+1, 20)), 1, 15))::BIGINT AS h
+             |  FROM (SELECT doc_id, text,
+             |               unnest(range(greatest(length(text) - 20 + 1, 0))) AS i
+             |        FROM documents)),
+             |keep AS (SELECT h FROM win GROUP BY h
+             |         HAVING count(*) >= 2 AND count(*) <= 1000),
+             |occ AS (SELECT win.* FROM win JOIN keep USING (h)),
+             |pairs AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+             |                 b.doc_id AS doc_b, b.pos AS pos_b,
+             |                 a.pos - b.pos AS diag
+             |          FROM occ a JOIN occ b USING (h)
+             |          WHERE a.doc_id < b.doc_id
+             |             OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
+             |runs AS (SELECT *,
+             |           CASE WHEN lag(pos_a) OVER w IS NULL
+             |                  OR pos_a - lag(pos_a) OVER w > 1
+             |                THEN 1 ELSE 0 END AS new_run
+             |         FROM pairs
+             |         WINDOW w AS (PARTITION BY doc_a, doc_b, diag
+             |                      ORDER BY pos_a)),
+             |rid AS (SELECT *,
+             |          sum(new_run) OVER (PARTITION BY doc_a, doc_b, diag
+             |                             ORDER BY pos_a) AS run_id
+             |        FROM runs)
+             |SELECT doc_a, min(pos_a) AS pos_a, doc_b,
+             |       min(pos_a) - diag AS pos_b,
+             |       max(pos_a) - min(pos_a) + 20 AS match_len
+             |FROM rid GROUP BY doc_a, doc_b, diag, run_id
+             |HAVING max(pos_a) - min(pos_a) + 20 >= 40""".stripMargin)),
 
     // Corpus token-frequency rarity profile — the unigram-LM-flavored
     // quality signal kept EXACT: every emitted number is an integer
@@ -6839,6 +6920,91 @@ object PipelineQueries {
        |      WHERE node <> qid AND ($rankWhere))
        |WHERE rank <= 10""".stripMargin
   }
+
+  /** The ACORN beam tail (round 15): predicate-aware filtered search
+    * over a prepared `edges(src, dst)` CTE — mirrors
+    * [[graft.pipeline.GraphAnn.searchAllAcorn]] at the gate defaults
+    * (beam 8, rounds 3, k 10). Differences from [[nswBeamTailSql]]:
+    * TWO entry beams (top hubs overall UNION top PASSING hubs — the
+    * predicate-subgraph entry), candidates restricted to passing
+    * nodes, and the two-hop rule — a failing one-hop neighbor
+    * contributes its own passing neighbors instead of ranking.
+    * `passWhere` is the predicate over a bare node id column.
+    */
+  private def nswAcornBeamTailSql(passWhere: String => String): String = {
+    def round(i: Int): String = {
+      val pf = s"f${i - 1}"
+      val pv = s"v${i - 1}"
+      s"""h$i AS (SELECT DISTINCT f.qid, ed.dst AS node
+         |        FROM $pf f JOIN edges ed ON ed.src = f.node),
+         |x$i AS (SELECT DISTINCT h.qid, ed2.dst AS node
+         |        FROM h$i h JOIN edges ed2 ON ed2.src = h.node
+         |        WHERE NOT (${passWhere("h.node")})
+         |          AND (${passWhere("ed2.dst")})),
+         |c$i AS (SELECT DISTINCT qid, node FROM (
+         |          SELECT qid, node FROM h$i WHERE ${passWhere("node")}
+         |          UNION ALL SELECT qid, node FROM x$i)),
+         |n$i AS (SELECT c.qid, c.node,
+         |          ${cosineSql("e2.v", "q.qv")} AS cos
+         |        FROM c$i c
+         |        JOIN e e2 ON e2.vec_id = c.node
+         |        JOIN q ON q.qid = c.qid
+         |        WHERE NOT EXISTS (SELECT 1 FROM $pv v
+         |                          WHERE v.qid = c.qid AND v.node = c.node)),
+         |v$i AS (SELECT qid, node FROM $pv
+         |        UNION ALL SELECT qid, node FROM n$i),
+         |f$i AS (SELECT qid, node FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY qid
+         |            ORDER BY cos DESC, node ASC) AS rn FROM n$i)
+         |        WHERE rn <= 8)"""
+    }
+    s"""q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 31 = 0),
+       |sc AS (SELECT q.qid, c.hid AS node,
+       |              ${cosineSql("c.hv", "q.qv")} AS cos
+       |       FROM cent c CROSS JOIN q),
+       |f0 AS (SELECT DISTINCT qid, node, cos FROM (
+       |         SELECT qid, node, cos FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, node ASC) AS rn FROM sc)
+       |         WHERE rn <= 8
+       |         UNION ALL
+       |         SELECT qid, node, cos FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, node ASC) AS rn FROM sc
+       |           WHERE ${passWhere("node")})
+       |         WHERE rn <= 8)),
+       |f0r AS (SELECT f0.* FROM f0
+       |        WHERE EXISTS (SELECT 1 FROM edges ed WHERE ed.src = f0.node)
+       |          AND (${passWhere("f0.node")})),
+       |v0 AS (SELECT qid, node FROM f0),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT qid AS query_id, node AS vec_id, cos AS cosine,
+       |       CAST(rank AS INT) AS rank
+       |FROM (SELECT qid, node, cos,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY cos DESC, node ASC) AS rank
+       |      FROM (SELECT qid, node, cos FROM f0r
+       |            UNION ALL SELECT qid, node, cos FROM n1
+       |            UNION ALL SELECT qid, node, cos FROM n2
+       |            UNION ALL SELECT qid, node, cos FROM n3)
+       |      WHERE node <> qid)
+       |WHERE rank <= 10""".stripMargin
+  }
+
+  /** The p148 ACORN filtered-search oracle: the p132 construction
+    * with the predicate-aware beam tail at selectivity 1/8.
+    */
+  private[queries] def nswAcornOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |$nswHubCtes,
+       |${nswChainCtes("", "TRUE")},
+       |edges AS (SELECT src, dst FROM knnc
+       |          UNION SELECT src, dst FROM upc
+       |          UNION SELECT src, dst FROM dwnc),
+       |${nswAcornBeamTailSql(n => s"$n % 8 = 0")}""".stripMargin
 
   /** The p132 graph-ANN oracle — the FULL NSW construction plus all
     * three beam rounds and the final top-10, in SQL. Shared verbatim

@@ -99,6 +99,54 @@ class GraphAnnSpec extends SparkSpec {
     assert(r >= 0.9, s"filtered graph-ANN recall collapsed: $r")
   }
 
+  test("ACORN two-hop rule: a passing node reachable only through a failing bridge is found") {
+    // hand-built geometry: query lands in cluster 0. The allowed set
+    // is chosen so cluster 0's members are mostly NOT allowed
+    // (failing bridges), while a few allowed members sit behind them.
+    // Route-all search at tiny beam wastes slots on the failing
+    // majority; the two-hop rule expands THROUGH them.
+    val emb = corpus
+    val queries = emb.where(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // allow only ids ≡ 5 (mod 12): exactly one member per cluster —
+    // selectivity 1/12, the worst recorded regime for route-all
+    val allowed = emb.where(col("vec_id") % 12 === 5).select(col("vec_id"))
+    val truth = Similarity.bruteSearchAll(
+      emb.where(col("vec_id") % 12 === 5), queries, 3)
+      .select(col("query_id"), col("vec_id"))
+    val hubs = hubsOf(emb, 16)
+    val edges = GraphAnn.buildEdges(emb, hubs, dim = Some(dim))
+    val got = GraphAnn.searchAllAcorn(edges, hubs, queries,
+      allowed, k = 3, beam = 4, rounds = 3)
+    assert(got.where(col("vec_id") % 12 =!= 5).count() === 0L,
+      "a non-matching id ranked")
+    val r = meanRecall(truth, got)
+    assert(r >= 0.99, s"two-hop expansion failed to reach the allowed set: $r")
+  }
+
+  test("ACORN filtered recall >= 0.9 at selectivity 1/8 on the clustered corpus, bounded beam") {
+    // the round-14 weak spot: route-all recall@10 was 0.26 at
+    // selectivity 1/8 with beam 8 (recovering only to 0.41 at beam
+    // 32). The predicate-aware walk must hold >= 0.9 at the SAME
+    // bounded beam.
+    val emb = graft.RecallCurve.clusteredCorpus(spark, n = 2000, dim = 64,
+      clusters = 40)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = emb.where(col("vec_id") % 311 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val allowed = emb.where(col("vec_id") % 8 === 0).select(col("vec_id"))
+    val truth = Similarity.bruteSearchAll(
+      emb.where(col("vec_id") % 8 === 0), queries, 10)
+      .select(col("query_id"), col("vec_id"))
+    val hubs = Similarity.sampleCentroids(emb, 64, knownCount = Some(2000L))
+    val edges = GraphAnn.buildEdges(emb, hubs, dim = Some(64))
+    val got = GraphAnn.searchAllAcorn(edges, hubs, queries,
+      allowed, k = 10, beam = 8, rounds = 3)
+    val r = meanRecall(truth, got)
+    assert(r >= 0.9, s"ACORN filtered recall at selectivity 1/8 collapsed: $r")
+    emb.unpersist()
+  }
+
   test("production defaults hold on the clustered reference corpus (recall@10 >= 0.9)") {
     // the RecallGateSpec geometry the other ANN families are gated
     // on: 2000 vectors, 40 clusters — includes clusters that drew no

@@ -76,4 +76,78 @@ class SpansSpec extends SparkSpec {
     // spans cover [0,20) and [21,41) at minimum - only "?" may survive
     assert(!cleaned.contains("B"))
   }
+
+  test("maximal substrings: aligned matches are exact, maximal, and length-thresholded") {
+    val out = Spans.maximalDuplicateSubstrings(corpus, k = 20, minLen = 25)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Int]("pos_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Int]("pos_b"),
+        r.getAs[Int]("match_len")))
+    // exactly ONE maximal match: the 25-char payload at doc1 offset
+    // 18 vs doc2 offset 1 — certified maximal (chars on both sides
+    // differ), length exactly 25, canonical (doc_a < doc_b)
+    assert(out.toSeq === Seq((1L, 18, 2L, 1, 25)))
+    // threshold: at minLen 26 the same corpus yields nothing
+    assert(Spans.maximalDuplicateSubstrings(corpus, k = 20, minLen = 26)
+      .count() === 0L)
+  }
+
+  test("maximal substrings: island merge is NOT a match — different partners split") {
+    // doc1 holds A+B (40 chars); doc2 shares A plus B's first 19
+    // chars, doc3 shares A's last 19 chars plus B. Every window
+    // position across doc1's 40-char region is duplicated somewhere,
+    // so p27's island logic merges it into ONE 40-char span — but no
+    // 40-char string repeats verbatim anywhere. The chain rule must
+    // instead emit the three true maximal matches (39/39/38 chars),
+    // each pinned to its actual partner alignment.
+    val a = "FIRST-BLOCK-20-CHARS" // 20
+    val b = "SECND-BLOCK-20-CHARS" // 20
+    val df = Seq(
+      (1L, s"xx$a$b!yy"),
+      (2L, s"aa $a${b.substring(0, 19)}. zz"),
+      (3L, s"bb. ${a.substring(1)}$b? qq"))
+      .toDF("doc_id", "text")
+    val island = Spans.duplicatedWindowSpans(df, k = 20)
+      .where($"doc_id" === 1L).collect()
+      .map(r => (r.getAs[Int]("span_start"), r.getAs[Int]("span_len")))
+    assert(island.toSeq === Seq((2, 40)),
+      s"precondition: the island view merges the region: ${island.toSeq}")
+    val matches = Spans.maximalDuplicateSubstrings(df, k = 20, minLen = 20)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Int]("pos_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Int]("pos_b"),
+        r.getAs[Int]("match_len"))).sortBy(t => (t._1, t._3, t._2))
+    assert(matches.toSeq === Seq(
+      (1L, 2, 2L, 3, 39), (1L, 3, 3L, 4, 39), (2L, 4, 3L, 4, 38)),
+      s"chain extension must split mixed-partner islands: ${matches.toSeq}")
+  }
+
+  test("maximal substrings: within-doc repetition pairs on one diagonal") {
+    val chunk = "A-REPEATED-CHUNK-HERE!" // 22 chars
+    val df = Seq((1L, s"$chunk filler ${chunk}x end"))
+      .toDF("doc_id", "text")
+    val out = Spans.maximalDuplicateSubstrings(df, k = 20, minLen = 22)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Int]("pos_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Int]("pos_b"),
+        r.getAs[Int]("match_len")))
+    // one self-pair: offsets 0 and 30, exactly the 22 shared chars
+    assert(out.toSeq === Seq((1L, 0, 1L, 30, 22)))
+  }
+
+  test("maximal substrings: the df-cap excludes hot hashes and the audit surfaces them") {
+    val hot = "Z" * 25 // every doc shares it -> its windows are hot
+    val df = (1L to 6L).map(i => (i, s"doc$i pad $hot tail$i"))
+      .toDF("doc_id", "text")
+    // cap at 5: the 6-occurrence windows are excluded from pairing
+    assert(Spans.maximalDuplicateSubstrings(df, k = 20, minLen = 20,
+      maxOcc = 5).count() === 0L)
+    val audit = Spans.overloadedWindowHashes(df, k = 20, maxOcc = 5)
+      .collect().map(_.getAs[Long]("nocc"))
+    // shared-boundary windows occur 6× (once per doc); the all-Z
+    // interior windows are IDENTICAL at every offset, so one hash
+    // carries 6 docs × 6 positions = 36
+    assert(audit.nonEmpty && audit.forall(_ > 5L) && audit.contains(36L),
+      s"capped hashes must surface in the audit: ${audit.toSeq}")
+  }
 }
