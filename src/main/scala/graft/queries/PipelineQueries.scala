@@ -2405,6 +2405,84 @@ object PipelineQueries {
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
              |                        (l_returnflag), (l_linestatus))""".stripMargin)),
 
+    // MV navigation UNDER A WINDOW (round 15, verdict ask #5): the
+    // moving-average dashboard shape — G3's 7-day stats consume a
+    // per-(item, day) aggregate frame, and when that inner aggregate
+    // is DERIVABLE (avg = sum/nnz here) the rewrite replaces its
+    // fact scan with the rollup while the Window above resolves over
+    // the preserved output exprIds (the p133 HAVING contract,
+    // exercised one operator higher). The query is the REAL
+    // marketOpportunities mart body over a daily avg-quantity frame:
+    // rollup grain (l_partkey, l_shipdate), query grain
+    // (l_partkey, to_date(l_shipdate)) — a coarser-grain expression
+    // derivation — plus a residual grouping-column filter. The gate
+    // pins: rollup scanned, fact scan GONE with the Window in place,
+    // answers hash-matched. Non-derivable window inputs (G3's exact
+    // median) refuse — MvWindowNavSpec pins the refusal.
+    QueryDef("p147_mv_window_nav",
+      (s, dir) => {
+        val basePath = s"$dir/lineitem.parquet"
+        val mvDir = java.nio.file.Files.createTempDirectory("graft_mv15")
+        val mvPath = mvDir.resolve("winmv.parquet").toString
+        graft.plans.MaterializedAggregate.buildAndRegister(s, basePath,
+          mvPath, Seq("l_partkey", "l_shipdate"), Seq("l_quantity"))
+        try {
+          val daily = s.read.parquet(basePath)
+            .where(col("l_partkey") <= 200)
+            .groupBy(col("l_partkey"),
+              to_date(col("l_shipdate")).as("snapshot_date"))
+            .agg(avg("l_quantity").as("avg_qty"))
+            .select(col("l_partkey").as("item_id"), col("snapshot_date"),
+              col("avg_qty"))
+          val q = graft.gold.Marts.marketOpportunities(daily,
+            priceCol = "avg_qty")
+          val scanned = q.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scanned.exists(_.contains("winmv.parquet")),
+            s"window query did not navigate; scans: $scanned")
+          require(!scanned.exists(_.contains("lineitem.parquet")),
+            s"fact table still scanned under the Window: $scanned")
+          val rows = q.collect()
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+        } finally {
+          graft.plans.MvCatalog.clear()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
+      },
+      Some("""WITH s AS (SELECT l_partkey AS item_id,
+             |                  CAST(l_shipdate AS DATE) AS snapshot_date,
+             |                  AVG(l_quantity) AS current_price
+             |           FROM lineitem WHERE l_partkey <= 200
+             |           GROUP BY 1, 2),
+             |win AS (SELECT item_id, snapshot_date, current_price,
+             |          avg(current_price) OVER w AS avg_price_7d,
+             |          stddev_samp(current_price) OVER w AS std_dev_7d
+             |        FROM s
+             |        WINDOW w AS (PARTITION BY item_id
+             |                     ORDER BY snapshot_date - DATE '1970-01-01'
+             |                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT item_id, snapshot_date, current_price, avg_price_7d,
+             |       std_dev_7d,
+             |       (current_price - avg_price_7d) /
+             |         nullif(std_dev_7d, 0) AS z_score,
+             |       CASE WHEN (current_price - avg_price_7d) /
+             |                   nullif(std_dev_7d, 0) <= -2.0 THEN 'BUY'
+             |            WHEN (current_price - avg_price_7d) /
+             |                   nullif(std_dev_7d, 0) >= 2.0 THEN 'SELL'
+             |            ELSE 'HOLD' END AS recommendation
+             |FROM win""".stripMargin)),
+
     // Advisor × grouping sets (round 14): a workload CONTAINING a
     // GROUP BY ROLLUP query advises the finest grain the grouping
     // sets touch (merged with the flat queries over the same base),
