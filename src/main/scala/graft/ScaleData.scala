@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *   env: SPARK_GRAFT_SRC (default /root/testdata/sf0.1),
   *        SPARK_GRAFT_DST (default /tmp/graft-sf1),
   *        SPARK_GRAFT_SCALE (default 10),
-  *        SPARK_GRAFT_SCALE_MODE (default "docs")
+  *        SPARK_GRAFT_SCALE_MODE (default "docs"; "facts" | "chars")
   *
   * SPARK_GRAFT_SCALE_MODE=facts flips WHICH family scales: lineitem
   * and orders replicate (copy k shifts the order key — the fact
@@ -102,15 +102,42 @@ object ScaleData {
       return
     }
 
+    // chars mode: per-copy BIJECTIVE character permutation (letters
+    // and digits rotated by k) instead of the token-suffix remap.
+    // The suffix remap preserves WORD-shingle structure but floods
+    // CHARACTER-window operators with new repeats (every token grows
+    // a shared "_ck" bridge — measured 18× per-copy window-pair
+    // inflation at sf1), so char-grain decades (p27/p146) need this
+    // mode: a per-char bijection preserves window equality AND
+    // inequality exactly within a copy, and any window containing a
+    // letter or digit differs across copies.
+    val charsMode =
+      sys.env.get("SPARK_GRAFT_SCALE_MODE").exists(_.trim == "chars")
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digits = "0123456789"
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    def remapped(k: Int) = translate($"text",
+      lower + upper + digits,
+      rot(lower, k) + rot(upper, k) + rot(digits, k))
+    val textExpr =
+      if (charsMode)
+        (1 until factor).foldLeft(when($"__k" === 0, $"text")) {
+          (acc, k) => acc.when($"__k" === k, remapped(k))
+        }.otherwise($"text")
+      else
+        when($"__k" === 0, $"text")
+          .otherwise(regexp_replace($"text", lit("(\\S+)"),
+            concat(lit("$1_c"), $"__k".cast("string"))))
+
     Tables.documents(spark, src)
       .select(col("*"), copy)
       .select(
         ($"doc_id" * factor + $"__k").as("doc_id"),
         // k=0 verbatim; k>0 bijective token remap (zero cross-copy
-        // shingle overlap, within-copy structure untouched)
-        when($"__k" === 0, $"text")
-          .otherwise(regexp_replace($"text", lit("(\\S+)"),
-            concat(lit("$1_c"), $"__k".cast("string")))).as("text"),
+        // shingle overlap, within-copy structure untouched) — or the
+        // chars-mode per-char bijection above
+        textExpr.as("text"),
         $"lang", $"source")
       .withColumn("n_chars", length($"text"))
       .repartition(8)

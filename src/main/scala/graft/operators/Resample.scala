@@ -36,10 +36,12 @@ import org.apache.spark.sql.types.{DataType, DateType, DoubleType}
   * inflates its grid 3 650× at day grain (87 600× at hour grain) —
   * bound the span upstream (filter to the serving window, or split
   * long-lived keys by epoch) when key lifetimes are unbounded.
-  * Measured at sf1 (BASELINE.md round-15 decade table): ~2 000 keys
-  * × ~2 400-day spans ≈ 4.8 M grid rows from 240 k observations —
-  * the 20× output amplification is the operator's cost model, linear
-  * in |keys| × span as predicted.
+  * Measured (BASELINE.md round-15 decade table, `ScaleEvidence`):
+  * 2 001 keys × ~2 300-day spans = 4 674 607 grid rows from 59 633
+  * observations at sf0.1 — a 78× output amplification — and the
+  * sf0.1 → sf1 facts decade (10× observations, same key population)
+  * holds wall-clock FLAT because the grid, not the input, dominates:
+  * cost ≈ O(input scan + |keys| × span).
   *
   * Input contract: ONE row per (keys, bucket), time values already
   * AT grain boundaries — pre-aggregate with
