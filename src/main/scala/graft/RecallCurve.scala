@@ -137,12 +137,19 @@ object RecallCurve {
     // behind GraphAnn's defaults (one edge build, reused across the
     // sweep, like a deployment would).
     import graft.pipeline.GraphAnn
+    // the edge build is the most expensive step in this file — skip
+    // it entirely unless an nsw-family sweep is selected
+    val nswNeeded = fam("nsw") || fam("nsw_filtered") ||
+      fam("nsw_filtered_acorn")
     val nHubs = sys.env.get("SPARK_GRAFT_NSW_HUBS").map(_.toInt)
       .getOrElse(math.max(16, math.sqrt(n.get.toDouble).toInt))
-    val hubs = Similarity.sampleCentroids(emb, nHubs, knownCount = n)
-    val edges = GraphAnn.buildEdges(emb, hubs, dim = Some(dim))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count()
+    lazy val hubs = Similarity.sampleCentroids(emb, nHubs, knownCount = n)
+    lazy val edges = {
+      val e = GraphAnn.buildEdges(emb, hubs, dim = Some(dim))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e
+    }
     if (fam("nsw")) for (beam <- Seq(4, 8, 16); rounds <- Seq(2, 3)) {
       val r = meanRecall(GraphAnn.searchAll(edges, hubs, queries, k,
         beam = beam, rounds = rounds), truth)
@@ -155,7 +162,8 @@ object RecallCurve {
     // The beam routes through every node but only 1/m of the corpus
     // may rank, so at fixed beam the visited set holds fewer MATCHES
     // as m grows; truth is brute force over the filtered corpus.
-    if (fam("nsw_filtered")) for (m <- Seq(2L, 4L, 8L)) {
+    if (fam("nsw_filtered") || fam("nsw_filtered_acorn"))
+    for (m <- Seq(2L, 4L, 8L)) {
       // the filtered ground truth depends only on the selectivity —
       // hoist it out of the beam loop (one brute-force job per m)
       val allowed = emb.where(col("vec_id") % m === 0).select(col("vec_id"))
@@ -164,7 +172,7 @@ object RecallCurve {
         .select(col("query_id"), col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ftruth.count()
-      for (beam <- Seq(8, 16, 32)) {
+      if (fam("nsw_filtered")) for (beam <- Seq(8, 16, 32)) {
         val r = meanRecall(GraphAnn.searchAll(edges, hubs, queries, k,
           beam = beam, rounds = 3, allowed = Some(allowed)), ftruth)
         println(s"""{"family":"nsw_filtered","selectivity":"1/$m","beam":$beam,"rounds":3,"mean_recall":$r,"q":$nQ}""")
@@ -173,6 +181,7 @@ object RecallCurve {
       // ACORN predicate-aware walk (round 15): same index, same
       // truth — the two-hop rule + passing-hub entry must hold
       // recall at bounded beam where route-all collapses
+      if (fam("nsw_filtered_acorn"))
       for ((beam, rounds) <- Seq((8, 3), (16, 3), (16, 4), (32, 3))) {
         val r = meanRecall(GraphAnn.searchAllAcorn(edges, hubs, queries,
           allowed, k, beam = beam, rounds = rounds), ftruth)
@@ -181,7 +190,7 @@ object RecallCurve {
       }
       ftruth.unpersist()
     }
-    edges.unpersist()
+    if (nswNeeded) edges.unpersist()
 
     // Quantized paths at production defaults — the honesty artifact
     // behind the compression knobs: how much recall each code budget

@@ -113,6 +113,12 @@ object ScaleData {
     // letter or digit differs across copies.
     val charsMode =
       sys.env.get("SPARK_GRAFT_SCALE_MODE").exists(_.trim == "chars")
+    // rot() is the identity when the alphabet length divides k, which
+    // would silently break the zero-cross-copy-overlap invariant
+    // (copy 10's digits == copy 0's digits) — refuse factors the
+    // shortest alphabet (digits, 10) can't keep bijectively distinct
+    require(!charsMode || factor <= 10,
+      s"chars mode supports factor <= 10 (digit rotation cycles at 10); got $factor")
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     val digits = "0123456789"

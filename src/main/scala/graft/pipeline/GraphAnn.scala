@@ -359,9 +359,17 @@ object GraphAnn {
       .select(col("__qid"), col("dst").as("__node"), col("dst_vec"))
       .groupBy(col("__qid"), col("__node"))
       .agg(first(col("dst_vec")).as("__vec"))
-    def passing(cand: DataFrame): DataFrame =
-      ok.join(broadcast(cand), Seq("__node"))
+    // membership check broadcasts ONLY (query, node) ids — dim-float
+    // vectors would inflate the broadcast ~64×; the vector re-attaches
+    // from the (small) candidate frame afterwards, small × small
+    def passing(cand: DataFrame): DataFrame = {
+      val passIds = ok
+        .join(broadcast(cand.select(col("__qid"), col("__node"))),
+          Seq("__node"))
+        .select(col("__qid"), col("__node"))
+      cand.join(broadcast(passIds), Seq("__qid", "__node"))
         .select(col("__qid"), col("__node"), col("__vec"))
+    }
     for (r <- 0 until rounds) {
       val oneHop = broadcast(frontier)
         .join(edges.select(col("src"), col("dst"), col("dst_vec")),

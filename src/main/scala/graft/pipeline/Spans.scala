@@ -83,8 +83,10 @@ object Spans {
     * pos_b − 1) would share its hash and belong to the same
     * diagonal run — so a run that STOPS is a match that cannot
     * extend (modulo 60-bit collisions, shared with every hash family
-    * oracle here), and document boundaries are maximal by
-    * definition. Output: one row per aligned maximal match pair with
+    * oracle here, and modulo a df-capped window sitting exactly AT a
+    * run end — interior capped windows are bridged, see the run
+    * merge), and document boundaries are maximal by definition.
+    * Output: one row per aligned maximal match pair with
     * `match_len >= minLen`, canonicalized (doc_a, pos_a) <
     * (doc_b, pos_b) lexicographically, plus both span coordinates —
     * the removable-span projection is `(doc, pos, match_len)` from
@@ -128,10 +130,23 @@ object Spans {
         (col("doc_a") === col("doc_b") && col("pos_a") < col("pos_b")))
       .withColumn("diag", col("pos_a") - col("pos_b"))
     val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    // Run merge tolerates gaps of up to k−1 missing positions: if
+    // windows at p and p+g+1 (g <= k−1) both match on a diagonal,
+    // their char intervals [p, p+k−1] and [p+g+1, p+g+k] UNION
+    // covers every char in between — the gap content is PROVEN equal,
+    // no pairing needed. Such gaps only arise from the df-cap (an
+    // interior window whose hash is corpus-hot — e.g. a ubiquitous
+    // URL inside an otherwise rare duplicate — is excluded from
+    // pairing); a true content mismatch always breaks ALL k windows
+    // covering the differing char, a gap of >= k positions. Without
+    // this, one capped interior window would split a certified match
+    // into understated fragments. Runs still cannot extend across
+    // capped windows AT THEIR ENDS (no flanking match to prove the
+    // content) — the residual, documented cap effect.
     pairs
       .withColumn("prev", lag("pos_a", 1).over(w))
       .withColumn("new_run",
-        when(col("prev").isNull || col("pos_a") - col("prev") > 1, 1)
+        when(col("prev").isNull || col("pos_a") - col("prev") > k, 1)
           .otherwise(0))
       .withColumn("run_id", sum("new_run").over(w))
       .groupBy("doc_a", "doc_b", "diag", "run_id")

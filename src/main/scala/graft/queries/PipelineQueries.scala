@@ -2964,10 +2964,12 @@ object PipelineQueries {
     // where p27 marks positions whose window is duplicated SOMEWHERE
     // (adjacent positions may match different partners), this emits
     // aligned match PAIRS certified maximal by window-chain
-    // extension — same-hash occurrences pair up, runs of consecutive
-    // positions on one alignment diagonal (pos_a − pos_b) merge, and
-    // a run that stops is a match that cannot extend by one char
-    // (the neighbor window would share its hash and join the run).
+    // extension — same-hash occurrences pair up, runs on one
+    // alignment diagonal (pos_a − pos_b) merge tolerating gaps up to
+    // k−1 (flanking matches PROVE the gap content equal; only the
+    // df-cap creates such gaps), and a run that stops is a match
+    // that cannot extend by one char (a real mismatch breaks all k
+    // windows covering the differing char).
     // The one pair step is per-hash occurrence pairing under a
     // df-cap (maxOcc 1000; audit via Spans.overloadedWindowHashes) —
     // never corpus². Oracle restates windows, the cap, canonical
@@ -2992,7 +2994,7 @@ object PipelineQueries {
              |             OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
              |runs AS (SELECT *,
              |           CASE WHEN lag(pos_a) OVER w IS NULL
-             |                  OR pos_a - lag(pos_a) OVER w > 1
+             |                  OR pos_a - lag(pos_a) OVER w > 20
              |                THEN 1 ELSE 0 END AS new_run
              |         FROM pairs
              |         WINDOW w AS (PARTITION BY doc_a, doc_b, diag

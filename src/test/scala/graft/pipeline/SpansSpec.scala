@@ -135,6 +135,33 @@ class SpansSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 0, 1L, 30, 22)))
   }
 
+  test("maximal substrings: a capped INTERIOR window bridges — the match stays whole") {
+    // a rare 60-char duplicate whose middle 20 chars are a
+    // corpus-hot block (present in 10 other docs): the hot window's
+    // hash is df-capped out of pairing, leaving a 1-position gap in
+    // the diagonal run. The flanking matches PROVE the gap content
+    // equal (their char intervals overlap it), so the run merge
+    // bridges gaps <= k-1 and the match must come out whole — not
+    // as two understated fragments.
+    val r1 = "RARE-LEFT-CTX-20CHAR" // 20
+    val r2 = "RARE-RIGHT-CTX-20CHR" // 20
+    val hot = "H" * 20
+    val shared = r1 + hot + r2 // 60 chars, duplicated exactly twice
+    val df = (Seq(
+      (1L, s"aaaa$shared"),
+      (2L, s"bb $shared")) ++
+      (3L to 12L).map(i => (i, s"filler${i - 3} $hot tail${i - 3}")))
+      .toDF("doc_id", "text")
+    val out = Spans.maximalDuplicateSubstrings(df, k = 20, minLen = 40,
+      maxOcc = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Int]("pos_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Int]("pos_b"),
+        r.getAs[Int]("match_len")))
+    assert(out.toSeq === Seq((1L, 4, 2L, 3, 60)),
+      s"interior capped window must bridge, not fragment: ${out.toSeq}")
+  }
+
   test("maximal substrings: the df-cap excludes hot hashes and the audit surfaces them") {
     val hot = "Z" * 25 // every doc shares it -> its windows are hot
     val df = (1L to 6L).map(i => (i, s"doc$i pad $hot tail$i"))
