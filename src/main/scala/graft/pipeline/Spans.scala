@@ -158,6 +158,47 @@ object Spans {
         col("match_len"))
   }
 
+  /** The corpus with every NON-FIRST occurrence of each maximal
+    * duplicated substring excised — Lee et al. 2022's actual dedup
+    * policy (they keep one copy; [[removeDuplicatedSpans]] is the
+    * symmetric remove-all variant at window grain). Keep-first falls
+    * out of the canonical pair order: an occurrence is excised iff
+    * it is the doc_b side of SOME match — i.e. a strictly earlier
+    * (doc, offset) occurrence of the same content exists — so the
+    * globally first occurrence is never excised and transitive
+    * duplicate groups keep exactly their earliest member.
+    *
+    * Reassembly walks each doc's sorted excision spans; unlike the
+    * window-island spans, maximal-match spans can overlap
+    * ARBITRARILY (different diagonals), including full containment,
+    * so the walk clamps the resume offset monotonically
+    * (greatest(prev, start+len)) as well as the kept gap at 0.
+    */
+  def removeMaximalDuplicates(df: DataFrame, k: Int = 20,
+      minLen: Int = 40, maxOcc: Long = 1000,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spans = maximalDuplicateSubstrings(df, k, minLen, maxOcc,
+      textCol, idCol)
+      .select(col("doc_b").as("__sid"), col("pos_b").as("span_start"),
+        col("match_len").as("span_len"))
+      .distinct()
+      .groupBy("__sid")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_len"))))
+        .as("__spans"))
+    val t = col(textCol)
+    val walked = aggregate(col("__spans"),
+      struct(lit(0).as("from"), lit("").as("acc")),
+      (st, sp) => struct(
+        greatest(st("from"), sp("span_start") + sp("span_len")).as("from"),
+        concat(st("acc"), t.substr(st("from") + lit(1),
+          greatest(sp("span_start") - st("from"), lit(0)))).as("acc")),
+      st => concat(st("acc"), t.substr(st("from") + lit(1), length(t))))
+    df.join(spans, col(idCol) === col("__sid"), "left")
+      .withColumn("clean_text",
+        when(col("__spans").isNull, t).otherwise(walked))
+      .drop("__sid", "__spans")
+  }
+
   /** The audit side-output for [[maximalDuplicateSubstrings]]'s
     * df-cap: window hashes excluded from pairing because they occur
     * more than `maxOcc` times, with their counts — the

@@ -3009,6 +3009,77 @@ object PipelineQueries {
              |FROM rid GROUP BY doc_a, doc_b, diag, run_id
              |HAVING max(pos_a) - min(pos_a) + 20 >= 40""".stripMargin)),
 
+    // Keep-FIRST excision over the maximal matches (round 15 —
+    // Lee et al. 2022's actual dedup policy: keep one copy, excise
+    // the rest). An occurrence is excised iff it is the doc_b side
+    // of some canonical match pair — i.e. a strictly earlier
+    // (doc, offset) occurrence of the same content exists — so the
+    // earliest member of every transitive duplicate group survives
+    // untouched. Reassembly must survive ARBITRARY span overlap
+    // (different diagonals): the Spark walk clamps the resume offset
+    // monotonically; the oracle re-derives coverage at char grain
+    // and string_aggs the survivors (a fully covered doc must come
+    // out EMPTY, not fall back to its original text).
+    QueryDef("p149_maximal_excision",
+      (s, dir) => Spans.removeMaximalDuplicates(
+        Tables.documents(s, dir), k = 20, minLen = 40)
+        .select(col("doc_id"), col("clean_text")),
+      Some("""WITH win AS (
+             |  SELECT doc_id, CAST(i AS INT) AS pos,
+             |         ('0x' || substr(md5(substr(text, CAST(i AS INT)+1, 20)), 1, 15))::BIGINT AS h
+             |  FROM (SELECT doc_id, text,
+             |               unnest(range(greatest(length(text) - 20 + 1, 0))) AS i
+             |        FROM documents)),
+             |keep AS (SELECT h FROM win GROUP BY h
+             |         HAVING count(*) >= 2 AND count(*) <= 1000),
+             |occ AS (SELECT win.* FROM win JOIN keep USING (h)),
+             |pairs AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+             |                 b.doc_id AS doc_b, b.pos AS pos_b,
+             |                 a.pos - b.pos AS diag
+             |          FROM occ a JOIN occ b USING (h)
+             |          WHERE a.doc_id < b.doc_id
+             |             OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
+             |runs AS (SELECT *,
+             |           CASE WHEN lag(pos_a) OVER w IS NULL
+             |                  OR pos_a - lag(pos_a) OVER w > 20
+             |                THEN 1 ELSE 0 END AS new_run
+             |         FROM pairs
+             |         WINDOW w AS (PARTITION BY doc_a, doc_b, diag
+             |                      ORDER BY pos_a)),
+             |rid AS (SELECT *,
+             |          sum(new_run) OVER (PARTITION BY doc_a, doc_b, diag
+             |                             ORDER BY pos_a) AS run_id
+             |        FROM runs),
+             |m AS (SELECT doc_a, min(pos_a) AS pos_a, doc_b,
+             |             min(pos_a) - diag AS pos_b,
+             |             max(pos_a) - min(pos_a) + 20 AS match_len
+             |      FROM rid GROUP BY doc_a, doc_b, diag, run_id
+             |      HAVING max(pos_a) - min(pos_a) + 20 >= 40),
+             |sp AS (SELECT DISTINCT doc_b AS doc_id, pos_b AS s,
+             |              match_len AS l FROM m),
+             |chars AS (SELECT doc_id, CAST(i AS INT) AS i,
+             |                 substr(text, CAST(i AS INT)+1, 1) AS ch
+             |          FROM (SELECT doc_id, text,
+             |                       unnest(range(length(text))) AS i
+             |                FROM documents)),
+             |cov AS (SELECT DISTINCT c.doc_id, c.i
+             |        FROM sp JOIN chars c
+             |          ON c.doc_id = sp.doc_id
+             |         AND c.i >= sp.s AND c.i < sp.s + sp.l),
+             |kept AS (SELECT c.doc_id, c.i, c.ch FROM chars c
+             |         WHERE NOT EXISTS (SELECT 1 FROM cov v
+             |                           WHERE v.doc_id = c.doc_id
+             |                             AND v.i = c.i)),
+             |agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY i)
+             |          AS clean_text
+             |        FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       CASE WHEN EXISTS (SELECT 1 FROM sp
+             |                         WHERE sp.doc_id = d.doc_id)
+             |            THEN coalesce(a.clean_text, '')
+             |            ELSE d.text END AS clean_text
+             |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
     // Corpus token-frequency rarity profile — the unigram-LM-flavored
     // quality signal kept EXACT: every emitted number is an integer
     // aggregate or a single integer division (the engine-wide rule —

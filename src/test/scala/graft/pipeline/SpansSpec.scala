@@ -135,6 +135,30 @@ class SpansSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 0, 1L, 30, 22)))
   }
 
+  test("keep-first excision: only the doc_b occurrences go; the earliest survives") {
+    val cleaned = Spans.removeMaximalDuplicates(corpus, k = 20, minLen = 25)
+      .select($"doc_id", $"clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc1 holds the FIRST occurrence of the shared payload — kept
+    assert(cleaned(1L) === s"unique prefix one $shared and a unique tail here")
+    assert(cleaned(2L) === "zxcompletely different remainder text")
+    assert(cleaned(3L) === "totally unrelated content with no repeats at all xyz")
+    assert(cleaned(4L) === "tiny")
+  }
+
+  test("keep-first excision: transitive groups keep exactly the earliest member") {
+    val chunk = "A-REPEATED-CHUNK-HERE!" // 22 chars
+    // every occurrence flanked by DISTINCT chars so no match extends
+    // past the chunk itself
+    val df = Seq((1L, s"0${chunk}A1${chunk}B2${chunk}C"))
+      .toDF("doc_id", "text")
+    val cleaned = Spans.removeMaximalDuplicates(df, k = 20, minLen = 22)
+      .select($"clean_text").as[String].collect().head
+    // occurrences at 1, 25, 49 -> pairs (1,25), (1,49), (25,49);
+    // occurrences 2 and 3 are doc_b sides and excise, the first stays
+    assert(cleaned === s"0${chunk}A1B2C", s"got: $cleaned")
+  }
+
   test("maximal substrings: a capped INTERIOR window bridges — the match stays whole") {
     // a rare 60-char duplicate whose middle 20 chars are a
     // corpus-hot block (present in 10 other docs): the hot window's

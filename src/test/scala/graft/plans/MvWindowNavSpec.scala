@@ -76,6 +76,43 @@ class MvWindowNavSpec extends SparkSpec {
     assert(!paths.exists(_.contains("mv.parquet")))
   } }
 
+  test("the advisor extracts the aggregate UNDER a window workload and closes the loop") { withNoAqe {
+    // a workload consisting solely of the moving-average query: the
+    // shape extraction walks the whole plan, so the Aggregate nested
+    // under the Window must surface as a candidate; the advised
+    // rollup then serves the query with zero manual registration
+    val mvDir = java.nio.file.Files.createTempDirectory("mvwn_adv")
+    MvCatalog.clear()
+    try {
+      def query = spark.read.parquet(base)
+        .groupBy(col("g1"), col("g2"))
+        .agg(avg("qty").as("p"), sum("qty").as("s"))
+        .withColumn("ma", avg(col("p")).over(w))
+      // minCompression 1: the 6-row fixture can't clear the 10×
+      // production gate; grain extraction is what's under test
+      val defs = MvAdvisor.advise(spark, Seq(query), mvDir.toString,
+        minCompression = 1.0)
+      assert(defs.length === 1, s"expected one advised def: $defs")
+      assert(defs.head.groupCols.toSet === Set("g1", "g2"),
+        s"wrong advised grain: ${defs.head.groupCols}")
+      val paths = scannedPaths(query)
+      assert(paths.exists(_.contains("/mv_")),
+        s"advised rollup not navigated by the window query: $paths")
+      assert(!paths.exists(_.contains("fact.parquet")),
+        s"fact scanned after advise(): $paths")
+    } finally {
+      MvCatalog.clear()
+      // this suite's OTHER tests rely on the beforeAll registration
+      MaterializedAggregate.registerExisting(spark, base, mvPath,
+        groupCols = Seq("g1", "g2"), measureCols = Seq("qty"))
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(mvDir).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: java.io.IOException => () }
+    }
+  } }
+
   test("multi-DISTINCT-aggregate (its rewrite builds an Expand) refuses and stays correct") { withNoAqe {
     // RewriteDistinctAggregates plans two DISTINCT aggs as
     // Aggregate-over-Expand — the expandChild matcher must not treat
