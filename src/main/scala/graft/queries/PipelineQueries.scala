@@ -2345,6 +2345,83 @@ object PipelineQueries {
              |       END AS v_interp
              |FROM a""".stripMargin)),
 
+    // Month-grain gap-fill (round 15): the calendar-interval grid
+    // path — months are UNEQUAL steps, so the grid comes from
+    // sequence(lo, hi, interval 1 month) rather than arithmetic, and
+    // interpolation stays linear in REAL days (datediff), not in
+    // month ordinals (a Jan→Apr slope hits Feb 1 at 31/90, not 1/3).
+    // Fixture: per-(supplier, month) average price, locf + interp on
+    // the same monthly grid. Oracle: DuckDB generate_series with
+    // INTERVAL 1 MONTH over date_trunc'd months.
+    QueryDef("p150_gapfill_monthly",
+      (s, dir) => {
+        import graft.operators.Resample
+        val sparse = s.read.parquet(s"$dir/lineitem.parquet")
+          .where(col("l_suppkey") <= 40)
+          // sparsify: keep ~1/7 of the (supp, month) observations so
+          // real month gaps exist to fill
+          .where(dayofmonth(to_date(col("l_shipdate"))) === 3)
+          .select(col("l_suppkey").as("supp_id"),
+            trunc(to_date(col("l_shipdate")), "month").as("m"),
+            col("l_extendedprice"))
+          .groupBy(col("supp_id"), col("m"))
+          .agg(avg("l_extendedprice").as("v"))
+        Resample.gapFill(sparse, Seq("supp_id"), "m", Seq("v"),
+          mode = "locf", grain = "month")
+          .withColumnRenamed("v", "v_locf")
+          .join(Resample.gapFill(sparse, Seq("supp_id"), "m", Seq("v"),
+            mode = "interp", grain = "month")
+            .withColumnRenamed("v", "v_interp"),
+            Seq("supp_id", "m"))
+          .select(col("supp_id"), col("m").as("month_start"),
+            col("v_locf"), col("v_interp"))
+      },
+      Some("""WITH s AS (SELECT l_suppkey AS supp_id,
+             |                  CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+             |                  AVG(l_extendedprice) AS v
+             |           FROM lineitem
+             |           WHERE l_suppkey <= 40
+             |             AND date_part('day', l_shipdate) = 3
+             |           GROUP BY 1, 2),
+             |span AS (SELECT supp_id, min(m) AS lo, max(m) AS hi
+             |         FROM s GROUP BY 1),
+             |grid AS (SELECT supp_id,
+             |                CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+             |                  CAST(hi AS TIMESTAMP),
+             |                  INTERVAL 1 MONTH)) AS DATE) AS m
+             |         FROM span),
+             |j AS (SELECT g.supp_id, g.m, s.v
+             |      FROM grid g LEFT JOIN s
+             |        ON s.supp_id = g.supp_id AND s.m = g.m),
+             |a AS (SELECT supp_id, m, v,
+             |        last_value(v IGNORE NULLS) OVER (
+             |          PARTITION BY supp_id ORDER BY m
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS prev_v,
+             |        last_value(CASE WHEN v IS NOT NULL THEN m END
+             |          IGNORE NULLS) OVER (
+             |          PARTITION BY supp_id ORDER BY m
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS prev_d,
+             |        first_value(v IGNORE NULLS) OVER (
+             |          PARTITION BY supp_id ORDER BY m
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |          AS next_v,
+             |        first_value(CASE WHEN v IS NOT NULL THEN m END
+             |          IGNORE NULLS) OVER (
+             |          PARTITION BY supp_id ORDER BY m
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |          AS next_d
+             |      FROM j)
+             |SELECT supp_id, m AS month_start,
+             |       prev_v AS v_locf,
+             |       CASE WHEN next_d IS NULL OR next_d = prev_d THEN prev_v
+             |            ELSE prev_v + (next_v - prev_v) *
+             |                 (CAST(m - prev_d AS DOUBLE) /
+             |                  CAST(next_d - prev_d AS DOUBLE))
+             |       END AS v_interp
+             |FROM a""".stripMargin)),
+
     // Explicit GROUPING SETS navigation (round 14): the third
     // grouping-sets spelling — arbitrary set lists, not the
     // rollup/cube prefixes — through the SQL surface. The set list
