@@ -3041,6 +3041,80 @@ object StreamingQueries {
       graft.streaming.StreamingGapFill.bfillFilled(_),
       PipelineQueries.gapfillBfillOracleSql)
 
+  /** st45 (round 15): the HOUR-grain streaming locf twin — the
+    * reference's actual price-history cadence. Sparse per-user
+    * hourly event values arrive in two time-ordered batches;
+    * `locfFilledAtGrain` (stepSeconds 3600) keeps one (epoch, value)
+    * pair per key and closes each gap retroactively. Accumulated
+    * emissions equal the batch hourly grid, so the oracle is the
+    * p145 locf column restated standalone.
+    */
+  private def streamingGapFillHourly: QueryDef = QueryDef(
+    "st45_streaming_gapfill_hourly",
+    (s, dir) => {
+      import s.implicits._
+      val dirP = scratch("st45")
+      val stage = dirP.resolve("input").toString
+      val ckpt = dirP.resolve("ckpt").toString
+      val out = dirP.resolve("out").toString
+      val sparse = Tables.events(s, dir)
+        .where(col("user_id") <= 50)
+        .select(col("user_id").as("key"),
+          // explicit cast: a driver-generation flip to TIMESTAMP_NTZ
+          // would break the java.sql.Timestamp encoder (session tz
+          // is UTC, so the instant is unchanged either way)
+          date_trunc("hour", col("ts")).cast("timestamp").as("ts"),
+          col("value"))
+        .groupBy(col("key"), col("ts"))
+        .agg(avg("value").as("value"))
+        .select(col("key"), col("ts"), col("value"))
+      val schema = sparse.schema
+      sparse.where(col("ts") < lit("2024-01-16").cast("timestamp"))
+        .coalesce(1).write.parquet(stage)
+      val earlyFiles = partNames(s, stage)
+      sparse.where(col("ts") >= lit("2024-01-16").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(stage)
+      pinArrivalOrder(s, stage, earlyFiles)
+
+      val q0 = graft.streaming.StreamingGapFill.locfFilledAtGrain(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .as[graft.streaming.StreamingGapFill.SeriesObsTs])
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      try q0.awaitTermination() finally q0.stop()
+
+      val outDf = s.read.parquet(out)
+        .select(col("key").as("user_id"),
+          unix_timestamp(col("ts")).as("snapshot_hour"),
+          col("value"))
+      val outSchema = outDf.schema
+      val rows = outDf.collect()
+      deleteRecursively(dirP)
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), outSchema)
+    },
+    Some("""WITH s AS (SELECT user_id, date_trunc('hour', ts) AS h,
+           |                  AVG(value) AS v
+           |           FROM events WHERE user_id <= 50
+           |           GROUP BY 1, 2),
+           |span AS (SELECT user_id, min(h) AS lo, max(h) AS hi
+           |         FROM s GROUP BY 1),
+           |grid AS (SELECT user_id,
+           |                unnest(generate_series(lo, hi,
+           |                  INTERVAL 1 HOUR)) AS h
+           |         FROM span),
+           |j AS (SELECT g.user_id, g.h, s.v
+           |      FROM grid g LEFT JOIN s
+           |        ON s.user_id = g.user_id AND s.h = g.h)
+           |SELECT user_id, CAST(epoch(h) AS BIGINT) AS snapshot_hour,
+           |       last_value(v IGNORE NULLS) OVER (
+           |         PARTITION BY user_id ORDER BY h
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |         AS value
+           |FROM j""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(streamingSessions, streamingFunnel, streamingAsof,
       streamingSilverGate, streamingNearDup, streamingEmbNearDup,
@@ -3056,5 +3130,6 @@ object StreamingQueries {
       streamingMediaIngest, streamingMvDistinct, streamingPairIngest,
       streamingSearch, streamingMvCompact, streamingMvStar,
       streamingAnnServe, streamingAnnMaintain, streamingGapFill,
-      streamingGapFillInterp, streamingGapFillBfill)
+      streamingGapFillInterp, streamingGapFillBfill,
+      streamingGapFillHourly)
 }

@@ -58,6 +58,72 @@ object StreamingGapFill extends org.apache.spark.internal.Logging {
   case class FillState(lastDay: Date, lastValue: Double)
   case class FilledDay(key: Long, day: Date, value: Double)
 
+  /** Timestamp-grain observations for [[locfFilledAtGrain]]: hourly
+    * (or any fixed-step) buckets instead of days — the reference's
+    * own price-history cadence (`backend_api/app/models.py:50`).
+    */
+  case class SeriesObsTs(key: Long, ts: java.sql.Timestamp, value: Double)
+  case class FillStateTs(lastEpoch: Long, lastValue: Double)
+  case class FilledTs(key: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** [[locfFilled]] at a FIXED-STEP timestamp grain (`stepSeconds`,
+    * default hourly): each arrival emits the gap buckets since the
+    * key's previous observation carried forward, plus itself. Same
+    * contract as the daily form — one (epoch, value) pair of state
+    * per key, per-key time-ordered arrival across micro-batches,
+    * in-batch reorder handled, at-or-before duplicates drop (durably
+    * counted / strict). Input timestamps must sit AT grain
+    * boundaries (pre-bucket with date_trunc — the
+    * [[graft.operators.Resample.timeBucket]] contract). Calendar
+    * grains (month) have no fixed step and stay batch-only.
+    */
+  def locfFilledAtGrain(obs: Dataset[SeriesObsTs],
+      stepSeconds: Long = 3600L,
+      dropCounter: Option[LongAccumulator] = None,
+      strict: Boolean = false): Dataset[FilledTs] = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    obs.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[SeriesObsTs], state: GroupState[FillStateTs]) => {
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val out = Seq.newBuilder[FilledTs]
+          var st = state.getOption
+          var dropped = 0
+          val stepMs = stepSeconds * 1000L
+          sorted.foreach { e =>
+            st match {
+              case None =>
+                out += FilledTs(key, e.ts, e.value)
+                st = Some(FillStateTs(e.ts.getTime, e.value))
+              case Some(s) =>
+                val t1 = e.ts.getTime
+                if (t1 > s.lastEpoch) {
+                  var t = s.lastEpoch + stepMs
+                  while (t < t1) {
+                    out += FilledTs(key, new java.sql.Timestamp(t),
+                      s.lastValue)
+                    t += stepMs
+                  }
+                  out += FilledTs(key, e.ts, e.value)
+                  st = Some(FillStateTs(t1, e.value))
+                } else dropped += 1
+            }
+          }
+          if (dropped > 0) {
+            val msg =
+              s"StreamingGapFill: dropped $dropped observation(s) for " +
+                s"key $key at-or-before its last filled bucket — per-key " +
+                "arrival must be time-ordered across micro-batches"
+            if (strict) throw new IllegalStateException(msg)
+            dropCounter.foreach(_.add(dropped.toLong))
+            logWarning(msg)
+          }
+          st.foreach(state.update)
+          out.result().iterator
+        })(Encoders.product[FillStateTs], Encoders.product[FilledTs])
+  }
+
   /** Forward fill (locf): gap days carry the previous value. */
   def locfFilled(obs: Dataset[SeriesObs],
       dropCounter: Option[LongAccumulator] = None,

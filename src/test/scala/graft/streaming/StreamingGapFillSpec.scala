@@ -89,6 +89,28 @@ class StreamingGapFillSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hour grain: gaps close at the fixed step, cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingGapFill.SeriesObsTs
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[SeriesObsTs]
+    val q = StreamingGapFill.locfFilledAtGrain(mem.toDS())
+      .writeStream.format("memory").queryName("gf6")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      mem.addData(SeriesObsTs(1L, ts("2026-01-01 00:00:00"), 10.0))
+      q.processAllAvailable()
+      mem.addData(SeriesObsTs(1L, ts("2026-01-01 03:00:00"), 40.0))
+      q.processAllAvailable()
+      val got = spark.table("gf6").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getDouble(2))).toSet
+      assert(got === Set(
+        ("2026-01-01 00:00:00.0", 10.0), ("2026-01-01 01:00:00.0", 10.0),
+        ("2026-01-01 02:00:00.0", 10.0), ("2026-01-01 03:00:00.0", 40.0)))
+    } finally q.stop()
+  }
+
   test("ordering-contract drops are durably counted; strict mode fails the batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
