@@ -176,12 +176,25 @@ object Spans {
     */
   def removeMaximalDuplicates(df: DataFrame, k: Int = 20,
       minLen: Int = 40, maxOcc: Long = 1000,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val spans = maximalDuplicateSubstrings(df, k, minLen, maxOcc,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    exciseSpans(df,
+      maximalDuplicateSubstrings(df, k, minLen, maxOcc, textCol, idCol)
+        .select(col("doc_b").as("__sid"), col("pos_b").as("span_start"),
+          col("match_len").as("span_len"))
+        .distinct(),
       textCol, idCol)
-      .select(col("doc_b").as("__sid"), col("pos_b").as("span_start"),
-        col("match_len").as("span_len"))
-      .distinct()
+
+  /** Shared reassembly: each doc rebuilt from the characters outside
+    * its (span_start, span_len) excision set. The walk carries
+    * (next-unexcised offset, kept prefix) over the start-sorted
+    * spans, clamping the kept gap at 0 AND the resume offset
+    * monotonically (greatest(prev, start+len)) — so it is correct
+    * for ARBITRARY overlap, including full containment (for the
+    * monotone-end island spans the clamp is an identity).
+    */
+  private def exciseSpans(df: DataFrame, spans: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val grouped = spans
       .groupBy("__sid")
       .agg(sort_array(collect_list(struct(col("span_start"), col("span_len"))))
         .as("__spans"))
@@ -193,7 +206,7 @@ object Spans {
         concat(st("acc"), t.substr(st("from") + lit(1),
           greatest(sp("span_start") - st("from"), lit(0)))).as("acc")),
       st => concat(st("acc"), t.substr(st("from") + lit(1), length(t))))
-    df.join(spans, col(idCol) === col("__sid"), "left")
+    df.join(grouped, col(idCol) === col("__sid"), "left")
       .withColumn("clean_text",
         when(col("__spans").isNull, t).otherwise(walked))
       .drop("__sid", "__spans")
@@ -226,26 +239,10 @@ object Spans {
     * at 0 and tracks the furthest excised end.
     */
   def removeDuplicatedSpans(df: DataFrame, k: Int = 20, minOcc: Long = 2,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val spans = duplicatedWindowSpans(df, k, minOcc, textCol, idCol)
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("span_start"), col("span_len"))))
-        .as("__spans"))
-    val t = col(textCol)
-    // walk the sorted spans, carrying (next-unexcised offset, kept
-    // prefix); spans never end earlier than a predecessor (each
-    // extends k past a later window), so `from` is monotone
-    val walked = aggregate(col("__spans"),
-      struct(lit(0).as("from"), lit("").as("acc")),
-      (st, sp) => struct(
-        (sp("span_start") + sp("span_len")).as("from"),
-        concat(st("acc"), t.substr(st("from") + lit(1),
-          greatest(sp("span_start") - st("from"), lit(0)))).as("acc")),
-      st => concat(st("acc"), t.substr(st("from") + lit(1), length(t))))
-    df.join(spans.withColumnRenamed("doc_id", "__sid"),
-        col(idCol) === col("__sid"), "left")
-      .withColumn("clean_text",
-        when(col("__spans").isNull, t).otherwise(walked))
-      .drop("__sid", "__spans")
-  }
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    exciseSpans(df,
+      duplicatedWindowSpans(df, k, minOcc, textCol, idCol)
+        .select(col("doc_id").as("__sid"), col("span_start"),
+          col("span_len")),
+      textCol, idCol)
 }

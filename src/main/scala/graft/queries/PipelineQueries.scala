@@ -317,6 +317,41 @@ object PipelineQueries {
     */
   private def ivfIndexPath = s"$artifactRoot/ivf_index_p20"
   private def filteredIvfPath = s"$artifactRoot/ivf_index_p140"
+  /** The p146/p149 shared match-derivation CTE chain: windows →
+    * df-capped duplicated hashes → canonical occurrence pairs →
+    * diagonal runs (gap tolerance k−1 = 20−1, see
+    * [[graft.pipeline.Spans.maximalDuplicateSubstrings]]) → run ids.
+    * One definition so the two gates can never certify different
+    * match sets.
+    */
+  private[queries] val maximalMatchCtesSql: String =
+    """win AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos,
+      |         ('0x' || substr(md5(substr(text, CAST(i AS INT)+1, 20)), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, text,
+      |               unnest(range(greatest(length(text) - 20 + 1, 0))) AS i
+      |        FROM documents)),
+      |keep AS (SELECT h FROM win GROUP BY h
+      |         HAVING count(*) >= 2 AND count(*) <= 1000),
+      |occ AS (SELECT win.* FROM win JOIN keep USING (h)),
+      |pairs AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+      |                 b.doc_id AS doc_b, b.pos AS pos_b,
+      |                 a.pos - b.pos AS diag
+      |          FROM occ a JOIN occ b USING (h)
+      |          WHERE a.doc_id < b.doc_id
+      |             OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
+      |runs AS (SELECT *,
+      |           CASE WHEN lag(pos_a) OVER w IS NULL
+      |                  OR pos_a - lag(pos_a) OVER w > 20
+      |                THEN 1 ELSE 0 END AS new_run
+      |         FROM pairs
+      |         WINDOW w AS (PARTITION BY doc_a, doc_b, diag
+      |                      ORDER BY pos_a)),
+      |rid AS (SELECT *,
+      |          sum(new_run) OVER (PARTITION BY doc_a, doc_b, diag
+      |                             ORDER BY pos_a) AS run_id
+      |        FROM runs)""".stripMargin
+
   /** The p142 gapfill/locf oracle — shared verbatim by the st42
     * streaming twin (the accumulated stateful emissions equal the
     * batch grid exactly).
@@ -3050,36 +3085,12 @@ object PipelineQueries {
     // The one pair step is per-hash occurrence pairing under a
     // df-cap (maxOcc 1000; audit via Spans.overloadedWindowHashes) —
     // never corpus². Oracle restates windows, the cap, canonical
-    // pairing, diagonal runs and the merge in SQL.
+    // pairing, diagonal runs and the merge via the shared
+    // maximalMatchCtesSql (one definition for p146 and p149).
     QueryDef("p146_maximal_substrings",
       (s, dir) => Spans.maximalDuplicateSubstrings(
         Tables.documents(s, dir), k = 20, minLen = 40),
-      Some("""WITH win AS (
-             |  SELECT doc_id, CAST(i AS INT) AS pos,
-             |         ('0x' || substr(md5(substr(text, CAST(i AS INT)+1, 20)), 1, 15))::BIGINT AS h
-             |  FROM (SELECT doc_id, text,
-             |               unnest(range(greatest(length(text) - 20 + 1, 0))) AS i
-             |        FROM documents)),
-             |keep AS (SELECT h FROM win GROUP BY h
-             |         HAVING count(*) >= 2 AND count(*) <= 1000),
-             |occ AS (SELECT win.* FROM win JOIN keep USING (h)),
-             |pairs AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
-             |                 b.doc_id AS doc_b, b.pos AS pos_b,
-             |                 a.pos - b.pos AS diag
-             |          FROM occ a JOIN occ b USING (h)
-             |          WHERE a.doc_id < b.doc_id
-             |             OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
-             |runs AS (SELECT *,
-             |           CASE WHEN lag(pos_a) OVER w IS NULL
-             |                  OR pos_a - lag(pos_a) OVER w > 20
-             |                THEN 1 ELSE 0 END AS new_run
-             |         FROM pairs
-             |         WINDOW w AS (PARTITION BY doc_a, doc_b, diag
-             |                      ORDER BY pos_a)),
-             |rid AS (SELECT *,
-             |          sum(new_run) OVER (PARTITION BY doc_a, doc_b, diag
-             |                             ORDER BY pos_a) AS run_id
-             |        FROM runs)
+      Some(s"""WITH $maximalMatchCtesSql
              |SELECT doc_a, min(pos_a) AS pos_a, doc_b,
              |       min(pos_a) - diag AS pos_b,
              |       max(pos_a) - min(pos_a) + 20 AS match_len
@@ -3101,32 +3112,7 @@ object PipelineQueries {
       (s, dir) => Spans.removeMaximalDuplicates(
         Tables.documents(s, dir), k = 20, minLen = 40)
         .select(col("doc_id"), col("clean_text")),
-      Some("""WITH win AS (
-             |  SELECT doc_id, CAST(i AS INT) AS pos,
-             |         ('0x' || substr(md5(substr(text, CAST(i AS INT)+1, 20)), 1, 15))::BIGINT AS h
-             |  FROM (SELECT doc_id, text,
-             |               unnest(range(greatest(length(text) - 20 + 1, 0))) AS i
-             |        FROM documents)),
-             |keep AS (SELECT h FROM win GROUP BY h
-             |         HAVING count(*) >= 2 AND count(*) <= 1000),
-             |occ AS (SELECT win.* FROM win JOIN keep USING (h)),
-             |pairs AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
-             |                 b.doc_id AS doc_b, b.pos AS pos_b,
-             |                 a.pos - b.pos AS diag
-             |          FROM occ a JOIN occ b USING (h)
-             |          WHERE a.doc_id < b.doc_id
-             |             OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
-             |runs AS (SELECT *,
-             |           CASE WHEN lag(pos_a) OVER w IS NULL
-             |                  OR pos_a - lag(pos_a) OVER w > 20
-             |                THEN 1 ELSE 0 END AS new_run
-             |         FROM pairs
-             |         WINDOW w AS (PARTITION BY doc_a, doc_b, diag
-             |                      ORDER BY pos_a)),
-             |rid AS (SELECT *,
-             |          sum(new_run) OVER (PARTITION BY doc_a, doc_b, diag
-             |                             ORDER BY pos_a) AS run_id
-             |        FROM runs),
+      Some(s"""WITH $maximalMatchCtesSql,
              |m AS (SELECT doc_a, min(pos_a) AS pos_a, doc_b,
              |             min(pos_a) - diag AS pos_b,
              |             max(pos_a) - min(pos_a) + 20 AS match_len

@@ -2985,6 +2985,48 @@ object StreamingQueries {
     * emissions equal the batch grids exactly, so the oracles are
     * p143/p144's SQL verbatim.
     */
+  /** Shared two-batch staged-replay scaffolding for the gap-fill
+    * twins (st42–st45): stage the sparse frame as two time-ordered
+    * parquet batches (mtime-pinned arrival order), run the stateful
+    * fill with maxFilesPerTrigger=1 through a checkpoint, read the
+    * accumulated emissions back, and re-materialize on one
+    * partition. Parameterized over the sparse frame, the early-batch
+    * predicate, the fill (readStream DataFrame → emitted Dataset),
+    * and the output projection — the ONLY things the four gates
+    * differ in.
+    */
+  private def stagedGapFillReplay(s: org.apache.spark.sql.SparkSession,
+      scratchKey: String, sparse: org.apache.spark.sql.DataFrame,
+      earlyCond: org.apache.spark.sql.Column,
+      fill: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_],
+      project: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dirP = scratch(scratchKey)
+    val stage = dirP.resolve("input").toString
+    val ckpt = dirP.resolve("ckpt").toString
+    val out = dirP.resolve("out").toString
+    val schema = sparse.schema
+    sparse.where(earlyCond).coalesce(1).write.parquet(stage)
+    val earlyFiles = partNames(s, stage)
+    sparse.where(!earlyCond).coalesce(1).write.mode("append").parquet(stage)
+    pinArrivalOrder(s, stage, earlyFiles)
+
+    val q0 = fill(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    try q0.awaitTermination() finally q0.stop()
+
+    val outDf = project(s.read.parquet(out))
+    val outSchema = outDf.schema
+    val rows = outDf.collect()
+    deleteRecursively(dirP)
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), outSchema)
+  }
+
   private def gapFillTwin(name: String, scratchKey: String,
       fill: org.apache.spark.sql.Dataset[graft.streaming.StreamingGapFill.SeriesObs] =>
         org.apache.spark.sql.Dataset[graft.streaming.StreamingGapFill.FilledDay],
@@ -2992,42 +3034,19 @@ object StreamingQueries {
     name,
     (s, dir) => {
       import s.implicits._
-      val dirP = scratch(scratchKey)
-      val stage = dirP.resolve("input").toString
-      val ckpt = dirP.resolve("ckpt").toString
-      val out = dirP.resolve("out").toString
-      val sparse = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_partkey") <= 20)
-        .select(col("l_partkey").as("key"),
-          to_date(col("l_shipdate")).as("day"),
-          col("l_extendedprice"))
-        .groupBy(col("key"), col("day"))
-        .agg(avg("l_extendedprice").as("value"))
-      val schema = sparse.schema
-      sparse.where(col("day") < lit("1995-01-01").cast("date"))
-        .coalesce(1).write.parquet(stage)
-      val earlyFiles = partNames(s, stage)
-      sparse.where(col("day") >= lit("1995-01-01").cast("date"))
-        .coalesce(1).write.mode("append").parquet(stage)
-      pinArrivalOrder(s, stage, earlyFiles)
-
-      val q0 = fill(
-        s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(stage)
-          .as[graft.streaming.StreamingGapFill.SeriesObs])
-        .writeStream.outputMode("append")
-        .format("parquet").option("path", out)
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt).start()
-      try q0.awaitTermination() finally q0.stop()
-
-      val outDf = s.read.parquet(out)
-        .select(col("key").as("item_id"), col("day").as("snapshot_date"),
-          col("value").as("price"))
-      val outSchema = outDf.schema
-      val rows = outDf.collect()
-      deleteRecursively(dirP)
-      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), outSchema)
+      stagedGapFillReplay(s, scratchKey,
+        sparse = s.read.parquet(s"$dir/lineitem.parquet")
+          .where(col("l_partkey") <= 20)
+          .select(col("l_partkey").as("key"),
+            to_date(col("l_shipdate")).as("day"),
+            col("l_extendedprice"))
+          .groupBy(col("key"), col("day"))
+          .agg(avg("l_extendedprice").as("value")),
+        earlyCond = col("day") < lit("1995-01-01").cast("date"),
+        fill = df => fill(
+          df.as[graft.streaming.StreamingGapFill.SeriesObs]),
+        project = _.select(col("key").as("item_id"),
+          col("day").as("snapshot_date"), col("value").as("price")))
     },
     Some(oracle))
 
@@ -3053,47 +3072,25 @@ object StreamingQueries {
     "st45_streaming_gapfill_hourly",
     (s, dir) => {
       import s.implicits._
-      val dirP = scratch("st45")
-      val stage = dirP.resolve("input").toString
-      val ckpt = dirP.resolve("ckpt").toString
-      val out = dirP.resolve("out").toString
-      val sparse = Tables.events(s, dir)
-        .where(col("user_id") <= 50)
-        .select(col("user_id").as("key"),
-          // explicit cast: a driver-generation flip to TIMESTAMP_NTZ
-          // would break the java.sql.Timestamp encoder (session tz
-          // is UTC, so the instant is unchanged either way)
-          date_trunc("hour", col("ts")).cast("timestamp").as("ts"),
-          col("value"))
-        .groupBy(col("key"), col("ts"))
-        .agg(avg("value").as("value"))
-        .select(col("key"), col("ts"), col("value"))
-      val schema = sparse.schema
-      sparse.where(col("ts") < lit("2024-01-16").cast("timestamp"))
-        .coalesce(1).write.parquet(stage)
-      val earlyFiles = partNames(s, stage)
-      sparse.where(col("ts") >= lit("2024-01-16").cast("timestamp"))
-        .coalesce(1).write.mode("append").parquet(stage)
-      pinArrivalOrder(s, stage, earlyFiles)
-
-      val q0 = graft.streaming.StreamingGapFill.locfFilledAtGrain(
-        s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(stage)
-          .as[graft.streaming.StreamingGapFill.SeriesObsTs])
-        .writeStream.outputMode("append")
-        .format("parquet").option("path", out)
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt).start()
-      try q0.awaitTermination() finally q0.stop()
-
-      val outDf = s.read.parquet(out)
-        .select(col("key").as("user_id"),
+      stagedGapFillReplay(s, "st45",
+        sparse = Tables.events(s, dir)
+          .where(col("user_id") <= 50)
+          .select(col("user_id").as("key"),
+            // explicit cast: a driver-generation flip to
+            // TIMESTAMP_NTZ would break the java.sql.Timestamp
+            // encoder (session tz is UTC, so the instant is
+            // unchanged either way)
+            date_trunc("hour", col("ts")).cast("timestamp").as("ts"),
+            col("value"))
+          .groupBy(col("key"), col("ts"))
+          .agg(avg("value").as("value"))
+          .select(col("key"), col("ts"), col("value")),
+        earlyCond = col("ts") < lit("2024-01-16").cast("timestamp"),
+        fill = df => graft.streaming.StreamingGapFill.locfFilledAtGrain(
+          df.as[graft.streaming.StreamingGapFill.SeriesObsTs]),
+        project = _.select(col("key").as("user_id"),
           unix_timestamp(col("ts")).as("snapshot_hour"),
-          col("value"))
-      val outSchema = outDf.schema
-      val rows = outDf.collect()
-      deleteRecursively(dirP)
-      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), outSchema)
+          col("value")))
     },
     Some("""WITH s AS (SELECT user_id, date_trunc('hour', ts) AS h,
            |                  AVG(value) AS v
