@@ -61,10 +61,15 @@ object Bench {
     // (warming there would pre-fill the session mart caches and make
     // the timed numbers serving-only), and cut short if the deadline is
     // already threatened (a cold timed pass beats no timed pass).
+    // Warmup budget is HARD-capped at 150 s (round-16: the old
+    // 25%-of-deadline allowance let a loaded host spend 375 s warming
+    // and then truncate the timed passes — 40 gates had no round-15
+    // driver timing; a partially-warm timed pass beats a truncated one).
+    val warmBudget = math.min(deadlineSec * 0.25, 150.0)
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        if (elapsedSec < deadlineSec * 0.25) {
+        if (elapsedSec < warmBudget) {
           try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
           catch { case _: Throwable => () }
         }
@@ -149,28 +154,26 @@ object Bench {
     // The driver captures only the LAST ~2000 chars of stdout; the full
     // per-query line above is ~4 KB at 127 queries, so for eight rounds
     // the driver's "parsed" field came back null (the tail started
-    // mid-JSON). Print one final COMPACT line sized under that window:
-    // per-query centisecond ints keyed by the unique leading token of
-    // each query name ("p63_neardup_recall" -> "p63"; serve_*/e2e_* use
-    // two tokens since the first alone collides). Whoever parses the
-    // tail gets the newest complete line = this one.
-    def shortKey(n: String): String = {
-      val parts = n.split("_")
-      if (parts.head == "serve" || parts.head == "e2e") parts.take(2).mkString("_")
-      else parts.head
-    }
+    // mid-JSON). Print one final COMPACT line sized under that window.
+    // Round-16 encoding: at 258 queries even short-token keys overflow
+    // the 1900-char guard (the r15 artifact lost q_cs), so q_cs is now a
+    // SINGLE STRING of base-36 centiseconds, comma-joined in SORTED
+    // QUERY-NAME order ("q_enc" names the scheme). The name list is
+    // recoverable from the per-query lines above, from SparkEntry
+    // .queries.keys.toSeq.sorted, or from the CORRECTNESS artifact's
+    // keys (same names); a failed/untimed query encodes as "-1".
+    // ~4 chars/query keeps 258 queries near 1.1 KB — under the window
+    // with the head included.
     val timedNames = completed.toSeq.flatMap(_.keys).distinct.sorted
     val compactQs = timedNames.map { n =>
       val ts = completed.toSeq.flatMap(_.get(n))
-      val cs =
-        if (ts.isEmpty || ts.min == Double.MaxValue) -1L
-        else math.round(ts.min * 100)
-      "\"" + shortKey(n) + "\":" + cs
-    }.mkString("{", ",", "}")
+      if (ts.isEmpty || ts.min == Double.MaxValue) "-1"
+      else java.lang.Long.toString(math.round(ts.min * 100), 36)
+    }.mkString(",")
     val totalR = math.round(total * 100) / 100.0
     val head =
       s"""{"metric":"total","value":$totalR,"unit":"sec","n":${timedNames.size},"failed":$failedJson,"skipped":${skipped.size},"passes":${completed.size},"sf":"$sfDir","calib_cs":$calibCs"""
-    val compactFull = head + s""","q_cs":$compactQs}"""
+    val compactFull = head + s""","q_enc":"b36cs,sorted-names","q_cs":"$compactQs"}"""
     // Hard guard: never emit a final line that itself overflows the
     // tail window — drop the per-query map before dropping parseability.
     val compact = if (compactFull.length <= 1900) compactFull else head + "}"

@@ -143,7 +143,7 @@ object Spans {
     // into understated fragments. Runs still cannot extend across
     // capped windows AT THEIR ENDS (no flanking match to prove the
     // content) — the residual, documented cap effect.
-    pairs
+    val merged = pairs
       .withColumn("prev", lag("pos_a", 1).over(w))
       .withColumn("new_run",
         when(col("prev").isNull || col("pos_a") - col("prev") > k, 1)
@@ -156,6 +156,15 @@ object Spans {
       .where(col("match_len") >= minLen)
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
         col("match_len"))
+    // Materialize the (small) merged-match set eagerly, then RELEASE
+    // the corpus-scale window frame: the persist above exists only to
+    // share the posexplode+md5 scan across the df-cap count and both
+    // pair sides within THIS call — leaving it cached would hold a
+    // corpus-scale block-manager footprint for the rest of the session
+    // (one per caller; the round-15 Verify left two). localCheckpoint
+    // also truncates the lineage, so downstream excision never
+    // re-derives the frame.
+    try merged.localCheckpoint(true) finally { win.unpersist(); () }
   }
 
   /** The corpus with every NON-FIRST occurrence of each maximal

@@ -403,6 +403,62 @@ object PipelineQueries {
       |         AS price
       |FROM j""".stripMargin
 
+  /** The p150 month-grain oracle — shared verbatim by the st46
+    * streaming twin (round 16): the calendar-interval grid
+    * (generate_series INTERVAL 1 MONTH), locf + real-day-linear
+    * interp over the same monthly buckets. Batch and stream agree by
+    * the same argument as the fixed-step twins: the stream's
+    * month-arithmetic walk (LocalDate.plusMonths on month starts)
+    * emits exactly the sequence() grid, and the arriving observation
+    * is interp's forward anchor.
+    */
+  private[queries] def gapfillMonthlyOracleSql: String =
+    """WITH s AS (SELECT l_suppkey AS supp_id,
+      |                  CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+      |                  AVG(l_extendedprice) AS v
+      |           FROM lineitem
+      |           WHERE l_suppkey <= 40
+      |             AND date_part('day', l_shipdate) = 3
+      |           GROUP BY 1, 2),
+      |span AS (SELECT supp_id, min(m) AS lo, max(m) AS hi
+      |         FROM s GROUP BY 1),
+      |grid AS (SELECT supp_id,
+      |                CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+      |                  CAST(hi AS TIMESTAMP),
+      |                  INTERVAL 1 MONTH)) AS DATE) AS m
+      |         FROM span),
+      |j AS (SELECT g.supp_id, g.m, s.v
+      |      FROM grid g LEFT JOIN s
+      |        ON s.supp_id = g.supp_id AND s.m = g.m),
+      |a AS (SELECT supp_id, m, v,
+      |        last_value(v IGNORE NULLS) OVER (
+      |          PARTITION BY supp_id ORDER BY m
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS prev_v,
+      |        last_value(CASE WHEN v IS NOT NULL THEN m END
+      |          IGNORE NULLS) OVER (
+      |          PARTITION BY supp_id ORDER BY m
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS prev_d,
+      |        first_value(v IGNORE NULLS) OVER (
+      |          PARTITION BY supp_id ORDER BY m
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |          AS next_v,
+      |        first_value(CASE WHEN v IS NOT NULL THEN m END
+      |          IGNORE NULLS) OVER (
+      |          PARTITION BY supp_id ORDER BY m
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |          AS next_d
+      |      FROM j)
+      |SELECT supp_id, m AS month_start,
+      |       prev_v AS v_locf,
+      |       CASE WHEN next_d IS NULL OR next_d = prev_d THEN prev_v
+      |            ELSE prev_v + (next_v - prev_v) *
+      |                 (CAST(m - prev_d AS DOUBLE) /
+      |                  CAST(next_d - prev_d AS DOUBLE))
+      |       END AS v_interp
+      |FROM a""".stripMargin
+
   /** The p143 interpolation oracle — shared verbatim by the st43
     * streaming twin: the arriving observation IS the forward anchor,
     * so retroactive emission reproduces the batch formula exactly
@@ -451,10 +507,41 @@ object PipelineQueries {
       |       END AS price
       |FROM a""".stripMargin
 
-  private def nswIndexPath = s"$artifactRoot/nsw_index_p132"
   private def nswLifePath = s"$artifactRoot/nsw_index_p135"
-  private def nswFilteredPath = s"$artifactRoot/nsw_index_p139"
-  private def nswAcornPath = s"$artifactRoot/nsw_index_p148"
+
+  /** The SHARED NSW index (round-16, verdict ask #1a): p132, p139,
+    * p148 and st40 all need the IDENTICAL deterministic index (same
+    * embeddings table, same md5-strided hubs, same writeIndex
+    * defaults), and until round 15 each gate rebuilt its own copy —
+    * the build, not the search, dominated every one of them in the
+    * bench (p148: 11.66 s of which ~9.7 s build). Gates whose
+    * certified contract is SEARCH/SERVING call [[ensureSharedNswIndex]]
+    * (build-if-missing); p132 — whose contract IS the construction —
+    * forces a rebuild every call, so the construction is still timed
+    * and hash-pinned end-to-end once per pass.
+    *
+    * Staleness safety: the memo key is (artifactRoot, data dir) and
+    * lives only for the JVM — every Bench/Verify invocation is a fresh
+    * JVM, so an index is never reused across runs (a driver that
+    * regenerated testdata between rounds can't serve stale edges);
+    * the path is ALSO keyed by the data dir so a warmup build at
+    * sf0.001 never aliases the timed sf0.1 index within one session.
+    * Construction is fully deterministic (md5 planes/stride,
+    * ascending-id tie-breaks), so WHICH gate builds first is
+    * irrelevant to every consumer's hash gate.
+    */
+  private val nswSharedBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[queries] def ensureSharedNswIndex(s: SparkSession, dir: String,
+      hubs: Array[(Long, Array[Float])], force: Boolean = false): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$artifactRoot/nsw_index_shared_$key"
+    val first = nswSharedBuilt.add(s"$artifactRoot|$dir")
+    if (first || force)
+      GraphAnn.writeIndex(Tables.embeddings(s, dir), hubs, path,
+        dim = Some(EmbeddingDim))
+    path
+  }
 
   /** Artifact path for the p91 eviction-gate LSH index. */
   private def evictLshIndexPath = s"$artifactRoot/lsh_index_p91"
@@ -1934,11 +2021,14 @@ object PipelineQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val hubs = Similarity.sampleCentroids(emb, nlist = 16)
-        GraphAnn.writeIndex(emb, hubs, nswIndexPath, dim = Some(EmbeddingDim))
+        // force = construction is THIS gate's contract; the built
+        // index is the shared one p139/p148/st40 then search without
+        // rebuilding (ensureSharedNswIndex scaladoc).
+        val idx = ensureSharedNswIndex(s, dir, hubs, force = true)
         val queries = emb.where(col("vec_id") % 31 === 0)
           .select(col("vec_id").as("query_id"),
             col("embedding").as("query_vec"))
-        GraphAnn.searchAll(GraphAnn.readEdges(s, nswIndexPath), hubs,
+        GraphAnn.searchAll(GraphAnn.readEdges(s, idx), hubs,
           queries, k = 10)
       },
       Some(nswTopkOracleSql)),
@@ -1960,11 +2050,14 @@ object PipelineQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val hubs = Similarity.sampleCentroids(emb, nlist = 16)
-        GraphAnn.writeIndex(emb, hubs, nswFilteredPath, dim = Some(EmbeddingDim))
+        // search is the contract — reuse the shared index if a prior
+        // gate in this session already built it (deterministic build,
+        // so provenance cannot change the hash)
+        val idx = ensureSharedNswIndex(s, dir, hubs)
         val queries = emb.where(col("vec_id") % 31 === 0)
           .select(col("vec_id").as("query_id"),
             col("embedding").as("query_vec"))
-        GraphAnn.searchAll(GraphAnn.readEdges(s, nswFilteredPath), hubs,
+        GraphAnn.searchAll(GraphAnn.readEdges(s, idx), hubs,
           queries, k = 10,
           allowed = Some(emb.where(col("vec_id") % 3 === 0)
             .select(col("vec_id"))))
@@ -1992,11 +2085,15 @@ object PipelineQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val hubs = Similarity.sampleCentroids(emb, nlist = 16)
-        GraphAnn.writeIndex(emb, hubs, nswAcornPath, dim = Some(EmbeddingDim))
+        // round-16 (verdict ask #1a/#3-r15): the ACORN SEARCH is this
+        // gate's contract; searching a prebuilt shared index stops the
+        // heaviest bench gate from being a measurement of index
+        // construction (11.66 s → the search's own ~2 s)
+        val idx = ensureSharedNswIndex(s, dir, hubs)
         val queries = emb.where(col("vec_id") % 31 === 0)
           .select(col("vec_id").as("query_id"),
             col("embedding").as("query_vec"))
-        GraphAnn.searchAllAcorn(GraphAnn.readEdges(s, nswAcornPath), hubs,
+        GraphAnn.searchAllAcorn(GraphAnn.readEdges(s, idx), hubs,
           queries,
           allowed = emb.where(col("vec_id") % 8 === 0).select(col("vec_id")),
           k = 10)
@@ -2411,51 +2508,7 @@ object PipelineQueries {
           .select(col("supp_id"), col("m").as("month_start"),
             col("v_locf"), col("v_interp"))
       },
-      Some("""WITH s AS (SELECT l_suppkey AS supp_id,
-             |                  CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
-             |                  AVG(l_extendedprice) AS v
-             |           FROM lineitem
-             |           WHERE l_suppkey <= 40
-             |             AND date_part('day', l_shipdate) = 3
-             |           GROUP BY 1, 2),
-             |span AS (SELECT supp_id, min(m) AS lo, max(m) AS hi
-             |         FROM s GROUP BY 1),
-             |grid AS (SELECT supp_id,
-             |                CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
-             |                  CAST(hi AS TIMESTAMP),
-             |                  INTERVAL 1 MONTH)) AS DATE) AS m
-             |         FROM span),
-             |j AS (SELECT g.supp_id, g.m, s.v
-             |      FROM grid g LEFT JOIN s
-             |        ON s.supp_id = g.supp_id AND s.m = g.m),
-             |a AS (SELECT supp_id, m, v,
-             |        last_value(v IGNORE NULLS) OVER (
-             |          PARTITION BY supp_id ORDER BY m
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |          AS prev_v,
-             |        last_value(CASE WHEN v IS NOT NULL THEN m END
-             |          IGNORE NULLS) OVER (
-             |          PARTITION BY supp_id ORDER BY m
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |          AS prev_d,
-             |        first_value(v IGNORE NULLS) OVER (
-             |          PARTITION BY supp_id ORDER BY m
-             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-             |          AS next_v,
-             |        first_value(CASE WHEN v IS NOT NULL THEN m END
-             |          IGNORE NULLS) OVER (
-             |          PARTITION BY supp_id ORDER BY m
-             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-             |          AS next_d
-             |      FROM j)
-             |SELECT supp_id, m AS month_start,
-             |       prev_v AS v_locf,
-             |       CASE WHEN next_d IS NULL OR next_d = prev_d THEN prev_v
-             |            ELSE prev_v + (next_v - prev_v) *
-             |                 (CAST(m - prev_d AS DOUBLE) /
-             |                  CAST(next_d - prev_d AS DOUBLE))
-             |       END AS v_interp
-             |FROM a""".stripMargin)),
+      Some(gapfillMonthlyOracleSql)),
 
     // Explicit GROUPING SETS navigation (round 14): the third
     // grouping-sets spelling — arbitrary set lists, not the

@@ -74,14 +74,27 @@ object StreamingGapFill extends org.apache.spark.internal.Logging {
     * in-batch reorder handled, at-or-before duplicates drop (durably
     * counted / strict). Input timestamps must sit AT grain
     * boundaries (pre-bucket with date_trunc — the
-    * [[graft.operators.Resample.timeBucket]] contract). Calendar
-    * grains (month) have no fixed step and stay batch-only.
+    * [[graft.operators.Resample.timeBucket]] contract). The month
+    * calendar grain has no fixed step — see [[locfFilledAtMonth]] /
+    * [[interpFilledAtMonth]] for the epoch-month-index form.
+    *
+    * Per-arrival gap bound (the batch operator's grid-size note,
+    * streaming edition): ONE arrival emits the WHOLE gap since the
+    * key's previous observation, built in executor memory before
+    * emission — a key reappearing after 10 years at hour grain is
+    * ~87 600 rows in one handler call. `maxGapBuckets` fails the
+    * micro-batch LOUDLY past the bound (default 200 000 ≈ 22 years
+    * hourly) instead of buffering toward an executor OOM; raise it
+    * deliberately, or bound key lifetimes upstream exactly as the
+    * batch scaladoc prescribes.
     */
   def locfFilledAtGrain(obs: Dataset[SeriesObsTs],
       stepSeconds: Long = 3600L,
       dropCounter: Option[LongAccumulator] = None,
-      strict: Boolean = false): Dataset[FilledTs] = {
+      strict: Boolean = false,
+      maxGapBuckets: Long = 200000L): Dataset[FilledTs] = {
     require(stepSeconds > 0, "stepSeconds must be positive")
+    require(maxGapBuckets > 0, "maxGapBuckets must be positive")
     obs.groupByKey(_.key)(Encoders.scalaLong)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -99,6 +112,14 @@ object StreamingGapFill extends org.apache.spark.internal.Logging {
               case Some(s) =>
                 val t1 = e.ts.getTime
                 if (t1 > s.lastEpoch) {
+                  val gapBuckets = (t1 - s.lastEpoch) / stepMs - 1
+                  if (gapBuckets > maxGapBuckets)
+                    throw new IllegalStateException(
+                      s"StreamingGapFill: key $key reappeared after " +
+                        s"$gapBuckets buckets (> maxGapBuckets " +
+                        s"$maxGapBuckets) — one arrival would buffer the " +
+                        "whole gap in executor memory; bound key lifetimes " +
+                        "upstream or raise maxGapBuckets deliberately")
                   var t = s.lastEpoch + stepMs
                   while (t < t1) {
                     out += FilledTs(key, new java.sql.Timestamp(t),
@@ -122,6 +143,119 @@ object StreamingGapFill extends org.apache.spark.internal.Logging {
           st.foreach(state.update)
           out.result().iterator
         })(Encoders.product[FillStateTs], Encoders.product[FilledTs])
+  }
+
+  /** CALENDAR month grain — the batch [[graft.operators.Resample]]
+    * `grain = "month"` twin (p150), which [[locfFilledAtGrain]]'s
+    * fixed-step contract cannot express (months are unequal). The
+    * state step is month ARITHMETIC, not epoch millis: observations
+    * are month-start DATEs (pre-bucket with `trunc(col, "month")` —
+    * the batch input contract), and the gap walk advances
+    * `LocalDate.plusMonths(1)` from the previous observation, which
+    * is exact on month starts (day-of-month 1 is preserved), so the
+    * emitted grid equals `sequence(lo, hi, interval 1 month)`.
+    * Interpolation stays linear in REAL days (the batch `datediff`
+    * semantics — a Jan→Apr slope hits Feb 1 at 31/90, not 1/3).
+    * Everything else is the daily contract verbatim: one
+    * (month, value) state pair per key, time-ordered arrival across
+    * micro-batches, in-batch reorder handled, at-or-before
+    * duplicates drop durably, `maxGapBuckets` bounds the per-arrival
+    * emission.
+    */
+  def locfFilledAtMonth(obs: Dataset[SeriesObs],
+      dropCounter: Option[LongAccumulator] = None,
+      strict: Boolean = false,
+      maxGapBuckets: Long = 200000L): Dataset[FilledDay] =
+    filledAtMonth(obs, dropCounter, strict, maxGapBuckets)(
+      (prev, _, _) => prev.lastValue)
+
+  /** [[locfFilledAtMonth]]'s linear sibling — gap months interpolate
+    * between the surrounding observations in real-day proportion
+    * (the p150 `v_interp` column's formula, operation order
+    * preserved for bit-equal replays).
+    */
+  def interpFilledAtMonth(obs: Dataset[SeriesObs],
+      dropCounter: Option[LongAccumulator] = None,
+      strict: Boolean = false,
+      maxGapBuckets: Long = 200000L): Dataset[FilledDay] =
+    filledAtMonth(obs, dropCounter, strict, maxGapBuckets) {
+      (prev, next, gapMonth) =>
+        val d0 = prev.lastDay.toLocalDate
+        val d1 = next.day.toLocalDate
+        prev.lastValue + (next.value - prev.lastValue) *
+          (java.time.temporal.ChronoUnit.DAYS.between(d0, gapMonth).toDouble /
+            java.time.temporal.ChronoUnit.DAYS.between(d0, d1).toDouble)
+    }
+
+  /** Backward fill at month grain: gap months take the arriving
+    * observation's value.
+    */
+  def bfillFilledAtMonth(obs: Dataset[SeriesObs],
+      dropCounter: Option[LongAccumulator] = None,
+      strict: Boolean = false,
+      maxGapBuckets: Long = 200000L): Dataset[FilledDay] =
+    filledAtMonth(obs, dropCounter, strict, maxGapBuckets)(
+      (_, next, _) => next.value)
+
+  /** Shared month-grain skeleton: identical control flow to the
+    * daily [[filled]], with the gap walk in month steps and
+    * `gapValue(prevState, arriving, gapMonthStart)` choosing the
+    * fill.
+    */
+  private def filledAtMonth(obs: Dataset[SeriesObs],
+      dropCounter: Option[LongAccumulator], strict: Boolean,
+      maxGapBuckets: Long)(
+      gapValue: (FillState, SeriesObs, java.time.LocalDate) => Double)
+      : Dataset[FilledDay] = {
+    require(maxGapBuckets > 0, "maxGapBuckets must be positive")
+    obs.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[SeriesObs], state: GroupState[FillState]) => {
+          val sorted = it.toSeq.sortBy(_.day.toLocalDate.toEpochDay)
+          val out = Seq.newBuilder[FilledDay]
+          var st = state.getOption
+          var dropped = 0
+          sorted.foreach { e =>
+            st match {
+              case None =>
+                out += FilledDay(key, e.day, e.value)
+                st = Some(FillState(e.day, e.value))
+              case Some(s) =>
+                val d0 = s.lastDay.toLocalDate
+                val d1 = e.day.toLocalDate
+                if (d1.isAfter(d0)) {
+                  val gapMonths =
+                    java.time.temporal.ChronoUnit.MONTHS.between(d0, d1) - 1
+                  if (gapMonths > maxGapBuckets)
+                    throw new IllegalStateException(
+                      s"StreamingGapFill: key $key reappeared after " +
+                        s"$gapMonths months (> maxGapBuckets " +
+                        s"$maxGapBuckets) — bound key lifetimes upstream " +
+                        "or raise maxGapBuckets deliberately")
+                  var m = d0.plusMonths(1)
+                  while (m.isBefore(d1)) {
+                    out += FilledDay(key, Date.valueOf(m),
+                      gapValue(s, e, m))
+                    m = m.plusMonths(1)
+                  }
+                  out += FilledDay(key, e.day, e.value)
+                  st = Some(FillState(e.day, e.value))
+                } else dropped += 1
+            }
+          }
+          if (dropped > 0) {
+            val msg =
+              s"StreamingGapFill: dropped $dropped observation(s) for " +
+                s"key $key at-or-before its last filled month — per-key " +
+                "arrival must be date-ordered across micro-batches"
+            if (strict) throw new IllegalStateException(msg)
+            dropCounter.foreach(_.add(dropped.toLong))
+            logWarning(msg)
+          }
+          st.foreach(state.update)
+          out.result().iterator
+        })(Encoders.product[FillState], Encoders.product[FilledDay])
   }
 
   /** Forward fill (locf): gap days carry the previous value. */
@@ -153,9 +287,14 @@ object StreamingGapFill extends org.apache.spark.internal.Logging {
   /** Shared skeleton: sort the batch, close each (prev, next) gap
     * with `gapValue(prevState, arriving, gapEpochDay, prevEpochDay)`,
     * emit the arriving day with its own value, advance the state.
+    * The same per-arrival gap bound as [[locfFilledAtGrain]] applies
+    * (200 000 days ≈ 547 years — effectively a data-corruption trip
+    * wire at day grain, the loud alternative to buffering a bogus
+    * far-future date's whole gap in one handler call).
     */
   private def filled(obs: Dataset[SeriesObs],
-      dropCounter: Option[LongAccumulator], strict: Boolean)(
+      dropCounter: Option[LongAccumulator], strict: Boolean,
+      maxGapBuckets: Long = 200000L)(
       gapValue: (FillState, SeriesObs, Long, Long) => Double): Dataset[FilledDay] =
     obs.groupByKey(_.key)(Encoders.scalaLong)
       .flatMapGroupsWithState(
@@ -175,6 +314,12 @@ object StreamingGapFill extends org.apache.spark.internal.Logging {
                 val d0 = s.lastDay.toLocalDate.toEpochDay
                 val d1 = e.day.toLocalDate.toEpochDay
                 if (d1 > d0) {
+                  if (d1 - d0 - 1 > maxGapBuckets)
+                    throw new IllegalStateException(
+                      s"StreamingGapFill: key $key reappeared after " +
+                        s"${d1 - d0 - 1} days (> maxGapBuckets " +
+                        s"$maxGapBuckets) — bound key lifetimes upstream " +
+                        "or raise maxGapBuckets deliberately")
                   var d = d0 + 1
                   while (d < d1) {
                     out += FilledDay(key,

@@ -111,6 +111,74 @@ class StreamingGapFillSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("month grain: calendar-step gaps close cross-batch; interp is real-day linear") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SeriesObs]
+    val q = StreamingGapFill.locfFilledAtMonth(mem.toDS())
+      .writeStream.format("memory").queryName("gf7")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      mem.addData(SeriesObs(1L, d("2025-11-01"), 10.0))
+      q.processAllAvailable()
+      // cross-batch arrival 4 months on: Dec/Jan/Feb fill at 10.0 —
+      // calendar stepping must land exactly on month STARTS across
+      // the year boundary and unequal month lengths
+      mem.addData(SeriesObs(1L, d("2026-03-01"), 50.0))
+      q.processAllAvailable()
+      val got = spark.table("gf7").collect()
+        .map(r => (r.getDate(1).toString, r.getDouble(2))).toSet
+      assert(got === Set(
+        ("2025-11-01", 10.0), ("2025-12-01", 10.0),
+        ("2026-01-01", 10.0), ("2026-02-01", 10.0),
+        ("2026-03-01", 50.0)))
+    } finally q.stop()
+
+    val mem2 = MemoryStream[SeriesObs]
+    val q2 = StreamingGapFill.interpFilledAtMonth(mem2.toDS())
+      .writeStream.format("memory").queryName("gf8")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      // Jan→Apr: gap months interpolate in REAL days (31/90, 59/90),
+      // not month ordinals (1/3, 2/3) — the p150 batch semantics
+      mem2.addData(SeriesObs(1L, d("2026-01-01"), 0.0))
+      q2.processAllAvailable()
+      mem2.addData(SeriesObs(1L, d("2026-04-01"), 90.0))
+      q2.processAllAvailable()
+      val got = spark.table("gf8").collect()
+        .map(r => (r.getDate(1).toString, r.getDouble(2))).toSet
+      assert(got === Set(
+        ("2026-01-01", 0.0), ("2026-02-01", 31.0),
+        ("2026-03-01", 59.0), ("2026-04-01", 90.0)),
+        s"interp must be linear in days, got $got")
+    } finally q2.stop()
+  }
+
+  test("maxGapBuckets trips loudly instead of buffering an unbounded gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingGapFill.SeriesObsTs
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[SeriesObsTs]
+    val q = StreamingGapFill.locfFilledAtGrain(mem.toDS(), maxGapBuckets = 10)
+      .writeStream.format("memory").queryName("gf9")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      mem.addData(SeriesObsTs(1L, ts("2026-01-01 00:00:00"), 1.0))
+      q.processAllAvailable()
+      // 24h later = 23 gap buckets > 10: the batch must FAIL with the
+      // bound in the message, not buffer the gap silently
+      mem.addData(SeriesObsTs(1L, ts("2026-01-02 00:00:00"), 2.0))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+      assert(msgs(ex).exists(m => m != null && m.contains("maxGapBuckets")),
+        s"gap-bound trip must name maxGapBuckets: $ex")
+    } finally q.stop()
+  }
+
   test("ordering-contract drops are durably counted; strict mode fails the batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
