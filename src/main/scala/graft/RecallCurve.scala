@@ -188,6 +188,15 @@ object RecallCurve {
         println(s"""{"family":"nsw_filtered_acorn","selectivity":"1/$m","beam":$beam,"rounds":$rounds,"mean_recall":$r,"q":$nQ}""")
         Console.out.flush()
       }
+      // the AUTO path (selectivity-measured beam) — the deployment
+      // default's recall, recorded next to the explicit sweep
+      if (fam("nsw_filtered_acorn")) {
+        val beamChosen = GraphAnn.acornAutoBeam(1.0 / m)
+        val r = meanRecall(GraphAnn.searchAllAcornAuto(edges, hubs,
+          queries, allowed, k, corpusSize = n), ftruth)
+        println(s"""{"family":"nsw_filtered_acorn_auto","selectivity":"1/$m","beam":$beamChosen,"rounds":3,"mean_recall":$r,"q":$nQ}""")
+        Console.out.flush()
+      }
       ftruth.unpersist()
     }
     if (nswNeeded) edges.unpersist()

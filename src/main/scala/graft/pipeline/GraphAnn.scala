@@ -89,16 +89,86 @@ object GraphAnn {
   /** The edge table: (src, dst, dst_vec, cosine, kind) with
     * kind = 'knn' | 'hub'. `dst_vec` inline is what frees search
     * from re-joining the corpus every round.
+    *
+    * `splitBucket` (round-16, verdict ask #5 — the build's one
+    * superlinear edge): the kNN pair step is quadratic PER BUCKET, so
+    * as a growing corpus densifies its LSH buckets the pair mass
+    * grows ~n²/2^bits (measured 4.3×/decade on the docs corpus).
+    * With `splitBucket = Some(target)`, any coarse bucket larger than
+    * `target` is SUB-BUCKETED on extra hash bits — `lshBucket`'s
+    * prefix property (plane b is seeded by its index alone) means the
+    * (bits + e)-bit code's low `bits` bits ARE the coarse bucket, so
+    * refinement just widens the mask by
+    * ceil(log2(n_bucket / target)) bits (capped at `maxExtraBits`,
+    * the [[Dedup]] hot-bucket-cap discipline). Pair mass per hot
+    * bucket falls ~2^e, restoring ~linear build cost (measured: the
+    * docs decade drops from 4.3× to ≤2× for 10× — BASELINE.md round
+    * 16). Neighbors split across sub-buckets lose only their DIRECT
+    * candidate pairing; they stay mutually reachable through hub
+    * edges and shared sub-bucket mates, and the recall sweep at
+    * production defaults is unchanged (GraphAnnSpec pins ≥ 0.9 with
+    * the split active). Default None preserves the exact gate-pinned
+    * construction; deployments at growing corpus sizes should SET it
+    * (a few × the expected kNN working-set size).
     */
   def buildEdges(emb: DataFrame, hubs: Array[(Long, Array[Float])],
       m: Int = DefaultM, bits: Int = 4, dim: Option[Int] = None,
       hubDegree: Int = DefaultHubDegree, maxBucket: Long = 100000L,
+      splitBucket: Option[Long] = None, maxExtraBits: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(hubs.nonEmpty, "empty hub list")
+    require(maxExtraBits >= 0 && bits + maxExtraBits <= 62,
+      s"bits=$bits + maxExtraBits=$maxExtraBits out of range")
     val d = dim.getOrElse(hubs.head._2.length)
-    val bucketed = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .withColumn("__b", Similarity.lshBucket(col("__v"), bits, d))
-      .where(col("__b").isNotNull)
+    val base = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val bucketed = splitBucket match {
+      case None =>
+        base.withColumn("__b", Similarity.lshBucket(col("__v"), bits, d))
+          .where(col("__b").isNotNull)
+      case Some(target) =>
+        require(target > 0, s"splitBucket target $target must be positive")
+        // TWO independently-seeded refinements: a sub-bucket split on
+        // one plane set loses exactly the neighbor pairs the split
+        // planes separate; a second refinement on DIFFERENT planes
+        // keeps a pair together unless BOTH splits separate it
+        // (survival 1-(1-q)² vs q). Each node carries two refined
+        // bucket ids — pair mass 2 × n × target, still linear — and
+        // the downstream (src, dst) dedup (already required by
+        // symmetrization) folds pairs found by both refinements.
+        // Refinement r uses planes [bits + r·maxExtraBits,
+        // bits + r·maxExtraBits + e); the refined id gets the
+        // refinement index mixed in ABOVE the mask so the two
+        // refinements' buckets never alias each other.
+        val withFull = base
+          .withColumn("__bf",
+            Similarity.lshBucket(col("__v"), bits + 2 * maxExtraBits, d))
+          .where(col("__bf").isNotNull)
+          .withColumn("__b0", col("__bf").bitwiseAND(lit((1L << bits) - 1)))
+        val counts = withFull.groupBy(col("__b0"))
+          .agg(count(lit(1)).as("__n"))
+        // localCheckpoint: the refined frame is consumed three times
+        // below (the maxBucket guard count and both pair sides) — the
+        // no-split path re-derives a cheap projection each time, but
+        // THIS plan embeds a join + aggregate, and re-running it per
+        // consumer measurably tripled the split build's cost
+        withFull.join(broadcast(counts), Seq("__b0"))
+          .withColumn("__e",
+            least(lit(maxExtraBits), greatest(lit(0),
+              ceil(log(2.0, col("__n").cast("double") / target))))
+              .cast("int"))
+          .select(col("__id"), col("__v"),
+            explode(when(col("__e") > 0, array(
+              expr(s"__b0 | (((__bf >> $bits) & " +
+                s"(shiftleft(CAST(1 AS BIGINT), __e) - 1)) << $bits)"),
+              expr(s"__b0 | (((__bf >> ${bits + maxExtraBits}) & " +
+                s"(shiftleft(CAST(1 AS BIGINT), __e) - 1)) << $bits) | " +
+                s"(CAST(1 AS BIGINT) << ${bits + maxExtraBits + 1})")))
+              // unsplit buckets carry ONE id — the second refinement
+              // would just duplicate every pair
+              .otherwise(array(col("__b0"))))
+              .as("__b"))
+          .localCheckpoint(true)
+    }
     // hot-bucket guard: a degenerate region must not go quadratic
     val kept = bucketed.join(
       bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
@@ -108,9 +178,20 @@ object GraphAnn {
       col("__v").as("src_vec"))
     val b = kept.select(col("__b"), col("__id").as("dst"),
       col("__v").as("dst_vec"))
-    val pairs = a.join(b, Seq("__b")).where(col("src") =!= col("dst"))
+    val pairs0 = a.join(b, Seq("__b")).where(col("src") =!= col("dst"))
       .select(col("src"), col("src_vec"), col("dst"), col("dst_vec"),
         rankCosine(col("src_vec"), col("dst_vec")).as("cosine"))
+    // dual-refinement dedup (split mode only): a pair both refinements
+    // kept together appears twice and would eat two of the m slots;
+    // the unsplit path has no duplicates and keeps its pinned plan
+    val pairs =
+      if (splitBucket.isEmpty) pairs0
+      else pairs0.groupBy(col("src"), col("dst"))
+        .agg(first(col("src_vec")).as("src_vec"),
+          first(col("dst_vec")).as("dst_vec"),
+          max(col("cosine")).as("cosine"))
+        .select(col("src"), col("src_vec"), col("dst"), col("dst_vec"),
+          col("cosine"))
     val wSrc = Window.partitionBy(col("src"))
       .orderBy(col("cosine").desc, col("dst").asc)
     val topM = pairs
@@ -310,6 +391,48 @@ object GraphAnn {
     * the round-1 expansion, the [[searchAll]] discipline — AND
     * passing. Output shape and tie-breaks are [[searchAll]]'s.
     */
+  /** The recorded ACORN beam guidance AS CODE (round-16 verdict ask
+    * #4): the clustered-corpus sweep (BASELINE.md rounds 15-16)
+    * measures recall@10 at rounds 3 as ~0.74-0.77 at beam 8 and
+    * ~0.85 at beam 16 for EVERY selectivity in 1/2-1/8, with only
+    * beam 32 holding >= 0.9 (0.90/0.94/0.95 — flat in selectivity).
+    * So the choice is a STEP, not a ramp: any genuinely selective
+    * predicate gets the wide beam; a near-pass-through filter keeps
+    * the base beam (at selectivity → 1 the walk degenerates to the
+    * unfiltered [[searchAll]], whose defaults are the nsw-family
+    * sweep's). Beam widening is cheap where it matters — per-round
+    * cost is |queries| × beam × degree², corpus-size-independent —
+    * which is why the step costs less than the recall it buys.
+    */
+  def acornAutoBeam(selectivity: Double, base: Int = 8, wide: Int = 32,
+      cutoff: Double = 0.9): Int = {
+    require(selectivity > 0 && selectivity <= 1,
+      s"selectivity $selectivity must be in (0, 1]")
+    if (selectivity >= cutoff) base else wide
+  }
+
+  /** [[searchAllAcorn]] with the beam CHOSEN from the predicate's
+    * measured selectivity — one count over the (id-only) `allowed`
+    * scan against the corpus size. Pass `corpusSize` when the caller
+    * already knows it (it almost always does — the embedding table's
+    * count); otherwise it is derived from the edge table's distinct
+    * sources, one id-only columnar pass.
+    */
+  def searchAllAcornAuto(edges: DataFrame,
+      hubs: Array[(Long, Array[Float])], queries: DataFrame,
+      allowed: DataFrame, k: Int, rounds: Int = 3,
+      corpusSize: Option[Long] = None, idCol: String = "vec_id",
+      qidCol: String = "query_id", qvecCol: String = "query_vec"): DataFrame = {
+    val nAllowed = allowed.select(col(idCol)).distinct().count()
+    val nCorpus = corpusSize.getOrElse(
+      edges.select(col("src")).distinct().count())
+    require(nCorpus > 0, "empty index")
+    val beam = acornAutoBeam(
+      math.min(1.0, nAllowed.toDouble / nCorpus.toDouble))
+    searchAllAcorn(edges, hubs, queries, allowed, k, beam = beam,
+      rounds = rounds, idCol = idCol, qidCol = qidCol, qvecCol = qvecCol)
+  }
+
   def searchAllAcorn(edges: DataFrame, hubs: Array[(Long, Array[Float])],
       queries: DataFrame, allowed: DataFrame, k: Int, beam: Int = 8,
       rounds: Int = 3, idCol: String = "vec_id",
@@ -437,7 +560,7 @@ object GraphAnn {
   def writeIndex(emb: DataFrame, hubs: Array[(Long, Array[Float])],
       path: String, m: Int = DefaultM, bits: Int = 4,
       dim: Option[Int] = None, hubDegree: Int = DefaultHubDegree,
-      batchId: String = "base",
+      batchId: String = "base", splitBucket: Option[Long] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val hconf = emb.sparkSession.sparkContext.hadoopConfiguration
     Seq(path, tombstonePath(path)).foreach { dpath =>
@@ -445,8 +568,8 @@ object GraphAnn {
       val fs = p.getFileSystem(hconf)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    buildEdges(emb, hubs, m, bits, dim, hubDegree, idCol = idCol,
-      vecCol = vecCol)
+    buildEdges(emb, hubs, m, bits, dim, hubDegree,
+      splitBucket = splitBucket, idCol = idCol, vecCol = vecCol)
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
   }
 

@@ -147,6 +147,66 @@ class GraphAnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("ACORN auto-beam: the recorded sweep as code, and the auto path matches the explicit beam") {
+    // the step rule (round-16): every measured selectivity <= 1/2
+    // needs beam 32 for >= 0.9 (beam 16 plateaus at ~0.85); a
+    // near-pass-through filter keeps the base beam
+    assert(GraphAnn.acornAutoBeam(1.0) === 8)
+    assert(GraphAnn.acornAutoBeam(0.95) === 8)
+    assert(GraphAnn.acornAutoBeam(0.5) === 32)
+    assert(GraphAnn.acornAutoBeam(0.25) === 32)
+    assert(GraphAnn.acornAutoBeam(0.125) === 32)
+    assert(GraphAnn.acornAutoBeam(0.01) === 32)
+    intercept[IllegalArgumentException] { GraphAnn.acornAutoBeam(0.0) }
+    intercept[IllegalArgumentException] { GraphAnn.acornAutoBeam(1.5) }
+
+    // the auto entry measures selectivity (1/8 here → beam 32) and
+    // must return exactly the explicit-beam search's answers
+    val emb = corpus
+    val queries = emb.where(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val allowed = emb.where(col("vec_id") % 8 === 0).select(col("vec_id"))
+    val hubs = hubsOf(emb, 16)
+    val edges = GraphAnn.buildEdges(emb, hubs, dim = Some(dim))
+    val auto = GraphAnn.searchAllAcornAuto(edges, hubs, queries, allowed,
+      k = 5, corpusSize = Some(emb.count()))
+    val explicitBeam = GraphAnn.searchAllAcorn(edges, hubs, queries,
+      allowed, k = 5, beam = 32, rounds = 3)
+    assert(auto.collect().map(_.toSeq).toSet ===
+      explicitBeam.collect().map(_.toSeq).toSet,
+      "auto path must equal the explicit wide-beam search")
+  }
+
+  test("sub-bucketed build: identical edges when no bucket exceeds the target; recall holds when hot buckets split") {
+    val emb = graft.RecallCurve.clusteredCorpus(spark, n = 2000, dim = 64,
+      clusters = 40)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hubs = Similarity.sampleCentroids(emb, 64, knownCount = Some(2000L))
+    // a target no bucket reaches → the refined mask never widens and
+    // the edge table is bit-identical to the unsplit construction
+    val plain = GraphAnn.buildEdges(emb, hubs, dim = Some(64))
+      .collect().map(_.toSeq).toSet
+    val noop = GraphAnn.buildEdges(emb, hubs, dim = Some(64),
+      splitBucket = Some(1000000L)).collect().map(_.toSeq).toSet
+    assert(noop === plain, "inactive split must not perturb the build")
+
+    // an aggressive target forces real sub-bucketing (2000 vectors /
+    // 16 coarse buckets ≈ 125 per bucket >> 32) — the pair mass drops
+    // but search recall at production defaults must hold
+    val split = GraphAnn.buildEdges(emb, hubs, dim = Some(64),
+      splitBucket = Some(32L))
+    assert(split.count() < GraphAnn.buildEdges(emb, hubs, dim = Some(64))
+      .count() * 1.01, "split build must not inflate the edge table")
+    val queries = emb.where(col("vec_id") % 311 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val truth = Similarity.bruteSearchAll(emb, queries, 10)
+      .select(col("query_id"), col("vec_id"))
+    val got = GraphAnn.searchAll(split, hubs, queries, k = 10)
+    val r = meanRecall(truth, got)
+    assert(r >= 0.9, s"recall collapsed under sub-bucketing: $r")
+    emb.unpersist()
+  }
+
   test("production defaults hold on the clustered reference corpus (recall@10 >= 0.9)") {
     // the RecallGateSpec geometry the other ANN families are gated
     // on: 2000 vectors, 40 clusters — includes clusters that drew no

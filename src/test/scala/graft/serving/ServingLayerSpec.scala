@@ -57,6 +57,79 @@ class ServingLayerSpec extends SparkSpec {
     assert(got(3L) === "0g")
   }
 
+  private def g2Fixture(rows: Seq[(String, String, Double, Long)]) =
+    rows.map { case (item, ts, p, v) => (item, ts, p, p, p, p, p, v) }
+      .toDF("item_id", "ts", "open_price", "high_price", "low_price",
+        "close_price", "avarage_price", "volume")
+      .withColumn("snapshot_hour",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .drop("ts")
+
+  test("priceHistoryDense: the grid is bounded to the serving window, carry-in included") {
+    // an item whose FIRST bar is ~11 years before its last: the old
+    // full-span grid was ~100k rows to serve 48; the bounded window
+    // must return exactly `limit` bars ending at the last bar, with
+    // the window head carrying the decade-old close
+    val g2 = g2Fixture(Seq(
+      ("it", "2015-01-01 00:00:00", 10.0, 5L),
+      ("it", "2026-01-01 10:00:00", 99.0, 7L)))
+    val got = ServingLayer.priceHistoryDense(g2, "it", limit = 48).collect()
+    assert(got.length === 48, s"window must cap the grid: ${got.length}")
+    val byHour = got.map(r =>
+      r.getAs[java.sql.Timestamp]("snapshot_hour").toString ->
+        r.getAs[Double]("close_price")).toMap
+    assert(byHour("2026-01-01 10:00:00.0") === 99.0)
+    // every earlier window hour is the 2015 bar's carried close
+    assert(byHour("2026-01-01 09:00:00.0") === 10.0)
+    assert(byHour("2025-12-30 11:00:00.0") === 10.0) // window head (hi-47h)
+    assert(got.forall(_.getAs[Double]("open_price") > 0))
+  }
+
+  test("priceHistoryDense: asOf anchors the window at the serving hour (locf tail)") {
+    // ADVICE round-15: without asOf the 48 bars end at the last
+    // TRADE; a dashboard serving "now" passes asOf and the carried
+    // tail extends to it, volume 0
+    val g2 = g2Fixture(Seq(("it", "2026-01-01 00:00:00", 50.0, 3L)))
+    val got = ServingLayer.priceHistoryDense(g2, "it", limit = 48,
+      asOf = Some(java.sql.Timestamp.valueOf("2026-01-01 05:30:00")))
+      .collect()
+    val hours = got.map(_.getAs[java.sql.Timestamp]("snapshot_hour").toString)
+    assert(hours.head === "2026-01-01 05:00:00.0", // asOf hour-truncated
+      s"tail must reach the serving hour: ${hours.head}")
+    assert(got.head.getAs[Double]("close_price") === 50.0) // carried
+    assert(got.head.getAs[Long]("volume") === 0L)
+    assert(got.length === 6) // 00:00 trade + 5 carried tail hours
+    // time-travel: an asOf BEFORE the only bar yields nothing to carry
+    assert(ServingLayer.priceHistoryDense(g2, "it", limit = 48,
+      asOf = Some(java.sql.Timestamp.valueOf("2025-12-31 00:00:00")))
+      .collect().isEmpty)
+  }
+
+  test("priceHistoryDense plan: item filter pushed to the mart scan, window filter below the grid") {
+    val dir = java.nio.file.Files.createTempDirectory("g2plan")
+    try {
+      g2Fixture(Seq(("it", "2026-01-01 00:00:00", 50.0, 3L),
+        ("other", "2026-01-01 01:00:00", 1.0, 1L)))
+        .write.mode("overwrite").parquet(dir.toString)
+      val q = ServingLayer.priceHistoryDense(
+        spark.read.parquet(dir.toString), "it", limit = 48)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        "PushedFilters: \\[[^\\]]*item_id".r.findFirstIn(plan).isDefined,
+        s"item filter must reach the mart scan:\n$plan")
+      // the serving-window arithmetic (hi − 47h) must appear in the
+      // optimized plan — the grid generation consumes the BOUNDED
+      // input, not the item's full history
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("47") && opt.toLowerCase.contains("hour"),
+        s"window bound missing below the grid:\n$opt")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("R4: pagination pages are disjoint and ordered") {
     val dims = (1L to 30L).map(i => (i, s"item $i"))
       .toDF("item_id", "name")
