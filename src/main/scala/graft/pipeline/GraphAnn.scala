@@ -101,15 +101,16 @@ object GraphAnn {
     * refinement just widens the mask by
     * ceil(log2(n_bucket / target)) bits (capped at `maxExtraBits`,
     * the [[Dedup]] hot-bucket-cap discipline). Pair mass per hot
-    * bucket falls ~2^e, restoring ~linear build cost (measured: the
-    * docs decade drops from 4.3× to ≤2× for 10× — BASELINE.md round
-    * 16). Neighbors split across sub-buckets lose only their DIRECT
-    * candidate pairing; they stay mutually reachable through hub
-    * edges and shared sub-bucket mates, and the recall sweep at
-    * production defaults is unchanged (GraphAnnSpec pins ≥ 0.9 with
-    * the split active). Default None preserves the exact gate-pinned
+    * bucket falls ~2^e, restoring LINEAR pair growth — measured
+    * exactly on the docs decade (BASELINE.md round 16): 100×/decade
+    * unsplit vs 11.8×/decade at target 64; wall clock at small
+    * fixtures is overhead-dominated and understates the asymptotic
+    * win. Recall cost on the clustered reference corpus is ≤ 0.011
+    * at every measured target (the DUAL refinement below is what
+    * closes the plane-boundary loss; GraphAnnSpec pins ≥ 0.9 with an
+    * aggressive split). Default None preserves the exact gate-pinned
     * construction; deployments at growing corpus sizes should SET it
-    * (a few × the expected kNN working-set size).
+    * (≈ 8×m — 64 for the default m).
     */
   def buildEdges(emb: DataFrame, hubs: Array[(Long, Array[Float])],
       m: Int = DefaultM, bits: Int = 4, dim: Option[Int] = None,

@@ -424,6 +424,50 @@ object MartQueries {
               |       CAST(coalesce(avarage_price, carried) AS DOUBLE) AS avarage_price,
               |       coalesce(volume, 0) AS volume
               |FROM f ORDER BY h DESC LIMIT 48""".stripMargin)),
+    // asOf-anchored dense bars (round 16, ADVICE item 3): without an
+    // upper bound the 48 dense bars END AT THE LAST TRADE — an item
+    // with no recent activity silently serves stale-anchored bars. The
+    // asOf variant anchors the window at the SERVING hour: the locf
+    // tail extends past the last trade as flat carried bars (volume
+    // 0), the dashboard's "48 bars ending now" contract. Fixture: asOf
+    // ~11.5 h past the last event (2024-01-30 23:57), so the window
+    // mixes ~36 real/filled hours with a 12-bar carried tail. Oracle:
+    // the dense oracle with the span's hi pinned at the asOf hour.
+    QueryDef("serve_price_history_dense_asof",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, unix_timestamp}
+        ServingLayer.priceHistoryDense(g2(s, dir), "purchase", limit = 48,
+          asOf = Some(java.sql.Timestamp.valueOf("2024-01-31 11:30:00")))
+          .withColumn("snapshot_hour", unix_timestamp(col("snapshot_hour")))
+      },
+      Some(s"""WITH g2 AS ($g2Sql),
+              |bars AS (SELECT * FROM g2 WHERE item_id = 'purchase'),
+              |span AS (SELECT item_id, min(snapshot_hour) AS lo,
+              |                TIMESTAMP '2024-01-31 11:00:00' AS hi
+              |         FROM bars GROUP BY 1),
+              |grid AS (SELECT item_id,
+              |                unnest(generate_series(lo, hi,
+              |                  INTERVAL 1 HOUR)) AS h
+              |         FROM span),
+              |j AS (SELECT g.item_id, g.h, b.open_price, b.high_price,
+              |             b.low_price, b.close_price, b.avarage_price,
+              |             b.volume
+              |      FROM grid g LEFT JOIN bars b
+              |        ON b.item_id = g.item_id AND b.snapshot_hour = g.h),
+              |f AS (SELECT *,
+              |        last_value(close_price IGNORE NULLS) OVER (
+              |          PARTITION BY item_id ORDER BY h
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |          AS carried
+              |      FROM j)
+              |SELECT item_id, CAST(epoch(h) AS BIGINT) AS snapshot_hour,
+              |       CAST(coalesce(open_price, carried) AS DOUBLE) AS open_price,
+              |       CAST(coalesce(high_price, carried) AS DOUBLE) AS high_price,
+              |       CAST(coalesce(low_price, carried) AS DOUBLE) AS low_price,
+              |       CAST(coalesce(close_price, carried) AS DOUBLE) AS close_price,
+              |       CAST(coalesce(avarage_price, carried) AS DOUBLE) AS avarage_price,
+              |       coalesce(volume, 0) AS volume
+              |FROM f ORDER BY h DESC LIMIT 48""".stripMargin)),
     // Route fidelity gate (round-6 verdict item 2): the reference
     // opportunities endpoint has NO LIMIT and keeps NULL-z rows
     // (sorted last). The HOLD filter makes both visible: every NULL-z

@@ -111,8 +111,6 @@ object StreamingIngest {
     */
   def processBatch(batch: DataFrame, batchId: Long, cfg: Config,
       lm: StreamingPerplexity.LmModel, clf: Classifier.LogRegModel): Unit = {
-    val spark = batch.sparkSession
-
     // foreachBatch persist discipline: the incoming frame is the
     // PHYSICAL micro-batch plan — every action below (the dedup
     // verdict distinct, the output write, the counter write) would

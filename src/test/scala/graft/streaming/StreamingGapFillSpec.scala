@@ -152,6 +152,22 @@ class StreamingGapFillSpec extends SparkSpec {
         ("2026-03-01", 59.0), ("2026-04-01", 90.0)),
         s"interp must be linear in days, got $got")
     } finally q2.stop()
+
+    val mem3 = MemoryStream[SeriesObs]
+    val q3 = StreamingGapFill.bfillFilledAtMonth(mem3.toDS())
+      .writeStream.format("memory").queryName("gf8b")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      mem3.addData(SeriesObs(1L, d("2026-01-01"), 10.0))
+      q3.processAllAvailable()
+      mem3.addData(SeriesObs(1L, d("2026-04-01"), 40.0))
+      q3.processAllAvailable()
+      val got = spark.table("gf8b").collect()
+        .map(r => (r.getDate(1).toString, r.getDouble(2))).toSet
+      assert(got === Set(
+        ("2026-01-01", 10.0), ("2026-02-01", 40.0),
+        ("2026-03-01", 40.0), ("2026-04-01", 40.0)))
+    } finally q3.stop()
   }
 
   test("maxGapBuckets trips loudly instead of buffering an unbounded gap") {
