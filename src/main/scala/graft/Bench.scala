@@ -84,14 +84,22 @@ object Bench {
     // Round-9 lesson: a container rebuild shifted EVERY query ~1.4x
     // while code was provably unchanged; without a calibration constant
     // in the artifact that reads as a regression.
-    val calibSec = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(1L << 28).selectExpr("sum(id * (id + 3))").collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once(); math.min(once(), once()) // warm codegen, then min of 2
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 28).selectExpr("sum(id * (id + 3))").collect()
+      (System.nanoTime() - t0) / 1e9
     }
+    val calibSec = {
+      calibOnce(); math.min(calibOnce(), calibOnce()) // warm codegen, then min of 2
+    }
+    // Per-pass calib probes (round-17, verdict ask #1): the round-16
+    // artifact's pass 1 ran in a ~1.6x-degraded window and the deadline
+    // cut pass 2 at the alphabet's tail, leaving ~70 queries with
+    // contaminated single-sample timings and NO marker saying so. A
+    // one-shot probe at each pass's start is recorded per pass, so a
+    // reader can tell which pass a suspicious sample came from and
+    // whether that window's floor disagreed with the run's best.
+    val passCalib = scala.collection.mutable.ArrayBuffer.empty[Double]
     var failed = Set.empty[String]
     // Up to `passes` full timed passes with the mart cache cleared in
     // between (so EVERY pass recomputes marts exactly like a fresh run),
@@ -99,9 +107,20 @@ object Bench {
     // transient host load / GC (observed 4-23 s swings on the heavy
     // marts); the min of equivalent passes is the steady-state cost of
     // the plan, which is what the 2x gate should judge.
+    //
+    // EVEN passes run in REVERSE name order: the deadline truncates a
+    // pass at its tail, so two same-order passes starve the SAME
+    // queries of their second sample (round 16: everything >= `p95` in
+    // name order was pass-1-only). Alternating direction means
+    // truncation starves opposite ends — min-of-2 then keeps at least
+    // one sample per query from whichever pass reached it first, and
+    // under a degraded pass 1 the tail's only sample comes from the
+    // (clean) pass 2 instead of the contaminated window.
     def timedPass(pass: Int): Map[String, Double] = {
       val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val order0 = selected.toSeq.sortBy(_._1)
+      val order = if (pass % 2 == 0) order0.reverse else order0
+      order.foreach { case (name, fn) =>
         if (!overDeadline) {
           val t0 = System.nanoTime()
           val ok =
@@ -135,6 +154,7 @@ object Bench {
     var pass = 1
     while (pass <= passes && !overDeadline) {
       if (pass > 1) graft.queries.TestdataAdapter.clearCache(spark, sfDir)
+      passCalib += calibOnce()
       completed += timedPass(pass)
       val (qs, total, skipped) = aggregate(completed.toSeq)
       // Partial aggregates go to stderr so stdout has exactly one
@@ -150,7 +170,11 @@ object Bench {
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibCs = math.round(calibSec * 100)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"passes":${completed.size},"sf":"$sfDir","calib_cs":$calibCs}""")
+    // One calib probe per completed/attempted pass (centiseconds): the
+    // provenance record that lets a reader spot a degraded window
+    // per-pass instead of inferring it from the whole run's min.
+    val passCalibCs = passCalib.map(c => math.round(c * 100)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"passes":${completed.size},"sf":"$sfDir","calib_cs":$calibCs,"calib_pass_cs":$passCalibCs}""")
     // The driver captures only the LAST ~2000 chars of stdout; the full
     // per-query line above is ~4 KB at 127 queries, so for eight rounds
     // the driver's "parsed" field came back null (the tail started
@@ -158,22 +182,38 @@ object Bench {
     // Round-16 encoding: at 258 queries even short-token keys overflow
     // the 1900-char guard (the r15 artifact lost q_cs), so q_cs is now a
     // SINGLE STRING of base-36 centiseconds, comma-joined in SORTED
-    // QUERY-NAME order ("q_enc" names the scheme). The name list is
-    // recoverable from the per-query lines above, from SparkEntry
-    // .queries.keys.toSeq.sorted, or from the CORRECTNESS artifact's
-    // keys (same names); a failed/untimed query encodes as "-1".
-    // ~4 chars/query keeps 258 queries near 1.1 KB — under the window
+    // QUERY-NAME order ("q_enc" names the scheme). Round-17 fix
+    // (ADVICE): positions are aligned to the FULL selected name list
+    // (SparkEntry.queries.keys.toSeq.sorted == the CORRECTNESS
+    // artifact's keys) — a deadline-skipped query emits "-1" instead of
+    // silently vanishing and shifting every later position, which was
+    // exactly the failure mode this encoding exists for.
+    // ~4 chars/query keeps 260 queries near 1.1 KB — under the window
     // with the head included.
-    val timedNames = completed.toSeq.flatMap(_.keys).distinct.sorted
-    val compactQs = timedNames.map { n =>
+    val allNames = selected.keys.toSeq.sorted
+    val compactQs = allNames.map { n =>
       val ts = completed.toSeq.flatMap(_.get(n))
       if (ts.isEmpty || ts.min == Double.MaxValue) "-1"
       else java.lang.Long.toString(math.round(ts.min * 100), 36)
     }.mkString(",")
+    // Single-sample provenance mask (verdict ask #1): bit i (name index
+    // in the same sorted full list) is set iff the recorded value for
+    // that query came from EXACTLY ONE completed sample — i.e. min-of-2
+    // degraded to a lone pass and the per-pass calib array is the only
+    // way to judge that sample's window. Encoded hex, 4 names per
+    // char: name i lives in char i/4, bit (8 >> (i%4)).
+    val q1Mask = allNames.map { n =>
+      val ok = completed.toSeq.flatMap(_.get(n)).count(_ != Double.MaxValue)
+      if (ok == 1) 1 else 0
+    }
+    val q1Hex = q1Mask.grouped(4).map { g =>
+      val nib = g.padTo(4, 0).zip(Seq(8, 4, 2, 1)).map { case (b, w) => b * w }.sum
+      java.lang.Integer.toHexString(nib)
+    }.mkString
     val totalR = math.round(total * 100) / 100.0
     val head =
-      s"""{"metric":"total","value":$totalR,"unit":"sec","n":${timedNames.size},"failed":$failedJson,"skipped":${skipped.size},"passes":${completed.size},"sf":"$sfDir","calib_cs":$calibCs"""
-    val compactFull = head + s""","q_enc":"b36cs,sorted-names","q_cs":"$compactQs"}"""
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n":${allNames.size},"failed":$failedJson,"skipped":${skipped.size},"passes":${completed.size},"sf":"$sfDir","calib_cs":$calibCs,"calib_pass_cs":$passCalibCs"""
+    val compactFull = head + s""","q_enc":"b36cs,sorted-names","q_cs":"$compactQs","q_p1":"$q1Hex"}"""
     // Hard guard: never emit a final line that itself overflows the
     // tail window — drop the per-query map before dropping parseability.
     val compact = if (compactFull.length <= 1900) compactFull else head + "}"

@@ -54,6 +54,42 @@ object MvNavBench {
       f"$tBuild%.3f"},"navigated_sec":${f"$nav%.3f"},"direct_sec":${
       f"$direct%.3f"},"rollup_navigated_sec":${f"$navRollup%.3f"
       },"rollup_direct_sec":${f"$directRollup%.3f"},"sf":"$dir"}""")
+
+    // ---- serve_daily_summary navigated-vs-fact-scan (round 17,
+    // verdict ask #5): the reference's core read path (`main.py:36-42`)
+    // through the REAL serving function, p134-style decade protocol.
+    // The aggregatable G1 slice over the sf-dir's silver fact is
+    // answered (a) navigated — from the (item_id, snapshot_date)
+    // rollup the st33 maintainer family materializes — and (b) direct
+    // — catalog cleared, same serving call against the fact scan. The
+    // facts decade (ScaleData facts mode) replicates lineitem over the
+    // SAME part population, so the rollup's group count is constant
+    // while the fact side grows 10×: navigated serving must stay flat.
+    val tmpServe = java.nio.file.Files.createTempDirectory("graft_navbench_serve")
+    val stage = tmpServe.resolve("silver_fact").toString
+    val mvServe = tmpServe.resolve("mv_serve.parquet").toString
+    graft.queries.TestdataAdapter.silverFromLineitem(spark, dir)
+      .write.parquet(stage)
+    def g1Lite = spark.read.parquet(stage)
+      .groupBy(col("item_id"), col("snapshot_date"))
+      .agg(min(col("unit_price")).as("min_buyout"),
+        max(col("unit_price")).as("max_buyout"),
+        sum(col("quantity")).as("quantity_available"),
+        sum(col("unit_price") * col("quantity")).as("market_cap"),
+        count(lit(1)).as("auction_count"))
+    def serveQ = graft.serving.ServingLayer.dailySummary(
+      g1Lite, itemId = None, limit = 100)
+    val silverRows = spark.read.parquet(stage).count()
+    val tBuildServe = time(graft.plans.MaterializedAggregate.buildAndRegister(
+      spark, stage, mvServe, Seq("item_id", "snapshot_date"),
+      Seq("unit_price", "quantity"),
+      exprMeasures = Map("market_cap" -> "unit_price * quantity")))
+    val serveNav = (1 to 3).map(_ => time(serveQ.collect())).min
+    graft.plans.MvCatalog.clear()
+    val serveDirect = (1 to 3).map(_ => time(serveQ.collect())).min
+    println(s"""{"metric":"mv_nav_serve","silver_rows":$silverRows,"build_sec":${
+      f"$tBuildServe%.3f"},"navigated_sec":${f"$serveNav%.3f"
+      },"direct_sec":${f"$serveDirect%.3f"},"sf":"$dir"}""")
     spark.stop()
   }
 }

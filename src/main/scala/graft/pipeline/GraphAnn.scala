@@ -118,8 +118,15 @@ object GraphAnn {
       splitBucket: Option[Long] = None, maxExtraBits: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(hubs.nonEmpty, "empty hub list")
-    require(maxExtraBits >= 0 && bits + maxExtraBits <= 62,
-      s"bits=$bits + maxExtraBits=$maxExtraBits out of range")
+    // The split path draws planes up to index bits + 2*maxExtraBits - 1
+    // (two independently-seeded refinements) and mixes a discriminator
+    // at bit bits + maxExtraBits + 1; Spark's shiftleft wraps the shift
+    // count mod 64, so a looser guard would let accepted
+    // parameterizations silently alias plane bits into low positions
+    // (corrupted sub-bucket ids, degraded recall, no error).
+    require(maxExtraBits >= 0 && bits + 2 * maxExtraBits <= 61,
+      s"bits=$bits + 2*maxExtraBits=${2 * maxExtraBits} out of range " +
+        "(need bits + 2*maxExtraBits <= 61)")
     val d = dim.getOrElse(hubs.head._2.length)
     val base = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val bucketed = splitBucket match {
@@ -433,10 +440,19 @@ object GraphAnn {
     val nCorpus = corpusSize.getOrElse(
       edges.select(col("src")).distinct().count())
     require(nCorpus > 0, "empty index")
-    val beam = acornAutoBeam(
-      math.min(1.0, nAllowed.toDouble / nCorpus.toDouble))
-    searchAllAcorn(edges, hubs, queries, allowed, k, beam = beam,
-      rounds = rounds, idCol = idCol, qidCol = qidCol, qvecCol = qvecCol)
+    // An empty allowed set means no node may rank — the explicit
+    // [[searchAllAcorn]] path returns an empty result for it, and the
+    // auto wrapper must not be stricter than the API it wraps
+    // (selectivity 0 would trip acornAutoBeam's (0, 1] guard).
+    if (nAllowed == 0)
+      searchAllAcorn(edges, hubs, queries, allowed, k, rounds = rounds,
+        idCol = idCol, qidCol = qidCol, qvecCol = qvecCol)
+    else {
+      val beam = acornAutoBeam(
+        math.min(1.0, nAllowed.toDouble / nCorpus.toDouble))
+      searchAllAcorn(edges, hubs, queries, allowed, k, beam = beam,
+        rounds = rounds, idCol = idCol, qidCol = qidCol, qvecCol = qvecCol)
+    }
   }
 
   def searchAllAcorn(edges: DataFrame, hubs: Array[(Long, Array[Float])],
@@ -564,15 +580,46 @@ object GraphAnn {
 
   private def tombstonePath(path: String) = s"${path}_tombstones"
 
+  /** The production sub-bucket target (round-17, verdict ask #2):
+    * ~8×m keeps each refined bucket a few beam-widths deep — small
+    * enough that per-bucket pair mass stays ~target×n (measured
+    * 11.8×/decade vs 100×/decade unsplit on the docs corpus,
+    * BASELINE.md round 16), large enough that a node's true top-m
+    * neighbors rarely straddle a refinement boundary (recall cost
+    * ≤ 0.011 at every measured target, and the dual-refinement
+    * construction halves even that boundary loss).
+    */
+  def productionSplit(m: Int = DefaultM): Option[Long] = Some(8L * m)
+
+  /** Sentinel target meaning "derive [[productionSplit]] from this
+    * call's `m`" — a default parameter cannot reference a sibling
+    * parameter, so the derivation happens in [[writeIndex]]'s body.
+    */
+  val AutoSplit: Long = -1L
+
   /** Materialize the graph index: edges under `batch=<batchId>`.
     * A fresh index clears the path and any stale tombstones first
     * (the [[Similarity.writeIvfIndex]] discipline).
+    *
+    * `splitBucket` DEFAULTS to the scale-safe [[productionSplit]]
+    * (round-17, verdict ask #2): a production caller gets the
+    * measured-linear pair construction without reading any scaladoc —
+    * the 100×/decade unsplit shape is now strictly opt-OUT. The
+    * oracle-pinned gate paths (p132 family) pass `splitBucket = None`
+    * EXPLICITLY: their DuckDB oracles replay the unsplit construction
+    * verbatim, and that pin is a per-call statement, not the API's
+    * default posture. At sub-target bucket density the two
+    * constructions are bit-identical (GraphAnnSpec's inactive-split
+    * law), so small deployments lose nothing.
     */
   def writeIndex(emb: DataFrame, hubs: Array[(Long, Array[Float])],
       path: String, m: Int = DefaultM, bits: Int = 4,
       dim: Option[Int] = None, hubDegree: Int = DefaultHubDegree,
-      batchId: String = "base", splitBucket: Option[Long] = None,
+      batchId: String = "base",
+      splitBucket: Option[Long] = Some(AutoSplit),
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val effectiveSplit =
+      splitBucket.map(t => if (t == AutoSplit) 8L * m else t)
     val hconf = emb.sparkSession.sparkContext.hadoopConfiguration
     Seq(path, tombstonePath(path)).foreach { dpath =>
       val p = new org.apache.hadoop.fs.Path(dpath)
@@ -580,7 +627,7 @@ object GraphAnn {
       if (fs.exists(p)) fs.delete(p, true)
     }
     buildEdges(emb, hubs, m, bits, dim, hubDegree,
-      splitBucket = splitBucket, idCol = idCol, vecCol = vecCol)
+      splitBucket = effectiveSplit, idCol = idCol, vecCol = vecCol)
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
   }
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.gold.Marts
-import graft.serving.ServingLayer
+import graft.serving.{ResponseSchemas, ServingLayer}
 import TestdataAdapter._
 
 /** The seven gold marts (SURVEY.md §2.4) + the serving surface
@@ -495,6 +495,102 @@ object MartQueries {
       (s, dir) => ServingLayer.marketIndex(g6(s, dir), limit = 30),
       Some(s"""WITH g6 AS ($g6Sql)
               |SELECT * FROM g6 ORDER BY snapshot_date DESC LIMIT 30""".stripMargin)),
+
+    // ---- response-projection gates (round 17, verdict ask #4): the
+    // reference serializes each route through a pydantic
+    // response_model (`backend_api/app/schemas.py:5-82`) — a real
+    // projection layer that DROPS undeclared gold columns (std_dev_7d,
+    // avg_daily_stock, the concentration quantities, last_updated) and
+    // serves declared-but-never-populated columns as NULL (item_name /
+    // icon_url outside the daily summary). [[ResponseSchemas]] pins
+    // each model's field list; these gates hash-pin the projected
+    // VALUES per endpoint (the driver compare is column-order-
+    // insensitive, so declaration ORDER is pinned by
+    // ServingSchemaSpec). Each reuses its route gate's filter/limit
+    // fixture — except opportunities, where the no-limit HOLD fixture
+    // is 59k rows and the projection pin doesn't need it: BUY (21
+    // rows at sf0.01) exercises the same projection for ~0 cost.
+    QueryDef("serve_items_schema",
+      (s, dir) => ResponseSchemas.project(
+        ServingLayer.items(dimsFromPart(s, dir), skip = 20, limit = 10),
+        ResponseSchemas.items),
+      Some(s"""WITH $dimsSql
+              |SELECT item_id, name, quality, item_class, item_subclass,
+              |       icon_url
+              |FROM dims ORDER BY item_id LIMIT 10 OFFSET 20""".stripMargin)),
+    QueryDef("serve_daily_summary_schema",
+      (s, dir) => ResponseSchemas.project(
+        ServingLayer.dailySummary(g1(s, dir), itemId = None, limit = 100),
+        ResponseSchemas.dailySummary),
+      Some(s"""WITH g1 AS ($g1Sql)
+              |SELECT item_id, snapshot_date, item_name, icon_url,
+              |       min_buyout, max_buyout, median_buyout,
+              |       quantity_available, market_cap, price_volatility,
+              |       auction_count
+              |FROM g1
+              |ORDER BY snapshot_date DESC, item_id ASC LIMIT 100""".stripMargin)),
+    QueryDef("serve_price_history_schema",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        epochHour(ResponseSchemas.project(
+          g2(s, dir)
+            .where(col("item_id") === "purchase")
+            .orderBy(col("snapshot_hour").desc)
+            .limit(48),
+          ResponseSchemas.priceHistory))
+      },
+      Some(s"""WITH g2 AS ($g2Sql)
+              |SELECT item_id,
+              |       CAST(epoch(snapshot_hour) AS BIGINT) AS snapshot_hour,
+              |       CAST(NULL AS VARCHAR) AS item_name,
+              |       CAST(open_price AS DOUBLE) AS open_price,
+              |       high_price, low_price,
+              |       CAST(close_price AS DOUBLE) AS close_price,
+              |       avarage_price, volume
+              |FROM g2 WHERE item_id = 'purchase'
+              |ORDER BY snapshot_hour DESC LIMIT 48""".stripMargin)),
+    QueryDef("serve_opportunities_schema",
+      (s, dir) => ResponseSchemas.project(
+        ServingLayer.opportunities(g3Serve(s, dir),
+          recommendation = Some("buy")),
+        ResponseSchemas.opportunities),
+      Some(s"""WITH g3 AS (${g3Sql(1.0)})
+              |SELECT snapshot_date, item_id,
+              |       CAST(NULL AS VARCHAR) AS item_name,
+              |       CAST(NULL AS VARCHAR) AS icon_url,
+              |       current_price, avg_price_7d, z_score, recommendation
+              |FROM g3 WHERE recommendation = 'BUY'""".stripMargin)),
+    QueryDef("serve_demand_schema",
+      (s, dir) => ResponseSchemas.project(
+        ServingLayer.demand(g4(s, dir), itemId = Some(3L), limit = 100),
+        ResponseSchemas.demand),
+      Some(s"""WITH g4 AS ($g4Sql)
+              |SELECT snapshot_date, item_id,
+              |       CAST(NULL AS VARCHAR) AS item_name,
+              |       estimated_daily_sales, turnover_percentage
+              |FROM g4 WHERE item_id = 3
+              |ORDER BY snapshot_date DESC, item_id ASC LIMIT 100""".stripMargin)),
+    QueryDef("serve_concentration_schema",
+      (s, dir) => ResponseSchemas.project(
+        ServingLayer.concentration(g5(s, dir),
+          status = Some("CONCENTRATED"), limit = 100),
+        ResponseSchemas.concentration),
+      Some(s"""WITH g5 AS ($g5Sql)
+              |SELECT snapshot_date, item_id,
+              |       CAST(NULL AS VARCHAR) AS item_name,
+              |       floor_concentration_pct, market_status
+              |FROM g5 WHERE market_status = 'CONCENTRATED'
+              |ORDER BY floor_concentration_pct DESC, item_id ASC,
+              |         snapshot_date ASC
+              |LIMIT 100""".stripMargin)),
+    QueryDef("serve_market_index_schema",
+      (s, dir) => ResponseSchemas.project(
+        ServingLayer.marketIndex(g6(s, dir), limit = 30),
+        ResponseSchemas.marketIndex),
+      Some(s"""WITH g6 AS ($g6Sql)
+              |SELECT snapshot_date, items_in_index, index_value,
+              |       inflation_pct_daily
+              |FROM g6 ORDER BY snapshot_date DESC LIMIT 30""".stripMargin)),
     QueryDef("g08_class_quality_rollup",
       (s, dir) => {
         import org.apache.spark.sql.functions.col

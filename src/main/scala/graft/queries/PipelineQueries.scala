@@ -534,12 +534,29 @@ object PipelineQueries {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[queries] def ensureSharedNswIndex(s: SparkSession, dir: String,
       hubs: Array[(Long, Array[Float])], force: Boolean = false): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // Path and memo key carry (a) an md5 of the RAW dir — two distinct
+    // dirs that sanitize identically must never share a path (the
+    // sanitized name alone would let each win the memo race and
+    // clobber the other's edges) — and (b) a hub discriminator, so a
+    // future caller with different hub geometry gets its own index
+    // instead of silently searching a mismatched one (round-16
+    // ADVICE). md5 keeps the key deterministic across JVMs.
+    val sig = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(dir.getBytes("UTF-8"))
+      hubs.foreach(h => md.update(java.nio.ByteBuffer.allocate(8)
+        .putLong(h._1).array()))
+      md.digest().take(6).map("%02x".format(_)).mkString
+    }
+    val key = s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$sig"
     val path = s"$artifactRoot/nsw_index_shared_$key"
-    val first = nswSharedBuilt.add(s"$artifactRoot|$dir")
+    val first = nswSharedBuilt.add(s"$artifactRoot|$key")
     if (first || force)
+      // splitBucket = None: every consumer's hash oracle replays the
+      // UNSPLIT construction in SQL; the production default (writeIndex
+      // without the pin) is the sub-bucketed scale-safe build
       GraphAnn.writeIndex(Tables.embeddings(s, dir), hubs, path,
-        dim = Some(EmbeddingDim))
+        dim = Some(EmbeddingDim), splitBucket = None)
     path
   }
 
@@ -2116,7 +2133,12 @@ object PipelineQueries {
         val hubs = Similarity.sampleCentroids(emb, nlist = 16)
         val even = emb.where(col("vec_id") % 2 === 0)
         val odd = emb.where(col("vec_id") % 2 =!= 0)
-        GraphAnn.writeIndex(even, hubs, nswLifePath, dim = Some(EmbeddingDim))
+        // splitBucket = None pins the oracle-replayed unsplit
+        // construction (the production default is the sub-bucketed
+        // build; this gate's DuckDB oracle replays the coarse-bucket
+        // pair step verbatim)
+        GraphAnn.writeIndex(even, hubs, nswLifePath, dim = Some(EmbeddingDim),
+          splitBucket = None)
         GraphAnn.appendToIndex(odd, emb, hubs, nswLifePath,
           batchId = "b1", dim = Some(EmbeddingDim))
         GraphAnn.tombstoneIndex(

@@ -2931,7 +2931,10 @@ object StreamingQueries {
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           if (batchId == 0L)
-            graft.pipeline.GraphAnn.writeIndex(batch, hubs, index, dim = dim)
+            // splitBucket = None: the gate's oracle replays the
+            // unsplit construction (production default is sub-bucketed)
+            graft.pipeline.GraphAnn.writeIndex(batch, hubs, index,
+              dim = dim, splitBucket = None)
           else
             // corpus = everything arrived so far (seed + this batch):
             // candidates are batch × bucket-mate, batch-proportional

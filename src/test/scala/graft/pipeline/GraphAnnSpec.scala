@@ -207,6 +207,34 @@ class GraphAnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("writeIndex defaults to the scale-safe sub-bucketed construction (round-17 production default)") {
+    // the gate paths pin splitBucket = None explicitly (their DuckDB
+    // oracles replay the unsplit pair step); a caller who specifies
+    // NOTHING must get the measured-linear build — this pins that
+    // default at a density where the split is ACTIVE (2000 vectors /
+    // 16 coarse buckets ≈ 125 per bucket > the 8×m = 64 target), so
+    // the assertion cannot pass vacuously via the inactive-split law
+    val emb = graft.RecallCurve.clusteredCorpus(spark, n = 2000, dim = 64,
+      clusters = 40)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hubs = Similarity.sampleCentroids(emb, 64, knownCount = Some(2000L))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-nsw-default").toString + "/idx"
+    GraphAnn.writeIndex(emb, hubs, path, dim = Some(64)) // defaults only
+    val got = GraphAnn.readEdges(spark, path)
+      .collect().map(_.toSeq).toSet
+    val split = GraphAnn.buildEdges(emb, hubs, dim = Some(64),
+      splitBucket = GraphAnn.productionSplit())
+      .collect().map(_.toSeq).toSet
+    assert(got === split,
+      "default writeIndex must build the productionSplit construction")
+    val unsplit = GraphAnn.buildEdges(emb, hubs, dim = Some(64))
+      .collect().map(_.toSeq).toSet
+    assert(got !== unsplit,
+      "fixture too sparse to distinguish the default from the unsplit build")
+    emb.unpersist()
+  }
+
   test("production defaults hold on the clustered reference corpus (recall@10 >= 0.9)") {
     // the RecallGateSpec geometry the other ANN families are gated
     // on: 2000 vectors, 40 clusters — includes clusters that drew no

@@ -226,8 +226,8 @@ class StreamingGapFillSpec extends SparkSpec {
       val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
         q2.processAllAvailable()
       }
-      assert(ex.getMessage.contains("date-ordered") ||
-        Option(ex.getCause).exists(_.getMessage.contains("date-ordered")),
+      assert(ex.getMessage.contains("time-ordered") ||
+        Option(ex.getCause).exists(_.getMessage.contains("time-ordered")),
         s"strict mode must fail the batch with the contract message: $ex")
     } finally q2.stop()
   }
