@@ -86,6 +86,66 @@ object GraphAnn {
     when(Similarity.norm(a) > 0 && Similarity.norm(b) > 0,
       Similarity.cosine(a, b))
 
+  /** Sub-bucketed pair-candidate frame — the `splitBucket` machinery
+    * shared by [[buildEdges]] and [[appendToIndex]]. TWO
+    * independently-seeded refinements: a sub-bucket split on one
+    * plane set loses exactly the neighbor pairs the split planes
+    * separate; a second refinement on DIFFERENT planes keeps a pair
+    * together unless BOTH splits separate it (survival 1-(1-q)² vs
+    * q). Each node in a hot bucket carries two refined bucket ids —
+    * pair mass 2 × n × target, still linear — and the downstream
+    * (src, dst) dedup folds pairs found by both refinements.
+    * Refinement r uses planes [bits + r·maxExtraBits,
+    * bits + r·maxExtraBits + e); the refined id gets the refinement
+    * index mixed in ABOVE the mask so the two refinements' buckets
+    * never alias each other.
+    *
+    * `countSource` is the frame whose DENSITY drives the per-bucket
+    * refinement depth e = ceil(log2(n_bucket/target)): the build
+    * refines on itself; the append path refines BOTH sides on the
+    * CORPUS (a batch's own counts say nothing about how hot a bucket
+    * is, and the two sides must agree on e per coarse bucket or
+    * their refined ids never meet). Both frames are (__id, __v);
+    * output (__id, __v, __b) with one or two refined ids per node,
+    * localCheckpoint'd — the refined frame is consumed several times
+    * downstream (maxBucket guard + pair sides) and its plan embeds a
+    * join + aggregate; re-running it per consumer measurably tripled
+    * the split build's cost.
+    */
+  private def refineBucketed(base: DataFrame, countSource: DataFrame,
+      target: Long, bits: Int, maxExtraBits: Int, d: Int): DataFrame = {
+    require(target > 0, s"splitBucket target $target must be positive")
+    // coarse-bucket density: lshBucket(bits) IS the wide code's low
+    // `bits` bits (plane b is seeded by its index alone — the prefix
+    // property), so counting on it matches the refined codes below
+    val counts = countSource
+      .withColumn("__b0", Similarity.lshBucket(col("__v"), bits, d))
+      .where(col("__b0").isNotNull)
+      .groupBy(col("__b0")).agg(count(lit(1)).as("__n"))
+    base
+      .withColumn("__bf",
+        Similarity.lshBucket(col("__v"), bits + 2 * maxExtraBits, d))
+      .where(col("__bf").isNotNull)
+      .withColumn("__b0", col("__bf").bitwiseAND(lit((1L << bits) - 1)))
+      .join(broadcast(counts), Seq("__b0"))
+      .withColumn("__e",
+        least(lit(maxExtraBits), greatest(lit(0),
+          ceil(log(2.0, col("__n").cast("double") / target))))
+          .cast("int"))
+      .select(col("__id"), col("__v"),
+        explode(when(col("__e") > 0, array(
+          expr(s"__b0 | (((__bf >> $bits) & " +
+            s"(shiftleft(CAST(1 AS BIGINT), __e) - 1)) << $bits)"),
+          expr(s"__b0 | (((__bf >> ${bits + maxExtraBits}) & " +
+            s"(shiftleft(CAST(1 AS BIGINT), __e) - 1)) << $bits) | " +
+            s"(CAST(1 AS BIGINT) << ${bits + maxExtraBits + 1})")))
+          // unsplit buckets carry ONE id — the second refinement
+          // would just duplicate every pair
+          .otherwise(array(col("__b0"))))
+          .as("__b"))
+      .localCheckpoint(true)
+  }
+
   /** The edge table: (src, dst, dst_vec, cosine, kind) with
     * kind = 'knn' | 'hub'. `dst_vec` inline is what frees search
     * from re-joining the corpus every round.
@@ -134,48 +194,7 @@ object GraphAnn {
         base.withColumn("__b", Similarity.lshBucket(col("__v"), bits, d))
           .where(col("__b").isNotNull)
       case Some(target) =>
-        require(target > 0, s"splitBucket target $target must be positive")
-        // TWO independently-seeded refinements: a sub-bucket split on
-        // one plane set loses exactly the neighbor pairs the split
-        // planes separate; a second refinement on DIFFERENT planes
-        // keeps a pair together unless BOTH splits separate it
-        // (survival 1-(1-q)² vs q). Each node carries two refined
-        // bucket ids — pair mass 2 × n × target, still linear — and
-        // the downstream (src, dst) dedup (already required by
-        // symmetrization) folds pairs found by both refinements.
-        // Refinement r uses planes [bits + r·maxExtraBits,
-        // bits + r·maxExtraBits + e); the refined id gets the
-        // refinement index mixed in ABOVE the mask so the two
-        // refinements' buckets never alias each other.
-        val withFull = base
-          .withColumn("__bf",
-            Similarity.lshBucket(col("__v"), bits + 2 * maxExtraBits, d))
-          .where(col("__bf").isNotNull)
-          .withColumn("__b0", col("__bf").bitwiseAND(lit((1L << bits) - 1)))
-        val counts = withFull.groupBy(col("__b0"))
-          .agg(count(lit(1)).as("__n"))
-        // localCheckpoint: the refined frame is consumed three times
-        // below (the maxBucket guard count and both pair sides) — the
-        // no-split path re-derives a cheap projection each time, but
-        // THIS plan embeds a join + aggregate, and re-running it per
-        // consumer measurably tripled the split build's cost
-        withFull.join(broadcast(counts), Seq("__b0"))
-          .withColumn("__e",
-            least(lit(maxExtraBits), greatest(lit(0),
-              ceil(log(2.0, col("__n").cast("double") / target))))
-              .cast("int"))
-          .select(col("__id"), col("__v"),
-            explode(when(col("__e") > 0, array(
-              expr(s"__b0 | (((__bf >> $bits) & " +
-                s"(shiftleft(CAST(1 AS BIGINT), __e) - 1)) << $bits)"),
-              expr(s"__b0 | (((__bf >> ${bits + maxExtraBits}) & " +
-                s"(shiftleft(CAST(1 AS BIGINT), __e) - 1)) << $bits) | " +
-                s"(CAST(1 AS BIGINT) << ${bits + maxExtraBits + 1})")))
-              // unsplit buckets carry ONE id — the second refinement
-              // would just duplicate every pair
-              .otherwise(array(col("__b0"))))
-              .as("__b"))
-          .localCheckpoint(true)
+        refineBucketed(base, base, target, bits, maxExtraBits, d)
     }
     // hot-bucket guard: a degenerate region must not go quadratic
     val kept = bucketed.join(
@@ -644,32 +663,74 @@ object GraphAnn {
     * and bucket planes are fixed (the IVF-centroid discipline).
     * Existing nodes' stored degree creeps past the caps across
     * appends; [[compactIndex]] re-caps. Idempotent per batchId.
+    *
+    * `splitBucket` (round 17): "batch-proportional" hides a growth
+    * term — bucket DENSITY is ∝ corpus/2^bits, so each append's pair
+    * volume grows linearly with the corpus and the total over a
+    * corpus's lifetime goes quadratic, the same superlinear edge the
+    * build closed in round 16. The default is therefore the same
+    * scale-safe sub-bucketed candidate step ([[productionSplit]] via
+    * the [[AutoSplit]] sentinel): BOTH sides refine on CORPUS
+    * density (a batch's own counts say nothing about bucket heat,
+    * and the sides must agree on refinement depth per coarse bucket
+    * or their refined ids never meet), capping per-append pair
+    * volume at ~2 × |batch| × target. Gate paths (p135, st41) pin
+    * `None` — their oracles replay the coarse-bucket candidates
+    * verbatim; at sub-target density the two constructions are
+    * bit-identical (GraphAnnSpec).
     */
   def appendToIndex(batch: DataFrame, corpus: DataFrame,
       hubs: Array[(Long, Array[Float])], path: String, batchId: String,
       m: Int = DefaultM, bits: Int = 4, dim: Option[Int] = None,
       hubDegree: Int = DefaultHubDegree, maxBucket: Long = 100000L,
+      splitBucket: Option[Long] = Some(AutoSplit), maxExtraBits: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     require(hubs.nonEmpty, "empty hub list")
+    require(maxExtraBits >= 0 && bits + 2 * maxExtraBits <= 61,
+      s"bits=$bits + 2*maxExtraBits=${2 * maxExtraBits} out of range " +
+        "(need bits + 2*maxExtraBits <= 61)")
+    val effectiveSplit =
+      splitBucket.map(t => if (t == AutoSplit) 8L * m else t)
     val d = dim.getOrElse(hubs.head._2.length)
-    def bucketed(df: DataFrame) =
+    def baseOf(df: DataFrame) =
       df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    def coarse(df: DataFrame) =
+      baseOf(df)
         .withColumn("__b", Similarity.lshBucket(col("__v"), bits, d))
         .where(col("__b").isNotNull)
-    val all = bucketed(corpus)
+    val (all, batchBucketed) = effectiveSplit match {
+      case None => (coarse(corpus), coarse(batch))
+      case Some(target) =>
+        (refineBucketed(baseOf(corpus), baseOf(corpus), target, bits,
+          maxExtraBits, d),
+          refineBucketed(baseOf(batch), baseOf(corpus), target, bits,
+            maxExtraBits, d))
+    }
     val kept = all.join(
       all.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
         .where(col("__n") <= maxBucket).select(col("__b")),
       Seq("__b"))
-    val aNew = bucketed(batch).select(col("__b"), col("__id").as("src"),
+    val aNew = batchBucketed.select(col("__b"), col("__id").as("src"),
       col("__v").as("src_vec"))
     val bAll = kept.select(col("__b"), col("__id").as("dst"),
       col("__v").as("dst_vec"))
     val wSrc = Window.partitionBy(col("src"))
       .orderBy(col("cosine").desc, col("dst").asc)
-    val topM = aNew.join(bAll, Seq("__b")).where(col("src") =!= col("dst"))
+    val rawPairs = aNew.join(bAll, Seq("__b")).where(col("src") =!= col("dst"))
       .select(col("src"), col("src_vec"), col("dst"), col("dst_vec"),
         rankCosine(col("src_vec"), col("dst_vec")).as("cosine"))
+    // dual-refinement dedup (split mode only — the [[buildEdges]]
+    // discipline): a candidate both refinements kept appears twice
+    // and would eat two of the m slots
+    val pairs =
+      if (effectiveSplit.isEmpty) rawPairs
+      else rawPairs.groupBy(col("src"), col("dst"))
+        .agg(first(col("src_vec")).as("src_vec"),
+          first(col("dst_vec")).as("dst_vec"),
+          max(col("cosine")).as("cosine"))
+        .select(col("src"), col("src_vec"), col("dst"), col("dst_vec"),
+          col("cosine"))
+    val topM = pairs
       .withColumn("__r", row_number().over(wSrc))
       .where(col("__r") <= m)
     val knn = topM.select(col("src"), col("dst"), col("dst_vec"), col("cosine"))

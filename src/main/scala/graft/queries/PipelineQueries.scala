@@ -2140,7 +2140,7 @@ object PipelineQueries {
         GraphAnn.writeIndex(even, hubs, nswLifePath, dim = Some(EmbeddingDim),
           splitBucket = None)
         GraphAnn.appendToIndex(odd, emb, hubs, nswLifePath,
-          batchId = "b1", dim = Some(EmbeddingDim))
+          batchId = "b1", dim = Some(EmbeddingDim), splitBucket = None)
         GraphAnn.tombstoneIndex(
           emb.where(col("vec_id") % 50 === 7).select("vec_id"),
           nswLifePath, batchId = "t1")

@@ -2938,9 +2938,13 @@ object StreamingQueries {
           else
             // corpus = everything arrived so far (seed + this batch):
             // candidates are batch × bucket-mate, batch-proportional
+            // splitBucket = None: oracle replays the coarse-bucket
+            // candidate step (production default is corpus-density
+            // sub-bucketed)
             graft.pipeline.GraphAnn.appendToIndex(
               batch, Tables.embeddings(batch.sparkSession, dir), hubs,
-              index, batchId = s"b$batchId", dim = dim)
+              index, batchId = s"b$batchId", dim = dim,
+              splitBucket = None)
         }
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt).start()

@@ -235,6 +235,56 @@ class GraphAnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("appendToIndex defaults to the corpus-density sub-bucketed candidates (round-17)") {
+    // same non-vacuity discipline as the writeIndex pin: at 2000
+    // corpus vectors the coarse buckets (~125 nodes) exceed the 8×m
+    // target, so the default append must MATCH the explicit
+    // productionSplit construction and DIFFER from the unsplit one —
+    // and refinement depth must come from CORPUS density (both sides
+    // agree on e), proven by the appended nodes staying searchable
+    val emb = graft.RecallCurve.clusteredCorpus(spark, n = 2000, dim = 64,
+      clusters = 40)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hubs = Similarity.sampleCentroids(emb, 64, knownCount = Some(2000L))
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val batch = emb.where(col("vec_id") % 2 === 1)
+    def appendWith(split: Option[Long], tag: String): Set[Seq[Any]] = {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft-nsw-app-$tag").toString + "/idx"
+      GraphAnn.writeIndex(base, hubs, path, dim = Some(64),
+        splitBucket = None)
+      split match {
+        case Some(GraphAnn.AutoSplit) =>
+          GraphAnn.appendToIndex(batch, emb, hubs, path, batchId = "b1",
+            dim = Some(64)) // defaults only — the pin under test
+        case s =>
+          GraphAnn.appendToIndex(batch, emb, hubs, path, batchId = "b1",
+            dim = Some(64), splitBucket = s)
+      }
+      spark.read.parquet(s"$path/batch=b1").collect().map(_.toSeq).toSet
+    }
+    val default = appendWith(Some(GraphAnn.AutoSplit), "def")
+    val explicitSplit = appendWith(GraphAnn.productionSplit(), "exp")
+    assert(default === explicitSplit,
+      "default append must build the productionSplit candidate step")
+    val unsplit = appendWith(None, "none")
+    assert(default !== unsplit,
+      "fixture too sparse to distinguish the default from the unsplit append")
+    // appended nodes remain findable through the default-built edges
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-nsw-app-srch").toString + "/idx"
+    GraphAnn.writeIndex(base, hubs, path, dim = Some(64), splitBucket = None)
+    GraphAnn.appendToIndex(batch, emb, hubs, path, batchId = "b1",
+      dim = Some(64))
+    val queries = emb.where(col("vec_id") % 311 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = GraphAnn.searchAll(GraphAnn.readEdges(spark, path), hubs,
+      queries, k = 10)
+    assert(got.where(col("vec_id") % 2 === 1).count() > 0,
+      "appended nodes never surface under the default split append")
+    emb.unpersist()
+  }
+
   test("production defaults hold on the clustered reference corpus (recall@10 >= 0.9)") {
     // the RecallGateSpec geometry the other ANN families are gated
     // on: 2000 vectors, 40 clusters — includes clusters that drew no

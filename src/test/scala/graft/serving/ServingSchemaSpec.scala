@@ -17,6 +17,15 @@ class ServingSchemaSpec extends SparkSpec {
   private def cols(name: String): Seq[String] =
     graft.SparkEntry.queries(name)(spark, dir).columns.toSeq
 
+  // building the serve queries registers their marts in the shared
+  // session's mart cache; left behind, a LATER suite's plan-shape
+  // assertions would see InMemoryTableScan where they pin exchanges
+  // (PlanSpec's G1 test — caught by the round-17 suite run)
+  override def afterAll(): Unit = {
+    graft.queries.TestdataAdapter.clearCache(spark, dir)
+    super.afterAll()
+  }
+
   test("response projections match schemas.py field declaration order") {
     assert(cols("serve_items_schema") === ResponseSchemas.items)
     assert(cols("serve_daily_summary_schema") === ResponseSchemas.dailySummary)
