@@ -59,6 +59,30 @@ object ScaleEvidence {
       println(s"""{"query":"$name","sf_dir":"$sfDir","in_rows":$inRows,"out_rows":$out,"sec":$sec}""")
       Console.out.flush()
     }
+
+    // NSW append candidate-pair mass (round 17): the cost-model
+    // number for the append path's decade rows — Σ_b |batch∩b| ×
+    // |corpus∩b| from COUNTS (load-independent, no pair join runs),
+    // batch = every ~10th vector (md5-free: the decade corpora remap
+    // ids, so a plain modulus keeps the batch fraction stable),
+    // unsplit vs the production default (corpus-density dual-refined,
+    // target 8×m = 64).
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEmb = emb.count()
+    val embBatch = emb.where(col("vec_id") % 10 === 0)
+    val dimLen = emb.select(col("embedding")).head()
+      .getAs[scala.collection.Seq[Float]](0).length
+    for ((name, split) <- Seq(
+        ("nsw_append_mass_unsplit", None: Option[Long]),
+        ("nsw_append_mass_default",
+          Some(graft.pipeline.GraphAnn.AutoSplit)))) {
+      val mass = graft.pipeline.GraphAnn.appendCandidateMass(
+        embBatch, emb, dim = dimLen, splitBucket = split)
+      println(s"""{"query":"$name","sf_dir":"$sfDir","corpus":$nEmb,"batch":${embBatch.count()},"pairs":$mass}""")
+      Console.out.flush()
+    }
+    emb.unpersist()
     spark.stop()
   }
 }

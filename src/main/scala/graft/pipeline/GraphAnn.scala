@@ -597,6 +597,58 @@ object GraphAnn {
       .where(col("rank") <= k)
   }
 
+  /** The append path's (corpus-side, batch-side) bucketed frames —
+    * coarse when `effectiveSplit` is None, corpus-density dual-refined
+    * otherwise. Shared by [[appendToIndex]] and the
+    * [[appendCandidateMass]] diagnostic so the measured mass is the
+    * mass of the frames the real append joins.
+    */
+  private def appendBucketed(batch: DataFrame, corpus: DataFrame,
+      effectiveSplit: Option[Long], bits: Int, maxExtraBits: Int, d: Int,
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    def baseOf(df: DataFrame) =
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    def coarse(df: DataFrame) =
+      baseOf(df)
+        .withColumn("__b", Similarity.lshBucket(col("__v"), bits, d))
+        .where(col("__b").isNotNull)
+    effectiveSplit match {
+      case None => (coarse(corpus), coarse(batch))
+      case Some(target) =>
+        (refineBucketed(baseOf(corpus), baseOf(corpus), target, bits,
+          maxExtraBits, d),
+          refineBucketed(baseOf(batch), baseOf(corpus), target, bits,
+            maxExtraBits, d))
+    }
+  }
+
+  /** Diagnostic: the append candidate-pair VOLUME — Σ over shared
+    * buckets of |batch ∩ b| × |corpus ∩ b| after the maxBucket guard,
+    * i.e. the row count the kNN candidate join shuffles before any
+    * top-m pruning. Computed from per-bucket COUNTS (two aggregations
+    * + a count-product sum — no pair join runs), so it is
+    * load-independent: the cost-model number BASELINE.md's decade
+    * rows track. `dim` is required here (no hub array to infer from).
+    */
+  def appendCandidateMass(batch: DataFrame, corpus: DataFrame, dim: Int,
+      m: Int = DefaultM, bits: Int = 4, maxBucket: Long = 100000L,
+      splitBucket: Option[Long] = Some(AutoSplit), maxExtraBits: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    val effectiveSplit =
+      splitBucket.map(t => if (t == AutoSplit) 8L * m else t)
+    val (all, batchBucketed) = appendBucketed(batch, corpus,
+      effectiveSplit, bits, maxExtraBits, dim, idCol, vecCol)
+    val corpusCounts = all.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nc"))
+      .where(col("__nc") <= maxBucket)
+    val row = batchBucketed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__nb"))
+      .join(corpusCounts, Seq("__b"))
+      .agg(sum(col("__nb") * col("__nc")))
+      .head()
+    if (row.isNullAt(0)) 0L else row.getLong(0) // no shared buckets
+  }
+
   private def tombstonePath(path: String) = s"${path}_tombstones"
 
   /** The production sub-bucket target (round-17, verdict ask #2):
@@ -692,20 +744,8 @@ object GraphAnn {
     val effectiveSplit =
       splitBucket.map(t => if (t == AutoSplit) 8L * m else t)
     val d = dim.getOrElse(hubs.head._2.length)
-    def baseOf(df: DataFrame) =
-      df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    def coarse(df: DataFrame) =
-      baseOf(df)
-        .withColumn("__b", Similarity.lshBucket(col("__v"), bits, d))
-        .where(col("__b").isNotNull)
-    val (all, batchBucketed) = effectiveSplit match {
-      case None => (coarse(corpus), coarse(batch))
-      case Some(target) =>
-        (refineBucketed(baseOf(corpus), baseOf(corpus), target, bits,
-          maxExtraBits, d),
-          refineBucketed(baseOf(batch), baseOf(corpus), target, bits,
-            maxExtraBits, d))
-    }
+    val (all, batchBucketed) = appendBucketed(batch, corpus,
+      effectiveSplit, bits, maxExtraBits, d, idCol, vecCol)
     val kept = all.join(
       all.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
         .where(col("__n") <= maxBucket).select(col("__b")),
