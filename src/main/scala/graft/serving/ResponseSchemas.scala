@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions.{col, lit}
   * ServingSchemaSpec asserts names AND order per endpoint; the
   * `serve_*_schema` gates hash-pin the projected values (the driver
   * compare is column-order-insensitive, so order lives in the spec).
+  *
+  * `schemas.py` declares one further model, `AuctionResponse`
+  * (`schemas.py:14-22`): no route in `main.py` binds it — dead code
+  * like the `MarketHistory` draft (`utils/database.py:46-48`) and
+  * the recursive `insert_item_dimensions` copy — so it is
+  * deliberately NOT reproduced here; the seven models above are the
+  * complete live response surface.
   */
 object ResponseSchemas {
 
