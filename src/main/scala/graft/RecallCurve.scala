@@ -157,6 +157,32 @@ object RecallCurve {
       Console.out.flush()
     }
 
+    // Lifecycle recall at PRODUCTION DEFAULTS (round 17): the index a
+    // deployment actually serves is write(base) + append(batches) —
+    // since both now default to the corpus-density sub-bucketed
+    // candidate step, this measures the recall of that real lifecycle
+    // path against the unsplit comparator (search settings identical).
+    if (fam("nsw_append")) {
+      def lifecycleRecall(split: Option[Long], tag: String): Double = {
+        val path = java.nio.file.Files
+          .createTempDirectory(s"rc-nsw-append-$tag").toString + "/idx"
+        val base = emb.where(col("vec_id") % 2 === 0)
+        val batch = emb.where(col("vec_id") % 2 =!= 0)
+        GraphAnn.writeIndex(base, hubs, path, dim = Some(dim),
+          splitBucket = split)
+        GraphAnn.appendToIndex(batch, emb, hubs, path, batchId = "b1",
+          dim = Some(dim), splitBucket = split)
+        meanRecall(GraphAnn.searchAll(
+          GraphAnn.readEdges(spark, path), hubs, queries, k), truth)
+      }
+      for ((tag, split) <- Seq(
+          ("default", Some(GraphAnn.AutoSplit)), ("unsplit", None))) {
+        val r = lifecycleRecall(split, tag)
+        println(s"""{"family":"nsw_append_$tag","hubs":$nHubs,"mean_recall":$r,"q":$nQ}""")
+        Console.out.flush()
+      }
+    }
+
     // FILTERED graph search: beam x selectivity — the tuning evidence
     // behind p139's "raise beam with predicate selectivity" guidance.
     // The beam routes through every node but only 1/m of the corpus
