@@ -89,8 +89,26 @@ object Bench {
       spark.range(1L << 28).selectExpr("sum(id * (id + 3))").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Memory-bound sibling probe (round-17): the range-sum probe is
+    // pure ALU and misses memory-bandwidth/shuffle rig shifts — the
+    // round-17 p146 control showed a window where sort/window-heavy
+    // queries ran 2× while the CPU calib read normal. This probe
+    // hash-aggregates 16M rows into 4M groups (shuffle + hash-table
+    // pressure), so the pair (calib_cs, calib_mem_cs) separates
+    // "host is CPU-slow" from "host is bandwidth-starved".
+    def calibMemOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 24)
+        .selectExpr("(id * 2654435761) % 4194304 AS k")
+        .groupBy("k").count()
+        .selectExpr("sum(count)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val calibSec = {
       calibOnce(); math.min(calibOnce(), calibOnce()) // warm codegen, then min of 2
+    }
+    val calibMemSec = {
+      calibMemOnce(); math.min(calibMemOnce(), calibMemOnce())
     }
     // Per-pass calib probes (round-17, verdict ask #1): the round-16
     // artifact's pass 1 ran in a ~1.6x-degraded window and the deadline
@@ -100,6 +118,7 @@ object Bench {
     // reader can tell which pass a suspicious sample came from and
     // whether that window's floor disagreed with the run's best.
     val passCalib = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passCalibMem = scala.collection.mutable.ArrayBuffer.empty[Double]
     var failed = Set.empty[String]
     // Up to `passes` full timed passes with the mart cache cleared in
     // between (so EVERY pass recomputes marts exactly like a fresh run),
@@ -155,6 +174,7 @@ object Bench {
     while (pass <= passes && !overDeadline) {
       if (pass > 1) graft.queries.TestdataAdapter.clearCache(spark, sfDir)
       passCalib += calibOnce()
+      passCalibMem += calibMemOnce()
       completed += timedPass(pass)
       val (qs, total, skipped) = aggregate(completed.toSeq)
       // Partial aggregates go to stderr so stdout has exactly one
@@ -174,7 +194,9 @@ object Bench {
     // provenance record that lets a reader spot a degraded window
     // per-pass instead of inferring it from the whole run's min.
     val passCalibCs = passCalib.map(c => math.round(c * 100)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"passes":${completed.size},"sf":"$sfDir","calib_cs":$calibCs,"calib_pass_cs":$passCalibCs}""")
+    val calibMemCs = math.round(calibMemSec * 100)
+    val passCalibMemCs = passCalibMem.map(c => math.round(c * 100)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"passes":${completed.size},"sf":"$sfDir","calib_cs":$calibCs,"calib_pass_cs":$passCalibCs,"calib_mem_cs":$calibMemCs,"calib_mem_pass_cs":$passCalibMemCs}""")
     // The driver captures only the LAST ~2000 chars of stdout; the full
     // per-query line above is ~4 KB at 127 queries, so for eight rounds
     // the driver's "parsed" field came back null (the tail started
@@ -212,7 +234,7 @@ object Bench {
     }.mkString
     val totalR = math.round(total * 100) / 100.0
     val head =
-      s"""{"metric":"total","value":$totalR,"unit":"sec","n":${allNames.size},"failed":$failedJson,"skipped":${skipped.size},"passes":${completed.size},"sf":"$sfDir","calib_cs":$calibCs,"calib_pass_cs":$passCalibCs"""
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n":${allNames.size},"failed":$failedJson,"skipped":${skipped.size},"passes":${completed.size},"sf":"$sfDir","calib_cs":$calibCs,"calib_pass_cs":$passCalibCs,"calib_mem_cs":$calibMemCs,"calib_mem_pass_cs":$passCalibMemCs"""
     val compactFull = head + s""","q_enc":"b36cs,sorted-names","q_cs":"$compactQs","q_p1":"$q1Hex"}"""
     // Hard guard: never emit a final line that itself overflows the
     // tail window — drop the per-query map before dropping parseability.
