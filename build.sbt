@@ -31,5 +31,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local-mode Spark runs driver AND all executor tasks in this one
+  // JVM: at local[32] the old 8g default left ~250 MB of execution
+  // memory per concurrent task and starved the block manager, so the
+  // heavy gates spent their time in GC/eviction churn (guide §5).
+  // 24g is sized for the 128 GiB sandbox while leaving room for the
+  // oracle process; override with SPARK_DRIVER_MEM (the env knob the
+  // lower-core driver runs and CI can set).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -72,6 +72,7 @@ object Bench {
         if (elapsedSec < warmBudget) {
           try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
           catch { case _: Throwable => () }
+          graft.operators.SessionCache.release()
         }
       }
       // evict the warmup-scale materializations: the timed loop should
@@ -154,6 +155,13 @@ object Bench {
           // Double.toString always uses '.', locale-proof.
           println(s"""{"query":"$name","pass":$pass,"sec":${if (ok) t else -1.0}}""")
           Console.out.flush()
+          // Release the query's registered persists OUTSIDE the timed
+          // region (round-17): operator-internal substrate caches are
+          // query-lifetime; leaving them pinned accumulated into
+          // block-manager pressure that slowed late-running queries
+          // 3-4x vs their isolated cost. The session mart cache is
+          // exempt by construction (it never registers here).
+          graft.operators.SessionCache.release()
         }
       }
       acc.toMap

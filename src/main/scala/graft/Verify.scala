@@ -47,6 +47,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop the query's registered operator-internal persists — the
+      // round-17 Bench discipline (leaked substrate caches slow the
+      // tail of a 267-query session; the mart cache never registers)
+      graft.operators.SessionCache.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

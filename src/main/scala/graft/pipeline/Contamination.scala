@@ -27,8 +27,8 @@ object Contamination {
     */
   def overlap(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val corpusSh = Dedup.wordShingles(corpus, n, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusSh = graft.operators.SessionCache.pin(
+      Dedup.wordShingles(corpus, n, textCol, idCol))
     val benchSh = Dedup.wordShingles(benchmark, n, textCol, idCol)
       .select("shingle").distinct()
     val perDoc = corpusSh.groupBy("doc_id")
@@ -61,8 +61,8 @@ object Contamination {
     require(benchmarks.nonEmpty, "multiOverlap needs at least one benchmark")
     require(benchmarks.map(_._1).distinct.size == benchmarks.size,
       "benchmark ids must be distinct")
-    val corpusSh = Dedup.wordShingles(corpus, n, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusSh = graft.operators.SessionCache.pin(
+      Dedup.wordShingles(corpus, n, textCol, idCol))
     val benchSh = benchmarks.map { case (bid, df) =>
       Dedup.wordShingles(df, n, textCol, idCol)
         .select(col("shingle")).distinct()
@@ -113,9 +113,8 @@ object Contamination {
   def fingerprintOverlap(corpus: DataFrame, benchmark: DataFrame,
       window: Int = 8, band: Int = 4, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val corpusFp = TextAnalysis
-      .winnowedFingerprints(corpus, window, band, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusFp = graft.operators.SessionCache.pin(TextAnalysis
+      .winnowedFingerprints(corpus, window, band, textCol, idCol))
     val benchFp = TextAnalysis
       .winnowedFingerprints(benchmark, window, band, textCol, idCol)
       .select("fp").distinct()
@@ -151,9 +150,9 @@ object Contamination {
     */
   def exciseOverlaps(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = corpus.select(col(idCol).as("doc_id"),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = graft.operators.SessionCache.pin(
+      corpus.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok"))))
     val benchSh = Dedup.wordShingles(benchmark, n, textCol, idCol)
       .select("shingle").distinct()
     // gram starting at pos covers pos..pos+n-1; WordNGrams emits

@@ -82,7 +82,9 @@ object Curation {
       stage: String): DataFrame = cfg.persistPath match {
     case Some(root) => graft.operators.Materialize.boundary(df, s"$root/$stage")
     case None if cfg.cache =>
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // registered query-lifetime pin: Bench/Verify release it after
+      // the consuming action (round-17 — see SessionCache)
+      graft.operators.SessionCache.pin(df)
     case None => df
   }
 

@@ -137,7 +137,7 @@ object Dedup {
     // upstream recomputes per consumer (measured 2-3x slower).
     val shingled =
       if (persistShingles)
-        shingledIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.operators.SessionCache.pin(shingledIn)
       else shingledIn
     // shingle sizes per doc (uncapped — the cap only limits which
     // shingles can PAIR docs, not the true set sizes)
@@ -207,12 +207,11 @@ object Dedup {
     */
   def weightedCosinePairs(df: DataFrame, maxTermDf: Int = 100,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tf = df
+    val tf = graft.operators.SessionCache.pin(df
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = tf.join(dfreq, Seq("term"))
       .select(col("doc_id"), col("term"), col("df"),
@@ -453,7 +452,7 @@ object Dedup {
     // bucketed table instead and each pass would read it back).
     val shingled =
       if (persistShingles)
-        shingledIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.operators.SessionCache.pin(shingledIn)
       else shingledIn
     val candidates = lshCandidatePairs(
       minHashSignatures(shingled, numHashes), numHashes, rowsPerBand)
@@ -705,7 +704,7 @@ object Dedup {
     val newShingledRaw = wordShingles(newDocs, n)
     val newShingled =
       if (persistShingles)
-        newShingledRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.operators.SessionCache.pin(newShingledRaw)
       else newShingledRaw
     val newBands = bandBuckets(
       minHashSignatures(newShingled, numHashes), numHashes, rowsPerBand)

@@ -138,9 +138,8 @@ object Quantization {
     */
   def quantizedTopK(emb: DataFrame, queryId: Long, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = quantized(emb, vecCol)
-      .select(col(idCol).as("vec_id"), col("qvec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = graft.operators.SessionCache.pin(quantized(emb, vecCol)
+      .select(col(idCol).as("vec_id"), col("qvec")))
     val queryVec = q.where(col("vec_id") === queryId)
       .select(col("qvec").as("query_qvec"))
     q.crossJoin(broadcast(queryVec))
@@ -297,9 +296,8 @@ object Quantization {
     // the scoring scan otherwise EACH re-run the corpus-wide min/max
     // range aggregation embedded in quantized() — a doubled full
     // corpus pass at scale.
-    val q = quantized(emb, vecCol)
-      .select(col(idCol), col(vecCol), col("qvec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = graft.operators.SessionCache.pin(quantized(emb, vecCol)
+      .select(col(idCol), col(vecCol), col("qvec")))
     val queryQvec = q.where(col(idCol) === queryId)
       .select(col("qvec").as("query_qvec"))
     Similarity.assignCells(q, centroids, vecCol)

@@ -831,13 +831,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label", qidCol: String = "query_id",
       qvecCol: String = "query_vec", qlabelCol: String = "query_label"): DataFrame = {
-    val cands = emb
+    val cands = graft.operators.SessionCache.pin(emb
       .crossJoin(broadcast(
         queries.select(col(qidCol), col(qvecCol), col(qlabelCol))))
       .where(col(idCol) =!= col(qidCol))
       .select(col(qidCol), col(idCol), col(labelCol), col(qlabelCol),
-        rankCosine(col(vecCol), col(qvecCol)).as("cosine"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rankCosine(col(vecCol), col(qvecCol)).as("cosine")))
     val wPos = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qidCol))
       .orderBy(col("cosine").asc, col(idCol).asc)
@@ -988,7 +987,7 @@ object Similarity {
       .where(col("__bucket").isNotNull)
     val bucketed =
       if (persistBuckets)
-        bucketedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.operators.SessionCache.pin(bucketedRaw)
       else bucketedRaw
     val keepable = bucketed.groupBy("__bucket")
       .agg(count(lit(1)).as("__n"))
@@ -1083,7 +1082,7 @@ object Similarity {
       .join(broadcast(centDf), Seq("cell"))
       .select(col(idCol), col(vecCol), col("cell"),
         cosine(col(vecCol), col("__c")).as("centroid_cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.SessionCache.pin(_))
     val keepable = celled.groupBy("cell")
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") <= maxCellSize)

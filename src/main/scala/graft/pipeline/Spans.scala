@@ -43,12 +43,12 @@ object Spans {
 
   def duplicatedWindowSpans(df: DataFrame, k: Int = 20, minOcc: Long = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val win = df.select(col(idCol).as("doc_id"),
+    val win = graft.operators.SessionCache.pin(
+      df.select(col(idCol).as("doc_id"),
         posexplode(graft.functions.NGramFunctions.charNGrams(col(textCol), k))
           .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
-        graft.functions.Md5Hash.h60(col("gram")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.functions.Md5Hash.h60(col("gram")).as("h")))
     val dup = win.groupBy("h").agg(count(lit(1)).as("nocc"))
       .where(col("nocc") >= minOcc).select("h")
     val marked = win.join(dup, Seq("h"), "left_semi")

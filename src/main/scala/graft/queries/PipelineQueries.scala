@@ -5175,8 +5175,8 @@ object PipelineQueries {
       (s, dir) => {
         // ONE shingle scan + cache feeds both chains (the
         // minHashNearDupsFromShingles seam exists for exactly this)
-        val shingled = Dedup.wordShingles(Tables.documents(s, dir), n = 3)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val shingled = graft.operators.SessionCache.pin(
+          Dedup.wordShingles(Tables.documents(s, dir), n = 3))
         val exact = Dedup.jaccardPairs(shingled, threshold = 0.8,
           maxShingleDf = 1000).select(col("doc_a"), col("doc_b"))
         val lsh = Dedup.minHashNearDupsFromShingles(shingled,
@@ -5542,10 +5542,11 @@ object PipelineQueries {
     QueryDef("p95_quality_classifier",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val model = Classifier.trainLogReg(docs,
+        // train + score over ONE shared feature substrate (round-17):
+        // the two-call chain paid the tokenize+hash corpus scan twice
+        Classifier.trainAndScoreLogReg(docs,
           (col("source") === "src0").cast("double"),
           buckets = 256, iterations = 2, learningRate = 4.0)
-        Classifier.scoreLogReg(docs, model)
       },
       Some(qualityClassifierOracleSql)),
 
