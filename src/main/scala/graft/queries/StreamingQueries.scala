@@ -51,6 +51,30 @@ object StreamingQueries {
   private val OneDayUs = 86400000000L
   private val OneHourUs = 3600000000L
 
+  /** Scope `spark.sql.shuffle.partitions` to the STREAM START only
+    * (round-17): streaming has no AQE, so every stateful exchange —
+    * and with it the number of state-store instances opened, committed
+    * and checkpointed per micro-batch — is pinned at query start from
+    * the session conf. At `local[32]` that meant 32 state stores per
+    * stateful operator per micro-batch for replays whose whole state
+    * is a few thousand keys. Six gates already used this scoping
+    * inline (st10/st11/st12/st14/st16/st26-family); this is the same
+    * discipline factored out and applied to the rest. The batch-side
+    * plans around the stream (staging writes, foreachBatch bodies,
+    * readbacks) keep the session's setting — AQE right-sizes those.
+    * Production sizing note: state partitions should scale with state
+    * volume, not core count; override with SPARK_GRAFT_STREAM_PARTS.
+    */
+  private[queries] def withStateParts[T](
+      s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val n = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(8)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Scratch dir for staged replay input + checkpoint; deleted once the
     * query has terminated (the memory sink owns the rows by then).
     */
@@ -3020,13 +3044,15 @@ object StreamingQueries {
     sparse.where(!earlyCond).coalesce(1).write.mode("append").parquet(stage)
     pinArrivalOrder(s, stage, earlyFiles)
 
-    val q0 = fill(
-      s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(stage))
-      .writeStream.outputMode("append")
-      .format("parquet").option("path", out)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt).start()
+    val q0 = withStateParts(s) {
+      fill(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+    }
     try q0.awaitTermination() finally q0.stop()
 
     val outDf = project(s.read.parquet(out))
