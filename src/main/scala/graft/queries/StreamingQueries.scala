@@ -75,6 +75,21 @@ object StreamingQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** `start()` under [[withStateParts]]: streaming clones the session
+    * conf at query start, so scoping only the start call pins the
+    * stateful exchanges / state-store count without touching the
+    * batch-side staging plans around the stream. Memory-sink replay
+    * gates use this; the foreachBatch gates are deliberately NOT
+    * scoped — their per-batch heavy work is batch plans that keep AQE
+    * (Spark disables AQE only for stateful streaming plans), so the
+    * session's AQE size-coalescing already right-sizes them.
+    */
+  private implicit class StateScopedStart[T](
+      private val w: org.apache.spark.sql.streaming.DataStreamWriter[T]) {
+    def startScoped(s: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+      withStateParts(s)(w.start())
+  }
+
   /** Scratch dir for staged replay input + checkpoint; deleted once the
     * query has terminated (the memory sink owns the rows by then).
     */
@@ -168,7 +183,7 @@ object StreamingQueries {
             ThirtyMinUs)
             .writeStream.format("memory").queryName(qname)
             .outputMode("append").option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow()).start()
+            .trigger(Trigger.AvailableNow()).startScoped(s)
           try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
           // the flush event's own session never closes (nothing after
           // it), so it is absent from the sink; the start_us bound is a
@@ -229,7 +244,7 @@ object StreamingQueries {
             oncePerKey = true)
             .writeStream.format("memory").queryName(qname)
             .outputMode("append").option("checkpointLocation", ckpt)
-            .trigger(Trigger.ProcessingTime(50)).start()
+            .trigger(Trigger.ProcessingTime(50)).startScoped(s)
           try {
             q.processAllAvailable()
             // watermark two-step: sentinel 1 advances the watermark past
@@ -307,7 +322,7 @@ object StreamingQueries {
             .withWatermark("ts", "0 seconds"))
           .writeStream.format("memory").queryName(qname)
           .outputMode("append").option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
+          .trigger(Trigger.AvailableNow()).startScoped(s)
         try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
         s.table(qname).select(
           col("id").as("event_id"),
@@ -359,7 +374,7 @@ object StreamingQueries {
         .writeStream.format("memory").queryName(qname)
         .outputMode("append")
         .option("checkpointLocation", dirP.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow()).start()
+        .trigger(Trigger.AvailableNow()).startScoped(s)
       try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
       SilverQueries.silverDeterministic(s.table(qname))
     },
@@ -609,7 +624,7 @@ object StreamingQueries {
           val q = graft.streaming.StreamingCuration.corpusStats(scored)
             .writeStream.format("memory").queryName(qname)
             .outputMode("append").option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow()).start()
+            .trigger(Trigger.AvailableNow()).startScoped(s)
           try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
           s.table(qname)
             .select(col("predicted_lang"), col("window_start"),
@@ -691,7 +706,7 @@ object StreamingQueries {
             .agg(kminValues(col("h"), k).as("sketch"))
             .writeStream.format("memory").queryName(qname)
             .outputMode("append").option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow()).start()
+            .trigger(Trigger.AvailableNow()).startScoped(s)
           try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
           s.table(qname)
             .select(col("source"), col("window.start").as("window_start"),
@@ -785,7 +800,7 @@ object StreamingQueries {
             .agg(countMin(col("h"), depth, width).as("grid"))
             .writeStream.format("memory").queryName(qname)
             .outputMode("append").option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow()).start()
+            .trigger(Trigger.AvailableNow()).startScoped(s)
           try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
           s.table(qname)
             .select(col("source"), col("window.start").as("window_start"),
@@ -1030,7 +1045,7 @@ object StreamingQueries {
             .agg(hyperLogLog(col("h"), p).as("regs"))
             .writeStream.format("memory").queryName(qname)
             .outputMode("append").option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow()).start()
+            .trigger(Trigger.AvailableNow()).startScoped(s)
           try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
           s.table(qname)
             .select(col("source"), col("window.start").as("window_start"),
@@ -1134,7 +1149,7 @@ object StreamingQueries {
               sum(round(col("value") * 100).cast("long")).as("value_cents"))
             .writeStream.format("memory").queryName(qname)
             .outputMode("append").option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow()).start()
+            .trigger(Trigger.AvailableNow()).startScoped(s)
           try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
           s.table(qname).where(col("user_id") =!= -1L)
             .select(col("user_id"),
@@ -1194,7 +1209,7 @@ object StreamingQueries {
               sum(round(col("value") * 100).cast("long")).as("value_cents"))
             .writeStream.format("memory").queryName(qname)
             .outputMode("append").option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow()).start()
+            .trigger(Trigger.AvailableNow()).startScoped(s)
           try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
           s.table(qname).where(col("event_type") =!= "flush")
             .select(col("event_type"),
@@ -1272,7 +1287,7 @@ object StreamingQueries {
               sum(round(col("value") * 100).cast("long")).as("value_cents"))
             .writeStream.format("memory").queryName(qname)
             .outputMode("append").option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow()).start()
+            .trigger(Trigger.AvailableNow()).startScoped(s)
           try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
           s.table(qname)
             .select(col("tier"),
@@ -1545,7 +1560,7 @@ object StreamingQueries {
           graft.pipeline.Classifier.scoreExpr(model, col("text")).as("score"))
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
+        .trigger(Trigger.AvailableNow()).startScoped(s)
       try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
       s.table(qname).select("doc_id", "score")
     },
@@ -1792,7 +1807,7 @@ object StreamingQueries {
         PipelineQueries.RetrievalQueries, stats)
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
+        .trigger(Trigger.AvailableNow()).startScoped(s)
       try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
       s.table(qname).select("query_id", "doc_id", "n_hit_terms", "score")
     },
@@ -1829,7 +1844,7 @@ object StreamingQueries {
         window = 3)
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
+        .trigger(Trigger.AvailableNow()).startScoped(s)
       try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
       s.table(qname).select("user_id", "event_id", "pos", "context", "label")
     },
@@ -1897,7 +1912,7 @@ object StreamingQueries {
         k = 15)
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
+        .trigger(Trigger.AvailableNow()).startScoped(s)
       try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
       s.table(qname).select("source", "doc_id", "admit_seq")
     },
@@ -1943,7 +1958,7 @@ object StreamingQueries {
         model)(s)
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
+        .trigger(Trigger.AvailableNow()).startScoped(s)
       try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
       s.table(qname).select("doc_id", "n_tokens", "avg_logprob")
     },
@@ -1982,7 +1997,7 @@ object StreamingQueries {
         budget = 800L)
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
+        .trigger(Trigger.AvailableNow()).startScoped(s)
       try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
       s.table(qname).select("source", "doc_id", "n_tokens", "tokens_before")
     },
@@ -2029,7 +2044,7 @@ object StreamingQueries {
         bucketWidth = 20, batchSize = 8)
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
+        .trigger(Trigger.AvailableNow()).startScoped(s)
       try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
       s.table(qname).select("bucket", "doc_id", "n_tokens", "batch_id", "slot")
     },
@@ -2221,7 +2236,7 @@ object StreamingQueries {
           watermarkDelay = "0 seconds")
           .writeStream.format("memory").queryName(qname)
           .outputMode("append").option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
+          .trigger(Trigger.AvailableNow()).startScoped(s)
         try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
         s.table(qname).where(col("item_id") =!= "\u0000flush")
           .withColumn("snapshot_hour", unix_timestamp(col("snapshot_hour")))
@@ -2265,7 +2280,7 @@ object StreamingQueries {
         bench, n = 4)(s)
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
+        .trigger(Trigger.AvailableNow()).startScoped(s)
       try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
       s.table(qname)
     },
@@ -2350,7 +2365,7 @@ object StreamingQueries {
         bench, n = 4)(s)
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
+        .trigger(Trigger.AvailableNow()).startScoped(s)
       try q.awaitTermination() finally { q.stop(); deleteRecursively(dirP) }
       s.table(qname)
     },
