@@ -243,13 +243,14 @@ object MartQueries {
         silver.where(col("item_id") % 2 =!= 0).coalesce(1)
           .write.mode("append").parquet(stage)
         val schema = s.read.parquet(stage).schema
-        val q0 = graft.streaming.StreamingMvMaintenance.maintainer(
+        val q0w = graft.streaming.StreamingMvMaintenance.maintainer(
           s.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(stage),
           mvPath, Seq("item_id", "snapshot_date"),
           Seq("unit_price", "quantity"),
           exprMeasures = Map("market_cap" -> "unit_price * quantity"))
-          .option("checkpointLocation", ckpt).start()
+          .option("checkpointLocation", ckpt)
+        val q0 = StreamingQueries.withStateParts(s)(q0w.start())
         try q0.awaitTermination() finally q0.stop()
         graft.plans.MaterializedAggregate.registerExisting(
           s, stage, mvPath, Seq("item_id", "snapshot_date"),

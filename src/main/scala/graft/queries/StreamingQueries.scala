@@ -1449,7 +1449,7 @@ object StreamingQueries {
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
           .parquet(stage),
         indexPath, out, threshold = 0.8)
-        .option("checkpointLocation", ckpt).start()
+        .option("checkpointLocation", ckpt).startScoped(s)
       try q.awaitTermination() finally q.stop()
       val result =
         try s.read.parquet(out).select("doc_new", "doc_old", "jaccard")
@@ -1508,7 +1508,7 @@ object StreamingQueries {
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
           .parquet(stage),
         indexPath, out, threshold = 0.8)
-        .option("checkpointLocation", ckpt).start()
+        .option("checkpointLocation", ckpt).startScoped(s)
       try q.awaitTermination() finally q.stop()
       val result =
         try s.read.parquet(out).select("doc_new", "doc_old", "jaccard")
@@ -1600,7 +1600,7 @@ object StreamingQueries {
         s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
           .parquet(stage),
         refPath, statePath, outPath)
-        .option("checkpointLocation", ckpt).start()
+        .option("checkpointLocation", ckpt).startScoped(s)
       try q.awaitTermination() finally q.stop()
       val rows = s.read.parquet(outPath)
         .select(col("batch").cast("long").as("batch_id"),
@@ -1713,7 +1713,7 @@ object StreamingQueries {
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
           .parquet(stage),
         bloomPath, out)
-        .option("checkpointLocation", ckpt).start()
+        .option("checkpointLocation", ckpt).startScoped(s)
       try {
         q.processAllAvailable()
         odd.where(col("doc_id") % 4 === 3).coalesce(1)
@@ -2125,7 +2125,7 @@ object StreamingQueries {
               org.apache.spark.sql.Encoders.product[
                 graft.streaming.StreamingIngest.IngestDoc]),
           cfg, lm, clf)
-          .option("checkpointLocation", ckpt).start()
+          .option("checkpointLocation", ckpt).startScoped(s)
         try q.awaitTermination() finally q.stop()
         val result =
           try s.read.parquet(out).select("source", "doc_id", "n_tokens",
@@ -2399,7 +2399,7 @@ object StreamingQueries {
         s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(stage),
         mvPath, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
-        .option("checkpointLocation", ckpt).start()
+        .option("checkpointLocation", ckpt).startScoped(s)
       try q0.awaitTermination() finally q0.stop()
 
       graft.plans.MaterializedAggregate.registerExisting(
@@ -2467,7 +2467,7 @@ object StreamingQueries {
         s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(stage),
         mvPath, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
-        .option("checkpointLocation", ckpt).start()
+        .option("checkpointLocation", ckpt).startScoped(s)
       try q0.awaitTermination() finally q0.stop()
 
       val folded = graft.streaming.StreamingMvMaintenance.compact(s, mvPath)
@@ -2557,7 +2557,7 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", 1).parquet(stage)
           .as[graft.streaming.StreamingPairIngest.PairIn],
         cfg)
-        .option("checkpointLocation", ckpt).start()
+        .option("checkpointLocation", ckpt).startScoped(s)
       try q.awaitTermination() finally q.stop()
 
       val outDf = s.read.parquet(out).select(
@@ -2625,7 +2625,7 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", 1).parquet(stage)
           .as[graft.streaming.StreamingSearch.QueryIn],
         cfg)
-        .option("checkpointLocation", ckpt).start()
+        .option("checkpointLocation", ckpt).startScoped(s)
       try q.awaitTermination() finally q.stop()
 
       val outDf = s.read.parquet(out).select(
@@ -2672,7 +2672,7 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", 1).parquet(stage),
         mvPath, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"),
         distinctCols = Seq("l_suppkey"), hllP = 4)
-        .option("checkpointLocation", ckpt).start()
+        .option("checkpointLocation", ckpt).startScoped(s)
       try q0.awaitTermination() finally q0.stop()
 
       graft.plans.MaterializedAggregate.registerExisting(
@@ -2750,7 +2750,7 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", 1).parquet(stage)
           .as[graft.streaming.StreamingMediaIngest.MediaIn],
         cfg)
-        .option("checkpointLocation", ckpt).start()
+        .option("checkpointLocation", ckpt).startScoped(s)
       try q.awaitTermination() finally q.stop()
 
       val outDf = s.read.parquet(out).select(
@@ -2827,7 +2827,7 @@ object StreamingQueries {
         s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(stage),
         mvPath, Seq("l_suppkey"), Seq("l_quantity"))
-        .option("checkpointLocation", ckpt).start()
+        .option("checkpointLocation", ckpt).startScoped(s)
       try q0.awaitTermination() finally q0.stop()
 
       graft.plans.MaterializedAggregate.registerExisting(
@@ -2916,7 +2916,7 @@ object StreamingQueries {
             .write.mode("overwrite").parquet(s"$out/batch=$batchId")
         }
         .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt).start()
+        .option("checkpointLocation", ckpt).startScoped(s)
       try q0.awaitTermination() finally q0.stop()
 
       val outDf = s.read.parquet(out).select(
@@ -2986,7 +2986,7 @@ object StreamingQueries {
               splitBucket = None)
         }
         .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt).start()
+        .option("checkpointLocation", ckpt).startScoped(s)
       try q0.awaitTermination() finally q0.stop()
 
       graft.pipeline.GraphAnn.tombstoneIndex(
